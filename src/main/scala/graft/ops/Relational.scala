@@ -1,0 +1,381 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Generic relational surface over the driver's star schema: joins (all
+  * flavors), set ops, rollup/cube, window functions and frames, dedup,
+  * binning. The reference itself has no joins (SURVEY.md §2.8); this
+  * module is the north-star generic capability, designed Spark-first:
+  * dimension joins broadcast, aggregations partial+final, top-k as
+  * TakeOrderedAndProject, everything whole-stage-codegen friendly.
+  *
+  * Float-output discipline (driver hash-compares against DuckDB): sums of
+  * decimal-quantized inputs are rounded at the input quantum (exact in
+  * both engines); continuous values (averages, ratios) are rounded to 6
+  * places.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style pricing summary: partial+final hash aggregation over
+    * the fact table, no shuffle beyond the group-by exchange.
+    */
+  val pricingSummary: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Fact⋈dim equi-join + agg. Customer is the small side at every sf the
+    * driver ships, but it scales with sf — so no hard-coded broadcast
+    * hint; AQE picks broadcast when it fits
+    * (spark.sql.autoBroadcastJoinThreshold).
+    */
+  val revenueBySegment: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  /** Top-k join: Catalyst plans TakeOrderedAndProject — no global sort. */
+  val topOrders: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** Left outer join preserving customers with zero orders. */
+  val custOrderCounts: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spend"))
+      .orderBy("c_custkey")
+
+  /** Left-semi join (EXISTS): customers with at least one 400k+ order. */
+  val bigSpenders: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Left-anti join (NOT EXISTS): customers with no finished order. */
+  val neverFinished: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** UNION (distinct) + EXCEPT over derived key sets. */
+  val setOps: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val pending = o.filter(col("o_orderstatus") === "P").select("o_custkey")
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val huge = o.filter(col("o_totalprice") > 450000.0).select("o_custkey")
+    pending.union(open).distinct().except(huge).orderBy("o_custkey")
+  }
+
+  /** ROLLUP with null-indicator coalescing (subtotal rows → 'ALL'). */
+  val rollupStatusPriority: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("revenue"))
+      .orderBy("status", "priority")
+
+  /** CUBE over the region⋈nation⋈customer star arm. nation/region are
+    * bounded dimensions (25/5 rows at any scale) → broadcast hints.
+    *
+    * Expressed via spark.sql: the DataFrame `cube().agg()` path trips
+    * Spark 4's ambiguous-self-join detector (cube's Expand duplicates
+    * the join output's attributes under the same dataset-id, a false
+    * positive even with freshly-aliased columns); the SQL path carries
+    * no dataset-id metadata and analyzes cleanly — same logical plan
+    * otherwise.
+    */
+  val cubeRegionNation: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    Tables.nation(s, d).createOrReplaceTempView("g_nation")
+    Tables.region(s, d).createOrReplaceTempView("g_region")
+    s.sql(
+      """SELECT /*+ BROADCAST(g_nation, g_region) */
+           coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS acctbal_sum
+         FROM g_customer
+         JOIN g_nation ON c_nationkey = n_nationkey
+         JOIN g_region ON n_regionkey = r_regionkey
+         GROUP BY CUBE (r_name, n_name)
+         ORDER BY region, nation""")
+  }
+
+  /** Ranking window with total ordering (tie-broken by key). */
+  val segmentTopAccounts: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select("c_mktsegment", "rnk", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "rnk", "c_custkey")
+  }
+
+  /** Running total — rowsBetween frame, deterministic via unique-key
+    * tie-break in the frame ordering.
+    */
+  val runningRevenue: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** lag(): days between consecutive orders of a customer. */
+  val orderGaps: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        coalesce(datediff(col("o_orderdate"), col("prev_date")).cast("long"), lit(-1L))
+          .as("gap_days"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Exact distinct cardinality per group. */
+  val distinctUsersByType: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** approx_count_distinct (HLL++) — sketch output is implementation-
+    * specific, so this entry has no DuckDB oracle (rows-only check); its
+    * contract (±5% of exact) is pinned in RelationalSpec.
+    */
+  val approxDistinctUsers: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  /** CASE-tiering + numeric binning (histogram). */
+  val valueHistogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("bin", (floor(col("value") / 50.0) * 50).cast("long"))
+      .withColumn("tier",
+        when(col("value") >= 150.0, "high")
+          .when(col("value") >= 50.0, "mid")
+          .otherwise("low"))
+      .groupBy("bin", "tier")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("value_sum"))
+      .orderBy("bin", "tier")
+
+  /** Regex extraction from a JSON-ish payload + cast + agg (the
+    * reference's "123.4万" regex-parse pattern, tag/main.py:53-54).
+    */
+  val propsKeyStats: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        round(avg("k"), 6).as("k_avg"),
+        min("k").as("k_min"),
+        max("k").as("k_max"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Calendar bucketing: orders per month. Output cast to DATE so both
+    * engines compare identically (timestamp tz semantics differ).
+    */
+  val monthlyOrders: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+
+  /** Exact dedup on a key subset — dropDuplicates projected to the key so
+    * the result is deterministic (the non-key columns of dropDuplicates
+    * are arbitrary-survivor and must not be emitted).
+    */
+  val eventsDedup: Q = (s, d) =>
+    Tables.events(s, d)
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+      .orderBy("user_id", "event_type")
+
+  /** 5-table star join: lineitem⋈orders⋈customer⋈nation⋈region revenue
+    * rollup to region. The two bounded dims broadcast; the fact-side
+    * joins shuffle on their keys and AQE handles skew/coalescing.
+    */
+  val starJoinRevenue: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name")
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> pricingSummary,
+    "q02_revenue_by_segment" -> revenueBySegment,
+    "q03_top_orders" -> topOrders,
+    "q04_cust_order_counts" -> custOrderCounts,
+    "q05_big_spenders_semi" -> bigSpenders,
+    "q06_never_finished_anti" -> neverFinished,
+    "q07_set_ops" -> setOps,
+    "q08_rollup_status_priority" -> rollupStatusPriority,
+    "q09_cube_region_nation" -> cubeRegionNation,
+    "q10_segment_top_accounts" -> segmentTopAccounts,
+    "q11_running_revenue" -> runningRevenue,
+    "q12_order_gaps" -> orderGaps,
+    "q13_distinct_users_by_type" -> distinctUsersByType,
+    "q14_approx_distinct_users" -> approxDistinctUsers,
+    "q15_value_histogram" -> valueHistogram,
+    "q16_props_key_stats" -> propsKeyStats,
+    "q17_monthly_orders" -> monthlyOrders,
+    "q18_events_dedup" -> eventsDedup,
+    "q19_star_join_revenue" -> starJoinRevenue)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
+         round(avg(l_quantity),6) AS avg_qty,
+         round(avg(l_extendedprice),6) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "q02_revenue_by_segment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q03_top_orders" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q04_cust_order_counts" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+         round(coalesce(sum(o_totalprice),0),2) AS total_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1,2 ORDER BY 1""",
+    "q05_big_spenders_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+    "q06_never_finished_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q07_set_ops" ->
+      """SELECT o_custkey FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+           UNION
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         )
+         EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0
+         ORDER BY o_custkey""",
+    "q08_rollup_status_priority" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+         coalesce(o_orderpriority,'ALL') AS priority,
+         count(*) AS n, round(sum(o_totalprice),2) AS revenue
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY 1,2""",
+    "q09_cube_region_nation" ->
+      """SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
+         count(*) AS n_cust, round(sum(c_acctbal),2) AS acctbal_sum
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY CUBE (r_name, n_name) ORDER BY 1,2""",
+    "q10_segment_top_accounts" ->
+      """SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             rank() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS rnk
+           FROM customer)
+         WHERE rnk <= 3 ORDER BY c_mktsegment, rnk, c_custkey""",
+    "q11_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q12_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+         coalesce(date_diff('day',
+           (lag(o_orderdate) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey))::DATE,
+           o_orderdate::DATE), -1)::BIGINT AS gap_days
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q13_distinct_users_by_type" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q15_value_histogram" ->
+      """SELECT (floor(value/50.0)*50)::BIGINT AS bin,
+         CASE WHEN value >= 150.0 THEN 'high'
+              WHEN value >= 50.0 THEN 'mid' ELSE 'low' END AS tier,
+         count(*) AS n, round(sum(value),2) AS value_sum
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q16_props_key_stats" ->
+      """SELECT event_type, round(avg(k),6) AS k_avg, min(k) AS k_min,
+         max(k) AS k_max, count(*) AS n
+         FROM (SELECT event_type,
+                 CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+               FROM events)
+         WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    "q17_monthly_orders" ->
+      """SELECT date_trunc('month', o_orderdate)::DATE AS month,
+         count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q18_events_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1,2""",
+    "q19_star_join_revenue" ->
+      """SELECT r_name,
+         round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""")
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expr.TextFunctions._
+
+/** Text-analysis surface over `documents`: tokenization, word frequency
+  * (the reference's preprocess pipeline, hot/preprocess_high_energy.py:
+  * 39-78), per-doc token/quality stats, heuristic language ID, and
+  * MD5 content fingerprints. All expressions are native (array
+  * higher-order functions) — token stats never explode when they can be
+  * computed on the array in place, so per-doc metrics are one narrow
+  * projection, not a generate+reshuffle.
+  */
+object TextAnalysis {
+
+  /** Word frequency top-k with the reference's token filters (stopwords,
+    * len>1, non-numeric — preprocess_high_energy.py:53-58; top-500 cut
+    * at :78, here 100). explode → count → TakeOrderedAndProject.
+    */
+  def wordFreqTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(filteredTokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word"))
+      .limit(k)
+
+  /** Per-document token statistics, computed on the token array without
+    * a generator (no row explosion at 100 TB).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
+        round(meanTokenLen(col("text")), 6).as("mean_token_len"),
+        round(distinctRatio(col("text")), 6).as("distinct_ratio"))
+      .orderBy("doc_id")
+
+  /** Corpus stats per language label. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 6).as("avg_chars"),
+        round(avg(tokenCount(col("text")).cast("double")), 6).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Per-doc quality signals (length/diversity/stopword mix). */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(qualityScore(col("text"), col("n_chars")), 6).as("quality"))
+      .orderBy("doc_id")
+
+  /** Heuristic language ID: per-language stopword-lexicon hit counts,
+    * argmax with alphabetical tie-break, 'und' when nothing fires.
+    */
+  def langIdPredictions(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("predicted"))
+      .orderBy("doc_id")
+
+  /** Content fingerprint: md5 over the exact text bytes — the exact-dedup
+    * key at scale (hash-groupBy, no pairwise comparison anywhere).
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"),
+        substring(md5(col("text").cast("binary")), 1, 8).as("fp_prefix"))
+      .orderBy("doc_id")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q40_word_freq_topk" -> (wordFreqTopK(_, _)),
+    "q41_token_stats" -> (tokenStats(_, _)),
+    "q42_lang_stats" -> (langStats(_, _)),
+    "q43_quality_scores" -> (qualityScores(_, _)),
+    "q44_lang_id" -> (langIdPredictions(_, _)),
+    "q45_fingerprints" -> (fingerprints(_, _)))
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q40_word_freq_topk" ->
+      s"""WITH t AS (SELECT unnest(string_split(text,' ')) AS word
+            FROM documents WHERE text IS NOT NULL)
+          SELECT word, count(*) AS freq FROM t
+          WHERE word <> '' AND word NOT IN ($stopList)
+            AND length(word) > 1 AND NOT regexp_matches(word, '^[0-9]+$$')
+          GROUP BY 1 ORDER BY freq DESC, word LIMIT 100""",
+    "q41_token_stats" ->
+      """WITH t AS (
+           SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text,' ')) AS w
+             FROM documents WHERE text IS NOT NULL)
+           WHERE w <> '')
+         SELECT doc_id, count(*) AS n_tokens,
+           count(DISTINCT w) AS n_distinct,
+           round(sum(length(w))::DOUBLE / count(*), 6) AS mean_token_len,
+           round(count(DISTINCT w)::DOUBLE / count(*), 6) AS distinct_ratio
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "q42_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars),6) AS avg_chars,
+         round(avg(len(list_filter(string_split(text,' '), w -> w <> ''))::DOUBLE),6)
+           AS avg_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q43_quality_scores" ->
+      s"""WITH per AS (
+            SELECT doc_id, n_chars,
+              list_filter(string_split(text,' '), w -> w <> '') AS ws
+            FROM documents),
+          m AS (
+            SELECT doc_id, n_chars,
+              len(ws) AS n,
+              len(list_distinct(ws)) AS nd,
+              len(list_filter(ws, w -> w IN ($stopList))) AS nstop
+            FROM per)
+          SELECT doc_id,
+            round(CASE WHEN n = 0 THEN 0.0
+                       ELSE nstop::DOUBLE / n END, 6) AS stopword_ratio,
+            round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.4
+              + (CASE WHEN n = 0 THEN 0.0 ELSE nd::DOUBLE / n END) * 0.4
+              + (1.0 - (CASE WHEN n = 0 THEN 0.0
+                             ELSE nstop::DOUBLE / n END)) * 0.2, 6) AS quality
+          FROM m ORDER BY doc_id""",
+    "q44_lang_id" -> {
+      // per-language hit counts over raw tokens; argmax, alphabetical
+      // tie-break (de,en,es,fr,zh), 'und' when all zero — mirrors
+      // TextFunctions.langId's fold.
+      val hits = langLexicons.toSeq.sortBy(_._1).map { case (lang, lex) =>
+        val inList = lex.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(ws, w -> w IN ($inList))) AS h_$lang"
+      }.mkString(", ")
+      s"""WITH per AS (
+            SELECT doc_id, lang,
+              list_filter(string_split(text,' '), w -> w <> '') AS ws
+            FROM documents),
+          h AS (SELECT doc_id, lang, $hits FROM per)
+          SELECT doc_id, lang,
+            CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                 WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                 WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                 WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                 WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                 ELSE 'zh' END AS predicted
+          FROM h ORDER BY doc_id"""
+    },
+    "q45_fingerprints" ->
+      """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix
+         FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.Dedup
+import graft.expr.{SimHash64, TextFunctions}
+
+/** Dedup-stack contracts: shingle construction, MinHash signature
+  * behavior vs true Jaccard, LSH candidate quality, SimHash stability —
+  * the non-oracle-able halves of q50-q56.
+  */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  test("shingles: sliding n-grams, short docs → empty") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("shingle count property: max(0, L - n + 1) for L >= n") {
+    val toks = Gen.choose(0, 12).flatMap(l => Gen.listOfN(l, Gen.alphaLowerStr.suchThat(_.nonEmpty)))
+    val prop = Prop.forAll(toks) { ts =>
+      val s = spark
+      import s.implicits._
+      val n = Seq(ts.mkString(" ")).toDF("text")
+        .select(size(Dedup.shingles(TextFunctions.tokens(col("text")), 3)).as("n"))
+        .collect()(0).getInt(0)
+      n == math.max(0, ts.length - 3 + 1)
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop).passed)
+  }
+
+  test("exact dedup stats are self-consistent") {
+    val r = Dedup.exactDedupStats(spark, sf).collect()(0)
+    val (n, distinct, dups) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n == distinct + dups)
+    assert(distinct <= n && distinct > 0)
+  }
+
+  test("minhash signatures: full length, in-domain, and equal for identical content") {
+    val sigs = Dedup.minhashSignatures(spark, sf)
+    val bad = sigs.filter(
+      size(col("signature")) =!= Dedup.numHashes ||
+        exists(col("signature"), v => v < 0L || v >= lit(4294967311L))).count()
+    assert(bad == 0)
+    // docs with identical text must have identical signatures
+    val fp = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val nDistinctPairs = sigs.join(fp, "doc_id")
+      .groupBy("fp").agg(countDistinct("signature").as("nsig"))
+      .filter(col("nsig") > 1).count()
+    assert(nDistinctPairs == 0)
+  }
+
+  test("LSH candidates include every exact-duplicate pair (est_jaccard = 1)") {
+    val s = spark
+    import s.implicits._
+    val fp = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val dupPairs = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val missed = dupPairs.join(
+      Dedup.lshCandidates(spark, sf).filter(col("est_jaccard") === 1.0),
+      Seq("doc_a", "doc_b"), "left_anti").count()
+    assert(missed == 0)
+  }
+
+  test("simhash: deterministic, equal for equal token arrays, hamming(x,x)=0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("spark shuffle join engine", "spark shuffle join engine", "totally different words here")
+      .toDF("text")
+      .select(SimHash64(TextFunctions.tokens(col("text"))).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2)) // astronomically unlikely to collide
+    val hd = Seq((hs(0), hs(0))).toDF("a", "b")
+      .select(SimHash64.hamming(col("a"), col("b")).as("d")).collect()(0)
+    assert(hd.getInt(0) == 0)
+  }
+
+  test("simhash pairs on near-identical docs have small hamming distance") {
+    val s = spark
+    import s.implicits._
+    // one-token edit on a 12-token doc → most weighted bits agree
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val edited = "the quick brown fox jumps over the lazy cat near the river"
+    val hs = Seq(base, edited).toDF("text")
+      .select(SimHash64(TextFunctions.tokens(col("text"))).as("h"))
+      .collect().map(_.getLong(0))
+    val hamming = java.lang.Long.bitCount(hs(0) ^ hs(1))
+    assert(hamming <= 16, s"near-dup hamming was $hamming")
+  }
+
+  test("jaccard pairs: all results within [minJaccard, 1]") {
+    val bad = Dedup.jaccardPairs(spark, sf)
+      .filter(col("jaccard") < Dedup.minJaccard || col("jaccard") > 1.0).count()
+    assert(bad == 0)
+  }
+}

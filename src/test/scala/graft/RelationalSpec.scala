@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Relational
+
+/** Relational-surface pins that the DuckDB oracle can't express:
+  * approx_count_distinct accuracy, plan-shape assertions (broadcast for
+  * bounded dims, TakeOrderedAndProject for top-k), AQE presence.
+  */
+class RelationalSpec extends AnyFunSuite with SparkTestBase {
+
+  test("approx_count_distinct within 5% of exact per event_type") {
+    val exact = Relational.queries("q13_distinct_users_by_type")(spark, sf)
+      .select("event_type", "n_users")
+    val approx = Relational.queries("q14_approx_distinct_users")(spark, sf)
+    val joined = exact.join(approx, "event_type")
+      .select(col("n_users").cast("double"), col("approx_users").cast("double"))
+      .collect()
+    joined.foreach { r =>
+      val (e, a) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
+    }
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort at scale)") {
+    val plan = Relational.queries("q03_top_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("bounded-dimension joins broadcast (star join: nation/region)") {
+    val plan = Relational.queries("q19_star_join_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+  }
+
+  test("rollup emits per-group, subtotal and grand-total rows") {
+    val rows = Relational.queries("q08_rollup_status_priority")(spark, sf).collect()
+    val statuses = rows.map(_.getString(0)).toSet
+    assert(statuses.contains("ALL"), "grand total / subtotal rows missing")
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    // grand total equals the sum of the per-status subtotals
+    val subtotals = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    assert(subtotals.map(_.getLong(2)).sum == grand(0).getLong(2))
+  }
+
+  test("left join preserves all customers; semi+anti partition them") {
+    val nCust = Tables.customer(spark, sf).count()
+    assert(Relational.queries("q04_cust_order_counts")(spark, sf).count() == nCust)
+    // semi(big spenders) and anti(never finished) are both subsets
+    assert(Relational.queries("q05_big_spenders_semi")(spark, sf).count() <= nCust)
+    assert(Relational.queries("q06_never_finished_anti")(spark, sf).count() <= nCust)
+  }
+}

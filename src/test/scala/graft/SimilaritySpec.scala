@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+import graft.expr.Vectors
+
+/** Vector-math and ANN contracts: exact cosine identities on known
+  * vectors, and LSH recall vs the brute-force ground truth (q63 has no
+  * SQL oracle — this spec is its correctness pin).
+  */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private def vecDf(vs: (Seq[Double], Seq[Double])*) = {
+    val s = spark
+    import s.implicits._
+    vs.toSeq.toDF("a", "b")
+  }
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → -1, zero-norm guard → 0") {
+    val df = vecDf(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 1.0), Seq(-1.0, -1.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0)))
+      .select(round(Vectors.cosine(col("a"), col("b")), 9).as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0, -1.0, 0.0))
+  }
+
+  test("norm2 and dot on known values") {
+    val df = vecDf((Seq(3.0, 4.0), Seq(1.0, 10.0)))
+      .select(Vectors.norm2(col("a")).as("n"), Vectors.dot(col("a"), col("b")).as("d"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 5.0)
+    assert(r.getDouble(1) == 43.0)
+  }
+
+  test("hyperplane buckets are stable and in range [0, 2^planes)") {
+    val planes = Vectors.randomPlanes(4, 3, seed = 1L)
+    val df = vecDf((Seq(1.0, 2.0, 3.0), Seq(0.0, 0.0, 0.0)))
+      .select(Vectors.hyperplaneBucket(col("a"), planes).as("k1"),
+        Vectors.hyperplaneBucket(col("a"), planes).as("k2"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) >= 0 && r.getLong(0) < 16)
+  }
+
+  test("brute-force kNN returns topK rows with descending cosine") {
+    val rows = Similarity.knnBruteForce(spark, sf).collect()
+    assert(rows.length == Similarity.topK)
+    val cs = rows.map(_.getDouble(2)).toSeq
+    assert(cs == cs.sorted.reverse)
+  }
+
+  test("ANN (multi-table hyperplane LSH) finds a usable fraction of true top-k") {
+    val exact = Similarity.knnBruteForce(spark, sf).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.annHyperplaneLsh(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(approx.nonEmpty, "ANN returned no candidates")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 4 tables × 4 planes on 64-dim data: exact bound is data-dependent;
+    // the pin is "clearly better than random" (random ≈ k/n ≈ 2%)
+    assert(recall >= 0.2, s"recall@${Similarity.topK} was $recall")
+  }
+
+  test("label centroids: one row per (label, dim) with finite values") {
+    val c = Similarity.labelCentroids(spark, sf)
+    val nLabels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(c.count() == nLabels * Similarity.embeddingDim)
+    assert(c.filter(isnan(col("centroid")) || col("centroid").isNull).count() == 0)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TagMining
+
+/** FP-Growth contracts (tag/main.py:187-194) — not oracle-able, so the
+  * correctness pins live here: hand-computed itemsets on a fixed corpus,
+  * support monotonicity, and rule-metric sanity.
+  */
+class TagMiningSpec extends AnyFunSuite with SparkTestBase {
+
+  test("hand-computed frequent itemsets on a fixed 5-transaction corpus") {
+    val s = spark
+    import s.implicits._
+    // transactions: {a,b}, {a,b,c}, {a,c}, {a}, {b}
+    val tx = Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "c"), Seq("a"), Seq("b"))
+      .toDF("items")
+    val model = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items").setMinSupport(0.4).setMinConfidence(0.5).fit(tx)
+    val freq = model.freqItemsets.collect()
+      .map(r => r.getSeq[String](0).sorted.mkString(",") -> r.getLong(1)).toMap
+    // support >= 0.4 → freq >= 2
+    assert(freq == Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "a,b" -> 2L, "a,c" -> 2L))
+  }
+
+  test("support monotonicity: freq(itemset) <= min freq of its items") {
+    val itemsets = TagMining.freqItemsets(spark, sf).collect()
+      .map(r => (r.getSeq[String](0), r.getLong(1)))
+    val singles = itemsets.filter(_._1.length == 1)
+      .map { case (is, f) => is.head -> f }.toMap
+    itemsets.filter(_._1.length > 1).foreach { case (is, f) =>
+      val bound = is.map(singles).min
+      assert(f <= bound, s"itemset $is freq $f exceeds min-single $bound")
+    }
+  }
+
+  test("all itemsets meet minSupport") {
+    val n = TagMining.transactions(spark, sf).count()
+    val minFreq = math.ceil(TagMining.minSupport * n).toLong
+    val below = TagMining.freqItemsets(spark, sf).filter(col("freq") < minFreq).count()
+    assert(below == 0)
+  }
+
+  test("association rules: confidence >= minConfidence, metrics in range, lift consistent") {
+    val rules = TagMining.associationRules(spark, sf).collect()
+    assert(rules.nonEmpty)
+    rules.foreach { r =>
+      val conf = r.getDouble(2)
+      val lift = r.getDouble(3)
+      val support = r.getDouble(4)
+      assert(conf >= TagMining.minConfidence && conf <= 1.0)
+      assert(lift > 0.0)
+      assert(support > 0.0 && support <= 1.0)
+    }
+  }
+}

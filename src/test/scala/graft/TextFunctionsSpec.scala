@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.expr.TextFunctions
+
+/** U2 + text-quality contracts (SURVEY.md §2.3, preprocess_high_energy
+  * .py:39-61): tokenizer null-safety, the stopword/len/numeric filters,
+  * CJK max-match segmentation, quality signals, language ID.
+  */
+class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def run1[T](v: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Row = {
+    val s = spark
+    import s.implicits._
+    Seq(Option(v)).toDF("text").select(c(col("text")).as("out")).collect()(0)
+  }
+
+  test("tokens: null → empty array, runs of spaces collapse") {
+    assert(run1(null, TextFunctions.tokens).getSeq[String](0) == Seq.empty)
+    assert(run1("a  b   c", TextFunctions.tokens).getSeq[String](0) == Seq("a", "b", "c"))
+  }
+
+  test("filteredTokens drops stopwords, single-char and pure-numeric tokens") {
+    val out = run1("the spark 7 x 42 engine a of", TextFunctions.filteredTokens)
+      .getSeq[String](0)
+    assert(out == Seq("spark", "engine"))
+  }
+
+  test("segmentCjk: dictionary max-match with single-char fallback") {
+    assert(TextFunctions.segmentCjk("韩立和南宫婉") == Seq("韩立", "和", "南宫婉"))
+    // longest match wins over a shorter dictionary prefix
+    assert(TextFunctions.segmentCjk("大衍神君") == Seq("大衍神君"))
+  }
+
+  test("segmentCjk: mixed CJK/latin, whitespace, null") {
+    assert(TextFunctions.segmentCjk("abc韩立 def") == Seq("abc", "韩立", "def"))
+    assert(TextFunctions.segmentCjk(null) == Seq.empty)
+    assert(TextFunctions.segmentCjk("") == Seq.empty)
+  }
+
+  test("segmentCjk property: concatenation reproduces input minus whitespace") {
+    val cjkChars = Gen.oneOf('韩', '立', '和', '南', '宫', '婉', '高', '能', 'a', 'b', ' ')
+    val strs = Gen.listOf(cjkChars).map(_.mkString)
+    val prop = Prop.forAll(strs) { s =>
+      TextFunctions.segmentCjk(s).mkString == s.replaceAll("\\s", "")
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop).passed)
+  }
+
+  test("distinctRatio / stopwordRatio / meanTokenLen on known input") {
+    assert(run1("x x y", c => TextFunctions.distinctRatio(c)).getDouble(0) === 2.0 / 3.0)
+    assert(run1("the x", c => TextFunctions.stopwordRatio(c)).getDouble(0) === 0.5)
+    assert(run1("ab abcd", c => TextFunctions.meanTokenLen(c)).getDouble(0) === 3.0)
+  }
+
+  test("ratios are 0 on empty text (no division by zero)") {
+    assert(run1("", c => TextFunctions.distinctRatio(c)).getDouble(0) === 0.0)
+    assert(run1("", c => TextFunctions.stopwordRatio(c)).getDouble(0) === 0.0)
+    assert(run1("", c => TextFunctions.meanTokenLen(c)).getDouble(0) === 0.0)
+  }
+
+  test("qualityScore stays in [0, 1]") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("", 0L), ("the the the", 11L), ("unique diverse vocabulary rich", 1000L))
+      .toDF("text", "n_chars")
+      .select(TextFunctions.qualityScore(col("text"), col("n_chars")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("langId: argmax over lexicon hits, 'und' when nothing fires") {
+    assert(run1("the and of x", c => TextFunctions.langId(c)).getString(0) == "en")
+    assert(run1("le la et puis", c => TextFunctions.langId(c)).getString(0) == "fr")
+    assert(run1("zzz qqq", c => TextFunctions.langId(c)).getString(0) == "und")
+    assert(run1(null, c => TextFunctions.langId(c)).getString(0) == "und")
+  }
+}
