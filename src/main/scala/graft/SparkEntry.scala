@@ -11,7 +11,7 @@ import graft.ops._
   */
 object SparkEntry {
 
-  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private[graft] val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracles),
       (EnergyPipeline.queries, EnergyPipeline.oracles),
@@ -20,7 +20,9 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
       (TagMining.queries, TagMining.oracles),
-      (Multimodal.queries, Multimodal.oracles))
+      (Multimodal.queries, Multimodal.oracles),
+      (Skew.queries, Skew.oracles),
+      (GraphOps.queries, GraphOps.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's signature pipeline: per-user energy ranking with

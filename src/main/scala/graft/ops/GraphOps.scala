@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the co-occurrence graph — PageRank and
+  * connected components via GraphX. The reference README claims these
+  * (README.md:17, relation_graph/readme.md:18-19) but ships only the
+  * co-occurrence counts (SURVEY.md §0.1); here the claim is made real,
+  * clearly labeled as an extension.
+  *
+  * GraphX is RDD-based by design (Pregel iteration has no DataFrame
+  * twin); the DataFrame boundary is kept tight: edges in, scored
+  * DataFrame out, vertex ids are stable hashes of entity names.
+  */
+object GraphOps {
+
+  val pageRankIters = 20
+  val resetProb = 0.15
+
+  private def edgeGraph(spark: SparkSession, dir: String): (Graph[Int, Long], DataFrame) = {
+    val e = CooccurrenceGraph.edges(spark, dir)
+      .select(col("src"), col("dst"), col("weight"))
+      .withColumn("src_id", xxhash64(col("src")))
+      .withColumn("dst_id", xxhash64(col("dst")))
+      .cache()
+    val edges = e.select("src_id", "dst_id", "weight").rdd.map(r =>
+      Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    (Graph.fromEdges(edges, defaultValue = 0), e)
+  }
+
+  /** Weighted-degree-free PageRank over the undirected co-occurrence
+    * graph (GraphX treats edges as directed; co-occurrence is symmetric,
+    * and `Graph.fromEdges` + staticPageRank on the symmetrized edge set
+    * matches the readme's aspiration). Fixed iteration count →
+    * deterministic scores.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val (g, e) = edgeGraph(spark, dir)
+    // symmetrize: undirected co-occurrence
+    val sym = Graph.fromEdges(
+      g.edges.union(g.edges.map(ed => Edge(ed.dstId, ed.srcId, ed.attr))),
+      defaultValue = 0)
+    val ranks = sym.staticPageRank(pageRankIters, resetProb).vertices
+    val s = spark
+    import s.implicits._
+    val rankDf = ranks.toDF("vid", "rank")
+    val names = e.select(col("src").as("entity_id"), col("src_id").as("vid"))
+      .union(e.select(col("dst"), col("dst_id")))
+      .distinct()
+    names.join(rankDf, "vid")
+      .select(col("entity_id"), round(col("rank"), 6).as("pagerank"))
+      .orderBy(desc("pagerank"), asc("entity_id"))
+  }
+
+  /** Connected components — entity clusters that ever co-occur. */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val (g, e) = edgeGraph(spark, dir)
+    val cc = g.connectedComponents().vertices
+    val s = spark
+    import s.implicits._
+    val ccDf = cc.toDF("vid", "component")
+    val names = e.select(col("src").as("entity_id"), col("src_id").as("vid"))
+      .union(e.select(col("dst"), col("dst_id")))
+      .distinct()
+    names.join(ccDf, "vid")
+      .groupBy("component")
+      .agg(sort_array(collect_list("entity_id")).as("members"),
+        count(lit(1)).as("n_members"))
+      .select(col("members")(0).as("component_rep"), col("members"), col("n_members"))
+      .orderBy(desc("n_members"), asc("component_rep"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q33_pagerank" -> (pagerank(_, _)),
+    "q34_connected_components" -> (connectedComponents(_, _)))
+
+  /** Iterative fixed-point scores aren't SQL-expressible — rows-only for
+    * the driver; invariants (Σ rank ≈ |V|, component count) pinned in
+    * GraphOpsSpec.
+    */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{BinaryIngest, CsvIngest}
+
+/** Ingestion quirks end-to-end (SURVEY.md §2.1): BOM'd headers, quoted
+  * multiline text, malformed-row dropping, filename lineage, dedup and
+  * idempotent append, single-file CSV and executor-side JSON sinks, and
+  * the binary-segment decode path.
+  */
+class CsvIngestSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmpDir(): Path = {
+    val d = Files.createTempDirectory("graft_ingest_")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private val header = "dmid,video_time,text,send_date,uid,source"
+
+  private def writeEpisode(dir: Path, bvid: String, rows: Seq[String], bom: Boolean = false): Unit = {
+    val body = (header +: rows).mkString("\n")
+    val content = (if (bom) "﻿" else "") + body
+    Files.write(dir.resolve(s"danmaku_$bvid.csv"), content.getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("glob scan: BOM, quoted multiline text, lineage, malformed rows, duplicate ids") {
+    val dir = tmpDir()
+    writeEpisode(dir, "BV1xx", Seq(
+      """1001,12.5,"hello, with comma",2025-02-15 11:00:15,aa,api""",
+      "1002,13.0,\"line one\nline two\",2025-02-15 11:00:16,bb,api",
+      """1003,not_a_number,bad row,2025-02-15 11:00:17,cc,api""",
+      """1001,12.5,"dup of 1001",2025-02-15 11:00:15,aa,api"""),
+      bom = true)
+    writeEpisode(dir, "BV2yy", Seq(
+      """2001,1.0,plain,2025-02-16 09:00:00,dd,history"""))
+
+    val raw = CsvIngest.readDanmaku(spark, dir.toString + "/danmaku_*.csv")
+    val clean = CsvIngest.cleanDanmaku(raw).cache()
+
+    // malformed video_time dropped; duplicate dmid collapsed
+    assert(clean.count() == 3)
+    // BOM did not corrupt the first column: dmid parsed as long
+    assert(clean.filter(col("dmid") === 1001L).count() == 1)
+    // embedded newline preserved inside one row
+    val multiline = clean.filter(col("dmid") === 1002L).select("text").collect()(0).getString(0)
+    assert(multiline == "line one\nline two")
+    // lineage: bvid extracted from filename
+    val byBvid = clean.groupBy("bvid").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBvid == Map("BV1xx" -> 2L, "BV2yy" -> 1L))
+    // timestamps parsed
+    assert(clean.filter(col("send_date").isNull).count() == 0)
+  }
+
+  test("idempotent append: re-ingesting an overlapping batch is a no-op") {
+    val dir = tmpDir()
+    writeEpisode(dir, "BV1xx", Seq(
+      """1,1.0,a,2025-02-15 11:00:15,u1,api""",
+      """2,2.0,b,2025-02-15 11:00:16,u2,api"""))
+    val first = CsvIngest.cleanDanmaku(
+      CsvIngest.readDanmaku(spark, dir.toString + "/danmaku_*.csv"))
+    val again = CsvIngest.appendIncremental(first, first)
+    assert(again.count() == first.count())
+  }
+
+  test("CSV sink round-trip: single file with header") {
+    val dir = tmpDir()
+    writeEpisode(dir, "BV1xx", Seq("""1,1.5,roundtrip,2025-02-15 11:00:15,u1,api"""))
+    val clean = CsvIngest.cleanDanmaku(
+      CsvIngest.readDanmaku(spark, dir.toString + "/danmaku_*.csv"))
+    val out = tmpDir().resolve("csv_out").toString
+    CsvIngest.writeCsvSingle(clean.select("dmid", "video_time", "text"), out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1, "coalesce(1) must produce a single part file")
+    val back = spark.read.option("header", true).csv(out)
+    assert(back.count() == 1)
+    assert(back.columns.toSeq == Seq("dmid", "video_time", "text"))
+  }
+
+  test("JSON sink round-trip: nested timeline written executor-side") {
+    val out = tmpDir().resolve("json_out").toString
+    val timeline = ops.EnergyPipeline.timeline(spark, sf)
+    CsvIngest.writeJson(timeline, out)
+    val back = spark.read.json(out)
+    assert(back.count() == timeline.count())
+    // nested array<struct> survived the round trip
+    assert(back.schema("timeline").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+  }
+
+  test("binary segment ingest: encode → binaryFile scan → decode → dedup") {
+    val recs = Seq(
+      BinaryIngest.DanmakuRecord(1L, 10.5, "哇库哇库", 1700000000L, "94c89b97"),
+      BinaryIngest.DanmakuRecord(2L, 20.0, "comma, quote\" newline\n", 1700000001L, "aabbccdd"),
+      BinaryIngest.DanmakuRecord(1L, 10.5, "哇库哇库", 1700000000L, "94c89b97"))
+    val dir = tmpDir()
+    Files.write(dir.resolve("seg_1.bin"), BinaryIngest.encodeSegment(recs.take(2)))
+    Files.write(dir.resolve("seg_2.bin"), BinaryIngest.encodeSegment(recs.drop(2)))
+    val decoded = BinaryIngest.readSegments(spark, dir.toString + "/seg_*.bin")
+    val rows = decoded.collect().sortBy(_.id)
+    assert(rows.length == 2, "dedup on id across segments")
+    assert(rows(0).content == "哇库哇库")
+    assert(rows(1).midHash == "aabbccdd")
+  }
+
+  test("binary segment decode: torn tail discarded, valid prefix kept") {
+    val full = BinaryIngest.encodeSegment(Seq(
+      BinaryIngest.DanmakuRecord(7L, 1.0, "ok", 1L, "m"),
+      BinaryIngest.DanmakuRecord(8L, 2.0, "gone", 2L, "m")))
+    val torn = full.take(full.length - 3)
+    val decoded = BinaryIngest.decodeSegment(torn)
+    assert(decoded.map(_.id) == Seq(7L))
+  }
+}

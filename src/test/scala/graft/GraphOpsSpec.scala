@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{CooccurrenceGraph, GraphOps, Skew}
+
+/** Graph-analytics + skew-pattern pins: PageRank mass conservation,
+  * component structure, and salted-aggregation equivalence.
+  */
+class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("pagerank: one score per entity, Σ ranks ≈ |V|, all positive") {
+    val pr = GraphOps.pagerank(spark, sf).collect()
+    val nodes = CooccurrenceGraph.nodes(spark, sf).count()
+    assert(pr.length == nodes)
+    assert(pr.forall(_.getDouble(1) > 0.0))
+    val total = pr.map(_.getDouble(1)).sum
+    assert(math.abs(total - nodes) / nodes < 0.05, s"Σ rank $total vs |V| $nodes")
+  }
+
+  test("pagerank is deterministic across runs (fixed iterations)") {
+    val a = GraphOps.pagerank(spark, sf).collect().toSeq
+    val b = GraphOps.pagerank(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("connected components: every entity appears in exactly one component") {
+    val cc = GraphOps.connectedComponents(spark, sf).collect()
+    val members = cc.flatMap(_.getSeq[String](1))
+    assert(members.length == members.distinct.length)
+    assert(members.length == CooccurrenceGraph.nodes(spark, sf).count())
+  }
+
+  test("salted aggregation equals direct aggregation (two-phase merge is invisible)") {
+    val salted = Skew.saltedTypeStats(spark, sf).collect().toSeq
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("value_sum"),
+        round(sum("value") / count(lit(1)), 6).as("value_avg"))
+      .orderBy("event_type").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("AQE is enabled in the session (runtime skew/coalesce re-planning)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+}

@@ -14,12 +14,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("query names are globally unique across modules (no ++ shadowing)") {
-    val all = Seq(
-      ops.Relational.queries, ops.EnergyPipeline.queries,
-      ops.CooccurrenceGraph.queries, ops.TextAnalysis.queries,
-      ops.Dedup.queries, ops.Similarity.queries,
-      ops.TagMining.queries, ops.Multimodal.queries)
-    val names = all.flatMap(_.keys)
+    val names = SparkEntry.modules.flatMap(_._1.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
     assert(SparkEntry.queries.size == names.size)
