@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: JIT + codegen + parquet footer caches, so the first timed
+    // query measures the query, not JVM startup.
+    try Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => () }
     // Failures must be visible, not recorded as a (fast) wall time:
     // a failed query reports -1 and prints its exception to stderr.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

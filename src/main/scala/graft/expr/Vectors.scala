@@ -27,6 +27,13 @@ object Vectors {
     when(n === 0.0, 0.0).otherwise(d / n)
   }
 
+  /** v / ‖v‖₂ (zero vector passes through unchanged). */
+  def normalize(a: Column): Column = {
+    val n = norm2(a)
+    when(n === 0.0, a.cast("array<double>"))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
   /** Squared L2 distance. */
   def sqDist(a: Column, b: Column): Column =
     aggregate(

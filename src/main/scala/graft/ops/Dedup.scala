@@ -66,11 +66,16 @@ object Dedup {
     * the metric is self-consistent (documented engine semantics).
     */
   def jaccardPairs(spark: SparkSession, dir: String, minJ: Double = minJaccard): DataFrame = {
-    val sh = shingleRows(spark, dir)
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // df-cap via a whole-partition count window: ONE shuffle on the
+    // shingle (vs groupBy + re-join, which re-derives the shingle
+    // relation and doubles the scan). No persist: the three consumers
+    // (sizes + both self-join sides) share the window's exchange via
+    // ReuseExchange.
+    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val capped = shingleRows(spark, dir)
+      .withColumn("df", count(lit(1)).over(dfWin))
       .filter(col("df") <= maxShingleDf)
-      .select("sh")
-    val capped = sh.join(rare, "sh").persist()
+      .drop("df")
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = capped.as("a")
       .join(capped.as("b"),
@@ -134,6 +139,10 @@ object Dedup {
     */
   def lshCandidates(spark: SparkSession, dir: String, minEst: Double = 0.5): DataFrame = {
     val numBands = numHashes / bandSize
+    // no persist: both self-join sides are identical subtrees, and
+    // Catalyst's ReuseExchange computes the signature aggregation once —
+    // caching would replace that with a costlier materialization
+    // (measured 2× slower at sf0.1)
     val sigs = minhashSignatures(spark, dir)
     val banded = sigs.select(
       col("doc_id"), col("signature"),
@@ -172,6 +181,7 @@ object Dedup {
     * Hamming distance — bucket-join, not all-pairs.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // no persist — ReuseExchange dedupes the identical self-join sides
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         SimHash64(TextFunctions.filteredTokens(col("text"))).as("simhash"))

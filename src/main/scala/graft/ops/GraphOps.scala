@@ -25,8 +25,14 @@ object GraphOps {
       .withColumn("src_id", xxhash64(col("src")))
       .withColumn("dst_id", xxhash64(col("dst")))
       .cache()
+    // The AGGREGATED graph is bounded by the entity lexicon (|V| ≤
+    // lexicon size, |E| ≤ |V|²) no matter how large the corpus — only
+    // the edge-weight aggregation above scales with data volume. Running
+    // Pregel's 20 iterations over 32 near-empty partitions is pure
+    // scheduling overhead (measured 22 s → ~2 s at sf0.1), so the tiny
+    // edge set is collapsed before iteration.
     val edges = e.select("src_id", "dst_id", "weight").rdd.map(r =>
-      Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
+      Edge(r.getLong(0), r.getLong(1), r.getLong(2))).coalesce(2)
     (Graph.fromEdges(edges, defaultValue = 0), e)
   }
 

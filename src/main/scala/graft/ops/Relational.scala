@@ -251,7 +251,23 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy("r_name")
 
+  /** ntile + first/last over a range frame: customer spend quartiles
+    * within segment, with the segment's floor/ceiling alongside.
+    */
+  val spendQuartiles: Q = (s, d) => {
+    val byBal = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val whole = byBal.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(byBal))
+      .withColumn("seg_top", first("c_acctbal").over(whole))
+      .withColumn("seg_bottom", last("c_acctbal").over(whole))
+      .select("c_mktsegment", "c_custkey", "quartile", "seg_top", "seg_bottom")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q26_spend_quartiles" -> spendQuartiles,
     "q01_pricing_summary" -> pricingSummary,
     "q02_revenue_by_segment" -> revenueBySegment,
     "q03_top_orders" -> topOrders,
@@ -273,6 +289,16 @@ object Relational {
     "q19_star_join_revenue" -> starJoinRevenue)
 
   val oracles: Map[String, String] = Map(
+    "q26_spend_quartiles" ->
+      """SELECT c_mktsegment, c_custkey,
+         ntile(4) OVER w AS quartile,
+         first_value(c_acctbal) OVER
+           (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS seg_top,
+         last_value(c_acctbal) OVER
+           (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS seg_bottom
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_mktsegment, c_custkey""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,

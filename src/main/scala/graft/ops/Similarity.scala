@@ -91,13 +91,55 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates from multi-table
+    * hyperplane-LSH bucket collisions (same OR-amplified tables as
+    * annHyperplaneLsh), verified by exact cosine ≥ `minCos`. Bucket-join
+    * only — candidate volume ≈ Σ_tables n²/2^planes per bucket family,
+    * never the n²/2 cartesian. Recall vs brute force pinned in
+    * SimilaritySpec at the small sf.
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String, minCos: Double = 0.95): DataFrame = {
+    val tables = (0 until numTables).map(t =>
+      Vectors.randomPlanes(planesPerTable, embeddingDim, seed = 42L + t))
+    // pre-normalize once per vector → per-pair cosine is a bare dot
+    // product (3× less arithmetic on the quadratic-ish candidate set)
+    val banded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Vectors.normalize(col("embedding")).as("unit"),
+        array(tables.map(p => Vectors.hyperplaneBucket(col("embedding"), p)): _*)
+          .as("buckets"))
+      .select(col("vec_id"), col("unit"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
+    // each pair is emitted ONLY by its first colliding table (no earlier
+    // bucket matches) — exactly-once by construction, so no
+    // dropDuplicates shuffle hauling the embedding arrays around
+    val firstCollision =
+      size(filter(zip_with(
+        slice(col("a.buckets"), lit(1), col("a.t")),
+        slice(col("b.buckets"), lit(1), col("a.t")),
+        (x, y) => x === y), v => v)) === 0
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .filter(firstCollision)
+      .withColumn("cos", round(graft.expr.DotProduct(col("a.unit"), col("b.unit")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q60_knn_bruteforce" -> (knnBruteForce(_, _)),
     "q61_label_centroids" -> (labelCentroids(_, _)),
     "q62_vector_norms" -> (vectorNorms(_, _)),
-    "q63_ann_hyperplane_lsh" -> (annHyperplaneLsh(_, _)))
+    "q63_ann_hyperplane_lsh" -> (annHyperplaneLsh(_, _)),
+    // registered at 0.4: the driver's synthetic embeddings are near-
+    // orthogonal (max pairwise cosine ≈ 0.51 at sf0.01), so a 0.95
+    // dedup threshold is vacuously empty; 0.4 exercises the same
+    // bucket-join + exact-verify machinery non-vacuously
+    "q64_embedding_near_dups" -> ((s, d) => embeddingNearDups(s, d, minCos = 0.4)))
 
   /** DuckDB cosine via explicit double math (list_cosine_similarity may
     * accumulate in float32; the manual fold matches Spark's sequential
@@ -125,6 +167,7 @@ object Similarity {
          round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6)
            AS l2_norm
          FROM embeddings ORDER BY vec_id""")
-  // q63: bucket membership depends on the engine's seeded hyperplanes —
-  // no SQL twin; recall vs q60 pinned in SimilaritySpec.
+  // q63/q64: bucket membership depends on the engine's seeded
+  // hyperplanes — no SQL twin; recall vs brute force pinned in
+  // SimilaritySpec.
 }

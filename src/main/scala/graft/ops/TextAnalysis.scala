@@ -78,6 +78,17 @@ object TextAnalysis {
         substring(md5(col("text").cast("binary")), 1, 8).as("fp_prefix"))
       .orderBy("doc_id")
 
+  /** U2 in-pipeline: the CJK max-match tokenizer (the engine's one UDF)
+    * over the corpus. On non-CJK text its contract degrades to
+    * whitespace splitting, which keeps the query oracle-able; CJK
+    * behavior is pinned separately in TextFunctionsSpec.
+    */
+  def cjkTokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), segmentCjkUdf(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -86,7 +97,8 @@ object TextAnalysis {
     "q42_lang_stats" -> (langStats(_, _)),
     "q43_quality_scores" -> (qualityScores(_, _)),
     "q44_lang_id" -> (langIdPredictions(_, _)),
-    "q45_fingerprints" -> (fingerprints(_, _)))
+    "q45_fingerprints" -> (fingerprints(_, _)),
+    "q46_cjk_token_stats" -> (cjkTokenStats(_, _)))
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -157,5 +169,9 @@ object TextAnalysis {
     },
     "q45_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix
+         FROM documents ORDER BY doc_id""",
+    "q46_cjk_token_stats" ->
+      """SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
          FROM documents ORDER BY doc_id""")
 }

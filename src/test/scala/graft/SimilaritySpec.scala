@@ -62,6 +62,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.2, s"recall@${Similarity.topK} was $recall")
   }
 
+  test("embedding near-dups: every reported pair truly has cos >= threshold, " +
+    "and LSH recall vs brute force is usable") {
+    val s = spark
+    import s.implicits._
+    val thresh = 0.5 // synthetic 64-dim data has no 0.95-cosine pairs; lower for the pin
+    val reported = Similarity.embeddingNearDups(spark, sf, minCos = thresh).collect()
+    // no false positives by construction (exact cosine verify) — spot-check shape
+    reported.foreach(r => assert(r.getDouble(2) >= thresh && r.getLong(0) < r.getLong(1)))
+    // recall: brute-force ground truth on the small sf
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        graft.expr.Vectors.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= thresh).count()
+    if (truth > 0) {
+      val recall = reported.length.toDouble / truth
+      assert(recall >= 0.3, s"near-dup recall $recall (${reported.length}/$truth)")
+    }
+  }
+
+  test("native DotProduct expression matches the higher-order-function dot") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.5, -1.5), Seq(2.0, 2.0)),
+      (Seq.empty[Double], Seq.empty[Double]))
+      .toDF("a", "b")
+      .select(
+        graft.expr.DotProduct(col("a"), col("b")).as("native"),
+        Vectors.dot(col("a"), col("b")).as("hof"))
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("label centroids: one row per (label, dim) with finite values") {
     val c = Similarity.labelCentroids(spark, sf)
     val nLabels = Tables.embeddings(spark, sf).select("label").distinct().count()
