@@ -22,7 +22,8 @@ object SparkEntry {
       (TagMining.queries, TagMining.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Skew.queries, Skew.oracles),
-      (GraphOps.queries, GraphOps.oracles))
+      (GraphOps.queries, GraphOps.oracles),
+      (Sessionization.queries, Sessionization.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's signature pipeline: per-user energy ranking with

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming gap-based sessionization via keyed state
+  * (`flatMapGroupsWithState`) — the incremental twin of
+  * graft.ops.Sessionization, with the same session definition: a gap
+  * over `gapSeconds` closes the session.
+  *
+  * State per user = the open session. Events for a key arrive in batch
+  * order, are sorted within the trigger, folded into the open session
+  * or emitted as closed sessions; an event-time timeout (watermark past
+  * last-event + gap) flushes a session that stopped receiving events.
+  * State size is O(1) per active user — no unbounded buffering.
+  */
+object Sessionize {
+
+  val gapSeconds = 3600L
+  private val gapMs = gapSeconds * 1000L
+
+  case class In(user_id: Long, ts: Timestamp, event_type: String)
+  case class Open(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
+  private def fold(
+      userId: Long, events: Iterator[In], state: GroupState[Open]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // watermark passed last-event + gap: the open session is closed
+      val s = state.get
+      state.remove()
+      return Iterator(Session(userId, s.start, s.last, s.n))
+    }
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var open = state.getOption
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      open match {
+        case Some(s) if t - s.last > gapMs =>
+          closed += Session(userId, s.start, s.last, s.n)
+          open = Some(Open(t, t, 1))
+        case Some(s) =>
+          open = Some(Open(s.start, math.max(s.last, t), s.n + 1))
+        case None =>
+          open = Some(Open(t, t, 1))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.last + gapMs)
+    }
+    closed.iterator
+  }
+
+  /** events must carry a watermark on `ts` before grouping. */
+  def sessions(events: Dataset[In]): Dataset[Session] = {
+    implicit val openEnc = Encoders.product[Open]
+    implicit val outEnc = Encoders.product[Session]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+}

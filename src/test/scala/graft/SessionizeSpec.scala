@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Sessionization
+import graft.streaming.Sessionize
+
+/** Sessionization semantics, batch and streaming: gap splitting,
+  * single-event sessions, count preservation, and the keyed-state
+  * streaming path closing sessions via gaps and event-time timeouts.
+  */
+class SessionizeSpec extends AnyFunSuite with SparkTestBase {
+
+  test("batch: session count preserved, durations non-negative, gaps respected") {
+    val s = Sessionization.sessions(spark, sf)
+    val total = s.agg(sum("n_events")).collect()(0).getLong(0)
+    val events = Tables.events(spark, sf).filter(col("ts").isNotNull).count()
+    assert(total == events)
+    assert(s.filter(col("duration_sec") < 0).count() == 0)
+    // consecutive in-session gaps are <= gap, so duration <= (n-1)*gap
+    assert(s.filter(
+      col("duration_sec") > (col("n_events") - 1) * Sessionization.gapSeconds).count() == 0)
+  }
+
+  test("batch: session ids are contiguous from 1 per user") {
+    val s = Sessionization.sessions(spark, sf)
+    val bad = s.groupBy("user_id")
+      .agg(min("session_id").as("lo"), max("session_id").as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(bad.count() == 0)
+  }
+
+  test("streaming: gap closes a session in-batch; timeout closes the tail session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val stream = MemoryStream[Sessionize.In]
+    val withWm = stream.toDS().withWatermark("ts", "0 seconds")
+    val q = Sessionize.sessions(withWm)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      // burst 1: two events 10 min apart; then a >1h gap; burst 2 at +2h
+      stream.addData(
+        Sessionize.In(1L, new Timestamp(t0), "click"),
+        Sessionize.In(1L, new Timestamp(t0 + 600 * 1000), "view"))
+      q.processAllAvailable()
+      stream.addData(Sessionize.In(1L, new Timestamp(t0 + 7200 * 1000), "purchase"))
+      q.processAllAvailable()
+      // the in-batch gap closed session 1 (2 events)
+      val afterGap = s.table("sessions_out").collect()
+      assert(afterGap.exists(r => r.getLong(0) == 1L && r.getLong(3) == 2L),
+        s"expected closed 2-event session, got ${afterGap.toSeq}")
+      // advance watermark far past the open session's timeout → flush
+      stream.addData(Sessionize.In(2L, new Timestamp(t0 + 30L * 3600 * 1000), "click"))
+      q.processAllAvailable()
+      val afterTimeout = s.table("sessions_out").collect()
+      assert(afterTimeout.exists(r => r.getLong(0) == 1L && r.getLong(3) == 1L),
+        s"expected timeout-flushed 1-event session, got ${afterTimeout.toSeq}")
+    } finally q.stop()
+  }
+}
