@@ -128,9 +128,57 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  val ivfClusters = 16
+  val ivfProbes = 3
+
+  /** IVF-style ANN: a k-means coarse quantizer partitions the corpus
+    * into `ivfClusters` inverted lists; a query probes only the
+    * `ivfProbes` nearest lists. The quantizer is `ml.clustering.KMeans`
+    * (distributed fit, like FP-Growth a multi-job library algorithm);
+    * centroids are bounded (k × dim) so they ride as a literal frame.
+    * Candidate volume ≈ n · probes / k — the standard IVF trade; recall
+    * vs brute force is pinned in SimilaritySpec.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", array_to_vector(col("embedding")))
+    // list count scales with corpus (≈ n/8 capped at ivfClusters here;
+    // ~√n at real scale) — a tiny corpus over-partitioned into 16 lists
+    // leaves ~3 vectors per list and recall collapses
+    val nLists = math.max(4, math.min(ivfClusters, (emb.count() / 8).toInt))
+    val model = new KMeans()
+      .setK(nLists).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("v").setPredictionCol("cluster")
+      .fit(emb)
+    val assigned = model.transform(emb).drop("v")
+    val s = spark
+    import s.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+    val q = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qvec"))
+    // nearest `ivfProbes` inverted lists for the query (k rows — tiny)
+    val probes = centroids.crossJoin(broadcast(q))
+      .select(col("cluster"),
+        Vectors.sqDist(col("centroid"), col("qvec")).as("d2"), col("qvec"))
+      .orderBy(asc("d2"), asc("cluster"))
+      .limit(ivfProbes)
+      .select("cluster", "qvec")
+    assigned.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probes), "cluster")
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qvec")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(topK)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q65_ann_ivf" -> (annIvf(_, _)),
     "q60_knn_bruteforce" -> (knnBruteForce(_, _)),
     "q61_label_centroids" -> (labelCentroids(_, _)),
     "q62_vector_norms" -> (vectorNorms(_, _)),

@@ -82,6 +82,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IVF ANN: k-means probing finds most of the true top-k") {
+    val exact = Similarity.knnBruteForce(spark, sf).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.annIvf(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(approx.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // the synthetic embeddings are near-random (max pairwise cos ≈ 0.5),
+    // so true neighbors do NOT concentrate in the query's lists and IVF
+    // recall ~ fraction of corpus probed; the pin is "recall well above
+    // sampling k-of-n at random" (≈ 2%) — clustered real data does better
+    assert(recall >= 0.2, s"IVF recall@${Similarity.topK} was $recall")
+  }
+
   test("native DotProduct expression matches the higher-order-function dot") {
     val s = spark
     import s.implicits._

@@ -13,6 +13,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf — must be set before session creation; keeps
+      // saveAsTable fixtures (BucketingSpec) out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse_").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
