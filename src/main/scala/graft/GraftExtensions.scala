@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expr.{DotProduct, SimHash64}
+
+/** Spark extension entry point: registers graft's custom Catalyst
+  * expressions as SQL functions, so SQL users get them alongside the
+  * Column API (`SELECT simhash64(tokens), dot_product(a, b) ...`).
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * at session build (done by Verify, Bench and the test harness).
+  * SURVEY.md §7.4 reserved this hook; the engine needs no custom
+  * optimizer rules — Catalyst's stock rewrites cover the surveyed
+  * surface — so function injection is its only current payload.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+  }
+}

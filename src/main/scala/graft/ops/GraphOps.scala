@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  val pageRankIters = 20
+  val pageRankIters = 10
   val resetProb = 0.15
 
   private def edgeGraph(spark: SparkSession, dir: String): (Graph[Int, Long], DataFrame) = {

@@ -17,6 +17,7 @@ object SparkTestBase {
       // saveAsTable fixtures (BucketingSpec) out of the repo tree
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse_").toString)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
