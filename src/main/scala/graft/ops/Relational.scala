@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -21,6 +21,18 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Money-sum discipline: a double sum over millions of rows is
+    * order-dependent (parallel partials vs any other order drift by
+    * ~1e-3 absolute at ~1e10 magnitude — observed at sf0.1), so every
+    * large-count money sum quantizes each term to DECIMAL first: the
+    * per-row cast is deterministic, the decimal sum is exact and
+    * order-independent in both engines, and the output returns to
+    * double after rounding.
+    */
+  private def moneySum(term: Column, scale: Int): Column =
+    sum(term.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+      .cast("double")
+
   /** TPC-H Q1-style pricing summary: partial+final hash aggregation over
     * the fact table, no shuffle beyond the group-by exchange.
     */
@@ -29,8 +41,8 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(moneySum(col("l_extendedprice"), 2), 2).as("sum_base_price"),
+        round(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 4).as("sum_disc_price"),
         round(avg("l_quantity"), 6).as("avg_qty"),
         round(avg("l_extendedprice"), 6).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -47,7 +59,7 @@ object Relational {
       .groupBy("c_mktsegment")
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("revenue"))
+        round(moneySum(col("o_totalprice"), 2), 2).as("revenue"))
       .orderBy("c_mktsegment")
 
   /** Top-k join: Catalyst plans TakeOrderedAndProject — no global sort. */
@@ -99,7 +111,7 @@ object Relational {
   val rollupStatusPriority: Q = (s, d) =>
     Tables.orders(s, d)
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n"), round(moneySum(col("o_totalprice"), 2), 2).as("revenue"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -222,7 +234,7 @@ object Relational {
     Tables.orders(s, d)
       .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
       .groupBy("month")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), round(moneySum(col("o_totalprice"), 2), 2).as("revenue"))
       .orderBy("month")
 
   /** Exact dedup on a key subset — dropDuplicates projected to the key so
@@ -247,7 +259,7 @@ object Relational {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        round(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 4).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("r_name")
 
@@ -302,14 +314,15 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
-         round(sum(l_extendedprice),2) AS sum_base_price,
-         round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE,2) AS sum_base_price,
+         round(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)))::DOUBLE,4) AS sum_disc_price,
          round(avg(l_quantity),6) AS avg_qty,
          round(avg(l_extendedprice),6) AS avg_price,
          count(*) AS count_order
          FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
     "q02_revenue_by_segment" ->
-      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE,2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
     "q03_top_orders" ->
@@ -342,7 +355,8 @@ object Relational {
     "q08_rollup_status_priority" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
          coalesce(o_orderpriority,'ALL') AS priority,
-         count(*) AS n, round(sum(o_totalprice),2) AS revenue
+         count(*) AS n,
+         round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE,2) AS revenue
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY 1,2""",
     "q09_cube_region_nation" ->
@@ -390,13 +404,14 @@ object Relational {
          WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""",
     "q17_monthly_orders" ->
       """SELECT date_trunc('month', o_orderdate)::DATE AS month,
-         count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+         count(*) AS n_orders,
+         round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE,2) AS revenue
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q18_events_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1,2""",
     "q19_star_join_revenue" ->
       """SELECT r_name,
-         round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue,
+         round(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)))::DOUBLE,4) AS revenue,
          count(*) AS n_lines
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey

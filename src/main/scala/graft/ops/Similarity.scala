@@ -111,12 +111,13 @@ object Similarity {
         posexplode(col("buckets")).as(Seq("t", "bucket")))
     // each pair is emitted ONLY by its first colliding table (no earlier
     // bucket matches) — exactly-once by construction, so no
-    // dropDuplicates shuffle hauling the embedding arrays around
-    val firstCollision =
-      size(filter(zip_with(
-        slice(col("a.buckets"), lit(1), col("a.t")),
-        slice(col("b.buckets"), lit(1), col("a.t")),
-        (x, y) => x === y), v => v)) === 0
+    // dropDuplicates shuffle hauling the embedding arrays around.
+    // Unrolled plain boolean exprs (numTables is a compile-time
+    // constant): higher-order slice/zip_with here would evaluate an
+    // interpreted lambda on every candidate pair.
+    val firstCollision = not((0 until numTables - 1).map(s =>
+      col("a.t") > s && col("a.buckets")(s) === col("b.buckets")(s))
+      .reduce(_ || _))
     banded.as("a")
       .join(banded.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")

@@ -89,9 +89,30 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
+  /** BPE-style pre-tokenization count: the subword-tokenizer budget
+    * estimate every training-data pipeline runs before the real (model-
+    * specific) tokenizer. The split regex is the common GPT-style
+    * pre-tokenizer shape — letter runs, digit runs, non-space symbol
+    * runs — restricted to syntax RE2 and Java regex agree on so the
+    * query stays oracle-able.
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def bpeishTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0)))
+          .cast("long").as("n_bpeish"),
+        col("n_chars"))
+      .withColumn("chars_per_token",
+        when(col("n_bpeish") === 0, 0.0)
+          .otherwise(round(col("n_chars").cast("double") / col("n_bpeish"), 6)))
+      .orderBy("doc_id")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q47_bpeish_token_counts" -> (bpeishTokenCounts(_, _)),
     "q40_word_freq_topk" -> (wordFreqTopK(_, _)),
     "q41_token_stats" -> (tokenStats(_, _)),
     "q42_lang_stats" -> (langStats(_, _)),
@@ -173,5 +194,16 @@ object TextAnalysis {
     "q46_cjk_token_stats" ->
       """SELECT doc_id,
          len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q47_bpeish_token_counts" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT
+           AS n_bpeish,
+         n_chars,
+         CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) = 0
+              THEN 0.0
+              ELSE round(n_chars::DOUBLE
+                / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')), 6)
+         END AS chars_per_token
          FROM documents ORDER BY doc_id""")
 }
