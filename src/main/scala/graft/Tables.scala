@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Explicit schemas + loaders for the driver testdata (TESTDATA.md).
@@ -106,6 +106,23 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
   }
+
+  /** Typed accessors: the declared-schema scan narrowed to a case-class
+    * Dataset. Use at API boundaries where callers pattern-match rows;
+    * the DataFrame accessors below remain the norm inside operators.
+    */
+  def typedEvents(s: SparkSession, d: String): Dataset[model.Event] =
+    load(s, d, "events").as(Encoders.product[model.Event])
+  def typedDocuments(s: SparkSession, d: String): Dataset[model.Document] =
+    load(s, d, "documents").as(Encoders.product[model.Document])
+  def typedEmbeddings(s: SparkSession, d: String): Dataset[model.Embedding] =
+    load(s, d, "embeddings").as(Encoders.product[model.Embedding])
+  def typedCustomer(s: SparkSession, d: String): Dataset[model.Customer] =
+    load(s, d, "customer").as(Encoders.product[model.Customer])
+  def typedOrders(s: SparkSession, d: String): Dataset[model.Order] =
+    load(s, d, "orders").as(Encoders.product[model.Order])
+  def typedLineitem(s: SparkSession, d: String): Dataset[model.Lineitem] =
+    load(s, d, "lineitem").as(Encoders.product[model.Lineitem])
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
