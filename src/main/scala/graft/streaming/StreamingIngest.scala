@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming ingestion with exactly-once-per-id semantics — the
+  * Structured-Streaming form of the reference's crawl-append-dedup loop
+  * (spider_worker.py:73-113; SURVEY.md §2.1 S11/S12 suggested
+  * `foreachBatch` + dedup for the streaming rebuild).
+  *
+  * Two layers:
+  *  - `dedupedStream`: drop duplicate record ids inside the engine's
+  *    state, bounded by the event-time watermark
+  *    (`dropDuplicatesWithinWatermark` — state is purged as the
+  *    watermark advances, so it does not grow with stream length).
+  *  - `appendSink`: per-micro-batch idempotent append into a parquet
+  *    directory via `foreachBatch` — the batch dedups against itself;
+  *    cross-restart duplicates are bounded by the watermark layer above.
+  */
+object StreamingIngest {
+
+  /** Watermark-bounded streaming dedup on a record id column. */
+  def dedupedStream(events: DataFrame, idCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Idempotent micro-batch append sink. */
+  def appendSink(deduped: DataFrame, outDir: String, idCol: String,
+      checkpoint: String): StreamingQuery =
+    deduped.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.dropDuplicates(idCol)
+          .write.mode(SaveMode.Append).parquet(outDir)
+      }
+      .start()
+}
