@@ -17,14 +17,28 @@ import graft.expr.{DotProduct, SimHash64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name,
+            "expectedNum" -> n.toString,
+            "actualNum" -> args.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(args)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      arity("simhash64", 1)(args => SimHash64(args.head))))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      arity("dot_product", 2)(args => DotProduct(args(0), args(1)))))
   }
 }

@@ -49,7 +49,11 @@ object CooccurrenceGraph {
     * of the same sorted array filtered to pos1 < pos2 — G2's idiomatic
     * Spark mapping (SURVEY.md §2.4).
     */
-  def edges(spark: SparkSession, dir: String): DataFrame =
+  /** Edge weights without presentation ordering — the form downstream
+    * consumers (degrees, GraphOps) build on; `edges` adds the sort for
+    * the query/oracle surface.
+    */
+  def edgeCounts(spark: SparkSession, dir: String): DataFrame =
     entityRows(spark, dir)
       .select(col("doc_id"), col("entities"),
         posexplode(col("entities")).as(Seq("i", "src")))
@@ -58,11 +62,14 @@ object CooccurrenceGraph {
       .filter(col("i") < col("j"))
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("weight"))
+
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    edgeCounts(spark, dir)
       .orderBy(desc("weight"), asc("src"), asc("dst"))
 
   /** Weighted degree per node: edges unioned both directions, summed. */
   def degrees(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
+    val e = edgeCounts(spark, dir)
     e.select(col("src").as("entity_id"), col("weight"))
       .unionAll(e.select(col("dst").as("entity_id"), col("weight")))
       .groupBy("entity_id")

@@ -20,8 +20,9 @@ object GraphOps {
   val resetProb = 0.15
 
   private def edgeGraph(spark: SparkSession, dir: String): (Graph[Int, Long], DataFrame) = {
-    val e = CooccurrenceGraph.edges(spark, dir)
-      .select(col("src"), col("dst"), col("weight"))
+    // edgeCounts, not edges: the presentation sort is useless here and
+    // would bake a global-sort exchange into the cached plan
+    val e = CooccurrenceGraph.edgeCounts(spark, dir)
       .withColumn("src_id", xxhash64(col("src")))
       .withColumn("dst_id", xxhash64(col("dst")))
       .cache()

@@ -217,7 +217,11 @@ object Relational {
     */
   val propsKeyStats: Q = (s, d) =>
     Tables.events(s, d)
-      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      // no-match regexp_extract returns '' (not null) and ANSI cast('')
+      // THROWS — nullif + try_cast realize the intended drop-the-row
+      // semantic for payloads without a "k" key
+      .withColumn("k",
+        expr("""try_cast(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)"""))
       .filter(col("k").isNotNull)
       .groupBy("event_type")
       .agg(
@@ -399,7 +403,7 @@ object Relational {
       """SELECT event_type, round(avg(k),6) AS k_avg, min(k) AS k_min,
          max(k) AS k_max, count(*) AS n
          FROM (SELECT event_type,
-                 CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+                 TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k
                FROM events)
          WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""",
     "q17_monthly_orders" ->

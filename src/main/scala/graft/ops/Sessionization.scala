@@ -25,26 +25,28 @@ import graft.Tables
 object Sessionization {
 
   val gapSeconds = 3600L
-  private val gapNs = gapSeconds * 1000000000L
+  private val gapUs = gapSeconds * 1000000L
 
   def sessions(spark: SparkSession, dir: String): DataFrame = {
-    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // ordering AND gap decisions run at µs — the external precision
+    // (DuckDB truncates TIMESTAMP(NANOS) to µs on read, so an oracle
+    // can never see ns; a gap within 1 µs of exactly `gapSeconds`
+    // would otherwise split sessions differently per engine). Intra-µs
+    // ties break on event_id, identically both sides.
+    val byTime = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
       .filter(col("ts").isNotNull)
-      .withColumn("prev_ts", lag("ts", 1).over(byTime))
+      .withColumn("tsu", expr("ts div 1000"))
+      .withColumn("prev_tsu", lag("tsu", 1).over(byTime))
       .withColumn("opens",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+        when(col("prev_tsu").isNull || col("tsu") - col("prev_tsu") > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum("opens").over(running))
       .groupBy("user_id", "session_id")
       .agg(
-        // µs resolution on the emitted bounds: DuckDB (the oracle)
-        // truncates parquet TIMESTAMP(NANOS) to µs on read, and µs is
-        // the natural external precision; internal ordering/gap logic
-        // above stays ns-exact
-        expr("min(ts) div 1000").as("session_start_us"),
-        expr("max(ts) div 1000").as("session_end_us"),
+        min("tsu").as("session_start_us"),
+        max("tsu").as("session_end_us"),
         count(lit(1)).as("n_events"))
       .withColumn("duration_sec",
         expr("(session_end_us - session_start_us) div 1000000"))
@@ -63,7 +65,7 @@ object Sessionization {
       s"""WITH marked AS (
             SELECT user_id, event_id, epoch_ns(ts) AS tsn,
               CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-                     OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${gapNs}
+                     OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${gapUs * 1000L}
                    THEN 1 ELSE 0 END AS opens
             FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),

@@ -28,15 +28,24 @@ object Skew {
   def saltedTypeStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("salt", pmod(xxhash64(col("event_id")), lit(saltBuckets)))
+      // per-row DECIMAL quantization (the repo's money-sum discipline):
+      // double sums over full per-type groups are order-dependent and
+      // would drift from the oracle at larger scale factors
+      .withColumn("value_q",
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
       .groupBy("event_type", "salt")
       .agg(
         count(lit(1)).as("n_part"),
-        sum("value").as("sum_part"))
+        sum("value_q").as("sum_part"))
       .groupBy("event_type")
       .agg(
         sum("n_part").as("n"),
-        round(sum("sum_part"), 2).as("value_sum"),
-        round(sum("sum_part") / sum("n_part"), 6).as("value_avg"))
+        round(sum("sum_part").cast("double"), 2).as("value_sum"),
+        // divide in double (exact decimal sum → deterministic cast →
+        // one fp division), avoiding engine-specific decimal-division
+        // scale rules
+        round(sum("sum_part").cast("double") / sum("n_part").cast("double"), 6)
+          .as("value_avg"))
       .orderBy("event_type")
 
   /** Pearson correlation + sample stddev per group (A7's corr matrix,
@@ -63,8 +72,9 @@ object Skew {
     // the oracle is the DIRECT aggregation — proving salt+merge is
     // semantically invisible
     "q24_salted_type_stats" ->
-      """SELECT event_type, count(*) AS n, round(sum(value),2) AS value_sum,
-         round(sum(value)/count(*),6) AS value_avg
+      """SELECT event_type, count(*) AS n,
+         round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum,
+         round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE / count(*), 6) AS value_avg
          FROM events GROUP BY 1 ORDER BY 1""",
     "q25_corr_stats" ->
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice),6) AS corr_qty_price,

@@ -32,6 +32,10 @@ object TextAnalysis {
     */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // zero-token docs (null/empty/whitespace text) are excluded, the
+      // same population the oracle's unnest naturally drops — without
+      // this, Spark emits a 0-token row the oracle has no group for
+      .filter(tokenCount(col("text")) > 0)
       .select(
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -47,7 +51,10 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg("n_chars"), 6).as("avg_chars"),
-        round(avg(tokenCount(col("text")).cast("double")), 6).as("avg_tokens"))
+        // null-text docs contribute NULL (skipped by avg) — SQL
+        // semantics on both sides; tokens() alone would count them as 0
+        round(avg(when(col("text").isNotNull,
+          tokenCount(col("text")).cast("double"))), 6).as("avg_tokens"))
       .orderBy("lang")
 
   /** Per-doc quality signals (length/diversity/stopword mix). */

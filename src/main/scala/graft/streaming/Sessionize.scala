@@ -41,15 +41,31 @@ object Sessionize {
         case Some(s) if t - s.last > gapMs =>
           closed += Session(userId, s.start, s.last, s.n)
           open = Some(Open(t, t, 1))
+        case Some(s) if s.start - t > gapMs =>
+          // cross-trigger straggler older than the open session by more
+          // than the gap: its own (historical) session, emitted at once
+          // — folding it in would yield a session starting after an
+          // event it claims to contain
+          closed += Session(userId, t, t, 1)
         case Some(s) =>
-          open = Some(Open(s.start, math.max(s.last, t), s.n + 1))
+          // in-gap event, possibly out-of-order: extend both ends
+          open = Some(Open(math.min(s.start, t), math.max(s.last, t), s.n + 1))
         case None =>
           open = Some(Open(t, t, 1))
       }
     }
     open.foreach { s =>
-      state.update(s)
-      state.setTimeoutTimestamp(s.last + gapMs)
+      val due = s.last + gapMs
+      // flatMapGroupsWithState does NOT drop late data: the watermark
+      // may already be past this session's close time, and
+      // setTimeoutTimestamp(past) throws — close the session now instead
+      if (state.getCurrentWatermarkMs() >= due) {
+        state.remove()
+        closed += Session(userId, s.start, s.last, s.n)
+      } else {
+        state.update(s)
+        state.setTimeoutTimestamp(due)
+      }
     }
     closed.iterator
   }

@@ -27,14 +27,23 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
-  /** Idempotent micro-batch append sink. */
+  /** Idempotent micro-batch sink. foreachBatch is at-least-once: after a
+    * crash between the data commit and the checkpoint commit, the same
+    * batchId is REPLAYED — a blind append would duplicate it. Keying the
+    * output by batch_id with dynamic partition overwrite makes the
+    * replay overwrite its own partition: exactly-once at rest.
+    */
   def appendSink(deduped: DataFrame, outDir: String, idCol: String,
       checkpoint: String): StreamingQuery =
     deduped.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.dropDuplicates(idCol)
-          .write.mode(SaveMode.Append).parquet(outDir)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
       }
       .start()
 }

@@ -33,11 +33,12 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
 
   test("salted aggregation equals direct aggregation (two-phase merge is invisible)") {
     val salted = Skew.saltedTypeStats(spark, sf).collect().toSeq
+    val q = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
     val direct = Tables.events(spark, sf)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 2).as("value_sum"),
-        round(sum("value") / count(lit(1)), 6).as("value_avg"))
+        round(sum(q).cast("double"), 2).as("value_sum"),
+        round(sum(q).cast("double") / count(lit(1)).cast("double"), 6).as("value_avg"))
       .orderBy("event_type").collect().toSeq
     assert(salted == direct)
   }
