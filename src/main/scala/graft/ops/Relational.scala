@@ -282,7 +282,42 @@ object Relational {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** Exact interpolated percentiles per group. Scale note: exact
+    * percentile sorts every group member — right for bounded groups
+    * (5 event types here); an unbounded-cardinality rollup at 100 TB
+    * would use `percentile_approx` (KLL-sketch, mergeable) instead,
+    * trading the oracle for a tolerance spec.
+    */
+  val valuePercentiles: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
+  /** Deterministic latest-record-per-key (CDC compaction): row_number
+    * over (key, recency) with a total order, keep rank 1 — unlike
+    * `dropDuplicates`, the survivor is well-defined, so the result is
+    * oracle-checkable and stable across shuffles.
+    */
+  val latestEventPerUser: Q = (s, d) => {
+    // recency at µs precision (what any external reader of the nanos
+    // parquet can see — see Sessionization), ties on event_id
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("ts_us"), desc("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts_us", "event_type")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q28_value_percentiles" -> valuePercentiles,
+    "q29_latest_event_per_user" -> latestEventPerUser,
     "q26_spend_quartiles" -> spendQuartiles,
     "q01_pricing_summary" -> pricingSummary,
     "q02_revenue_by_segment" -> revenueBySegment,
@@ -305,6 +340,18 @@ object Relational {
     "q19_star_join_revenue" -> starJoinRevenue)
 
   val oracles: Map[String, String] = Map(
+    "q28_value_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.95), 6) AS p95,
+         round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q29_latest_event_per_user" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
     "q26_spend_quartiles" ->
       """SELECT c_mktsegment, c_custkey,
          ntile(4) OVER w AS quartile,
