@@ -4,15 +4,19 @@ package graft
   * `Encoder`s at API boundaries for compile-time safety; `DataFrame`
   * internally where schema is dynamic). Field names and types mirror
   * Tables.*Schema exactly — `Tables.typed*` loaders pair a declared-
-  * schema scan with `.as[T]`, so a drifting parquet file fails loudly at
-  * analysis rather than silently at runtime.
+  * schema scan with `.as[T]`, so STRUCTURAL drift (missing/renamed/
+  * retyped column) fails at analysis. Nullability is a runtime
+  * property: columns the engine itself null-guards (`events.ts`,
+  * see EnergyPipeline/Sessionization filters) are `Option`-typed here;
+  * a null in any other primitive field deserializes to an NPE, which
+  * is the intended loud failure for data violating the contract.
   */
 package object model
 
 package model {
 
   case class Event(
-      event_id: Long, ts: Long, user_id: Long,
+      event_id: Long, ts: Option[Long], user_id: Long,
       event_type: String, value: Double, props: String)
 
   case class Document(

@@ -32,16 +32,18 @@ object TextAnalysis {
     */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      // zero-token docs (null/empty/whitespace text) are excluded, the
-      // same population the oracle's unnest naturally drops — without
-      // this, Spark emits a 0-token row the oracle has no group for
-      .filter(tokenCount(col("text")) > 0)
       .select(
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
         size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
         round(meanTokenLen(col("text")), 6).as("mean_token_len"),
         round(distinctRatio(col("text")), 6).as("distinct_ratio"))
+      // zero-token docs (null/empty/whitespace text) are excluded — the
+      // population the oracle's unnest naturally drops. Filtering AFTER
+      // the projection reuses the computed n_tokens; a pre-projection
+      // filter would tokenize every row twice (no cross-operator
+      // subexpression elimination).
+      .filter(col("n_tokens") > 0)
       .orderBy("doc_id")
 
   /** Corpus stats per language label. */

@@ -35,18 +35,32 @@ object Sessionize {
     val sorted = events.toSeq.sortBy(_.ts.getTime)
     val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
     var open = state.getOption
+    // cross-trigger stragglers: events older than the open session by
+    // more than the gap cannot merge into it (the session would start
+    // after events it claims to contain). They are gap-chained among
+    // THEMSELVES and emitted as historical sessions — same session
+    // definition, bounded lateness. Stragglers split across triggers
+    // do not re-merge (single-open-session state; the watermark bounds
+    // how long that window even exists).
+    var straggler = Option.empty[Open]
     sorted.foreach { e =>
       val t = e.ts.getTime
       open match {
         case Some(s) if t - s.last > gapMs =>
           closed += Session(userId, s.start, s.last, s.n)
+          straggler.foreach(h => closed += Session(userId, h.start, h.last, h.n))
+          straggler = None
           open = Some(Open(t, t, 1))
         case Some(s) if s.start - t > gapMs =>
-          // cross-trigger straggler older than the open session by more
-          // than the gap: its own (historical) session, emitted at once
-          // — folding it in would yield a session starting after an
-          // event it claims to contain
-          closed += Session(userId, t, t, 1)
+          straggler match {
+            case Some(h) if t - h.last <= gapMs =>
+              straggler = Some(Open(h.start, math.max(h.last, t), h.n + 1))
+            case Some(h) =>
+              closed += Session(userId, h.start, h.last, h.n)
+              straggler = Some(Open(t, t, 1))
+            case None =>
+              straggler = Some(Open(t, t, 1))
+          }
         case Some(s) =>
           // in-gap event, possibly out-of-order: extend both ends
           open = Some(Open(math.min(s.start, t), math.max(s.last, t), s.n + 1))
@@ -54,6 +68,7 @@ object Sessionize {
           open = Some(Open(t, t, 1))
       }
     }
+    straggler.foreach(h => closed += Session(userId, h.start, h.last, h.n))
     open.foreach { s =>
       val due = s.last + gapMs
       // flatMapGroupsWithState does NOT drop late data: the watermark

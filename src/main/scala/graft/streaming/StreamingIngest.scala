@@ -32,6 +32,13 @@ object StreamingIngest {
     * batchId is REPLAYED — a blind append would duplicate it. Keying the
     * output by batch_id with dynamic partition overwrite makes the
     * replay overwrite its own partition: exactly-once at rest.
+    *
+    * LIFECYCLE CONTRACT: `outDir` and `checkpoint` must live and die
+    * together. Restarting with a fresh/cleared checkpoint against an
+    * existing outDir restarts batchIds at 0 and the new batch 0
+    * OVERWRITES the old batch_id=0 partition (the same mechanism that
+    * makes legitimate replay idempotent cannot distinguish this) —
+    * clear both or keep both.
     */
   def appendSink(deduped: DataFrame, outDir: String, idCol: String,
       checkpoint: String): StreamingQuery =

@@ -33,6 +33,38 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("streaming: consecutive stragglers gap-chain into one historical session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val stream = MemoryStream[Sessionize.In]
+    // generous allowed lateness: stragglers must survive the pre-state
+    // watermark filter to reach the keyed-state logic at all
+    val q = Sessionize.sessions(stream.toDS().withWatermark("ts", "24 hours"))
+      .writeStream.format("memory").queryName("straggler_out")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      // trigger 1 opens a session at +4h
+      stream.addData(Sessionize.In(1L, new Timestamp(t0 + 4 * 3600 * 1000), "click"))
+      q.processAllAvailable()
+      // trigger 2 delivers two stragglers 10 min apart, both > gap older
+      // than the open session but inside allowed lateness — they must
+      // form ONE 2-event session, not two singletons
+      stream.addData(
+        Sessionize.In(1L, new Timestamp(t0), "view"),
+        Sessionize.In(1L, new Timestamp(t0 + 600 * 1000), "view"))
+      q.processAllAvailable()
+      val out = s.table("straggler_out").collect()
+      assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == t0
+        && r.getLong(2) == t0 + 600 * 1000 && r.getLong(3) == 2L),
+        s"expected one chained 2-event historical session, got ${out.toSeq}")
+      assert(!out.exists(r => r.getLong(3) == 1L && r.getLong(1) == t0),
+        s"straggler singletons leaked: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming: gap closes a session in-batch; timeout closes the tail session") {
     val s = spark
     import s.implicits._
