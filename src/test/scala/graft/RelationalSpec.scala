@@ -23,6 +23,24 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("percentile_approx (KLL sketch, the unbounded-cardinality path) tracks exact percentile") {
+    val exact = Relational.queries("q28_value_percentiles")(spark, sf)
+      .select("event_type", "p50", "p95")
+    val approx = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile_approx(value, 0.5, 1000)").as("a50"),
+        expr("percentile_approx(value, 0.95, 1000)").as("a95"))
+    exact.join(approx, "event_type").collect().foreach { r =>
+      val (p50, p95, a50, a95) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(a50 - p50) / math.max(p50.abs, 1e-9) < 0.05,
+        s"p50 approx $a50 vs exact $p50")
+      assert(math.abs(a95 - p95) / math.max(p95.abs, 1e-9) < 0.05,
+        s"p95 approx $a95 vs exact $p95")
+    }
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort at scale)") {
     val plan = Relational.queries("q03_top_orders")(spark, sf)
       .queryExecution.executedPlan.toString
