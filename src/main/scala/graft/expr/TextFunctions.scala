@@ -21,20 +21,17 @@ object TextFunctions {
 
   /** Whitespace tokenizer with empty-token and null handling: the
     * engine-level contract for already-segmented text. null → [].
+    * Backed by the codegen'd WsTokenize kernel (the old
+    * `filter(split(...))` HOF chain evaluated interpreted per element
+    * and dominated the dedup/text hot path — see expr/Tokenize.scala).
     */
-  def tokens(textCol: Column): Column =
-    when(textCol.isNull, typedLit(Seq.empty[String]))
-      .otherwise(filter(split(textCol, " "), t => t =!= ""))
+  def tokens(textCol: Column): Column = WsTokenize.tokens(textCol)
 
-  /** Tokens with the reference's post-filters applied natively:
-    * drop stopwords, single-char tokens, and pure numerics
-    * (preprocess_high_energy.py:53-58) — as array expressions, not a UDF.
+  /** Tokens with the reference's post-filters applied in the same
+    * codegen'd kernel: drop stopwords, single-char tokens, and pure
+    * numerics (preprocess_high_energy.py:53-58).
     */
-  def filteredTokens(textCol: Column): Column =
-    filter(tokens(textCol), t =>
-      !array_contains(typedLit(stopwords), t) &&
-        length(t) > lit(1) &&
-        !t.rlike("^[0-9]+$"))
+  def filteredTokens(textCol: Column): Column = WsTokenize.filteredTokens(textCol)
 
   /** Dictionary-based forward max-match CJK segmentation — the jieba
     * stand-in (the one UDF in the engine; SURVEY.md §2.3 U2). Greedy

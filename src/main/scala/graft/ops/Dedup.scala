@@ -18,14 +18,13 @@ import graft.expr.{SimHash64, TextFunctions}
   */
 object Dedup {
 
-  /** Word n-gram shingles as a native array expression (no explode needed
-    * to build them): transform over an index sequence + slice + join.
+  /** Word n-gram shingles via the codegen'd NGramShingles kernel (one
+    * pass over the token array; the old interpreted
+    * transform+slice+concat_ws chain was the engine's hottest kernel —
+    * expr/Tokenize.scala). size < n → [].
     */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, typedLit(Seq.empty[String]))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    graft.expr.NGramShingles(toks, n)
 
   val shingleSize = 3
   val maxShingleDf = 50
@@ -207,7 +206,11 @@ object Dedup {
     "q50_exact_dedup_stats" -> (exactDedupStats(_, _)),
     "q51_shingle_stats" -> (shingleStats(_, _)),
     "q52_jaccard_pairs" -> (jaccardPairs(_, _)),
-    "q53_minhash_signatures" -> (minhashSignatures(_, _)),
+    // signature serialized for the driver (pandas can't hash numpy
+    // arrays, CORRECTNESS_r02); library API keeps the native array<long>.
+    "q53_minhash_signatures" -> ((s, d) =>
+      minhashSignatures(s, d).withColumn("signature",
+        array_join(transform(col("signature"), _.cast("string")), ","))),
     "q54_lsh_candidates" -> (lshCandidates(_, _)),
     "q55_simhash" -> (simhashes(_, _)),
     "q56_simhash_pairs" -> (simhashPairs(_, _)))

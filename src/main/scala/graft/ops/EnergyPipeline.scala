@@ -97,7 +97,21 @@ object EnergyPipeline {
         .select("user_id", "bucket", "energy", "rank_pct", "is_high")
         .orderBy("user_id", "bucket")),
     "q22_energy_highlights" -> (highlights(_, _)),
-    "q23_energy_timeline" -> (timeline(_, _)))
+    // Registered surface serializes the nested timeline (the driver's
+    // pandas compare can't hash numpy arrays — CORRECTNESS_r02); the
+    // library API (`timeline`) keeps the native array<struct>. Energy is
+    // scaled to an integer micro-unit so no float-to-string formatting
+    // divergence between engines can leak into the hash.
+    "q23_energy_timeline" -> ((s, d) =>
+      timeline(s, d).select(
+        col("user_id"),
+        array_join(
+          transform(col("timeline"), e =>
+            concat_ws(":",
+              e("bucket"),
+              round(e("energy") * 1e6).cast("long"),
+              e("high"))),
+          "|").as("timeline_str"))))
 
   /** Shared oracle CTE: the bucket/score/energy core in DuckDB SQL.
     * Sentiment weights match Lexicon.eventTypeTiers (first-hit-wins
@@ -144,7 +158,24 @@ object EnergyPipeline {
           SELECT user_id, count(*) AS n_high, round(max(energy),6) AS peak_energy,
             min(bucket) AS first_high_bucket
           FROM ranked WHERE rank_pct >= 0.9
-          GROUP BY user_id ORDER BY user_id"""))
-  // q23_energy_timeline: nested array<struct> output — no SQL oracle
-  // (rows-only driver check); ordering + content pinned in EnergySpec.
+          GROUP BY user_id ORDER BY user_id"""),
+    // Serialized-timeline twin: string_agg ORDER BY bucket matches
+    // sort_array on struct<bucket,...> because buckets are unique per
+    // user. round() tie behavior matches (both round the same double;
+    // exact .5 ties need a terminating binary fraction at 1e-6 — the
+    // 0.37/0.63 weights make that unreachable).
+    "q23_energy_timeline" -> (bucketsCte +
+      """, ranked AS (
+            SELECT user_id, bucket, energy,
+              percent_rank() OVER (PARTITION BY user_id ORDER BY energy) AS rank_pct
+            FROM scored)
+          SELECT user_id,
+            string_agg(
+              bucket::VARCHAR || ':' ||
+              round(energy * 1000000)::BIGINT::VARCHAR || ':' ||
+              (rank_pct >= 0.9)::VARCHAR,
+              '|' ORDER BY bucket) AS timeline_str
+          FROM ranked GROUP BY user_id ORDER BY user_id"""))
+  // The native array<struct> timeline (library API) has no SQL oracle;
+  // ordering + content pinned in EnergySpec.
 }

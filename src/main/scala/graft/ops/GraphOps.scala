@@ -83,7 +83,10 @@ object GraphOps {
 
   val queries: Map[String, Q] = Map(
     "q33_pagerank" -> (pagerank(_, _)),
-    "q34_connected_components" -> (connectedComponents(_, _)))
+    // members serialized for the driver (pandas can't hash numpy arrays,
+    // CORRECTNESS_r02); library API keeps the native array<string>.
+    "q34_connected_components" -> ((s, d) =>
+      connectedComponents(s, d).withColumn("members", array_join(col("members"), ","))))
 
   /** Iterative fixed-point scores aren't SQL-expressible — rows-only for
     * the driver; invariants (Σ rank ≈ |V|, component count) pinned in

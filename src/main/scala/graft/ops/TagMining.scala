@@ -61,9 +61,16 @@ object TagMining {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // Registered surface serializes the itemset arrays (the driver's pandas
+  // compare can't hash numpy arrays — CORRECTNESS_r02); the library API
+  // (`freqItemsets` / `associationRules`) keeps native arrays.
   val queries: Map[String, Q] = Map(
-    "q70_freq_itemsets" -> (freqItemsets(_, _)),
-    "q71_assoc_rules" -> (associationRules(_, _)))
+    "q70_freq_itemsets" -> ((s, d) =>
+      freqItemsets(s, d).withColumn("items", array_join(col("items"), ","))),
+    "q71_assoc_rules" -> ((s, d) =>
+      associationRules(s, d)
+        .withColumn("antecedent", array_join(col("antecedent"), ","))
+        .withColumn("consequent", array_join(col("consequent"), ","))))
 
   /** FP-Growth output is not SQL-expressible for arbitrary itemset size —
     * no DuckDB oracle (driver records rows-only). Correctness is pinned
