@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-Dfile.encoding=UTF-8",
 )
+// The container locale is POSIX (LANG unset) → the JVM's filesystem path
+// encoding (sun.jnu.encoding) degrades to ASCII and mangles non-ASCII
+// paths like the reference's 凡人修仙传 data directory. -D can't fix it
+// (locale-derived before property processing); the forked JVM's locale
+// can. refdata/ symlinks make the engine path-ASCII anyway; this keeps
+// error messages and any future non-ASCII paths sane.
+run / envVars += ("LC_ALL" -> "C.UTF-8")
+Test / envVars += ("LC_ALL" -> "C.UTF-8")

@@ -23,7 +23,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (Skew.queries, Skew.oracles),
       (GraphOps.queries, GraphOps.oracles),
-      (Sessionization.queries, Sessionization.oracles))
+      (Sessionization.queries, Sessionization.oracles),
+      (Fidelity.queries, Fidelity.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's signature pipeline: per-user energy ranking with

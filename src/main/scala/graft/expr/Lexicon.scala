@@ -27,16 +27,20 @@ object Lexicon {
   val defaultWeight = 1.0
 
   /** Tiered first-match-wins score, null-safe (null/empty → default,
-    * matching spark_energy.py:38-39).
+    * matching spark_energy.py:38-39). Generic over the tier content —
+    * `RefLexicons.energyTiers` plugs the reference's real lexicon in
+    * (ops.Fidelity), `eventTypeTiers` is the synthetic-corpus analog.
     */
-  def score(c: Column): Column = {
+  def score(c: Column,
+            tiers: Seq[(Seq[String], Double)] = eventTypeTiers,
+            default: Double = defaultWeight): Column = {
     val lowered = lower(c)
-    val chain = eventTypeTiers.foldLeft(Option.empty[Column]) {
+    val chain = tiers.foldLeft(Option.empty[Column]) {
       case (acc, (terms, w)) =>
         val hit = terms.map(t => lowered.contains(t)).reduce(_ || _)
         Some(acc.fold(when(hit, w))(_.when(hit, w)))
     }.get
-    when(c.isNull || c === "", defaultWeight).otherwise(chain.otherwise(defaultWeight))
+    when(c.isNull || c === "", default).otherwise(chain.otherwise(default))
   }
 
   /** The entity lexicon for co-occurrence analysis — the analog of the

@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expr.{Lexicon, RefLexicons}
+import graft.sources.CsvIngest
+
+/** Fidelity pipelines: the reference's OWN jobs, with its OWN lexicons,
+  * over its OWN committed data — re-expressed Spark-first.
+  *
+  *   - character relation graph (relation_graph/danmaku_analysis_cluster
+  *     .py:108-158): substring alias extraction → node heat + pair
+  *     co-occurrence weights. The reference runs pair generation through
+  *     a Python UDF + RDD flatMap/reduceByKey; here extraction is a
+  *     codegen'd contains/when chain and pair generation a double
+  *     posexplode (no RDD, no pickling, no Python).
+  *   - per-episode energy curve (hot/spark_energy.py:26-95): 4-tier
+  *     lexicon score → 10 s buckets → density+sentiment → energy
+  *     (0.37/0.63) → per-episode percent_rank → top-10% highlights.
+  *     The reference's driver-side collect()+json.dump egress is
+  *     replaced by an executor-side sink (CsvIngest.writeJson).
+  *
+  * Every query here is hash-checked by the driver against a DuckDB
+  * oracle that re-executes the reference algorithm INDEPENDENTLY over
+  * the same committed CSVs (read_csv with absolute paths — these
+  * queries deliberately ignore the `dir` argument).
+  *
+  * Golden-output caveat, measured (see FIDELITY.md): the repo's
+  * committed goldens (dataset_processed CSVs, all_episodes_energy
+  * .json) were generated from a LARGER crawl than the committed data —
+  * per-entity node counts come out at 0.67-0.93× the golden values and
+  * the energy golden has 8 episodes whose CSVs are absent — so exact
+  * golden equality is unreachable from the committed inputs by ANY
+  * implementation. FidelitySpec pins what is reachable: exact
+  * engine↔oracle parity on the committed data, plus structural golden
+  * agreement (entity set, top/tail ranking, highlight flags).
+  *
+  * Scale notes: extraction/scoring are per-row codegen'd scans; the
+  * only exchanges are the aggregations' partial+final hash aggs and
+  * one per-episode window whose partitions are bounded by episode
+  * length (144 buckets / 24 min), not corpus size. Node/edge key
+  * cardinality is lexicon-bounded (≤18 / ≤153), so hot-key pressure is
+  * absorbed by map-side combine.
+  */
+object Fidelity {
+
+  /** The reference's committed corpora, via ASCII symlinks (refdata/ in
+    * this repo) — the real directory name 凡人修仙传 is non-ASCII and a
+    * JVM launched under the container's POSIX locale mangles non-ASCII
+    * filesystem paths (sun.jnu.encoding=ASCII; the -D override is
+    * ignored, it's locale-derived). build.sbt also sets LC_ALL for
+    * forked JVMs, but the symlink keeps the engine independent of who
+    * launches it.
+    */
+  val fanRenGlob = "/root/repo/refdata/fanren/danmaku_*.csv"
+  val spyGlob = "/root/repo/refdata/spy/danmaku_*.csv"
+
+  /** Sorted per-row canonical-entity set as a native expression: one
+    * contains/when cell per canonical character (all aliases OR-ed),
+    * nulls compacted, sorted — semantics of the reference's
+    * set-of-matching-aliases UDF (danmaku_analysis_cluster.py:100-106)
+    * with Spark binary string sort = Python code-point sort.
+    */
+  def entityArray(text: Column, lex: Seq[(String, Seq[String])]): Column = {
+    val cells = lex.map { case (canon, aliases) =>
+      when(aliases.map(a => text.contains(a)).reduce(_ || _), lit(canon))
+    }
+    array_sort(array_compact(array(cells: _*)))
+  }
+
+  /** Per-row sorted entity sets — the shared scan under nodes and edges
+    * (cache this when computing both from one pass).
+    */
+  def entityRows(spark: SparkSession, glob: String,
+                 lex: Seq[(String, Seq[String])]): DataFrame =
+    CsvIngest.readDanmaku(spark, glob)
+      .select(entityArray(col("text"), lex).as("es"))
+      .filter(size(col("es")) > 0)
+
+  /** Node table (Id, Size): per-row set semantics, heat = row count.
+    * Matches danmaku_analysis_cluster.py:128-131 (column names too).
+    */
+  def nodesFrom(rows: DataFrame): DataFrame =
+    rows.select(explode(col("es")).as("Id"))
+      .groupBy("Id").agg(count(lit(1)).as("Size"))
+      .orderBy(desc("Size"), asc("Id"))
+
+  /** Edge table (Source, Target, Weight): canonical pairs (a<b) from the
+    * per-row sorted entity set — the sorted(set)+combinations semantics
+    * of danmaku_analysis_cluster.py:139-146, as a double posexplode.
+    */
+  def edgesFrom(rows: DataFrame): DataFrame =
+    rows.filter(size(col("es")) >= 2)
+      .select(col("es"), posexplode(col("es")).as(Seq("i", "Source")))
+      .select(col("i"), col("Source"), posexplode(col("es")).as(Seq("j", "Target")))
+      .filter(col("i") < col("j"))
+      .groupBy("Source", "Target").agg(count(lit(1)).as("Weight"))
+      .orderBy(desc("Weight"), asc("Source"), asc("Target"))
+
+  def relationNodes(spark: SparkSession, glob: String,
+                    lex: Seq[(String, Seq[String])]): DataFrame =
+    nodesFrom(entityRows(spark, glob, lex))
+
+  def relationEdges(spark: SparkSession, glob: String,
+                    lex: Seq[(String, Seq[String])]): DataFrame =
+    edgesFrom(entityRows(spark, glob, lex))
+
+  /** Per-(episode, 10 s bucket) energy with per-episode percentile
+    * highlights — spark_energy.py:62-79 with the real 4-tier lexicon.
+    * All terms stay exact across engines: tier weights are halves (sums
+    * are order-independent), the 0.37/0.63 combination is two IEEE ops
+    * on identical inputs, percent_rank is an exact integer ratio.
+    */
+  def episodeEnergy(spark: SparkSession, glob: String): DataFrame = {
+    val buckets = CsvIngest.readDanmaku(spark, glob)
+      .withColumn("vt", expr("try_cast(video_time AS DOUBLE)"))
+      .filter(col("vt").isNotNull)
+      .withColumn("raw_score", Lexicon.score(col("text"), RefLexicons.energyTiers))
+      .withColumn("time_bucket", (floor(col("vt") / 10) * 10).cast("int"))
+      .groupBy("bvid", "time_bucket")
+      .agg(
+        count(col("dmid")).as("density"),
+        sum("raw_score").as("sentiment_score"))
+      .withColumn("energy",
+        col("sentiment_score") * lit(0.37) + col("density") * lit(0.63))
+    val w = Window.partitionBy("bvid").orderBy("energy")
+    buckets
+      .withColumn("rank_pct", percent_rank().over(w))
+      .withColumn("is_high", col("rank_pct") >= 0.9)
+      .orderBy("bvid", "time_bucket")
+  }
+
+  /** Golden-shaped nested timeline (one row per episode, ordered
+    * array<struct<time,value,high>>) — the library egress matching
+    * all_episodes_energy.json's structure; value rounded half-even to
+    * 2 decimals like the reference's Python round (spark_energy.py:109).
+    * Executor-side JSON-able via CsvIngest.writeJson.
+    */
+  def energyTimeline(spark: SparkSession, glob: String): DataFrame =
+    episodeEnergy(spark, glob)
+      .groupBy("bvid")
+      .agg(sort_array(collect_list(struct(
+        col("time_bucket").as("time"),
+        bround(col("energy"), 2).as("value"),
+        col("is_high").as("high")))).as("timeline"))
+      .orderBy("bvid")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fidelity queries read the reference's committed CSVs at fixed
+    * absolute paths; the `dir` argument (testdata SF dir) is unused.
+    */
+  val queries: Map[String, Q] = Map(
+    "q90_fanren_nodes" -> ((s, _) => relationNodes(s, fanRenGlob, RefLexicons.fanRen)),
+    "q91_fanren_edges" -> ((s, _) => relationEdges(s, fanRenGlob, RefLexicons.fanRen)),
+    "q92_spy_nodes" -> ((s, _) => relationNodes(s, spyGlob, RefLexicons.spyFamily)),
+    "q93_spy_edges" -> ((s, _) => relationEdges(s, spyGlob, RefLexicons.spyFamily)),
+    "q94_episode_energy" -> ((s, _) => episodeEnergy(s, spyGlob)))
+
+  // ---- DuckDB oracles, generated from the same lexicon data ----------
+
+  private def sq(s: String) = s.replace("'", "''")
+
+  private def entCases(lex: Seq[(String, Seq[String])]): String =
+    lex.map { case (canon, aliases) =>
+      "CASE WHEN " + aliases.map(a => s"contains(text, '${sq(a)}')").mkString(" OR ") +
+        s" THEN '${sq(canon)}' END"
+    }.mkString(", ")
+
+  private def entsCte(glob: String, lex: Seq[(String, Seq[String])]): String =
+    s"""WITH raw AS (
+          SELECT text FROM read_csv('${sq(glob)}', header=true, all_varchar=true)
+        ), ent AS (
+          SELECT list_sort(list_filter([${entCases(lex)}], x -> x IS NOT NULL)) AS es
+          FROM raw WHERE text IS NOT NULL
+        )"""
+
+  private def nodesOracle(glob: String, lex: Seq[(String, Seq[String])]): String =
+    entsCte(glob, lex) +
+      """ SELECT u.e AS "Id", count(*) AS "Size"
+          FROM ent, unnest(ent.es) AS u(e)
+          GROUP BY 1 ORDER BY 2 DESC, 1"""
+
+  private def edgesOracle(glob: String, lex: Seq[(String, Seq[String])]): String =
+    entsCte(glob, lex) +
+      """, pairs AS (
+          SELECT es[i.i] AS "Source", es[j.j] AS "Target"
+          FROM ent,
+            LATERAL (SELECT unnest(generate_series(1, len(es))) AS i) i,
+            LATERAL (SELECT unnest(generate_series(1, len(es))) AS j) j
+          WHERE i.i < j.j)
+        SELECT "Source", "Target", count(*) AS "Weight"
+        FROM pairs GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2"""
+
+  private def tierSql(tiers: Seq[(Seq[String], Double)]): String =
+    tiers.map { case (terms, w) =>
+      "WHEN " + terms.map(t => s"contains(lower(text), '${sq(t)}')").mkString(" OR ") +
+        s" THEN $w::DOUBLE"
+    }.mkString("\n           ")
+
+  private def energyOracle(glob: String): String =
+    s"""WITH raw AS (
+          SELECT *, regexp_extract(filename, 'danmaku_(BV[0-9A-Za-z]+)\\.csv', 1) AS bvid
+          FROM read_csv('${sq(glob)}', header=true, all_varchar=true, filename=true)
+        ), scored AS (
+          SELECT bvid,
+            (floor(TRY_CAST(video_time AS DOUBLE) / 10) * 10)::INT AS time_bucket,
+            dmid,
+            CASE WHEN text IS NULL OR text = '' THEN 1.0::DOUBLE
+               ${tierSql(RefLexicons.energyTiers)}
+               ELSE 1.0::DOUBLE END AS raw_score
+          FROM raw WHERE TRY_CAST(video_time AS DOUBLE) IS NOT NULL
+        ), agg AS (
+          SELECT bvid, time_bucket,
+            count(dmid) AS density, sum(raw_score) AS sentiment_score
+          FROM scored GROUP BY 1, 2
+        ), fin AS (
+          SELECT *, sentiment_score * 0.37::DOUBLE + density * 0.63::DOUBLE AS energy
+          FROM agg
+        )
+        SELECT bvid, time_bucket, density, sentiment_score, energy,
+          percent_rank() OVER (PARTITION BY bvid ORDER BY energy) AS rank_pct,
+          percent_rank() OVER (PARTITION BY bvid ORDER BY energy) >= 0.9 AS is_high
+        FROM fin ORDER BY bvid, time_bucket"""
+
+  val oracles: Map[String, String] = Map(
+    "q90_fanren_nodes" -> nodesOracle(fanRenGlob, RefLexicons.fanRen),
+    "q91_fanren_edges" -> edgesOracle(fanRenGlob, RefLexicons.fanRen),
+    "q92_spy_nodes" -> nodesOracle(spyGlob, RefLexicons.spyFamily),
+    "q93_spy_edges" -> edgesOracle(spyGlob, RefLexicons.spyFamily),
+    "q94_episode_energy" -> energyOracle(spyGlob))
+}
