@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * GraphX is RDD-based by design (Pregel iteration has no DataFrame
   * twin); the DataFrame boundary is kept tight: edges in, scored
   * DataFrame out, vertex ids are stable hashes of entity names.
+  *
+  * Storage discipline: the edge DataFrame is cached only while the
+  * iteration runs; results are localCheckpoint-materialized (lineage
+  * cut) so every upstream cache — ours and GraphX's internal ones — is
+  * unpersisted before returning. Repeated invocations in a long-lived
+  * session hold no storage.
   */
 object GraphOps {
 
@@ -37,46 +43,77 @@ object GraphOps {
     (Graph.fromEdges(edges, defaultValue = 0), e)
   }
 
-  /** Weighted-degree-free PageRank over the undirected co-occurrence
-    * graph (GraphX treats edges as directed; co-occurrence is symmetric,
-    * and `Graph.fromEdges` + staticPageRank on the symmetrized edge set
-    * matches the readme's aspiration). Fixed iteration count →
-    * deterministic scores.
-    */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val (g, e) = edgeGraph(spark, dir)
-    // symmetrize: undirected co-occurrence
-    val sym = Graph.fromEdges(
-      g.edges.union(g.edges.map(ed => Edge(ed.dstId, ed.srcId, ed.attr))),
-      defaultValue = 0)
-    val ranks = sym.staticPageRank(pageRankIters, resetProb).vertices
-    val s = spark
-    import s.implicits._
-    val rankDf = ranks.toDF("vid", "rank")
-    val names = e.select(col("src").as("entity_id"), col("src_id").as("vid"))
+  private def names(e: DataFrame): DataFrame =
+    e.select(col("src").as("entity_id"), col("src_id").as("vid"))
       .union(e.select(col("dst"), col("dst_id")))
       .distinct()
-    names.join(rankDf, "vid")
+
+  /** Materialize `out`, then drop every upstream cache: the caller gets
+    * a lineage-free DataFrame whose blocks the ContextCleaner reclaims
+    * on GC — no unbounded storage accumulation across invocations
+    * (round-2 advice: edgeGraph cached and never unpersisted).
+    */
+  private def materializeAndRelease(out: DataFrame, e: DataFrame,
+                                    graphs: Graph[_, _]*): DataFrame = {
+    val done = out.localCheckpoint(true)
+    graphs.foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    done
+  }
+
+  /** WEIGHTED PageRank over the undirected (symmetrized) co-occurrence
+    * graph: transition probability proportional to edge weight
+    * (rank flows along heavy co-occurrence edges), the natural reading
+    * of the reference readme's "relation strength" aspiration.
+    * GraphX's staticPageRank is degree-normalized and ignores edge
+    * attrs, so the power iteration is spelled out: normalize each edge
+    * by its source's total out-weight, then iterate
+    * rank = reset + (1-reset)·Σ incoming. Symmetrization leaves no
+    * dangling vertices, so Σ rank = |V| is preserved exactly
+    * (GraphOpsSpec pins it). Fixed iteration count → deterministic.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val (g0, e) = edgeGraph(spark, dir)
+    val sym = Graph.fromEdges(
+      g0.edges.union(g0.edges.map(ed => Edge(ed.dstId, ed.srcId, ed.attr))),
+      defaultValue = 0).cache()
+    val outWeight = sym.aggregateMessages[Double](
+      t => t.sendToSrc(t.attr.toDouble), _ + _)
+    val norm = sym.outerJoinVertices(outWeight)((_, _, w) => w.getOrElse(0.0))
+      .mapTriplets(t => t.attr.toDouble / t.srcAttr)
+    var ranks: Graph[Double, Double] = norm.mapVertices((_, _) => 1.0).cache()
+    for (_ <- 1 to pageRankIters) {
+      val msgs = ranks.aggregateMessages[Double](
+        t => t.sendToDst(t.srcAttr * t.attr), _ + _)
+      val prev = ranks
+      ranks = ranks.outerJoinVertices(msgs)((_, _, m) =>
+        resetProb + (1 - resetProb) * m.getOrElse(0.0)).cache()
+      ranks.vertices.count() // materialize before dropping the parent
+      prev.unpersist(blocking = false)
+    }
+    val s = spark
+    import s.implicits._
+    val rankDf = ranks.vertices.toDF("vid", "rank")
+    val out = names(e).join(rankDf, "vid")
       .select(col("entity_id"), round(col("rank"), 6).as("pagerank"))
       .orderBy(desc("pagerank"), asc("entity_id"))
+    materializeAndRelease(out, e, g0, sym, norm, ranks)
   }
 
   /** Connected components — entity clusters that ever co-occur. */
   def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
     val (g, e) = edgeGraph(spark, dir)
-    val cc = g.connectedComponents().vertices
+    val cc = g.connectedComponents()
     val s = spark
     import s.implicits._
-    val ccDf = cc.toDF("vid", "component")
-    val names = e.select(col("src").as("entity_id"), col("src_id").as("vid"))
-      .union(e.select(col("dst"), col("dst_id")))
-      .distinct()
-    names.join(ccDf, "vid")
+    val ccDf = cc.vertices.toDF("vid", "component")
+    val out = names(e).join(ccDf, "vid")
       .groupBy("component")
       .agg(sort_array(collect_list("entity_id")).as("members"),
         count(lit(1)).as("n_members"))
       .select(col("members")(0).as("component_rep"), col("members"), col("n_members"))
       .orderBy(desc("n_members"), asc("component_rep"))
+    materializeAndRelease(out, e, g, cc)
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -89,8 +126,8 @@ object GraphOps {
       connectedComponents(s, d).withColumn("members", array_join(col("members"), ","))))
 
   /** Iterative fixed-point scores aren't SQL-expressible — rows-only for
-    * the driver; invariants (Σ rank ≈ |V|, component count) pinned in
-    * GraphOpsSpec.
+    * the driver; invariants (Σ rank = |V|, weight-monotone ranking,
+    * component count) pinned in GraphOpsSpec.
     */
   val oracles: Map[String, String] = Map.empty
 }

@@ -140,15 +140,22 @@ object Similarity {
     * Candidate volume ≈ n · probes / k — the standard IVF trade; recall
     * vs brute force is pinned in SimilaritySpec.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** @param numLists inverted-list count. The caller sizes it (√n is
+    *   the textbook default; a tiny corpus over-partitioned leaves ~3
+    *   vectors per list and recall collapses). None → one cheap
+    *   metadata-ish count to apply n/8 capped at ivfClusters — fine
+    *   interactively, but at 100 TB pass it explicitly: the count is a
+    *   full extra job the caller usually already knows the answer to
+    *   (round-2 advice).
+    */
+  def annIvf(spark: SparkSession, dir: String,
+             numLists: Option[Int] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", array_to_vector(col("embedding")))
-    // list count scales with corpus (≈ n/8 capped at ivfClusters here;
-    // ~√n at real scale) — a tiny corpus over-partitioned into 16 lists
-    // leaves ~3 vectors per list and recall collapses
-    val nLists = math.max(4, math.min(ivfClusters, (emb.count() / 8).toInt))
+    val nLists = numLists.getOrElse(
+      math.max(4, math.min(ivfClusters, (emb.count() / 8).toInt)))
     val model = new KMeans()
       .setK(nLists).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("v").setPredictionCol("cluster")

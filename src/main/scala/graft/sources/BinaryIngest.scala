@@ -1,75 +1,166 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Binary-segment ingestion — the Spark rebuild of the reference's
-  * protobuf crawler decode (crawler/spider_worker.py:29-51, message
-  * schema crawler/dm_pb2.py:79-80: DanmakuElem{id, progress, content,
-  * ctime, midHash}).
+  * protobuf crawler decode (crawler/spider_worker.py:29-51).
   *
-  * Files arrive as opaque blobs via the `binaryFile` source; decoding
-  * runs executor-side, partition-batched. The container has no protobuf
-  * runtime, so `decodeSegment` is a STUB for a simple deterministic
-  * length-prefixed record format (documented below); a real deployment
-  * swaps it for `from_protobuf` (spark-protobuf) or a generated parser —
-  * the source plumbing (binaryFile scan → per-file decode → typed rows →
-  * dedup) is the engine surface and is what the tests pin.
+  * The crawler saves raw `DmSegMobileReply` protobuf segments (`.bin`
+  * backups, spider_worker.py:88-92) and decodes them with a generated
+  * parser (crawler/dm_pb2.py). This is a REAL decoder for that message,
+  * hand-rolled against the public protocol-buffers wire format (varint +
+  * length-delimited fields; no protobuf runtime exists in this
+  * container and none is needed):
+  *
+  *   DmSegMobileReply { repeated DanmakuElem elems = 1; ... }
+  *   DanmakuElem { int64 id = 1; int32 progress = 2; int32 mode = 3;
+  *     int32 fontsize = 4; uint32 color = 5; string midHash = 6;
+  *     string content = 7; int64 ctime = 8; int32 weight = 9;
+  *     string idStr = 12; ... }              (dm_pb2.py DANMAKUELEM)
+  *
+  * Unknown fields are skipped by wire type (forward-compatible, like a
+  * generated parser); a torn tail discards only the truncated trailing
+  * record. Decoding runs executor-side per file (binaryFile source →
+  * flatMap) — a 100 TB crawl directory decodes with per-file
+  * parallelism, nothing driver-side.
   */
 object BinaryIngest {
 
-  /** Decoded record, field-for-field the reference's DanmakuElem. */
+  /** Decoded record: the DanmakuElem fields the reference consumes
+    * (spider_worker.py:40-46) plus the display attributes the raw
+    * segment carries. `progress` is milliseconds (int32 on the wire);
+    * the crawler derives video_time = progress/1000.
+    */
   case class DanmakuRecord(
-      id: Long, progress: Double, content: String, ctime: Long, midHash: String)
+      id: Long, progress: Int, mode: Int, fontsize: Int, color: Long,
+      midHash: String, content: String, ctime: Long, weight: Int,
+      idStr: String)
 
-  /** STUB wire format (stand-in for the protobuf segment): repeated
-    * records of
-    *   [i64 id][f64 progress][i64 ctime][i32 contentLen][utf8 content]
-    *   [i32 midLen][utf8 midHash]
-    * big-endian, no framing header. Truncated trailing bytes are
-    * discarded (a real protobuf parser does the same for a torn tail).
+  private object Wire {
+    val Varint = 0; val Fixed64 = 1; val Len = 2; val Fixed32 = 5
+  }
+
+  /** Mutable cursor over a byte slice; throws Torn past the end. */
+  private final class Reader(bytes: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def byte(): Int = {
+      if (pos >= end) throw Torn
+      val b = bytes(pos) & 0xff; pos += 1; b
+    }
+    def varint(): Long = {
+      var shift = 0; var acc = 0L; var b = 0
+      do {
+        if (shift > 63) throw Torn // malformed: >10 bytes
+        b = byte(); acc |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      acc
+    }
+    def slice(n: Int): Reader = {
+      if (n < 0 || pos + n > end) throw Torn
+      val r = new Reader(bytes, pos, pos + n); pos += n; r
+    }
+    def utf8(n: Int): String = {
+      if (n < 0 || pos + n > end) throw Torn
+      val s = new String(bytes, pos, n, java.nio.charset.StandardCharsets.UTF_8)
+      pos += n; s
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case Wire.Varint => varint()
+      case Wire.Fixed64 => if (pos + 8 > end) throw Torn else pos += 8
+      case Wire.Len => val n = varint().toInt; if (n < 0 || pos + n > end) throw Torn else pos += n
+      case Wire.Fixed32 => if (pos + 4 > end) throw Torn else pos += 4
+      case _ => throw Torn // groups (3/4): not valid proto3
+    }
+  }
+  private object Torn extends RuntimeException("torn segment") {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private def decodeElem(r: Reader): DanmakuRecord = {
+    var id = 0L; var progress = 0; var mode = 0; var fontsize = 0
+    var color = 0L; var midHash = ""; var content = ""; var ctime = 0L
+    var weight = 0; var idStr = ""
+    while (r.hasMore) {
+      val tag = r.varint()
+      val field = (tag >>> 3).toInt; val wt = (tag & 7).toInt
+      (field, wt) match {
+        case (1, Wire.Varint) => id = r.varint()
+        case (2, Wire.Varint) => progress = r.varint().toInt
+        case (3, Wire.Varint) => mode = r.varint().toInt
+        case (4, Wire.Varint) => fontsize = r.varint().toInt
+        case (5, Wire.Varint) => color = r.varint() & 0xffffffffL
+        case (6, Wire.Len) => midHash = r.utf8(r.varint().toInt)
+        case (7, Wire.Len) => content = r.utf8(r.varint().toInt)
+        case (8, Wire.Varint) => ctime = r.varint()
+        case (9, Wire.Varint) => weight = r.varint().toInt
+        case (12, Wire.Len) => idStr = r.utf8(r.varint().toInt)
+        case (_, w) => r.skip(w)
+      }
+    }
+    DanmakuRecord(id, progress, mode, fontsize, color, midHash, content,
+      ctime, weight, idStr)
+  }
+
+  /** Parse a DmSegMobileReply segment: every `elems = 1` submessage,
+    * unknown top-level fields skipped, truncated tail discarded (the
+    * reference's parser fails the whole segment on truncation,
+    * spider_worker.py:48-51; keeping the valid prefix strictly
+    * dominates for bulk re-ingestion of .bin backups).
     */
   def decodeSegment(bytes: Array[Byte]): Seq[DanmakuRecord] = {
-    val buf = java.nio.ByteBuffer.wrap(bytes)
     val out = scala.collection.mutable.ArrayBuffer.empty[DanmakuRecord]
+    val r = new Reader(bytes, 0, bytes.length)
     try {
-      while (buf.remaining() >= 28) {
-        val id = buf.getLong
-        val progress = buf.getDouble
-        val ctime = buf.getLong
-        val cLen = buf.getInt
-        if (cLen < 0 || cLen > buf.remaining()) throw new RuntimeException("torn")
-        val cBytes = new Array[Byte](cLen); buf.get(cBytes)
-        if (buf.remaining() < 4) throw new RuntimeException("torn")
-        val mLen = buf.getInt
-        if (mLen < 0 || mLen > buf.remaining()) throw new RuntimeException("torn")
-        val mBytes = new Array[Byte](mLen); buf.get(mBytes)
-        out += DanmakuRecord(id, progress,
-          new String(cBytes, java.nio.charset.StandardCharsets.UTF_8), ctime,
-          new String(mBytes, java.nio.charset.StandardCharsets.UTF_8))
+      while (r.hasMore) {
+        val tag = r.varint()
+        val field = (tag >>> 3).toInt; val wt = (tag & 7).toInt
+        if (field == 1 && wt == Wire.Len) out += decodeElem(r.slice(r.varint().toInt))
+        else r.skip(wt)
       }
-    } catch { case _: RuntimeException => /* discard torn tail */ }
+    } catch { case Torn => /* discard truncated trailing record */ }
     out.toSeq
   }
 
-  /** Encoder for the stub wire format (test fixtures + round-trip spec). */
+  // ---- wire encoder (test fixtures, round-trip specs, .bin writers) --
+
+  private def putVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    bos.write(v.toInt)
+  }
+  private def putField(bos: java.io.ByteArrayOutputStream, field: Int, v: Long): Unit =
+    if (v != 0) { putVarint(bos, (field.toLong << 3) | Wire.Varint); putVarint(bos, v) }
+  private def putField(bos: java.io.ByteArrayOutputStream, field: Int, s: String): Unit =
+    if (s.nonEmpty) {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      putVarint(bos, (field.toLong << 3) | Wire.Len); putVarint(bos, b.length.toLong)
+      bos.write(b, 0, b.length)
+    }
+
+  def encodeElem(e: DanmakuRecord): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    putField(bos, 1, e.id); putField(bos, 2, e.progress.toLong)
+    putField(bos, 3, e.mode.toLong); putField(bos, 4, e.fontsize.toLong)
+    putField(bos, 5, e.color); putField(bos, 6, e.midHash)
+    putField(bos, 7, e.content); putField(bos, 8, e.ctime)
+    putField(bos, 9, e.weight.toLong); putField(bos, 12, e.idStr)
+    bos.toByteArray
+  }
+
+  /** Encode a DmSegMobileReply (proto3 zero-default fields omitted). */
   def encodeSegment(records: Seq[DanmakuRecord]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val dos = new java.io.DataOutputStream(bos)
-    records.foreach { r =>
-      dos.writeLong(r.id); dos.writeDouble(r.progress); dos.writeLong(r.ctime)
-      val c = r.content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      dos.writeInt(c.length); dos.write(c)
-      val m = r.midHash.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      dos.writeInt(m.length); dos.write(m)
+    records.foreach { rec =>
+      val body = encodeElem(rec)
+      putVarint(bos, (1L << 3) | Wire.Len); putVarint(bos, body.length.toLong)
+      bos.write(body, 0, body.length)
     }
     bos.toByteArray
   }
 
   /** binaryFile scan → per-file decode → typed rows, deduped on id
-    * (S10 + S11). flatMap keeps decode streaming per partition — a
-    * 100 TB crawl directory decodes with per-file parallelism, nothing
-    * driver-side.
+    * (S10 + S11, the crawler's seen_ids semantics).
     */
   def readSegments(spark: SparkSession, globPath: String): Dataset[DanmakuRecord] = {
     val files = spark.read.format("binaryFile").load(globPath)
@@ -79,4 +170,16 @@ object BinaryIngest {
       .dropDuplicates("id")
       .as(Encoders.product[DanmakuRecord])
   }
+
+  /** The crawler's CSV projection of a decoded segment
+    * (spider_worker.py:40-46): video_time = progress ms / 1000 rounded
+    * to 3 decimals, uid = midHash.
+    */
+  def toCrawlerRows(ds: Dataset[DanmakuRecord]): org.apache.spark.sql.DataFrame =
+    ds.select(
+      col("id").cast("string").as("dmid"),
+      round(col("progress") / 1000.0, 3).as("video_time"),
+      col("content").as("text"),
+      from_unixtime(col("ctime"), "yyyy-MM-dd HH:mm:ss").as("send_date"),
+      col("midHash").as("uid"))
 }

@@ -36,17 +36,29 @@ object Sessionize {
     val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
     var open = state.getOption
     // cross-trigger stragglers: events older than the open session by
-    // more than the gap cannot merge into it (the session would start
-    // after events it claims to contain). They are gap-chained among
-    // THEMSELVES and emitted as historical sessions — same session
-    // definition, bounded lateness. Stragglers split across triggers
-    // do not re-merge (single-open-session state; the watermark bounds
-    // how long that window even exists).
+    // more than the gap are gap-chained among THEMSELVES; a chain that
+    // climbs back to within the gap of the open session's start folds
+    // into it (batch parity), otherwise it is emitted as a historical
+    // session — same session definition, bounded lateness. The one
+    // remaining batch/streaming divergence: stragglers split across
+    // TRIGGERS do not re-merge (single-open-session state; the
+    // watermark bounds how long that window even exists). Pinned in
+    // SessionizeSpec.
     var straggler = Option.empty[Open]
+    // A straggler chain that climbs to within the gap of the open
+    // session's start belongs to it (the batch twin, ops.Sessionization,
+    // would merge them): fold it in instead of emitting a split session.
+    def mergeChain(s: Open): Open = straggler match {
+      case Some(h) if s.start - h.last <= gapMs =>
+        straggler = None
+        Open(math.min(h.start, s.start), s.last, s.n + h.n)
+      case _ => s
+    }
     sorted.foreach { e =>
       val t = e.ts.getTime
       open match {
-        case Some(s) if t - s.last > gapMs =>
+        case Some(s0) if t - s0.last > gapMs =>
+          val s = mergeChain(s0)
           closed += Session(userId, s.start, s.last, s.n)
           straggler.foreach(h => closed += Session(userId, h.start, h.last, h.n))
           straggler = None
@@ -68,6 +80,7 @@ object Sessionize {
           open = Some(Open(t, t, 1))
       }
     }
+    open = open.map(mergeChain)
     straggler.foreach(h => closed += Session(userId, h.start, h.last, h.n))
     open.foreach { s =>
       val due = s.last + gapMs

@@ -91,27 +91,62 @@ class CsvIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(back.schema("timeline").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
   }
 
-  test("binary segment ingest: encode → binaryFile scan → decode → dedup") {
+  private def elem(id: Long, progressMs: Int, content: String, ctime: Long,
+                   midHash: String) =
+    BinaryIngest.DanmakuRecord(id, progressMs, mode = 1, fontsize = 25,
+      color = 16777215L, midHash, content, ctime, weight = 9,
+      idStr = id.toString)
+
+  test("protobuf segment ingest: encode → binaryFile scan → decode → dedup") {
     val recs = Seq(
-      BinaryIngest.DanmakuRecord(1L, 10.5, "哇库哇库", 1700000000L, "94c89b97"),
-      BinaryIngest.DanmakuRecord(2L, 20.0, "comma, quote\" newline\n", 1700000001L, "aabbccdd"),
-      BinaryIngest.DanmakuRecord(1L, 10.5, "哇库哇库", 1700000000L, "94c89b97"))
+      elem(1L, 10949, "哇库哇库", 1700000000L, "94c89b97"),
+      elem(2L, 20000, "comma, quote\" newline\n", 1700000001L, "aabbccdd"),
+      elem(1L, 10949, "哇库哇库", 1700000000L, "94c89b97"))
     val dir = tmpDir()
     Files.write(dir.resolve("seg_1.bin"), BinaryIngest.encodeSegment(recs.take(2)))
     Files.write(dir.resolve("seg_2.bin"), BinaryIngest.encodeSegment(recs.drop(2)))
     val decoded = BinaryIngest.readSegments(spark, dir.toString + "/seg_*.bin")
     val rows = decoded.collect().sortBy(_.id)
     assert(rows.length == 2, "dedup on id across segments")
-    assert(rows(0).content == "哇库哇库")
+    assert(rows(0) == recs.head, "full field-for-field round trip")
     assert(rows(1).midHash == "aabbccdd")
+    // the crawler's CSV projection (spider_worker.py:40-46)
+    val csvRow = BinaryIngest.toCrawlerRows(decoded)
+      .filter(org.apache.spark.sql.functions.col("dmid") === "1").collect().head
+    assert(csvRow.getDouble(1) == 10.949) // progress ms → seconds, 3 dp
   }
 
-  test("binary segment decode: torn tail discarded, valid prefix kept") {
+  test("protobuf decode: hand-built wire bytes per the public spec") {
+    // DmSegMobileReply{ elems: [DanmakuElem{id=1, progress=300}] }
+    //   0x0a = tag(field 1, LEN), len 5
+    //   0x08 0x01 = field 1 varint 1; 0x10 0xac 0x02 = field 2 varint 300
+    val raw = Array(0x0a, 0x05, 0x08, 0x01, 0x10, 0xac, 0x02).map(_.toByte)
+    val d = BinaryIngest.decodeSegment(raw)
+    assert(d.map(r => (r.id, r.progress)) == Seq((1L, 300)))
+    assert(d.head.content == "" && d.head.midHash == "", "proto3 defaults")
+  }
+
+  test("protobuf decode: unknown fields skipped by wire type") {
+    // elem body: id=7 + unknown field 22 (animation, LEN "x") + unknown
+    // field 24 (colorful enum, varint 60001) + unknown fixed32 field 15
+    val body = Array(
+      0x08, 0x07, // id = 7
+      0xb2, 0x01, 0x01, 'x'.toInt, // field 22 LEN, len 1
+      0xc0, 0x01, 0xe1, 0xd4, 0x03, // field 24 varint 60001
+      0x7d, 0x01, 0x02, 0x03, 0x04 // field 15 fixed32
+    ).map(_.toByte)
+    val seg = Array[Byte](0x0a, body.length.toByte) ++ body
+    assert(BinaryIngest.decodeSegment(seg).map(_.id) == Seq(7L))
+  }
+
+  test("protobuf decode: torn tail discarded, valid prefix kept") {
     val full = BinaryIngest.encodeSegment(Seq(
-      BinaryIngest.DanmakuRecord(7L, 1.0, "ok", 1L, "m"),
-      BinaryIngest.DanmakuRecord(8L, 2.0, "gone", 2L, "m")))
+      elem(7L, 1000, "ok", 1L, "m"),
+      elem(8L, 2000, "gone", 2L, "m")))
     val torn = full.take(full.length - 3)
     val decoded = BinaryIngest.decodeSegment(torn)
     assert(decoded.map(_.id) == Seq(7L))
+    // truncation inside a varint is also torn, not an infinite loop
+    assert(BinaryIngest.decodeSegment(Array[Byte](0x0a, 0x05, 0x08, 0xff.toByte)).isEmpty)
   }
 }

@@ -65,6 +65,47 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming: straggler chain within gap of the open session folds into it (batch parity)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val stream = MemoryStream[Sessionize.In]
+    val q = Sessionize.sessions(stream.toDS().withWatermark("ts", "24 hours"))
+      .writeStream.format("memory").queryName("straggler_merge_out")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-02-01 00:00:00").getTime
+      val hour = 3600 * 1000L
+      // trigger 1 opens a session at +3h
+      stream.addData(Sessionize.In(2L, new Timestamp(t0 + 3 * hour), "click"))
+      q.processAllAvailable()
+      // trigger 2: late events at +95min and +125min. +95 is > gap (1h)
+      // older than the open start (+3h) so it enters the straggler
+      // chain; +125 is within the gap of the open start so it extends
+      // the open session downward to +125, leaving the chain's last
+      // event (+95) only 30min from the open start. The batch twin over
+      // {95,125,180} has gaps {30,55} min, all <= 1h: ONE session
+      // [t0+95m, t0+3h] with 3 events; so must streaming.
+      val min = 60 * 1000L
+      stream.addData(
+        Sessionize.In(2L, new Timestamp(t0 + 95 * min), "view"),
+        Sessionize.In(2L, new Timestamp(t0 + 125 * min), "view"))
+      q.processAllAvailable()
+      // nothing may close yet: the merged session is still open
+      assert(s.table("straggler_merge_out").filter(col("user_id") === 2L).isEmpty,
+        "merged session must stay open, not emit a split historical session")
+      // an event > gap later closes it — verify the merged extent
+      stream.addData(Sessionize.In(2L, new Timestamp(t0 + 10 * hour), "click"))
+      q.processAllAvailable()
+      val out = s.table("straggler_merge_out")
+        .filter(col("user_id") === 2L).collect()
+      assert(out.exists(r => r.getLong(1) == t0 + 95 * min
+        && r.getLong(2) == t0 + 3 * hour && r.getLong(3) == 3L),
+        s"expected one merged session spanning the chain + open, got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming: gap closes a session in-batch; timeout closes the tail session") {
     val s = spark
     import s.implicits._
