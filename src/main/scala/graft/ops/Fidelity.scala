@@ -78,25 +78,29 @@ object Fidelity {
       .select(entityArray(col("text"), lex).as("es"))
       .filter(size(col("es")) > 0)
 
+  private def nodesAgg(rows: DataFrame): DataFrame =
+    rows.select(explode(col("es")).as("Id"))
+      .groupBy("Id").agg(count(lit(1)).as("Size"))
+
+  private def edgesAgg(rows: DataFrame): DataFrame =
+    rows.filter(size(col("es")) >= 2)
+      .select(col("es"), posexplode(col("es")).as(Seq("i", "Source")))
+      .select(col("i"), col("Source"), posexplode(col("es")).as(Seq("j", "Target")))
+      .filter(col("i") < col("j"))
+      .groupBy("Source", "Target").agg(count(lit(1)).as("Weight"))
+
   /** Node table (Id, Size): per-row set semantics, heat = row count.
     * Matches danmaku_analysis_cluster.py:128-131 (column names too).
     */
   def nodesFrom(rows: DataFrame): DataFrame =
-    rows.select(explode(col("es")).as("Id"))
-      .groupBy("Id").agg(count(lit(1)).as("Size"))
-      .orderBy(desc("Size"), asc("Id"))
+    nodesAgg(rows).orderBy(desc("Size"), asc("Id"))
 
   /** Edge table (Source, Target, Weight): canonical pairs (a<b) from the
     * per-row sorted entity set — the sorted(set)+combinations semantics
     * of danmaku_analysis_cluster.py:139-146, as a double posexplode.
     */
   def edgesFrom(rows: DataFrame): DataFrame =
-    rows.filter(size(col("es")) >= 2)
-      .select(col("es"), posexplode(col("es")).as(Seq("i", "Source")))
-      .select(col("i"), col("Source"), posexplode(col("es")).as(Seq("j", "Target")))
-      .filter(col("i") < col("j"))
-      .groupBy("Source", "Target").agg(count(lit(1)).as("Weight"))
-      .orderBy(desc("Weight"), asc("Source"), asc("Target"))
+    edgesAgg(rows).orderBy(desc("Weight"), asc("Source"), asc("Target"))
 
   def relationNodes(spark: SparkSession, glob: String,
                     lex: Seq[(String, Seq[String])]): DataFrame =
@@ -105,6 +109,48 @@ object Fidelity {
   def relationEdges(spark: SparkSession, glob: String,
                     lex: Seq[(String, Seq[String])]): DataFrame =
     edgesFrom(entityRows(spark, glob, lex))
+
+  /** One-pass relation graph (C1 parity): nodes AND edges from a single
+    * cached extraction, exactly as the reference caches the shared
+    * entity scan before writing both tables
+    * (danmaku_analysis_cluster.py:128, 149). Computing the two outputs
+    * via `relationNodes` + `relationEdges` scans (and re-parses) the
+    * corpus twice — at 100 TB the scan IS the cost, so the shared
+    * subplan must be materialized once. The cached rows are tiny
+    * relative to the corpus (only matched rows survive, carrying one
+    * short string array each), so the cache is executor-memory-safe at
+    * scale; callers that loop should `unpersist` the returned handle.
+    *
+    * C3 (emptiness guard): the reference short-circuits graph building
+    * when extraction finds nothing (danmaku_analysis_cluster.py:149);
+    * `rows.isEmpty` costs one partition probe against the cache and
+    * skips both aggregation jobs on a lexicon that misses the corpus.
+    */
+  def relationGraph(spark: SparkSession, glob: String,
+                    lex: Seq[(String, Seq[String])]): (DataFrame, DataFrame, DataFrame) = {
+    val rows = entityRows(spark, glob, lex).cache()
+    if (rows.isEmpty) (nodesFrom(rows).limit(0), edgesFrom(rows).limit(0), rows)
+    else (nodesFrom(rows), edgesFrom(rows), rows)
+  }
+
+  /** Driver-checkable single-DataFrame form of the one-pass graph: node
+    * and edge rows unioned under a `kind` discriminator, both legs
+    * reading the shared cached extraction (one corpus scan total —
+    * FidelitySpec asserts the second leg is served from the cache).
+    * (kind, Source, Target) is a key, so the sort is total and
+    * engine-independent; Target is NULL only for nodes (constant within
+    * the kind group — null-ordering differences can't reorder it).
+    */
+  def relationGraphCombined(spark: SparkSession, glob: String,
+                            lex: Seq[(String, Seq[String])]): DataFrame = {
+    val rows = entityRows(spark, glob, lex).cache()
+    nodesAgg(rows)
+      .select(lit("node").as("kind"), col("Id").as("Source"),
+        lit(null).cast("string").as("Target"), col("Size").as("Weight"))
+      .unionByName(edgesAgg(rows)
+        .select(lit("edge").as("kind"), col("Source"), col("Target"), col("Weight")))
+      .orderBy(asc("kind"), desc("Weight"), asc("Source"), asc("Target"))
+  }
 
   /** Per-(episode, 10 s bucket) energy with per-episode percentile
     * highlights — spark_energy.py:62-79 with the real 4-tier lexicon.
@@ -156,7 +202,8 @@ object Fidelity {
     "q91_fanren_edges" -> ((s, _) => relationEdges(s, fanRenGlob, RefLexicons.fanRen)),
     "q92_spy_nodes" -> ((s, _) => relationNodes(s, spyGlob, RefLexicons.spyFamily)),
     "q93_spy_edges" -> ((s, _) => relationEdges(s, spyGlob, RefLexicons.spyFamily)),
-    "q94_episode_energy" -> ((s, _) => episodeEnergy(s, spyGlob)))
+    "q94_episode_energy" -> ((s, _) => episodeEnergy(s, spyGlob)),
+    "q95_fanren_graph" -> ((s, _) => relationGraphCombined(s, fanRenGlob, RefLexicons.fanRen)))
 
   // ---- DuckDB oracles, generated from the same lexicon data ----------
 
@@ -224,10 +271,30 @@ object Fidelity {
           percent_rank() OVER (PARTITION BY bvid ORDER BY energy) >= 0.9 AS is_high
         FROM fin ORDER BY bvid, time_bucket"""
 
+  private def graphOracle(glob: String, lex: Seq[(String, Seq[String])]): String =
+    entsCte(glob, lex) +
+      """, nodes AS (
+          SELECT u.e AS id, count(*) AS w
+          FROM ent, unnest(ent.es) AS u(e) GROUP BY 1
+        ), pairs AS (
+          SELECT es[i.i] AS s, es[j.j] AS t
+          FROM ent,
+            LATERAL (SELECT unnest(generate_series(1, len(es))) AS i) i,
+            LATERAL (SELECT unnest(generate_series(1, len(es))) AS j) j
+          WHERE i.i < j.j
+        ), edges AS (
+          SELECT s, t, count(*) AS w FROM pairs GROUP BY 1, 2)
+        SELECT kind, "Source", "Target", "Weight" FROM (
+          SELECT 'node' AS kind, id AS "Source", NULL::VARCHAR AS "Target", w AS "Weight" FROM nodes
+          UNION ALL
+          SELECT 'edge' AS kind, s AS "Source", t AS "Target", w AS "Weight" FROM edges)
+        ORDER BY kind, "Weight" DESC, "Source", "Target""""
+
   val oracles: Map[String, String] = Map(
     "q90_fanren_nodes" -> nodesOracle(fanRenGlob, RefLexicons.fanRen),
     "q91_fanren_edges" -> edgesOracle(fanRenGlob, RefLexicons.fanRen),
     "q92_spy_nodes" -> nodesOracle(spyGlob, RefLexicons.spyFamily),
     "q93_spy_edges" -> edgesOracle(spyGlob, RefLexicons.spyFamily),
-    "q94_episode_energy" -> energyOracle(spyGlob))
+    "q94_episode_energy" -> energyOracle(spyGlob),
+    "q95_fanren_graph" -> graphOracle(fanRenGlob, RefLexicons.fanRen))
 }

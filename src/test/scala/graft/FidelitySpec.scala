@@ -121,6 +121,75 @@ class FidelitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("one-pass relation graph (C1): nodes+edges from ONE corpus scan, outputs identical to two-pass") {
+    spark.catalog.clearCache()
+    // total task input bytes across the whole build: a two-pass build
+    // reads the corpus files twice (~2x corpusBytes); the one-pass build
+    // reads them once plus a cache re-read of the tiny extracted arrays.
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    val corpusBytes = new java.io.File("/root/repo/refdata/spy").listFiles()
+      .filter(_.getName.endsWith(".csv")).map(_.length()).sum
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (nodes, edges, rows) = Fidelity.relationGraph(spark, Fidelity.spyGlob, RefLexicons.spyFamily)
+      try {
+        // both legs are served from the cached extraction, not a re-scan
+        assert(nodes.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+        assert(edges.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+        val n = nodes.collect().toSeq
+        val e = edges.collect().toSeq
+        // listener events post asynchronously: wait until the counter
+        // stabilizes (two identical reads 300 ms apart, 10 s budget)
+        var prev = -1L; var waited = 0
+        while (bytesRead.get != prev && waited < 33) {
+          prev = bytesRead.get; Thread.sleep(300); waited += 1
+        }
+        assert(bytesRead.get < (corpusBytes * 1.5).toLong,
+          s"one-pass graph read ${bytesRead.get} bytes vs corpus $corpusBytes — looks like a double scan")
+        // identical to the independent two-pass builders
+        assert(n == Fidelity.relationNodes(spark, Fidelity.spyGlob, RefLexicons.spyFamily).collect().toSeq)
+        assert(e == Fidelity.relationEdges(spark, Fidelity.spyGlob, RefLexicons.spyFamily).collect().toSeq)
+      } finally rows.unpersist()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("combined graph query (q95) = nodes + edges under a kind discriminator") {
+    spark.catalog.clearCache()
+    val combined = Fidelity.relationGraphCombined(spark, Fidelity.spyGlob, RefLexicons.spyFamily)
+    try {
+      val byKind = combined.groupBy("kind").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rows = Fidelity.entityRows(spark, Fidelity.spyGlob, RefLexicons.spyFamily)
+      assert(byKind("node") == Fidelity.nodesFrom(rows).count())
+      assert(byKind("edge") == Fidelity.edgesFrom(rows).count())
+      // node rows carry a null Target; edge rows never do
+      assert(combined.filter(col("kind") === "node" && col("Target").isNotNull).isEmpty)
+      assert(combined.filter(col("kind") === "edge" && col("Target").isNull).isEmpty)
+    } finally spark.catalog.clearCache()
+  }
+
+  test("C3 emptiness guard: a lexicon that misses the corpus short-circuits both graph outputs") {
+    spark.catalog.clearCache()
+    val missLex = Seq("不存在" -> Seq("zzz_no_such_alias_zzz"))
+    // single episode file: the guard's isEmpty probe must scan the whole
+    // extraction when nothing matches, so keep the corpus small here
+    val oneFile = "/root/repo/refdata/spy/danmaku_BV14G4y157E5.csv"
+    val (nodes, edges, rows) = Fidelity.relationGraph(spark, oneFile, missLex)
+    try {
+      // short-circuit: both outputs are empty LOCAL relations (limit 0
+      // collapses to an empty plan — no aggregation jobs were scheduled)
+      assert(nodes.isEmpty && edges.isEmpty)
+      assert(nodes.queryExecution.optimizedPlan.toString.contains("LocalRelation")
+        || nodes.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+      assert(nodes.columns.toSeq == Seq("Id", "Size"))
+      assert(edges.columns.toSeq == Seq("Source", "Target", "Weight"))
+    } finally rows.unpersist()
+  }
+
   test("energy timeline egress matches the golden JSON shape") {
     val tl = Fidelity.energyTimeline(spark, Fidelity.spyGlob)
     assert(tl.columns.toSeq == Seq("bvid", "timeline"))
