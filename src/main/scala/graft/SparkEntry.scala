@@ -24,7 +24,8 @@ object SparkEntry {
       (Skew.queries, Skew.oracles),
       (GraphOps.queries, GraphOps.oracles),
       (Sessionization.queries, Sessionization.oracles),
-      (Fidelity.queries, Fidelity.oracles))
+      (Fidelity.queries, Fidelity.oracles),
+      (graft.sources.BinaryIngest.queries, graft.sources.BinaryIngest.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's signature pipeline: per-user energy ranking with

@@ -15,8 +15,9 @@ package graft.expr
   *     produced dataset_processed/spy_family_result_*.csv):
   *     relation_graph/danmaku_analysis_cluster.py:30-38
   *   - 4-tier energy lexicon: hot/spark_energy.py:44-52
-  *   - segmentation stopword set: hot/preprocess_high_energy.py:47-52
-  *     (already carried as TextFunctions.stopwords)
+  *   - segmentation stopword set: hot/preprocess_high_energy.py:46-49
+  *     (carried below as [[segStopwords]]; `TextFunctions.stopwords` is
+  *     the unrelated English list for the synthetic-corpus pipelines)
   */
 object RefLexicons {
 
@@ -58,6 +59,18 @@ object RefLexicons {
     * lowercased text; non-match → 1.0 (spark_energy.py:41-59). All
     * terms are already lowercase (matching happens after `lower`).
     */
+  /** The reference's 36-entry Chinese stopword set, dropped from the
+    * segmented word stream before frequency counting
+    * (preprocess_high_energy.py:46-49). The length>1 filter downstream
+    * already removes the single-char members; they are kept anyway so
+    * this constant IS the reference set, not a trimmed variant.
+    */
+  val segStopwords: Set[String] = Set(
+    "的", "了", "是", "在", "我", "有", "和", "就", "不", "人", "都", "一",
+    "一个", "上", "也", "很", "到", "说", "要", "去", "你", "会", "着",
+    "没有", "看", "好", "自己", "这",
+    "啊", "吧", "呀", "嘛", "呢", "哈", "哦", "嗯")
+
   val energyTiers: Seq[(Seq[String], Double)] = Seq(
     Seq("优雅", "elegance", "哇库", "哇酷", "waku", "瓜神", "世界名画", "名场面") -> 5.0,
     Seq("次子", "昏爹", "父亲", "约尔", "太太", "荆棘公主", "邦德", "上岸", "读心",

@@ -37,16 +37,45 @@ object TextFunctions {
     * stand-in (the one UDF in the engine; SURVEY.md §2.3 U2). Greedy
     * longest-prefix match against a shipped lexicon; non-CJK runs are
     * split on whitespace. Deterministic, serializable, broadcast-safe
-    * (the dictionary is a closure constant, shipped once per executor).
+    * (the dictionary is an object constant: each executor materializes
+    * it once from the jar's own resource at classload, so nothing is
+    * shipped per task).
+    *
+    * The dictionary is corpus-derived data, not a hand list: the top
+    * 2/3/4-char n-gram frequencies of the reference's committed danmaku
+    * corpora (tools/derive_cjk_dict.py → resources/graft/cjk_dict.txt,
+    * ~2000 entries), plus every lexicon surface form from
+    * [[RefLexicons]] (entity aliases and energy terms must segment as
+    * units) and the engine's own core terms.
     */
-  val cjkDictionary: Set[String] = Set(
-    "韩立", "南宫婉", "银月", "厉飞雨", "大衍神君", "高能", "名场面",
-    "前方", "泪目", "哈哈哈", "草", "太强了", "神仙", "打卡")
+  val cjkDictionary: Set[String] = {
+    val fromResource = {
+      val in = getClass.getResourceAsStream("/graft/cjk_dict.txt")
+      require(in != null, "missing resource graft/cjk_dict.txt")
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(w => w.nonEmpty && !w.startsWith("#")).toSet
+      finally in.close()
+    }
+    val fromLexicons =
+      (RefLexicons.fanRen ++ RefLexicons.spyFamily).flatMap(_._2) ++
+        RefLexicons.energyTiers.flatMap(_._1)
+    val core = Set(
+      "韩立", "南宫婉", "银月", "厉飞雨", "大衍神君", "高能", "名场面",
+      "前方", "泪目", "哈哈哈", "草", "太强了", "神仙", "打卡")
+    // multi-char entries only: a 1-char entry is the fallback anyway
+    (fromResource ++ fromLexicons ++ core).filter(_.length >= 2)
+  }
+
+  /** Longest dictionary entry — bound for the max-match window; a val
+    * so the per-row loop doesn't rescan the 2k-entry set.
+    */
+  private val cjkDictMaxLen: Int =
+    if (cjkDictionary.isEmpty) 1 else cjkDictionary.iterator.map(_.length).max
 
   def segmentCjk(text: String): Seq[String] = {
     if (text == null || text.isEmpty) return Seq.empty
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    val maxLen = if (cjkDictionary.isEmpty) 1 else cjkDictionary.map(_.length).max
+    val maxLen = cjkDictMaxLen
     var i = 0
     val n = text.length
     while (i < n) {

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.expr.{Lexicon, RefLexicons}
+import graft.expr.{Lexicon, RefLexicons, TextFunctions}
 import graft.sources.CsvIngest
 
 /** Fidelity pipelines: the reference's OWN jobs, with its OWN lexicons,
@@ -192,6 +192,34 @@ object Fidelity {
         col("is_high").as("high")))).as("timeline"))
       .orderBy("bvid")
 
+  /** Segmented word-frequency candidates — the preprocess job
+    * (hot/preprocess_high_energy.py:39-78) with the reference's real
+    * 36-entry stopword set over the committed SPY corpus. jieba is
+    * replaced by the engine's corpus-derived forward-max-match
+    * segmenter (expr/TextFunctions.segmentCjk, the one UDF); the
+    * post-filters are EXACT: stopword drop, len > 1, non-numeric
+    * (Python str.isnumeric ≈ `^[0-9]+$` on this ASCII-digit corpus).
+    * The reference's bare `orderBy(desc).limit(500)` is tie-unstable
+    * across engines; word asc is the deterministic tiebreak. Registered
+    * rows-only — iterative max-match is not SQL-expressible, so
+    * FidelitySpec pins the filters and the frequency ranking instead.
+    * Scale: per-row segmentation scan, one partial+final hash agg,
+    * TakeOrdered(500) — no full sort, no wide key space pressure.
+    */
+  def wordFreqFrom(danmaku: DataFrame): DataFrame =
+    danmaku
+      .filter(col("text").isNotNull)
+      .select(explode(TextFunctions.segmentCjkUdf(col("text"))).as("word"))
+      .filter(!col("word").isin(RefLexicons.segStopwords.toSeq: _*)
+        && length(col("word")) > 1
+        && !col("word").rlike("^[0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("frequency"))
+      .orderBy(desc("frequency"), asc("word"))
+      .limit(500)
+
+  def wordFrequency(spark: SparkSession, glob: String): DataFrame =
+    wordFreqFrom(CsvIngest.readDanmaku(spark, glob))
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Fidelity queries read the reference's committed CSVs at fixed
@@ -203,7 +231,8 @@ object Fidelity {
     "q92_spy_nodes" -> ((s, _) => relationNodes(s, spyGlob, RefLexicons.spyFamily)),
     "q93_spy_edges" -> ((s, _) => relationEdges(s, spyGlob, RefLexicons.spyFamily)),
     "q94_episode_energy" -> ((s, _) => episodeEnergy(s, spyGlob)),
-    "q95_fanren_graph" -> ((s, _) => relationGraphCombined(s, fanRenGlob, RefLexicons.fanRen)))
+    "q95_fanren_graph" -> ((s, _) => relationGraphCombined(s, fanRenGlob, RefLexicons.fanRen)),
+    "q96_word_freq" -> ((s, _) => wordFrequency(s, spyGlob)))
 
   // ---- DuckDB oracles, generated from the same lexicon data ----------
 

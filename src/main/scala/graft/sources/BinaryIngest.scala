@@ -182,4 +182,41 @@ object BinaryIngest {
       col("content").as("text"),
       from_unixtime(col("ctime"), "yyyy-MM-dd HH:mm:ss").as("send_date"),
       col("midHash").as("uid"))
+
+  // ---- driver-gated query surface (S10 in the correctness gate) ------
+
+  /** Committed wire-format segments, re-encoded from one committed
+    * episode CSV by [[graft.tools.SegmentFixture]] (6-minute paging like
+    * the crawler's segment_index fetches, spider_worker.py:29-37).
+    */
+  val segmentsGlob = "/root/repo/refdata/segments/seg_*.bin"
+  private val fixtureSourceCsv =
+    "/root/repo/refdata/spy/danmaku_BV14G4y157E5.csv"
+
+  /** q83: binaryFile scan → wire decode → projection. Hash-checked
+    * against DuckDB reading the fixture's SOURCE CSV, so the decoder
+    * must reproduce the original rows exactly through a full
+    * CSV→proto→bytes→proto→rows round trip. `progress_ms` stays
+    * integral on both sides (the only float math — video_time×1000 —
+    * happens identically in the fixture writer and the oracle).
+    */
+  def segmentDecode(spark: SparkSession, glob: String): org.apache.spark.sql.DataFrame =
+    readSegments(spark, glob)
+      .select(
+        col("id").cast("string").as("dmid"),
+        col("progress").as("progress_ms"),
+        col("content").as("text"),
+        col("midHash").as("uid"))
+      .orderBy("dmid")
+
+  val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("q83_segment_decode" -> ((s, _) => segmentDecode(s, segmentsGlob)))
+
+  val oracles: Map[String, String] = Map(
+    "q83_segment_decode" ->
+      s"""SELECT dmid,
+            CAST(round(CAST(video_time AS DOUBLE) * 1000) AS INT) AS progress_ms,
+            text, uid
+          FROM read_csv('$fixtureSourceCsv', header=true, all_varchar=true)
+          ORDER BY dmid""")
 }

@@ -149,4 +149,18 @@ class CsvIngestSpec extends AnyFunSuite with SparkTestBase {
     // truncation inside a varint is also torn, not an infinite loop
     assert(BinaryIngest.decodeSegment(Array[Byte](0x0a, 0x05, 0x08, 0xff.toByte)).isEmpty)
   }
+
+  test("q83 committed fixture: segments glob decodes to the source episode's row set") {
+    // the driver hash-checks values against the source CSV (q83 oracle);
+    // here: cardinality, id uniqueness, and a known row survive the
+    // CSV→proto→bytes→decode round trip
+    val out = BinaryIngest.segmentDecode(spark, BinaryIngest.segmentsGlob)
+    val n = out.count()
+    assert(n == 26929, "every source row decoded exactly once")
+    assert(out.select("dmid").distinct().count() == n)
+    val first = out.filter(org.apache.spark.sql.functions.col("dmid") === "1194339939652172032")
+      .collect().head
+    assert(first.getInt(1) == 1427 && first.getString(2) == "好耶！"
+      && first.getString(3) == "57fb72ef")
+  }
 }

@@ -190,6 +190,30 @@ class FidelitySpec extends AnyFunSuite with SparkTestBase {
     } finally rows.unpersist()
   }
 
+  test("q96 word-freq (preprocess fidelity): exact stopword/len/numeric filters over segmented text") {
+    val s = spark
+    import s.implicits._
+    // 哈哈哈 survives twice; 的/了 are stopwords, 123 and 7 are numeric,
+    // x and the single CJK chars fail len>1 — the reference's exact
+    // post-filters (preprocess_high_energy.py:53-58)
+    val df = Seq(Some("哈哈哈 哈哈哈"), Some("的 了 123 7 x"), None)
+      .toDF("text")
+    val out = Fidelity.wordFreqFrom(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("哈哈哈", 2L)))
+  }
+
+  test("q96 over a real episode: 500 rows, monotone ranking, filters hold on corpus output") {
+    val out = Fidelity
+      .wordFrequency(spark, "/root/repo/refdata/spy/danmaku_BV14G4y157E5.csv")
+      .collect()
+    assert(out.length == 500)
+    val freqs = out.map(_.getLong(1))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    assert(out.map(_.getString(0)).forall(w =>
+      w.length > 1 && !w.matches("^[0-9]+$") && !RefLexicons.segStopwords.contains(w)))
+  }
+
   test("energy timeline egress matches the golden JSON shape") {
     val tl = Fidelity.energyTimeline(spark, Fidelity.spyGlob)
     assert(tl.columns.toSeq == Seq("bvid", "timeline"))

@@ -77,4 +77,27 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(run1("zzz qqq", c => TextFunctions.langId(c)).getString(0) == "und")
     assert(run1(null, c => TextFunctions.langId(c)).getString(0) == "und")
   }
+
+  test("cjk dictionary is corpus-derived: resource-loaded, >=1000 multi-char entries, lexicon terms present") {
+    assert(TextFunctions.cjkDictionary.size >= 1000)
+    assert(TextFunctions.cjkDictionary.forall(_.length >= 2))
+    // every lexicon surface form must segment as a unit
+    val aliases = (graft.expr.RefLexicons.fanRen ++ graft.expr.RefLexicons.spyFamily)
+      .flatMap(_._2).filter(_.length >= 2)
+    assert(aliases.forall(TextFunctions.cjkDictionary.contains))
+    // and corpus-frequent n-grams made it in (spot pins from the
+    // committed dictionary file, stable under re-derivation because the
+    // corpus is committed and the tool is deterministic)
+    Seq("哈哈哈哈", "前方高能", "名场面", "泪目").foreach(w =>
+      assert(TextFunctions.cjkDictionary.contains(w), w))
+  }
+
+  test("segmentCjk on real corpus phrases: longest dictionary match wins") {
+    // 前方高能 is a dictionary 4-gram: matched whole, not 前方+高能
+    assert(TextFunctions.segmentCjk("前方高能") == Seq("前方高能"))
+    // greedy window caps at the longest entry; leftover falls back to chars
+    assert(TextFunctions.segmentCjk("哈哈哈哈哈") == Seq("哈哈哈哈", "哈"))
+    // alias + corpus words, no boundary bleed
+    assert(TextFunctions.segmentCjk("韩老魔泪目打卡") == Seq("韩老魔", "泪目", "打卡"))
+  }
 }

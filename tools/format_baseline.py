@@ -1,0 +1,23 @@
+#!/usr/bin/env python3
+"""Dev tool: format a graft.Bench JSON line into the BASELINE.md
+per-query table (the recorded baseline the driver's 2x gate compares
+against). Usage:
+    sbt -batch "runMain graft.Bench" 2>/dev/null | tail -1 \
+        | python3 tools/format_baseline.py
+prints a markdown table (warm min + cold rep-1 per query) to stdout.
+"""
+import json
+import sys
+
+line = sys.stdin.read().strip().splitlines()[-1]
+d = json.loads(line)
+warm, cold = d["queries"], d.get("cold", {})
+print(f"Total (sum of per-query warm min): **{d['value']:.1f} s** "
+      f"(reps={d.get('reps')}, failed={d.get('failed')}, sf={d.get('sf')})")
+print()
+print("| query | warm s | cold s |")
+print("|---|---|---|")
+for name in sorted(warm):
+    c = cold.get(name)
+    print(f"| {name} | {warm[name]:.2f} | {c:.2f} |" if c is not None
+          else f"| {name} | {warm[name]:.2f} | — |")
