@@ -10,11 +10,16 @@ import graft.Tables
   * the Scala analog of a batched pandas-UDF: one decoder init per
   * partition, columnar-friendly batch shape).
   *
-  * The container has no image/audio codecs, so THE DECODE KERNEL IS A
-  * DETERMINISTIC STUB (clearly marked below): it derives fake
-  * width/height/brightness from the payload bytes. Everything around it
-  * — schema, binary column handling, partitioning, batch iteration,
-  * output struct shape — is the real engine surface and is tested.
+  * Decode is REAL where the JDK ships a codec: `imageFeatures` decodes
+  * BMP/PNG/JPEG/GIF via javax.imageio and `audioFeatures` parses
+  * WAV/AIFF/AU via javax.sound.sampled — driver-gated end-to-end by
+  * q84/q85, which synthesize genuine payloads (pure-Scala BMP/WAV
+  * encoders), decode them with the JDK codecs, and hash-match a DuckDB
+  * oracle that predicts the features analytically. Only the generic
+  * `mediaFeatures` kernel (q81/q82) keeps a DETERMINISTIC STUB decode,
+  * standing in for codecs the JVM does not ship (video frames): the
+  * schema, binary handling, partitioning, and batch iteration around it
+  * are the real engine surface and are tested.
   */
 object Multimodal {
 
@@ -83,18 +88,194 @@ object Multimodal {
         col("frame.frame_sig").as("frame_sig"))
       .orderBy("doc_id", "frame_idx")
 
+  // ---- REAL decode kernels (JDK codecs — no external deps) -----------
+  //
+  // The synthetic corpus carries no real media bytes, so the real
+  // decoders are driver-gated through a round trip: the query
+  // synthesizes actual BMP/WAV payloads (pure-Scala encoders below),
+  // decodes them with the JDK's real codecs (javax.imageio /
+  // javax.sound.sampled), and emits features the DuckDB oracle can
+  // predict analytically — a hash-green proof that the decode path is
+  // genuine, not a stub. On real data, `imageFeatures`/`audioFeatures`
+  // run the same kernels over any binary column.
+
+  /** Pure-Scala 24-bit BI_RGB BMP encoder (bottom-up, 4-byte-padded
+    * rows — the public BITMAPFILEHEADER/BITMAPINFOHEADER layout).
+    * Uniform fill keeps features analytic for the oracle.
+    */
+  def encodeBmp(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0) // BI_RGB, 72 DPI, no palette
+    val row = new Array[Byte](rowBytes)
+    var x = 0
+    while (x < w) { // BGR byte order
+      row(x * 3) = b.toByte; row(x * 3 + 1) = g.toByte; row(x * 3 + 2) = r.toByte
+      x += 1
+    }
+    var y = 0
+    while (y < h) { buf.put(row); y += 1 }
+    buf.array()
+  }
+
+  /** Pure-Scala PCM16 mono WAV encoder (RIFF/fmt/data chunks),
+    * constant-amplitude signal so RMS is analytic.
+    */
+  def encodeWav(sampleRate: Int, nSamples: Int, amplitude: Short): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) { buf.putShort(amplitude); i += 1 }
+    buf.array()
+  }
+
+  case class ImageFeatures(
+      doc_id: Long, width: Int, height: Int, mean_brightness: Double,
+      byte_len: Long)
+
+  /** REAL image decode over a binary column: javax.imageio (JDK codec —
+    * BMP/PNG/JPEG/GIF), partition-batched like every media kernel here.
+    * Brightness = mean over all pixels and RGB channels; the integer sum
+    * stays < 2^53 for any realistic image, so the final division is one
+    * correctly-rounded IEEE op (oracle-reproducible).
+    */
+  def imageFeatures(rows: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame =
+    rows.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        require(img != null, s"undecodable image payload for doc $id")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(id, w, h, sum.toDouble / (3L * w * h).toDouble,
+          payload.length.toLong)
+      }
+    }(Encoders.product[ImageFeatures]).toDF()
+
+  case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, n_samples: Long, duration_us: Long,
+      rms: Double)
+
+  /** REAL audio decode over a binary column: javax.sound.sampled (JDK
+    * WAV/AIFF/AU parser) for the format header, then PCM16 samples read
+    * frame-by-frame for the RMS. duration_us stays integral (Long
+    * arithmetic) so the oracle hash-matches exactly.
+    */
+  def audioFeatures(rows: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame =
+    rows.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val rate = fmt.getSampleRate.toInt
+          val n = in.getFrameLength
+          val bytes = in.readAllBytes()
+          var sumSq = 0.0
+          var i = 0
+          while (i + 1 < bytes.length) { // PCM16 little-endian mono
+            val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+            sumSq += s.toDouble * s.toDouble
+            i += 2
+          }
+          AudioFeatures(id, rate, n, n * 1000000L / rate,
+            math.sqrt(sumSq / n))
+        } finally in.close()
+      }
+    }(Encoders.product[AudioFeatures]).toDF()
+
+  /** Deterministic per-doc payload parameters — shared by the queries
+    * and their oracles (analytic feature prediction).
+    */
+  private def docIds(spark: SparkSession, dir: String) =
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .as(Encoders.scalaLong)
+
+  /** q84: synthesize a real BMP per doc (dims/color arithmetic on
+    * doc_id), decode it with the JDK codec, emit measured features. The
+    * oracle predicts them analytically — hash equality proves the
+    * encoder writes valid BMPs AND the decoder measures them correctly.
+    */
+  def imageDecodeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val payloads = docIds(spark, dir).map { id =>
+      val (w, h) = (16 + (id % 16).toInt, 16 + (id % 8).toInt)
+      val (r, g, b) = ((id % 256).toInt, ((id / 7) % 256).toInt, ((id / 13) % 256).toInt)
+      (id, encodeBmp(w, h, r, g, b))
+    }
+    imageFeatures(payloads).orderBy("doc_id")
+  }
+
+  /** q85: same round-trip proof for WAV through javax.sound.sampled. */
+  def audioDecodeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val payloads = docIds(spark, dir).map { id =>
+      val rate = 8000 + (id % 8).toInt * 1000
+      val n = 1000 + (id % 100).toInt
+      val amp = (100 + (id % 900)).toShort
+      (id, encodeWav(rate, n, amp))
+    }
+    audioFeatures(payloads).orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q80_binary_meta" -> (binaryMeta(_, _)),
     "q81_media_features" -> (mediaFeatures(_, _)),
-    "q82_frame_samples" -> (frameSamples(_, _)))
+    "q82_frame_samples" -> (frameSamples(_, _)),
+    "q84_image_decode" -> (imageDecodeRoundtrip(_, _)),
+    "q85_audio_decode" -> (audioDecodeRoundtrip(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q80_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
          md5(text) AS content_md5,
          ascii(substr(text, 1, 1))::BIGINT AS first_byte
+         FROM documents ORDER BY doc_id""",
+    // Analytic prediction of what the JDK codecs must measure: uniform
+    // WxH fill → brightness = (r+g+b)/3 (both sides are one correctly-
+    // rounded IEEE division of exact integers); BMP size = 54-byte
+    // header + height x 4-byte-padded rows.
+    "q84_image_decode" ->
+      """SELECT doc_id,
+           (16 + doc_id % 16)::INT AS width,
+           (16 + doc_id % 8)::INT AS height,
+           ((doc_id % 256) + ((doc_id // 7) % 256) + ((doc_id // 13) % 256))::DOUBLE
+             / 3::DOUBLE AS mean_brightness,
+           (54 + (16 + doc_id % 8)
+             * ((((16 + doc_id % 16) * 3 + 3) // 4) * 4))::BIGINT AS byte_len
+         FROM documents ORDER BY doc_id""",
+    // Constant-amplitude PCM16 → rms = amplitude exactly (n*amp^2/n and
+    // sqrt are exact in IEEE for these magnitudes); duration_us is Long
+    // integer division on both sides.
+    "q85_audio_decode" ->
+      """SELECT doc_id,
+           (8000 + (doc_id % 8) * 1000)::INT AS sample_rate,
+           (1000 + doc_id % 100)::BIGINT AS n_samples,
+           ((1000 + doc_id % 100) * 1000000
+             // (8000 + (doc_id % 8) * 1000))::BIGINT AS duration_us,
+           (100 + doc_id % 900)::DOUBLE AS rms
          FROM documents ORDER BY doc_id""")
   // q81/q82 depend on the stub decode kernel — rows-only; shape and
   // determinism pinned in MultimodalSpec.

@@ -37,4 +37,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("n") =!= 4 || col("lo") =!= 0 || col("hi") =!= 3)
     assert(perDoc.count() == 0)
   }
+
+  test("REAL image decode measures pixel content: gradient brightness, PNG cross-format") {
+    val s = spark
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY)
+    import s.implicits._
+    // a 2x1 image: one black pixel, one white → mean brightness 127.5,
+    // provable only by actually reading both pixels back
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    val png = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos) // PNG: different codec
+      bos.toByteArray                              // than the BMP encoder's
+    }
+    val bmp = Multimodal.encodeBmp(3, 2, 10, 20, 30)
+    val out = Multimodal.imageFeatures(s.createDataset(Seq(1L -> png, 2L -> bmp)))
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 2 && out(0).getInt(2) == 1)
+    assert(out(0).getDouble(3) == 127.5)
+    assert(out(1).getInt(1) == 3 && out(1).getInt(2) == 2)
+    assert(out(1).getDouble(3) == 20.0) // (10+20+30)/3
+  }
+
+  test("REAL audio decode measures sample content: mixed-amplitude RMS") {
+    val s = spark
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY)
+    // hand-build a 4-sample PCM16 WAV with amplitudes 3, -4, 0, 12 →
+    // rms = sqrt((9+16+0+144)/4) = sqrt(42.25) = 6.5 exactly
+    val base = Multimodal.encodeWav(16000, 4, 0)
+    val buf = java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(44)
+    Seq[Short](3, -4, 0, 12).foreach(buf.putShort)
+    val out = Multimodal.audioFeatures(s.createDataset(Seq(7L -> base))).collect().head
+    assert(out.getInt(1) == 16000 && out.getLong(2) == 4L)
+    assert(out.getLong(3) == 250L) // 4 samples / 16 kHz = 250 us
+    assert(out.getDouble(4) == 6.5)
+  }
 }

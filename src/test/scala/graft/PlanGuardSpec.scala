@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-invariant plan guards over the ENTIRE registered surface: the
+  * anti-patterns that are survivable at sf0.1 but fatal at 100 TB must
+  * never (re)appear in any query's physical plan. Plans are built, not
+  * executed — this sweeps all ~70 queries in seconds.
+  */
+class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Queries whose plan legitimately contains a broadcast nested-loop
+    * join: a broadcast side that is a literal handful of rows (a single
+    * query vector, k centroids, L hyperplane tables). Data-side never
+    * builds; cost is O(n·small), not O(n²).
+    */
+  private val bnljSanctioned = Set(
+    "q60_knn_bruteforce", "q63_ann_hyperplane_lsh", "q64_embedding_near_dups",
+    "q65_ann_ivf")
+
+  private lazy val plans: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  test("every registered query plans successfully (no runtime-only registration errors)") {
+    assert(plans.size == SparkEntry.queries.size)
+  }
+
+  test("no CartesianProduct anywhere in the registered surface") {
+    val bad = plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
+    assert(bad.isEmpty, s"cartesian products in: $bad")
+  }
+
+  test("BroadcastNestedLoopJoin only where the broadcast side is O(1) rows") {
+    val bad = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !bnljSanctioned(n) => n
+    }
+    assert(bad.isEmpty, s"unsanctioned nested-loop joins in: $bad")
+  }
+
+  test("parquet scans prune columns: projection-only queries read only what they emit") {
+    // q45 emits (doc_id, fp, fp_prefix) from text — the scan must not
+    // haul the other document columns (embedding-sized at 100 TB)
+    val q45 = plans.toMap.apply("q45_fingerprints")
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(q45).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      val cols = s.split(",").map(_.trim.takeWhile(_ != ':')).toSet
+      assert(cols == Set("doc_id", "text"), s"q45 scan reads $cols")
+    }
+  }
+
+  test("filter pushdown reaches the scan on filtered parquet queries") {
+    // q05 filters orders on o_totalprice — the predicate must appear in
+    // PushedFilters, not only as a post-scan Filter
+    val q05 = plans.toMap.apply("q05_big_spenders_semi")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(q05).map(_.group(1)).filter(_.nonEmpty).toSeq
+    assert(pushed.exists(_.contains("o_totalprice")),
+      s"no o_totalprice pushdown; pushed=$pushed")
+  }
+
+  test("star join q19 broadcasts its dimension sides") {
+    val q19 = plans.toMap.apply("q19_star_join_revenue")
+    assert(q19.contains("BroadcastHashJoin"), "dimensions should broadcast")
+    assert(!q19.contains("CartesianProduct"))
+  }
+}
