@@ -206,13 +206,20 @@ object Fidelity {
     * Scale: per-row segmentation scan, one partial+final hash agg,
     * TakeOrdered(500) — no full sort, no wide key space pressure.
     */
-  def wordFreqFrom(danmaku: DataFrame): DataFrame =
+  /** The segmentation + post-filter stage, shared by the batch query
+    * and its streaming twin (streaming.StreamingWordFreq): one word per
+    * output row, stopword/len/numeric filters applied.
+    */
+  def segmentedWords(danmaku: DataFrame): DataFrame =
     danmaku
       .filter(col("text").isNotNull)
       .select(explode(TextFunctions.segmentCjkUdf(col("text"))).as("word"))
       .filter(!col("word").isin(RefLexicons.segStopwords.toSeq: _*)
         && length(col("word")) > 1
         && !col("word").rlike("^[0-9]+$"))
+
+  def wordFreqFrom(danmaku: DataFrame): DataFrame =
+    segmentedWords(danmaku)
       .groupBy("word").agg(count(lit(1)).as("frequency"))
       .orderBy(desc("frequency"), asc("word"))
       .limit(500)
