@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{DotProduct, SimHash64}
+import graft.expr.{DotProduct, SimHash64, WinnowFingerprint}
 
 /** Spark extension entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so SQL users get them alongside the
@@ -40,5 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       arity("dot_product", 2)(args => DotProduct(args(0), args(1)))))
+    // winnow_fingerprint(text) with the library-default k=5, w=4 —
+    // SQL arguments must be foldable ints to keep the expression
+    // codegen-static, so the parameterized form stays Column-API-only
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprint"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
+      arity("winnow_fingerprint", 1)(args => WinnowFingerprint(args.head, 5, 4))))
   }
 }

@@ -87,6 +87,25 @@ object TextAnalysis {
         substring(md5(col("text").cast("binary")), 1, 8).as("fp_prefix"))
       .orderBy("doc_id")
 
+  /** Winnowed rolling-hash fingerprints (expr/Winnow.scala): the
+    * LOCAL-similarity twin of q45's exact content hash — shared
+    * substrings >= 8 code points guarantee shared fingerprints, so
+    * near-identical docs overlap heavily where md5 sees nothing.
+    * Fingerprint set serialized for the driver; set size and a cheap
+    * Jaccard-ready min kept as scalars. Rows-only (Karp-Rabin
+    * wraparound arithmetic has no DuckDB twin); algebra pinned in
+    * TextFunctionsSpec.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.expr.WinnowFingerprint(col("text")).as("fps"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_join(transform(col("fps"), _.cast("string")), ",").as("fp_set"))
+      .orderBy("doc_id")
+
   /** U2 in-pipeline: the CJK max-match tokenizer (the engine's one UDF)
     * over the corpus. On non-CJK text its contract degrades to
     * whitespace splitting, which keeps the query oracle-able; CJK
@@ -128,6 +147,7 @@ object TextAnalysis {
     "q43_quality_scores" -> (qualityScores(_, _)),
     "q44_lang_id" -> (langIdPredictions(_, _)),
     "q45_fingerprints" -> (fingerprints(_, _)),
+    "q48_winnow_fingerprints" -> (winnowFingerprints(_, _)),
     "q46_cjk_token_stats" -> (cjkTokenStats(_, _)))
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")

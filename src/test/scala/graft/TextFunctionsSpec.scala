@@ -92,6 +92,48 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
       assert(TextFunctions.cjkDictionary.contains(w), w))
   }
 
+  test("winnow fingerprints: rolling hash algebra, guarantee threshold, codegen/interp parity") {
+    import graft.expr.WinnowFingerprint
+    def fp(s: String, k: Int = 5, w: Int = 4): Seq[Long] = {
+      val arr = WinnowFingerprint.winnow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+      (0 until arr.numElements()).map(arr.getLong(_))
+    }
+    // deterministic, sorted, distinct
+    val a = fp("the quick brown fox jumps over the lazy dog")
+    assert(a == a.sorted && a.distinct == a && a.nonEmpty)
+    assert(fp("the quick brown fox jumps over the lazy dog") == a)
+    // below k code points → empty; exactly k → the single k-gram hash
+    assert(fp("abcd").isEmpty)
+    val h = "abcde".foldLeft(0L)((acc, c) => acc * WinnowFingerprint.base + c)
+    assert(fp("abcde") == Seq(h))
+    // rolling == direct: every picked hash equals a directly-computed
+    // k-gram polynomial hash (catches rolling-update algebra bugs)
+    val text = "winnowing rolling hash fingerprints"
+    val direct = text.sliding(5).map(
+      _.foldLeft(0L)((acc, c) => acc * WinnowFingerprint.base + c)).toSet
+    assert(fp(text).forall(direct.contains))
+    // the winnowing guarantee: docs sharing a substring of length
+    // >= w + k - 1 = 8 share at least one fingerprint
+    val shared = "SHARED-SEGMENT-0123456789"
+    val d1 = fp("prefix one " + shared + " tail A")
+    val d2 = fp("completely different start " + shared + " other end")
+    assert(d1.toSet.intersect(d2.toSet).nonEmpty)
+    // disjoint texts share nothing
+    assert(fp("aaaaaaaaaaaaaaa").toSet.intersect(fp("bbbbbbbbbbbbbbb").toSet).isEmpty)
+    // Spark side: codegen'd projection agrees with the kernel, and the
+    // SQL registration works
+    val s = spark
+    import s.implicits._
+    val viaDf = Seq(text).toDF("t")
+      .select(WinnowFingerprint(col("t")).as("fps")).collect()(0)
+      .getSeq[Long](0)
+    assert(viaDf == fp(text))
+    val viaSql = s.sql(s"SELECT winnow_fingerprint('$text') AS fps")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == fp(text))
+  }
+
   test("segmentCjk on real corpus phrases: longest dictionary match wins") {
     // 前方高能 is a dictionary 4-gram: matched whole, not 前方+高能
     assert(TextFunctions.segmentCjk("前方高能") == Seq("前方高能"))
