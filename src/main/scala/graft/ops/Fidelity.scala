@@ -140,16 +140,24 @@ object Fidelity {
     * (kind, Source, Target) is a key, so the sort is total and
     * engine-independent; Target is NULL only for nodes (constant within
     * the kind group — null-ordering differences can't reorder it).
+    *
+    * Self-cleaning: the result (lexicon-bounded, tiny) is materialized
+    * with `localCheckpoint` and the corpus-extraction cache dropped
+    * before returning, so repeated calls in a long-lived session hold
+    * no storage (same discipline as GraphOps.materializeAndRelease).
     */
   def relationGraphCombined(spark: SparkSession, glob: String,
                             lex: Seq[(String, Seq[String])]): DataFrame = {
     val rows = entityRows(spark, glob, lex).cache()
-    nodesAgg(rows)
-      .select(lit("node").as("kind"), col("Id").as("Source"),
-        lit(null).cast("string").as("Target"), col("Size").as("Weight"))
-      .unionByName(edgesAgg(rows)
-        .select(lit("edge").as("kind"), col("Source"), col("Target"), col("Weight")))
-      .orderBy(asc("kind"), desc("Weight"), asc("Source"), asc("Target"))
+    try {
+      nodesAgg(rows)
+        .select(lit("node").as("kind"), col("Id").as("Source"),
+          lit(null).cast("string").as("Target"), col("Size").as("Weight"))
+        .unionByName(edgesAgg(rows)
+          .select(lit("edge").as("kind"), col("Source"), col("Target"), col("Weight")))
+        .orderBy(asc("kind"), desc("Weight"), asc("Source"), asc("Target"))
+        .localCheckpoint(true)
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Per-(episode, 10 s bucket) energy with per-episode percentile

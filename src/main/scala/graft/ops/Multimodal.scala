@@ -226,6 +226,49 @@ object Multimodal {
     imageFeatures(payloads).orderBy("doc_id")
   }
 
+  /** REAL image resize over a binary column (the multimodal pipeline's
+    * standard preprocessing step): JDK decode → Graphics2D scale →
+    * re-encode. Nearest-neighbor interpolation so resizing a uniform
+    * image is color-exact (and deterministic across JVMs — bilinear
+    * rounding would not be).
+    */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** q86: synthesize a variable-size BMP per doc, RESIZE it to 8x8
+    * through the real JDK pipeline (decode → scale → PNG re-encode),
+    * then decode the resized payload and measure it. The oracle
+    * predicts the output analytically: dims are the resize target and
+    * nearest-neighbor keeps a uniform fill color-exact, so
+    * mean_brightness survives the resize unchanged. byte_len is
+    * codec-dependent (PNG compression) and deliberately not emitted.
+    */
+  def imageResizeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val resized = docIds(spark, dir).map { id =>
+      val (w, h) = (16 + (id % 16).toInt, 16 + (id % 8).toInt)
+      val (r, g, b) = ((id % 256).toInt, ((id / 7) % 256).toInt, ((id / 13) % 256).toInt)
+      (id, resizeImage(encodeBmp(w, h, r, g, b), 8, 8))
+    }
+    imageFeatures(resized)
+      .drop("byte_len")
+      .orderBy("doc_id")
+  }
+
   /** q85: same round-trip proof for WAV through javax.sound.sampled. */
   def audioDecodeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
@@ -245,7 +288,8 @@ object Multimodal {
     "q81_media_features" -> (mediaFeatures(_, _)),
     "q82_frame_samples" -> (frameSamples(_, _)),
     "q84_image_decode" -> (imageDecodeRoundtrip(_, _)),
-    "q85_audio_decode" -> (audioDecodeRoundtrip(_, _)))
+    "q85_audio_decode" -> (audioDecodeRoundtrip(_, _)),
+    "q86_image_resize" -> (imageResizeRoundtrip(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q80_binary_meta" ->
@@ -276,6 +320,13 @@ object Multimodal {
            ((1000 + doc_id % 100) * 1000000
              // (8000 + (doc_id % 8) * 1000))::BIGINT AS duration_us,
            (100 + doc_id % 900)::DOUBLE AS rms
+         FROM documents ORDER BY doc_id""",
+    // resize target is 8x8; nearest-neighbor keeps the uniform fill
+    // exact, so brightness is the same expression as q84's
+    "q86_image_resize" ->
+      """SELECT doc_id, 8::INT AS width, 8::INT AS height,
+           ((doc_id % 256) + ((doc_id // 7) % 256) + ((doc_id // 13) % 256))::DOUBLE
+             / 3::DOUBLE AS mean_brightness
          FROM documents ORDER BY doc_id""")
   // q81/q82 depend on the stub decode kernel — rows-only; shape and
   // determinism pinned in MultimodalSpec.

@@ -150,6 +150,17 @@ class CsvIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(BinaryIngest.decodeSegment(Array[Byte](0x0a, 0x05, 0x08, 0xff.toByte)).isEmpty)
   }
 
+  test("segment glob survives a garbage file: valid segments decode, junk yields zero rows") {
+    val recs = Seq(elem(11L, 500, "ok", 1L, "m"), elem(12L, 900, "ok2", 2L, "m"))
+    val dir = tmpDir()
+    Files.write(dir.resolve("seg_1.bin"), BinaryIngest.encodeSegment(recs))
+    // not protobuf at all: decoder must skip/abort cleanly, not crash the job
+    Files.write(dir.resolve("seg_2.bin"),
+      Array.tabulate[Byte](257)(i => (i * 131 + 7).toByte))
+    val out = BinaryIngest.readSegments(spark, dir.toString + "/seg_*.bin").collect()
+    assert(out.map(_.id).sorted.toSeq == Seq(11L, 12L))
+  }
+
   test("q83 committed fixture: segments glob decodes to the source episode's row set") {
     // the driver hash-checks values against the source CSV (q83 oracle);
     // here: cardinality, id uniqueness, and a known row survive the

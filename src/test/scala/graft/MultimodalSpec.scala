@@ -61,6 +61,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1).getDouble(3) == 20.0) // (10+20+30)/3
   }
 
+  test("REAL image resize: dims change, uniform color survives, identity resize is lossless") {
+    val bmp = Multimodal.encodeBmp(20, 10, 40, 80, 120)
+    val small = Multimodal.resizeImage(bmp, 8, 8)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    for (x <- 0 until 8; y <- 0 until 8)
+      assert((img.getRGB(x, y) & 0xffffff) == ((40 << 16) | (80 << 8) | 120))
+    // identity-size resize of a non-uniform image keeps every pixel
+    val src = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    src.setRGB(0, 0, 0xff0000); src.setRGB(1, 0, 0x00ff00)
+    src.setRGB(0, 1, 0x0000ff); src.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val same = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.resizeImage(bos.toByteArray, 2, 2)))
+    for (x <- 0 until 2; y <- 0 until 2)
+      assert((same.getRGB(x, y) & 0xffffff) == (src.getRGB(x, y) & 0xffffff))
+  }
+
   test("REAL audio decode measures sample content: mixed-amplitude RMS") {
     val s = spark
     implicit val enc = org.apache.spark.sql.Encoders.tuple(
