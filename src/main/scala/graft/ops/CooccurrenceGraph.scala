@@ -87,7 +87,7 @@ object CooccurrenceGraph {
   /** Shared oracle CTE: tokenize → canonicalize aliases → lexicon filter
     * → per-doc distinct — mirrors Lexicon.extractEntities.
     */
-  private val entsCte =
+  private[ops] val entsCte =
     """WITH toks AS (
          SELECT doc_id,
            CASE t WHEN 'sorts' THEN 'sort' WHEN 'joins' THEN 'join'

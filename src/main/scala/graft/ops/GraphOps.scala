@@ -125,9 +125,35 @@ object GraphOps {
     "q34_connected_components" -> ((s, d) =>
       connectedComponents(s, d).withColumn("members", array_join(col("members"), ","))))
 
-  /** Iterative fixed-point scores aren't SQL-expressible — rows-only for
-    * the driver; invariants (Σ rank = |V|, weight-monotone ranking,
-    * component count) pinned in GraphOpsSpec.
+  /** q34 IS oracle-able despite GraphX: the output is label-free
+    * (component_rep = min member, not a GraphX vertex id), so a DuckDB
+    * recursive-CTE reachability closure over the same symmetrized edge
+    * set reproduces it exactly — strings and integers only, no float
+    * drift possible. q33's fixed-point doubles stay rows-only (the
+    * power-iteration sums are order-dependent in IEEE; invariants
+    * Σ rank = |V| and weight-monotone ranking pinned in GraphOpsSpec).
     */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q34_connected_components" ->
+      (CooccurrenceGraph.entsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, e AS (
+             SELECT a.w AS src, b.w AS dst
+             FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+             GROUP BY 1, 2
+           ), sym AS (
+             SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+           ), vs AS (SELECT DISTINCT a AS w FROM sym),
+           reach AS (
+             SELECT w AS a, w AS b FROM vs
+             UNION
+             SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+           ), comp AS (
+             SELECT a AS w, min(b) AS rep FROM reach GROUP BY 1
+           ), grp AS (
+             SELECT rep, list_sort(list(w)) AS ms, count(*) AS n_members
+             FROM comp GROUP BY 1
+           )
+           SELECT ms[1] AS component_rep, array_to_string(ms, ',') AS members,
+             n_members
+           FROM grp ORDER BY n_members DESC, component_rep"""))
 }

@@ -72,10 +72,72 @@ object TagMining {
         .withColumn("antecedent", array_join(col("antecedent"), ","))
         .withColumn("consequent", array_join(col("consequent"), ","))))
 
-  /** FP-Growth output is not SQL-expressible for arbitrary itemset size —
-    * no DuckDB oracle (driver records rows-only). Correctness is pinned
-    * in TagMiningSpec: hand-computed itemsets on a fixed corpus plus the
-    * support-monotonicity property (freq(superset) ≤ freq(subset)).
+  /** DuckDB oracles by brute-force subset enumeration: a doc contains
+    * itemset S iff S ⊆ its basket, so enumerating every non-empty
+    * subset of every basket (bitmask over the sorted distinct items)
+    * and counting occurrences reproduces FP-Growth's itemset table
+    * exactly — tractable because baskets are lexicon-bounded (≤10
+    * items → ≤1023 subsets per doc). Rules follow from the itemset
+    * table: every single-item consequent of every k≥2 itemset, with
+    * confidence/lift/support as the same Long→Double divisions Spark's
+    * AssociationRules performs (mllib AssociationRules.Rule), so the
+    * doubles match bit-for-bit before rounding. minCount matches
+    * FPGrowth's `ceil(minSupport * numTransactions)`.
+    *
+    * TagMiningSpec additionally pins hand-computed itemsets and the
+    * support-monotonicity property.
     */
-  val oracles: Map[String, String] = Map.empty
+  private val txCte =
+    s"""WITH toks AS (
+         SELECT doc_id,
+           CASE t WHEN 'sorts' THEN 'sort' WHEN 'joins' THEN 'join'
+                  WHEN 'scans' THEN 'scan' WHEN 'streams' THEN 'stream'
+                  WHEN 'windows' THEN 'window' ELSE t END AS w
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents WHERE text IS NOT NULL)
+       ), ents AS (
+         SELECT DISTINCT doc_id, w FROM toks
+         WHERE w IN ('spark','join','scan','window','hash',
+                     'merge','sort','stream','batch','shuffle')
+       ), tx AS (
+         SELECT doc_id, list_sort(list(w)) AS items FROM ents GROUP BY doc_id
+       ), n AS (SELECT count(*) AS n_tx FROM tx),
+       minc AS (
+         SELECT CAST(ceil($minSupport::DOUBLE * n_tx) AS BIGINT) AS min_count FROM n
+       ), sub AS (
+         SELECT list_filter(t.items, (x, i) -> ((m.m >> (i - 1)) & 1) = 1) AS itemset
+         FROM tx t,
+           LATERAL (SELECT unnest(generate_series(1, (1 << len(t.items)) - 1)) AS m) m
+       ), fi AS (
+         SELECT itemset, count(*) AS freq FROM sub GROUP BY 1
+         HAVING count(*) >= (SELECT min_count FROM minc)
+       )"""
+
+  val oracles: Map[String, String] = Map(
+    "q70_freq_itemsets" -> (txCte +
+      """ SELECT array_to_string(itemset, ',') AS items, freq
+          FROM fi ORDER BY freq DESC, items"""),
+    "q71_assoc_rules" -> (txCte +
+      s""", rules AS (
+           SELECT list_sort(list_filter(s.itemset, (x, i) -> i <> c.i)) AS ante,
+             [s.itemset[c.i]] AS cons, s.freq AS freq_union
+           FROM fi s,
+             LATERAL (SELECT unnest(generate_series(1, len(s.itemset))) AS i) c
+           WHERE len(s.itemset) >= 2
+         ), scored AS (
+           SELECT r.ante, r.cons, r.freq_union,
+             r.freq_union::DOUBLE / fa.freq::DOUBLE AS conf,
+             fc.freq AS freq_c
+           FROM rules r
+           JOIN fi fa ON fa.itemset = r.ante
+           JOIN fi fc ON fc.itemset = r.cons
+         )
+         SELECT array_to_string(ante, ',') AS antecedent,
+           array_to_string(cons, ',') AS consequent,
+           round(conf, 6) AS confidence,
+           round(conf / (freq_c::DOUBLE / (SELECT n_tx FROM n)::DOUBLE), 6) AS lift,
+           round(freq_union::DOUBLE / (SELECT n_tx FROM n)::DOUBLE, 6) AS support
+         FROM scored, n
+         WHERE conf >= $minConfidence::DOUBLE
+         ORDER BY lift DESC, antecedent, consequent"""))
 }
