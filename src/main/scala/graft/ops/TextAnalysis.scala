@@ -91,10 +91,9 @@ object TextAnalysis {
     * LOCAL-similarity twin of q45's exact content hash — shared
     * substrings >= 8 code points guarantee shared fingerprints, so
     * near-identical docs overlap heavily where md5 sees nothing.
-    * Fingerprint set serialized for the driver; set size and a cheap
-    * Jaccard-ready min kept as scalars. Rows-only (Karp-Rabin
-    * wraparound arithmetic has no DuckDB twin); algebra pinned in
-    * TextFunctionsSpec.
+    * Fingerprint set serialized for the driver and hash-checked against
+    * a DuckDB re-implementation (HUGEINT mod-2^64 — see [[winnowOracle]]);
+    * the kernel algebra is additionally pinned in TextFunctionsSpec.
     */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -152,7 +151,50 @@ object TextAnalysis {
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** q48 oracle: the winnow kernel's Long arithmetic is exactly the
+    * ring Z/2^64, so DuckDB reproduces it with HUGEINT mod-2^64
+    * polynomial evaluation (direct per-gram form — ring equality with
+    * the kernel's rolling form is an algebraic identity) + signed
+    * conversion, then sliding-window minima. Tie side is irrelevant to
+    * the SET of picked values (ties share the value), so DISTINCT
+    * window-mins equal the kernel's rightmost-tie picks.
+    */
+  private val winnowOracle: String = {
+    val m = BigInt(1) << 64
+    val pows = Seq.iterate(BigInt(1), 5)(_ * graft.expr.WinnowFingerprint.base % m)
+    val terms = (0 until 5).map { j =>
+      val p = pows(4 - j)
+      val mul = if (p == BigInt(1)) "" else s" * $p::HUGEINT"
+      s"unicode(substr(text, i.i+$j, 1))::HUGEINT$mul"
+    }.mkString("\n      + ")
+    s"""WITH grams AS (
+      SELECT doc_id, i.i AS i,
+        CAST(((($terms)
+          + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+          - 9223372036854775808::HUGEINT) AS BIGINT) AS v
+      FROM documents,
+        LATERAL (SELECT unnest(generate_series(1, length(text) - 4)) AS i) i
+      WHERE text IS NOT NULL AND length(text) >= 5
+    ), wmin AS (
+      SELECT doc_id, i,
+        min(v) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        count(*) OVER (PARTITION BY doc_id) AS ng
+      FROM grams
+    ), picks AS (
+      SELECT DISTINCT doc_id, m FROM wmin
+      WHERE (ng <= 4 AND i = 1) OR (ng > 4 AND i <= ng - 3)
+    ), agg AS (
+      SELECT doc_id, list_sort(list(m)) AS fps FROM picks GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(len(a.fps), 0)::BIGINT AS n_fp,
+      coalesce(array_to_string(a.fps, ','), '') AS fp_set
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q48_winnow_fingerprints" -> winnowOracle,
     "q40_word_freq_topk" ->
       s"""WITH t AS (SELECT unnest(string_split(text,' ')) AS word
             FROM documents WHERE text IS NOT NULL)
