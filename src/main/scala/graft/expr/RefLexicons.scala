@@ -59,6 +59,14 @@ object RefLexicons {
     * lowercased text; non-match → 1.0 (spark_energy.py:41-59). All
     * terms are already lowercase (matching happens after `lower`).
     */
+  val energyTiers: Seq[(Seq[String], Double)] = Seq(
+    Seq("优雅", "elegance", "哇库", "哇酷", "waku", "瓜神", "世界名画", "名场面") -> 5.0,
+    Seq("次子", "昏爹", "父亲", "约尔", "太太", "荆棘公主", "邦德", "上岸", "读心",
+      "花生", "吃花生", "手雷", "母亲", "妈妈", "阿尼亚") -> 3.0,
+    Seq("高能", "泪目", "起立", "卧槽", "牛逼", "awsl", "封神", "致敬", "完结",
+      "撒花", "好帅", "可爱") -> 2.0,
+    Seq("哈哈", "hhh", "www", "233", "打卡", "第一", "热乎") -> 0.5)
+
   /** The reference's 36-entry Chinese stopword set, dropped from the
     * segmented word stream before frequency counting
     * (preprocess_high_energy.py:46-49). The length>1 filter downstream
@@ -70,12 +78,4 @@ object RefLexicons {
     "一个", "上", "也", "很", "到", "说", "要", "去", "你", "会", "着",
     "没有", "看", "好", "自己", "这",
     "啊", "吧", "呀", "嘛", "呢", "哈", "哦", "嗯")
-
-  val energyTiers: Seq[(Seq[String], Double)] = Seq(
-    Seq("优雅", "elegance", "哇库", "哇酷", "waku", "瓜神", "世界名画", "名场面") -> 5.0,
-    Seq("次子", "昏爹", "父亲", "约尔", "太太", "荆棘公主", "邦德", "上岸", "读心",
-      "花生", "吃花生", "手雷", "母亲", "妈妈", "阿尼亚") -> 3.0,
-    Seq("高能", "泪目", "起立", "卧槽", "牛逼", "awsl", "封神", "致敬", "完结",
-      "撒花", "好帅", "可爱") -> 2.0,
-    Seq("哈哈", "hhh", "www", "233", "打卡", "第一", "热乎") -> 0.5)
 }

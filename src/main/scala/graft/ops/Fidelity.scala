@@ -205,8 +205,14 @@ object Fidelity {
     * 36-entry stopword set over the committed SPY corpus. jieba is
     * replaced by the engine's corpus-derived forward-max-match
     * segmenter (expr/TextFunctions.segmentCjk, the one UDF); the
-    * post-filters are EXACT: stopword drop, len > 1, non-numeric
-    * (Python str.isnumeric ≈ `^[0-9]+$` on this ASCII-digit corpus).
+    * stopword and len > 1 post-filters are EXACT. The non-numeric
+    * filter approximates Python `str.isnumeric` with a character
+    * class covering what the corpus actually contains — ASCII and
+    * full-width digits plus the CJK numerals ('一一'.isnumeric() is
+    * True in Python: CJK ideographic numerals carry a Unicode numeric
+    * value, and the corpus uses them) — exotic numerics (vulgar
+    * fractions, Roman numerals) have no JVM regex class and would
+    * survive here; none appear in the committed corpus.
     * The reference's bare `orderBy(desc).limit(500)` is tie-unstable
     * across engines; word asc is the deterministic tiebreak. Registered
     * rows-only — iterative max-match is not SQL-expressible, so
@@ -224,7 +230,11 @@ object Fidelity {
       .select(explode(TextFunctions.segmentCjkUdf(col("text"))).as("word"))
       .filter(!col("word").isin(RefLexicons.segStopwords.toSeq: _*)
         && length(col("word")) > 1
-        && !col("word").rlike("^[0-9]+$"))
+        // every char in this class is isnumeric()==True in Python
+        // (verified against CPython; '两' deliberately absent — it is
+        // NOT numeric and the reference keeps it)
+        && !col("word").rlike(
+          "^[0-9０-９〇一二三四五六七八九十百千万亿兆零壹贰叁肆伍陆柒捌玖拾佰仟廿卅]+$"))
 
   def wordFreqFrom(danmaku: DataFrame): DataFrame =
     segmentedWords(danmaku)

@@ -157,11 +157,16 @@ object Multimodal {
         require(img != null, s"undecodable image payload for doc $id")
         val (w, h) = (img.getWidth, img.getHeight)
         var sum = 0L
+        // bulk row reads: one getRGB per ROW, not per pixel — the
+        // per-pixel accessor pays ColorModel conversion on every call
+        // (10-50x slower), which would dominate a corpus-scale decode
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = row(x)
             sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
             x += 1
           }
@@ -177,8 +182,11 @@ object Multimodal {
       rms: Double)
 
   /** REAL audio decode over a binary column: javax.sound.sampled (JDK
-    * WAV/AIFF/AU parser) for the format header, then PCM16 samples read
-    * frame-by-frame for the RMS. duration_us stays integral (Long
+    * WAV/AIFF/AU parser) for the format header, then 16-bit PCM samples
+    * decoded per the format's OWN channel count and byte order (a
+    * stereo WAV RMSes over both channels' samples; a big-endian AIFF
+    * byte-swaps correctly). Non-16-bit payloads are rejected loudly
+    * rather than mismeasured. duration_us stays integral (Long
     * arithmetic) so the oracle hash-matches exactly.
     */
   def audioFeatures(rows: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame =
@@ -188,18 +196,23 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload))
         try {
           val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16,
+            s"doc $id: only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
           val rate = fmt.getSampleRate.toInt
-          val n = in.getFrameLength
+          val frames = in.getFrameLength
           val bytes = in.readAllBytes()
+          val nSamples = bytes.length / 2 // frames * channels
           var sumSq = 0.0
           var i = 0
-          while (i + 1 < bytes.length) { // PCM16 little-endian mono
-            val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+          while (i + 1 < bytes.length) {
+            val s =
+              if (fmt.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+              else ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
             sumSq += s.toDouble * s.toDouble
             i += 2
           }
-          AudioFeatures(id, rate, n, n * 1000000L / rate,
-            math.sqrt(sumSq / n))
+          AudioFeatures(id, rate, frames, frames * 1000000L / rate,
+            math.sqrt(sumSq / nSamples))
         } finally in.close()
       }
     }(Encoders.product[AudioFeatures]).toDF()

@@ -101,8 +101,11 @@ object TextAnalysis {
         graft.expr.WinnowFingerprint(col("text")).as("fps"))
       .select(
         col("doc_id"),
-        size(col("fps")).cast("long").as("n_fp"),
-        array_join(transform(col("fps"), _.cast("string")), ",").as("fp_set"))
+        // null text → 0/'' (not NULL), matching the oracle's
+        // LEFT JOIN + coalesce for the same doc
+        coalesce(size(col("fps")), lit(0)).cast("long").as("n_fp"),
+        coalesce(array_join(transform(col("fps"), _.cast("string")), ","), lit(""))
+          .as("fp_set"))
       .orderBy("doc_id")
 
   /** U2 in-pipeline: the CJK max-match tokenizer (the engine's one UDF)

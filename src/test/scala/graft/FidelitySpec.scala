@@ -210,8 +210,10 @@ class FidelitySpec extends AnyFunSuite with SparkTestBase {
     assert(out.length == 500)
     val freqs = out.map(_.getLong(1))
     assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    val numericClass =
+      "^[0-9０-９〇一二三四五六七八九十百千万亿兆零壹贰叁肆伍陆柒捌玖拾佰仟廿卅]+$"
     assert(out.map(_.getString(0)).forall(w =>
-      w.length > 1 && !w.matches("^[0-9]+$") && !RefLexicons.segStopwords.contains(w)))
+      w.length > 1 && !w.matches(numericClass) && !RefLexicons.segStopwords.contains(w)))
   }
 
   test("energy timeline egress matches the golden JSON shape") {

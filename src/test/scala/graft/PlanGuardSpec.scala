@@ -4,8 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Scale-invariant plan guards over the ENTIRE registered surface: the
   * anti-patterns that are survivable at sf0.1 but fatal at 100 TB must
-  * never (re)appear in any query's physical plan. Plans are built, not
-  * executed — this sweeps all ~70 queries in seconds.
+  * never (re)appear in any query's physical plan. Most queries only
+  * BUILD their plan here; the exceptions are q33/q34 (GraphX drives
+  * jobs eagerly) and q95 (eager localCheckpoint), which execute during
+  * construction and whose guarded string is the post-materialization
+  * scan — their internals are covered by their own suites
+  * (GraphOpsSpec, FidelitySpec one-scan assert), not this sweep.
   */
 class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
 
