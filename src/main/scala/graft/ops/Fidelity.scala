@@ -245,6 +245,22 @@ object Fidelity {
   def wordFrequency(spark: SparkSession, glob: String): DataFrame =
     wordFreqFrom(CsvIngest.readDanmaku(spark, glob))
 
+  /** Exact-duplicate danmaku detection over the committed SPY corpus —
+    * the dedup stack pointed at the reference's real data. The crawler
+    * dedups by dmid only (spider_worker.py:104-113); content-level
+    * duplicates (spam, copypasta, botted comments) are what a
+    * training-data pipeline actually needs to surface. Hash-aggregate
+    * on the text itself — map-side partial counts absorb the hot keys,
+    * never pairwise comparison — then threshold. At 100 TB this is one
+    * shuffle whose key space is the distinct-text set.
+    */
+  def dupTexts(spark: SparkSession, glob: String, minCount: Long = 50): DataFrame =
+    CsvIngest.readDanmaku(spark, glob)
+      .filter(col("text").isNotNull)
+      .groupBy("text").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy(desc("n_occurrences"), asc("text"))
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Fidelity queries read the reference's committed CSVs at fixed
@@ -257,7 +273,8 @@ object Fidelity {
     "q93_spy_edges" -> ((s, _) => relationEdges(s, spyGlob, RefLexicons.spyFamily)),
     "q94_episode_energy" -> ((s, _) => episodeEnergy(s, spyGlob)),
     "q95_fanren_graph" -> ((s, _) => relationGraphCombined(s, fanRenGlob, RefLexicons.fanRen)),
-    "q96_word_freq" -> ((s, _) => wordFrequency(s, spyGlob)))
+    "q96_word_freq" -> ((s, _) => wordFrequency(s, spyGlob)),
+    "q97_spy_dup_texts" -> ((s, _) => dupTexts(s, spyGlob)))
 
   // ---- DuckDB oracles, generated from the same lexicon data ----------
 
@@ -350,5 +367,11 @@ object Fidelity {
     "q92_spy_nodes" -> nodesOracle(spyGlob, RefLexicons.spyFamily),
     "q93_spy_edges" -> edgesOracle(spyGlob, RefLexicons.spyFamily),
     "q94_episode_energy" -> energyOracle(spyGlob),
-    "q95_fanren_graph" -> graphOracle(fanRenGlob, RefLexicons.fanRen))
+    "q95_fanren_graph" -> graphOracle(fanRenGlob, RefLexicons.fanRen),
+    "q97_spy_dup_texts" ->
+      s"""SELECT text, count(*) AS n_occurrences
+          FROM read_csv('${sq(spyGlob)}', header=true, all_varchar=true)
+          WHERE text IS NOT NULL
+          GROUP BY 1 HAVING count(*) >= 50
+          ORDER BY 2 DESC, 1""")
 }

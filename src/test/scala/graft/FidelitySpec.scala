@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.expr.RefLexicons
 import graft.ops.Fidelity
+import graft.sources.CsvIngest
 
 /** Pins the engine against the reference's OWN committed data and golden
   * outputs. Exact golden equality is unreachable from the committed
@@ -214,6 +215,19 @@ class FidelitySpec extends AnyFunSuite with SparkTestBase {
       "^[0-9０-９〇一二三四五六七八九十百千万亿兆零壹贰叁肆伍陆柒捌玖拾佰仟廿卅]+$"
     assert(out.map(_.getString(0)).forall(w =>
       w.length > 1 && !w.matches(numericClass) && !RefLexicons.segStopwords.contains(w)))
+  }
+
+  test("q97 exact-dup texts on the real corpus: thresholded, monotone, genuinely duplicated") {
+    val out = Fidelity.dupTexts(spark, Fidelity.spyGlob).collect()
+    assert(out.nonEmpty, "the corpus has copypasta; none found")
+    val counts = out.map(_.getLong(1))
+    assert(counts.forall(_ >= 50L))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // spot-check: re-counting the top duplicate independently agrees
+    val top = out.head.getString(0)
+    val n = CsvIngest.readDanmaku(spark, Fidelity.spyGlob)
+      .filter(col("text") === top).count()
+    assert(n == out.head.getLong(1))
   }
 
   test("energy timeline egress matches the golden JSON shape") {
