@@ -70,4 +70,17 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(q19.contains("BroadcastHashJoin"), "dimensions should broadcast")
     assert(!q19.contains("CartesianProduct"))
   }
+
+  test("custom-kernel hot paths run inside WholeStageCodegen spans") {
+    // the codegen'd expressions (WsTokenize / shingles / SimHash64 /
+    // WinnowFingerprint) must not fall back to interpreted projection —
+    // their queries' plans carry codegen stages
+    val hot = Seq("q40_word_freq_topk", "q48_winnow_fingerprints",
+      "q51_shingle_stats", "q55_simhash")
+    val byName = plans.toMap
+    hot.foreach { n =>
+      assert(byName(n).contains("WholeStageCodegen"),
+        s"$n lost whole-stage codegen")
+    }
+  }
 }
