@@ -53,7 +53,18 @@ object Bench {
     // failures must not read as a speedup: excluded queries (-1 in the
     // per-query map) are surfaced as an explicit count in the headline
     val failed = results.count(_._2.isEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"cold":$cold,"sf":"$sfDir"}""")
+    // Key order matters for the round record: the driver tail-captures
+    // the log, so whatever prints FIRST is what truncation drops. Round
+    // 4 lost the warm map and total because they preceded "cold" — the
+    // headline fields (warm queries, failed, total value) now print
+    // last, and the full line is also written to BENCH.local.json so no
+    // capture window can lose it.
+    val json = s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","cold":$cold,"queries":$qs,"failed":$failed,"value":$total}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH.local.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    println(json)
     spark.stop()
   }
 }

@@ -73,14 +73,35 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
 
   test("custom-kernel hot paths run inside WholeStageCodegen spans") {
     // the codegen'd expressions (WsTokenize / shingles / SimHash64 /
-    // WinnowFingerprint) must not fall back to interpreted projection —
-    // their queries' plans carry codegen stages
-    val hot = Seq("q40_word_freq_topk", "q48_winnow_fingerprints",
-      "q51_shingle_stats", "q55_simhash")
-    val byName = plans.toMap
-    hot.foreach { n =>
-      assert(byName(n).contains("WholeStageCodegen"),
-        s"$n lost whole-stage codegen")
-    }
+    // WinnowFingerprint) must not fall back to interpreted projection.
+    // Two subtleties (round-4 regression): (a) under AQE the unexecuted
+    // plan is `AdaptiveSparkPlan isFinalPlan=false` and carries NO
+    // codegen wrappers yet, so the plan must be built with AQE off;
+    // (b) executedPlan.toString renders codegen stages as `*(n)` node
+    // prefixes, not the literal word "WholeStageCodegen".
+    // A whole-plan `contains("*(")` is too weak: other stages codegen
+    // even when the kernel's own Project falls back, so the guard pins
+    // the specific plan LINE carrying the kernel call — it must have a
+    // `*(n)` codegen-stage prefix. (Verified: making WinnowFingerprint a
+    // CodegenFallback produces an unstarred `Project [winnowfingerprint…`
+    // line that this catches.)
+    val hot = Seq(
+      "q40_word_freq_topk" -> "wstokenize",
+      "q48_winnow_fingerprints" -> "winnowfingerprint",
+      "q51_shingle_stats" -> "ngramshingles",
+      "q55_simhash" -> "simhash64")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val lost =
+      try hot.collect { case (n, kernel)
+          if {
+            val lines = SparkEntry.queries(n)(spark, sf)
+              .queryExecution.executedPlan.toString
+              .linesIterator.filter(_.contains(s"$kernel(")).toSeq
+            lines.isEmpty || lines.exists(!_.contains("*("))
+          } => s"$n [$kernel]"
+      }
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(lost.isEmpty, s"kernels outside whole-stage codegen spans: $lost")
   }
 }
