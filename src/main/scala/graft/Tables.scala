@@ -124,6 +124,31 @@ object Tables {
   def typedLineitem(s: SparkSession, d: String): Dataset[model.Lineitem] =
     load(s, d, "lineitem").as(Encoders.product[model.Lineitem])
 
+  /** Exact row count from parquet footer metadata — a driver-side footer
+    * read, NO Spark job (a `df.count()` schedules a full scan stage; at
+    * 100 TB that is a real extra pass). For sizing decisions only
+    * (e.g. IVF list count): footers are listed sequentially on the
+    * driver, fine for the handful of files behind a sizing question —
+    * not a substitute for a distributed count over a huge file set.
+    */
+  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(root))
+    files.map { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

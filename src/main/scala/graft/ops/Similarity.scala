@@ -142,11 +142,11 @@ object Similarity {
     */
   /** @param numLists inverted-list count. The caller sizes it (√n is
     *   the textbook default; a tiny corpus over-partitioned leaves ~3
-    *   vectors per list and recall collapses). None → one cheap
-    *   metadata-ish count to apply n/8 capped at ivfClusters — fine
-    *   interactively, but at 100 TB pass it explicitly: the count is a
-    *   full extra job the caller usually already knows the answer to
-    *   (round-2 advice).
+    *   vectors per list and recall collapses). None → n from parquet
+    *   FOOTER metadata (Tables.parquetRowCount — a driver-side footer
+    *   read, zero Spark jobs; the former `emb.count()` here scheduled a
+    *   full extra scan stage before the real work, a whole corpus pass
+    *   at 100 TB), then n/8 capped at ivfClusters.
     */
   def annIvf(spark: SparkSession, dir: String,
              numLists: Option[Int] = None): DataFrame = {
@@ -155,7 +155,8 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", array_to_vector(col("embedding")))
     val nLists = numLists.getOrElse(
-      math.max(4, math.min(ivfClusters, (emb.count() / 8).toInt)))
+      math.max(4, math.min(ivfClusters,
+        (Tables.parquetRowCount(spark, dir, "embeddings") / 8).toInt)))
     val model = new KMeans()
       .setK(nLists).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("v").setPredictionCol("cluster")

@@ -94,6 +94,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.2, s"IVF recall@${Similarity.topK} was $recall")
   }
 
+  test("IVF list sizing reads footer metadata, not a Spark count job") {
+    // the former emb.count() fallback scheduled a full extra scan stage
+    // before the real work — a whole corpus pass at 100 TB. The footer
+    // path must (a) agree with a real count and (b) launch ZERO jobs.
+    assert(Tables.parquetRowCount(spark, sf, "embeddings") ==
+      Tables.embeddings(spark, sf).count())
+    val sc = spark.sparkContext
+    sc.setJobGroup("footer-count-guard", "no jobs expected", false)
+    try Tables.parquetRowCount(spark, sf, "embeddings")
+    finally sc.clearJobGroup()
+    Thread.sleep(500) // status store is fed asynchronously off the listener bus
+    val jobs = sc.statusTracker.getJobIdsForGroup("footer-count-guard")
+    assert(jobs.isEmpty, s"footer row count launched Spark jobs: ${jobs.toSeq}")
+  }
+
   test("native DotProduct expression matches the higher-order-function dot") {
     val s = spark
     import s.implicits._
