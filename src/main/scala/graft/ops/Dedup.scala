@@ -160,13 +160,23 @@ object Dedup {
         struct(lit(bnd).as("band"),
           slice(col("signature"), bnd * bandSize + 1, bandSize).as("key"))): _*))
         .as("bucket"))
+    // each pair is emitted ONLY by its first colliding band (no earlier
+    // band's keys match) — exactly-once by construction, same trick as
+    // Similarity.embeddingNearDups. The former dropDuplicates here was
+    // a whole extra exchange hauling both 16-long signature arrays per
+    // candidate pair.
+    val firstBand = not((0 until numBands - 1).map(s =>
+      col("a.bucket.band") > s &&
+        slice(col("a.signature"), s * bandSize + 1, bandSize) ===
+        slice(col("b.signature"), s * bandSize + 1, bandSize))
+      .reduce(_ || _))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .filter(firstBand)
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.signature").as("sig_a"), col("b.signature").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
     pairs
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
@@ -200,13 +210,21 @@ object Dedup {
         struct(lit(bnd).as("band"),
           shiftrightunsigned(col("simhash"), bnd * 16).bitwiseAND(lit(0xFFFFL))
             .as("key"))): _*)).as("bucket"))
+    // first-colliding-sub-band emission (see lshCandidates): replaces a
+    // dropDuplicates exchange over every candidate pair with a cheap
+    // codegen'd predicate on the two 64-bit signatures already in hand.
+    val firstBand = not((0 until 3).map(s =>
+      col("a.bucket.band") > s &&
+        shiftrightunsigned(col("a.simhash"), s * 16).bitwiseAND(lit(0xFFFFL)) ===
+        shiftrightunsigned(col("b.simhash"), s * 16).bitwiseAND(lit(0xFFFFL)))
+      .reduce(_ || _))
     banded.as("a")
       .join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .filter(firstBand)
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         SimHash64.hamming(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
