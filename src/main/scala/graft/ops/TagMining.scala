@@ -59,6 +59,38 @@ object TagMining {
         round(col("support"), 6).as("support"))
       .orderBy(desc("lift"), asc("antecedent"), asc("consequent"))
 
+  /** Top-N tag co-occurrence counts over the FREQUENT-ITEMSET table
+    * (tag/fp_growth_analysis.py:158-165): top tags by number of frequent
+    * itemsets containing them (itemsets count once each, not weighted by
+    * freq — the reference iterates `pdf_freq['items']` rows), then one
+    * count per unordered in-itemset pair with both tags in the top set.
+    * Emitted flat as (tag_a < tag_b, n_cooccur) — the reference's
+    * symmetric heatmap matrix is this relation mirrored. Tie-break on
+    * the top-N cut is (count desc, tag asc); pandas value_counts keeps
+    * first-seen order on ties, which no distributed engine should
+    * reproduce. Pair generation is double posexplode i<j (G2 pattern) —
+    * itemsets are lexicon-bounded (≤10 items), and the top-tag filter is
+    * a 10-row broadcast semi-join, so nothing here scales with corpus
+    * size beyond the FP-Growth fit itself.
+    */
+  def tagCooccurrence(spark: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    val fi = freqItemsets(spark, dir).select("items")
+    val topTags = fi.select(explode(col("items")).as("tag"))
+      .groupBy("tag").agg(count(lit(1)).as("n_itemsets"))
+      .orderBy(desc("n_itemsets"), asc("tag"))
+      .limit(topN)
+      .select("tag")
+    fi.select(col("items"), posexplode(col("items")).as(Seq("i", "tag_a")))
+      .select(col("tag_a"), col("i"), posexplode(col("items")).as(Seq("j", "tag_b")))
+      .filter(col("i") < col("j"))
+      .join(broadcast(topTags.withColumnRenamed("tag", "tag_a")), Seq("tag_a"), "left_semi")
+      .join(broadcast(topTags.withColumnRenamed("tag", "tag_b")), Seq("tag_b"), "left_semi")
+      .groupBy("tag_a", "tag_b")
+      .agg(count(lit(1)).as("n_cooccur"))
+      .select("tag_a", "tag_b", "n_cooccur")
+      .orderBy("tag_a", "tag_b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   // Registered surface serializes the itemset arrays (the driver's pandas
@@ -70,7 +102,8 @@ object TagMining {
     "q71_assoc_rules" -> ((s, d) =>
       associationRules(s, d)
         .withColumn("antecedent", array_join(col("antecedent"), ","))
-        .withColumn("consequent", array_join(col("consequent"), ","))))
+        .withColumn("consequent", array_join(col("consequent"), ","))),
+    "q72_tag_cooccurrence" -> (tagCooccurrence(_, _)))
 
   /** DuckDB oracles by brute-force subset enumeration: a doc contains
     * itemset S iff S ⊆ its basket, so enumerating every non-empty
@@ -139,5 +172,21 @@ object TagMining {
            round(freq_union::DOUBLE / (SELECT n_tx FROM n)::DOUBLE, 6) AS support
          FROM scored, n
          WHERE conf >= $minConfidence::DOUBLE
-         ORDER BY lift DESC, antecedent, consequent"""))
+         ORDER BY lift DESC, antecedent, consequent"""),
+    "q72_tag_cooccurrence" -> (txCte +
+      """, tags AS (
+           SELECT t AS tag FROM (SELECT unnest(itemset) AS t FROM fi)
+           GROUP BY 1 ORDER BY count(*) DESC, tag LIMIT 10
+         ), px AS (
+           SELECT f.itemset[ia.i] AS tag_a, f.itemset[ja.j] AS tag_b
+           FROM fi f,
+             LATERAL (SELECT unnest(generate_series(1, len(f.itemset))) AS i) ia,
+             LATERAL (SELECT unnest(generate_series(1, len(f.itemset))) AS j) ja
+           WHERE ia.i < ja.j
+         )
+         SELECT tag_a, tag_b, count(*) AS n_cooccur
+         FROM px
+         WHERE tag_a IN (SELECT tag FROM tags)
+           AND tag_b IN (SELECT tag FROM tags)
+         GROUP BY 1, 2 ORDER BY 1, 2"""))
 }

@@ -42,6 +42,26 @@ class TagMiningSpec extends AnyFunSuite with SparkTestBase {
     assert(below == 0)
   }
 
+  test("tag co-occurrence: each pair's count equals the number of frequent " +
+      "itemsets containing both tags") {
+    val fi = TagMining.freqItemsets(spark, sf).select("items").collect()
+      .map(_.getSeq[String](0))
+    val co = TagMining.tagCooccurrence(spark, sf).collect()
+    assert(co.nonEmpty)
+    co.foreach { r =>
+      val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b, s"pairs must be canonical: ($a, $b)")
+      val expected = fi.count(items => items.contains(a) && items.contains(b))
+      assert(n == expected, s"($a, $b): got $n, itemset scan says $expected")
+    }
+    // completeness: every co-occurring top-tag pair is present
+    val pairs = co.map(r => (r.getString(0), r.getString(1))).toSet
+    val all = fi.flatMap(items =>
+      for (i <- items.indices; j <- i + 1 until items.size)
+        yield (items(i), items(j))).toSet
+    assert(pairs == all) // lexicon has exactly 10 entities → top-10 is total
+  }
+
   test("association rules: confidence >= minConfidence, metrics in range, lift consistent") {
     val rules = TagMining.associationRules(spark, sf).collect()
     assert(rules.nonEmpty)
