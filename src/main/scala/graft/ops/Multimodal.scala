@@ -13,13 +13,14 @@ import graft.Tables
   * Decode is REAL where the JDK ships a codec: `imageFeatures` decodes
   * BMP/PNG/JPEG/GIF via javax.imageio and `audioFeatures` parses
   * WAV/AIFF/AU via javax.sound.sampled — driver-gated end-to-end by
-  * q84/q85, which synthesize genuine payloads (pure-Scala BMP/WAV
-  * encoders), decode them with the JDK codecs, and hash-match a DuckDB
-  * oracle that predicts the features analytically. Only the generic
-  * `mediaFeatures` kernel (q81/q82) keeps a DETERMINISTIC STUB decode,
-  * standing in for codecs the JVM does not ship (video frames): the
-  * schema, binary handling, partitioning, and batch iteration around it
-  * are the real engine surface and are tested.
+  * q84/q85 and multi-frame by q82 (animated-GIF round trip through
+  * ImageIO's sequence writer/reader), which synthesize genuine payloads,
+  * decode them with the JDK codecs, and hash-match a DuckDB oracle that
+  * predicts the features analytically. Only the generic `mediaFeatures`
+  * kernel (q81) keeps a DETERMINISTIC STUB decode, standing in for the
+  * one codec family the JVM does not ship (video): the schema, binary
+  * handling, partitioning, and batch iteration around it are the real
+  * engine surface and are tested.
   */
 object Multimodal {
 
@@ -71,22 +72,107 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Frame-sampling shape: media → N deterministic "frames" each with its
-    * own feature row (the explode-shaped half of a video pipeline).
+  /** Multi-frame GIF encoder via ImageIO's sequence writer (the JDK's
+    * real GIF89a LZW encoder). Each frame is a uniform fill built over
+    * its OWN 1-entry IndexColorModel, so the GIF local color table
+    * carries the exact color — no quantizer in the loop, features stay
+    * analytic for the oracle.
     */
-  def frameSamples(spark: SparkSession, dir: String, nFrames: Int = 4): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(nFrames - 1)), f =>
-          struct(
-            f.as("frame_idx"),
-            // STUB frame feature: offset-dependent deterministic hash
-            pmod(xxhash64(col("payload"), f), lit(1000)).as("frame_sig"))))
-          .as(Seq("pos", "frame")))
-      .select(col("doc_id"), col("frame.frame_idx").as("frame_idx"),
-        col("frame.frame_sig").as("frame_sig"))
-      .orderBy("doc_id", "frame_idx")
+  def encodeGif(w: Int, h: Int, frameColors: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frameColors.foreach { case (r, g, b) =>
+        val cm = new java.awt.image.IndexColorModel(
+          8, 1, Array(r.toByte), Array(g.toByte), Array(b.toByte))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  case class FrameFeatures(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int,
+      mean_brightness: Double)
+
+  /** Mean RGB brightness via bulk row reads (one getRGB per ROW — the
+    * per-pixel accessor pays ColorModel conversion per call, 10-50x
+    * slower at corpus scale).
+    */
+  private def meanBrightness(img: java.awt.image.BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum.toDouble / (3L * w * h).toDouble
+  }
+
+  /** REAL frame sampling over a binary column: ImageIO's multi-image
+    * reader enumerates every frame of an animated payload
+    * (`getNumImages(true)` → `read(i)` — the JDK GIF reader decodes each
+    * LZW frame) and emits one feature row per frame — the explode-shaped
+    * half of a video pipeline, with a real decoder in the loop. One
+    * reader per payload, streamed per partition; a corrupt payload fails
+    * loudly rather than producing silent zeros.
+    */
+  def frameFeatures(rows: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame =
+    rows.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no decoder for payload of doc $id")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n).map { i =>
+            val img = reader.read(i)
+            FrameFeatures(id, i, img.getWidth, img.getHeight, meanBrightness(img))
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+    }(Encoders.product[FrameFeatures]).toDF()
+
+  val framesPerDoc = 4
+
+  /** q82: synthesize a real 4-frame animated GIF per doc (per-frame
+    * colors arithmetic on (doc_id, frame_idx)), decode every frame with
+    * the JDK's GIF reader, measure per-frame features. The oracle
+    * predicts them analytically — hash equality proves multi-frame
+    * encode AND per-frame decode are genuine.
+    */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val nF = framesPerDoc
+    val payloads = docIds(spark, dir).map { id =>
+      val (w, h) = (8 + (id % 8).toInt, 8 + (id % 4).toInt)
+      val colors = (0 until nF).map(f => (
+        ((id + 31L * f) % 256).toInt,
+        ((id / 7 + 17L * f) % 256).toInt,
+        ((id / 13 + 11L * f) % 256).toInt))
+      (id, encodeGif(w, h, colors))
+    }
+    frameFeatures(payloads).orderBy("doc_id", "frame_idx")
+  }
 
   // ---- REAL decode kernels (JDK codecs — no external deps) -----------
   //
@@ -340,7 +426,20 @@ object Multimodal {
       """SELECT doc_id, 8::INT AS width, 8::INT AS height,
            ((doc_id % 256) + ((doc_id // 7) % 256) + ((doc_id // 13) % 256))::DOUBLE
              / 3::DOUBLE AS mean_brightness
-         FROM documents ORDER BY doc_id""")
-  // q81/q82 depend on the stub decode kernel — rows-only; shape and
-  // determinism pinned in MultimodalSpec.
+         FROM documents ORDER BY doc_id""",
+    // per-frame uniform fill over the frame's own GIF color table →
+    // brightness is analytic in (doc_id, frame_idx), like q84 per frame
+    "q82_frame_samples" ->
+      """SELECT doc_id, f::INT AS frame_idx,
+           (8 + doc_id % 8)::INT AS width,
+           (8 + doc_id % 4)::INT AS height,
+           (((doc_id + 31 * f) % 256)
+             + ((doc_id // 7 + 17 * f) % 256)
+             + ((doc_id // 13 + 11 * f) % 256))::DOUBLE / 3::DOUBLE
+             AS mean_brightness
+         FROM documents, range(0, 4) t(f)
+         ORDER BY doc_id, frame_idx""")
+  // q81 depends on the stub decode kernel (the one codec the JVM does
+  // not ship: video) — rows-only; shape and determinism pinned in
+  // MultimodalSpec.
 }

@@ -38,6 +38,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(perDoc.count() == 0)
   }
 
+  test("REAL multi-frame GIF: every frame decodes back with its own exact color") {
+    val s = spark
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY)
+    val gif = Multimodal.encodeGif(5, 3, Seq((10, 20, 30), (200, 100, 50), (0, 0, 0)))
+    val out = Multimodal.frameFeatures(s.createDataset(Seq(9L -> gif)))
+      .orderBy("frame_idx").collect()
+    assert(out.length == 3, "all three frames must be enumerated")
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(1) == i && r.getInt(2) == 5 && r.getInt(3) == 3)
+    }
+    assert(out(0).getDouble(4) == 20.0)       // (10+20+30)/3
+    assert(out(1).getDouble(4) == 350.0 / 3)  // (200+100+50)/3
+    assert(out(2).getDouble(4) == 0.0)
+  }
+
   test("REAL image decode measures pixel content: gradient brightness, PNG cross-format") {
     val s = spark
     implicit val enc = org.apache.spark.sql.Encoders.tuple(
