@@ -108,6 +108,25 @@ object TextAnalysis {
           .as("fp_set"))
       .orderBy("doc_id")
 
+  /** SQL-surface twin of q48: the same winnowed-fingerprint projection,
+    * but written as SQL TEXT over a temp view, resolved through the
+    * GraftExtensions-injected `winnow_fingerprint` function — the
+    * spark.sql route a BI tool or notebook user takes. Registered (with
+    * q48's oracle) so the driver gate proves the SQL path stays wired
+    * and bit-identical as the Column API evolves.
+    */
+  def sqlWinnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_documents_sqlv")
+    spark.sql(
+      """SELECT doc_id,
+           CAST(coalesce(size(fps), 0) AS BIGINT) AS n_fp,
+           coalesce(array_join(transform(fps, x -> CAST(x AS STRING)), ','), '')
+             AS fp_set
+         FROM (SELECT doc_id, winnow_fingerprint(text) AS fps
+               FROM graft_documents_sqlv)
+         ORDER BY doc_id""")
+  }
+
   /** U2 in-pipeline: the CJK max-match tokenizer (the engine's one UDF)
     * over the corpus. On non-CJK text its contract degrades to
     * whitespace splitting, which keeps the query oracle-able; CJK
@@ -150,6 +169,7 @@ object TextAnalysis {
     "q44_lang_id" -> (langIdPredictions(_, _)),
     "q45_fingerprints" -> (fingerprints(_, _)),
     "q48_winnow_fingerprints" -> (winnowFingerprints(_, _)),
+    "q49_sql_winnow_fingerprints" -> (sqlWinnowFingerprints(_, _)),
     "q46_cjk_token_stats" -> (cjkTokenStats(_, _)))
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -198,6 +218,8 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q48_winnow_fingerprints" -> winnowOracle,
+    // the SQL-text route must produce the bit-identical fingerprint table
+    "q49_sql_winnow_fingerprints" -> winnowOracle,
     "q40_word_freq_topk" ->
       s"""WITH t AS (SELECT unnest(string_split(text,' ')) AS word
             FROM documents WHERE text IS NOT NULL)
