@@ -229,6 +229,58 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The dedup END STEP a training-data pipeline actually needs: the
+    * pair relations (exact md5 groups + Jaccard near-dups) merged into
+    * duplicate CLUSTERS with a canonical representative (min doc_id) —
+    * the "keep one per cluster" decision, not just candidate pairs.
+    *
+    * Exact groups enter as STAR edges (min-doc rep → member), so a
+    * 10^6-copy boilerplate document contributes 10^6−1 edges and
+    * converges in one CC iteration — never the quadratic pair set.
+    * Near-dup edges are q52's (already df-capped + lang-blocked).
+    * Components via GraphX CC over doc_id vertex ids; the vertex set is
+    * only the docs that appear in some duplicate pair — at 100 TB the
+    * graph is proportional to the DUPLICATED subset, not the corpus.
+    * Output is label-free (rep = min member), so a DuckDB recursive-CTE
+    * closure reproduces it exactly (q34 pattern).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.graphx.Graph
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val fp = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val reps = fp.groupBy("fp")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("fp", "rep")
+    val exactEdges = fp.join(reps, "fp")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    val nearEdges = jaccardPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = exactEdges.union(nearEdges)
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // the duplicate-pair graph is tiny next to the corpus: collapse it
+    // before Pregel so iteration cost is scheduling-free (GraphOps does
+    // the same for the lexicon-bounded co-occurrence graph)
+    val g = Graph.fromEdgeTuples(edges.coalesce(2), defaultValue = 0)
+    val cc = g.connectedComponents()
+    val s = spark
+    import s.implicits._
+    val out = cc.vertices.toDF("doc_id", "cluster")
+      .groupBy("cluster")
+      .agg(sort_array(collect_list("doc_id")).as("members"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("members")(0).as("cluster_rep"),
+        array_join(transform(col("members"), _.cast("string")), ",").as("members"),
+        col("n_members"))
+      .orderBy("cluster_rep")
+    val done = out.localCheckpoint(true)
+    cc.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    done
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -242,7 +294,8 @@ object Dedup {
         array_join(transform(col("signature"), _.cast("string")), ","))),
     "q54_lsh_candidates" -> (lshCandidates(_, _)),
     "q55_simhash" -> (simhashes(_, _)),
-    "q56_simhash_pairs" -> (simhashPairs(_, _)))
+    "q56_simhash_pairs" -> (simhashPairs(_, _)),
+    "q57_dedup_clusters" -> (dedupClusters(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q50_exact_dedup_stats" ->
@@ -287,7 +340,57 @@ object Dedup {
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8
-         ORDER BY doc_a, doc_b""")
+         ORDER BY doc_a, doc_b""",
+    // the cluster output is label-free (rep = min member), so a
+    // recursive reachability closure over the SAME edge relation
+    // (exact-md5 star edges ∪ q52's Jaccard pairs) reproduces it
+    // exactly — strings and integers only, no float drift
+    "q57_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, lang, list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, lang, unnest(list_distinct(
+             CASE WHEN len(ws) < 3 THEN []
+                  ELSE list_transform(range(len(ws)-2),
+                         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             END)) AS sh
+           FROM t),
+         rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+         capped AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM capped a JOIN capped b
+             ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+           GROUP BY 1,2),
+         nearp AS (
+           SELECT doc_a AS a, doc_b AS b
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+         fps AS (SELECT doc_id, md5(text) AS fp FROM documents
+                 WHERE text IS NOT NULL),
+         reps AS (SELECT fp, min(doc_id) AS rep FROM fps
+                  GROUP BY fp HAVING count(*) > 1),
+         exacte AS (
+           SELECT r.rep AS a, f.doc_id AS b
+           FROM fps f JOIN reps r USING (fp) WHERE f.doc_id <> r.rep),
+         e AS (SELECT a, b FROM exacte UNION SELECT a, b FROM nearp),
+         sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         vs AS (SELECT DISTINCT a AS v FROM sym),
+         reach AS (
+           SELECT v AS a, v AS b FROM vs
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         comp AS (SELECT a AS v, min(b) AS rep FROM reach GROUP BY 1),
+         grp AS (
+           SELECT rep, list_sort(list(v)) AS ms, count(*) AS n_members
+           FROM comp GROUP BY 1)
+         SELECT ms[1] AS cluster_rep, array_to_string(ms, ',') AS members,
+           n_members
+         FROM grp ORDER BY cluster_rep""")
   // q53-q56: hash-function-specific outputs (xxhash64/SimHash) — no
   // DuckDB twin; verified in DedupSpec against brute-force Jaccard /
   // Hamming ground truth on a controlled corpus.

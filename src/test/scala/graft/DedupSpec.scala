@@ -103,4 +103,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("jaccard") < Dedup.minJaccard || col("jaccard") > 1.0).count()
     assert(bad == 0)
   }
+
+  test("dedup clusters: exact trio and transitive near-dup chain each form " +
+      "one cluster, uniques are absent") {
+    val s = spark
+    import s.implicits._
+    val aTok = (1 to 20).map(i => s"alpha$i")
+    val bTok = (1 to 20).map(i => s"beta$i")
+    val docs = Seq(
+      (1L, aTok.mkString(" ")),                              // exact trio
+      (2L, aTok.mkString(" ")),
+      (3L, aTok.mkString(" ")),
+      (4L, bTok.mkString(" ")),                              // near chain:
+      (5L, bTok.updated(19, "edit5").mkString(" ")),         // 4~5, 5~6 (and
+      (6L, bTok.updated(19, "edit5").updated(0, "edit6").mkString(" ")), // 4~6)
+      (7L, (1 to 20).map(i => s"gamma$i").mkString(" ")))    // unique
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_clusters_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupClusters(spark, dir).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "1,2,3", 3L), (4L, "4,5,6", 3L)))
+  }
 }
