@@ -18,6 +18,7 @@ object SparkEntry {
       (CooccurrenceGraph.queries, CooccurrenceGraph.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
+      (Sampling.queries, Sampling.oracles),
       (Similarity.queries, Similarity.oracles),
       (TagMining.queries, TagMining.oracles),
       (Multimodal.queries, Multimodal.oracles),

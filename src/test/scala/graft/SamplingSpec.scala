@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Sampling
+
+/** Deterministic-sampling contracts: the keep/split decision must be a
+  * pure function of (doc_id, salt) — re-runs identical, rule
+  * recomputable outside Spark — and stratum rates must track their
+  * configured 16ths.
+  */
+class SamplingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def jvmNibble(docId: Long, salt: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$docId$salt".getBytes("UTF-8"))
+    (d(0) >> 4) & 0xf
+  }
+
+  test("stratified sample is deterministic and matches a JVM re-computation of the rule") {
+    val a = Sampling.stratifiedSample(spark, sf).collect()
+    val b = Sampling.stratifiedSample(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (id, lang) = (r.getLong(0), r.getString(1))
+      val rate = Sampling.rateSixteenths.getOrElse(lang, Sampling.defaultSixteenths)
+      assert(jvmNibble(id, ":strat") < rate, s"doc $id ($lang) should not be in the sample")
+    }
+  }
+
+  test("per-stratum sample rates track their configured 16ths") {
+    val total = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val kept = Sampling.stratifiedSample(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("k"))
+    total.join(kept, Seq("lang"), "left").collect().foreach { r =>
+      val lang = r.getString(0)
+      val n = r.getLong(1)
+      val k = if (r.isNullAt(2)) 0L else r.getLong(2)
+      val expect = Sampling.rateSixteenths.getOrElse(lang, Sampling.defaultSixteenths) / 16.0
+      // binomial 4-sigma band around the configured rate
+      val sigma = math.sqrt(n * expect * (1 - expect))
+      assert(math.abs(k - n * expect) <= 4 * sigma + 1,
+        s"$lang: kept $k of $n, configured rate $expect")
+    }
+  }
+
+  test("train/eval split covers every doc exactly once, decisions independent of the sampler") {
+    val split = Sampling.trainEvalSplit(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(split.count() == n)
+    val byside = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byside.keySet == Set("train", "eval"))
+    assert(byside("train") + byside("eval") == n)
+    // different salt → the eval set must not equal the sample complement
+    // (independence smoke check; collision probability is negligible)
+    val sampleIds = Sampling.stratifiedSample(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val evalIds = split.filter(col("split") === "eval")
+      .collect().map(_.getLong(0)).toSet
+    assert(evalIds != sampleIds)
+  }
+}
