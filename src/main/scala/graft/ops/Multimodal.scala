@@ -306,8 +306,17 @@ object Multimodal {
   /** Deterministic per-doc payload parameters — shared by the queries
     * and their oracles (analytic feature prediction).
     */
+  /** Codec work is CPU-bound, and a small parquet file plans as ONE scan
+    * partition — without an explicit spread every decode round-trip ran
+    * serially on a single task (measured 32 idle cores at sf0.1). A
+    * repartition of bare doc_ids is a few KB of shuffle that unlocks
+    * full-cluster decode parallelism; at 100 TB the same rule applies
+    * whenever a decode stage follows a low-parallelism source (one
+    * object-store file, a coalesced sink, a single Kafka partition).
+    */
   private def docIds(spark: SparkSession, dir: String) =
     Tables.documents(spark, dir).select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as(Encoders.scalaLong)
 
   /** q84: synthesize a real BMP per doc (dims/color arithmetic on
