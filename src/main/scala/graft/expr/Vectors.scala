@@ -3,22 +3,30 @@ package graft.expr
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` columns as native higher-order
-  * functions (`zip_with` + `aggregate`) — codegen-capable, no UDF, no
-  * ml.linalg conversion on the hot path. Accumulation is in double for
-  * numeric stability regardless of the storage element type.
+/** Dense-vector math over `array<float|double>` columns. The dot-product
+  * family routes through the codegen'd DotProduct kernel (higher-order
+  * functions are CodegenFallback in Spark — their lambdas evaluate
+  * interpreted per element, which breaks whole-stage codegen around any
+  * projection that uses them); `dotHof` keeps the HOF formulation for
+  * parity testing. No UDF, no ml.linalg conversion on the hot path.
+  * Accumulation is in double for numeric stability regardless of the
+  * storage element type.
   */
 object Vectors {
 
-  /** Σ aᵢ·bᵢ, sequential double accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ, sequential double accumulation — codegen'd kernel. */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** Higher-order-function twin of `dot` (interpreted lambda) — kept for
+    * the kernel-parity spec; identical arithmetic by construction.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   /** ‖a‖₂ */
-  def norm2(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm2(a: Column): Column = sqrt(DotProduct(a, a))
 
   /** cos(a,b) with 0 for zero-norm vectors (null-division guard). */
   def cosine(a: Column, b: Column): Column = {

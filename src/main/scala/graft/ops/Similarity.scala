@@ -101,14 +101,27 @@ object Similarity {
   def embeddingNearDups(spark: SparkSession, dir: String, minCos: Double = 0.95): DataFrame = {
     val tables = (0 until numTables).map(t =>
       Vectors.randomPlanes(planesPerTable, embeddingDim, seed = 42L + t))
-    // pre-normalize once per vector → per-pair cosine is a bare dot
-    // product (3× less arithmetic on the quadratic-ish candidate set)
+    // Pre-compute ‖v‖ once per vector → per-pair cosine is one dot product
+    // and a divide. The raw float embedding rides the join (half the bytes
+    // of a normalized double array through shuffle/broadcast), and the
+    // whole banding projection — 16 plane dots + the norm — is codegen'd
+    // DotProduct kernels, not interpreted HOF lambdas: on a broadcast
+    // self-join this projection runs TWICE over the corpus, so it was the
+    // dominant q64 cost, not the join itself.
     val banded = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), Vectors.normalize(col("embedding")).as("unit"),
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm2(col("embedding")).as("norm"),
         array(tables.map(p => Vectors.hyperplaneBucket(col("embedding"), p)): _*)
           .as("buckets"))
-      .select(col("vec_id"), col("unit"), col("buckets"),
+      .select(col("vec_id"), col("embedding"), col("norm"), col("buckets"),
         posexplode(col("buckets")).as(Seq("t", "bucket")))
+      // Hash-distribute on the join keys: candidate generation (a dot per
+      // bucket-mate) is the real cost, and without this the probe side
+      // inherits the scan's partitioning — a footer-packed single file
+      // runs the whole join on one core. On a cluster this same
+      // partitioning is exactly what a shuffle join on (t, bucket) needs,
+      // so the exchange is never wasted, and both self-join sides reuse it.
+      .repartition(col("t"), col("bucket"))
     // each pair is emitted ONLY by its first colliding table (no earlier
     // bucket matches) — exactly-once by construction, so no
     // dropDuplicates shuffle hauling the embedding arrays around.
@@ -123,7 +136,13 @@ object Similarity {
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
       .filter(firstCollision)
-      .withColumn("cos", round(graft.expr.DotProduct(col("a.unit"), col("b.unit")), 6))
+      // d/(‖a‖·‖b‖) — the same arithmetic as Vectors.cosine, so the spec's
+      // brute-force ground truth agrees bit-for-bit. Zero-norm vectors
+      // yield NaN here and fall out of the ≥ threshold filter (the
+      // brute-force guard maps them to 0 — also below threshold).
+      .withColumn("cos",
+        round(graft.expr.DotProduct(col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm")), 6))
       .filter(col("cos") >= minCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")

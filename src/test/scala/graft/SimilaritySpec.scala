@@ -119,8 +119,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .toDF("a", "b")
       .select(
         graft.expr.DotProduct(col("a"), col("b")).as("native"),
-        Vectors.dot(col("a"), col("b")).as("hof"))
+        Vectors.dotHof(col("a"), col("b")).as("hof"))
     df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // float-element kernels (FF/FD/DF) promote exactly like the HOF's
+    // cast("double") — all four variants must agree bit-for-bit
+    val fdf = Seq((Seq(1.0f, 2.5f, -3.25f), Seq(4.0f, 0.5f, 2.0f)))
+      .toDF("a", "b")
+      .select(
+        graft.expr.DotProduct(col("a"), col("b")).as("ff"),
+        graft.expr.DotProduct(col("a"), col("b").cast("array<double>")).as("fd"),
+        graft.expr.DotProduct(col("a").cast("array<double>"), col("b")).as("df"),
+        Vectors.dotHof(col("a"), col("b")).as("hof"))
+    val fr = fdf.collect()(0)
+    Seq(0, 1, 2).foreach(i => assert(fr.getDouble(i) == fr.getDouble(3)))
   }
 
   test("label centroids: one row per (label, dim) with finite values") {
