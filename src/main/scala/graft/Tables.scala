@@ -159,4 +159,22 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Spread a CPU-heavy map stage whose source scans with less
+    * parallelism than the cluster offers (one footer-packed parquet
+    * file, a coalesced sink, a single Kafka partition): such a stage
+    * otherwise runs serially on one task however many cores exist. The
+    * check reads the planned scan's partition count — no job — and on a
+    * properly-split source (any real 100 TB table) it is a NO-OP: no
+    * shuffle is added. Only pay it right before an expensive per-row
+    * kernel (tokenize/shingle/codec), never on cheap projections.
+    *
+    * Call it ONLY on a bare scan (as here): `.rdd` on a plan that
+    * already contains exchanges would materialize those query stages
+    * just to read the partition count.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -27,7 +27,7 @@ object CooccurrenceGraph {
     * the reference's sorted(set(...)) (danmaku_analysis_cluster.py:142).
     */
   def entityRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .filter(col("text").isNotNull)
       .select(
         col("doc_id"),

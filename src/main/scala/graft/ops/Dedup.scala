@@ -30,9 +30,13 @@ object Dedup {
   val maxShingleDf = 50
   val minJaccard = 0.8
 
-  /** (doc_id, lang, shingle) distinct — the join relation. */
+  /** (doc_id, lang, shingle) distinct — the join relation. The
+    * tokenize+shingle kernel is the CPU cost of every consumer, so the
+    * source is spread first (no-op on a well-split source;
+    * Tables.spread).
+    */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(shingles(TextFunctions.tokens(col("text")), shingleSize)))
           .as("sh"))
@@ -80,7 +84,14 @@ object Dedup {
     // partitionBy(sh) materializes every row of the hottest shingle in
     // one task); the ~1 s local regression buys skew-immunity, so the
     // hash-agg form is kept deliberately.
-    val rows = shingleRows(spark, dir)
+    // One explicit exchange on the join key, shared by ALL four consumers
+    // below (hot-set agg, per-doc sizes, both self-join sides) via
+    // ReuseExchange: the corpus is scanned and shingled ONCE, and the
+    // hash partitioning already satisfies the (sh, lang) join's
+    // distribution, so the join adds no further exchange. Without this
+    // the shingle map stage re-runs per consumer — and on a
+    // footer-packed single parquet file it runs single-core each time.
+    val rows = shingleRows(spark, dir).repartition(col("sh"))
     val hot = rows.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
@@ -191,7 +202,7 @@ object Dedup {
     * expression (graft.expr.SimHash64) — one projection, no UDF.
     */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
         SimHash64(TextFunctions.filteredTokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
@@ -202,7 +213,7 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     // no persist — ReuseExchange dedupes the identical self-join sides
-    val sigs = Tables.documents(spark, dir)
+    val sigs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
         SimHash64(TextFunctions.filteredTokens(col("text"))).as("simhash"))
     val banded = sigs.select(col("doc_id"), col("simhash"),
