@@ -19,6 +19,7 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
       (Sampling.queries, Sampling.oracles),
+      (CorpusPrep.queries, CorpusPrep.oracles),
       (Similarity.queries, Similarity.oracles),
       (TagMining.queries, TagMining.oracles),
       (Multimodal.queries, Multimodal.oracles),

@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expr.TextFunctions
+
+/** Corpus-preparation operators a training-data pipeline runs between
+  * dedup and tokenization: sequence packing into fixed token budgets,
+  * PII scrubbing, and Gopher/C4-style quality-rule filtering.
+  *
+  * All three are single-pass, shuffle-light, and DuckDB-oracle-able:
+  * the packing window is integer arithmetic, the scrub is a regex chain
+  * restricted to syntax RE2 and the JVM agree on, and the rule flags are
+  * exact comparisons on integer-derived doubles.
+  */
+object CorpusPrep {
+
+  // ---- q66: sequence packing -------------------------------------------
+
+  val packBudget = 256
+  val packShards = 8
+
+  /** Greedy in-order packing of documents into fixed `packBudget` token
+    * bins — the batch-assembly step before training. A document's bin is
+    * `floor(preceding-token-cumsum / budget)` within its (lang, shard)
+    * stream: deterministic, and each window partition is corpus-size /
+    * (langs × shards), NOT the corpus — the shard key is what makes the
+    * required per-partition sort scale (pack a 100 TB corpus with one
+    * global per-lang window and the sort of the hottest language lands
+    * on one task; with shards it is embarrassingly parallel, at the cost
+    * of `shards` partially-filled tail bins per lang — the standard
+    * trade).
+    */
+  def contextPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(packShards.toLong)).as("shard"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bin",
+        floor(coalesce(sum("n_tok").over(w), lit(0L)) / packBudget))
+      .groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("lang", "shard", "bin")
+  }
+
+  // ---- q67: PII scrubbing ----------------------------------------------
+
+  /** RE2-and-Java-compatible patterns (no lookaround, no backrefs). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+  val phonePattern = "\\+?[0-9][0-9 ]{5,}[0-9]"
+
+  /** The driver's synthetic corpus contains no natural PII, so the query
+    * plants deterministic PII derived from doc_id (same honest-fake
+    * precedent as the multimodal payloads — Multimodal.scala) and then
+    * scrubs it: counts come from the pre-scrub text, the md5 of the
+    * scrubbed text proves the replacements byte-for-byte against the
+    * oracle's identical construction. Order matters: emails first (their
+    * digits must not feed the phone pattern), then URLs, then phones.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val aug = concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3L)) === 0,
+        concat(lit(" contact user"), id, lit("@mail.example.com"))).otherwise(""),
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(lit(" see https://docs.example.org/page/"), id)).otherwise(""),
+      when(pmod(col("doc_id"), lit(5L)) === 0,
+        concat(lit(" call +1 555 010 "), pmod(col("doc_id"), lit(100L)).cast("string")))
+        .otherwise(""))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("aug"), lit(emailPattern), lit("<EMAIL>")),
+          lit(urlPattern), lit("<URL>")),
+        lit(phonePattern), lit("<PHONE>"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("aug", aug)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(emailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(urlPattern), lit(0)))
+          .cast("long").as("n_urls"),
+        size(regexp_extract_all(col("aug"), lit(phonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        length(scrubbed).cast("long").as("scrubbed_len"),
+        md5(scrubbed.cast("binary")).as("scrubbed_fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---- q68: quality-rule filter ----------------------------------------
+
+  val minWords = 30
+  val maxWords = 80
+  val minMeanLen = 4.3
+  val maxMeanLen = 10.0
+  val minDistinctRatio = 0.4
+
+  /** Gopher-style hard rule flags, aggregated per language: word-count
+    * band, mean-word-length band, and a repetition cap (distinct-token
+    * ratio). Per-doc metrics are computed on the token array in place
+    * (no explode); the output is one row per language — at 100 TB the
+    * only exchange carries `langs × partitions` partial rows.
+    */
+  def qualityRuleStats(spark: SparkSession, dir: String): DataFrame = {
+    val n = TextFunctions.tokenCount(col("text")).cast("long")
+    val meanLen = TextFunctions.meanTokenLen(col("text"))
+    val dr = TextFunctions.distinctRatio(col("text"))
+    val asCnt = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), n.as("n"), meanLen.as("ml"), dr.as("dr"))
+      .filter(col("n") > 0)
+      .withColumn("r_words", col("n") >= minWords && col("n") <= maxWords)
+      .withColumn("r_meanlen", col("ml") >= minMeanLen && col("ml") <= maxMeanLen)
+      .withColumn("r_repeat", col("dr") >= minDistinctRatio)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        asCnt(col("r_words")).as("pass_words"),
+        asCnt(col("r_meanlen")).as("pass_meanlen"),
+        asCnt(col("r_repeat")).as("pass_repeat"),
+        asCnt(col("r_words") && col("r_meanlen") && col("r_repeat"))
+          .as("pass_all"))
+      .orderBy("lang")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q66_context_packing" -> (contextPacking(_, _)),
+    "q67_pii_scrub" -> (piiScrub(_, _)),
+    "q68_quality_rules" -> (qualityRuleStats(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q66_context_packing" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang, doc_id % $packShards AS shard,
+              len(list_filter(string_split(text,' '), w -> w <> '')) AS n_tok
+            FROM documents WHERE text IS NOT NULL),
+          b AS (
+            SELECT lang, shard, n_tok,
+              CAST(floor(coalesce(sum(n_tok) OVER (
+                PARTITION BY lang, shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / $packBudget) AS BIGINT) AS bin
+            FROM t WHERE n_tok > 0)
+          SELECT lang, shard, bin, count(*) AS n_docs, sum(n_tok) AS n_tokens
+          FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q67_pii_scrub" ->
+      s"""WITH a AS (
+            SELECT doc_id, text
+              || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com'
+                   ELSE '' END
+              || CASE WHEN doc_id % 4 = 0
+                   THEN ' see https://docs.example.org/page/' || doc_id::VARCHAR
+                   ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                   THEN ' call +1 555 010 ' || (doc_id % 100)::VARCHAR
+                   ELSE '' END AS aug
+            FROM documents WHERE text IS NOT NULL),
+          s AS (
+            SELECT doc_id, aug,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(aug, '$emailPattern', '<EMAIL>', 'g'),
+                  '$urlPattern', '<URL>', 'g'),
+                '$phonePattern', '<PHONE>', 'g') AS scrubbed
+            FROM a)
+          SELECT doc_id,
+            len(regexp_extract_all(aug, '$emailPattern'))::BIGINT AS n_emails,
+            len(regexp_extract_all(aug, '$urlPattern'))::BIGINT AS n_urls,
+            len(regexp_extract_all(aug, '$phonePattern'))::BIGINT AS n_phones,
+            length(scrubbed)::BIGINT AS scrubbed_len,
+            md5(scrubbed) AS scrubbed_fp
+          FROM s ORDER BY doc_id""",
+    "q68_quality_rules" ->
+      s"""WITH t AS (
+            SELECT lang,
+              list_filter(string_split(text,' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          m AS (
+            SELECT lang, len(ws) AS n,
+              list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS ml,
+              len(list_distinct(ws))::DOUBLE / len(ws) AS dr
+            FROM t WHERE len(ws) > 0)
+          SELECT lang, count(*) AS n_docs,
+            sum(CASE WHEN n BETWEEN $minWords AND $maxWords THEN 1 ELSE 0 END)::BIGINT
+              AS pass_words,
+            sum(CASE WHEN ml >= $minMeanLen::DOUBLE AND ml <= $maxMeanLen::DOUBLE
+                THEN 1 ELSE 0 END)::BIGINT AS pass_meanlen,
+            sum(CASE WHEN dr >= $minDistinctRatio::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+              AS pass_repeat,
+            sum(CASE WHEN n BETWEEN $minWords AND $maxWords
+                  AND ml >= $minMeanLen::DOUBLE AND ml <= $maxMeanLen::DOUBLE
+                  AND dr >= $minDistinctRatio::DOUBLE
+                THEN 1 ELSE 0 END)::BIGINT AS pass_all
+          FROM m GROUP BY 1 ORDER BY 1""")
+}
