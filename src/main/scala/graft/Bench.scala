@@ -23,7 +23,17 @@ object Bench {
     // numbers up to 20x vs warm reality (q63: 26.1 s cold-reported,
     // 1.4 s warm re-measured) — the 2x-of-baseline gate must compare
     // engine cost, not JVM compilation noise.
+    // Host-contention legibility: a shared-host spike can inflate a
+    // wall-clock entry 20x (rounds 4 and 5 both recorded examples); the
+    // 1-minute loadavg sampled as each query starts lets a reader tell
+    // engine cost from host noise without a re-run.
+    def loadavg1(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val load = loadavg1()
       val times =
         try {
           (1 to reps).map { _ =>
@@ -42,14 +52,23 @@ object Bench {
           spark.catalog.clearCache()
           Seq.empty[Double]
         }
-      name -> times
+      (name, times, load)
     }
     def jmap(f: Seq[Double] => Double) = results
-      .map { case (k, ts) => s"\"" + k + "\":" + (if (ts.isEmpty) -1.0 else f(ts)) }
+      .map { case (k, ts, _) => s"\"" + k + "\":" + (if (ts.isEmpty) -1.0 else f(ts)) }
       .mkString("{", ",", "}")
     val qs = jmap(_.min)
     val cold = jmap(_.head)
-    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    // every rep, verbatim — min/head alone can't show that rep 2 of a
+    // 20x-inflated entry was normal (i.e. the spike was environmental)
+    val repsDetail = results
+      .map { case (k, ts, _) =>
+        s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val loads = results
+      .map { case (k, _, ld) => s"\"" + k + "\":" + f"$ld%.2f" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
     // failures must not read as a speedup: excluded queries (-1 in the
     // per-query map) are surfaced as an explicit count in the headline
     val failed = results.count(_._2.isEmpty)
@@ -59,7 +78,7 @@ object Bench {
     // headline fields (warm queries, failed, total value) now print
     // last, and the full line is also written to BENCH.local.json so no
     // capture window can lose it.
-    val json = s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","cold":$cold,"queries":$qs,"failed":$failed,"value":$total}"""
+    val json = s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","load_1m":$loads,"rep_times":$repsDetail,"cold":$cold,"queries":$qs,"failed":$failed,"value":$total}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH.local.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -160,21 +160,41 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Minimum planned scan bytes PER CORE before `spread` will insert a
+    * repartition. The spread shuffle costs roughly a full write+read of
+    * the source; it only pays for itself when each core gets a
+    * meaningful slice of kernel work afterwards. Below this the source
+    * is so small that even a serial kernel pass beats the exchange
+    * (measured round 5: the unconditional spread regressed q55 0.06 →
+    * 0.16 s and q53 0.20 → 0.38 s on the 584 KB sf0.1 documents file).
+    */
+  val spreadMinBytesPerCore: Long = 4L << 20
+
   /** Spread a CPU-heavy map stage whose source scans with less
     * parallelism than the cluster offers (one footer-packed parquet
     * file, a coalesced sink, a single Kafka partition): such a stage
-    * otherwise runs serially on one task however many cores exist. The
-    * check reads the planned scan's partition count — no job — and on a
-    * properly-split source (any real 100 TB table) it is a NO-OP: no
-    * shuffle is added. Only pay it right before an expensive per-row
-    * kernel (tokenize/shingle/codec), never on cheap projections.
+    * otherwise runs serially on one task however many cores exist.
+    * Two driver-side checks, NO job:
+    *   1. work gate — the optimizer's size estimate for the scan
+    *      (file bytes) must be at least `minBytesPerCore` per core,
+    *      otherwise the kernel is cheaper than the exchange and the
+    *      call is a no-op;
+    *   2. parallelism gate — the planned scan's partition count must
+    *      be below the core count; on a properly-split source (any
+    *      real 100 TB table) this makes the call a no-op: no shuffle.
+    * Only pay it right before an expensive per-row kernel
+    * (tokenize/shingle/codec), never on cheap projections.
     *
     * Call it ONLY on a bare scan (as here): `.rdd` on a plan that
     * already contains exchanges would materialize those query stages
     * just to read the partition count.
     */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame,
+             minBytesPerCore: Long = spreadMinBytesPerCore): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val planned = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (planned < BigInt(target) * minBytesPerCore) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 }

@@ -154,7 +154,8 @@ object CorpusPrep {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 / $packBudget) AS BIGINT) AS bin
             FROM t WHERE n_tok > 0)
-          SELECT lang, shard, bin, count(*) AS n_docs, sum(n_tok) AS n_tokens
+          SELECT lang, shard, bin, count(*) AS n_docs,
+            sum(n_tok)::BIGINT AS n_tokens
           FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q67_pii_scrub" ->
       s"""WITH a AS (
