@@ -16,11 +16,11 @@ import graft.Tables
   * q84/q85 and multi-frame by q82 (animated-GIF round trip through
   * ImageIO's sequence writer/reader), which synthesize genuine payloads,
   * decode them with the JDK codecs, and hash-match a DuckDB oracle that
-  * predicts the features analytically. Only the generic `mediaFeatures`
-  * kernel (q81) keeps a DETERMINISTIC STUB decode, standing in for the
-  * one codec family the JVM does not ship (video): the schema, binary
-  * handling, partitioning, and batch iteration around it are the real
-  * engine surface and are tested.
+  * predicts the features analytically. Video (q81) — the one codec
+  * family the JVM does not ship a FRAME decoder for — runs the real
+  * container-metadata pass instead: a genuine ISO-BMFF (MP4) box parser
+  * (sources.IsoBmff), round-tripped and oracle-checked like its image
+  * and audio siblings.
   */
 object Multimodal {
 
@@ -36,40 +36,41 @@ object Multimodal {
         ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))
       .orderBy("doc_id")
 
-  /** Decoded-media feature row. */
-  case class MediaFeatures(
-      doc_id: Long, width: Int, height: Int, channels: Int,
-      brightness: Double, byte_len: Long)
+  /** Video-container metadata row (q81). */
+  case class Mp4Meta(
+      doc_id: Long, n_tracks: Int, timescale: Int, duration_ms: Long,
+      width: Int, height: Int, mdat_bytes: Long)
 
-  /** STUB DECODER — deterministic fake in lieu of a real codec (none in
-    * this container). A real deployment swaps `decodeOne` for an actual
-    * image/audio decode; the partition-batched harness around it is
-    * unchanged.
-    */
-  private def decodeOne(docId: Long, payload: Array[Byte]): MediaFeatures = {
-    var acc = 1125899906842597L // FNV-ish deterministic fold over bytes
-    var i = 0
-    while (i < payload.length) { acc = acc * 31 + (payload(i) & 0xff); i += 1 }
-    val w = 64 + (math.abs(acc % 7) * 32).toInt
-    val h = 64 + (math.abs((acc >> 8) % 5) * 32).toInt
-    MediaFeatures(docId, w, h, 3,
-      (math.abs(acc >> 16) % 1000) / 1000.0, payload.length.toLong)
-  }
-
-  /** Partition-batched decode: binary column in, feature struct out.
-    * One kernel instantiation per partition (where a real decoder would
-    * allocate its codec context), rows streamed through it.
+  /** q81: REAL video-container metadata over a binary column. The JVM
+    * has no video frame codec, so the genuine per-object pass a video
+    * pipeline runs everywhere — parse the ISO-BMFF container, extract
+    * duration/tracks/dims, filter/route on them — is the kernel here:
+    * synthesize a structurally valid MP4 per doc (movie parameters
+    * arithmetic on doc_id), parse it back with sources.IsoBmff, emit
+    * the measured metadata. The oracle predicts it analytically — hash
+    * equality proves the writer emits valid containers AND the box
+    * walker reads them correctly (same round-trip proof as q84/q85).
+    * Partition-batched like every media kernel; frame decode would be a
+    * downstream native/GPU stage on the filtered survivors.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val rows = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-    rows.mapPartitions { it =>
-      // per-partition decoder init would go here
-      it.map { case (id, payload) => decodeOne(id, payload) }
-    }(Encoders.product[MediaFeatures])
-      .toDF()
-      .orderBy("doc_id")
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val payloads = docIds(spark, dir).map { id =>
+      val ts = 600 + (id % 5).toInt * 100
+      val dur = 10000L + id % 1000
+      val (w, h) = (320 + (id % 8).toInt * 16, 240 + (id % 4).toInt * 16)
+      (id, graft.sources.IsoBmff.encode(
+        ts, dur, w, h, withAudio = id % 2 == 1,
+        mdat = new Array[Byte]((16 + id % 64).toInt)))
+    }
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val info = graft.sources.IsoBmff.parse(bytes)
+        Mp4Meta(id, info.nTracks, info.timescale.toInt,
+          info.duration * 1000L / info.timescale,
+          info.width, info.height, info.mdatBytes)
+      }
+    }(Encoders.product[Mp4Meta]).toDF().orderBy("doc_id")
   }
 
   /** Multi-frame GIF encoder via ImageIO's sequence writer (the JDK's
@@ -447,8 +448,17 @@ object Multimodal {
              + ((doc_id // 13 + 11 * f) % 256))::DOUBLE / 3::DOUBLE
              AS mean_brightness
          FROM documents, range(0, 4) t(f)
-         ORDER BY doc_id, frame_idx""")
-  // q81 depends on the stub decode kernel (the one codec the JVM does
-  // not ship: video) — rows-only; shape and determinism pinned in
-  // MultimodalSpec.
+         ORDER BY doc_id, frame_idx""",
+    // analytic prediction of the MP4 round trip: every field is integer
+    // arithmetic on doc_id; duration_ms is floor division on both sides
+    "q81_media_features" ->
+      """SELECT doc_id,
+           (1 + doc_id % 2)::INT AS n_tracks,
+           (600 + (doc_id % 5) * 100)::INT AS timescale,
+           ((10000 + doc_id % 1000) * 1000
+             // (600 + (doc_id % 5) * 100))::BIGINT AS duration_ms,
+           (320 + (doc_id % 8) * 16)::INT AS width,
+           (240 + (doc_id % 4) * 16)::INT AS height,
+           (16 + doc_id % 64)::BIGINT AS mdat_bytes
+         FROM documents ORDER BY doc_id""")
 }

@@ -56,6 +56,33 @@ class CsvIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(clean.filter(col("send_date").isNull).count() == 0)
   }
 
+  test("chaos: corrupt files mid-glob degrade to dropped rows, never a failed scan") {
+    // At 100 TB a crawl directory always contains a few torn objects
+    // (crawler died mid-write, partial upload). The documented semantic
+    // is PERMISSIVE drop-don't-fail: every row of every healthy file
+    // survives, a corrupt file contributes nothing, and the job ends
+    // green — one bad object must not kill a 150-file scan.
+    val dir = tmpDir()
+    writeEpisode(dir, "BV1ok", Seq(
+      """1001,1.5,first valid,2025-03-01 10:00:00,aa,api"""))
+    // binary junk mid-directory: not CSV at all
+    Files.write(dir.resolve("danmaku_BV2bad.csv"),
+      Array.tabulate[Byte](512)(i => ((i * 131) ^ (i >> 3)).toByte))
+    // torn quote at record start (died mid-write): the open quote
+    // swallows the rest of the file into a non-numeric dmid
+    Files.write(dir.resolve("danmaku_BV3torn.csv"),
+      (header + "\n\"3001,2.0,died mid-quote\n")
+        .getBytes(StandardCharsets.UTF_8))
+    writeEpisode(dir, "BV4ok", Seq(
+      """4001,4.0,last valid,2025-03-02 12:00:00,bb,api"""))
+
+    val clean = CsvIngest.cleanDanmaku(
+      CsvIngest.readDanmaku(spark, dir.toString + "/danmaku_*.csv"))
+    val rows = clean.select("dmid", "bvid").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1001L -> "BV1ok", 4001L -> "BV4ok"))
+  }
+
   test("idempotent append: re-ingesting an overlapping batch is a no-op") {
     val dir = tmpDir()
     writeEpisode(dir, "BV1xx", Seq(

@@ -4,10 +4,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Multimodal
 
-/** Multimodal plumbing: the partition-batched decode harness must be
-  * deterministic and shape-stable (the decode kernel itself is a
-  * documented stub — these tests pin the Spark-side contract that
-  * survives a real-codec swap).
+/** Multimodal plumbing: every decode kernel is real (JDK codecs for
+  * image/audio, the IsoBmff box walker for video containers) and the
+  * partition-batched harness must be deterministic and shape-stable.
   */
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
 
@@ -18,14 +17,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(a.length == Tables.documents(spark, sf).count())
   }
 
-  test("media features: plausible decoded shapes (stub grid), byte_len matches payload") {
+  test("media features: parsed MP4 metadata is internally consistent") {
     val bad = Multimodal.mediaFeatures(spark, sf)
-      .filter(col("width") < 64 || col("height") < 64 ||
-        col("channels") =!= 3 ||
-        col("brightness") < 0.0 || col("brightness") >= 1.0 ||
-        col("byte_len") <= 0)
+      .filter(col("n_tracks") < 1 || col("n_tracks") > 2 ||
+        col("timescale") < 600 || col("timescale") > 1000 ||
+        col("duration_ms") < 10000L ||
+        col("width") < 320 || col("height") < 240 ||
+        col("mdat_bytes") < 16 || col("mdat_bytes") >= 80)
       .count()
     assert(bad == 0)
+  }
+
+  test("REAL MP4 box walk: every written field reads back exactly") {
+    val bytes = graft.sources.IsoBmff.encode(
+      timescale = 900, duration = 12345L, width = 640, height = 360,
+      withAudio = true, mdat = Array.fill[Byte](33)(7))
+    val info = graft.sources.IsoBmff.parse(bytes)
+    assert(info.majorBrand == "isom")
+    assert(info.timescale == 900L && info.duration == 12345L)
+    assert(info.nTracks == 2 && info.hasAudio)
+    assert(info.width == 640 && info.height == 360)
+    assert(info.mdatBytes == 33L)
+    val solo = graft.sources.IsoBmff.parse(graft.sources.IsoBmff.encode(
+      600, 1L, 16, 16, withAudio = false, mdat = Array.emptyByteArray))
+    assert(solo.nTracks == 1 && !solo.hasAudio && solo.mdatBytes == 0L)
+  }
+
+  test("REAL MP4 box walk: corrupt containers fail loudly, not as zero rows") {
+    val good = graft.sources.IsoBmff.encode(
+      600, 100L, 32, 32, withAudio = false, mdat = Array.emptyByteArray)
+    // truncate mid-box: the header promises more bytes than exist
+    intercept[IllegalArgumentException] {
+      graft.sources.IsoBmff.parse(good.take(good.length - 4))
+    }
+    // no moov at all: a metadata pass must not fabricate a movie
+    intercept[IllegalArgumentException] {
+      graft.sources.IsoBmff.parse(good.take(28)) // the complete ftyp box only
+    }
   }
 
   test("frame samples: exactly nFrames rows per doc with 0-based contiguous indexes") {
