@@ -12,12 +12,15 @@ import sys
 line = sys.stdin.read().strip().splitlines()[-1]
 d = json.loads(line)
 warm, cold = d["queries"], d.get("cold", {})
+load = d.get("load_1m", {})
 print(f"Total (sum of per-query warm min): **{d['value']:.1f} s** "
       f"(reps={d.get('reps')}, failed={d.get('failed')}, sf={d.get('sf')})")
 print()
-print("| query | warm s | cold s |")
-print("|---|---|---|")
+print("| query | warm s | cold s | load |")
+print("|---|---|---|---|")
 for name in sorted(warm):
     c = cold.get(name)
-    print(f"| {name} | {warm[name]:.2f} | {c:.2f} |" if c is not None
-          else f"| {name} | {warm[name]:.2f} | — |")
+    cs = f"{c:.2f}" if c is not None else "—"
+    ld = load.get(name)
+    ls = f"{ld:.1f}" if ld is not None else "—"
+    print(f"| {name} | {warm[name]:.2f} | {cs} | {ls} |")
