@@ -9,6 +9,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) — see Tables.eventsSchema
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,12 +63,16 @@ object Bench {
     val cold = jmap(_.head)
     // every rep, verbatim — min/head alone can't show that rep 2 of a
     // 20x-inflated entry was normal (i.e. the spike was environmental)
+    // Locale.ROOT: the f-interpolator is default-locale-sensitive — a
+    // comma-decimal JVM locale would corrupt the emitted JSON
+    def num(v: Double, fmt: String): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     val repsDetail = results
       .map { case (k, ts, _) =>
-        s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]") }
+        s"\"" + k + "\":" + ts.map(num(_, "%.3f")).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val loads = results
-      .map { case (k, _, ld) => s"\"" + k + "\":" + f"$ld%.2f" }
+      .map { case (k, _, ld) => s"\"" + k + "\":" + num(ld, "%.2f") }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
     // failures must not read as a speedup: excluded queries (-1 in the

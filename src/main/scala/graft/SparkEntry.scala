@@ -27,7 +27,8 @@ object SparkEntry {
       (GraphOps.queries, GraphOps.oracles),
       (Sessionization.queries, Sessionization.oracles),
       (Fidelity.queries, Fidelity.oracles),
-      (graft.sources.BinaryIngest.queries, graft.sources.BinaryIngest.oracles))
+      (graft.sources.BinaryIngest.queries, graft.sources.BinaryIngest.oracles),
+      (graft.streaming.StreamingQueries.queries, graft.streaming.StreamingQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's signature pipeline: per-user energy ranking with

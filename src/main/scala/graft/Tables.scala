@@ -102,8 +102,16 @@ object Tables {
     "documents" -> documentsSchema, "embeddings" -> embeddingsSchema)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") // ns-precision ts column, see eventsSchema scaladoc
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ns-precision ts column, see eventsSchema scaladoc. The flag is a
+    // SESSION-BUILDER responsibility (Verify/Bench/tests all set it) —
+    // a table accessor silently mutating session conf is action at a
+    // distance; instead fail loudly with the fix when it's missing.
+    if (name == "events")
+      require(
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+        "events.parquet carries TIMESTAMP(NANOS): set " +
+          "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
+          "builder (see Tables.eventsSchema scaladoc)")
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
   }
 

@@ -15,13 +15,19 @@ import graft.expr.TextFunctions._
   */
 object TextAnalysis {
 
+  /** The tokenize+filter stage under q40: one surviving word per output
+    * row. Shared with the streaming twin (streaming.StreamingQueries
+    * q98) so the two surfaces can never drift.
+    */
+  def wordsFrom(docs: DataFrame): DataFrame =
+    docs.select(explode(filteredTokens(col("text"))).as("word"))
+
   /** Word frequency top-k with the reference's token filters (stopwords,
     * len>1, non-numeric — preprocess_high_energy.py:53-58; top-500 cut
     * at :78, here 100). explode → count → TakeOrderedAndProject.
     */
   def wordFreqTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(filteredTokens(col("text"))).as("word"))
+    wordsFrom(Tables.documents(spark, dir))
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("word"))

@@ -14,15 +14,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * or emitted as closed sessions; an event-time timeout (watermark past
   * last-event + gap) flushes a session that stopped receiving events.
   * State size is O(1) per active user — no unbounded buffering.
+  *
+  * All session math runs at MICROSECOND precision — Spark's
+  * TimestampType is µs, and the batch twin (and its DuckDB oracle)
+  * makes gap/ordering decisions on µs longs, so a ms-truncated
+  * streaming path could split sessions differently on sub-ms data.
+  * Session bounds are emitted as epoch-µs longs. The engine's
+  * GroupState timeout clock is ms; the due time is rounded UP to the
+  * next ms so a timeout can never fire early.
   */
 object Sessionize {
 
   val gapSeconds = 3600L
-  private val gapMs = gapSeconds * 1000L
+  private val gapUs = gapSeconds * 1000000L
 
   case class In(user_id: Long, ts: Timestamp, event_type: String)
   case class Open(start: Long, last: Long, n: Long)
+  /** session_start/session_end are epoch MICROSECONDS. */
   case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
+  /** Full epoch-µs of a Timestamp: getTime is ms (already including the
+    * ms part of nanos); the sub-ms remainder lives in getNanos.
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
   private def fold(
       userId: Long, events: Iterator[In], state: GroupState[Open]): Iterator[Session] = {
@@ -32,7 +47,7 @@ object Sessionize {
       state.remove()
       return Iterator(Session(userId, s.start, s.last, s.n))
     }
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    val sorted = events.map(e => micros(e.ts)).toSeq.sorted
     val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
     var open = state.getOption
     // cross-trigger stragglers: events older than the open session by
@@ -49,23 +64,22 @@ object Sessionize {
     // session's start belongs to it (the batch twin, ops.Sessionization,
     // would merge them): fold it in instead of emitting a split session.
     def mergeChain(s: Open): Open = straggler match {
-      case Some(h) if s.start - h.last <= gapMs =>
+      case Some(h) if s.start - h.last <= gapUs =>
         straggler = None
         Open(math.min(h.start, s.start), s.last, s.n + h.n)
       case _ => s
     }
-    sorted.foreach { e =>
-      val t = e.ts.getTime
+    sorted.foreach { t =>
       open match {
-        case Some(s0) if t - s0.last > gapMs =>
+        case Some(s0) if t - s0.last > gapUs =>
           val s = mergeChain(s0)
           closed += Session(userId, s.start, s.last, s.n)
           straggler.foreach(h => closed += Session(userId, h.start, h.last, h.n))
           straggler = None
           open = Some(Open(t, t, 1))
-        case Some(s) if s.start - t > gapMs =>
+        case Some(s) if s.start - t > gapUs =>
           straggler match {
-            case Some(h) if t - h.last <= gapMs =>
+            case Some(h) if t - h.last <= gapUs =>
               straggler = Some(Open(h.start, math.max(h.last, t), h.n + 1))
             case Some(h) =>
               closed += Session(userId, h.start, h.last, h.n)
@@ -83,16 +97,19 @@ object Sessionize {
     open = open.map(mergeChain)
     straggler.foreach(h => closed += Session(userId, h.start, h.last, h.n))
     open.foreach { s =>
-      val due = s.last + gapMs
+      // ceil-to-ms: the timeout clock is ms; firing at dueMs guarantees
+      // watermark µs > last + gap, so no future on-time event could
+      // have extended this session (it would gap-open a new one anyway)
+      val dueMs = (s.last + gapUs) / 1000L + 1L
       // flatMapGroupsWithState does NOT drop late data: the watermark
       // may already be past this session's close time, and
       // setTimeoutTimestamp(past) throws — close the session now instead
-      if (state.getCurrentWatermarkMs() >= due) {
+      if (state.getCurrentWatermarkMs() >= dueMs) {
         state.remove()
         closed += Session(userId, s.start, s.last, s.n)
       } else {
         state.update(s)
-        state.setTimeoutTimestamp(due)
+        state.setTimeoutTimestamp(dueMs)
       }
     }
     closed.iterator

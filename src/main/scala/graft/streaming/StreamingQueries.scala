@@ -1,0 +1,215 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{Sessionization, TextAnalysis}
+
+/** Driver-gated registrations of the §2.9 streaming surface: each query
+  * here executes through the REAL streaming engine (MicroBatchExecution,
+  * state store, event-time watermarks) with a `Trigger.AvailableNow`
+  * run over a multi-file staging of the driver's own tables, then
+  * returns the at-rest result for the driver's DuckDB oracle compare —
+  * the same hash gate every batch query passes. The oracles are the
+  * BATCH twins' oracles verbatim: streaming and batch must agree
+  * exactly on the same input, which is precisely the parity claim the
+  * spec suite pins (StreamingWordFreqSpec, SessionizeSpec).
+  *
+  * Staging splits the input into several files consumed one per
+  * micro-batch (`maxFilesPerTrigger=1`), so aggregation/session state
+  * genuinely persists and folds ACROSS triggers — a single-batch run
+  * would not exercise the incremental path. The word-freq split is
+  * arbitrary (counts are order-independent); the sessionization split
+  * is BY TIME, which is exactly how a replayed production stream
+  * arrives (cross-trigger order preserved per key, in-batch order
+  * free — the fold sorts within the trigger).
+  *
+  * Flush discipline for sessions: the gap rule only closes a session
+  * when a later event arrives, and the event-time timeout only fires
+  * when the watermark passes — a bounded replay would otherwise end
+  * with every user's final session stuck open in state. The staging
+  * appends one SENTINEL event per user, 2 gaps past the global max
+  * time, as the last micro-batch: it gap-closes every open real
+  * session in-fold (watermark-independent, deterministic), and the
+  * sentinel's own session is never emitted (nothing follows it; its
+  * timeout is beyond the final watermark). This is the streaming
+  * analog of an end-of-stream flush marker.
+  *
+  * Scale: staging I/O is verification plumbing — a production
+  * deployment points the same `readStream` at the live directory/bus
+  * and the same plan runs unbounded. State is O(vocabulary) for
+  * word-freq (complete-mode leaderboard, bounded by distinct surviving
+  * words) and O(1) per active user for sessions (watermark-purged).
+  */
+object StreamingQueries {
+
+  private val sinkSeq = new AtomicInteger(0)
+
+  /** Batch counts of the last run, for the specs to pin the
+    * multi-trigger claim (>= number of staged files).
+    */
+  @volatile private[graft] var lastWordFreqBatches: Long = -1
+  @volatile private[graft] var lastSessionBatches: Long = -1
+
+  /** Write `df` as ONE parquet file named `name` inside `inputDir`,
+    * with a controlled modification time — FileStreamSource admits
+    * files oldest-mod-time-first, so ascending `modMs` pins the
+    * micro-batch order. An empty df may legitimately produce no part
+    * file (nothing to stage → one fewer batch, same results).
+    */
+  private def stageOne(df: DataFrame, scratch: Path, inputDir: Path,
+                       name: String, modMs: Long): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator().asScala
+      .find { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }
+    part.foreach { p =>
+      val dest = inputDir.resolve(name)
+      Files.copy(p, dest)
+      dest.toFile.setLastModified(modMs)
+    }
+  }
+
+  /** q98: the streaming twin of q40 — documents stream → the SAME
+    * tokenize+filter stage ([[TextAnalysis.wordsFrom]]) → an
+    * incrementally-maintained count per word (complete-mode
+    * leaderboard), top-k cut at the sink. Oracle = q40's, verbatim.
+    */
+  def streamingWordFreq(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val base = Files.createTempDirectory("graft_q98_")
+    val input = base.resolve("in").toString
+    // 4 files → 4 micro-batches: counts must survive and accumulate
+    // across triggers, not within one
+    Tables.documents(spark, dir)
+      .repartitionByRange(4, col("doc_id"))
+      .write.parquet(input)
+    val stream = spark.readStream
+      .schema(Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input)
+    val counts = TextAnalysis.wordsFrom(stream)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val sink = s"graft_q98_sink_${sinkSeq.incrementAndGet()}"
+    val q = counts.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastWordFreqBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    q.stop()
+    // the memory sink holds the final complete snapshot = counts over
+    // the whole stream; ordering/limit are sink-side, exactly as the
+    // batch query's TakeOrderedAndProject
+    spark.table(sink).orderBy(desc("freq"), asc("word")).limit(k)
+  }
+
+  private val sessionInSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType)))
+
+  private val sessionOutSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("session_start", LongType),
+    StructField("session_end", LongType),
+    StructField("n_events", LongType)))
+
+  private def emptySessions(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("session_id", LongType),
+      StructField("session_start_us", LongType), StructField("session_end_us", LongType),
+      StructField("n_events", LongType), StructField("duration_sec", LongType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** q99: the streaming twin of q27 — events replayed time-ordered in
+    * two micro-batches + a sentinel flush batch, through the keyed-state
+    * sessionizer ([[Sessionize.sessions]]), landed in a parquet sink,
+    * then shaped to q27's exact output (session_id = per-user rank of
+    * session start, a window over the tiny SESSION table, not events).
+    * Oracle = q27's, verbatim. µs precision end-to-end (Sessionize
+    * folds on epoch-µs; `ts div 1000` here is the same ns→µs
+    * truncation the batch twin and the oracle apply).
+    */
+  def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = Sessionize.gapSeconds * 1000000L
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_type"))
+    val bounds = ev.agg(min("tsu"), max("tsu")).head()
+    if (bounds.isNullAt(0)) return emptySessions(spark)
+    val minT = bounds.getLong(0)
+    val maxT = bounds.getLong(1)
+    val mid = minT + (maxT - minT) / 2
+
+    val base = Files.createTempDirectory("graft_q99_")
+    val input = Files.createDirectory(base.resolve("in"))
+    def asIn(df: DataFrame): DataFrame =
+      df.select(col("user_id"), timestamp_micros(col("tsu")).as("ts"), col("event_type"))
+    // time-split replay: every event in batch N+1 is newer than every
+    // event in batch N, so per-key arrival order matches a live stream
+    val now = System.currentTimeMillis()
+    stageOne(asIn(ev.filter(col("tsu") < mid)),
+      base.resolve("s0"), input, "00_early.parquet", now - 240000L)
+    stageOne(asIn(ev.filter(col("tsu") >= mid)),
+      base.resolve("s1"), input, "01_late.parquet", now - 120000L)
+    stageOne(asIn(ev.select("user_id").distinct()
+        .withColumn("tsu", lit(maxT + 2 * gapUs))
+        .withColumn("event_type", lit("sentinel"))),
+      base.resolve("s2"), input, "02_sentinel.parquet", now)
+
+    val stream = spark.readStream
+      .schema(sessionInSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[Sessionize.In](org.apache.spark.sql.Encoders.product[Sessionize.In])
+    val outDir = base.resolve("out").toString
+    val q = Sessionize.sessions(stream).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastSessionBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    q.stop()
+
+    val w = Window.partitionBy("user_id").orderBy("session_start")
+    spark.read.schema(sessionOutSchema).parquet(outDir)
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(
+        col("user_id"), col("session_id"),
+        col("session_start").as("session_start_us"),
+        col("session_end").as("session_end_us"),
+        col("n_events"),
+        expr("(session_end - session_start) div 1000000").as("duration_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q98_streaming_word_freq" -> (streamingWordFreq(_, _)),
+    "q99_streaming_sessions" -> (streamingSessions(_, _)))
+
+  /** The batch twins' oracles, verbatim: the driver hash-gates
+    * streaming == batch-oracle, i.e. streaming == batch.
+    */
+  val oracles: Map[String, String] = Map(
+    "q98_streaming_word_freq" -> TextAnalysis.oracles("q40_word_freq_topk"),
+    "q99_streaming_sessions" -> Sessionization.oracles("q27_sessionization"))
+}

@@ -57,10 +57,11 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
         Sessionize.In(1L, new Timestamp(t0 + 600 * 1000), "view"))
       q.processAllAvailable()
       val out = s.table("straggler_out").collect()
-      assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == t0
-        && r.getLong(2) == t0 + 600 * 1000 && r.getLong(3) == 2L),
+      // session bounds are epoch-µs (Sessionize runs at µs precision)
+      assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == t0 * 1000
+        && r.getLong(2) == (t0 + 600 * 1000) * 1000 && r.getLong(3) == 2L),
         s"expected one chained 2-event historical session, got ${out.toSeq}")
-      assert(!out.exists(r => r.getLong(3) == 1L && r.getLong(1) == t0),
+      assert(!out.exists(r => r.getLong(3) == 1L && r.getLong(1) == t0 * 1000),
         s"straggler singletons leaked: ${out.toSeq}")
     } finally q.stop()
   }
@@ -100,8 +101,8 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
       q.processAllAvailable()
       val out = s.table("straggler_merge_out")
         .filter(col("user_id") === 2L).collect()
-      assert(out.exists(r => r.getLong(1) == t0 + 95 * min
-        && r.getLong(2) == t0 + 3 * hour && r.getLong(3) == 3L),
+      assert(out.exists(r => r.getLong(1) == (t0 + 95 * min) * 1000
+        && r.getLong(2) == (t0 + 3 * hour) * 1000 && r.getLong(3) == 3L),
         s"expected one merged session spanning the chain + open, got ${out.toSeq}")
     } finally q.stop()
   }

@@ -65,9 +65,10 @@ class StreamingE2eSpec extends AnyFunSuite with SparkTestBase {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .sortBy(_._1)
+      // session bounds are epoch-µs (Sessionize runs at µs precision)
       assert(landed.toSeq == Seq(
-        (t0, t0 + 600000L, 2L),          // duplicates dropped: 2 events, not 4
-        (t0 + 7200000L, t0 + 7200000L, 1L)), // flushed by watermark timeout
+        (t0 * 1000, (t0 + 600000L) * 1000, 2L), // duplicates dropped: 2 events, not 4
+        ((t0 + 7200000L) * 1000, (t0 + 7200000L) * 1000, 1L)), // flushed by watermark timeout
         s"landed sessions: ${landed.toSeq}")
     } finally q.stop()
   }
