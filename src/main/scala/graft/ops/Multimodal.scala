@@ -36,10 +36,52 @@ object Multimodal {
         ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))
       .orderBy("doc_id")
 
-  /** Video-container metadata row (q81). */
+  /** Video-container metadata row (q81). Feature fields are null (and
+    * `err` set) for a payload the box walker rejects — see the
+    * quarantine note below.
+    */
   case class Mp4Meta(
-      doc_id: Long, n_tracks: Int, timescale: Int, duration_ms: Long,
-      width: Int, height: Int, mdat_bytes: Long)
+      doc_id: Long, n_tracks: Option[Int], timescale: Option[Int],
+      duration_ms: Option[Long], width: Option[Int], height: Option[Int],
+      mdat_bytes: Option[Long], parse_ok: Boolean, err: Option[String])
+
+  // ---- Quarantine discipline (every decode kernel below) --------------
+  //
+  // The codecs themselves (IsoBmff.parse, the JDK decoders) fail loudly
+  // on a malformed payload — correct for a codec. But a kernel running
+  // them inside mapPartitions over 100 TB of real media must not let
+  // ONE torn object abort a multi-hour stage: each kernel catches
+  // per-row, emits the row with null features plus `parse_ok=false` and
+  // the error in `err`, and the pipeline decides downstream (filter the
+  // quarantined rows out, or route them to a dead-letter sink). Same
+  // drop-don't-fail discipline as CsvIngest/BinaryIngest ingest, chaos-
+  // spec'd in MultimodalSpec. The registered round-trip queries
+  // synthesize their own payloads, so they filter(parse_ok) and drop
+  // the quarantine columns — their driver-checked output is unchanged,
+  // and a synthesis regression would surface as a row-count mismatch.
+
+  private def errStr(e: Throwable): Option[String] =
+    Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+
+  /** REAL video-container metadata kernel over a binary column: parse
+    * the ISO-BMFF container (sources.IsoBmff), emit
+    * duration/tracks/dims per object; corrupt containers quarantine.
+    */
+  def mp4Features(rows: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame =
+    rows.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        try {
+          val info = graft.sources.IsoBmff.parse(bytes)
+          Mp4Meta(id, Some(info.nTracks), Some(info.timescale.toInt),
+            Some(info.duration * 1000L / info.timescale),
+            Some(info.width), Some(info.height), Some(info.mdatBytes),
+            parse_ok = true, None)
+        } catch { case scala.util.control.NonFatal(e) =>
+          Mp4Meta(id, None, None, None, None, None, None,
+            parse_ok = false, errStr(e))
+        }
+      }
+    }(Encoders.product[Mp4Meta]).toDF()
 
   /** q81: REAL video-container metadata over a binary column. The JVM
     * has no video frame codec, so the genuine per-object pass a video
@@ -63,14 +105,9 @@ object Multimodal {
         ts, dur, w, h, withAudio = id % 2 == 1,
         mdat = new Array[Byte]((16 + id % 64).toInt)))
     }
-    payloads.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        val info = graft.sources.IsoBmff.parse(bytes)
-        Mp4Meta(id, info.nTracks, info.timescale.toInt,
-          info.duration * 1000L / info.timescale,
-          info.width, info.height, info.mdatBytes)
-      }
-    }(Encoders.product[Mp4Meta]).toDF().orderBy("doc_id")
+    mp4Features(payloads)
+      .filter(col("parse_ok")).drop("parse_ok", "err")
+      .orderBy("doc_id")
   }
 
   /** Multi-frame GIF encoder via ImageIO's sequence writer (the JDK's
@@ -101,8 +138,8 @@ object Multimodal {
   }
 
   case class FrameFeatures(
-      doc_id: Long, frame_idx: Int, width: Int, height: Int,
-      mean_brightness: Double)
+      doc_id: Long, frame_idx: Int, width: Option[Int], height: Option[Int],
+      mean_brightness: Option[Double], parse_ok: Boolean, err: Option[String])
 
   /** Mean RGB brightness via bulk row reads (one getRGB per ROW — the
     * per-pixel accessor pays ColorModel conversion per call, 10-50x
@@ -131,25 +168,32 @@ object Multimodal {
     * (`getNumImages(true)` → `read(i)` — the JDK GIF reader decodes each
     * LZW frame) and emits one feature row per frame — the explode-shaped
     * half of a video pipeline, with a real decoder in the loop. One
-    * reader per payload, streamed per partition; a corrupt payload fails
-    * loudly rather than producing silent zeros.
+    * reader per payload, streamed per partition; a corrupt payload
+    * quarantines as one `frame_idx = -1, parse_ok = false` row (a
+    * generator kernel must still surface the bad object, not vanish it
+    * — and must not abort the stage).
     */
   def frameFeatures(rows: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame =
     rows.mapPartitions { it =>
       it.flatMap { case (id, payload) =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        require(readers.hasNext, s"no decoder for payload of doc $id")
-        val reader = readers.next()
         try {
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          (0 until n).map { i =>
-            val img = reader.read(i)
-            FrameFeatures(id, i, img.getWidth, img.getHeight, meanBrightness(img))
-          }
-        } finally { reader.dispose(); iis.close() }
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"no decoder for payload of doc $id")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n).map { i =>
+              val img = reader.read(i)
+              FrameFeatures(id, i, Some(img.getWidth), Some(img.getHeight),
+                Some(meanBrightness(img)), parse_ok = true, None)
+            }
+          } finally { reader.dispose(); iis.close() }
+        } catch { case scala.util.control.NonFatal(e) =>
+          Seq(FrameFeatures(id, -1, None, None, None, parse_ok = false, errStr(e)))
+        }
       }
     }(Encoders.product[FrameFeatures]).toDF()
 
@@ -172,7 +216,9 @@ object Multimodal {
         ((id / 13 + 11L * f) % 256).toInt))
       (id, encodeGif(w, h, colors))
     }
-    frameFeatures(payloads).orderBy("doc_id", "frame_idx")
+    frameFeatures(payloads)
+      .filter(col("parse_ok")).drop("parse_ok", "err")
+      .orderBy("doc_id", "frame_idx")
   }
 
   // ---- REAL decode kernels (JDK codecs — no external deps) -----------
@@ -228,79 +274,93 @@ object Multimodal {
   }
 
   case class ImageFeatures(
-      doc_id: Long, width: Int, height: Int, mean_brightness: Double,
-      byte_len: Long)
+      doc_id: Long, width: Option[Int], height: Option[Int],
+      mean_brightness: Option[Double], byte_len: Long,
+      parse_ok: Boolean, err: Option[String])
 
   /** REAL image decode over a binary column: javax.imageio (JDK codec —
     * BMP/PNG/JPEG/GIF), partition-batched like every media kernel here.
     * Brightness = mean over all pixels and RGB channels; the integer sum
     * stays < 2^53 for any realistic image, so the final division is one
-    * correctly-rounded IEEE op (oracle-reproducible).
+    * correctly-rounded IEEE op (oracle-reproducible). Undecodable
+    * payloads quarantine (null features, parse_ok=false, err set).
     */
   def imageFeatures(rows: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame =
     rows.mapPartitions { it =>
       it.map { case (id, payload) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        require(img != null, s"undecodable image payload for doc $id")
-        val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0L
-        // bulk row reads: one getRGB per ROW, not per pixel — the
-        // per-pixel accessor pays ColorModel conversion on every call
-        // (10-50x slower), which would dominate a corpus-scale decode
-        val row = new Array[Int](w)
-        var y = 0
-        while (y < h) {
-          img.getRGB(0, y, w, 1, row, 0, w)
-          var x = 0
-          while (x < w) {
-            val rgb = row(x)
-            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"undecodable image payload for doc $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          // bulk row reads: one getRGB per ROW, not per pixel — the
+          // per-pixel accessor pays ColorModel conversion on every call
+          // (10-50x slower), which would dominate a corpus-scale decode
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          ImageFeatures(id, Some(w), Some(h),
+            Some(sum.toDouble / (3L * w * h).toDouble),
+            payload.length.toLong, parse_ok = true, None)
+        } catch { case scala.util.control.NonFatal(e) =>
+          ImageFeatures(id, None, None, None, payload.length.toLong,
+            parse_ok = false, errStr(e))
         }
-        ImageFeatures(id, w, h, sum.toDouble / (3L * w * h).toDouble,
-          payload.length.toLong)
       }
     }(Encoders.product[ImageFeatures]).toDF()
 
   case class AudioFeatures(
-      doc_id: Long, sample_rate: Int, n_samples: Long, duration_us: Long,
-      rms: Double)
+      doc_id: Long, sample_rate: Option[Int], n_samples: Option[Long],
+      duration_us: Option[Long], rms: Option[Double],
+      parse_ok: Boolean, err: Option[String])
 
   /** REAL audio decode over a binary column: javax.sound.sampled (JDK
     * WAV/AIFF/AU parser) for the format header, then 16-bit PCM samples
     * decoded per the format's OWN channel count and byte order (a
     * stereo WAV RMSes over both channels' samples; a big-endian AIFF
-    * byte-swaps correctly). Non-16-bit payloads are rejected loudly
-    * rather than mismeasured. duration_us stays integral (Long
-    * arithmetic) so the oracle hash-matches exactly.
+    * byte-swaps correctly). Non-16-bit payloads and undecodable
+    * containers quarantine rather than mismeasure. duration_us stays
+    * integral (Long arithmetic) so the oracle hash-matches exactly.
     */
   def audioFeatures(rows: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame =
     rows.mapPartitions { it =>
       it.map { case (id, payload) =>
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
         try {
-          val fmt = in.getFormat
-          require(fmt.getSampleSizeInBits == 16,
-            s"doc $id: only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
-          val rate = fmt.getSampleRate.toInt
-          val frames = in.getFrameLength
-          val bytes = in.readAllBytes()
-          val nSamples = bytes.length / 2 // frames * channels
-          var sumSq = 0.0
-          var i = 0
-          while (i + 1 < bytes.length) {
-            val s =
-              if (fmt.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
-              else ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
-            sumSq += s.toDouble * s.toDouble
-            i += 2
-          }
-          AudioFeatures(id, rate, frames, frames * 1000000L / rate,
-            math.sqrt(sumSq / nSamples))
-        } finally in.close()
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = in.getFormat
+            require(fmt.getSampleSizeInBits == 16,
+              s"doc $id: only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
+            val rate = fmt.getSampleRate.toInt
+            val frames = in.getFrameLength
+            val bytes = in.readAllBytes()
+            val nSamples = bytes.length / 2 // frames * channels
+            var sumSq = 0.0
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val s =
+                if (fmt.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+                else ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+              sumSq += s.toDouble * s.toDouble
+              i += 2
+            }
+            AudioFeatures(id, Some(rate), Some(frames),
+              Some(frames * 1000000L / rate), Some(math.sqrt(sumSq / nSamples)),
+              parse_ok = true, None)
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(e) =>
+          AudioFeatures(id, None, None, None, None, parse_ok = false, errStr(e))
+        }
       }
     }(Encoders.product[AudioFeatures]).toDF()
 
@@ -332,7 +392,9 @@ object Multimodal {
       val (r, g, b) = ((id % 256).toInt, ((id / 7) % 256).toInt, ((id / 13) % 256).toInt)
       (id, encodeBmp(w, h, r, g, b))
     }
-    imageFeatures(payloads).orderBy("doc_id")
+    imageFeatures(payloads)
+      .filter(col("parse_ok")).drop("parse_ok", "err")
+      .orderBy("doc_id")
   }
 
   /** REAL image resize over a binary column (the multimodal pipeline's
@@ -374,7 +436,7 @@ object Multimodal {
       (id, resizeImage(encodeBmp(w, h, r, g, b), 8, 8))
     }
     imageFeatures(resized)
-      .drop("byte_len")
+      .filter(col("parse_ok")).drop("parse_ok", "err", "byte_len")
       .orderBy("doc_id")
   }
 
@@ -387,7 +449,9 @@ object Multimodal {
       val amp = (100 + (id % 900)).toShort
       (id, encodeWav(rate, n, amp))
     }
-    audioFeatures(payloads).orderBy("doc_id")
+    audioFeatures(payloads)
+      .filter(col("parse_ok")).drop("parse_ok", "err")
+      .orderBy("doc_id")
   }
 
   type Q = (SparkSession, String) => DataFrame

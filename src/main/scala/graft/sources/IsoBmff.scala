@@ -105,6 +105,10 @@ object IsoBmff {
     */
   def encode(timescale: Int, duration: Long, width: Int, height: Int,
              withAudio: Boolean, mdat: Array[Byte]): Array[Byte] = {
+    // version-0 boxes carry u32 durations; silently writing
+    // duration.toInt would wrap a >u32 value into a corrupt container
+    require(duration >= 0 && duration <= 0xffffffffL,
+      s"duration $duration exceeds the version-0 u32 box range")
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
       "isom".getBytes("US-ASCII"), "iso2".getBytes("US-ASCII"),
       "mp41".getBytes("US-ASCII"))
@@ -144,7 +148,12 @@ object IsoBmff {
     def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
     def str4(off: Int): String = new String(bytes, off, 4, "US-ASCII")
 
-    def walk(start: Int, end: Int): Unit = {
+    // a crafted deeply-nested box chain must fail loudly, not blow the
+    // stack: real containers nest moov/trak/mdia a handful of levels
+    val maxDepth = 32
+
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      require(depth <= maxDepth, s"box nesting deeper than $maxDepth")
       var off = start
       while (off < end) {
         require(off + 8 <= end, s"truncated box header at offset $off")
@@ -159,22 +168,29 @@ object IsoBmff {
           s"box $tpe at $off overruns its container (size=$size)")
         val body = off + hdr
         val bodyEnd = off + size.toInt
+        // leaf boxes read fixed offsets: a malformed-but-in-container
+        // small box must fail HERE, not misparse adjacent boxes' bytes
+        def leaf(min: Int): Unit = require(bodyEnd - body >= min,
+          s"$tpe box too small (${bodyEnd - body} < $min payload bytes)")
         tpe match {
           case "ftyp" =>
-            require(body + 4 <= bodyEnd, "ftyp too small for a brand")
+            leaf(4)
             major = str4(body)
-          case "moov" | "mdia" => walk(body, bodyEnd)
-          case "trak" => nTracks += 1; walk(body, bodyEnd)
+          case "moov" | "mdia" => walk(body, bodyEnd, depth + 1)
+          case "trak" => nTracks += 1; walk(body, bodyEnd, depth + 1)
           case "mvhd" =>
             val v = bytes(body) & 0xff
-            if (v == 1) { timescale = u32(body + 20); duration = u64(body + 24) }
-            else { timescale = u32(body + 12); duration = u32(body + 16) }
+            if (v == 1) { leaf(32); timescale = u32(body + 20); duration = u64(body + 24) }
+            else { leaf(20); timescale = u32(body + 12); duration = u32(body + 16) }
           case "tkhd" =>
+            // spec-minimum payload: fullbox(4) + 80 (v0) / + 92 (v1)
+            leaf(if ((bytes(body) & 0xff) == 1) 96 else 84)
             // width/height are the final 8 payload bytes in v0 and v1
             val w = (u32(bodyEnd - 8) >> 16).toInt
             val h = (u32(bodyEnd - 4) >> 16).toInt
             if (w > 0 && h > 0) { width = w; height = h }
           case "hdlr" =>
+            leaf(12)
             if (str4(body + 8) == "soun") hasAudio = true
           case "mdat" => mdatBytes += size - hdr
           case _ => () // skip boxes this metadata pass doesn't read
@@ -182,7 +198,7 @@ object IsoBmff {
         off += size.toInt
       }
     }
-    walk(0, bytes.length)
+    walk(0, bytes.length, 0)
     require(timescale > 0, "no movie header (mvhd) found")
     Mp4Info(major, timescale, duration, nTracks, width, height, hasAudio,
       mdatBytes)

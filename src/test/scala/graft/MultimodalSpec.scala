@@ -124,6 +124,104 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert((same.getRGB(x, y) & 0xffffff) == (src.getRGB(x, y) & 0xffffff))
   }
 
+  // ---- quarantine discipline: one torn object must not abort a stage --
+
+  private def binEnc = org.apache.spark.sql.Encoders.tuple(
+    org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY)
+
+  test("chaos: corrupt image mid-partition quarantines; the stage survives") {
+    val s = spark
+    implicit val enc = binEnc
+    val good = Multimodal.encodeBmp(4, 4, 10, 20, 30)
+    val rows = s.createDataset(Seq(
+      1L -> good, 2L -> Array[Byte](1, 2, 3, 4), 3L -> good)).repartition(1)
+    val out = Multimodal.imageFeatures(rows).orderBy("doc_id").collect()
+    assert(out.length == 3, "all rows surface, including the corrupt one")
+    assert(out(0).getBoolean(5) && out(2).getBoolean(5))
+    assert(out(0).getDouble(3) == 20.0 && out(2).getDouble(3) == 20.0)
+    assert(!out(1).getBoolean(5) && !out(1).isNullAt(6), "quarantined with err")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(3), "no fabricated features")
+    assert(out(1).getLong(4) == 4L, "byte_len still measured")
+  }
+
+  test("chaos: corrupt audio payload quarantines; valid neighbors decode") {
+    val s = spark
+    implicit val enc = binEnc
+    val good = Multimodal.encodeWav(8000, 100, 500)
+    val rows = s.createDataset(Seq(
+      1L -> good, 2L -> "not a wav at all".getBytes, 3L -> good)).repartition(1)
+    val out = Multimodal.audioFeatures(rows).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getBoolean(5) && out(0).getDouble(4) == 500.0)
+    assert(!out(1).getBoolean(5) && !out(1).isNullAt(6))
+    assert(out(2).getBoolean(5) && out(2).getDouble(4) == 500.0)
+  }
+
+  test("chaos: corrupt animated payload quarantines as one frame_idx=-1 row") {
+    val s = spark
+    implicit val enc = binEnc
+    val gif = Multimodal.encodeGif(3, 3, Seq((9, 9, 9), (18, 18, 18)))
+    val rows = s.createDataset(Seq(
+      1L -> gif, 2L -> Array[Byte](71, 73, 70, 0, 0), 3L -> gif)).repartition(1)
+    val out = Multimodal.frameFeatures(rows)
+    assert(out.filter(col("parse_ok")).count() == 4, "2 frames x 2 valid docs")
+    val bad = out.filter(!col("parse_ok")).collect()
+    assert(bad.length == 1 && bad(0).getLong(0) == 2L && bad(0).getInt(1) == -1)
+  }
+
+  test("chaos: corrupt MP4 container quarantines in the metadata kernel") {
+    val s = spark
+    implicit val enc = binEnc
+    val good = graft.sources.IsoBmff.encode(
+      600, 100L, 32, 32, withAudio = false, mdat = Array.emptyByteArray)
+    val rows = s.createDataset(Seq(
+      1L -> good, 2L -> good.take(good.length - 4), 3L -> good)).repartition(1)
+    val out = Multimodal.mp4Features(rows).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getBoolean(7) && out(2).getBoolean(7))
+    assert(out(0).getInt(1) == 1 && out(0).getInt(4) == 32)
+    assert(!out(1).getBoolean(7) && !out(1).isNullAt(8))
+    assert(out(1).isNullAt(3), "no fabricated duration for the torn object")
+  }
+
+  // ---- parser hardening: crafted hostile containers -------------------
+
+  test("box walk: crafted deep nesting fails loudly, not with a stack overflow") {
+    // 40 nested moov boxes around an 8-byte free box: each wrapper adds
+    // an 8-byte header
+    val depth = 40
+    var inner = java.nio.ByteBuffer.allocate(8)
+      .putInt(8).put("free".getBytes("US-ASCII")).array()
+    (1 to depth).foreach { _ =>
+      inner = java.nio.ByteBuffer.allocate(8 + inner.length)
+        .putInt(8 + inner.length).put("moov".getBytes("US-ASCII"))
+        .put(inner).array()
+    }
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.IsoBmff.parse(inner)
+    }
+    assert(e.getMessage.contains("nesting"))
+  }
+
+  test("box walk: undersized leaf boxes fail loudly, not by reading neighbors") {
+    def tiny(tpe: String): Array[Byte] = java.nio.ByteBuffer.allocate(10)
+      .putInt(10).put(tpe.getBytes("US-ASCII")).putShort(0).array()
+    for (t <- Seq("mvhd", "tkhd", "hdlr", "ftyp")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.IsoBmff.parse(tiny(t))
+      }
+      assert(e.getMessage.contains("too small") || e.getMessage.contains("mvhd"),
+        s"$t: ${e.getMessage}")
+    }
+  }
+
+  test("encoder: a duration beyond the version-0 u32 range is rejected, not wrapped") {
+    intercept[IllegalArgumentException] {
+      graft.sources.IsoBmff.encode(600, 0x100000000L, 32, 32,
+        withAudio = false, mdat = Array.emptyByteArray)
+    }
+  }
+
   test("REAL audio decode measures sample content: mixed-amplitude RMS") {
     val s = spark
     implicit val enc = org.apache.spark.sql.Encoders.tuple(
