@@ -82,7 +82,7 @@ object Fidelity {
     rows.select(explode(col("es")).as("Id"))
       .groupBy("Id").agg(count(lit(1)).as("Size"))
 
-  private def edgesAgg(rows: DataFrame): DataFrame =
+  private[graft] def edgesAgg(rows: DataFrame): DataFrame =
     rows.filter(size(col("es")) >= 2)
       .select(col("es"), posexplode(col("es")).as(Seq("i", "Source")))
       .select(col("i"), col("Source"), posexplode(col("es")).as(Seq("j", "Target")))

@@ -116,10 +116,79 @@ object GraphOps {
     materializeAndRelease(out, e, g, cc)
   }
 
+  val lpaIters = 10
+
+  /** Deterministic WEIGHTED label propagation — community detection,
+    * the second of the reference readme's graph aspirations
+    * (relation_graph/readme.md:18-19; the reference implements neither).
+    * Labels ARE entity names (not GraphX vertex ids), so the tie-break
+    * is a total order a human can replay: each round, every vertex
+    * adopts the label with the greatest incident edge-weight sum among
+    * its neighbors' labels, ties to the LEXICOGRAPHICALLY SMALLEST
+    * label. Synchronous rounds + ordered tie-break + fixed iteration
+    * count = bit-deterministic output (plain LPA is notoriously
+    * run-order-dependent; GraphOpsSpec pins a hand-computed fixture).
+    *
+    * `edges` = 3 columns (src, dst, weight), any names, one row per
+    * undirected pair — the q95/q31 edge-table shape. Symmetrized here.
+    * Scale: like q33/q34 the ITERATION runs on the lexicon-bounded
+    * aggregated graph (|V| ≤ lexicon); only the upstream edge-weight
+    * aggregation scales with corpus volume. Per-round caches are
+    * dropped after materialization, result is lineage-cut.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = lpaIters): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.toDF("src", "dst", "weight")
+      .withColumn("src_id", xxhash64(col("src")))
+      .withColumn("dst_id", xxhash64(col("dst")))
+      .cache()
+    val verts = names(e).rdd.map(r => (r.getLong(1), r.getString(0)))
+    val sym = e.select("src_id", "dst_id", "weight").rdd.flatMap { r =>
+      val (s, d, w) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      Seq(Edge(s, d, w), Edge(d, s, w))
+    }.coalesce(2)
+    var g: Graph[String, Long] = Graph(verts, sym).cache()
+    val toDrop = scala.collection.mutable.ArrayBuffer[Graph[_, _]](g)
+    for (_ <- 1 to iters) {
+      val msgs = g.aggregateMessages[Map[String, Long]](
+        t => t.sendToDst(Map(t.srcAttr -> t.attr)),
+        (a, b) => (a.keySet ++ b.keySet).iterator
+          .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+      val prev = g
+      g = g.outerJoinVertices(msgs)((_, old, m) =>
+        m.filter(_.nonEmpty)
+          .map(_.minBy { case (lbl, w) => (-w, lbl) }._1)
+          .getOrElse(old)).cache()
+      g.vertices.count() // materialize before dropping the parent
+      prev.unpersist(blocking = false)
+      toDrop += g
+    }
+    val s2 = spark
+    import s2.implicits._
+    val labelDf = g.vertices.toDF("vid", "label")
+    val out = names(e).join(labelDf, "vid")
+      .groupBy("label")
+      .agg(sort_array(collect_list("entity_id")).as("members"),
+        count(lit(1)).as("n_members"))
+      // label-free output, like q34: rep = smallest member name
+      .select(col("members")(0).as("community_rep"), col("members"),
+        col("n_members"))
+      .orderBy(desc("n_members"), asc("community_rep"))
+    materializeAndRelease(out, e, toDrop.toSeq: _*)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q33_pagerank" -> (pagerank(_, _)),
+    // communities over the reference's real relation graph (the q95
+    // fanren edge table); members serialized for the driver like q34.
+    // Rows-only: an iterative fixpoint has no SQL oracle — the label
+    // dynamics are spec-pinned on a hand-computable fixture instead.
+    "q35_label_propagation" -> ((s, _) =>
+      labelPropagation(Fidelity.edgesAgg(
+        Fidelity.entityRows(s, Fidelity.fanRenGlob, graft.expr.RefLexicons.fanRen)))
+        .withColumn("members", array_join(col("members"), ","))),
     // members serialized for the driver (pandas can't hash numpy arrays,
     // CORRECTNESS_r02); library API keeps the native array<string>.
     "q34_connected_components" -> ((s, d) =>

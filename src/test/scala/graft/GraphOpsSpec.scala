@@ -31,6 +31,37 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(members.length == CooccurrenceGraph.nodes(spark, sf).count())
   }
 
+  test("label propagation: hand-computed fixture — two triangles, weak bridge") {
+    val s = spark
+    import s.implicits._
+    // triangles {a,b,c} and {d,e,f}, internal weight 10, bridge a-d
+    // weight 1. Sync weighted LPA with min-label tie-break converges to
+    // exactly the two triangles (replayable by hand: round 1 ties break
+    // to the alphabetical smallest neighbor label, round 2 the doubled
+    // in-triangle mass wins over the weight-1 bridge, round 3 stable).
+    val edges = Seq(
+      ("a", "b", 10L), ("a", "c", 10L), ("b", "c", 10L),
+      ("d", "e", 10L), ("d", "f", 10L), ("e", "f", 10L),
+      ("a", "d", 1L)).toDF("src", "dst", "weight")
+    val out = GraphOps.labelPropagation(edges).collect()
+    val comms = out.map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    assert(comms == Map(
+      "a" -> List("a", "b", "c"),
+      "d" -> List("d", "e", "f")), s"got ${comms}")
+  }
+
+  test("label propagation is deterministic and partitions the vertex set") {
+    val s = spark
+    import s.implicits._
+    val edges = CooccurrenceGraph.edgeCounts(spark, sf)
+    val a = GraphOps.labelPropagation(edges).collect().toSeq
+    val b = GraphOps.labelPropagation(edges).collect().toSeq
+    assert(a == b)
+    val members = a.flatMap(_.getSeq[String](1))
+    assert(members.length == members.distinct.length)
+    assert(members.length == CooccurrenceGraph.nodes(spark, sf).count())
+  }
+
   test("salted aggregation equals direct aggregation (two-phase merge is invisible)") {
     val salted = Skew.saltedTypeStats(spark, sf).collect().toSeq
     val q = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
