@@ -175,6 +175,15 @@ object Tables {
     * is so small that even a serial kernel pass beats the exchange
     * (measured round 5: the unconditional spread regressed q55 0.06 →
     * 0.16 s and q53 0.20 → 0.38 s on the 584 KB sf0.1 documents file).
+    *
+    * UNIT CAVEAT: the optimizer's size estimate is ON-DISK bytes —
+    * possibly compressed. For columnar-compressed sources (parquet +
+    * snappy/zstd) text can expand 5-10x into kernel work, so a
+    * borderline source may stay serial before an expensive
+    * tokenize/codec stage; callers fronting such a stage on a
+    * heavily-compressed source should pass a proportionally SMALLER
+    * `minBytesPerCore` (e.g. `spreadMinBytesPerCore / 8`). The 4 MB
+    * default was calibrated on raw text, where disk bytes ≈ work bytes.
     */
   val spreadMinBytesPerCore: Long = 4L << 20
 
