@@ -26,6 +26,7 @@ object SparkEntry {
       (Skew.queries, Skew.oracles),
       (GraphOps.queries, GraphOps.oracles),
       (Sessionization.queries, Sessionization.oracles),
+      (TemporalJoins.queries, TemporalJoins.oracles),
       (Fidelity.queries, Fidelity.oracles),
       (graft.sources.BinaryIngest.queries, graft.sources.BinaryIngest.oracles),
       (graft.streaming.StreamingQueries.queries, graft.streaming.StreamingQueries.oracles))

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal join surface over `events`: as-of join and banded
+  * time-range join — the two join shapes Spark has no built-in operator
+  * for (the brief's canonical examples of operators to re-express
+  * Spark-first). Not in the reference (which has no joins at all —
+  * SURVEY.md §2.8); first-class training-pipeline capability: aligning
+  * a fact stream to the latest preceding dimension state (as-of) and
+  * attributing events to a trailing context window (range) are the two
+  * standard temporal-feature operators.
+  *
+  * Both are built so the pair volume stays linear at 100 TB:
+  *
+  *  - As-of: NOT a join at all physically — union-tag both sides and
+  *    take a running `last(_, ignoreNulls)` over one (user_id)-
+  *    partitioned window. One exchange, O(n log n) sort per partition,
+  *    zero pair blowup regardless of how many right-side rows precede a
+  *    left row (a naive inequality join is quadratic per key).
+  *  - Range: band the timeline into lookback-sized buckets and equi-join
+  *    on (user_id, band): a trailing window of width W can only span a
+  *    row's own band and the one before it, so each left row joins at
+  *    most two buckets — candidate volume is 2·|right| per band pair,
+  *    never per-key cartesian. Same blocking idea as the LSH band join
+  *    (ops/Dedup.scala).
+  *
+  * Timestamps are handled at µs precision (`ts div 1000` on the
+  * nanos-as-long column) like Sessionization — DuckDB truncates ns → µs
+  * on read, so µs is the finest externally-verifiable resolution.
+  */
+object TemporalJoins {
+
+  /** q36 — as-of join: each `error` event matched to the latest `click`
+    * by the same user at-or-before it (inclusive, DuckDB `ASOF JOIN`
+    * `>=` semantics). Ties inside one µs resolve to the highest click
+    * event_id on both sides: the engine orders the window by (tsu, side,
+    * event_id) so the running `last` lands on the max-event_id click;
+    * the oracle collapses clicks to one row per (user, tsu) with
+    * `max(event_id)`/`arg_max` before the ASOF join. Errors with no
+    * preceding click drop out (inner as-of).
+    */
+  def asofErrorClicks(spark: SparkSession, dir: String): DataFrame =
+    asofCore(Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .withColumn("tsu", expr("ts div 1000")))
+
+  /** Core over any frame with (event_id, user_id, tsu, event_type,
+    * value) — separable from the `events` accessor so specs can pin the
+    * semantics on hand-computed fixtures.
+    */
+  private[graft] def asofCore(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("tsu"), lit(0).as("side"), col("event_id"),
+      col("event_id").as("click_id"), col("tsu").as("click_tsu"),
+      col("value").as("click_value"),
+      lit(null).cast("long").as("error_id"))
+    val errors = ev.filter(col("event_type") === "error").select(
+      col("user_id"), col("tsu"), lit(1).as("side"), col("event_id"),
+      lit(null).cast("long").as("click_id"),
+      lit(null).cast("long").as("click_tsu"),
+      lit(null).cast("double").as("click_value"),
+      col("event_id").as("error_id"))
+
+    // side orders clicks before errors within a µs (inclusive <=); the
+    // frame's last non-null click columns are the as-of match. The three
+    // `last` calls share one window spec → one sort, one exchange.
+    val w = Window.partitionBy("user_id")
+      .orderBy("tsu", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("m_id", last("click_id", ignoreNulls = true).over(w))
+      .withColumn("m_tsu", last("click_tsu", ignoreNulls = true).over(w))
+      .withColumn("m_value", last("click_value", ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("m_id").isNotNull)
+      .select(
+        col("error_id"), col("user_id"), col("tsu").as("err_tsu"),
+        col("m_id").as("click_id"), col("m_tsu").as("click_tsu"),
+        col("m_value").as("click_value"),
+        (col("tsu") - col("m_tsu")).as("gap_us"))
+      .orderBy("error_id")
+  }
+
+  /** Lookback width for q37: clicks strictly before the purchase,
+    * within 10 minutes.
+    */
+  val lookbackSeconds = 600L
+  private val lookbackUs = lookbackSeconds * 1000000L
+
+  /** q37 — banded range join: per purchase, count + decimal-exact sum of
+    * same-user clicks in [purchase − 10 min, purchase). Left semantics:
+    * purchases with no clicks in window keep n_clicks = 0. The range
+    * predicate rides the equi-join on (user_id, band) — each purchase
+    * probes exactly two bands, so no per-user cartesian at any scale.
+    */
+  def purchaseClickAttribution(spark: SparkSession, dir: String): DataFrame =
+    rangeCore(Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .withColumn("tsu", expr("ts div 1000")))
+
+  /** Core over any frame with (event_id, user_id, tsu, event_type,
+    * value); same fixture-injection seam as [[asofCore]].
+    */
+  private[graft] def rangeCore(ev: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tsu").as("purchase_tsu"),
+        expr(s"tsu div $lookbackUs").as("band"))
+      // a trailing window of exactly the band width spans ≤ 2 bands
+      .withColumn("jband", explode(array(col("band"), col("band") - 1)))
+      .drop("band")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("tsu").as("click_tsu"),
+        // decimal quantization before summing: double sums are
+        // order-dependent (the repo's money-sum discipline, ops/Skew)
+        col("value").cast("decimal(18,6)").as("click_value"),
+        expr(s"tsu div $lookbackUs").as("cband"))
+
+    purchases
+      .join(clicks,
+        purchases("user_id") === clicks("c_user_id") &&
+          col("jband") === col("cband") &&
+          col("click_tsu") >= col("purchase_tsu") - lookbackUs &&
+          col("click_tsu") < col("purchase_tsu"),
+        "left_outer")
+      // the two band probes of one purchase regroup here; a click
+      // matches exactly one of them (its own band), so no double count
+      .groupBy(col("purchase_id"), purchases("user_id"), col("purchase_tsu"))
+      .agg(
+        count(col("click_tsu")).as("n_clicks"),
+        round(coalesce(sum(col("click_value")), lit(0)).cast("double"), 2)
+          .as("click_total"))
+      .orderBy("purchase_id")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q36_asof_join" -> (asofErrorClicks(_, _)),
+    "q37_range_join" -> (purchaseClickAttribution(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    // the oracle is DuckDB's NATIVE ASOF JOIN — an independent
+    // implementation of the semantics, not a re-derivation of ours
+    "q36_asof_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu, value,
+                  event_type
+           FROM events WHERE ts IS NOT NULL),
+         clicks AS (
+           SELECT user_id, tsu, max(event_id) AS click_id,
+                  arg_max(value, event_id) AS click_value
+           FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+         errors AS (
+           SELECT event_id AS error_id, user_id, tsu AS err_tsu
+           FROM ev WHERE event_type = 'error')
+         SELECT e.error_id, e.user_id, e.err_tsu,
+                c.click_id, c.tsu AS click_tsu, c.click_value,
+                e.err_tsu - c.tsu AS gap_us
+         FROM errors e ASOF JOIN clicks c
+           ON e.user_id = c.user_id AND e.err_tsu >= c.tsu
+         ORDER BY e.error_id""",
+    "q37_range_join" ->
+      s"""WITH ev AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu, value,
+                  event_type
+           FROM events WHERE ts IS NOT NULL),
+         p AS (
+           SELECT event_id AS purchase_id, user_id, tsu AS purchase_tsu
+           FROM ev WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, tsu AS click_tsu,
+                  CAST(value AS DECIMAL(18,6)) AS click_value
+           FROM ev WHERE event_type = 'click')
+         SELECT p.purchase_id, p.user_id, p.purchase_tsu,
+                count(c.click_tsu) AS n_clicks,
+                round(coalesce(sum(c.click_value), 0)::DOUBLE, 2)
+                  AS click_total
+         FROM p LEFT JOIN c
+           ON p.user_id = c.user_id
+          AND c.click_tsu >= p.purchase_tsu - $lookbackUs
+          AND c.click_tsu < p.purchase_tsu
+         GROUP BY 1, 2, 3
+         ORDER BY p.purchase_id""")
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expr.TextFunctions._
@@ -164,10 +165,45 @@ object TextAnalysis {
           .otherwise(round(col("n_chars").cast("double") / col("n_bpeish"), 6)))
       .orderBy("doc_id")
 
+  /** q69 — TF-IDF top-k terms per document. tf and df are exact counts;
+    * the ranking score is integer-scaled `tf·10⁸ div df` (a monotone
+    * transform of tf/df) instead of the transcendental `tf·ln(N/df)` so
+    * BOTH engines compute it in exact BIGINT arithmetic — `ln` is
+    * implementation-defined in the last ulp and would make the oracle
+    * hash flaky; the float weighting is a trivial epilogue the caller
+    * can apply to (tf, df, N). Two shuffles (doc-term, then term for the
+    * df join), row_number window per doc for the cut — at 100 TB the df
+    * table is vocabulary-sized (Zipf: ≪ corpus), and the per-term join
+    * key is as fine-grained as the data allows.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    tfidfCore(Tables.documents(spark, dir), k)
+
+  /** Core over any frame with (doc_id, text) — fixture-injection seam
+    * for the spec.
+    */
+  private[graft] def tfidfCore(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val byScore = Window.partitionBy("doc_id")
+      .orderBy(desc("score_e8"), asc("term"))
+    tf.join(df, "term")
+      .withColumn("score_e8", expr("tf * 100000000L div df"))
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score_e8", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q47_bpeish_token_counts" -> (bpeishTokenCounts(_, _)),
+    "q69_tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "q40_word_freq_topk" -> (wordFreqTopK(_, _)),
     "q41_token_stats" -> (tokenStats(_, _)),
     "q42_lang_stats" -> (langStats(_, _)),
@@ -293,6 +329,24 @@ object TextAnalysis {
     "q45_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix
          FROM documents ORDER BY doc_id""",
+    "q69_tfidf_top_terms" ->
+      """WITH t AS (
+           SELECT doc_id, w AS term FROM (
+             SELECT doc_id, unnest(string_split(text,' ')) AS w
+             FROM documents WHERE text IS NOT NULL)
+           WHERE w <> ''),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         s AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  tf.tf * 100000000 // df.df AS score_e8
+           FROM tf JOIN df USING (term)),
+         r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score_e8 DESC, term) AS rank
+           FROM s)
+         SELECT doc_id, term, tf, df, score_e8, rank
+         FROM r WHERE rank <= 5 ORDER BY doc_id, rank""",
     "q46_cjk_token_stats" ->
       """SELECT doc_id,
          len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens

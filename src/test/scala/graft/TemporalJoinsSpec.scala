@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{TemporalJoins, TextAnalysis}
+
+/** Semantics pins for the temporal-join surface (q36/q37) and TF-IDF
+  * (q69) on hand-computed fixtures, plus the tie/edge cases the sf0.01
+  * oracle run may never exercise.
+  */
+class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("event_id", "user_id", "tsu", "event_type", "value")
+
+  test("as-of join matches each error to the latest click at-or-before it") {
+    val out = TemporalJoins.asofCore(ev(
+      (1L, 7L, 100L, "click", 1.0),
+      (2L, 7L, 200L, "click", 2.0),
+      (3L, 7L, 250L, "error", 0.0),   // → click 2 (tsu 200), gap 50
+      (4L, 7L, 400L, "click", 4.0),
+      (5L, 7L, 400L, "error", 0.0),   // same-µs click matches (inclusive)
+      (6L, 8L, 500L, "error", 0.0),   // user 8 has no click → dropped
+      (7L, 9L, 50L, "error", 0.0),    // precedes every click → dropped
+      (8L, 9L, 60L, "click", 8.0)
+    )).select("error_id", "click_id", "gap_us").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq((3L, 2L, 50L), (5L, 4L, 0L)))
+  }
+
+  test("as-of intra-µs click ties resolve to the highest event_id") {
+    val out = TemporalJoins.asofCore(ev(
+      (1L, 7L, 100L, "click", 1.0),
+      (2L, 7L, 100L, "click", 2.0),   // same µs, higher id → the match
+      (3L, 7L, 150L, "error", 0.0)
+    )).select("click_id", "click_value").as[(Long, Double)].collect()
+    assert(out.toSeq === Seq((2L, 2.0)))
+  }
+
+  test("range join counts only same-user clicks in [t-10min, t)") {
+    val t0 = 1000000000L // arbitrary µs origin, NOT band-aligned
+    val w = TemporalJoins.lookbackSeconds * 1000000L
+    val out = TemporalJoins.rangeCore(ev(
+      (1L, 7L, t0 - w, "click", 1.0),     // exactly window start: in
+      (2L, 7L, t0 - w - 1, "click", 1.0), // one µs too early: out
+      (3L, 7L, t0 - 1, "click", 2.5),     // in
+      (4L, 7L, t0, "click", 9.0),         // same µs as purchase: out
+      (5L, 7L, t0, "purchase", 0.0),
+      (6L, 8L, t0 - 1, "click", 7.0),     // other user: out
+      (7L, 8L, t0, "purchase", 0.0),      // only sees click 6
+      (8L, 9L, t0, "purchase", 0.0)       // no clicks at all → 0 row kept
+    )).select("purchase_id", "n_clicks", "click_total")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((5L, 2L, 3.5), (7L, 1L, 7.0), (8L, 0L, 0.0)))
+  }
+
+  test("range join band blocking spans a window crossing a band boundary") {
+    // purchase just after a band boundary; click just before it — they
+    // sit in adjacent bands and must still pair via the band-1 probe
+    val w = TemporalJoins.lookbackSeconds * 1000000L
+    val out = TemporalJoins.rangeCore(ev(
+      (1L, 7L, 3 * w - 1, "click", 5.0),
+      (2L, 7L, 3 * w + 1, "purchase", 0.0)
+    )).select("n_clicks").as[Long].collect()
+    assert(out.toSeq === Seq(1L))
+  }
+
+  test("tf-idf ranks rare terms above common ones, ties break on term") {
+    val docs = Seq(
+      (1L, "aa bb rare"),
+      (2L, "aa bb"),
+      (3L, "aa cc cc")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfCore(docs, k = 2)
+      .select("doc_id", "term", "tf", "df", "rank")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // doc 1: rare df=1 wins; bb df=2 beats aa df=3
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._5)) ===
+      Seq(("rare", 1L), ("bb", 2L)))
+    // doc 3: cc tf=2 df=1 wins over aa tf=1 df=3
+    assert(out.filter(_._1 == 3L).map(r => (r._2, r._5)) ===
+      Seq(("cc", 1L), ("aa", 2L)))
+    // doc 2: bb (df 2) over aa (df 3) — same tf, rarer wins
+    assert(out.filter(_._1 == 2L).map(r => (r._2, r._5)) ===
+      Seq(("bb", 1L), ("aa", 2L)))
+  }
+
+  test("as-of plan is window-based: one exchange, no join node") {
+    val plan = TemporalJoins.asofErrorClicks(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "as-of must not plan a join")
+    assert(plan.contains("Window"))
+  }
+}
