@@ -282,6 +282,43 @@ object Relational {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** The closed event_type domain for the pivot/unpivot pair. Given
+    * EXPLICITLY at the pivot: an unlisted `pivot("event_type")` runs a
+    * driver-side distinct() job over the whole fact table before
+    * planning even starts — a scan-before-the-scan at 100 TB.
+    */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Wide per-user event-type count matrix shared by q38/q39. One
+    * partial+final hash agg on user_id (PivotFirst folds the type
+    * columns map-side); absent cells are 0, not null.
+    */
+  private def eventMatrix(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    eventTypes.foldLeft(wide)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
+  /** q38 — pivot (long → wide): the operator class the surface lacked.
+    */
+  val eventTypePivot: Q = (s, d) =>
+    eventMatrix(s, d)
+      .withColumn("n_total", eventTypes.map(col).reduce(_ + _))
+      .orderBy("user_id")
+
+  /** q39 — unpivot (wide → long): round-trips the q38 matrix back to
+    * (user_id, event_type, n) including the explicit zero cells the
+    * wide form materialized. `unpivot` is a zero-shuffle projection
+    * (each input row expands to |domain| rows in place).
+    */
+  val eventTypeUnpivot: Q = (s, d) =>
+    eventMatrix(s, d)
+      .unpivot(Array(col("user_id")), eventTypes.map(col).toArray,
+        "event_type", "n")
+      .orderBy("user_id", "event_type")
+
   /** Exact interpolated percentiles per group. Scale note: exact
     * percentile sorts every group member — right for bounded groups
     * (5 event types here); an unbounded-cardinality rollup at 100 TB
@@ -337,7 +374,9 @@ object Relational {
     "q16_props_key_stats" -> propsKeyStats,
     "q17_monthly_orders" -> monthlyOrders,
     "q18_events_dedup" -> eventsDedup,
-    "q19_star_join_revenue" -> starJoinRevenue)
+    "q19_star_join_revenue" -> starJoinRevenue,
+    "q38_event_type_pivot" -> eventTypePivot,
+    "q39_event_type_unpivot" -> eventTypeUnpivot)
 
   val oracles: Map[String, String] = Map(
     "q28_value_percentiles" ->
@@ -469,5 +508,25 @@ object Relational {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    "q38_event_type_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS click,
+         count(*) FILTER (WHERE event_type = 'error') AS error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         count(*) FILTER (WHERE event_type = 'view') AS view,
+         count(*) FILTER (WHERE event_type IN
+           ('click','error','purchase','signup','view')) AS n_total
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q39_event_type_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         t AS (SELECT unnest(['click','error','purchase','signup','view'])
+                 AS event_type),
+         c AS (SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2)
+         SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n
+         FROM u CROSS JOIN t
+         LEFT JOIN c ON u.user_id = c.user_id AND t.event_type = c.event_type
+         ORDER BY 1, 2""")
 }

@@ -136,11 +136,42 @@ object TemporalJoins {
       .orderBy("purchase_id")
   }
 
+  /** Trailing width for q73's RANGE frame: one hour in µs. */
+  val rollingWindowUs: Long = 3600L * 1000000L
+
+  /** q73 — time-range rolling window: per event, count + decimal-exact
+    * value sum of the same user's events in the trailing hour. A RANGE
+    * frame on the µs timeline — the frame boundary is a time distance,
+    * not a row position, so the W-family gains the frame class q11/q12's
+    * rows-frames don't cover, and intra-µs duplicate timestamps get set
+    * semantics (all peers in, identically in both engines — a ROWS frame
+    * would be tie-order-dependent here). One exchange on user_id; the
+    * running frame evaluates incrementally per partition, never
+    * re-scanning the trailing hour per row.
+    */
+  def rollingHourWindow(spark: SparkSession, dir: String): DataFrame =
+    rollingCore(Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .withColumn("tsu", expr("ts div 1000")))
+
+  private[graft] def rollingCore(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(-rollingWindowUs, 0)
+    ev.select(col("event_id"), col("user_id"), col("tsu"),
+        col("value").cast("decimal(18,6)").as("value_q"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .withColumn("sum_trailing_1h",
+        round(sum("value_q").over(w).cast("double"), 2))
+      .select("event_id", "user_id", "tsu", "n_trailing_1h", "sum_trailing_1h")
+      .orderBy("event_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q36_asof_join" -> (asofErrorClicks(_, _)),
-    "q37_range_join" -> (purchaseClickAttribution(_, _)))
+    "q37_range_join" -> (purchaseClickAttribution(_, _)),
+    "q73_rolling_hour_window" -> (rollingHourWindow(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the oracle is DuckDB's NATIVE ASOF JOIN — an independent
@@ -184,5 +215,17 @@ object TemporalJoins {
           AND c.click_tsu >= p.purchase_tsu - $lookbackUs
           AND c.click_tsu < p.purchase_tsu
          GROUP BY 1, 2, 3
-         ORDER BY p.purchase_id""")
+         ORDER BY p.purchase_id""",
+    "q73_rolling_hour_window" ->
+      s"""WITH ev AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+                  CAST(value AS DECIMAL(18,6)) AS value_q
+           FROM events WHERE ts IS NOT NULL)
+         SELECT event_id, user_id, tsu,
+                count(*) OVER w AS n_trailing_1h,
+                round((sum(value_q) OVER w)::DOUBLE, 2) AS sum_trailing_1h
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+           RANGE BETWEEN $rollingWindowUs PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""")
 }

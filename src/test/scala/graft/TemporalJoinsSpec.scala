@@ -85,6 +85,42 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
       Seq(("bb", 1L), ("aa", 2L)))
   }
 
+  test("rolling 1h RANGE frame: inclusive boundary, intra-µs peers, per-user") {
+    val h = TemporalJoins.rollingWindowUs
+    val out = TemporalJoins.rollingCore(ev(
+      (1L, 7L, 1000L, "view", 1.0),
+      (2L, 7L, 1000L + h, "view", 2.0),      // exactly 1h after 1 → includes it
+      (3L, 7L, 1000L + h + h + 1, "view", 4.0), // >1h after 2 → alone
+      (4L, 8L, 1000L + h, "view", 8.0),      // other user, same µs as 2
+      (5L, 8L, 1000L + h, "view", 16.0)      // intra-µs peer of 4: both see both
+    )).select("event_id", "n_trailing_1h", "sum_trailing_1h")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1.0), (2L, 2L, 3.0), (3L, 1L, 4.0),
+      (4L, 2L, 24.0), (5L, 2L, 24.0)))
+  }
+
+  test("pivot matrix round-trips through unpivot with explicit zero cells") {
+    import graft.ops.Relational
+    val wide = Relational.queries("q38_event_type_pivot")(spark, sf)
+    val long = Relational.queries("q39_event_type_unpivot")(spark, sf)
+    val users = wide.count()
+    // every user × all 5 types present in the long form
+    assert(long.count() === users * 5)
+    // unpivot's nonzero cells == the direct groupBy counts
+    val direct = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").count()
+      .as[(Long, String, Long)].collect().toSet
+    val nonzero = long.filter(col("n") > 0)
+      .as[(Long, String, Long)].collect().toSet
+    assert(nonzero === direct)
+    // pivot's n_total is the row-sum of the five cells
+    val bad = wide.filter(
+      col("n_total") =!= col("click") + col("error") + col("purchase")
+        + col("signup") + col("view")).count()
+    assert(bad === 0L)
+  }
+
   test("as-of plan is window-based: one exchange, no join node") {
     val plan = TemporalJoins.asofErrorClicks(spark, sf)
       .queryExecution.executedPlan.toString
