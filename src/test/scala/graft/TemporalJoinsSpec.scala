@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{TemporalJoins, TextAnalysis}
 
@@ -119,6 +120,55 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
       col("n_total") =!= col("click") + col("error") + col("purchase")
         + col("signup") + col("view")).count()
     assert(bad === 0L)
+  }
+
+  test("property: as-of and range join match brute-force quadratic references") {
+    val W = TemporalJoins.lookbackSeconds * 1000000L
+    // timeline quantized to W/4 so window boundaries and band crossings
+    // are hit constantly, and a tiny (user × tick) domain forces
+    // intra-µs ties — the cases the engine's sort/band machinery must
+    // get right and random microsecond data never produces
+    val evGen = Gen.choose(1, 50).flatMap { n =>
+      Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        tick <- Gen.choose(0L, 40L)
+        tpe <- Gen.oneOf("click", "error", "purchase", "view")
+        v <- Gen.choose(0, 40)
+      } yield (u, tick * (W / 4), tpe, v / 4.0))
+        .map(_.zipWithIndex.map { case ((u, t, tp, v), i) =>
+          (i.toLong, u, t, tp, v)
+        })
+    }
+    val prop = Prop.forAll(evGen) { rows =>
+      val df = ev(rows: _*)
+      val clicks = rows.filter(_._4 == "click")
+
+      val asofGot = TemporalJoins.asofCore(df)
+        .select("error_id", "click_id", "gap_us")
+        .as[(Long, Long, Long)].collect().toSet
+      val asofWant = rows.filter(_._4 == "error").flatMap { e =>
+        val pre = clicks.filter(c => c._2 == e._2 && c._3 <= e._3)
+        if (pre.isEmpty) None
+        else {
+          val m = pre.maxBy(c => (c._3, c._1))
+          Some((e._1, m._1, e._3 - m._3))
+        }
+      }.toSet
+
+      val rangeGot = TemporalJoins.rangeCore(df)
+        .select("purchase_id", "n_clicks", "click_total")
+        .as[(Long, Long, Double)].collect().toSet
+      val rangeWant = rows.filter(_._4 == "purchase").map { p =>
+        val in = clicks.filter(c =>
+          c._2 == p._2 && c._3 >= p._3 - W && c._3 < p._3)
+        (p._1, in.size.toLong,
+          in.map(c => BigDecimal(c._5)).sum.toDouble)
+      }.toSet
+
+      asofGot == asofWant && rangeGot == rangeWant
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop).passed)
   }
 
   test("as-of plan is window-based: one exchange, no join node") {
