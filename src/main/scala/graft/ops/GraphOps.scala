@@ -177,10 +177,81 @@ object GraphOps {
     materializeAndRelease(out, e, toDrop.toSeq: _*)
   }
 
+  /** Newman modularity of a partition, per community, in EXACT integer
+    * arithmetic. With 2m = Σ degrees, T_c = Σ_{u∈c} k_u and
+    * I_c = 2·Σ internal edge weight, the contribution of community c is
+    * I_c/2m − (T_c/2m)² = (2m·I_c − T_c²) / (2m)² — numerator and
+    * denominator are BIGINTs, so the only float op is one final
+    * division of exact integers (deterministic in IEEE, identically on
+    * both engines), unlike the usual floating accumulation which is
+    * order-dependent. This is what makes a metric ON TOP OF an
+    * iterative graph algorithm oracle-checkable at all (q74; the CC
+    * partition is itself exactly SQL-reproducible).
+    *
+    * `edges`: one row per undirected pair (src, dst, weight);
+    * `membership`: (entity_id, community). All shuffles are on entity
+    * or community keys; the single-row 2m frame is broadcast.
+    */
+  def modularity(edges: DataFrame, membership: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst", "weight")
+    val memb = membership.toDF("entity_id", "community")
+    val deg = e.select(col("src").as("entity_id"), col("weight"))
+      .unionAll(e.select(col("dst"), col("weight")))
+      .groupBy("entity_id").agg(sum("weight").as("k"))
+    val m2 = deg.agg(sum("k").as("m2")) // = 2m, one row
+    val tot = deg.join(memb, "entity_id")
+      .groupBy("community")
+      .agg(sum("k").as("t_c"), count(lit(1)).as("n_members"))
+    val internal = e
+      .join(memb.select(col("entity_id").as("src"), col("community").as("cs")), "src")
+      .join(memb.select(col("entity_id").as("dst"), col("community").as("cd")), "dst")
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community"))
+      .agg((sum("weight") * 2).as("i_c"))
+    tot.join(internal, Seq("community"), "left_outer")
+      .na.fill(0L, Seq("i_c"))
+      .crossJoin(broadcast(m2))
+      .withColumn("q_num", col("m2") * col("i_c") - col("t_c") * col("t_c"))
+      .withColumn("q_contrib",
+        round(col("q_num").cast("double")
+          / (col("m2") * col("m2")).cast("double"), 6))
+      .select("community", "n_members", "t_c", "i_c", "m2", "q_num", "q_contrib")
+      .orderBy("community")
+  }
+
+  /** q74 — modularity of the connected-component partition of the
+    * co-occurrence graph (community id = min member name, matching
+    * q34's label-free convention so the oracle can reproduce it).
+    */
+  def componentModularity(spark: SparkSession, dir: String): DataFrame = {
+    val (g, e) = edgeGraph(spark, dir)
+    val cc = g.connectedComponents()
+    val s = spark
+    import s.implicits._
+    val memb0 = names(e).join(cc.vertices.toDF("vid", "comp0"), "vid")
+    val rep = memb0.groupBy("comp0").agg(min("entity_id").as("community"))
+    val memb = memb0.join(rep, "comp0").select("entity_id", "community")
+    val out = modularity(e.select("src", "dst", "weight"), memb)
+    materializeAndRelease(out, e, g, cc)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q33_pagerank" -> (pagerank(_, _)),
+    "q74_component_modularity" -> (componentModularity(_, _)),
+    // modularity OF the LPA communities (composition of the two graph
+    // ops) over the real fanren relation graph; rows-only like q35 —
+    // the partition is an iterative fixpoint, but the metric arithmetic
+    // itself is oracle-proven by q74 and fixture-pinned in GraphOpsSpec.
+    "q75_community_modularity" -> ((s, _) => {
+      val edges = Fidelity.edgesAgg(Fidelity.entityRows(
+        s, Fidelity.fanRenGlob, graft.expr.RefLexicons.fanRen))
+      val memb = labelPropagation(edges)
+        .select(explode(col("members")).as("entity_id"),
+          col("community_rep").as("community"))
+      modularity(edges, memb)
+    }),
     // communities over the reference's real relation graph (the q95
     // fanren edge table); members serialized for the driver like q34.
     // Rows-only: an iterative fixpoint has no SQL oracle — the label
@@ -224,5 +295,50 @@ object GraphOps {
            )
            SELECT ms[1] AS component_rep, array_to_string(ms, ',') AS members,
              n_members
-           FROM grp ORDER BY n_members DESC, component_rep"""))
+           FROM grp ORDER BY n_members DESC, component_rep"""),
+    // q74: the same recursive reachability closure, weighted, feeding
+    // the exact-integer modularity identity (2m·I_c − T_c²)/(2m)².
+    // Every aggregate is ::BIGINT-cast (DuckDB sums BIGINT → HUGEINT);
+    // the single float division of exact integers matches IEEE-exactly.
+    "q74_component_modularity" ->
+      (CooccurrenceGraph.entsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, we AS (
+             SELECT a.w AS src, b.w AS dst, count(*)::BIGINT AS weight
+             FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+             GROUP BY 1, 2
+           ), sym AS (
+             SELECT src AS a, dst AS b FROM we UNION SELECT dst, src FROM we
+           ), vs AS (SELECT DISTINCT a AS w FROM sym),
+           reach AS (
+             SELECT w AS a, w AS b FROM vs
+             UNION
+             SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+           ), comp AS (
+             SELECT a AS w, min(b) AS community FROM reach GROUP BY 1
+           ), deg AS (
+             SELECT w, sum(weight)::BIGINT AS k FROM (
+               SELECT src AS w, weight FROM we
+               UNION ALL SELECT dst, weight FROM we)
+             GROUP BY 1
+           ), m2t AS (SELECT sum(k)::BIGINT AS m2 FROM deg),
+           tot AS (
+             SELECT c.community, sum(d.k)::BIGINT AS t_c,
+                    count(*)::BIGINT AS n_members
+             FROM comp c JOIN deg d ON c.w = d.w GROUP BY 1
+           ), intr AS (
+             SELECT ca.community, (2 * sum(e.weight))::BIGINT AS i_c
+             FROM we e
+             JOIN comp ca ON e.src = ca.w
+             JOIN comp cb ON e.dst = cb.w
+             WHERE ca.community = cb.community GROUP BY 1
+           )
+           SELECT t.community, t.n_members, t.t_c,
+             coalesce(i.i_c, 0)::BIGINT AS i_c, m.m2,
+             (m.m2 * coalesce(i.i_c, 0) - t.t_c * t.t_c)::BIGINT AS q_num,
+             round((m.m2 * coalesce(i.i_c, 0) - t.t_c * t.t_c)::DOUBLE
+               / (m.m2 * m.m2)::DOUBLE, 6) AS q_contrib
+           FROM tot t
+           LEFT JOIN intr i ON t.community = i.community
+           CROSS JOIN m2t m
+           ORDER BY t.community"""))
 }

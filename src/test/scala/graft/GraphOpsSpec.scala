@@ -62,6 +62,38 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(members.length == CooccurrenceGraph.nodes(spark, sf).count())
   }
 
+  test("modularity: exact integers on the two-triangle bridge fixture") {
+    val s = spark
+    import s.implicits._
+    // two unit-weight triangles joined by one bridge edge c—d: 2m = 14
+    val edges = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L),
+      ("d", "e", 1L), ("d", "f", 1L), ("e", "f", 1L),
+      ("c", "d", 1L)).toDF("src", "dst", "weight")
+    val natural = Seq(("a", "t1"), ("b", "t1"), ("c", "t1"),
+      ("d", "t2"), ("e", "t2"), ("f", "t2")).toDF("entity_id", "community")
+    val got = GraphOps.modularity(edges, natural)
+      .select("community", "t_c", "i_c", "m2", "q_num", "q_contrib")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // per triangle: I_c = 6, T_c = 7 → q_num = 14·6 − 49 = 35; 35/196
+    assert(got === Seq(("t1", 7L, 6L, 14L, 35L, 0.178571),
+      ("t2", 7L, 6L, 14L, 35L, 0.178571)))
+    // the trivial one-community partition has modularity exactly 0
+    val one = Seq("a", "b", "c", "d", "e", "f").map((_, "all"))
+      .toDF("entity_id", "community")
+    val q0 = GraphOps.modularity(edges, one)
+      .select("q_num").as[Long].collect()
+    assert(q0.toSeq === Seq(0L))
+  }
+
+  test("component modularity: communities match q34's components") {
+    val m = GraphOps.componentModularity(spark, sf)
+    val comps = GraphOps.connectedComponents(spark, sf)
+    assert(m.count() === comps.count())
+    // Σ T_c = 2m (every vertex's degree lands in exactly one community)
+    val r = m.selectExpr("sum(t_c)", "max(m2)").collect()(0)
+    assert(r.getLong(0) === r.getLong(1))
+  }
+
   test("salted aggregation equals direct aggregation (two-phase merge is invisible)") {
     val salted = Skew.saltedTypeStats(spark, sf).collect().toSeq
     val q = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
