@@ -27,6 +27,7 @@ object SparkEntry {
       (GraphOps.queries, GraphOps.oracles),
       (Sessionization.queries, Sessionization.oracles),
       (TemporalJoins.queries, TemporalJoins.oracles),
+      (Behavior.queries, Behavior.oracles),
       (Fidelity.queries, Fidelity.oracles),
       (graft.sources.BinaryIngest.queries, graft.sources.BinaryIngest.oracles),
       (graft.streaming.StreamingQueries.queries, graft.streaming.StreamingQueries.oracles))

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral analytics over the event stream: funnel progression and
+  * cohort retention — the two standard product-analytics operators a
+  * clickstream engine is expected to answer (not in the reference,
+  * which has no per-user temporal analysis; first-class additions like
+  * sessionization q27).
+  *
+  * Both are exact-arithmetic by construction (µs timestamps, BIGINT
+  * day/stage math), so they hash-match the DuckDB oracle — no float in
+  * the output at all. Every shuffle is on user_id or the
+  * cohort/offset group keys; nothing is quadratic and nothing sorts
+  * globally except the bounded presentation orderBy.
+  */
+object Behavior {
+
+  /** q76 — ordered funnel signup → click → purchase per user: first
+    * signup, first click at-or-after it, first purchase at-or-after
+    * that click; `stage` = how far the user got (1–3). Stages chain
+    * through min-aggregates and re-joins on user_id, so one hash
+    * partitioning serves all three rounds (no window sort needed — a
+    * min beats a full per-user ordering at 100 TB).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelCore(Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .withColumn("tsu", expr("ts div 1000")))
+
+  private[graft] def funnelCore(ev: DataFrame): DataFrame = {
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tsu").as("signup_tsu"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(signup, "user_id")
+      .filter(col("tsu") >= col("signup_tsu"))
+      .groupBy("user_id").agg(min("tsu").as("click_tsu"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("tsu") >= col("click_tsu"))
+      .groupBy("user_id").agg(min("tsu").as("purchase_tsu"))
+    signup
+      .join(click, Seq("user_id"), "left_outer")
+      .join(purchase, Seq("user_id"), "left_outer")
+      .withColumn("stage",
+        (lit(1)
+          + when(col("click_tsu").isNotNull, 1).otherwise(0)
+          + when(col("purchase_tsu").isNotNull, 1).otherwise(0)).cast("long"))
+      .select("user_id", "signup_tsu", "click_tsu", "purchase_tsu", "stage")
+      .orderBy("user_id")
+  }
+
+  private val dayUs = 86400000000L
+
+  /** q77 — cohort retention: users grouped by first-active day; for
+    * each (cohort_day, day_offset), how many of that cohort were active
+    * offset days later. The (user, day) distinct collapses the event
+    * volume to active-days BEFORE any join — state is bounded by
+    * users × days, not events.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortCore(Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .withColumn("tsu", expr("ts div 1000")))
+
+  private[graft] def cohortCore(ev: DataFrame): DataFrame = {
+    val days = ev
+      .select(col("user_id"), expr(s"tsu div $dayUs").as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohort, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      // rows are distinct (user, day): a plain count IS distinct users
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q76_funnel" -> (funnel(_, _)),
+    "q77_cohort_retention" -> (cohortRetention(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q76_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_type
+           FROM events WHERE ts IS NOT NULL),
+         s AS (
+           SELECT user_id, min(tsu) AS signup_tsu
+           FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.tsu) AS click_tsu
+           FROM ev e JOIN s ON e.user_id = s.user_id
+             AND e.tsu >= s.signup_tsu
+           WHERE e.event_type = 'click' GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.tsu) AS purchase_tsu
+           FROM ev e JOIN c ON e.user_id = c.user_id
+             AND e.tsu >= c.click_tsu
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT s.user_id, s.signup_tsu, c.click_tsu, p.purchase_tsu,
+           (1 + CASE WHEN c.click_tsu IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.purchase_tsu IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS stage
+         FROM s
+         LEFT JOIN c ON s.user_id = c.user_id
+         LEFT JOIN p ON s.user_id = p.user_id
+         ORDER BY s.user_id""",
+    "q77_cohort_retention" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id,
+             epoch_ns(ts) // 1000 // 86400000000 AS day
+           FROM events WHERE ts IS NOT NULL),
+         ch AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+         SELECT ch.cohort_day, d.day - ch.cohort_day AS day_offset,
+           count(*) AS n_users
+         FROM d JOIN ch ON d.user_id = ch.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""")
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Behavior
+
+/** Semantics pins for funnel (q76) and cohort retention (q77): the
+  * ordering rules (a click BEFORE signup does not advance the funnel)
+  * and the first-active-day cohort arithmetic, on hand-computed
+  * fixtures.
+  */
+class BehaviorSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.zipWithIndex
+      .map { case ((u, t, tp), i) => (i.toLong, u, t, tp) }
+      .toDF("event_id", "user_id", "tsu", "event_type")
+
+  test("funnel: steps must be ordered; pre-signup activity never counts") {
+    val out = Behavior.funnelCore(ev(
+      // user 1: full ordered funnel
+      (1L, 100L, "signup"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      // user 2: click BEFORE signup, purchase after — stuck at stage 1
+      // (no click at-or-after signup, so the later purchase can't count)
+      (2L, 100L, "click"), (2L, 200L, "signup"), (2L, 300L, "purchase"),
+      // user 3: purchase between signup and click — stage 2 only
+      (3L, 100L, "signup"), (3L, 200L, "purchase"), (3L, 300L, "click"),
+      // user 4: same-µs signup+click (inclusive >=), no purchase
+      (4L, 100L, "signup"), (4L, 100L, "click"),
+      // user 5: never signed up — not in the funnel at all
+      (5L, 100L, "click"), (5L, 200L, "purchase")
+    )).select("user_id", "stage").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 3L), (2L, 1L), (3L, 2L), (4L, 2L)))
+  }
+
+  test("funnel: first qualifying timestamps are the minima") {
+    val out = Behavior.funnelCore(ev(
+      (1L, 100L, "signup"), (1L, 50L, "signup"),     // first signup = 50
+      (1L, 60L, "click"), (1L, 80L, "click"),        // first click ≥ 50 = 60
+      (1L, 70L, "purchase"), (1L, 90L, "purchase")   // first purchase ≥ 60 = 70
+    )).select("signup_tsu", "click_tsu", "purchase_tsu")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((50L, 60L, 70L)))
+  }
+
+  test("cohort retention: offsets count distinct active users per cohort") {
+    val d = 86400000000L
+    val out = Behavior.cohortCore(ev(
+      // cohort day 0: users 1,2. day 1: user 1 active twice (counts once)
+      (1L, 10L, "view"), (2L, 20L, "view"),
+      (1L, d + 1, "view"), (1L, d + 2, "click"),
+      (2L, 2 * d, "view"),
+      // cohort day 1: user 3
+      (3L, d + 5, "view"), (3L, 2 * d, "view")
+    )).select("cohort_day", "day_offset", "n_users")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+}
