@@ -200,16 +200,72 @@ object StreamingQueries {
       .orderBy("user_id", "session_id")
   }
 
+  @volatile private[graft] var lastEnrichBatches: Long = -1
+
+  /** q78: stream-STATIC enrichment join — the third canonical streaming
+    * shape after stateful aggregation (q98) and keyed-state
+    * sessionization (q99). The event stream (4 staged files → 4
+    * micro-batches) joins the static customer dimension inside the
+    * streaming engine (the dim is a plain broadcast-able batch plan
+    * re-bound per micro-batch), then feeds a complete-mode revenue
+    * rollup whose state accumulates across triggers. Money sums follow
+    * the decimal-quantization discipline so the at-rest result
+    * hash-matches the batch oracle exactly.
+    */
+  def streamingEnrichedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q78_")
+    val input = base.resolve("in").toString
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select("event_id", "user_id", "value")
+      .repartitionByRange(4, col("event_id"))
+      .write.parquet(input)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input)
+    val dim = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val agg = stream
+      .join(dim, stream("user_id") === dim("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("value_sum"))
+    val sink = s"graft_q78_sink_${sinkSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastEnrichBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    q.stop()
+    spark.table(sink).orderBy("c_mktsegment")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q98_streaming_word_freq" -> (streamingWordFreq(_, _)),
-    "q99_streaming_sessions" -> (streamingSessions(_, _)))
+    "q99_streaming_sessions" -> (streamingSessions(_, _)),
+    "q78_streaming_enrich_join" -> (streamingEnrichedRevenue(_, _)))
 
   /** The batch twins' oracles, verbatim: the driver hash-gates
     * streaming == batch-oracle, i.e. streaming == batch.
     */
   val oracles: Map[String, String] = Map(
     "q98_streaming_word_freq" -> TextAnalysis.oracles("q40_word_freq_topk"),
-    "q99_streaming_sessions" -> Sessionization.oracles("q27_sessionization"))
+    "q99_streaming_sessions" -> Sessionization.oracles("q27_sessionization"),
+    "q78_streaming_enrich_join" ->
+      """SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE ts IS NOT NULL
+         GROUP BY 1 ORDER BY 1""")
 }

@@ -22,6 +22,22 @@ class StreamingQueriesSpec extends AnyFunSuite with SparkTestBase {
       s"expected >=2 micro-batches, got ${StreamingQueries.lastWordFreqBatches}")
   }
 
+  test("q78: stream-static enrichment join == batch join+agg, multi-batch") {
+    import org.apache.spark.sql.functions._
+    val streamed = rows(StreamingQueries.streamingEnrichedRevenue(spark, sf))
+    val batch = rows(Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("value_sum"))
+      .orderBy("c_mktsegment"))
+    assert(streamed == batch)
+    assert(StreamingQueries.lastEnrichBatches >= 2,
+      s"expected >=2 micro-batches, got ${StreamingQueries.lastEnrichBatches}")
+  }
+
   test("q99: streaming sessionization == batch q27 over the same events, multi-batch") {
     val streamed = rows(StreamingQueries.streamingSessions(spark, sf))
     val batch = rows(Sessionization.sessions(spark, sf))
