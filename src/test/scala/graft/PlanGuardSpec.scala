@@ -20,7 +20,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     */
   private val bnljSanctioned = Set(
     "q60_knn_bruteforce", "q63_ann_hyperplane_lsh", "q64_embedding_near_dups",
-    "q65_ann_ivf")
+    "q65_ann_ivf",
+    // modularity's crossJoin(broadcast(m2)): the broadcast side is the
+    // single-row 2m total (q74's twin escapes the sweep only because it
+    // materializes eagerly behind localCheckpoint)
+    "q75_community_modularity")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
