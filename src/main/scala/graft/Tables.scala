@@ -165,6 +165,20 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+
+  /** `events` at MICROSECOND precision: non-null `ts` plus
+    * `tsu = ts div 1000` (ns→µs truncation). The one shared definition
+    * of the external time convention — DuckDB truncates TIMESTAMP_NS to
+    * µs on read (`epoch_ns(ts) // 1000` on the oracle side), so µs is
+    * the finest resolution an oracle can verify, and every temporal
+    * operator (sessionization, as-of/range joins, rolling windows,
+    * funnel/cohort) must bucket/compare at exactly this precision or
+    * engine and oracle drift on sub-µs data.
+    */
+  def eventsMicros(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(org.apache.spark.sql.functions.col("ts").isNotNull)
+      .withColumn("tsu", org.apache.spark.sql.functions.expr("ts div 1000"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

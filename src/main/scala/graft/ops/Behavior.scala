@@ -26,9 +26,7 @@ object Behavior {
     * min beats a full per-user ordering at 100 TB).
     */
   def funnel(spark: SparkSession, dir: String): DataFrame =
-    funnelCore(Tables.events(spark, dir)
-      .filter(col("ts").isNotNull)
-      .withColumn("tsu", expr("ts div 1000")))
+    funnelCore(Tables.eventsMicros(spark, dir))
 
   private[graft] def funnelCore(ev: DataFrame): DataFrame = {
     val signup = ev.filter(col("event_type") === "signup")
@@ -61,9 +59,7 @@ object Behavior {
     * users × days, not events.
     */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame =
-    cohortCore(Tables.events(spark, dir)
-      .filter(col("ts").isNotNull)
-      .withColumn("tsu", expr("ts div 1000")))
+    cohortCore(Tables.eventsMicros(spark, dir))
 
   private[graft] def cohortCore(ev: DataFrame): DataFrame = {
     val days = ev

@@ -181,10 +181,12 @@ object GraphOps {
     * arithmetic. With 2m = Σ degrees, T_c = Σ_{u∈c} k_u and
     * I_c = 2·Σ internal edge weight, the contribution of community c is
     * I_c/2m − (T_c/2m)² = (2m·I_c − T_c²) / (2m)² — numerator and
-    * denominator are BIGINTs, so the only float op is one final
-    * division of exact integers (deterministic in IEEE, identically on
-    * both engines), unlike the usual floating accumulation which is
-    * order-dependent. This is what makes a metric ON TOP OF an
+    * denominator are exact integers (decimal(38,0) here, HUGEINT in
+    * the oracle twin — 64 bits would overflow the quadratic terms once
+    * 2m passes ~3·10⁹, well inside corpus scale), so the only float op
+    * is one final division of exact integers (deterministic in IEEE,
+    * identically on both engines), unlike the usual floating
+    * accumulation which is order-dependent. This is what makes a metric ON TOP OF an
     * iterative graph algorithm oracle-checkable at all (q74; the CC
     * partition is itself exactly SQL-reproducible).
     *
@@ -199,7 +201,11 @@ object GraphOps {
       .unionAll(e.select(col("dst"), col("weight")))
       .groupBy("entity_id").agg(sum("weight").as("k"))
     val m2 = deg.agg(sum("k").as("m2")) // = 2m, one row
-    val tot = deg.join(memb, "entity_id")
+    // membership drives the rollup (left join): a zero-degree member —
+    // legal in the generic contract, a vertex with no incident edge —
+    // must still count in n_members and contribute k = 0, not vanish
+    val tot = memb.join(deg, Seq("entity_id"), "left_outer")
+      .na.fill(0L, Seq("k"))
       .groupBy("community")
       .agg(sum("k").as("t_c"), count(lit(1)).as("n_members"))
     val internal = e
@@ -208,13 +214,28 @@ object GraphOps {
       .filter(col("cs") === col("cd"))
       .groupBy(col("cs").as("community"))
       .agg((sum("weight") * 2).as("i_c"))
+    // the quadratic terms leave 64 bits long before the corpus does:
+    // weights are corpus-scale co-occurrence counts, so at the design
+    // point 2m can pass 3·10⁹ and m2², t_c², m2·i_c overflow Long
+    // (ANSI throw, or an out-of-range oracle). decimal(38,0) carries
+    // the products exactly to 2m ≈ 10¹⁹ (the oracle twin computes in
+    // HUGEINT); the one float op stays a single division of exact
+    // integers.
+    // q_num is EMITTED as double (exact below 2^53, correctly-rounded
+    // from the exact decimal beyond — and identically so in the oracle
+    // twin): DECIMAL result columns are banned by the repo's oracle
+    // type audit (DuckDB DECIMAL → pandas float64 re-hydration is the
+    // round-5 hash-trap class, OracleTypeSpec)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     tot.join(internal, Seq("community"), "left_outer")
       .na.fill(0L, Seq("i_c"))
       .crossJoin(broadcast(m2))
-      .withColumn("q_num", col("m2") * col("i_c") - col("t_c") * col("t_c"))
+      .withColumn("q_num",
+        (col("m2").cast(d38) * col("i_c") - col("t_c").cast(d38) * col("t_c"))
+          .cast("double"))
       .withColumn("q_contrib",
-        round(col("q_num").cast("double")
-          / (col("m2") * col("m2")).cast("double"), 6))
+        round(col("q_num")
+          / (col("m2").cast(d38) * col("m2")).cast("double"), 6))
       .select("community", "n_members", "t_c", "i_c", "m2", "q_num", "q_contrib")
       .orderBy("community")
   }
@@ -245,6 +266,15 @@ object GraphOps {
     // the partition is an iterative fixpoint, but the metric arithmetic
     // itself is oracle-proven by q74 and fixture-pinned in GraphOpsSpec.
     "q75_community_modularity" -> ((s, _) => {
+      // `edges` feeds both LPA and the modularity joins, so the corpus
+      // extraction runs twice (~2 s parallel wall each at 32 cores,
+      // measured). Counter-intuitively, BOTH sharing attempts measured
+      // 2-3x SLOWER end-to-end here (cache(): 20 s, eager
+      // localCheckpoint: 14 s, vs 6-7 s warm as-is — TimeQuery, idle
+      // host): materializing the aggregated table detaches the
+      // downstream GraphX/join plans from the AQE-parallelized
+      // extraction stage they otherwise fuse with. Re-measure before
+      // "fixing" this again.
       val edges = Fidelity.edgesAgg(Fidelity.entityRows(
         s, Fidelity.fanRenGlob, graft.expr.RefLexicons.fanRen))
       val memb = labelPropagation(edges)
@@ -334,9 +364,11 @@ object GraphOps {
            )
            SELECT t.community, t.n_members, t.t_c,
              coalesce(i.i_c, 0)::BIGINT AS i_c, m.m2,
-             (m.m2 * coalesce(i.i_c, 0) - t.t_c * t.t_c)::BIGINT AS q_num,
-             round((m.m2 * coalesce(i.i_c, 0) - t.t_c * t.t_c)::DOUBLE
-               / (m.m2 * m.m2)::DOUBLE, 6) AS q_contrib
+             (m.m2::HUGEINT * coalesce(i.i_c, 0)
+               - t.t_c::HUGEINT * t.t_c)::DOUBLE AS q_num,
+             round((m.m2::HUGEINT * coalesce(i.i_c, 0)
+                 - t.t_c::HUGEINT * t.t_c)::DOUBLE
+               / (m.m2::HUGEINT * m.m2)::DOUBLE, 6) AS q_contrib
            FROM tot t
            LEFT JOIN intr i ON t.community = i.community
            CROSS JOIN m2t m

@@ -35,9 +35,7 @@ object Sessionization {
     // ties break on event_id, identically both sides.
     val byTime = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .filter(col("ts").isNotNull)
-      .withColumn("tsu", expr("ts div 1000"))
+    Tables.eventsMicros(spark, dir)
       .withColumn("prev_tsu", lag("tsu", 1).over(byTime))
       .withColumn("opens",
         when(col("prev_tsu").isNull || col("tsu") - col("prev_tsu") > gapUs, 1L)

@@ -44,9 +44,7 @@ object TemporalJoins {
     * preceding click drop out (inner as-of).
     */
   def asofErrorClicks(spark: SparkSession, dir: String): DataFrame =
-    asofCore(Tables.events(spark, dir)
-      .filter(col("ts").isNotNull)
-      .withColumn("tsu", expr("ts div 1000")))
+    asofCore(Tables.eventsMicros(spark, dir))
 
   /** Core over any frame with (event_id, user_id, tsu, event_type,
     * value) — separable from the `events` accessor so specs can pin the
@@ -97,9 +95,7 @@ object TemporalJoins {
     * probes exactly two bands, so no per-user cartesian at any scale.
     */
   def purchaseClickAttribution(spark: SparkSession, dir: String): DataFrame =
-    rangeCore(Tables.events(spark, dir)
-      .filter(col("ts").isNotNull)
-      .withColumn("tsu", expr("ts div 1000")))
+    rangeCore(Tables.eventsMicros(spark, dir))
 
   /** Core over any frame with (event_id, user_id, tsu, event_type,
     * value); same fixture-injection seam as [[asofCore]].
@@ -145,14 +141,16 @@ object TemporalJoins {
     * not a row position, so the W-family gains the frame class q11/q12's
     * rows-frames don't cover, and intra-µs duplicate timestamps get set
     * semantics (all peers in, identically in both engines — a ROWS frame
-    * would be tie-order-dependent here). One exchange on user_id; the
-    * running frame evaluates incrementally per partition, never
-    * re-scanning the trailing hour per row.
+    * would be tie-order-dependent here). One exchange on user_id. Cost
+    * honesty: Spark's sliding-frame WindowExec RE-AGGREGATES the
+    * buffered frame on every slide (count/sum have no subtract-on-evict
+    * path), so a user with k events inside one window width pays
+    * O(k·w), not O(k) — acceptable while per-(user, hour) density is
+    * bounded; a pathologically hot key wants pre-aggregation to a
+    * coarser grain (the q37 banding) before the window.
     */
   def rollingHourWindow(spark: SparkSession, dir: String): DataFrame =
-    rollingCore(Tables.events(spark, dir)
-      .filter(col("ts").isNotNull)
-      .withColumn("tsu", expr("ts div 1000")))
+    rollingCore(Tables.eventsMicros(spark, dir))
 
   private[graft] def rollingCore(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tsu")

@@ -72,7 +72,8 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     val natural = Seq(("a", "t1"), ("b", "t1"), ("c", "t1"),
       ("d", "t2"), ("e", "t2"), ("f", "t2")).toDF("entity_id", "community")
     val got = GraphOps.modularity(edges, natural)
-      .select("community", "t_c", "i_c", "m2", "q_num", "q_contrib")
+      .select(col("community"), col("t_c"), col("i_c"), col("m2"),
+        col("q_num").cast("long"), col("q_contrib"))
       .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
     // per triangle: I_c = 6, T_c = 7 → q_num = 14·6 − 49 = 35; 35/196
     assert(got === Seq(("t1", 7L, 6L, 14L, 35L, 0.178571),
@@ -81,8 +82,20 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     val one = Seq("a", "b", "c", "d", "e", "f").map((_, "all"))
       .toDF("entity_id", "community")
     val q0 = GraphOps.modularity(edges, one)
-      .select("q_num").as[Long].collect()
+      .select(col("q_num").cast("long")).as[Long].collect()
     assert(q0.toSeq === Seq(0L))
+    // a zero-degree member (legal in the generic contract) still counts
+    // in n_members with k = 0 — an all-isolated community must appear
+    // with t_c = i_c = 0, not vanish
+    val withIsolated = natural.unionByName(
+      Seq(("ghost", "t3")).toDF("entity_id", "community"))
+    val iso = GraphOps.modularity(edges, withIsolated)
+      .select(col("community"), col("n_members"), col("t_c"),
+        col("q_num").cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(iso.map(r => (r._1, r._2)) ===
+      Seq(("t1", 3L), ("t2", 3L), ("t3", 1L)))
+    assert(iso.find(_._1 == "t3").get === (("t3", 1L, 0L, 0L)))
   }
 
   test("component modularity: communities match q34's components") {

@@ -5,11 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Scale-invariant plan guards over the ENTIRE registered surface: the
   * anti-patterns that are survivable at sf0.1 but fatal at 100 TB must
   * never (re)appear in any query's physical plan. Most queries only
-  * BUILD their plan here; the exceptions are q33/q34 (GraphX drives
-  * jobs eagerly) and q95 (eager localCheckpoint), which execute during
-  * construction and whose guarded string is the post-materialization
-  * scan — their internals are covered by their own suites
-  * (GraphOpsSpec, FidelitySpec one-scan assert), not this sweep.
+  * BUILD their plan here; the exceptions execute during construction
+  * and their guarded string is the post-materialization plan:
+  * q33/q34/q74 (GraphX drives jobs eagerly), q35/q75 (LPA iteration +
+  * localCheckpoint), q95 (eager checkpoint), and the streaming
+  * registrations q78/q98/q99 (a full Trigger.AvailableNow run each —
+  * the bulk of this suite's wall time). Their internals are covered by
+  * their own suites (GraphOpsSpec, FidelitySpec one-scan assert,
+  * StreamingQueriesSpec), not this sweep.
   */
 class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
 
