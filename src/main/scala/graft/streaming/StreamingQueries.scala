@@ -248,12 +248,106 @@ object StreamingQueries {
     spark.table(sink).orderBy("c_mktsegment")
   }
 
+  @volatile private[graft] var lastSSJoinBatches: Long = -1
+
+  private val ssInSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ts", TimestampType)))
+
+  /** q79: stream-STREAM interval join — the fourth and hardest
+    * canonical streaming shape (two unbounded sides, symmetric state,
+    * watermark-driven eviction). Clicks and purchases replay as two
+    * separate time-split file streams; the join emits every (purchase,
+    * click by the same user in the trailing 10 minutes) PAIR — q37's
+    * window semantics, but as an event-level join inside
+    * MicroBatchExecution rather than a batch aggregate.
+    *
+    * Watermarks: the purchase side advances at 0 delay (it only ever
+    * matches OLDER clicks); the click side keeps a lookback-wide delay
+    * so a click needed by a next-batch purchase is still in state when
+    * that purchase arrives — eviction exactly at the limit would race
+    * the boundary pair. State is bounded by one lookback window of
+    * clicks per user, the streaming twin of q37's two-band probe bound.
+    * Oracle = the plain batch interval join, pair for pair.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val lookbackUs = graft.ops.TemporalJoins.lookbackSeconds * 1000000L
+    val ev = Tables.eventsMicros(spark, dir)
+      .select(col("event_id"), col("user_id"), col("tsu"), col("event_type"))
+    val bounds = ev.agg(min("tsu"), max("tsu")).head()
+    val out0 = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("purchase_id", LongType), StructField("user_id", LongType),
+        StructField("purchase_tsu", LongType), StructField("click_id", LongType),
+        StructField("click_tsu", LongType), StructField("gap_us", LongType))))
+    if (bounds.isNullAt(0)) return out0
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+
+    val base = Files.createTempDirectory("graft_q79_")
+    def stage(tpe: String, sub: String): String = {
+      val inDir = Files.createDirectory(base.resolve(sub))
+      val rows = ev.filter(col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("tsu")).as("ts"))
+      val now = System.currentTimeMillis()
+      // time-split: batch N+1 strictly newer than batch N per source
+      stageOne(rows.filter(col("ts") < timestamp_micros(lit(mid))),
+        base.resolve(sub + "_s0"), inDir, "00_early.parquet", now - 240000L)
+      stageOne(rows.filter(col("ts") >= timestamp_micros(lit(mid))),
+        base.resolve(sub + "_s1"), inDir, "01_late.parquet", now - 120000L)
+      inDir.toString
+    }
+    def read(dir: String): DataFrame = spark.readStream
+      .schema(ssInSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+    val clicks = read(stage("click", "clicks"))
+      .withWatermark("ts", s"${graft.ops.TemporalJoins.lookbackSeconds} seconds")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = read(stage("purchase", "purchases"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val joined = purchases.join(clicks, expr(
+      s"""p_user = c_user
+          AND c_ts >= p_ts - INTERVAL ${graft.ops.TemporalJoins.lookbackSeconds} SECONDS
+          AND c_ts < p_ts"""))
+
+    val outDir = base.resolve("out").toString
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastSSJoinBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    q.stop()
+
+    spark.read.schema(StructType(Seq(
+        StructField("purchase_id", LongType), StructField("p_user", LongType),
+        StructField("p_ts", TimestampType), StructField("click_id", LongType),
+        StructField("c_user", LongType), StructField("c_ts", TimestampType))))
+      .parquet(outDir)
+      .select(
+        col("purchase_id"), col("p_user").as("user_id"),
+        expr("unix_micros(p_ts)").as("purchase_tsu"),
+        col("click_id"),
+        expr("unix_micros(c_ts)").as("click_tsu"))
+      .withColumn("gap_us", col("purchase_tsu") - col("click_tsu"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q98_streaming_word_freq" -> (streamingWordFreq(_, _)),
     "q99_streaming_sessions" -> (streamingSessions(_, _)),
-    "q78_streaming_enrich_join" -> (streamingEnrichedRevenue(_, _)))
+    "q78_streaming_enrich_join" -> (streamingEnrichedRevenue(_, _)),
+    "q79_stream_stream_join" -> (streamStreamJoin(_, _)))
 
   /** The batch twins' oracles, verbatim: the driver hash-gates
     * streaming == batch-oracle, i.e. streaming == batch.
@@ -267,5 +361,23 @@ object StreamingQueries {
            round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
          FROM events JOIN customer ON user_id = c_custkey
          WHERE ts IS NOT NULL
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    // q79: the batch interval join, pair for pair — streaming state +
+    // watermark eviction must be semantically invisible
+    "q79_stream_stream_join" ->
+      s"""WITH ev AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu, event_type
+           FROM events WHERE ts IS NOT NULL),
+         p AS (SELECT event_id AS purchase_id, user_id, tsu
+               FROM ev WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, tsu
+               FROM ev WHERE event_type = 'click')
+         SELECT p.purchase_id, p.user_id, p.tsu AS purchase_tsu,
+                c.click_id, c.tsu AS click_tsu,
+                p.tsu - c.tsu AS gap_us
+         FROM p JOIN c
+           ON p.user_id = c.user_id
+          AND c.tsu >= p.tsu - ${graft.ops.TemporalJoins.lookbackSeconds * 1000000L}
+          AND c.tsu < p.tsu
+         ORDER BY p.purchase_id, c.click_id""")
 }

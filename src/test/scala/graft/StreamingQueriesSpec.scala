@@ -38,6 +38,30 @@ class StreamingQueriesSpec extends AnyFunSuite with SparkTestBase {
       s"expected >=2 micro-batches, got ${StreamingQueries.lastEnrichBatches}")
   }
 
+  test("q79: stream-stream interval join == batch interval join, pair for pair") {
+    import org.apache.spark.sql.functions._
+    val w = graft.ops.TemporalJoins.lookbackSeconds * 1000000L
+    val streamed = rows(StreamingQueries.streamStreamJoin(spark, sf))
+    val ev = Tables.eventsMicros(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tsu").as("purchase_tsu"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("tsu").as("click_tsu"))
+    val batch = rows(p.join(c,
+        col("user_id") === col("cu")
+          && col("click_tsu") >= col("purchase_tsu") - w
+          && col("click_tsu") < col("purchase_tsu"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_tsu"),
+        col("click_id"), col("click_tsu"),
+        (col("purchase_tsu") - col("click_tsu")).as("gap_us"))
+      .orderBy("purchase_id", "click_id"))
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(StreamingQueries.lastSSJoinBatches >= 2,
+      s"expected >=2 micro-batches, got ${StreamingQueries.lastSSJoinBatches}")
+  }
+
   test("q99: streaming sessionization == batch q27 over the same events, multi-batch") {
     val streamed = rows(StreamingQueries.streamingSessions(spark, sf))
     val batch = rows(Sessionization.sessions(spark, sf))
