@@ -292,9 +292,42 @@ object Dedup {
     done
   }
 
+  /** q87 — train/eval DECONTAMINATION: flag train-split documents that
+    * share winnow fingerprints with the eval split (the standard
+    * pre-training hygiene step — a contaminated train doc inflates eval
+    * scores). Pure composition of two verified kernels: the q59 md5
+    * split rule ([[Sampling.splitExpr]], the single definition both
+    * consumers evaluate) and the q48 winnow fingerprint set (shared
+    * substrings ≥ 8 code points guarantee shared fingerprints, so
+    * verbatim leakage cannot hide behind small edits).
+    *
+    * Shape: the eval fingerprint universe is DISTINCT'd before the join
+    * (at scale the eval set is a small curated corpus, so this is the
+    * broadcast-sized side); train fingerprints left-join it on the
+    * 64-bit fingerprint value (hash-uniform keys) and one aggregate per
+    * train doc yields total vs shared counts. Only contaminated docs
+    * are emitted.
+    */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    def fps(side: String) = Tables.documents(spark, dir)
+      .withColumn("split", Sampling.splitExpr)
+      .filter(col("split") === side)
+      .select(col("doc_id"),
+        explode(graft.expr.WinnowFingerprint(col("text"))).as("fp"))
+    val evalFp = fps("eval").select("fp").distinct().withColumn("hit", lit(1))
+    fps("train")
+      .join(evalFp, Seq("fp"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), count(col("hit")).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .select("doc_id", "n_fp", "n_shared")
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q87_decontamination" -> (decontamination(_, _)),
     "q50_exact_dedup_stats" -> (exactDedupStats(_, _)),
     "q51_shingle_stats" -> (shingleStats(_, _)),
     "q52_jaccard_pairs" -> (jaccardPairs(_, _)),
@@ -309,6 +342,26 @@ object Dedup {
     "q57_dedup_clusters" -> (dedupClusters(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q87: winnow picks CTE (TextAnalysis, HUGEINT mod-2^64 twin) + the
+    // q59 split rule, joined and aggregated exactly like the engine
+    "q87_decontamination" -> (TextAnalysis.winnowPicksCte +
+      """, split AS (
+           SELECT doc_id,
+             CASE WHEN strpos('0123456789abcdef',
+               substr(md5(doc_id::VARCHAR || ':split'), 1, 1)) - 1 < 14
+             THEN 'train' ELSE 'eval' END AS sp
+           FROM documents
+         ), tr AS (
+           SELECT p.doc_id, p.m FROM picks p
+           JOIN split s ON p.doc_id = s.doc_id WHERE s.sp = 'train'
+         ), ev AS (
+           SELECT DISTINCT p.m FROM picks p
+           JOIN split s ON p.doc_id = s.doc_id WHERE s.sp = 'eval'
+         )
+         SELECT t.doc_id, count(*) AS n_fp, count(e.m) AS n_shared
+         FROM tr t LEFT JOIN ev e ON t.m = e.m
+         GROUP BY 1 HAVING count(e.m) > 0
+         ORDER BY t.doc_id"""),
     "q50_exact_dedup_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
          count(*) - count(DISTINCT md5(text)) AS n_dup_docs FROM documents""",

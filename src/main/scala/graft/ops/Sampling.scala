@@ -45,13 +45,20 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** The 14/16-train / 2/16-eval assignment as a column over any frame
+    * with `doc_id` — the single definition q59 and the q87
+    * decontamination consumer both evaluate, so the two can never
+    * disagree about which side a doc landed on.
+    */
+  private[graft] def splitExpr: Column =
+    when(nibble(":split") < 14, "train").otherwise("eval")
+
   /** Deterministic 14/16 train, 2/16 eval assignment (salted separately
     * from the sampler so the two decisions are independent).
     */
   def trainEvalSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        when(nibble(":split") < 14, "train").otherwise("eval").as("split"))
+      .select(col("doc_id"), col("lang"), splitExpr.as("split"))
       .orderBy("doc_id")
 
   type Q = (SparkSession, String) => DataFrame

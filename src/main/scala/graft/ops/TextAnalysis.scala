@@ -224,7 +224,11 @@ object TextAnalysis {
     * the SET of picked values (ties share the value), so DISTINCT
     * window-mins equal the kernel's rightmost-tie picks.
     */
-  private val winnowOracle: String = {
+  /** The grams→window-min→picks prefix of the winnow re-implementation,
+    * shared by q48/q49's oracle and q87's decontamination oracle
+    * (ops/Dedup) — `picks` is the DISTINCT (doc_id, fingerprint) set.
+    */
+  private[ops] val winnowPicksCte: String = {
     val m = BigInt(1) << 64
     val pows = Seq.iterate(BigInt(1), 5)(_ * graft.expr.WinnowFingerprint.base % m)
     val terms = (0 until 5).map { j =>
@@ -249,14 +253,17 @@ object TextAnalysis {
     ), picks AS (
       SELECT DISTINCT doc_id, m FROM wmin
       WHERE (ng <= 4 AND i = 1) OR (ng > 4 AND i <= ng - 3)
-    ), agg AS (
+    )"""
+  }
+
+  private val winnowOracle: String = winnowPicksCte +
+    """, agg AS (
       SELECT doc_id, list_sort(list(m)) AS fps FROM picks GROUP BY doc_id
     )
     SELECT d.doc_id, coalesce(len(a.fps), 0)::BIGINT AS n_fp,
       coalesce(array_to_string(a.fps, ','), '') AS fp_set
     FROM documents d LEFT JOIN agg a USING (doc_id)
     ORDER BY d.doc_id"""
-  }
 
   val oracles: Map[String, String] = Map(
     "q48_winnow_fingerprints" -> winnowOracle,

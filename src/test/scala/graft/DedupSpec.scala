@@ -127,4 +127,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
       Seq((1L, "1,2,3", 3L), (4L, "4,5,6", 3L)))
   }
+
+  test("decontamination flags every train doc whose text duplicates an eval doc") {
+    import graft.ops.Sampling
+    val s = spark
+    import s.implicits._
+    // recall guarantee: identical text (>= the 8-code-point winnow
+    // guarantee span) on opposite split sides must always be caught
+    val split = Tables.documents(spark, sf)
+      .withColumn("split", Sampling.splitExpr)
+      .select("doc_id", "text", "split")
+    val trainDups = split.filter(col("split") === "train").as("t")
+      .join(split.filter(col("split") === "eval").as("e"),
+        col("t.text") === col("e.text") && length(col("t.text")) >= 8)
+      .select(col("t.doc_id")).distinct()
+      .as[Long].collect().toSet
+    val flagged = Dedup.decontamination(spark, sf)
+    val flaggedIds = flagged.select("doc_id").as[Long].collect().toSet
+    assert(trainDups.subsetOf(flaggedIds),
+      s"missed exact cross-split dups: ${trainDups -- flaggedIds}")
+    // sanity: shared fingerprints can never exceed the doc's own count
+    assert(flagged.filter(col("n_shared") > col("n_fp")).count() === 0L)
+  }
 }
