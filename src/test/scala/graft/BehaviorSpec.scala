@@ -1,5 +1,6 @@
 package graft
 
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Behavior
 
@@ -41,6 +42,32 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
     )).select("signup_tsu", "click_tsu", "purchase_tsu")
       .as[(Long, Long, Long)].collect()
     assert(out.toSeq === Seq((50L, 60L, 70L)))
+  }
+
+  test("property: funnel matches a brute-force sequential-scan reference") {
+    val evGen = Gen.choose(1, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        t <- Gen.choose(0L, 12L) // tiny tick domain → constant ties
+        tp <- Gen.oneOf("signup", "click", "purchase", "view")
+      } yield (u, t, tp))
+    }
+    val prop = Prop.forAll(evGen) { rows =>
+      val got = Behavior.funnelCore(ev(rows: _*))
+        .select("user_id", "stage").as[(Long, Long)].collect().toMap
+      val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val s1 = es.filter(_._3 == "signup").map(_._2).minOption
+        s1.map { s =>
+          val c = es.filter(e => e._3 == "click" && e._2 >= s).map(_._2).minOption
+          val p = c.flatMap(ct =>
+            es.filter(e => e._3 == "purchase" && e._2 >= ct).map(_._2).minOption)
+          u -> (1L + c.size + p.size)
+        }
+      }
+      got == want
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop).passed)
   }
 
   test("cohort retention: offsets count distinct active users per cohort") {
