@@ -199,11 +199,43 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** q88 — repetition signals, the Gopher-style duplicate-n-gram
+    * quality rule (the boilerplate detector q68's length/stopword rules
+    * don't cover: templated spam repeats the same bigrams however
+    * reasonable its lengths look). Per doc: total and distinct bigram
+    * counts, the hottest bigram's frequency, and the repetition ratio
+    * top/total — exact integers plus one deterministic division. The
+    * codegen'd [[graft.expr.NGramShingles]] kernel does the per-row
+    * work inside the scan stage; the (doc_id, gram) partial agg
+    * collapses repeats map-side before the exchange. Docs with < 2
+    * tokens have no bigrams and are absent, like q41's zero-token
+    * population.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.expr.NGramShingles(tokens(col("text")), 2)).as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(
+        sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max("c").as("top_bigram_freq"))
+      .withColumn("rep_ratio",
+        round(col("top_bigram_freq").cast("double")
+          / col("n_bigrams").cast("double"), 6))
+      .select("doc_id", "n_bigrams", "n_distinct_bigrams",
+        "top_bigram_freq", "rep_ratio")
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q47_bpeish_token_counts" -> (bpeishTokenCounts(_, _)),
     "q69_tfidf_top_terms" -> (tfidfTopTerms(_, _)),
+    "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q40_word_freq_topk" -> (wordFreqTopK(_, _)),
     "q41_token_stats" -> (tokenStats(_, _)),
     "q42_lang_stats" -> (langStats(_, _)),
@@ -336,6 +368,25 @@ object TextAnalysis {
     "q45_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix
          FROM documents ORDER BY doc_id""",
+    "q88_repetition_signals" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(ws) < 2 THEN []
+                  ELSE list_transform(range(len(ws)-1),
+                         i -> ws[i+1] || ' ' || ws[i+2])
+             END) AS g
+           FROM t),
+         c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+         SELECT doc_id,
+           sum(c)::BIGINT AS n_bigrams,
+           count(*) AS n_distinct_bigrams,
+           max(c)::BIGINT AS top_bigram_freq,
+           round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS rep_ratio
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q69_tfidf_top_terms" ->
       """WITH t AS (
            SELECT doc_id, w AS term FROM (

@@ -128,6 +128,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, "1,2,3", 3L), (4L, "4,5,6", 3L)))
   }
 
+  test("repetition signals: hand-computed bigram counts, short docs absent") {
+    import graft.ops.TextAnalysis
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),   // bigrams: a-b, b-a, a-b, b-a → top 2 of 4
+      (2L, "x y z"),       // all distinct → ratio 1/2
+      (3L, "solo"))        // < 2 tokens → absent
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.repetitionSignals(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 4L, 2L, 2L, 0.5), (2L, 2L, 2L, 1L, 0.5)))
+  }
+
   test("decontamination flags every train doc whose text duplicates an eval doc") {
     import graft.ops.Sampling
     val s = spark
