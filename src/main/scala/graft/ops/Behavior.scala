@@ -25,28 +25,49 @@ object Behavior {
     * partitioning serves all three rounds (no window sort needed — a
     * min beats a full per-user ordering at 100 TB).
     */
+  /** The registered q76 instance of the generic N-stage funnel. */
+  val defaultFunnelStages: Seq[String] = Seq("signup", "click", "purchase")
+
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelCore(Tables.eventsMicros(spark, dir))
 
-  private[graft] def funnelCore(ev: DataFrame): DataFrame = {
-    val signup = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("tsu").as("signup_tsu"))
-    val click = ev.filter(col("event_type") === "click")
-      .join(signup, "user_id")
-      .filter(col("tsu") >= col("signup_tsu"))
-      .groupBy("user_id").agg(min("tsu").as("click_tsu"))
-    val purchase = ev.filter(col("event_type") === "purchase")
-      .join(click, "user_id")
-      .filter(col("tsu") >= col("click_tsu"))
-      .groupBy("user_id").agg(min("tsu").as("purchase_tsu"))
-    signup
-      .join(click, Seq("user_id"), "left_outer")
-      .join(purchase, Seq("user_id"), "left_outer")
-      .withColumn("stage",
-        (lit(1)
-          + when(col("click_tsu").isNotNull, 1).otherwise(0)
-          + when(col("purchase_tsu").isNotNull, 1).otherwise(0)).cast("long"))
-      .select("user_id", "signup_tsu", "click_tsu", "purchase_tsu", "stage")
+  /** Generic ordered funnel over an arbitrary stage list (round-7
+    * advice: a product-analytics engine takes the stages as a
+    * parameter, not a hardcoded triple). Per user: first stage-1 event,
+    * then for each later stage the first event at-or-after the previous
+    * stage's match; `stage` = how far the user got (1..N). Output
+    * columns are `<stage>_tsu` in stage order, so the default instance
+    * is exactly the historical q76 shape.
+    *
+    * Each stage is a min-aggregate re-joined on user_id — one hash
+    * partitioning serves every round (no per-user window sort; a min
+    * beats a full per-user ordering at 100 TB), and the frame carried
+    * between stages is one row per surviving user, monotonically
+    * shrinking down the funnel.
+    */
+  private[graft] def funnelCore(
+      ev: DataFrame,
+      stages: Seq[String] = defaultFunnelStages): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, s"funnel stages must be distinct: $stages")
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("tsu").as(s"${stages.head}_tsu"))
+    // chained mins: stage k's first qualifying time gates stage k+1
+    val times = stages.tail.scanLeft(first) { case (prev, st) =>
+      val prevTsu = prev.columns.last
+      ev.filter(col("event_type") === st)
+        .join(prev, "user_id")
+        .filter(col("tsu") >= col(prevTsu))
+        .groupBy("user_id").agg(min("tsu").as(s"${st}_tsu"))
+    }
+    val joined = times.tail.foldLeft(first)(_.join(_, Seq("user_id"), "left_outer"))
+    val depth = stages.tail
+      .map(st => when(col(s"${st}_tsu").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1): org.apache.spark.sql.Column)(_ + _)
+    joined
+      .withColumn("stage", depth.cast("long"))
+      .select(col("user_id") +: stages.map(st => col(s"${st}_tsu"))
+        :+ col("stage"): _*)
       .orderBy("user_id")
   }
 

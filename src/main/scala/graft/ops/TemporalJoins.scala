@@ -51,34 +51,37 @@ object TemporalJoins {
     * semantics on hand-computed fixtures.
     */
   private[graft] def asofCore(ev: DataFrame): DataFrame = {
+    // the click payload rides as ONE nullable struct, so id/tsu/value are
+    // atomically from the SAME click row: three independent
+    // last(_, ignoreNulls) calls would each skip nulls separately — a
+    // click with a null value would then contribute its id/tsu while the
+    // value came from an EARLIER click, silently diverging from the
+    // oracle's arg_max (round-7 advice)
     val clicks = ev.filter(col("event_type") === "click").select(
       col("user_id"), col("tsu"), lit(0).as("side"), col("event_id"),
-      col("event_id").as("click_id"), col("tsu").as("click_tsu"),
-      col("value").as("click_value"),
+      struct(col("event_id").as("click_id"), col("tsu").as("click_tsu"),
+        col("value").as("click_value")).as("click_pack"),
       lit(null).cast("long").as("error_id"))
     val errors = ev.filter(col("event_type") === "error").select(
       col("user_id"), col("tsu"), lit(1).as("side"), col("event_id"),
-      lit(null).cast("long").as("click_id"),
-      lit(null).cast("long").as("click_tsu"),
-      lit(null).cast("double").as("click_value"),
+      lit(null)
+        .cast("struct<click_id:bigint,click_tsu:bigint,click_value:double>")
+        .as("click_pack"),
       col("event_id").as("error_id"))
 
     // side orders clicks before errors within a µs (inclusive <=); the
-    // frame's last non-null click columns are the as-of match. The three
-    // `last` calls share one window spec → one sort, one exchange.
+    // frame's last non-null click struct is the as-of match — one window
+    // function, one sort, one exchange.
     val w = Window.partitionBy("user_id")
       .orderBy("tsu", "side", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(errors)
-      .withColumn("m_id", last("click_id", ignoreNulls = true).over(w))
-      .withColumn("m_tsu", last("click_tsu", ignoreNulls = true).over(w))
-      .withColumn("m_value", last("click_value", ignoreNulls = true).over(w))
-      .filter(col("side") === 1 && col("m_id").isNotNull)
+      .withColumn("m", last("click_pack", ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("m").isNotNull)
       .select(
         col("error_id"), col("user_id"), col("tsu").as("err_tsu"),
-        col("m_id").as("click_id"), col("m_tsu").as("click_tsu"),
-        col("m_value").as("click_value"),
-        (col("tsu") - col("m_tsu")).as("gap_us"))
+        col("m.click_id"), col("m.click_tsu"), col("m.click_value"),
+        (col("tsu") - col("m.click_tsu")).as("gap_us"))
       .orderBy("error_id")
   }
 

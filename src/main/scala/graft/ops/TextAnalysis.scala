@@ -176,13 +176,34 @@ object TextAnalysis {
     * table is vocabulary-sized (Zipf: ≪ corpus), and the per-term join
     * key is as fine-grained as the data allows.
     */
-  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+  /** The registered q69 cut — ONE definition shared by the query and the
+    * interpolated oracle string, so surface and oracle cannot drift if
+    * the cut ever changes (round-7 advice; the lookbackUs pattern).
+    */
+  val tfidfK = 5
+
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = tfidfK): DataFrame =
     tfidfCore(Tables.documents(spark, dir), k)
+
+  /** Conventional float TF-IDF weighting — the epilogue [[tfidfTopTerms]]'s
+    * scaladoc promises over the exact (tf, df) columns:
+    * `tfidf = tf · ln(nDocs / df)`. Deliberately OUT of the registered
+    * surface: `ln` is implementation-defined in the last ulp, so the
+    * oracle-checked q69 frame stays exact-BIGINT and callers wanting the
+    * textbook score apply this single codegen'd projection on top.
+    * `nDocs` is the corpus document count the caller already has (a
+    * `parquetRowCount` footer read — not recomputed here, which would
+    * bolt a count job onto a projection).
+    */
+  def tfidfWeighted(exact: DataFrame, nDocs: Long): DataFrame =
+    exact.withColumn("tfidf",
+      col("tf").cast("double")
+        * log(lit(nDocs.toDouble) / col("df").cast("double")))
 
   /** Core over any frame with (doc_id, text) — fixture-injection seam
     * for the spec.
     */
-  private[graft] def tfidfCore(docs: DataFrame, k: Int = 5): DataFrame = {
+  private[graft] def tfidfCore(docs: DataFrame, k: Int = tfidfK): DataFrame = {
     val tf = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -388,7 +409,7 @@ object TextAnalysis {
            round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS rep_ratio
          FROM c GROUP BY 1 ORDER BY 1""",
     "q69_tfidf_top_terms" ->
-      """WITH t AS (
+      s"""WITH t AS (
            SELECT doc_id, w AS term FROM (
              SELECT doc_id, unnest(string_split(text,' ')) AS w
              FROM documents WHERE text IS NOT NULL)
@@ -404,7 +425,7 @@ object TextAnalysis {
              PARTITION BY doc_id ORDER BY score_e8 DESC, term) AS rank
            FROM s)
          SELECT doc_id, term, tf, df, score_e8, rank
-         FROM r WHERE rank <= 5 ORDER BY doc_id, rank""",
+         FROM r WHERE rank <= $tfidfK ORDER BY doc_id, rank""",
     "q46_cjk_token_stats" ->
       """SELECT doc_id,
          len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens

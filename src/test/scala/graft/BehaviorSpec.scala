@@ -70,6 +70,42 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop).passed)
   }
 
+  test("property: N-stage funnel matches brute force over random stage lists") {
+    // random stage count (1-4) drawn from a pool of six types, random
+    // event stream over the same pool — the generalized core must agree
+    // with a sequential chained-minOption reference for EVERY stage list,
+    // including single-stage and 4-deep funnels
+    val types = Vector("a", "b", "c", "d", "e", "f")
+    val caseGen = for {
+      nStages <- Gen.choose(1, 4)
+      picked <- Gen.pick(nStages, types)
+      // Gen.pick preserves pool order; a seeded shuffle makes the stage
+      // ORDER itself random (order is the semantics under test)
+      seed <- Gen.choose(0, 1 << 20)
+      stages = new scala.util.Random(seed).shuffle(picked.toList)
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        t <- Gen.choose(0L, 12L)
+        tp <- Gen.oneOf(types)
+      } yield (u, t, tp))
+    } yield (stages, rows)
+    val prop = Prop.forAll(caseGen) { case (stages, rows) =>
+      val got = Behavior.funnelCore(ev(rows: _*), stages)
+        .select("user_id", "stage").as[(Long, Long)].collect().toMap
+      val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val hits = stages.scanLeft(Option(Long.MinValue)) { (prev, st) =>
+          prev.flatMap(p =>
+            es.filter(e => e._3 == st && e._2 >= p).map(_._2).minOption)
+        }.tail
+        hits.head.map(_ => u -> hits.takeWhile(_.isDefined).size.toLong)
+      }
+      got == want
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop).passed)
+  }
+
   test("cohort retention: offsets count distinct active users per cohort") {
     val d = 86400000000L
     val out = Behavior.cohortCore(ev(

@@ -39,6 +39,21 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq === Seq((2L, 2.0)))
   }
 
+  test("as-of match fields are atomic when the latest click has a null value") {
+    // id/tsu/value must all come from the SAME click row: with three
+    // independent last(_, ignoreNulls) calls the null value would be
+    // skipped and filled from the EARLIER click (round-7 advice)
+    val df = Seq(
+      (1L, 7L, 100L, "click", Some(1.5)),
+      (2L, 7L, 200L, "click", None), // latest click, value null
+      (3L, 7L, 300L, "error", Some(0.0))
+    ).toDF("event_id", "user_id", "tsu", "event_type", "value")
+    val out = TemporalJoins.asofCore(df)
+      .select("click_id", "click_tsu", "click_value")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(out.toSeq === Seq((2L, 200L, None)))
+  }
+
   test("range join counts only same-user clicks in [t-10min, t)") {
     val t0 = 1000000000L // arbitrary µs origin, NOT band-aligned
     val w = TemporalJoins.lookbackSeconds * 1000000L
@@ -84,6 +99,25 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     // doc 2: bb (df 2) over aa (df 3) — same tf, rarer wins
     assert(out.filter(_._1 == 2L).map(r => (r._2, r._5)) ===
       Seq(("bb", 1L), ("aa", 2L)))
+  }
+
+  test("tf-idf float epilogue computes tf·ln(N/df) over the exact columns") {
+    val docs = Seq(
+      (1L, "aa bb rare"),
+      (2L, "aa bb"),
+      (3L, "aa cc cc")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfWeighted(TextAnalysis.tfidfCore(docs), nDocs = 3L)
+      .select("doc_id", "term", "tfidf")
+      .as[(Long, String, Double)].collect()
+      .map { case (d, t, w) => (d, t) -> w }.toMap
+    // hand-computed tf · ln(3/df), to a 1-ulp tolerance — the engine's
+    // codegen'd log differs from math.log in the last bit on some
+    // inputs, which is exactly why the REGISTERED q69 stays integer
+    def approx(got: Double, want: Double): Boolean = math.abs(got - want) < 1e-14
+    assert(approx(out((1L, "rare")), 1.0 * math.log(3.0 / 1.0)))
+    assert(approx(out((1L, "bb")), 1.0 * math.log(3.0 / 2.0)))
+    assert(approx(out((3L, "cc")), 2.0 * math.log(3.0 / 1.0)))
+    assert(out((3L, "aa")) === 0.0) // ln(3/3) is exactly 0 in both
   }
 
   test("rolling 1h RANGE frame: inclusive boundary, intra-µs peers, per-user") {
