@@ -54,6 +54,25 @@ object StreamingQueries {
 
   private val sinkSeq = new AtomicInteger(0)
 
+  /** Recursively delete a staging tree. Every query here wraps its body
+    * in try/finally over its `Files.createTempDirectory` base, so a
+    * long-lived session (or the spec suite's repeated invocations)
+    * accumulates no scratch copies of the staged tables — the round-7
+    * leak: four trees per full verify/bench run, never reclaimed.
+    * Results that live in the staging tree (parquet sinks) are
+    * localCheckpoint-materialized BEFORE the delete; memory-sink results
+    * live on the driver and need nothing.
+    */
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      // sorted deepest-first; Stream.sorted drains the walk before the
+      // first delete, so the traversal never sees its own deletions
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
   /** Batch counts of the last run, for the specs to pin the
     * multi-trigger claim (>= number of staged files).
     */
@@ -88,32 +107,35 @@ object StreamingQueries {
     */
   def streamingWordFreq(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     val base = Files.createTempDirectory("graft_q98_")
-    val input = base.resolve("in").toString
-    // 4 files → 4 micro-batches: counts must survive and accumulate
-    // across triggers, not within one
-    Tables.documents(spark, dir)
-      .repartitionByRange(4, col("doc_id"))
-      .write.parquet(input)
-    val stream = spark.readStream
-      .schema(Tables.documentsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(input)
-    val counts = TextAnalysis.wordsFrom(stream)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-    val sink = s"graft_q98_sink_${sinkSeq.incrementAndGet()}"
-    val q = counts.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    lastWordFreqBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
-    q.stop()
-    // the memory sink holds the final complete snapshot = counts over
-    // the whole stream; ordering/limit are sink-side, exactly as the
-    // batch query's TakeOrderedAndProject
-    spark.table(sink).orderBy(desc("freq"), asc("word")).limit(k)
+    try {
+      val input = base.resolve("in").toString
+      // 4 files → 4 micro-batches: counts must survive and accumulate
+      // across triggers, not within one
+      Tables.documents(spark, dir)
+        .repartitionByRange(4, col("doc_id"))
+        .write.parquet(input)
+      val stream = spark.readStream
+        .schema(Tables.documentsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input)
+      val counts = TextAnalysis.wordsFrom(stream)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val sink = s"graft_q98_sink_${sinkSeq.incrementAndGet()}"
+      val q = counts.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastWordFreqBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      q.stop()
+      // the memory sink holds the final complete snapshot = counts over
+      // the whole stream (driver-resident — survives the staging delete);
+      // ordering/limit are sink-side, exactly as the batch query's
+      // TakeOrderedAndProject
+      spark.table(sink).orderBy(desc("freq"), asc("word")).limit(k)
+    } finally deleteRecursively(base)
   }
 
   private val sessionInSchema = StructType(Seq(
@@ -156,48 +178,54 @@ object StreamingQueries {
     val mid = minT + (maxT - minT) / 2
 
     val base = Files.createTempDirectory("graft_q99_")
-    val input = Files.createDirectory(base.resolve("in"))
-    def asIn(df: DataFrame): DataFrame =
-      df.select(col("user_id"), timestamp_micros(col("tsu")).as("ts"), col("event_type"))
-    // time-split replay: every event in batch N+1 is newer than every
-    // event in batch N, so per-key arrival order matches a live stream
-    val now = System.currentTimeMillis()
-    stageOne(asIn(ev.filter(col("tsu") < mid)),
-      base.resolve("s0"), input, "00_early.parquet", now - 240000L)
-    stageOne(asIn(ev.filter(col("tsu") >= mid)),
-      base.resolve("s1"), input, "01_late.parquet", now - 120000L)
-    stageOne(asIn(ev.select("user_id").distinct()
-        .withColumn("tsu", lit(maxT + 2 * gapUs))
-        .withColumn("event_type", lit("sentinel"))),
-      base.resolve("s2"), input, "02_sentinel.parquet", now)
+    try {
+      val input = Files.createDirectory(base.resolve("in"))
+      def asIn(df: DataFrame): DataFrame =
+        df.select(col("user_id"), timestamp_micros(col("tsu")).as("ts"), col("event_type"))
+      // time-split replay: every event in batch N+1 is newer than every
+      // event in batch N, so per-key arrival order matches a live stream
+      val now = System.currentTimeMillis()
+      stageOne(asIn(ev.filter(col("tsu") < mid)),
+        base.resolve("s0"), input, "00_early.parquet", now - 240000L)
+      stageOne(asIn(ev.filter(col("tsu") >= mid)),
+        base.resolve("s1"), input, "01_late.parquet", now - 120000L)
+      stageOne(asIn(ev.select("user_id").distinct()
+          .withColumn("tsu", lit(maxT + 2 * gapUs))
+          .withColumn("event_type", lit("sentinel"))),
+        base.resolve("s2"), input, "02_sentinel.parquet", now)
 
-    val stream = spark.readStream
-      .schema(sessionInSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(input.toString)
-      .withWatermark("ts", "0 seconds")
-      .as[Sessionize.In](org.apache.spark.sql.Encoders.product[Sessionize.In])
-    val outDir = base.resolve("out").toString
-    val q = Sessionize.sessions(stream).writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    lastSessionBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
-    q.stop()
+      val stream = spark.readStream
+        .schema(sessionInSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input.toString)
+        .withWatermark("ts", "0 seconds")
+        .as[Sessionize.In](org.apache.spark.sql.Encoders.product[Sessionize.In])
+      val outDir = base.resolve("out").toString
+      val q = Sessionize.sessions(stream).writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastSessionBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      q.stop()
 
-    val w = Window.partitionBy("user_id").orderBy("session_start")
-    spark.read.schema(sessionOutSchema).parquet(outDir)
-      .withColumn("session_id", row_number().over(w).cast("long"))
-      .select(
-        col("user_id"), col("session_id"),
-        col("session_start").as("session_start_us"),
-        col("session_end").as("session_end_us"),
-        col("n_events"),
-        expr("(session_end - session_start) div 1000000").as("duration_sec"))
-      .orderBy("user_id", "session_id")
+      // eager localCheckpoint: the session rows move off the staging
+      // tree (deleted in the finally) into block storage, lineage cut
+      val sessions = spark.read.schema(sessionOutSchema).parquet(outDir)
+        .localCheckpoint(true)
+      val w = Window.partitionBy("user_id").orderBy("session_start")
+      sessions
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select(
+          col("user_id"), col("session_id"),
+          col("session_start").as("session_start_us"),
+          col("session_end").as("session_end_us"),
+          col("n_events"),
+          expr("(session_end - session_start) div 1000000").as("duration_sec"))
+        .orderBy("user_id", "session_id")
+    } finally deleteRecursively(base)
   }
 
   @volatile private[graft] var lastEnrichBatches: Long = -1
@@ -214,38 +242,40 @@ object StreamingQueries {
     */
   def streamingEnrichedRevenue(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_q78_")
-    val input = base.resolve("in").toString
-    Tables.events(spark, dir)
-      .filter(col("ts").isNotNull)
-      .select("event_id", "user_id", "value")
-      .repartitionByRange(4, col("event_id"))
-      .write.parquet(input)
-    val stream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("user_id", LongType),
-        StructField("value", DoubleType))))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(input)
-    val dim = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
-    val agg = stream
-      .join(dim, stream("user_id") === dim("c_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(
-        count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
-          .as("value_sum"))
-    val sink = s"graft_q78_sink_${sinkSeq.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    lastEnrichBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
-    q.stop()
-    spark.table(sink).orderBy("c_mktsegment")
+    try {
+      val input = base.resolve("in").toString
+      Tables.events(spark, dir)
+        .filter(col("ts").isNotNull)
+        .select("event_id", "user_id", "value")
+        .repartitionByRange(4, col("event_id"))
+        .write.parquet(input)
+      val stream = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input)
+      val dim = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+      val agg = stream
+        .join(dim, stream("user_id") === dim("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+      val sink = s"graft_q78_sink_${sinkSeq.incrementAndGet()}"
+      val q = agg.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastEnrichBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      q.stop()
+      spark.table(sink).orderBy("c_mktsegment")
+    } finally deleteRecursively(base)
   }
 
   @volatile private[graft] var lastSSJoinBatches: Long = -1
@@ -285,60 +315,180 @@ object StreamingQueries {
     val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
 
     val base = Files.createTempDirectory("graft_q79_")
-    def stage(tpe: String, sub: String): String = {
-      val inDir = Files.createDirectory(base.resolve(sub))
-      val rows = ev.filter(col("event_type") === tpe)
-        .select(col("event_id"), col("user_id"),
-          timestamp_micros(col("tsu")).as("ts"))
+    try {
+      def stage(tpe: String, sub: String): String = {
+        val inDir = Files.createDirectory(base.resolve(sub))
+        val rows = ev.filter(col("event_type") === tpe)
+          .select(col("event_id"), col("user_id"),
+            timestamp_micros(col("tsu")).as("ts"))
+        val now = System.currentTimeMillis()
+        // time-split: batch N+1 strictly newer than batch N per source
+        stageOne(rows.filter(col("ts") < timestamp_micros(lit(mid))),
+          base.resolve(sub + "_s0"), inDir, "00_early.parquet", now - 240000L)
+        stageOne(rows.filter(col("ts") >= timestamp_micros(lit(mid))),
+          base.resolve(sub + "_s1"), inDir, "01_late.parquet", now - 120000L)
+        inDir.toString
+      }
+      def read(dir: String): DataFrame = spark.readStream
+        .schema(ssInSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+
+      val clicks = read(stage("click", "clicks"))
+        .withWatermark("ts", s"${graft.ops.TemporalJoins.lookbackSeconds} seconds")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val purchases = read(stage("purchase", "purchases"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val joined = purchases.join(clicks, expr(
+        s"""p_user = c_user
+            AND c_ts >= p_ts - INTERVAL ${graft.ops.TemporalJoins.lookbackSeconds} SECONDS
+            AND c_ts < p_ts"""))
+
+      val outDir = base.resolve("out").toString
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastSSJoinBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      q.stop()
+
+      // eager localCheckpoint before the finally deletes the sink files
+      val pairs = spark.read.schema(StructType(Seq(
+          StructField("purchase_id", LongType), StructField("p_user", LongType),
+          StructField("p_ts", TimestampType), StructField("click_id", LongType),
+          StructField("c_user", LongType), StructField("c_ts", TimestampType))))
+        .parquet(outDir)
+        .localCheckpoint(true)
+      pairs
+        .select(
+          col("purchase_id"), col("p_user").as("user_id"),
+          expr("unix_micros(p_ts)").as("purchase_tsu"),
+          col("click_id"),
+          expr("unix_micros(c_ts)").as("click_tsu"))
+        .withColumn("gap_us", col("purchase_tsu") - col("click_tsu"))
+        .orderBy("purchase_id", "click_id")
+    } finally deleteRecursively(base)
+  }
+
+  /** Late rows actually discarded by the watermark in the last q100 run
+    * (Σ numRowsDroppedByWatermark over the run's micro-batches) — the
+    * spec pins it against the oracle-side count, and >0 proves the run
+    * genuinely exercised the drop path.
+    */
+  @volatile private[graft] var lastLateDropped: Long = -1
+
+  /** Tumbling-window width for q100, µs. */
+  private val lateWindowUs = 3600L * 1000000L
+
+  /** q100: watermark LATE-DATA ACCOUNTING — the one streaming semantics
+    * class q78/q79/q98/q99 leave untested as observed behavior: rows
+    * arriving BEHIND the watermark must be dropped, and the drop must be
+    * visible both in the emitted aggregates (affected windows count
+    * fewer rows) and in an explicit dropped-row tally.
+    *
+    * Replay shape (three files): the NEWER half of `events` arrives as
+    * two micro-batches (newest quarter first, so batch 0 carries the
+    * global max event time), then the older half replays last, entirely
+    * behind the watermark. The split is two files on the on-time side
+    * because the engine's LATE-ROW filter runs one batch behind its
+    * EVICTION watermark (StateStoreSave carries both
+    * eventTimeWatermarkForLateEvents — the watermark the PREVIOUS batch
+    * ran with — and eventTimeWatermarkForEviction; observed directly in
+    * the executed plan): a two-file replay would filter the late batch
+    * with a still-zero watermark and drop nothing. The middle batch
+    * seals the batch-0 watermark, so the late batch is filtered by the
+    * full delay-0 watermark = ms-truncated global max.
+    *
+    * The 1-hour tumbling count in APPEND mode then:
+    *   - drops every late row whose window closed at-or-before the
+    *     watermark (counted by the state operator's
+    *     numRowsDroppedByWatermark),
+    *   - admits late rows in still-open windows (window end past the
+    *     watermark) — but those windows never finalize before the
+    *     bounded replay ends, so the emitted rows are exactly the
+    *     on-time counts of CLOSED windows.
+    * Output: one row per closed window plus a `window_start_us = -1`
+    * summary row carrying the drop tally — BOTH reproduced by the
+    * DuckDB oracle from the same split rule, so the drop semantics are
+    * hash-gated, not just spec-asserted. The tally's unit is dropped
+    * WINDOWS, not events: the watermark filter sits at the state-store
+    * boundary, above the partial-agg exchange, so what it discards (and
+    * what numRowsDroppedByWatermark counts) is one fully-merged row per
+    * closed late window per batch — deterministic here because the
+    * whole late half replays as one micro-batch.
+    *
+    * The ms truncation in the oracle's watermark mirrors the engine:
+    * Spark tracks event-time watermarks in milliseconds (EventTimeStats
+    * collects max(eventTime)/1000), so a µs-precision cutoff would
+    * disagree on data landing inside the truncated millisecond.
+    */
+  def lateDataAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("window_start_us", LongType),
+      StructField("n_events", LongType)))
+    val ev = Tables.eventsMicros(spark, dir).select(col("tsu"))
+    val bounds = ev.agg(min("tsu"), max("tsu")).head()
+    if (bounds.isNullAt(0))
+      // degenerate input still carries the accounting row, like the oracle
+      return spark.createDataFrame(
+        java.util.List.of(Row(-1L, 0L)), outSchema)
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+
+    val base = Files.createTempDirectory("graft_q100_")
+    try {
+      val input = Files.createDirectory(base.resolve("in"))
+      def asIn(df: DataFrame): DataFrame =
+        df.select(timestamp_micros(col("tsu")).as("ts"))
       val now = System.currentTimeMillis()
-      // time-split: batch N+1 strictly newer than batch N per source
-      stageOne(rows.filter(col("ts") < timestamp_micros(lit(mid))),
-        base.resolve(sub + "_s0"), inDir, "00_early.parquet", now - 240000L)
-      stageOne(rows.filter(col("ts") >= timestamp_micros(lit(mid))),
-        base.resolve(sub + "_s1"), inDir, "01_late.parquet", now - 120000L)
-      inDir.toString
-    }
-    def read(dir: String): DataFrame = spark.readStream
-      .schema(ssInSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+      // newest quarter first (holds the global max → batch 0 sets the
+      // watermark), rest of the on-time half second (seals it — the
+      // late-row filter lags one batch), older half last (all late)
+      val mid2 = mid + (bounds.getLong(1) - mid) / 2
+      stageOne(asIn(ev.filter(col("tsu") >= mid2)),
+        base.resolve("s0"), input, "00_newest.parquet", now - 300000L)
+      stageOne(asIn(ev.filter(col("tsu") >= mid && col("tsu") < mid2)),
+        base.resolve("s1"), input, "01_current.parquet", now - 200000L)
+      stageOne(asIn(ev.filter(col("tsu") < mid)),
+        base.resolve("s2"), input, "02_late_replay.parquet", now - 100000L)
 
-    val clicks = read(stage("click", "clicks"))
-      .withWatermark("ts", s"${graft.ops.TemporalJoins.lookbackSeconds} seconds")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
-    val purchases = read(stage("purchase", "purchases"))
-      .withWatermark("ts", "0 seconds")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
-    val joined = purchases.join(clicks, expr(
-      s"""p_user = c_user
-          AND c_ts >= p_ts - INTERVAL ${graft.ops.TemporalJoins.lookbackSeconds} SECONDS
-          AND c_ts < p_ts"""))
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("ts", TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input.toString)
+        .withWatermark("ts", "0 seconds")
+      val agg = stream
+        .groupBy(window(col("ts"), s"${lateWindowUs / 1000000L} seconds"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(expr("unix_micros(window.start)").as("window_start_us"),
+          col("n_events"))
+      val outDir = base.resolve("out").toString
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dropped = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark).sum
+      lastLateDropped = dropped
+      q.stop()
 
-    val outDir = base.resolve("out").toString
-    val q = joined.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    lastSSJoinBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
-    q.stop()
-
-    spark.read.schema(StructType(Seq(
-        StructField("purchase_id", LongType), StructField("p_user", LongType),
-        StructField("p_ts", TimestampType), StructField("click_id", LongType),
-        StructField("c_user", LongType), StructField("c_ts", TimestampType))))
-      .parquet(outDir)
-      .select(
-        col("purchase_id"), col("p_user").as("user_id"),
-        expr("unix_micros(p_ts)").as("purchase_tsu"),
-        col("click_id"),
-        expr("unix_micros(c_ts)").as("click_tsu"))
-      .withColumn("gap_us", col("purchase_tsu") - col("click_tsu"))
-      .orderBy("purchase_id", "click_id")
+      val closed = spark.read.schema(outSchema).parquet(outDir)
+        .localCheckpoint(true)
+      closed
+        .unionByName(spark.createDataFrame(
+          java.util.List.of(Row(-1L, dropped)), outSchema))
+        .orderBy("window_start_us")
+    } finally deleteRecursively(base)
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -347,7 +497,8 @@ object StreamingQueries {
     "q98_streaming_word_freq" -> (streamingWordFreq(_, _)),
     "q99_streaming_sessions" -> (streamingSessions(_, _)),
     "q78_streaming_enrich_join" -> (streamingEnrichedRevenue(_, _)),
-    "q79_stream_stream_join" -> (streamStreamJoin(_, _)))
+    "q79_stream_stream_join" -> (streamStreamJoin(_, _)),
+    "q100_late_data_accounting" -> (lateDataAccounting(_, _)))
 
   /** The batch twins' oracles, verbatim: the driver hash-gates
     * streaming == batch-oracle, i.e. streaming == batch.
@@ -362,6 +513,34 @@ object StreamingQueries {
          FROM events JOIN customer ON user_id = c_custkey
          WHERE ts IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+    // q100: the oracle REPLAYS the watermark arithmetic from the split
+    // rule alone — mid from the µs bounds, watermark = ms-truncated max
+    // (Spark tracks watermarks in ms) — so closed-window counts and the
+    // dropped-late tally are both independently recomputed and hashed
+    "q100_late_data_accounting" ->
+      s"""WITH ev AS (
+           SELECT epoch_ns(ts) // 1000 AS tsu FROM events
+           WHERE ts IS NOT NULL),
+         b AS (SELECT min(tsu) AS mn, max(tsu) AS mx FROM ev),
+         p AS (SELECT mn + (mx - mn) // 2 AS mid,
+                      (mx // 1000) * 1000 AS wm FROM b),
+         ontime AS (
+           SELECT (tsu // $lateWindowUs) * $lateWindowUs AS wstart,
+                  count(*) AS n
+           FROM ev, p
+           WHERE tsu >= mid
+           GROUP BY 1),
+         closed AS (
+           SELECT o.wstart, o.n FROM ontime o, p
+           WHERE o.wstart + $lateWindowUs <= p.wm),
+         dropped AS (
+           SELECT count(DISTINCT (tsu // $lateWindowUs) * $lateWindowUs) AS c
+           FROM ev, p
+           WHERE tsu < mid
+             AND (tsu // $lateWindowUs) * $lateWindowUs + $lateWindowUs <= wm)
+         SELECT wstart AS window_start_us, n AS n_events FROM closed
+         UNION ALL SELECT -1, c FROM dropped
+         ORDER BY 1""",
     // q79: the batch interval join, pair for pair — streaming state +
     // watermark eviction must be semantically invisible
     "q79_stream_stream_join" ->

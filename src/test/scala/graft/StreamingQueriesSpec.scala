@@ -71,4 +71,53 @@ class StreamingQueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamingQueries.lastSessionBatches >= 3,
       s"expected >=3 micro-batches, got ${StreamingQueries.lastSessionBatches}")
   }
+
+  test("q100: late rows are dropped behind the watermark and accounted") {
+    import org.apache.spark.sql.functions._
+    val W = 3600L * 1000000L
+    val got = rows(StreamingQueries.lateDataAccounting(spark, sf))
+
+    // batch twin of the oracle: mid/watermark from the same split rule
+    val ev = Tables.eventsMicros(spark, sf).select("tsu")
+    val b = ev.agg(min("tsu"), max("tsu")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val mid = mn + (mx - mn) / 2
+    val wm = (mx / 1000) * 1000 // ms-truncated, like the engine's tracker
+    val closed = ev.filter(col("tsu") >= mid)
+      .groupBy(expr(s"tsu div $W * $W").as("window_start_us"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("window_start_us") + W <= wm)
+    // the unit is dropped WINDOWS: the watermark filter discards
+    // fully-merged per-window rows at the state-store boundary
+    val droppedWant = ev
+      .filter(col("tsu") < mid && expr(s"tsu div $W * $W") + W <= wm)
+      .select(expr(s"tsu div $W")).distinct().count()
+    val want = rows(closed
+      .unionByName(spark.range(1).select(lit(-1L).as("window_start_us"),
+        lit(droppedWant).as("n_events")))
+      .orderBy("window_start_us"))
+    assert(got == want)
+    // the run must have genuinely exercised the drop path, and the
+    // engine-observed drop count must equal the recomputed one
+    assert(StreamingQueries.lastLateDropped == droppedWant)
+    assert(StreamingQueries.lastLateDropped > 0,
+      "fixture produced no late drops — the semantics class went untested")
+  }
+
+  test("streaming staging trees are deleted after every run") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def scratch(): Set[String] = {
+      val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+      val s = Files.list(tmp)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("graft_q")).toSet
+      finally s.close()
+    }
+    val before = scratch()
+    StreamingQueries.streamingWordFreq(spark, sf).count()
+    StreamingQueries.lateDataAccounting(spark, sf).count()
+    val leaked = scratch() -- before
+    assert(leaked.isEmpty, s"leaked staging dirs: $leaked")
+  }
 }
