@@ -191,15 +191,38 @@ object Tables {
     * 0.16 s and q53 0.20 → 0.38 s on the 584 KB sf0.1 documents file).
     *
     * UNIT CAVEAT: the optimizer's size estimate is ON-DISK bytes —
-    * possibly compressed. For columnar-compressed sources (parquet +
-    * snappy/zstd) text can expand 5-10x into kernel work, so a
-    * borderline source may stay serial before an expensive
-    * tokenize/codec stage; callers fronting such a stage on a
-    * heavily-compressed source should pass a proportionally SMALLER
-    * `minBytesPerCore` (e.g. `spreadMinBytesPerCore / 8`). The 4 MB
-    * default was calibrated on raw text, where disk bytes ≈ work bytes.
+    * possibly compressed. For columnar-compressed sources (parquet/orc)
+    * text can expand 5-10x into kernel work, so the gate itself scales:
+    * [[spread]] detects a columnar-compressed scan in the plan and
+    * divides the threshold by [[spreadCompressionDivisor]] (round-7
+    * advice — the caveat used to be documentation no call site acted
+    * on, leaving a heavily-compressed single-file source serial before
+    * an expensive kernel). The 4 MB default was calibrated on raw text,
+    * where disk bytes ≈ work bytes.
     */
   val spreadMinBytesPerCore: Long = 4L << 20
+
+  /** Disk-bytes → kernel-work expansion assumed for columnar-compressed
+    * scans (parquet + snappy/zstd on text routinely decompresses 5-10x).
+    */
+  val spreadCompressionDivisor: Long = 8L
+
+  /** [[spreadCompressionDivisor]] if `df` scans a columnar-compressed
+    * file format, else 1. Plan inspection only — no job, no I/O.
+    */
+  private def compressionDivisor(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan.collectFirst {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          val fmt = h.fileFormat.toString.toLowerCase(java.util.Locale.ROOT)
+          if (fmt.contains("parquet") || fmt.contains("orc"))
+            spreadCompressionDivisor
+          else 1L
+        case _ => 1L
+      }
+    }.getOrElse(1L)
+  }
 
   /** Spread a CPU-heavy map stage whose source scans with less
     * parallelism than the cluster offers (one footer-packed parquet
@@ -224,7 +247,10 @@ object Tables {
              minBytesPerCore: Long = spreadMinBytesPerCore): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val planned = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (planned < BigInt(target) * minBytesPerCore) df
+    // compressed columnar bytes stand in for ~8x the kernel work, so
+    // the gate admits them proportionally earlier
+    val gate = BigInt(target) * minBytesPerCore / compressionDivisor(df)
+    if (planned < gate) df
     else if (df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }

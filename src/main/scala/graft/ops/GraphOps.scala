@@ -177,6 +177,202 @@ object GraphOps {
     materializeAndRelease(out, e, toDrop.toSeq: _*)
   }
 
+  val louvainMaxPasses = 5
+  val louvainMaxSweeps = 20
+
+  /** Deterministic LOUVAIN community detection — the modularity-
+    * OPTIMIZING pass the reference readme claims alongside LPA
+    * (relation_graph/readme.md:6,18-19 "Louvain/LPA算法发现人物阵营";
+    * the reference implements neither). [[labelPropagation]] optimizes
+    * nothing; this climbs exactly the objective [[modularity]] proves
+    * oracle-exact (q74), in the same integer arithmetic.
+    *
+    * Classical sequential Louvain, made bit-deterministic:
+    *   - vertices sweep in lexicographic name order;
+    *   - a vertex moves only on STRICTLY positive modularity gain,
+    *     computed exactly in BigInt on the identity
+    *     ΔQ·(2m)²/2 = 2m·(w_ub − w_ua') − k_u·(T_b − T_a + k_u)
+    *     (no float ever — ties cannot arise from rounding);
+    *   - equal gains break to the candidate community with the
+    *     lexicographically smallest representative (min original member
+    *     name), the same human-replayable total order LPA uses;
+    *   - passes contract communities to supernodes (named by their rep,
+    *     so ordering stays deterministic) with self-loops carrying
+    *     internal weight, until a pass moves nothing or
+    *     [[louvainMaxPasses]] is hit.
+    * Every accepted move strictly increases Q and contraction preserves
+    * it, so per-pass modularity is NON-DECREASING — property-tested
+    * exactly via [[modularityNum]], measurable thanks to q74's integer
+    * identity.
+    *
+    * Scale: like LPA/PageRank the optimization runs on the AGGREGATED
+    * co-occurrence graph, which is lexicon-bounded (|V| ≤ lexicon size)
+    * no matter the corpus volume — only the upstream edge aggregation
+    * scales with data. The sequential climb runs as ONE executor task
+    * over that bounded graph (`coalesce(1).mapPartitions`, the same
+    * collapse [[edgeGraph]] applies for Pregel: 32 near-empty partitions
+    * are pure scheduling overhead) — no driver collect, no per-round
+    * job scheduling. A graph too big for one task is the regime where
+    * sequential Louvain itself stops being meaningful; [[labelPropagation]]
+    * is the fully-distributed fallback there.
+    */
+  def louvain(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val memb = edges.toDF("src", "dst", "weight")
+      .select("src", "dst", "weight")
+      .as[(String, String, Long)](
+        org.apache.spark.sql.Encoders.product[(String, String, Long)])
+      .rdd.coalesce(1)
+      .mapPartitions { it =>
+        louvainPasses(it.toSeq).lastOption.getOrElse(Map.empty).iterator
+      }
+    spark.createDataFrame(memb).toDF("entity_id", "community")
+      .groupBy("community")
+      .agg(sort_array(collect_list("entity_id")).as("members"),
+        count(lit(1)).as("n_members"))
+      // community id IS the rep (min member name) by construction
+      .select(col("community").as("community_rep"), col("members"),
+        col("n_members"))
+      .orderBy(desc("n_members"), asc("community_rep"))
+  }
+
+  /** The sequential Louvain climb: membership (entity → community rep)
+    * AFTER EACH PASS, so the spec can assert the per-pass modularity
+    * monotone. Pure Scala — runs inside one executor task (see
+    * [[louvain]]) and directly under ScalaCheck.
+    */
+  private[graft] def louvainPasses(
+      edgeList: Seq[(String, String, Long)],
+      maxPasses: Int = louvainMaxPasses,
+      maxSweeps: Int = louvainMaxSweeps): Seq[Map[String, String]] = {
+    // current contracted graph: node name → (neighbor → weight), plus
+    // self-loop weight per node; node names at pass p are community reps
+    var adj: Map[String, Map[String, Long]] = {
+      val sym = edgeList.filter(e => e._1 != e._2)
+        .flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+      sym.groupBy(_._1).view.mapValues(
+        _.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap).toMap
+    }
+    var self: Map[String, Long] =
+      edgeList.filter(e => e._1 == e._2).groupBy(_._1).view
+        .mapValues(_.map(_._3).sum).toMap
+    var names: Vector[String] =
+      (adj.keySet ++ self.keySet).toVector.sorted
+    // original entity → current supernode
+    var lift: Map[String, String] = names.map(n => n -> n).toMap
+    val out = scala.collection.mutable.ArrayBuffer[Map[String, String]]()
+
+    var pass = 0
+    var movedInPass = true
+    while (pass < maxPasses && movedInPass && names.nonEmpty) {
+      val idx = names.zipWithIndex.toMap
+      val n = names.size
+      val k: Array[BigInt] = Array.tabulate(n) { i =>
+        val nm = names(i)
+        BigInt(adj.getOrElse(nm, Map.empty).values.sum) +
+          2 * BigInt(self.getOrElse(nm, 0L))
+      }
+      val m2: BigInt = k.sum
+      val comm: Array[Int] = Array.tabulate(n)(identity)
+      val total: Array[BigInt] = k.clone()
+      // community members, for rep maintenance under moves
+      val members: Array[scala.collection.mutable.SortedSet[String]] =
+        Array.tabulate(n)(i => scala.collection.mutable.SortedSet(names(i)))
+
+      movedInPass = false
+      var sweep = 0
+      var movedInSweep = true
+      while (sweep < maxSweeps && movedInSweep) {
+        movedInSweep = false
+        for (u <- 0 until n) {
+          val nm = names(u)
+          val a = comm(u)
+          val wTo: Map[Int, BigInt] = adj.getOrElse(nm, Map.empty)
+            .groupBy { case (v, _) => comm(idx(v)) }
+            .view.mapValues(m => BigInt(m.values.sum)).toMap
+          val wUa = wTo.getOrElse(a, BigInt(0))
+          // strict-gain candidates among neighbor communities
+          val cands = wTo.keysIterator.filter(_ != a).flatMap { b =>
+            val g = m2 * (wTo(b) - wUa) - k(u) * (total(b) - total(a) + k(u))
+            if (g > 0) Some((b, g)) else None
+          }.toSeq
+          if (cands.nonEmpty) {
+            val best = cands.minBy { case (b, g) => (-g, members(b).head) }._1
+            comm(u) = best
+            total(a) -= k(u); total(best) += k(u)
+            members(a) -= nm; members(best) += nm
+            movedInSweep = true
+            movedInPass = true
+          }
+        }
+        sweep += 1
+      }
+
+      // membership after this pass, in ORIGINAL entity names
+      val rep: Map[String, String] =
+        names.indices.map(i => names(i) -> members(comm(i)).head).toMap
+      lift = lift.view.mapValues(sn => rep(sn)).toMap
+      out += lift
+
+      if (movedInPass) {
+        // contract: supernode per community, self-loops keep internal
+        // weight, parallel edges between communities sum
+        val newSelf = scala.collection.mutable.Map[String, Long]()
+        val newAdj = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, Long]]()
+        for (u <- 0 until n) {
+          val ru = rep(names(u))
+          newSelf(ru) = newSelf.getOrElse(ru, 0L) + self.getOrElse(names(u), 0L)
+          for ((v, w) <- adj.getOrElse(names(u), Map.empty)) {
+            val rv = rep(v)
+            if (ru == rv) {
+              // each internal undirected edge appears twice in adj —
+              // halve by counting only the (u < v) orientation
+              if (names(u) < v) newSelf(ru) = newSelf.getOrElse(ru, 0L) + w
+            } else {
+              val row = newAdj.getOrElseUpdate(ru, scala.collection.mutable.Map())
+              row(rv) = row.getOrElse(rv, 0L) + w
+            }
+          }
+        }
+        adj = newAdj.view.mapValues(_.toMap).toMap
+        self = newSelf.toMap
+        names = (adj.keySet ++ self.keySet).toVector.sorted
+      }
+      pass += 1
+    }
+    out.toSeq
+  }
+
+  /** Exact modularity NUMERATOR Q·(2m)² = Σ_c (2m·I_c − T_c²) of a
+    * partition, BigInt end-to-end — the scalar twin of [[modularity]]
+    * for the Louvain monotonicity property (same identity the q74
+    * oracle proves in HUGEINT; denominator (2m)² is pass-invariant, so
+    * comparing numerators compares Q exactly).
+    */
+  private[graft] def modularityNum(
+      edgeList: Seq[(String, String, Long)],
+      membership: Map[String, String]): BigInt = {
+    val deg = scala.collection.mutable.Map[String, BigInt]()
+    for ((s, d, w) <- edgeList) {
+      if (s == d) deg(s) = deg.getOrElse(s, BigInt(0)) + 2 * BigInt(w)
+      else {
+        deg(s) = deg.getOrElse(s, BigInt(0)) + w
+        deg(d) = deg.getOrElse(d, BigInt(0)) + w
+      }
+    }
+    val m2 = deg.values.sum
+    val iC = scala.collection.mutable.Map[String, BigInt]()
+    for ((s, d, w) <- edgeList if membership(s) == membership(d)) {
+      val c = membership(s)
+      iC(c) = iC.getOrElse(c, BigInt(0)) + 2 * BigInt(w)
+    }
+    val tC = deg.groupBy { case (v, _) => membership(v) }
+      .view.mapValues(_.values.sum).toMap
+    tC.keysIterator.map { c =>
+      m2 * iC.getOrElse(c, BigInt(0)) - tC(c) * tC(c)
+    }.sum
+  }
+
   /** Newman modularity of a partition, per community, in EXACT integer
     * arithmetic. With 2m = Σ degrees, T_c = Σ_{u∈c} k_u and
     * I_c = 2·Σ internal edge weight, the contribution of community c is
@@ -288,6 +484,15 @@ object GraphOps {
     // dynamics are spec-pinned on a hand-computable fixture instead.
     "q35_label_propagation" -> ((s, _) =>
       labelPropagation(Fidelity.edgesAgg(
+        Fidelity.entityRows(s, Fidelity.fanRenGlob, graft.expr.RefLexicons.fanRen)))
+        .withColumn("members", array_join(col("members"), ","))),
+    // Louvain over the same relation graph — the readme's other claimed
+    // community algorithm. Rows-only like q35 (an optimization fixpoint
+    // has no SQL oracle); the climb's objective is the q74-oracle-proven
+    // integer modularity, and GraphOpsSpec pins a hand-computed fixture
+    // plus exact per-pass monotonicity.
+    "q89_louvain_communities" -> ((s, _) =>
+      louvain(Fidelity.edgesAgg(
         Fidelity.entityRows(s, Fidelity.fanRenGlob, graft.expr.RefLexicons.fanRen)))
         .withColumn("members", array_join(col("members"), ","))),
     // members serialized for the driver (pandas can't hash numpy arrays,

@@ -167,12 +167,87 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** The HOT-KEY-SAFE twin of [[rollingCore]] — identical output, no
+    * O(k·w) re-aggregation. Spark's sliding RANGE frame re-sums the
+    * buffered frame on every slide (count/sum have no subtract-on-evict
+    * path), so one bot-like user with 10⁶ events/hour makes the frame
+    * quadratic and that task the stage straggler (the cost honesty note
+    * on [[rollingHourWindow]]). This formulation is O(k log k) per key
+    * in the WORST case, any density:
+    *
+    *   1. collapse intra-µs peers per (user, tsu) — RANGE gives peers
+    *      set semantics anyway, so one row per distinct timestamp
+    *      carries (count, exact decimal sum, the event_ids);
+    *   2. running prefix sums over a growing UNBOUNDED-PRECEDING rows
+    *      frame — Spark maintains those incrementally, O(1) per row;
+    *   3. each row also emits a PROBE at tsu − W − 1 µs; the prefix sum
+    *      at the probe is the as-of lookup of the window's left edge —
+    *      the same union-tag + running `last(struct)` trick as
+    *      [[asofCore]] (probe after real rows within a µs: inclusive);
+    *   4. trailing agg = own prefix − boundary prefix (decimal-exact
+    *      differences of exact sums = the direct frame sums, to the
+    *      last bit), then the peer group explodes back to events.
+    *
+    * Two sort-exchanges on user_id instead of one — the price of the
+    * bound. [[rollingCore]] stays the registered q73 plan (cheaper on
+    * bounded density); this is the documented escape hatch, held to the
+    * same oracle semantics by the shared property test.
+    */
+  private[graft] def rollingCoreScalable(ev: DataFrame): DataFrame = {
+    val byTs = ev
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        col("value").cast("decimal(18,6)").as("value_q"))
+      .groupBy("user_id", "tsu")
+      .agg(count(lit(1)).as("cnt"), sum("value_q").as("val_q"),
+        collect_list("event_id").as("ids"))
+    val cumW = Window.partitionBy("user_id").orderBy("tsu")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byTs
+      .withColumn("cum_cnt", sum("cnt").over(cumW))
+      .withColumn("cum_val", sum("val_q").over(cumW))
+
+    val packT = "struct<cum_cnt:bigint,cum_val:decimal(38,6)>"
+    val real = cum.select(
+      col("user_id"), col("tsu"), lit(0).as("side"),
+      struct(col("cum_cnt"), col("cum_val")).cast(packT).as("pack"),
+      lit(null).cast("bigint").as("o_tsu"),
+      lit(null).cast("bigint").as("o_cnt"),
+      lit(null).cast("decimal(38,6)").as("o_val"),
+      lit(null).cast("array<bigint>").as("ids"))
+    val probes = cum.select(
+      col("user_id"), (col("tsu") - rollingWindowUs - 1).as("tsu"),
+      lit(1).as("side"), lit(null).cast(packT).as("pack"),
+      col("tsu").as("o_tsu"), col("cum_cnt").as("o_cnt"),
+      col("cum_val").as("o_val"), col("ids"))
+
+    val w = Window.partitionBy("user_id").orderBy("tsu", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    real.unionByName(probes)
+      .withColumn("base", last("pack", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("user_id"), col("o_tsu").as("tsu"),
+        (col("o_cnt") - coalesce(col("base.cum_cnt"), lit(0L)))
+          .as("n_trailing_1h"),
+        round((col("o_val") - coalesce(col("base.cum_val"),
+            lit(0).cast("decimal(38,6)"))).cast("double"), 2)
+          .as("sum_trailing_1h"),
+        explode(col("ids")).as("event_id"))
+      .select("event_id", "user_id", "tsu", "n_trailing_1h", "sum_trailing_1h")
+      .orderBy("event_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q36_asof_join" -> (asofErrorClicks(_, _)),
     "q37_range_join" -> (purchaseClickAttribution(_, _)),
-    "q73_rolling_hour_window" -> (rollingHourWindow(_, _)))
+    "q73_rolling_hour_window" -> (rollingHourWindow(_, _)),
+    // the hot-key-safe twin as a first-class registered query: same
+    // semantics, same oracle, worst-case O(k log k) plan — the enforced
+    // form of q73's documented density bound
+    "q101_rolling_hour_hotsafe" -> ((s, d) =>
+      rollingCoreScalable(Tables.eventsMicros(s, d))))
 
   val oracles: Map[String, String] = Map(
     // the oracle is DuckDB's NATIVE ASOF JOIN — an independent
@@ -217,8 +292,13 @@ object TemporalJoins {
           AND c.click_tsu < p.purchase_tsu
          GROUP BY 1, 2, 3
          ORDER BY p.purchase_id""",
-    "q73_rolling_hour_window" ->
-      s"""WITH ev AS (
+    // q101 shares q73's oracle verbatim: the hot-key-safe plan must be
+    // semantically invisible
+    "q101_rolling_hour_hotsafe" -> rollingOracle,
+    "q73_rolling_hour_window" -> rollingOracle)
+
+  private lazy val rollingOracle: String =
+    s"""WITH ev AS (
            SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
                   CAST(value AS DECIMAL(18,6)) AS value_q
            FROM events WHERE ts IS NOT NULL)
@@ -228,5 +308,5 @@ object TemporalJoins {
          FROM ev
          WINDOW w AS (PARTITION BY user_id ORDER BY tsu
            RANGE BETWEEN $rollingWindowUs PRECEDING AND CURRENT ROW)
-         ORDER BY event_id""")
+         ORDER BY event_id"""
 }

@@ -62,6 +62,91 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(members.length == CooccurrenceGraph.nodes(spark, sf).count())
   }
 
+  test("louvain: hand-computed fixture — two triangles, weak bridge") {
+    val s = spark
+    import s.implicits._
+    // same shape as the LPA fixture: Louvain must also find exactly the
+    // two triangles (the bridge never pays: merging across it costs
+    // more squared-degree than the single unit edge returns)
+    val edges = Seq(
+      ("a", "b", 10L), ("a", "c", 10L), ("b", "c", 10L),
+      ("d", "e", 10L), ("d", "f", 10L), ("e", "f", 10L),
+      ("a", "d", 1L)).toDF("src", "dst", "weight")
+    val out = GraphOps.louvain(edges).collect()
+    val comms = out.map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    assert(comms == Map(
+      "a" -> List("a", "b", "c"),
+      "d" -> List("d", "e", "f")), s"got $comms")
+  }
+
+  test("louvain beats the LPA partition's modularity on the real graph and is deterministic") {
+    val edges = CooccurrenceGraph.edgeCounts(spark, sf)
+    val a = GraphOps.louvain(edges).collect().toSeq
+    val b = GraphOps.louvain(edges).collect().toSeq
+    assert(a == b)
+    // every vertex in exactly one community
+    val members = a.flatMap(_.getSeq[String](1))
+    assert(members.length == members.distinct.length)
+    assert(members.length == CooccurrenceGraph.nodes(spark, sf).count())
+    // Louvain OPTIMIZES modularity; LPA doesn't. On the same edge set
+    // the climbed partition must score at least as high (exact BigInt
+    // comparison via the shared numerator; 2m identical by construction)
+    val el = edges.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    def membOf(rows: Seq[org.apache.spark.sql.Row]): Map[String, String] =
+      rows.flatMap(r => r.getSeq[String](1).map(_ -> r.getString(0))).toMap
+    val lpa = GraphOps.labelPropagation(edges).collect().toSeq
+    val qLouvain = GraphOps.modularityNum(el, membOf(a))
+    val qLpa = GraphOps.modularityNum(el, membOf(lpa))
+    assert(qLouvain >= qLpa, s"louvain $qLouvain < lpa $qLpa")
+  }
+
+  test("property: louvain per-pass modularity is non-decreasing, exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val names = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val edgesGen = Gen.choose(1, 16).flatMap { n =>
+      Gen.listOfN(n, for {
+        i <- Gen.choose(0, names.size - 2)
+        j <- Gen.choose(1, names.size - 1 - i)
+        w <- Gen.choose(1L, 9L)
+      } yield (names(i), names(i + j), w))
+        // one row per undirected pair, like the aggregated edge tables
+        .map(_.groupBy(e => (e._1, e._2)).map { case ((s, d), es) =>
+          (s, d, es.map(_._3).sum)
+        }.toSeq)
+    }
+    val prop = Prop.forAll(edgesGen) { edges =>
+      val passes = GraphOps.louvainPasses(edges)
+      val qs = passes.map(m => GraphOps.modularityNum(edges, m))
+      val singletons = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> v).toMap
+      val q0 = GraphOps.modularityNum(edges, singletons)
+      // monotone from the singleton start through every pass
+      (q0 +: qs).sliding(2).forall { case Seq(x, y) => x <= y; case _ => true }
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop).passed)
+  }
+
+  test("louvain membership agrees with the oracle-proven modularity rollup") {
+    val s = spark
+    import s.implicits._
+    // the DataFrame modularity (q74's oracle-checked identity) evaluated
+    // on louvain's own partition must equal the local BigInt numerator
+    val edges = Seq(
+      ("a", "b", 10L), ("a", "c", 10L), ("b", "c", 10L),
+      ("d", "e", 10L), ("d", "f", 10L), ("e", "f", 10L),
+      ("a", "d", 1L)).toDF("src", "dst", "weight")
+    val memb = GraphOps.louvain(edges)
+      .select(explode(col("members")).as("entity_id"),
+        col("community_rep").as("community"))
+    val got = GraphOps.modularity(edges, memb)
+      .selectExpr("sum(q_num)").as[Double].collect()(0)
+    val el = Seq(("a", "b", 10L), ("a", "c", 10L), ("b", "c", 10L),
+      ("d", "e", 10L), ("d", "f", 10L), ("e", "f", 10L), ("a", "d", 1L))
+    val lift = GraphOps.louvainPasses(el).last
+    assert(BigInt(got.toLong) == GraphOps.modularityNum(el, lift))
+  }
+
   test("modularity: exact integers on the two-triangle bridge fixture") {
     val s = spark
     import s.implicits._

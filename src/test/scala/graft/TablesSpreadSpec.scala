@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins both directions of the work-gated source spread (Tables.spread):
@@ -30,5 +31,41 @@ class TablesSpreadSpec extends AnyFunSuite with SparkTestBase {
     val target = spark.sparkContext.defaultParallelism
     val df = Tables.documents(spark, sf).repartition(target)
     assert(Tables.spread(df, minBytesPerCore = 1L) eq df)
+  }
+
+  test("a compressed columnar source clears the gate 8x earlier") {
+    // a ~3 MB parquet file: under the RAW-text gate (4 cores × 4 MB =
+    // 16 MB) it would stay serial, but parquet bytes stand in for ~8x
+    // the kernel work, so the compression-aware gate (16 MB / 8 = 2 MB)
+    // must spread it before an expensive per-row kernel (round-7
+    // advice: the divisor used to be a caveat no call site applied)
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread_").toString
+    try {
+      spark.range(100000)
+        .select(col("id"),
+          md5(col("id").cast("string")).as("a"),
+          md5((col("id") + 1).cast("string")).as("b"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+      val target = spark.sparkContext.defaultParallelism
+      val planned = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      // fixture sanity: inside (gate/8, gate) — meaningful either way
+      assert(planned > BigInt(target) * (Tables.spreadMinBytesPerCore / 8),
+        s"fixture too small: $planned")
+      assert(planned < BigInt(target) * Tables.spreadMinBytesPerCore,
+        s"fixture too big: $planned")
+      assume(df.rdd.getNumPartitions < target)
+      val out = Tables.spread(df)
+      assert(out.rdd.getNumPartitions == target,
+        "compressed source below the raw gate must still spread")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 }

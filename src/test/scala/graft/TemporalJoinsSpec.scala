@@ -135,6 +135,59 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
       (4L, 2L, 24.0), (5L, 2L, 24.0)))
   }
 
+  test("hot-key-safe rolling window equals the RANGE frame on a hot key") {
+    // one bot-like user: 5000 events packed inside a single window
+    // width (the density regime where the RANGE frame is O(k·w)) plus a
+    // sparse second user as control. The prefix-sum formulation must
+    // reproduce the frame's output exactly, including intra-µs peers
+    // (every 10th event shares a timestamp) and the inclusive left edge.
+    val h = TemporalJoins.rollingWindowUs
+    val hot = (0 until 5000).map { i =>
+      (i.toLong, 7L, 1000L + (i / 10).toLong * (h / 600), "view", (i % 7) / 4.0)
+    }
+    val sparse = Seq(
+      (9000L, 8L, 500L, "view", 1.5),
+      (9001L, 8L, 500L + h, "view", 2.5),      // exactly 1h later: includes 9000
+      (9002L, 8L, 500L + 2 * h + 1, "view", 4.0)) // alone
+    val df = ev((hot ++ sparse): _*)
+    val want = TemporalJoins.rollingCore(df)
+      .select("event_id", "n_trailing_1h", "sum_trailing_1h")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val got = TemporalJoins.rollingCoreScalable(df)
+      .select("event_id", "n_trailing_1h", "sum_trailing_1h")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length === 5003)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("property: hot-key-safe rolling window matches the RANGE frame") {
+    val h = TemporalJoins.rollingWindowUs
+    // ticks quantized to h/4 so boundary hits (exactly h apart, h+1
+    // apart, intra-µs ties) occur constantly
+    val evGen = Gen.choose(1, 60).flatMap { n =>
+      Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        tick <- Gen.choose(0L, 16L)
+        v <- Gen.choose(0, 40)
+      } yield (u, tick * (h / 4), "view", v / 4.0))
+        .map(_.zipWithIndex.map { case ((u, t, tp, v), i) =>
+          (i.toLong, u, t, tp, v)
+        })
+    }
+    val prop = Prop.forAll(evGen) { rows =>
+      val df = ev(rows: _*)
+      val want = TemporalJoins.rollingCore(df)
+        .select("event_id", "user_id", "tsu", "n_trailing_1h", "sum_trailing_1h")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val got = TemporalJoins.rollingCoreScalable(df)
+        .select("event_id", "user_id", "tsu", "n_trailing_1h", "sum_trailing_1h")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      got == want
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop).passed)
+  }
+
   test("pivot matrix round-trips through unpivot with explicit zero cells") {
     import graft.ops.Relational
     val wide = Relational.queries("q38_event_type_pivot")(spark, sf)
