@@ -56,17 +56,18 @@ object Bench {
         }
       (name, times, load)
     }
+    // Locale.ROOT: the f-interpolator is default-locale-sensitive — a
+    // comma-decimal JVM locale would corrupt the emitted JSON
+    def num(v: Double, fmt: String): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     def jmap(f: Seq[Double] => Double) = results
-      .map { case (k, ts, _) => s"\"" + k + "\":" + (if (ts.isEmpty) -1.0 else f(ts)) }
+      .map { case (k, ts, _) =>
+        s"\"" + k + "\":" + (if (ts.isEmpty) "-1.0" else num(f(ts), "%.3f")) }
       .mkString("{", ",", "}")
     val qs = jmap(_.min)
     val cold = jmap(_.head)
     // every rep, verbatim — min/head alone can't show that rep 2 of a
     // 20x-inflated entry was normal (i.e. the spike was environmental)
-    // Locale.ROOT: the f-interpolator is default-locale-sensitive — a
-    // comma-decimal JVM locale would corrupt the emitted JSON
-    def num(v: Double, fmt: String): String =
-      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     val repsDetail = results
       .map { case (k, ts, _) =>
         s"\"" + k + "\":" + ts.map(num(_, "%.3f")).mkString("[", ",", "]") }
@@ -79,17 +80,20 @@ object Bench {
     // per-query map) are surfaced as an explicit count in the headline
     val failed = results.count(_._2.isEmpty)
     // Key order matters for the round record: the driver tail-captures
-    // the log, so whatever prints FIRST is what truncation drops. Round
-    // 4 lost the warm map and total because they preceded "cold" — the
-    // headline fields (warm queries, failed, total value) now print
-    // last, and the full line is also written to BENCH.local.json so no
-    // capture window can lose it.
-    val json = s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","load_1m":$loads,"rep_times":$repsDetail,"cold":$cold,"queries":$qs,"failed":$failed,"value":$total}"""
+    // the log, so whatever prints FIRST is what truncation drops (round
+    // 4 lost the warm map and total; round 7's capture cut the warm map
+    // itself to its last 57 entries). Two defenses: the headline fields
+    // print LAST, and stdout carries ONLY them — the diagnostics
+    // (per-query loadavg, every rep, cold times) live in the
+    // BENCH.local.json sidecar, so the stdout line is ~3x shorter and
+    // the full per-query map survives any plausible capture window.
+    val head = s""""metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir""""
+    val json = s"""{$head,"load_1m":$loads,"rep_times":$repsDetail,"cold":$cold,"queries":$qs,"failed":$failed,"value":$total}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH.local.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
-    println(json)
+    println(s"""{$head,"queries":$qs,"failed":$failed,"value":$total}""")
     spark.stop()
   }
 }
