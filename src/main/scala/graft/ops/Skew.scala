@@ -62,11 +62,66 @@ object Skew {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** The registered q102 probability cuts. */
+  val quantilePs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** q102 — EXACT per-group quantiles (p50/p90/p99 of `value` per event
+    * type), discrete semantics: each percentile is the smallest actual
+    * data value whose cumulative share reaches the cut (SQL
+    * `percentile_disc`). No interpolation ever happens, so the result
+    * is an element of the input — which is what makes an exact-quantile
+    * query HASH-oracle-checkable at all: both engines pick the same
+    * stored double via the same comparison, rather than re-deriving a
+    * float midpoint whose arithmetic could differ in the last ulp.
+    * (The built-in `percentile_disc`/`quantile_disc` aggregates are NOT
+    * used for exactly that reason: the two engines' index arithmetic —
+    * ceil(n·p) vs floor((n−1)·p) conventions — disagrees on some (n, p),
+    * so the selection rule is spelled out once and run identically.)
+    *
+    * Scale shape: the value domain is COLLAPSED first — groupBy
+    * (type, value) with map-side partial counts — so the ordered pass
+    * (one running-sum window per type) runs over distinct values, not
+    * rows; a 100 TB stream of a quantized metric (prices, latencies in
+    * ms, ratings) reduces to its value histogram before anything sorts.
+    * The cumulative/total comparison is one double division of exact
+    * longs per distinct value, identical in both engines. For a truly
+    * continuous unquantized column at extreme scale the exact ordered
+    * pass is inherently per-group sequential — that regime wants the
+    * built-in `approx_percentile` sketch (mergeable, one pass), which
+    * this query deliberately is not: q102 is the exact gate the sketch
+    * gets judged against.
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    quantilesCore(Tables.eventsMicros(spark, dir)
+      .filter(col("value").isNotNull))
+
+  private[graft] def quantilesCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = ev.groupBy("event_type", "value")
+      .agg(count(lit(1)).as("c"))
+    val run = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("event_type")
+    val cum = byVal
+      .withColumn("cum", sum("c").over(run))
+      .withColumn("n", sum("c").over(whole))
+    val cuts = quantilePs.map { p =>
+      min(when(col("cum").cast("double") / col("n").cast("double") >= p,
+        col("value"))).as(s"p${(p * 100).round}")
+    }
+    val extras = Seq(min("value").as("v_min"), max("value").as("v_max"),
+      max("n").as("n"))
+    cum.groupBy("event_type")
+      .agg(cuts.head, (cuts.tail ++ extras): _*)
+      .orderBy("event_type")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q24_salted_type_stats" -> (saltedTypeStats(_, _)),
-    "q25_corr_stats" -> (corrStats(_, _)))
+    "q25_corr_stats" -> (corrStats(_, _)),
+    "q102_value_quantiles" -> (valueQuantiles(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the oracle is the DIRECT aggregation — proving salt+merge is
@@ -80,5 +135,27 @@ object Skew {
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice),6) AS corr_qty_price,
          round(stddev_samp(l_quantity),6) AS sd_qty,
          round(avg(l_quantity),6) AS avg_qty, count(*) AS n
-         FROM lineitem GROUP BY 1 ORDER BY 1""")
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // q102: the same spelled-out discrete selection rule (NOT the
+    // engine's quantile_disc — index-convention differences), so both
+    // sides pick stored doubles via identical long-ratio comparisons
+    "q102_value_quantiles" -> {
+      val cuts = quantilePs.map(p =>
+        s"min(value) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= ${p}::DOUBLE) AS p${(p * 100).round}")
+        .mkString(",\n           ")
+      s"""WITH ev AS (
+           SELECT event_type, value FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL),
+         g AS (
+           SELECT event_type, value, count(*) AS c FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, value,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+           FROM g)
+         SELECT event_type,
+           $cuts,
+           min(value) AS v_min, max(value) AS v_max, max(n)::BIGINT AS n
+         FROM cum GROUP BY 1 ORDER BY 1"""
+    })
 }

@@ -204,6 +204,51 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == direct)
   }
 
+  test("exact discrete quantiles: hand fixture with duplicate values") {
+    val s = spark
+    import s.implicits._
+    // x: [1,1,1,2,3,3,4,5,5,10] → p50 = 3 (cum 6/10), p90 = 5 (9/10),
+    // p99 = 10 (only the full prefix reaches 0.99); y: single value
+    val ev = (Seq(1, 1, 1, 2, 3, 3, 4, 5, 5, 10).map(v => ("x", v.toDouble))
+      ++ Seq(("y", 7.0))).toDF("event_type", "value")
+    val got = graft.ops.Skew.quantilesCore(ev)
+      .select("event_type", "p50", "p90", "p99", "v_min", "v_max", "n")
+      .as[(String, Double, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(got === Seq(
+      ("x", 3.0, 5.0, 10.0, 1.0, 10.0, 10L),
+      ("y", 7.0, 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
+  test("property: quantiles match brute-force percentile_disc on random multisets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val gen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.choose(0, 12) // tiny domain → constant duplicates
+      } yield (g, v.toDouble)))
+    val prop = Prop.forAll(gen) { rows =>
+      val got = graft.ops.Skew.quantilesCore(rows.toDF("event_type", "value"))
+        .select("event_type", "p50", "p90", "p99")
+        .as[(String, Double, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      def disc(vs: Seq[Double], p: Double): Double = {
+        val sorted = vs.sorted
+        val n = sorted.size.toDouble
+        sorted.find(v => sorted.count(_ <= v) / n >= p).get
+      }
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> (disc(vs.map(_._2), 0.5), disc(vs.map(_._2), 0.9),
+          disc(vs.map(_._2), 0.99))
+      }
+      got == want
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop).passed)
+  }
+
   test("AQE is enabled in the session (runtime skew/coalesce re-planning)") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
