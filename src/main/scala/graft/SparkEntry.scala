@@ -30,6 +30,7 @@ object SparkEntry {
       (Behavior.queries, Behavior.oracles),
       (Fidelity.queries, Fidelity.oracles),
       (graft.sources.BinaryIngest.queries, graft.sources.BinaryIngest.oracles),
+      (graft.sources.ParquetLayout.queries, graft.sources.ParquetLayout.oracles),
       (graft.streaming.StreamingQueries.queries, graft.streaming.StreamingQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

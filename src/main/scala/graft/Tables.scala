@@ -243,6 +243,18 @@ object Tables {
     * already contains exchanges would materialize those query stages
     * just to read the partition count.
     */
+  /** Recursively delete a scratch tree (staging layouts, streaming
+    * checkpoints). Deepest-first; the walk drains before the first
+    * delete so the traversal never sees its own deletions.
+    */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
   def spread(df: DataFrame,
              minBytesPerCore: Long = spreadMinBytesPerCore): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

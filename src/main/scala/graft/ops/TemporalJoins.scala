@@ -188,10 +188,15 @@ object TemporalJoins {
     *      differences of exact sums = the direct frame sums, to the
     *      last bit), then the peer group explodes back to events.
     *
-    * Two sort-exchanges on user_id instead of one — the price of the
-    * bound. [[rollingCore]] stays the registered q73 plan (cheaper on
-    * bounded density); this is the documented escape hatch, held to the
-    * same oracle semantics by the shared property test.
+    * The price of the bound is exchange count: the peer-collapsed rows
+    * pass a (user, tsu) aggregation exchange, the prefix-sum window's
+    * user_id sort, and the union's re-shuffle into the boundary window
+    * (Spark's Union forgets child partitioning; the duplicated cum
+    * subtree dedupes via ReusedExchange) — measured ~0.6 s vs q73's
+    * ~0.3 s warm at sf0.1's bounded density, which is why
+    * [[rollingCore]] stays the default q73 plan and this is the
+    * registered escape hatch (q101), held to the same oracle semantics
+    * by the shared property test.
     */
   private[graft] def rollingCoreScalable(ev: DataFrame): DataFrame = {
     val byTs = ev

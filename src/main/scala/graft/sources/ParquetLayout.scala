@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Hive-style PARTITIONED parquet layout — the standard warehouse shape
+  * at 100 TB: write once routed by a low-cardinality column
+  * (`.write.partitionBy(...)`), and every reader filtering on that
+  * column prunes whole DIRECTORIES before a single file is listed or a
+  * footer read. This is a different mechanism from the row-group
+  * predicate pushdown the rest of the surface already proves
+  * (PlanGuardSpec's `PushedFilters` check): partition pruning shows up
+  * as `PartitionFilters` on the scan and removes I/O at the filesystem
+  * level, which at petabyte scale is the difference between touching
+  * 1/N of the table and touching all of it to discard N−1/N.
+  *
+  * Not in the reference (its HDFS layout is flat per-episode CSVs —
+  * SURVEY.md §2.1); first-class warehouse capability like bucketing
+  * (BucketingSpec's exchange-free co-located join).
+  */
+object ParquetLayout {
+
+  /** The partition-routed projection of `events` that [[partitionPrunedRevenue]]
+    * stages — seam for the spec, which asserts the pruned scan shape on
+    * a layout it stages itself.
+    */
+  private[graft] def stageLayout(spark: SparkSession, dir: String, path: String): Unit =
+    Tables.eventsMicros(spark, dir)
+      .select("event_id", "user_id", "tsu", "value", "event_type")
+      .write.partitionBy("event_type").parquet(path)
+
+  /** The pruned read: a filter on the ROUTING column only — it must
+    * resolve entirely at planning time (PartitionFilters), leaving no
+    * post-scan filter and no event_type bytes read from data files.
+    */
+  private[graft] def prunedPurchases(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).filter(col("event_type") === "purchase")
+
+  /** q103 — per-user purchase revenue over ONLY the purchase partition
+    * of a partitioned copy of `events`. The staging write is
+    * verification plumbing (same stance as the streaming staging,
+    * StreamingQueries): production points the identical reader at a
+    * long-lived partitioned table. The oracle aggregates the ORIGINAL
+    * unpartitioned table — so the hash gate proves the layout
+    * round-trip is lossless (types survive the directory-key encode,
+    * incl. the value doubles) AND the pruned read sees exactly the
+    * filtered rows.
+    */
+  def partitionPrunedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q103_")
+    try {
+      val layout = base.resolve("events_by_type").toString
+      stageLayout(spark, dir, layout)
+      val out = prunedPurchases(spark, layout)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("purchase_total"))
+        .orderBy("user_id")
+      // materialize off the scratch layout before the finally deletes it
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q103_partition_pruned_revenue" -> (partitionPrunedRevenue(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    // the oracle reads the ORIGINAL flat table: layout + pruning must be
+    // semantically invisible
+    "q103_partition_pruned_revenue" ->
+      """SELECT user_id, count(*) AS n_purchases,
+         round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS purchase_total
+         FROM events
+         WHERE ts IS NOT NULL AND event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""")
+}

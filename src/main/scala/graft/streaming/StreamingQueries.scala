@@ -54,24 +54,15 @@ object StreamingQueries {
 
   private val sinkSeq = new AtomicInteger(0)
 
-  /** Recursively delete a staging tree. Every query here wraps its body
-    * in try/finally over its `Files.createTempDirectory` base, so a
-    * long-lived session (or the spec suite's repeated invocations)
-    * accumulates no scratch copies of the staged tables — the round-7
-    * leak: four trees per full verify/bench run, never reclaimed.
-    * Results that live in the staging tree (parquet sinks) are
-    * localCheckpoint-materialized BEFORE the delete; memory-sink results
-    * live on the driver and need nothing.
+  /** Every query here wraps its body in try/finally over its
+    * `Files.createTempDirectory` base, so a long-lived session (or the
+    * spec suite's repeated invocations) accumulates no scratch copies of
+    * the staged tables — the round-7 leak: four trees per full
+    * verify/bench run, never reclaimed. Results that live in the staging
+    * tree (parquet sinks) are localCheckpoint-materialized BEFORE the
+    * delete; memory-sink results live on the driver and need nothing.
     */
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      // sorted deepest-first; Stream.sorted drains the walk before the
-      // first delete, so the traversal never sees its own deletions
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+  private def deleteRecursively(p: Path): Unit = Tables.deleteRecursively(p)
 
   /** Batch counts of the last run, for the specs to pin the
     * multi-trigger claim (>= number of staged files).

@@ -79,6 +79,35 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
       "d" -> List("d", "e", "f")), s"got $comms")
   }
 
+  test("louvain multi-pass: ring of cliques pairs up on the contracted graph") {
+    // the resolution-limit construction: n triangles (intra weight 10)
+    // in a ring with unit bridges. At n = 70, 2m = 70·62: a vertex-level
+    // bridge move never pays, so pass 1 finds exactly the triangles;
+    // on the CONTRACTED graph T_A·T_B < 2m·w_AB (62² < 4340·1), so
+    // pass 2 merges adjacent triangles — communities of 6 that only the
+    // contraction path can reach.
+    val n = 70
+    def t(i: Int) = f"t$i%02d"
+    val edges: Seq[(String, String, Long)] = (0 until n).flatMap { i =>
+      Seq(
+        (s"${t(i)}a", s"${t(i)}b", 10L), (s"${t(i)}a", s"${t(i)}c", 10L),
+        (s"${t(i)}b", s"${t(i)}c", 10L),
+        (s"${t(i)}c", s"${t((i + 1) % n)}a", 1L))
+    }
+    val passes = GraphOps.louvainPasses(edges)
+    assert(passes.length >= 2, s"expected a second pass, got ${passes.length}")
+    val p1Groups = passes.head.groupBy(_._2).values.map(_.keySet).toSet
+    val triangles = (0 until n)
+      .map(i => Set(s"${t(i)}a", s"${t(i)}b", s"${t(i)}c")).toSet
+    assert(p1Groups == triangles, "pass 1 must find exactly the triangles")
+    val finGroups = passes.last.groupBy(_._2).values.map(_.keySet).toSet
+    assert(finGroups.forall(_.size == 6), s"final sizes: ${finGroups.map(_.size)}")
+    assert(finGroups.size == n / 2)
+    // and the merge strictly improved the exact modularity
+    assert(GraphOps.modularityNum(edges, passes.last)
+      > GraphOps.modularityNum(edges, passes.head))
+  }
+
   test("louvain beats the LPA partition's modularity on the real graph and is deterministic") {
     val edges = CooccurrenceGraph.edgeCounts(spark, sf)
     val a = GraphOps.louvain(edges).collect().toSeq
