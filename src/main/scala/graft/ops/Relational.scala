@@ -352,7 +352,65 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q104 — FULL OUTER reconciliation, the one join shape q02-q09 leave
+    * out: per-user event activity against the customer dimension, keeping
+    * BOTH unmatched sides (users streaming events with no account row;
+    * accounts with no activity) with an explicit presence tag. The
+    * classic data-quality/reconciliation report — at warehouse scale this
+    * is how orphaned keys on either side of a supposedly-FK relationship
+    * get found. Shuffle on the join key both sides; the aggregation
+    * collapses events to one row per user BEFORE the join.
+    */
+  val fullOuterReconciliation: Q = (s, d) =>
+    fullOuterCore(
+      Tables.eventsMicros(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events")),
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
+
+  /** Core over (user_id, n_events) × (c_custkey, c_mktsegment) — seam
+    * for the spec: the sf testdata's user domain is a subset of the
+    * customer keys, so the events_only branch needs a fixture to fire.
+    */
+  private[graft] def fullOuterCore(activity: DataFrame, cust: DataFrame): DataFrame =
+    activity.join(cust, activity("user_id") === cust("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("c_custkey")).as("uid"),
+        when(col("user_id").isNull, lit("customer_only"))
+          .when(col("c_custkey").isNull, lit("events_only"))
+          .otherwise(lit("both")).as("presence"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("c_mktsegment"))
+      .orderBy("uid")
+
+  /** q105 — TYPED JSON extraction via `from_json`: the schema'd
+    * semi-structured path (q16 is the regex path — both are standard,
+    * this one validates structure and yields typed nulls for
+    * missing/corrupt payloads instead of string surgery). All aggregates
+    * exact BIGINT; the single avg is one division of exact integers.
+    */
+  val jsonPropsStats: Q = (s, d) =>
+    Tables.eventsMicros(s, d)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_with_k"),
+        count(lit(1)).as("n"),
+        coalesce(sum("k"), lit(0L)).as("k_sum"),
+        min("k").as("k_min"),
+        max("k").as("k_max"),
+        // guarded: a group with zero extracted keys must yield null,
+        // not a 0/0 NaN (NaN is not hash-comparable across engines)
+        when(count(col("k")) > 0,
+          round(coalesce(sum("k"), lit(0L)).cast("double")
+            / count(col("k")).cast("double"), 6)).as("k_avg"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
+    "q104_full_outer_reconciliation" -> fullOuterReconciliation,
+    "q105_json_props_stats" -> jsonPropsStats,
     "q28_value_percentiles" -> valuePercentiles,
     "q29_latest_event_per_user" -> latestEventPerUser,
     "q26_spend_quartiles" -> spendQuartiles,
@@ -379,6 +437,33 @@ object Relational {
     "q39_event_type_unpivot" -> eventTypeUnpivot)
 
   val oracles: Map[String, String] = Map(
+    "q104_full_outer_reconciliation" ->
+      """WITH a AS (
+           SELECT user_id, count(*) AS n_events
+           FROM events WHERE ts IS NOT NULL GROUP BY 1)
+         SELECT coalesce(a.user_id, c.c_custkey) AS uid,
+           CASE WHEN a.user_id IS NULL THEN 'customer_only'
+                WHEN c.c_custkey IS NULL THEN 'events_only'
+                ELSE 'both' END AS presence,
+           coalesce(a.n_events, 0) AS n_events,
+           c.c_mktsegment
+         FROM a FULL OUTER JOIN customer c ON a.user_id = c.c_custkey
+         ORDER BY 1""",
+    // q105: DuckDB's native JSON operator is the independent
+    // re-implementation of the typed extraction
+    "q105_json_props_stats" ->
+      """SELECT event_type,
+           count(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+           count(*) AS n,
+           coalesce(sum(CAST(props->>'k' AS BIGINT)), 0)::BIGINT AS k_sum,
+           min(CAST(props->>'k' AS BIGINT)) AS k_min,
+           max(CAST(props->>'k' AS BIGINT)) AS k_max,
+           CASE WHEN count(CAST(props->>'k' AS BIGINT)) > 0 THEN
+             round(coalesce(sum(CAST(props->>'k' AS BIGINT)), 0)::DOUBLE
+               / count(CAST(props->>'k' AS BIGINT))::DOUBLE, 6)
+           END AS k_avg
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q28_value_percentiles" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS p50,

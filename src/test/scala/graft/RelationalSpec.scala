@@ -10,6 +10,21 @@ import graft.ops.Relational
   */
 class RelationalSpec extends AnyFunSuite with SparkTestBase {
 
+  test("full outer reconciliation tags all three presence classes") {
+    import spark.implicits._
+    // the sf testdata's user domain ⊆ customer keys, so events_only
+    // never fires there — this fixture covers every branch
+    val activity = Seq((1L, 5L), (3L, 2L)).toDF("user_id", "n_events")
+    val cust = Seq((1L, "AUTO"), (2L, "HOUSE")).toDF("c_custkey", "c_mktsegment")
+    val out = Relational.fullOuterCore(activity, cust)
+      .select("uid", "presence", "n_events")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "both", 5L),
+      (2L, "customer_only", 0L),
+      (3L, "events_only", 2L)))
+  }
+
   test("approx_count_distinct within 5% of exact per event_type") {
     val exact = Relational.queries("q13_distinct_users_by_type")(spark, sf)
       .select("event_type", "n_users")
