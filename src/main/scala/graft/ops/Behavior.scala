@@ -95,11 +95,41 @@ object Behavior {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q106 — event-flow transition matrix (the Markov view of the
+    * clickstream): counts of consecutive (from → to) event-type pairs
+    * per user timeline, plus each row's share of its from-type — the
+    * standard flow/sankey input. One lag window per user (ordered by
+    * (tsu, event_id) so intra-µs ties are deterministic in both
+    * engines), then a 25-cell aggregate; the probability is a single
+    * division of exact counts, identical IEEE both sides. One exchange
+    * on user_id, and the transition table is |types|² rows however
+    * large the stream.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def transitionsCore(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsu", "event_id")
+    val share = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    ev.select(col("user_id"), col("tsu"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p", round(col("n_transitions").cast("double")
+        / sum("n_transitions").over(share).cast("double"), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q76_funnel" -> (funnel(_, _)),
-    "q77_cohort_retention" -> (cohortRetention(_, _)))
+    "q77_cohort_retention" -> (cohortRetention(_, _)),
+    "q106_event_transitions" -> (eventTransitions(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q76_funnel" ->
@@ -127,6 +157,24 @@ object Behavior {
          LEFT JOIN c ON s.user_id = c.user_id
          LEFT JOIN p ON s.user_id = p.user_id
          ORDER BY s.user_id""",
+    "q106_event_transitions" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_id, event_type
+           FROM events WHERE ts IS NOT NULL),
+         t AS (
+           SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY tsu, event_id) AS prev_type
+           FROM ev),
+         c AS (
+           SELECT prev_type AS from_type, event_type AS to_type,
+                  count(*) AS n_transitions
+           FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n_transitions,
+           round(n_transitions::DOUBLE
+             / (sum(n_transitions) OVER (PARTITION BY from_type))::DOUBLE, 6)
+             AS p
+         FROM c ORDER BY 1, 2""",
     "q77_cohort_retention" ->
       """WITH d AS (
            SELECT DISTINCT user_id,

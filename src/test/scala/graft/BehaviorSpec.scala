@@ -106,6 +106,27 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       SCTest.Parameters.default.withMinSuccessfulTests(15), prop).passed)
   }
 
+  test("event transitions: per-user consecutive pairs, deterministic intra-µs order") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1 timeline: a → b → b; intra-µs tie at t=200 orders by
+      // event_id (2 before 3), so the pair set is (a,b),(b,b)
+      (1L, 1L, 100L, "a"), (2L, 1L, 200L, "b"), (3L, 1L, 200L, "b"),
+      // user 2: b → a; no cross-user pair with user 1
+      (4L, 2L, 100L, "b"), (5L, 2L, 150L, "a"),
+      // user 3: single event → no pairs
+      (6L, 3L, 100L, "a")
+    ).toDF("event_id", "user_id", "tsu", "event_type")
+      .select("user_id", "tsu", "event_id", "event_type")
+    val out = Behavior.transitionsCore(df)
+      .select("from_type", "to_type", "n_transitions", "p")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", "b", 1L, 1.0),
+      ("b", "a", 1L, 0.5),
+      ("b", "b", 1L, 0.5)))
+  }
+
   test("cohort retention: offsets count distinct active users per cohort") {
     val d = 86400000000L
     val out = Behavior.cohortCore(ev(
