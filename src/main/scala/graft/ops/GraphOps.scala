@@ -343,6 +343,51 @@ object GraphOps {
     out.toSeq
   }
 
+  /** q107 — triangle census + local clustering coefficient, the graph
+    * metric family PR/CC/communities don't cover (cohesion STRUCTURE:
+    * how clique-like each entity's neighborhood is). DataFrame-only —
+    * no GraphX: with the canonical a<b edge convention
+    * (CooccurrenceGraph sorts per-row entity sets), every triangle
+    * a<b<c is enumerated exactly once by the two-hop equi-join
+    * (ab)(bc) probed against the closing edge (ac). Clustering =
+    * 2·triangles / deg·(deg−1) — one division of exact integers.
+    *
+    * Scale: the join runs on the AGGREGATED edge table, lexicon-bounded
+    * like all the graph family — the corpus-scale work is the upstream
+    * edge aggregation. (On an UNBOUNDED graph, triangle enumeration
+    * wants the degree-ordered node-iterator so high-degree hubs don't
+    * explode the two-hop set; with |V| ≤ lexicon the plain equi-join is
+    * already the right plan and Catalyst broadcasts the tiny sides.)
+    */
+  def triangleCensus(spark: SparkSession, dir: String): DataFrame =
+    triangleCore(CooccurrenceGraph.edgeCounts(spark, dir))
+
+  private[graft] def triangleCore(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst", "weight").select("src", "dst")
+    val ab = e.select(col("src").as("a"), col("dst").as("b"))
+    val bc = e.select(col("src").as("b2"), col("dst").as("c2"))
+    val ac = e.select(col("src").as("a3"), col("dst").as("c3"))
+    val tri = ab
+      .join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c2") === col("c3"))
+      .select(col("a"), col("b"), col("c2").as("c"))
+    val perEntity = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("entity_id"))
+      .groupBy("entity_id").agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("src").as("entity_id"))
+      .unionAll(e.select(col("dst")))
+      .groupBy("entity_id").agg(count(lit(1)).as("degree"))
+    deg.join(perEntity, Seq("entity_id"), "left_outer")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          round((col("n_triangles") * 2).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .select("entity_id", "n_triangles", "degree", "clustering")
+      .orderBy(desc("n_triangles"), asc("entity_id"))
+  }
+
   /** Exact modularity NUMERATOR Q·(2m)² = Σ_c (2m·I_c − T_c²) of a
     * partition, BigInt end-to-end — the scalar twin of [[modularity]]
     * for the Louvain monotonicity property (same identity the q74
@@ -456,6 +501,7 @@ object GraphOps {
 
   val queries: Map[String, Q] = Map(
     "q33_pagerank" -> (pagerank(_, _)),
+    "q107_triangle_census" -> (triangleCensus(_, _)),
     "q74_component_modularity" -> (componentModularity(_, _)),
     // modularity OF the LPA communities (composition of the two graph
     // ops) over the real fanren relation graph; rows-only like q35 —
@@ -509,6 +555,39 @@ object GraphOps {
     * Σ rank = |V| and weight-monotone ranking pinned in GraphOpsSpec).
     */
   val oracles: Map[String, String] = Map(
+    // q107: the same canonical a<b<c enumeration re-derived from the
+    // raw entity rows; counts and degrees exact BIGINT, clustering one
+    // float division of exact integers
+    "q107_triangle_census" ->
+      (CooccurrenceGraph.entsCte +
+        """, e AS (
+             SELECT a.w AS src, b.w AS dst
+             FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+             GROUP BY 1, 2
+           ), tri AS (
+             SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+             FROM e ab
+             JOIN e bc ON ab.dst = bc.src
+             JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+           ), pe AS (
+             SELECT w AS entity_id, count(*)::BIGINT AS n FROM (
+               SELECT a AS w FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+             GROUP BY 1
+           ), deg AS (
+             SELECT w AS entity_id, count(*)::BIGINT AS degree FROM (
+               SELECT src AS w FROM e UNION ALL SELECT dst FROM e)
+             GROUP BY 1
+           )
+           SELECT d.entity_id, coalesce(pe.n, 0)::BIGINT AS n_triangles,
+             d.degree,
+             CASE WHEN d.degree >= 2 THEN
+               round((coalesce(pe.n, 0) * 2)::DOUBLE
+                 / (d.degree * (d.degree - 1))::DOUBLE, 6)
+             ELSE 0.0::DOUBLE END AS clustering
+           FROM deg d LEFT JOIN pe ON d.entity_id = pe.entity_id
+           ORDER BY n_triangles DESC, d.entity_id"""),
     "q34_connected_components" ->
       (CooccurrenceGraph.entsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         """, e AS (

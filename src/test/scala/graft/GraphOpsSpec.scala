@@ -176,6 +176,26 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(BigInt(got.toLong) == GraphOps.modularityNum(el, lift))
   }
 
+  test("triangle census: hand-computed counts and clustering coefficients") {
+    val s = spark
+    import s.implicits._
+    // K4 on {a,b,c,d} (4 triangles, each vertex in 3 of them, deg 3,
+    // clustering 1.0) plus a pendant e—a (deg 1, 0 triangles, defined 0)
+    val edges = Seq(
+      ("a", "b", 1L), ("a", "c", 1L), ("a", "d", 1L),
+      ("b", "c", 1L), ("b", "d", 1L), ("c", "d", 1L),
+      ("a", "e", 1L)).toDF("src", "dst", "weight")
+    val got = GraphOps.triangleCore(edges)
+      .select("entity_id", "n_triangles", "degree", "clustering")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      ("a", 3L, 4L, 0.5), // deg 4 incl. pendant: 3·2/(4·3)
+      ("b", 3L, 3L, 1.0),
+      ("c", 3L, 3L, 1.0),
+      ("d", 3L, 3L, 1.0),
+      ("e", 0L, 1L, 0.0)))
+  }
+
   test("modularity: exact integers on the two-triangle bridge fixture") {
     val s = spark
     import s.implicits._
