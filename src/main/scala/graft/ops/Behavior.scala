@@ -124,12 +124,46 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** Sliding-window geometry for q108: 1-hour windows advancing every
+    * 15 minutes (width a whole multiple of the slide, so every event
+    * covers exactly width/slide windows).
+    */
+  val slideUs = 900000000L
+  val slideWindowUs = 3600000000L
+  private val slidesPerWindow = (slideWindowUs / slideUs).toInt
+
+  /** q108 — EXACT sliding-window distinct users ("hourly actives,
+    * updated every 15 minutes"): each event belongs to exactly
+    * width/slide = 4 overlapping windows, so it explodes into its
+    * covering window starts, then a distinct (window, user) collapse
+    * counts exactly. This is the batch twin of a sliding event-time
+    * stream aggregate, and the one window shape q73/q101's trailing
+    * RANGE frames don't express (aligned overlapping buckets, not
+    * per-row lookback). Distinct-pair volume is 4× active (window,
+    * user) pairs — a hash aggregate, never a per-window sort; at 100 TB
+    * the explode factor is the constant width/slide, and the exact
+    * count is what the q14-style HLL sketch gets judged against.
+    */
+  def slidingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsMicros(spark, dir)
+      .select(col("user_id"), expr(s"tsu div $slideUs").as("slide"))
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(slidesPerWindow - 1))).as("k"),
+        col("slide"))
+      .select(col("user_id"),
+        ((col("slide") - col("k")) * slideUs).as("window_start_us"))
+      .distinct()
+      .groupBy("window_start_us")
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy("window_start_us")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q76_funnel" -> (funnel(_, _)),
     "q77_cohort_retention" -> (cohortRetention(_, _)),
-    "q106_event_transitions" -> (eventTransitions(_, _)))
+    "q106_event_transitions" -> (eventTransitions(_, _)),
+    "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q76_funnel" ->
@@ -157,6 +191,16 @@ object Behavior {
          LEFT JOIN c ON s.user_id = c.user_id
          LEFT JOIN p ON s.user_id = p.user_id
          ORDER BY s.user_id""",
+    "q108_sliding_active_users" ->
+      s"""WITH ev AS (
+           SELECT user_id, epoch_ns(ts) // 1000 // $slideUs AS slide
+           FROM events WHERE ts IS NOT NULL),
+         cov AS (
+           SELECT DISTINCT user_id, (slide - k.k) * $slideUs AS window_start_us
+           FROM ev CROSS JOIN (VALUES ${(0 until slidesPerWindow)
+             .map(i => s"($i)").mkString(", ")}) AS k(k))
+         SELECT window_start_us, count(*) AS n_active_users
+         FROM cov GROUP BY 1 ORDER BY 1""",
     "q106_event_transitions" ->
       """WITH ev AS (
            SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_id, event_type

@@ -127,6 +127,26 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       ("b", "b", 1L, 0.5)))
   }
 
+  test("sliding active users: each event covers exactly width/slide windows") {
+    import org.apache.spark.sql.functions._
+    // batch-side brute force over the real sf data: for each emitted
+    // window, the distinct users whose tsu lies in [ws, ws+1h) must
+    // match — including windows that only overlap the data's edges
+    val S = Behavior.slideUs
+    val W = Behavior.slideWindowUs
+    val got = Behavior.queries("q108_sliding_active_users")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val ev = Tables.eventsMicros(spark, sf)
+      .select("user_id", "tsu").as[(Long, Long)].collect()
+    val want = ev.flatMap { case (u, t) =>
+      val s0 = t / S
+      (0 until (W / S).toInt).map(k => ((s0 - k) * S, u))
+    }.distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got == want)
+    // geometry: every window start is slide-aligned and spans are dense
+    assert(got.keys.forall(_ % S == 0))
+  }
+
   test("cohort retention: offsets count distinct active users per cohort") {
     val d = 86400000000L
     val out = Behavior.cohortCore(ev(
