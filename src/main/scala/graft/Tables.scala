@@ -207,42 +207,32 @@ object Tables {
     */
   val spreadCompressionDivisor: Long = 8L
 
-  /** [[spreadCompressionDivisor]] if `df` scans a columnar-compressed
-    * file format, else 1. Plan inspection only — no job, no I/O.
+  /** [[spreadCompressionDivisor]] if ANY scan under `df` is a
+    * columnar-compressed file format (V1 `HadoopFsRelation` or a DSv2
+    * scan relation), else 1 — "any" because the conservative error is
+    * spreading slightly early, while missing the parquet side of a
+    * mixed-source plan would leave the exact serial stage this gate
+    * exists to fix (round-8 review: collectFirst stopped at an
+    * arbitrary first relation and saw only V1 scans). Plan inspection
+    * only — no job, no I/O.
     */
   private def compressionDivisor(df: DataFrame): Long = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    df.queryExecution.optimizedPlan.collectFirst {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def columnar(s: String): Boolean = {
+      val f = s.toLowerCase(java.util.Locale.ROOT)
+      f.contains("parquet") || f.contains("orc")
+    }
+    val hits = df.queryExecution.optimizedPlan.collect {
       case l: LogicalRelation => l.relation match {
-        case h: HadoopFsRelation =>
-          val fmt = h.fileFormat.toString.toLowerCase(java.util.Locale.ROOT)
-          if (fmt.contains("parquet") || fmt.contains("orc"))
-            spreadCompressionDivisor
-          else 1L
-        case _ => 1L
+        case h: HadoopFsRelation => columnar(h.fileFormat.toString)
+        case _ => false
       }
-    }.getOrElse(1L)
+      case s: DataSourceV2ScanRelation => columnar(s.scan.getClass.getName)
+    }
+    if (hits.exists(identity)) spreadCompressionDivisor else 1L
   }
 
-  /** Spread a CPU-heavy map stage whose source scans with less
-    * parallelism than the cluster offers (one footer-packed parquet
-    * file, a coalesced sink, a single Kafka partition): such a stage
-    * otherwise runs serially on one task however many cores exist.
-    * Two driver-side checks, NO job:
-    *   1. work gate — the optimizer's size estimate for the scan
-    *      (file bytes) must be at least `minBytesPerCore` per core,
-    *      otherwise the kernel is cheaper than the exchange and the
-    *      call is a no-op;
-    *   2. parallelism gate — the planned scan's partition count must
-    *      be below the core count; on a properly-split source (any
-    *      real 100 TB table) this makes the call a no-op: no shuffle.
-    * Only pay it right before an expensive per-row kernel
-    * (tokenize/shingle/codec), never on cheap projections.
-    *
-    * Call it ONLY on a bare scan (as here): `.rdd` on a plan that
-    * already contains exchanges would materialize those query stages
-    * just to read the partition count.
-    */
   /** Recursively delete a scratch tree (staging layouts, streaming
     * checkpoints). Deepest-first; the walk drains before the first
     * delete so the traversal never sees its own deletions.
@@ -255,6 +245,26 @@ object Tables {
       finally walk.close()
     }
 
+  /** Spread a CPU-heavy map stage whose source scans with less
+    * parallelism than the cluster offers (one footer-packed parquet
+    * file, a coalesced sink, a single Kafka partition): such a stage
+    * otherwise runs serially on one task however many cores exist.
+    * Two driver-side checks, NO job:
+    *   1. work gate — the optimizer's size estimate for the scan
+    *      (file bytes) must be at least `minBytesPerCore` per core
+    *      (scaled down by [[spreadCompressionDivisor]] for compressed
+    *      columnar sources), otherwise the kernel is cheaper than the
+    *      exchange and the call is a no-op;
+    *   2. parallelism gate — the planned scan's partition count must
+    *      be below the core count; on a properly-split source (any
+    *      real 100 TB table) this makes the call a no-op: no shuffle.
+    * Only pay it right before an expensive per-row kernel
+    * (tokenize/shingle/codec), never on cheap projections.
+    *
+    * Call it ONLY on a bare scan (as here): `.rdd` on a plan that
+    * already contains exchanges would materialize those query stages
+    * just to read the partition count.
+    */
   def spread(df: DataFrame,
              minBytesPerCore: Long = spreadMinBytesPerCore): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -308,11 +308,15 @@ object GraphOps {
         sweep += 1
       }
 
-      // membership after this pass, in ORIGINAL entity names
+      // membership after this pass, in ORIGINAL entity names — recorded
+      // only for passes that MOVED something: the terminating no-move
+      // pass would re-append an identical map, and the multi-pass spec's
+      // "a second pass happened" assertion must mean a second IMPROVING
+      // pass, not the convergence check (round-8 review)
       val rep: Map[String, String] =
         names.indices.map(i => names(i) -> members(comm(i)).head).toMap
       lift = lift.view.mapValues(sn => rep(sn)).toMap
-      out += lift
+      if (movedInPass) out += lift
 
       if (movedInPass) {
         // contract: supernode per community, self-loops keep internal
@@ -340,6 +344,9 @@ object GraphOps {
       }
       pass += 1
     }
+    // an already-optimal graph (no move ever pays) still has a
+    // membership: the identity partition
+    if (out.isEmpty && lift.nonEmpty) out += lift
     out.toSeq
   }
 

@@ -388,12 +388,19 @@ object Relational {
     * missing/corrupt payloads instead of string surgery). All aggregates
     * exact BIGINT; the single avg is one division of exact integers.
     */
+  /** The q105 extraction, shared with the spec that pins its strictness
+    * matrix (integer-typed k only; string/double/corrupt/missing → null
+    * — what the oracle's json_type guard mirrors).
+    */
+  private[graft] def propsK(props: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    from_json(props,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k")
+
   val jsonPropsStats: Q = (s, d) =>
     Tables.eventsMicros(s, d)
-      .withColumn("k", from_json(col("props"),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType)))).getField("k"))
+      .withColumn("k", propsK(col("props")))
       .groupBy("event_type")
       .agg(
         count(col("k")).as("n_with_k"),
@@ -449,21 +456,31 @@ object Relational {
            c.c_mktsegment
          FROM a FULL OUTER JOIN customer c ON a.user_id = c.c_custkey
          ORDER BY 1""",
-    // q105: DuckDB's native JSON operator is the independent
-    // re-implementation of the typed extraction
+    // q105: DuckDB's native JSON operators as the independent
+    // re-implementation. The json_valid + json_type guard mirrors
+    // Spark's from_json(LongType) strictness EXACTLY (probed on the
+    // full matrix: {"k":12}→12; string "12", double 12.5, corrupt
+    // JSON, missing key, NULL → all NULL) — a bare CAST(props->>'k')
+    // would coerce string-typed "12" and ABORT on corrupt JSON
+    // (round-8 review)
     "q105_json_props_stats" ->
-      """SELECT event_type,
-           count(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+      """WITH x AS (
+           SELECT event_type,
+             CASE WHEN json_valid(props)
+                    AND json_type(json_extract(props, '$.k'))
+                        IN ('BIGINT', 'UBIGINT')
+               THEN CAST(props->>'k' AS BIGINT) END AS k
+           FROM events WHERE ts IS NOT NULL)
+         SELECT event_type,
+           count(k) AS n_with_k,
            count(*) AS n,
-           coalesce(sum(CAST(props->>'k' AS BIGINT)), 0)::BIGINT AS k_sum,
-           min(CAST(props->>'k' AS BIGINT)) AS k_min,
-           max(CAST(props->>'k' AS BIGINT)) AS k_max,
-           CASE WHEN count(CAST(props->>'k' AS BIGINT)) > 0 THEN
-             round(coalesce(sum(CAST(props->>'k' AS BIGINT)), 0)::DOUBLE
-               / count(CAST(props->>'k' AS BIGINT))::DOUBLE, 6)
+           coalesce(sum(k), 0)::BIGINT AS k_sum,
+           min(k) AS k_min,
+           max(k) AS k_max,
+           CASE WHEN count(k) > 0 THEN
+             round(coalesce(sum(k), 0)::DOUBLE / count(k)::DOUBLE, 6)
            END AS k_avg
-         FROM events WHERE ts IS NOT NULL
-         GROUP BY 1 ORDER BY 1""",
+         FROM x GROUP BY 1 ORDER BY 1""",
     "q28_value_percentiles" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS p50,

@@ -204,26 +204,33 @@ object TemporalJoins {
         col("value").cast("decimal(18,6)").as("value_q"))
       .groupBy("user_id", "tsu")
       .agg(count(lit(1)).as("cnt"), sum("value_q").as("val_q"),
-        collect_list("event_id").as("ids"))
+        count(col("value_q")).as("nn"), collect_list("event_id").as("ids"))
     val cumW = Window.partitionBy("user_id").orderBy("tsu")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cum_nn (non-null value count) carries the frame's NULL semantics:
+    // a RANGE sum over a frame holding only null values is NULL, not 0
+    // — a bare prefix-sum difference would emit 0 whenever the user has
+    // any earlier non-null value (round-8 review)
     val cum = byTs
       .withColumn("cum_cnt", sum("cnt").over(cumW))
       .withColumn("cum_val", sum("val_q").over(cumW))
+      .withColumn("cum_nn", sum("nn").over(cumW))
 
-    val packT = "struct<cum_cnt:bigint,cum_val:decimal(38,6)>"
+    val packT = "struct<cum_cnt:bigint,cum_val:decimal(38,6),cum_nn:bigint>"
     val real = cum.select(
       col("user_id"), col("tsu"), lit(0).as("side"),
-      struct(col("cum_cnt"), col("cum_val")).cast(packT).as("pack"),
+      struct(col("cum_cnt"), col("cum_val"), col("cum_nn"))
+        .cast(packT).as("pack"),
       lit(null).cast("bigint").as("o_tsu"),
       lit(null).cast("bigint").as("o_cnt"),
       lit(null).cast("decimal(38,6)").as("o_val"),
+      lit(null).cast("bigint").as("o_nn"),
       lit(null).cast("array<bigint>").as("ids"))
     val probes = cum.select(
       col("user_id"), (col("tsu") - rollingWindowUs - 1).as("tsu"),
       lit(1).as("side"), lit(null).cast(packT).as("pack"),
       col("tsu").as("o_tsu"), col("cum_cnt").as("o_cnt"),
-      col("cum_val").as("o_val"), col("ids"))
+      col("cum_val").as("o_val"), col("cum_nn").as("o_nn"), col("ids"))
 
     val w = Window.partitionBy("user_id").orderBy("tsu", "side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -234,8 +241,13 @@ object TemporalJoins {
         col("user_id"), col("o_tsu").as("tsu"),
         (col("o_cnt") - coalesce(col("base.cum_cnt"), lit(0L)))
           .as("n_trailing_1h"),
-        round((col("o_val") - coalesce(col("base.cum_val"),
-            lit(0).cast("decimal(38,6)"))).cast("double"), 2)
+        when(
+          (col("o_nn") - coalesce(col("base.cum_nn"), lit(0L))) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (coalesce(col("o_val"), lit(0).cast("decimal(38,6)"))
+              - coalesce(col("base.cum_val"), lit(0).cast("decimal(38,6)")))
+              .cast("double"), 2))
           .as("sum_trailing_1h"),
         explode(col("ids")).as("event_id"))
       .select("event_id", "user_id", "tsu", "n_trailing_1h", "sum_trailing_1h")

@@ -10,6 +10,20 @@ import graft.ops.Relational
   */
 class RelationalSpec extends AnyFunSuite with SparkTestBase {
 
+  test("q105 extraction strictness matrix: only integer-typed k survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the oracle's json_valid + json_type guard mirrors exactly this —
+    // if Spark's from_json coercion rules ever change, this pin fails
+    // before the hash gate does
+    val got = Seq("""{"k": 12}""", """{"k": "12"}""", """{"k": 12.5}""",
+      """{bad""", """{"x": 1}""", null)
+      .toDF("props")
+      .select(Relational.propsK(col("props")).as("k"))
+      .as[Option[Long]].collect().toSeq
+    assert(got === Seq(Some(12L), None, None, None, None, None))
+  }
+
   test("full outer reconciliation tags all three presence classes") {
     import spark.implicits._
     // the sf testdata's user domain ⊆ customer keys, so events_only

@@ -60,12 +60,6 @@ class TablesSpreadSpec extends AnyFunSuite with SparkTestBase {
       val out = Tables.spread(df)
       assert(out.rdd.getNumPartitions == target,
         "compressed source below the raw gate must still spread")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally Tables.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 }

@@ -160,28 +160,34 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq === want.toSeq)
   }
 
-  test("property: hot-key-safe rolling window matches the RANGE frame") {
+  test("property: hot-key-safe rolling window matches the RANGE frame (incl. null values)") {
     val h = TemporalJoins.rollingWindowUs
     // ticks quantized to h/4 so boundary hits (exactly h apart, h+1
-    // apart, intra-µs ties) occur constantly
+    // apart, intra-µs ties) occur constantly; ~1 in 4 values is NULL so
+    // all-null frames appear — the RANGE sum is NULL there, and the
+    // prefix-sum formulation must reproduce that, not emit 0 (round-8
+    // review: a bare cum-difference diverges the moment a user has any
+    // earlier non-null value)
     val evGen = Gen.choose(1, 60).flatMap { n =>
       Gen.listOfN(n, for {
         u <- Gen.choose(1L, 3L)
         tick <- Gen.choose(0L, 16L)
         v <- Gen.choose(0, 40)
-      } yield (u, tick * (h / 4), "view", v / 4.0))
-        .map(_.zipWithIndex.map { case ((u, t, tp, v), i) =>
-          (i.toLong, u, t, tp, v)
-        })
+        isNull <- Gen.frequency(3 -> false, 1 -> true)
+      } yield (u, tick * (h / 4), if (isNull) None else Some(v / 4.0)))
+        .map(_.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) })
     }
     val prop = Prop.forAll(evGen) { rows =>
-      val df = ev(rows: _*)
+      val df = rows.toDF("event_id", "user_id", "tsu", "value")
+        .withColumn("event_type", lit("view"))
+      val cols = Seq("event_id", "user_id", "tsu", "n_trailing_1h",
+        "sum_trailing_1h")
       val want = TemporalJoins.rollingCore(df)
-        .select("event_id", "user_id", "tsu", "n_trailing_1h", "sum_trailing_1h")
-        .as[(Long, Long, Long, Long, Double)].collect().toSet
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, Long, Long, Long, Option[Double])].collect().toSet
       val got = TemporalJoins.rollingCoreScalable(df)
-        .select("event_id", "user_id", "tsu", "n_trailing_1h", "sum_trailing_1h")
-        .as[(Long, Long, Long, Long, Double)].collect().toSet
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, Long, Long, Long, Option[Double])].collect().toSet
       got == want
     }
     assert(SCTest.check(

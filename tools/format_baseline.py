@@ -1,15 +1,20 @@
 #!/usr/bin/env python3
-"""Dev tool: format a graft.Bench JSON line into the BASELINE.md
+"""Dev tool: format a graft.Bench JSON record into the BASELINE.md
 per-query table (the recorded baseline the driver's 2x gate compares
-against). Usage:
-    sbt -batch "runMain graft.Bench" 2>/dev/null | tail -1 \
-        | python3 tools/format_baseline.py
-prints a markdown table (warm min + cold rep-1 per query) to stdout.
+against). Feed it the BENCH.local.json SIDECAR — the stdout line
+deliberately carries only the headline fields (no cold/load detail)
+so the round record's capture window can't truncate the warm map.
+Usage:
+    sbt -batch "runMain graft.Bench" > /dev/null 2>&1 \
+        && python3 tools/format_baseline.py BENCH.local.json
+(or pipe the sidecar on stdin). Prints a markdown table (warm min +
+cold rep-1 + loadavg per query) to stdout.
 """
 import json
 import sys
 
-line = sys.stdin.read().strip().splitlines()[-1]
+src = open(sys.argv[1]) if len(sys.argv) > 1 else sys.stdin
+line = src.read().strip().splitlines()[-1]
 d = json.loads(line)
 warm, cold = d["queries"], d.get("cold", {})
 load = d.get("load_1m", {})
