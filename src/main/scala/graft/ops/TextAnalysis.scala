@@ -220,6 +220,40 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** q109 — token CONCENTRATION per document: Herfindahl index and Gini
+    * impurity of the unigram distribution, the distributional-diversity
+    * quality signal (how dominated a doc is by few tokens — templated
+    * spam concentrates; q88's top-bigram ratio sees only the single
+    * hottest gram, this sees the whole distribution). Entropy is the
+    * textbook form but its `ln` is ulp-unstable across engines; HHI and
+    * Gini are the RATIONAL concentration measures — Σc² and n are exact
+    * integers, so each output is one division of exact integers:
+    * hhi = Σc²/n², gini = 1 − hhi. Same map-side (doc, token) collapse
+    * as TF (two shuffles, both on doc-grained keys).
+    */
+  def tokenConcentration(spark: SparkSession, dir: String): DataFrame =
+    tokenConcentrationCore(Tables.documents(spark, dir))
+
+  /** Core over any frame with (doc_id, text) — fixture-injection seam
+    * for the spec.
+    */
+  private[graft] def tokenConcentrationCore(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .withColumn("hhi", round(col("sum_c2").cast("double")
+        / (col("n_tokens") * col("n_tokens")).cast("double"), 6))
+      .withColumn("gini",
+        round((col("n_tokens") * col("n_tokens") - col("sum_c2")).cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"), 6))
+      .select("doc_id", "n_tokens", "n_distinct", "sum_c2", "hhi", "gini")
+      .orderBy("doc_id")
+
   /** q88 — repetition signals, the Gopher-style duplicate-n-gram
     * quality rule (the boilerplate detector q68's length/stopword rules
     * don't cover: templated spam repeats the same bigrams however
@@ -257,6 +291,7 @@ object TextAnalysis {
     "q47_bpeish_token_counts" -> (bpeishTokenCounts(_, _)),
     "q69_tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
+    "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q40_word_freq_topk" -> (wordFreqTopK(_, _)),
     "q41_token_stats" -> (tokenStats(_, _)),
     "q42_lang_stats" -> (langStats(_, _)),
@@ -329,6 +364,25 @@ object TextAnalysis {
           WHERE word <> '' AND word NOT IN ($stopList)
             AND length(word) > 1 AND NOT regexp_matches(word, '^[0-9]+$$')
           GROUP BY 1 ORDER BY freq DESC, word LIMIT 100""",
+    // q109: both concentration measures are one division of exact
+    // integers (Σc², n) — the rational stand-ins for ulp-unstable
+    // entropy
+    "q109_token_concentration" ->
+      """WITH t AS (
+           SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text,' ')) AS w
+             FROM documents WHERE text IS NOT NULL)
+           WHERE w <> ''),
+         g AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+         a AS (
+           SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                  count(*)::BIGINT AS n_distinct, sum(c*c)::BIGINT AS sum_c2
+           FROM g GROUP BY 1)
+         SELECT doc_id, n_tokens, n_distinct, sum_c2,
+           round(sum_c2::DOUBLE / (n_tokens*n_tokens)::DOUBLE, 6) AS hhi,
+           round((n_tokens*n_tokens - sum_c2)::DOUBLE
+             / (n_tokens*n_tokens)::DOUBLE, 6) AS gini
+         FROM a ORDER BY 1""",
     "q41_token_stats" ->
       """WITH t AS (
            SELECT doc_id, w FROM (

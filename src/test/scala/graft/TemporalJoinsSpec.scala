@@ -101,6 +101,18 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
       Seq(("bb", 1L), ("aa", 2L)))
   }
 
+  test("token concentration: hand-computed HHI and Gini") {
+    // "aa aa bb": counts {aa:2, bb:1} → n=3, Σc²=5, hhi=5/9, gini=4/9;
+    // "cc": degenerate single token → hhi=1, gini=0
+    val docs = Seq((1L, "aa aa bb"), (2L, "cc")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenConcentrationCore(docs)
+      .select("doc_id", "n_tokens", "n_distinct", "sum_c2", "hhi", "gini")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 2L, 5L, 0.555556, 0.444444)))
+    assert(got(2L) === ((2L, 1L, 1L, 1L, 1.0, 0.0)))
+  }
+
   test("tf-idf float epilogue computes tf·ln(N/df) over the exact columns") {
     val docs = Seq(
       (1L, "aa bb rare"),
