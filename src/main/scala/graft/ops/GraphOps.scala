@@ -116,6 +116,62 @@ object GraphOps {
     materializeAndRelease(out, e, g, cc)
   }
 
+  val bfsMaxHops = 8
+
+  /** q110 — BFS hop distance from the graph's hub (the max-weighted-
+    * degree entity, the reference data's 韩立 analogue — BASELINE.md
+    * records it at >10× the #2 entity). "Degrees of separation from
+    * the protagonist" is the canonical relation-graph read the readme's
+    * 人物关系 aspiration implies and none of q33-q35 answer.
+    *
+    * Pure DataFrame frontier iteration — no GraphX: each round is ONE
+    * shuffle join (frontier ⨝ edges on the source key) plus an
+    * anti-join against the visited set, the textbook scalable BFS
+    * shape (frontier and visited are entity-keyed DataFrames, never
+    * driver-side collections). Rounds are lineage-cut with an eager
+    * localCheckpoint so round t never recomputes rounds 1..t-1, and
+    * the loop exits early on an empty frontier (`isEmpty` touches one
+    * partition of an already-materialized checkpoint). Unreachable
+    * vertices are omitted — hop is a distance, not a status column.
+    *
+    * Scale: bounded by min(diameter, maxHops) rounds; each round's
+    * shuffles are keyed on entity — the same partitioning every round,
+    * so AQE coalesces the tiny aggregated-graph exchanges. Like
+    * q33/q34 the iteration runs on the lexicon-bounded graph; only the
+    * upstream edge aggregation scales with corpus volume.
+    *
+    * `edges` = (src, dst, weight), one row per undirected pair — the
+    * q31/q95 edge-table shape.
+    */
+  def bfsHops(edges: DataFrame, maxHops: Int = bfsMaxHops): DataFrame = {
+    val e = edges.toDF("src", "dst", "weight")
+    val sym = e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst"), col("src")))
+      .distinct().cache()
+    // hub = max weighted degree (q32's degree convention), ties to the
+    // lexicographically smallest name — a deterministic, replayable seed
+    val hub = e.select(col("src").as("entity_id"), col("weight"))
+      .union(e.select(col("dst"), col("weight")))
+      .groupBy("entity_id").agg(sum("weight").as("degree"))
+      .orderBy(desc("degree"), asc("entity_id")).limit(1)
+      .select("entity_id")
+    var visited = hub.withColumn("hop", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("entity_id")
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.join(sym, frontier("entity_id") === sym("a"))
+        .select(col("b").as("entity_id")).distinct()
+        .join(visited, Seq("entity_id"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(next.withColumn("hop", lit(hop)))
+        .localCheckpoint(true)
+      frontier = next
+    }
+    sym.unpersist(blocking = false)
+    visited.orderBy("hop", "entity_id")
+  }
+
   val lpaIters = 10
 
   /** Deterministic WEIGHTED label propagation — community detection,
@@ -508,6 +564,7 @@ object GraphOps {
 
   val queries: Map[String, Q] = Map(
     "q33_pagerank" -> (pagerank(_, _)),
+    "q110_bfs_hops" -> ((s, d) => bfsHops(CooccurrenceGraph.edgeCounts(s, d))),
     "q107_triangle_census" -> (triangleCensus(_, _)),
     "q74_component_modularity" -> (componentModularity(_, _)),
     // modularity OF the LPA communities (composition of the two graph
@@ -595,6 +652,34 @@ object GraphOps {
              ELSE 0.0::DOUBLE END AS clustering
            FROM deg d LEFT JOIN pe ON d.entity_id = pe.entity_id
            ORDER BY n_triangles DESC, d.entity_id"""),
+    // q110: min-hop BFS as a hop-bounded recursive walk — UNION dedups
+    // (vertex, hop) pairs so the hop<maxHops guard terminates it on the
+    // cyclic graph; min(hop) per vertex IS the BFS distance because
+    // every hop count up to the bound is enumerated. Integers and
+    // strings only.
+    "q110_bfs_hops" ->
+      (CooccurrenceGraph.entsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""", e AS (
+             SELECT a.w AS src, b.w AS dst, count(*)::BIGINT AS weight
+             FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+             GROUP BY 1, 2
+           ), sym AS (
+             SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+           ), hub AS (
+             SELECT entity_id FROM (
+               SELECT entity_id, sum(weight)::BIGINT AS degree FROM (
+                 SELECT src AS entity_id, weight FROM e
+                 UNION ALL SELECT dst, weight FROM e)
+               GROUP BY 1)
+             ORDER BY degree DESC, entity_id LIMIT 1
+           ), walk AS (
+             SELECT entity_id AS w, 0 AS hop FROM hub
+             UNION
+             SELECT s.b, walk.hop + 1 FROM walk
+             JOIN sym s ON walk.w = s.a WHERE walk.hop < ${bfsMaxHops}
+           )
+           SELECT w AS entity_id, min(hop)::BIGINT AS hop
+           FROM walk GROUP BY 1 ORDER BY hop, entity_id"""),
     "q34_connected_components" ->
       (CooccurrenceGraph.entsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         """, e AS (

@@ -31,6 +31,32 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(members.length == CooccurrenceGraph.nodes(spark, sf).count())
   }
 
+  test("bfs hops: hub selection, layered distances, unreachable omitted") {
+    val s = spark
+    import s.implicits._
+    // chain a-b-c-d (hub = b, weighted degree 9) plus a disconnected
+    // pair {x,y}: hops b:0, a:1, c:1, d:2; x,y unreachable → omitted
+    val edges = Seq(
+      ("a", "b", 5L), ("b", "c", 4L), ("c", "d", 1L),
+      ("x", "y", 3L)).toDF("src", "dst", "weight")
+    val out = GraphOps.bfsHops(edges)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("b" -> 0L, "a" -> 1L, "c" -> 1L, "d" -> 2L))
+  }
+
+  test("bfs hops: degree tie breaks to the smallest name, maxHops truncates") {
+    val s = spark
+    import s.implicits._
+    // e and f tie at weighted degree 10 — hub is the lexicographically
+    // smaller 'e'; hops beyond maxHops=1 are cut
+    val edges = Seq(
+      ("e", "f", 9L), ("f", "g", 1L), ("e", "h", 1L)).toDF("src", "dst", "weight")
+    assert(GraphOps.bfsHops(edges).as[(String, Long)].collect().toMap ==
+      Map("e" -> 0L, "f" -> 1L, "h" -> 1L, "g" -> 2L))
+    assert(GraphOps.bfsHops(edges, maxHops = 1).as[(String, Long)].collect().toMap ==
+      Map("e" -> 0L, "f" -> 1L, "h" -> 1L))
+  }
+
   test("label propagation: hand-computed fixture — two triangles, weak bridge") {
     val s = spark
     import s.implicits._
