@@ -254,6 +254,55 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "n_distinct", "sum_c2", "hhi", "gini")
       .orderBy("doc_id")
 
+  val colloMinCount = 5L
+  val colloTopK = 100
+
+  /** q111 — PMI collocations: corpus-level bigram association strength,
+    * the classic collocation-extraction statistic (NLP pipelines mine
+    * these to keep multi-word units intact through tokenization).
+    * PMI = ln(P(xy)/(P(x)P(y))) is monotone in the all-integer ratio
+    * c_xy·N/(c_x·c_y), so like q69 the ln is dropped and the ratio is
+    * emitted integer-scaled: pmi_e8 = c_xy·N·10⁸ div (c_x·c_y), exact
+    * in both engines (pmi > 0 ⟺ pmi_e8 > 10⁸). The raw counts ride
+    * along so the score is auditable. decimal(38,0) carries the
+    * product exactly — at the design point (N ≈ 10¹³ tokens) the
+    * numerator reaches ~10³⁴, far past Long but 4 digits under
+    * DECIMAL(38) (oracle twin: HUGEINT).
+    *
+    * Scale: both count frames collapse map-side to vocabulary-bounded
+    * sizes (Zipf) before any exchange; the unigram side broadcasts
+    * into the bigram frame, and N is a broadcast single-row frame —
+    * the only full-data passes are the two token scans. minCount
+    * prunes the rare-pair PMI noise floor (and the frame) before the
+    * joins.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsCore(Tables.documents(spark, dir), colloMinCount, colloTopK)
+
+  private[graft] def collocationsCore(docs0: DataFrame, minCount: Long,
+                                      k: Int): DataFrame = {
+    val docs = docs0.filter(col("text").isNotNull)
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = docs
+      .select(explode(graft.expr.NGramShingles(tokens(col("text")), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val n = uni.agg(sum("c").as("n_tokens"))
+    bi.withColumn("x", split(col("g"), " ").getItem(0))
+      .withColumn("y", split(col("g"), " ").getItem(1))
+      .join(broadcast(uni.select(col("w").as("x"), col("c").as("c_x"))), "x")
+      .join(broadcast(uni.select(col("w").as("y"), col("c").as("c_y"))), "y")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_e8", expr(
+        """CAST((CAST(c_xy AS DECIMAL(38,0)) * n_tokens * 100000000)
+           div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"""))
+      .select(col("g").as("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        col("n_tokens"), col("pmi_e8"))
+      .orderBy(desc("pmi_e8"), asc("bigram"))
+      .limit(k)
+  }
+
   /** q88 — repetition signals, the Gopher-style duplicate-n-gram
     * quality rule (the boilerplate detector q68's length/stopword rules
     * don't cover: templated spam repeats the same bigrams however
@@ -292,6 +341,7 @@ object TextAnalysis {
     "q69_tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
+    "q111_pmi_collocations" -> (collocations(_, _)),
     "q40_word_freq_topk" -> (wordFreqTopK(_, _)),
     "q41_token_stats" -> (tokenStats(_, _)),
     "q42_lang_stats" -> (langStats(_, _)),
@@ -443,6 +493,39 @@ object TextAnalysis {
     "q45_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix
          FROM documents ORDER BY doc_id""",
+    // q111: same integer-scaled ratio (ln dropped, monotone) — HUGEINT
+    // carries c_xy·N·10⁸ exactly, floor-div equals Spark's div on
+    // positive operands, one ::BIGINT emission
+    "q111_pmi_collocations" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         uc AS (
+           SELECT w, count(*)::BIGINT AS c
+           FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+         n AS (SELECT sum(c)::BIGINT AS n_tokens FROM uc),
+         bc AS (
+           SELECT g, count(*)::BIGINT AS c_xy FROM (
+             SELECT unnest(
+               CASE WHEN len(ws) < 2 THEN []
+                    ELSE list_transform(range(len(ws)-1),
+                           i -> ws[i+1] || ' ' || ws[i+2])
+               END) AS g
+             FROM t)
+           GROUP BY 1 HAVING count(*) >= ${colloMinCount}),
+         j AS (
+           SELECT g, c_xy, string_split(g, ' ')[1] AS x,
+             string_split(g, ' ')[2] AS y
+           FROM bc)
+         SELECT g AS bigram, c_xy, cx.c AS c_x, cy.c AS c_y, n.n_tokens,
+           ((c_xy::HUGEINT * n.n_tokens * 100000000)
+             // (cx.c::HUGEINT * cy.c))::BIGINT AS pmi_e8
+         FROM j
+         JOIN uc cx ON j.x = cx.w
+         JOIN uc cy ON j.y = cy.w
+         CROSS JOIN n
+         ORDER BY pmi_e8 DESC, bigram LIMIT ${colloTopK}""",
     "q88_repetition_signals" ->
       """WITH t AS (
            SELECT doc_id,
