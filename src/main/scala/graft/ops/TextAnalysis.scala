@@ -254,6 +254,37 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "n_distinct", "sum_c2", "hhi", "gini")
       .orderBy("doc_id")
 
+  val postingShardSize = 256L
+
+  /** q112 — SHARDED inverted index: term → sorted posting list of the
+    * docs containing it, the retrieval-side structure a corpus engine
+    * feeds to search/dedup-lookup. Postings are built per
+    * (term, shard = doc_id div 256) — the segment shape real indexes
+    * use — so every collect_list is bounded by the shard width no
+    * matter how hot the term: a stopword appearing in 10⁹ docs becomes
+    * ~4M bounded rows, not one 8 GB array on one executor (the
+    * classic hot-key OOM this layout exists to prevent). Global df is
+    * Σ n_docs over a term's shards. One distinct-collapse (map-side,
+    * per-doc term sets are already distinct) and one agg exchange,
+    * both keyed on (term, shard). Postings serialized for the driver
+    * like q34's members; the library shape keeps the native
+    * array<long>.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndexCore(Tables.documents(spark, dir), postingShardSize)
+
+  private[graft] def invertedIndexCore(docs: DataFrame, shardSize: Long): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term"), expr(s"doc_id div $shardSize").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list("doc_id")).as("postings"))
+      .withColumn("postings",
+        expr("array_join(transform(postings, x -> cast(x AS string)), ',')"))
+      .select("term", "shard", "n_docs", "postings")
+      .orderBy("term", "shard")
+
   val colloMinCount = 5L
   val colloTopK = 100
 
@@ -342,6 +373,7 @@ object TextAnalysis {
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
+    "q112_inverted_index" -> (invertedIndex(_, _)),
     "q40_word_freq_topk" -> (wordFreqTopK(_, _)),
     "q41_token_stats" -> (tokenStats(_, _)),
     "q42_lang_stats" -> (langStats(_, _)),
@@ -493,6 +525,19 @@ object TextAnalysis {
     "q45_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix
          FROM documents ORDER BY doc_id""",
+    // q112: same (term, shard) segmentation — list_sort/list on the
+    // distinct doc set, integer floor-div sharding (positive ids, so
+    // DuckDB's // equals Spark's div)
+    "q112_inverted_index" ->
+      s"""WITH t AS (
+           SELECT DISTINCT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text,' ')) AS w
+             FROM documents WHERE text IS NOT NULL)
+           WHERE w <> '')
+         SELECT w AS term, doc_id // ${postingShardSize} AS shard,
+           count(*)::BIGINT AS n_docs,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
     // q111: same integer-scaled ratio (ln dropped, monotone) — HUGEINT
     // carries c_xy·N·10⁸ exactly, floor-div equals Spark's div on
     // positive operands, one ::BIGINT emission

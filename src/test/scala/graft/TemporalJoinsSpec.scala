@@ -133,6 +133,17 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
       .select("bigram").as[String].collect().toSeq === Seq("a b"))
   }
 
+  test("inverted index: distinct postings, shard split, sorted lists") {
+    // doc 1 repeats 'a' (postings are doc-distinct); doc 300 crosses
+    // the 256-wide shard boundary
+    val docs = Seq((1L, "a b a"), (2L, "b"), (300L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndexCore(docs, shardSize = 256L)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      ("a", 0L, 1L, "1"), ("a", 1L, 1L, "300"), ("b", 0L, 2L, "1,2")))
+  }
+
   test("tf-idf float epilogue computes tf·ln(N/df) over the exact columns") {
     val docs = Seq(
       (1L, "aa bb rare"),
