@@ -482,9 +482,105 @@ object StreamingQueries {
     } finally deleteRecursively(base)
   }
 
+  @volatile private[graft] var lastDedupBatches: Long = -1
+  @volatile private[graft] var lastDedupStagedRows: Long = -1
+  @volatile private[graft] var lastDedupEmittedRows: Long = -1
+
+  /** q113: streaming EXACTLY-ONCE DEDUP over at-least-once delivery —
+    * the ingestion-boundary operator every replayed/redelivered
+    * production bus needs (the fifth streaming shape: q98 stateful agg,
+    * q99 keyed state, q78/q79 joins, q100 late-data, this one keyed
+    * DISTINCT). The staging redelivers an entire middle micro-batch
+    * verbatim — the at-least-once failure mode file/bus sources
+    * actually exhibit — and `dropDuplicatesWithinWatermark(event_id)`
+    * must swallow the whole replay while letting every later novel row
+    * through.
+    *
+    * The watermark delay is sized to the replay's full event-time span,
+    * so no state evicts and no row is late-filtered: the emitted set is
+    * EXACTLY the distinct input, and the at-rest rollup hash-matches
+    * the plain batch aggregate over `events` (the driver's oracle).
+    * Production sets the delay to its redelivery horizon instead;
+    * duplicates arriving past the horizon are re-admitted by design —
+    * that bounded-state trade-off is the operator's contract and is
+    * spec-pinned on a hand-built two-batch fixture
+    * (StreamingQueriesSpec). State is O(distinct keys within the
+    * horizon), watermark-purged.
+    *
+    * Output: the deduped stream lands append-mode at rest, then a batch
+    * rollup (count + decimal-quantized value sum per type) makes the
+    * exactly-once claim hash-checkable — any duplicate survivor or
+    * dropped original shifts a count or a sum.
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val inSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("value_sum"))
+      .orderBy("event_type")
+
+    // events.ts is nanos-as-Long at rest (Tables.load); the stream
+    // needs a real TimestampType event-time column for the watermark
+    val ev = Tables.eventsMicros(spark, dir)
+      .select(col("event_id"), timestamp_micros(col("tsu")).as("ts"),
+        col("event_type"), col("value"))
+    val bounds = ev
+      .agg(expr("unix_micros(min(ts))"), expr("unix_micros(max(ts))")).head()
+    if (bounds.isNullAt(0)) return rollup(ev) // degenerate: empty input
+    // delay covers the whole replayed span (+1 s for the engine's ms
+    // truncation) → nothing evicts, nothing is late: exact dedup
+    val delaySec = (bounds.getLong(1) - bounds.getLong(0)) / 1000000L + 1L
+
+    val base = Files.createTempDirectory("graft_q113_")
+    try {
+      val input = Files.createDirectory(base.resolve("in"))
+      val now = System.currentTimeMillis()
+      // three disjoint slices; slice 1 is staged TWICE (redelivered
+      // mid-stream, not last — novel data must still flow afterwards)
+      val slice = (i: Int) => ev.filter(col("event_id") % 3 === i)
+      stageOne(slice(0), base.resolve("s0"), input, "00_a.parquet", now - 400000L)
+      stageOne(slice(1), base.resolve("s1"), input, "01_b.parquet", now - 300000L)
+      stageOne(slice(1), base.resolve("s2"), input, "02_b_redelivered.parquet",
+        now - 200000L)
+      stageOne(slice(2), base.resolve("s3"), input, "03_c.parquet", now - 100000L)
+
+      val deduped = spark.readStream
+        .schema(inSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input.toString)
+        .withWatermark("ts", s"$delaySec seconds")
+        .dropDuplicatesWithinWatermark("event_id")
+      val outDir = base.resolve("out").toString
+      val q = deduped.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastDedupBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      q.stop()
+
+      val emitted = spark.read.schema(inSchema).parquet(outDir)
+        .localCheckpoint(true)
+      lastDedupEmittedRows = emitted.count()
+      lastDedupStagedRows = ev.count() + slice(1).count()
+      rollup(emitted)
+    } finally deleteRecursively(base)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q113_streaming_dedup" -> (streamingDedup(_, _)),
     "q98_streaming_word_freq" -> (streamingWordFreq(_, _)),
     "q99_streaming_sessions" -> (streamingSessions(_, _)),
     "q78_streaming_enrich_join" -> (streamingEnrichedRevenue(_, _)),
@@ -503,6 +599,15 @@ object StreamingQueries {
            round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
          FROM events JOIN customer ON user_id = c_custkey
          WHERE ts IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    // q113: the redelivered batch must vanish — the oracle is the plain
+    // batch rollup over `events` as if delivery were exactly-once; any
+    // duplicate survivor or dropped original shifts a count or a sum
+    "q113_streaming_dedup" ->
+      """SELECT event_type,
+           count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM events WHERE ts IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
     // q100: the oracle REPLAYS the watermark arithmetic from the split
     // rule alone — mid from the µs bounds, watermark = ms-truncated max

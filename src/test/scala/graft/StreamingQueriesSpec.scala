@@ -38,6 +38,60 @@ class StreamingQueriesSpec extends AnyFunSuite with SparkTestBase {
       s"expected >=2 micro-batches, got ${StreamingQueries.lastEnrichBatches}")
   }
 
+  test("q113: streaming dedup == batch rollup despite a redelivered batch") {
+    import org.apache.spark.sql.functions._
+    val streamed = rows(StreamingQueries.streamingDedup(spark, sf))
+    val batch = rows(Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("value_sum"))
+      .orderBy("event_type"))
+    assert(streamed == batch)
+    assert(StreamingQueries.lastDedupBatches >= 4,
+      s"expected >=4 micro-batches, got ${StreamingQueries.lastDedupBatches}")
+    // the staging genuinely carried duplicates, and none survived
+    assert(StreamingQueries.lastDedupStagedRows > StreamingQueries.lastDedupEmittedRows)
+    assert(StreamingQueries.lastDedupEmittedRows ==
+      Tables.events(spark, sf).filter(col("ts").isNotNull).count())
+  }
+
+  test("q113 horizon contract: a duplicate past the watermark delay is re-admitted") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // delay 10 s. Batch 1: key 1 at t=5 (emitted; t=0 would sit ON the
+    // initial watermark and be late-filtered). Batch 2: t=100 advances
+    // the watermark past t=5+delay → key 1's state evicts. Batch 3:
+    // key 1 redelivered at t=101 — PAST the horizon, so it is
+    // re-admitted (the documented bounded-state trade-off), while the
+    // in-horizon duplicate of key 2 is dropped.
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val stream = MemoryStream[(Long, Timestamp)]
+    val deduped = stream.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("q113_horizon")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, t(5)))
+      q.processAllAvailable()
+      stream.addData((2L, t(100)))
+      q.processAllAvailable()
+      stream.addData((1L, t(101)), (2L, t(101)))
+      q.processAllAvailable()
+      val emitted = s.table("q113_horizon")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L))
+      assert(emitted.count(_._1 == 1L) == 2, // re-admitted past horizon
+        s"got ${emitted.toSeq}")
+      assert(emitted.count(_._1 == 2L) == 1, // in-horizon dup swallowed
+        s"got ${emitted.toSeq}")
+    } finally q.stop()
+  }
+
   test("q79: stream-stream interval join == batch interval join, pair for pair") {
     import org.apache.spark.sql.functions._
     val w = graft.ops.TemporalJoins.lookbackSeconds * 1000000L
