@@ -200,6 +200,59 @@ object Relational {
       .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))
       .orderBy("event_type")
 
+  val cmsEps = 0.001
+  val cmsConfidence = 0.99
+  val cmsSeed = 42
+  val cmsTopK = 20
+
+  /** q114 — count-min-sketch heavy hitters: the frequency sketch
+    * companion to q14's HLL cardinality sketch. One pass builds a
+    * mergeable CMS over user_id (`count_min_sketch` is a codegen'd
+    * TypedImperativeAggregate: map-side partial sketches, counter-wise
+    * merge at the exchange — fixed memory regardless of key
+    * cardinality, the whole point at 10⁹ distinct users), then the
+    * exact top-k user frequencies are probed against it, emitting
+    * estimate and overcount side by side so the ε·N error contract is
+    * auditable row by row.
+    *
+    * Driver-side work is strictly bounded: one sketch blob (w·d
+    * counters, a few KB) and k candidate rows — the candidate SET at
+    * production scale comes from whatever cheap source exists
+    * (per-partition local top-k, a prior day's leaderboard); the probe
+    * cost is O(d) per candidate wherever it runs. Sketch output is
+    * seed-dependent implementation detail → rows-only (no DuckDB
+    * oracle); the CMS contracts (never underestimates, overcount
+    * ≤ ε·N, merge ≡ whole, fixed-seed determinism) are pinned in
+    * RelationalSpec.
+    */
+  val cmsHeavyHitters: Q = (s, d) => {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val bytes = ev
+      .agg(expr(s"count_min_sketch(user_id, ${cmsEps}D, ${cmsConfidence}D, $cmsSeed)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(desc("exact_n"), asc("user_id")).limit(cmsTopK).collect()
+    val rows = top.map { r =>
+      val (u, n) = (r.getLong(0), r.getLong(1))
+      val est = cms.estimateCount(u)
+      org.apache.spark.sql.Row(u, n, est, est - n)
+    }
+    s.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("exact_n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cms_n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("overcount",
+          org.apache.spark.sql.types.LongType))))
+      .orderBy(desc("exact_n"), asc("user_id"))
+  }
+
   /** CASE-tiering + numeric binning (histogram). */
   val valueHistogram: Q = (s, d) =>
     Tables.events(s, d)
@@ -435,6 +488,7 @@ object Relational {
     "q12_order_gaps" -> orderGaps,
     "q13_distinct_users_by_type" -> distinctUsersByType,
     "q14_approx_distinct_users" -> approxDistinctUsers,
+    "q114_cms_heavy_hitters" -> cmsHeavyHitters,
     "q15_value_histogram" -> valueHistogram,
     "q16_props_key_stats" -> propsKeyStats,
     "q17_monthly_orders" -> monthlyOrders,

@@ -52,6 +52,42 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cms heavy hitters: never underestimates, overcount ≤ ε·N, deterministic") {
+    val out = Relational.queries("q114_cms_heavy_hitters")(spark, sf).collect()
+    assert(out.length > 0)
+    val n = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull).count()
+    val slack = math.ceil(Relational.cmsEps * n).toLong
+    out.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS underestimated: $est < $exact")
+      assert(over == est - exact)
+      assert(over <= slack, s"overcount $over exceeds eps*N = $slack")
+    }
+    // fixed seed → bit-identical re-run
+    val again = Relational.queries("q114_cms_heavy_hitters")(spark, sf).collect()
+    assert(out.toSeq.map(_.toSeq) == again.toSeq.map(_.toSeq))
+  }
+
+  test("cms sketches merge exactly: partial sketches ≡ one whole-data sketch") {
+    val sql = s"count_min_sketch(user_id, ${Relational.cmsEps}D, " +
+      s"${Relational.cmsConfidence}D, ${Relational.cmsSeed})"
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    def sketch(bytes: Array[Byte]) =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    val whole = sketch(ev.agg(expr(sql)).head().getAs[Array[Byte]](0))
+    val parts = ev.groupBy(col("event_id") % 2).agg(expr(sql).as("s"))
+      .collect().map(r => sketch(r.getAs[Array[Byte]]("s")))
+    val merged = parts.reduce { (a, b) => a.mergeInPlace(b); a }
+    val users = ev.select("user_id").distinct().limit(50)
+      .collect().map(_.getLong(0))
+    users.foreach { u =>
+      assert(merged.estimateCount(u) == whole.estimateCount(u),
+        s"merge drift for user $u")
+    }
+  }
+
   test("percentile_approx (KLL sketch, the unbounded-cardinality path) tracks exact percentile") {
     val exact = Relational.queries("q28_value_percentiles")(spark, sf)
       .select("event_type", "p50", "p95")
