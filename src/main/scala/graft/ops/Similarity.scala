@@ -203,9 +203,44 @@ object Similarity {
       .limit(topK)
   }
 
+  /** q115 — symmetric per-vector INT8 quantization of the embedding
+    * column: q_i = ⌊v_i/scale + ½⌋ with scale = max|v_i|/127, the
+    * standard 4× compression an ANN index applies before sharding
+    * (float32 → int8 cuts shuffle/broadcast/storage bytes 4× and the
+    * scale rides along for dequantization; cosine is scale-invariant,
+    * so quantized dot products approximate cosine directly — recall
+    * vs the float path is pinned in SimilaritySpec).
+    *
+    * The registered surface emits the quantization AUDIT, all exact:
+    * per-vector scale, Σq² (BIGINT — the quantized norm², exact
+    * integers), dim, and the zero count (sparsity the rounding
+    * introduces). ⌊x+½⌋ instead of round(): round-half conventions
+    * differ across engines on exact .5, floor(x+0.5) is the same IEEE
+    * op chain in both. Zero vectors quantize to zeros (scale 0 guard),
+    * not NaN. One codegen'd projection pass, no shuffle before the
+    * presentation sort.
+    */
+  def int8Quantization(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("mx",
+        array_max(expr("transform(embedding, x -> abs(cast(x AS double)))")))
+      .withColumn("scale", col("mx") / 127.0d)
+      .withColumn("qs", expr(
+        """CASE WHEN mx = 0d THEN transform(embedding, x -> 0L)
+           ELSE transform(embedding,
+                  x -> cast(floor(cast(x AS double) / scale + 0.5d) AS bigint))
+           END"""))
+      .select(col("vec_id"), col("label"),
+        round(col("scale"), 6).as("scale"),
+        expr("aggregate(qs, 0L, (acc, v) -> acc + v * v)").as("qnorm2"),
+        size(col("qs")).cast("long").as("dim"),
+        size(expr("filter(qs, v -> v = 0L)")).cast("long").as("n_zero"))
+      .orderBy("vec_id")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q115_int8_quantization" -> (int8Quantization(_, _)),
     "q65_ann_ivf" -> (annIvf(_, _)),
     "q60_knn_bruteforce" -> (knnBruteForce(_, _)),
     "q61_label_centroids" -> (labelCentroids(_, _)),
@@ -228,6 +263,31 @@ object Similarity {
            * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))"""
 
   val oracles: Map[String, String] = Map(
+    // q115: the same ⌊x/scale + ½⌋ chain in DOUBLE (identical IEEE ops
+    // both engines — no round-half convention in sight); Σq² exact
+    // BIGINT, scale the one rounded double
+    "q115_int8_quantization" ->
+      """WITH x AS (
+           SELECT vec_id, label, unnest(embedding)::DOUBLE AS v
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, max(abs(v)) AS mx FROM x GROUP BY 1),
+         q AS (
+           SELECT x.vec_id,
+             CASE WHEN m.mx = 0 THEN 0
+                  ELSE floor(x.v / (m.mx / 127) + 0.5)::BIGINT END AS qi
+           FROM x JOIN m ON x.vec_id = m.vec_id),
+         qa AS (
+           SELECT vec_id, sum(qi * qi)::BIGINT AS qnorm2,
+             count(*)::BIGINT AS dim,
+             (count(*) FILTER (WHERE qi = 0))::BIGINT AS n_zero
+           FROM q GROUP BY 1)
+         SELECT e.vec_id, e.label, round(m.mx / 127, 6) AS scale,
+           qa.qnorm2, qa.dim, qa.n_zero
+         FROM embeddings e
+         JOIN m ON e.vec_id = m.vec_id
+         JOIN qa ON e.vec_id = qa.vec_id
+         ORDER BY e.vec_id""",
     "q60_knn_bruteforce" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, label,

@@ -82,6 +82,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("int8 quantization: bounded range, exact audit columns, error ≤ scale/2") {
+    val out = Similarity.int8Quantization(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (scale, qnorm2, dim) = (r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(scale >= 0.0)
+      // |q_i| ≤ 127 ⇒ Σq² ≤ dim·127²; and a 64-dim non-zero vector has
+      // at least its max-|v| component quantized to exactly ±127
+      assert(qnorm2 <= dim * 127L * 127L)
+      if (scale > 0) assert(qnorm2 >= 127L * 127L)
+    }
+  }
+
+  test("int8-quantized cosine preserves the float top-k (recall ≥ 0.8)") {
+    // dequantization-free approximate cosine: scale cancels, so the
+    // quantized ints feed the same cosine formula directly
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("mx",
+        array_max(expr("transform(embedding, x -> abs(cast(x AS double)))")))
+      .withColumn("qs", expr(
+        """CASE WHEN mx = 0d THEN transform(embedding, x -> 0.0d)
+           ELSE transform(embedding,
+                  x -> floor(cast(x AS double) / (mx / 127.0d) + 0.5d))
+           END"""))
+      .select(col("vec_id"), col("qs"))
+    val q = emb.filter(col("vec_id") === Similarity.queryVecId)
+      .select(col("qs").as("qq"))
+    val approx = emb.filter(col("vec_id") =!= Similarity.queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), Vectors.cosine(col("qs"), col("qq")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(Similarity.topK)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.knnBruteForce(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall@${Similarity.topK} was $recall")
+  }
+
   test("IVF ANN: k-means probing finds most of the true top-k") {
     val exact = Similarity.knnBruteForce(spark, sf).collect().map(_.getLong(0)).toSet
     val approx = Similarity.annIvf(spark, sf).collect().map(_.getLong(0)).toSet
