@@ -221,7 +221,21 @@ object Similarity {
     * presentation sort.
     */
   def int8Quantization(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    int8QuantizedCore(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        round(col("scale"), 6).as("scale"),
+        expr("aggregate(qs, 0L, (acc, v) -> acc + v * v)").as("qnorm2"),
+        size(col("qs")).cast("long").as("dim"),
+        size(expr("filter(qs, v -> v = 0L)")).cast("long").as("n_zero"))
+      .orderBy("vec_id")
+
+  /** The quantization chain itself — (vec_id, label, scale, qs) with
+    * qs the int8-range bigint array. Shared seam: the q115 audit
+    * projection above and SimilaritySpec's recall probe both consume
+    * THIS, so the spec pins the shipped chain, not a re-implementation.
+    */
+  private[graft] def int8QuantizedCore(emb: DataFrame): DataFrame =
+    emb
       .withColumn("mx",
         array_max(expr("transform(embedding, x -> abs(cast(x AS double)))")))
       .withColumn("scale", col("mx") / 127.0d)
@@ -230,12 +244,7 @@ object Similarity {
            ELSE transform(embedding,
                   x -> cast(floor(cast(x AS double) / scale + 0.5d) AS bigint))
            END"""))
-      .select(col("vec_id"), col("label"),
-        round(col("scale"), 6).as("scale"),
-        expr("aggregate(qs, 0L, (acc, v) -> acc + v * v)").as("qnorm2"),
-        size(col("qs")).cast("long").as("dim"),
-        size(expr("filter(qs, v -> v = 0L)")).cast("long").as("n_zero"))
-      .orderBy("vec_id")
+      .select(col("vec_id"), col("label"), col("scale"), col("qs"))
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -292,13 +292,19 @@ object TextAnalysis {
     * the classic collocation-extraction statistic (NLP pipelines mine
     * these to keep multi-word units intact through tokenization).
     * PMI = ln(P(xy)/(P(x)P(y))) is monotone in the all-integer ratio
-    * c_xy·N/(c_x·c_y), so like q69 the ln is dropped and the ratio is
-    * emitted integer-scaled: pmi_e8 = c_xy·N·10⁸ div (c_x·c_y), exact
-    * in both engines (pmi > 0 ⟺ pmi_e8 > 10⁸). The raw counts ride
-    * along so the score is auditable. decimal(38,0) carries the
-    * product exactly — at the design point (N ≈ 10¹³ tokens) the
-    * numerator reaches ~10³⁴, far past Long but 4 digits under
-    * DECIMAL(38) (oracle twin: HUGEINT).
+    * c_xy·N/(c_x·c_y), so like q69 the ln is dropped and the RATIO is
+    * emitted (pmi > 0 ⟺ pmi_ratio > 1). The raw counts ride along so
+    * the score is auditable. Arithmetic follows the q74 discipline:
+    * numerator and denominator are exact integers in decimal(38,0)
+    * (HUGEINT in the oracle twin) — at the design point (N ≈ 10¹³
+    * tokens) the numerator reaches ~10²⁶, past Long but well inside
+    * DECIMAL(38) — each cast to double (exact below 2^53, correctly
+    * rounded from the exact value beyond, identically in both
+    * engines), then ONE float division. An integer-scaled `div`
+    * emission (the q69 shape) would WRAP: a rare exclusive pair at
+    * the minCount floor has quotient c_xy·N·10⁸/(c_x·c_y) ≈ 2·10²⁰ >
+    * Long.Max, and Spark's decimal div wraps to garbage negatives
+    * while DuckDB's ::BIGINT throws.
     *
     * Scale: both count frames collapse map-side to vocabulary-bounded
     * sizes (Zipf) before any exchange; the unigram side broadcasts
@@ -325,12 +331,12 @@ object TextAnalysis {
       .join(broadcast(uni.select(col("w").as("x"), col("c").as("c_x"))), "x")
       .join(broadcast(uni.select(col("w").as("y"), col("c").as("c_y"))), "y")
       .crossJoin(broadcast(n))
-      .withColumn("pmi_e8", expr(
-        """CAST((CAST(c_xy AS DECIMAL(38,0)) * n_tokens * 100000000)
-           div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"""))
+      .withColumn("pmi_ratio", round(expr(
+        """CAST(CAST(c_xy AS DECIMAL(38,0)) * n_tokens AS DOUBLE)
+           / CAST(CAST(c_x AS DECIMAL(38,0)) * c_y AS DOUBLE)"""), 6))
       .select(col("g").as("bigram"), col("c_xy"), col("c_x"), col("c_y"),
-        col("n_tokens"), col("pmi_e8"))
-      .orderBy(desc("pmi_e8"), asc("bigram"))
+        col("n_tokens"), col("pmi_ratio"))
+      .orderBy(desc("pmi_ratio"), asc("bigram"))
       .limit(k)
   }
 
@@ -538,9 +544,10 @@ object TextAnalysis {
            count(*)::BIGINT AS n_docs,
            array_to_string(list_sort(list(doc_id)), ',') AS postings
          FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
-    // q111: same integer-scaled ratio (ln dropped, monotone) — HUGEINT
-    // carries c_xy·N·10⁸ exactly, floor-div equals Spark's div on
-    // positive operands, one ::BIGINT emission
+    // q111: same ratio (ln dropped, monotone) — HUGEINT carries
+    // c_xy·N exactly, each side casts to double correctly-rounded from
+    // the exact integer (the q74 emission discipline), one float
+    // division, no BIGINT wrap at any N
     "q111_pmi_collocations" ->
       s"""WITH t AS (
            SELECT doc_id,
@@ -564,13 +571,13 @@ object TextAnalysis {
              string_split(g, ' ')[2] AS y
            FROM bc)
          SELECT g AS bigram, c_xy, cx.c AS c_x, cy.c AS c_y, n.n_tokens,
-           ((c_xy::HUGEINT * n.n_tokens * 100000000)
-             // (cx.c::HUGEINT * cy.c))::BIGINT AS pmi_e8
+           round((c_xy::HUGEINT * n.n_tokens)::DOUBLE
+             / (cx.c::HUGEINT * cy.c)::DOUBLE, 6) AS pmi_ratio
          FROM j
          JOIN uc cx ON j.x = cx.w
          JOIN uc cy ON j.y = cy.w
          CROSS JOIN n
-         ORDER BY pmi_e8 DESC, bigram LIMIT ${colloTopK}""",
+         ORDER BY pmi_ratio DESC, bigram LIMIT ${colloTopK}""",
     "q88_repetition_signals" ->
       """WITH t AS (
            SELECT doc_id,

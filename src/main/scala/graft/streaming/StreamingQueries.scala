@@ -547,8 +547,14 @@ object StreamingQueries {
       val slice = (i: Int) => ev.filter(col("event_id") % 3 === i)
       stageOne(slice(0), base.resolve("s0"), input, "00_a.parquet", now - 400000L)
       stageOne(slice(1), base.resolve("s1"), input, "01_b.parquet", now - 300000L)
-      stageOne(slice(1), base.resolve("s2"), input, "02_b_redelivered.parquet",
-        now - 200000L)
+      // redelivery IS a byte-identical copy of the staged file — the
+      // literal at-least-once failure mode, and no second Spark job
+      val staged = input.resolve("01_b.parquet")
+      if (Files.exists(staged)) {
+        val redelivered = input.resolve("02_b_redelivered.parquet")
+        Files.copy(staged, redelivered)
+        redelivered.toFile.setLastModified(now - 200000L)
+      }
       stageOne(slice(2), base.resolve("s3"), input, "03_c.parquet", now - 100000L)
 
       val deduped = spark.readStream

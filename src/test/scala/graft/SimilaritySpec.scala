@@ -97,16 +97,11 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
   test("int8-quantized cosine preserves the float top-k (recall ≥ 0.8)") {
     // dequantization-free approximate cosine: scale cancels, so the
-    // quantized ints feed the same cosine formula directly
-    val emb = Tables.embeddings(spark, sf)
-      .withColumn("mx",
-        array_max(expr("transform(embedding, x -> abs(cast(x AS double)))")))
-      .withColumn("qs", expr(
-        """CASE WHEN mx = 0d THEN transform(embedding, x -> 0.0d)
-           ELSE transform(embedding,
-                  x -> floor(cast(x AS double) / (mx / 127.0d) + 0.5d))
-           END"""))
-      .select(col("vec_id"), col("qs"))
+    // quantized ints feed the same cosine formula directly. Probes the
+    // SHIPPED chain (int8QuantizedCore), not a re-implementation.
+    val emb = Similarity.int8QuantizedCore(Tables.embeddings(spark, sf))
+      .select(col("vec_id"),
+        expr("transform(qs, v -> cast(v AS double))").as("qs"))
     val q = emb.filter(col("vec_id") === Similarity.queryVecId)
       .select(col("qs").as("qq"))
     val approx = emb.filter(col("vec_id") =!= Similarity.queryVecId)

@@ -113,20 +113,20 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) === ((2L, 1L, 1L, 1L, 1.0, 0.0)))
   }
 
-  test("pmi collocations: hand-computed integer-scaled ratios") {
+  test("pmi collocations: hand-computed ratios") {
     // "a b a b": bigrams {a b:2, b a:1}; "a c": {a c:1}
     // unigrams a:3 b:2 c:1, N=6
-    //   a b: 2·6·1e8/(3·2) = 2e8    a c: 1·6·1e8/(3·1) = 2e8
-    //   b a: 1·6·1e8/(2·3) = 1e8
+    //   a b: 2·6/(3·2) = 2.0    a c: 1·6/(3·1) = 2.0
+    //   b a: 1·6/(2·3) = 1.0
     // order: (pmi desc, bigram asc) → a b, a c, b a; k=2 truncates
     val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     val got = TextAnalysis.collocationsCore(docs, minCount = 1L, k = 100)
-      .select("bigram", "c_xy", "c_x", "c_y", "n_tokens", "pmi_e8")
-      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      .select("bigram", "c_xy", "c_x", "c_y", "n_tokens", "pmi_ratio")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
     assert(got === Seq(
-      ("a b", 2L, 3L, 2L, 6L, 200000000L),
-      ("a c", 1L, 3L, 1L, 6L, 200000000L),
-      ("b a", 1L, 2L, 3L, 6L, 100000000L)))
+      ("a b", 2L, 3L, 2L, 6L, 2.0),
+      ("a c", 1L, 3L, 1L, 6L, 2.0),
+      ("b a", 1L, 2L, 3L, 6L, 1.0)))
     assert(TextAnalysis.collocationsCore(docs, 1L, 2).count() === 2)
     // minCount prunes before the joins
     assert(TextAnalysis.collocationsCore(docs, 2L, 100)
