@@ -53,10 +53,59 @@ object Sessionization {
       .orderBy("user_id", "session_id")
   }
 
+  val pathMaxLen = 8
+  val pathTopK = 50
+
+  /** q116 — top user JOURNEYS: the frequency table of session paths
+    * (the first `pathMaxLen` event types of each session, in order),
+    * the product-analytics read q27's session boundaries and q106's
+    * one-step transition matrix both stop short of — a path is the
+    * whole Markov chain realization, not its edges.
+    *
+    * Scale-safe by construction: events are ranked INSIDE the session
+    * window and cut at `pathMaxLen` BEFORE any collect — a bot session
+    * of 10⁶ events contributes 8 rows to the fold, not a 10⁶-element
+    * array on one executor. The rank window shares the session
+    * labeling's user_id-grained exchange (one sort extension, no new
+    * shuffle); the path fold then collapses to at most
+    * |event_type|^maxLen distinct paths — vocabulary-bounded, like
+    * every frequency table here.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionPathsCore(Tables.eventsMicros(spark, dir))
+
+  /** Core over any (user_id, event_id, tsu, event_type) frame —
+    * fixture-injection seam for the spec.
+    */
+  private[graft] def sessionPathsCore(events: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy("tsu", "event_id")
+    events
+      .withColumn("prev_tsu", lag("tsu", 1).over(byTime))
+      .withColumn("opens",
+        when(col("prev_tsu").isNull || col("tsu") - col("prev_tsu") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("opens").over(running))
+      .withColumn("rnk", row_number().over(bySession))
+      .filter(col("rnk") <= pathMaxLen)
+      .groupBy("user_id", "session_id")
+      .agg(sort_array(collect_list(struct(col("rnk"), col("event_type"))))
+        .as("evs"))
+      .select(expr("array_join(transform(evs, e -> e.event_type), '>')")
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(pathTopK)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "q27_sessionization" -> (sessions(_, _)))
+    "q27_sessionization" -> (sessions(_, _)),
+    "q116_session_paths" -> (sessionPaths(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q27_sessionization" ->
@@ -77,5 +126,33 @@ object Sessionization {
             max(tsn) // 1000 AS session_end_us,
             count(*) AS n_events,
             (max(tsn) // 1000 - min(tsn) // 1000) // 1000000 AS duration_sec
-          FROM sess GROUP BY 1, 2 ORDER BY 1, 2""")
+          FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q116: same µs session derivation with event_type carried; ordered
+    // string_agg replays the in-session rank cut — strings and integers
+    // only
+    "q116_session_paths" ->
+      s"""WITH marked AS (
+            SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn,
+              CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                     OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${gapUs * 1000L}
+                   THEN 1 ELSE 0 END AS opens
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+          sess AS (
+            SELECT user_id, event_id, event_type, tsn,
+              sum(opens) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                AS session_id
+            FROM marked),
+          ranked AS (
+            SELECT user_id, session_id, event_type,
+              row_number() OVER (PARTITION BY user_id, session_id
+                ORDER BY tsn, event_id) AS rnk
+            FROM sess),
+          paths AS (
+            SELECT string_agg(event_type, '>' ORDER BY rnk) AS path
+            FROM ranked WHERE rnk <= ${pathMaxLen}
+            GROUP BY user_id, session_id)
+          SELECT path, count(*) AS n_sessions FROM paths
+          GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT ${pathTopK}""")
 }

@@ -33,6 +33,26 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("session paths: ordered journeys, gap split, maxLen cut, frequency rank") {
+    val s = spark
+    import s.implicits._
+    val g = Sessionization.gapSeconds * 1000000L
+    // user 1: a>b>c then (past gap) a>b ; user 2: a>b ; user 3: one
+    // 10-event session — its path cuts at pathMaxLen=8 types
+    val ev = (Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 10L, "b"), (3L, 1L, 20L, "c"),
+      (4L, 1L, 20L + g + 1L, "a"), (5L, 1L, 20L + g + 2L, "b"),
+      (6L, 2L, 0L, "a"), (7L, 2L, 5L, "b")) ++
+      (0 until 10).map(i => (100L + i, 3L, i.toLong, s"t$i")))
+      .toDF("event_id", "user_id", "tsu", "event_type")
+    val got = Sessionization.sessionPathsCore(ev)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a>b", 2L),
+      ("a>b>c", 1L),
+      ("t0>t1>t2>t3>t4>t5>t6>t7", 1L)))
+  }
+
   test("streaming: consecutive stragglers gap-chain into one historical session") {
     val s = spark
     import s.implicits._
