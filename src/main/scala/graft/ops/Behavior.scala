@@ -157,15 +157,74 @@ object Behavior {
       .agg(count(lit(1)).as("n_active_users"))
       .orderBy("window_start_us")
 
+  /** q117 — event-type CO-ENGAGEMENT: weighted Jaccard similarity
+    * between the user sets of every event-type pair (do the users who
+    * error also purchase?), the audience-overlap read none of the
+    * per-user ops (q76 funnel, q77 cohorts, q106 transitions) answer —
+    * those follow one user through time; this compares populations.
+    *
+    * All exact integers + one division: |A∩B| from a user-keyed
+    * self-join of the DISTINCT (user, type) frame — each user carries
+    * at most |types| rows, so the join fans out ≤ |types|² per user
+    * (a constant), never a cartesian across users — and |A∪B| by
+    * inclusion-exclusion from broadcast per-type totals. Output is
+    * |types|²-bounded. The same shape at 100 TB: one user-grained
+    * shuffle, vocabulary-sized everything after.
+    */
+  def typeCoEngagement(spark: SparkSession, dir: String): DataFrame =
+    coEngagementCore(Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select("user_id", "event_type"))
+
+  private[graft] def coEngagementCore(ut0: DataFrame): DataFrame = {
+    val ut = ut0.distinct()
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .withColumn("jaccard", round(col("n_common").cast("double")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
+      .select("type_a", "type_b", "n_a", "n_b", "n_common", "jaccard")
+      .orderBy(desc("jaccard"), asc("type_a"), asc("type_b"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q117_type_coengagement" -> (typeCoEngagement(_, _)),
     "q76_funnel" -> (funnel(_, _)),
     "q77_cohort_retention" -> (cohortRetention(_, _)),
     "q106_event_transitions" -> (eventTransitions(_, _)),
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q117: inclusion-exclusion Jaccard — exact BIGINTs, one float
+    // division of exact integers
+    "q117_type_coengagement" ->
+      """WITH ut AS (
+           SELECT DISTINCT user_id, event_type FROM events
+           WHERE user_id IS NOT NULL),
+         s AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  count(*)::BIGINT AS n_common
+           FROM ut a JOIN ut b ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           round(n_common::DOUBLE
+             / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+         FROM p
+         JOIN s sa ON type_a = sa.event_type
+         JOIN s sb ON type_b = sb.event_type
+         ORDER BY jaccard DESC, type_a, type_b""",
     "q76_funnel" ->
       """WITH ev AS (
            SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_type

@@ -106,6 +106,20 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       SCTest.Parameters.default.withMinSuccessfulTests(15), prop).passed)
   }
 
+  test("co-engagement: hand-computed Jaccard, zero-overlap pairs absent") {
+    // A={1,2,3}, B={1,2,4}, C={4}: (a,b) → 2/4, (b,c) → 1/3, (a,c) → ∅
+    val ut = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (4L, "c"),
+      (1L, "a")) // duplicate engagement rows collapse
+      .toDF("user_id", "event_type")
+    val got = graft.ops.Behavior.coEngagementCore(ut)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a", "b", 3L, 3L, 2L, 0.5),
+      ("b", "c", 3L, 1L, 1L, 0.333333)))
+  }
+
   test("event transitions: per-user consecutive pairs, deterministic intra-µs order") {
     import spark.implicits._
     val df = Seq(
