@@ -172,6 +172,64 @@ object GraphOps {
     visited.orderBy("hop", "entity_id")
   }
 
+  val kCoreMaxK = 16
+
+  /** q118 — K-CORE DECOMPOSITION: each vertex's core number (the
+    * largest k for which it survives in the k-core, the subgraph where
+    * every vertex keeps degree ≥ k), the standard graph-density
+    * peeling that separates the tightly-knit center from the periphery
+    * — the structural complement to q89/q35's communities (who clusters
+    * with whom) and q110's hops (how far): how DEEP each entity sits.
+    *
+    * Classical peeling, DataFrame-iterative like [[bfsHops]]: for
+    * k = 1, 2, … repeatedly drop vertices whose current degree < k
+    * (cascading — each peel round is one degree aggregation + two
+    * anti-joins, all keyed on the vertex); vertices peeled while
+    * testing k have core number k−1. Rounds are lineage-cut with eager
+    * localCheckpoints; the loop exits when the graph empties or k
+    * passes `maxK` (survivors report core = maxK, the documented cap —
+    * a denser graph saturates rather than looping unboundedly). Like
+    * q33/q34 the iteration runs on the lexicon-bounded aggregated
+    * graph; only the upstream edge aggregation scales with corpus.
+    *
+    * An iterative nested fixpoint has no SQL oracle → rows-only;
+    * GraphOpsSpec pins hand-computed core numbers (triangle+tail,
+    * 4-clique) and the k-core defining property on the real graph.
+    */
+  def kCoreNumbers(edges: DataFrame, maxK: Int = kCoreMaxK): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.toDF("src", "dst", "weight")
+    var g = e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst"), col("src")))
+      .distinct().localCheckpoint(true)
+    var core = Seq.empty[(String, Long)].toDF("entity_id", "core")
+    var k = 1L
+    while (k <= maxK && !g.isEmpty) {
+      var peeling = true
+      while (peeling) {
+        val low = g.groupBy("a").agg(count(lit(1)).as("n"))
+          .filter(col("n") < k)
+          .select(col("a").as("entity_id"))
+          .localCheckpoint(true)
+        if (low.isEmpty) peeling = false
+        else {
+          core = core.union(low.withColumn("core", lit(k - 1)))
+            .localCheckpoint(true)
+          val rm = low.withColumnRenamed("entity_id", "rm")
+          g = g.join(rm, col("a") === col("rm"), "left_anti")
+            .join(rm, col("b") === col("rm"), "left_anti")
+            .localCheckpoint(true)
+        }
+      }
+      k += 1
+    }
+    core
+      .union(g.select(col("a").as("entity_id")).distinct()
+        .withColumn("core", lit(maxK.toLong)))
+      .orderBy(desc("core"), asc("entity_id"))
+  }
+
   val lpaIters = 10
 
   /** Deterministic WEIGHTED label propagation — community detection,
@@ -565,6 +623,9 @@ object GraphOps {
   val queries: Map[String, Q] = Map(
     "q33_pagerank" -> (pagerank(_, _)),
     "q110_bfs_hops" -> ((s, d) => bfsHops(CooccurrenceGraph.edgeCounts(s, d))),
+    // rows-only like q35: iterative peeling has no SQL oracle; the
+    // defining property and fixtures are spec-pinned
+    "q118_kcore" -> ((s, d) => kCoreNumbers(CooccurrenceGraph.edgeCounts(s, d))),
     "q107_triangle_census" -> (triangleCensus(_, _)),
     "q74_component_modularity" -> (componentModularity(_, _)),
     // modularity OF the LPA communities (composition of the two graph

@@ -57,6 +57,47 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
       Map("e" -> 0L, "f" -> 1L, "h" -> 1L))
   }
 
+  test("k-core: triangle+tail and 4-clique fixtures, hand-computed core numbers") {
+    val s = spark
+    import s.implicits._
+    // triangle {a,b,c} with tail c-d-e: triangle = 2-core, tail = 1-core
+    val e1 = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L),
+      ("c", "d", 1L), ("d", "e", 1L)).toDF("src", "dst", "weight")
+    assert(GraphOps.kCoreNumbers(e1).as[(String, Long)].collect().toMap ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L, "e" -> 1L))
+    // 4-clique: every vertex core 3
+    val vs = Seq("w", "x", "y", "z")
+    val e2 = (for {
+      i <- vs.indices; j <- vs.indices if i < j
+    } yield (vs(i), vs(j), 1L)).toDF("src", "dst", "weight")
+    assert(GraphOps.kCoreNumbers(e2).as[(String, Long)].collect().toMap ==
+      vs.map(_ -> 3L).toMap)
+    // cap: maxK=2 saturates the clique at 2
+    assert(GraphOps.kCoreNumbers(e2, maxK = 2).as[(String, Long)]
+      .collect().toMap == vs.map(_ -> 2L).toMap)
+  }
+
+  test("k-core defining property holds on the real graph: induced degree ≥ core") {
+    val s = spark
+    import s.implicits._
+    val edges = CooccurrenceGraph.edgeCounts(spark, sf)
+    val core = GraphOps.kCoreNumbers(edges).as[(String, Long)].collect().toMap
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst"), col("src")))
+      .as[(String, String)].collect().distinct
+    // every vertex of the k-core subgraph (vertices with core ≥ k) must
+    // keep degree ≥ k inside it, for each realized k
+    core.values.toSet.foreach { (k: Long) =>
+      val members = core.filter(_._2 >= k).keySet
+      val degIn = sym.filter(p => members(p._1) && members(p._2))
+        .groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+      members.foreach { v =>
+        assert(degIn.getOrElse(v, 0L) >= k,
+          s"vertex $v in $k-core has induced degree ${degIn.getOrElse(v, 0L)}")
+      }
+    }
+  }
+
   test("label propagation: hand-computed fixture — two triangles, weak bridge") {
     val s = spark
     import s.implicits._
