@@ -116,14 +116,113 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** q119 — ROBUST outlier accounting per event type: median + MAD
+    * (median absolute deviation) instead of mean + stddev, the
+    * data-quality gate that doesn't let the outliers it hunts poison
+    * the threshold itself (one bot burst drags a mean/σ fence wide
+    * open; the median pair shrugs). Flags |x − med| > 3·MAD.
+    *
+    * Everything is EXACT: both medians are order statistics selected by
+    * the q102 cume-share rule (engine quantile builtins disagree on
+    * index conventions — the rule is spelled out identically on both
+    * sides), deviations are single IEEE subtractions of data values,
+    * and the 3·MAD fence is one exact multiply — no accumulated float
+    * anywhere, so the count hash-matches. Same distinct-value collapse
+    * before the per-type windows as q102 (and the same deliberate
+    * exactness: this is the gate a sketched variant would be judged
+    * against). Three passes over events, all exchanges on event_type.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madCore(Tables.eventsMicros(spark, dir).filter(col("value").isNotNull))
+
+  /** The q102 discrete selection rule as a reusable kernel: smallest
+    * value whose cumulative share reaches p, per event_type.
+    */
+  private def medianOf(df: DataFrame, valCol: String, outName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy("event_type").orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("event_type")
+    df.groupBy("event_type", valCol).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(run))
+      .withColumn("n", sum("c").over(whole))
+      .groupBy("event_type")
+      .agg(min(when(
+        col("cum").cast("double") / col("n").cast("double") >= 0.5,
+        col(valCol))).as(outName))
+  }
+
+  private[graft] def madCore(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select("event_type", "value")
+    val med = medianOf(ev, "value", "med")
+    val withDev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = medianOf(withDev.select("event_type", "dev"), "dev", "mad")
+    withDev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("med").as("med"), min("mad").as("mad"), // constant per group
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_ratio",
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 6))
+      .select("event_type", "n", "med", "mad", "n_outliers", "outlier_ratio")
+      .orderBy("event_type")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q119_mad_outliers" -> (madOutliers(_, _)),
     "q24_salted_type_stats" -> (saltedTypeStats(_, _)),
     "q25_corr_stats" -> (corrStats(_, _)),
     "q102_value_quantiles" -> (valueQuantiles(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q119: the same two cume-share median selections + exact fence;
+    // `mad * 3` (int × double) and the abs-subtractions are single IEEE
+    // ops identical in both engines
+    "q119_mad_outliers" ->
+      """WITH ev AS (
+           SELECT event_type, value FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL),
+         g AS (
+           SELECT event_type, value, count(*) AS c FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, value,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+           FROM g),
+         med AS (
+           SELECT event_type,
+             min(value) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= 0.5::DOUBLE)
+               AS med
+           FROM cum GROUP BY 1),
+         dv AS (
+           SELECT ev.event_type, abs(ev.value - med.med) AS dev
+           FROM ev JOIN med ON ev.event_type = med.event_type),
+         dg AS (
+           SELECT event_type, dev, count(*) AS c FROM dv GROUP BY 1, 2),
+         dcum AS (
+           SELECT event_type, dev,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+           FROM dg),
+         mad AS (
+           SELECT event_type,
+             min(dev) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= 0.5::DOUBLE)
+               AS mad
+           FROM dcum GROUP BY 1)
+         SELECT ev.event_type, count(*) AS n,
+           min(med.med) AS med, min(mad.mad) AS mad,
+           (count(*) FILTER (WHERE abs(ev.value - med.med) > mad.mad * 3))::BIGINT
+             AS n_outliers,
+           round((count(*) FILTER (WHERE abs(ev.value - med.med) > mad.mad * 3))::DOUBLE
+             / count(*)::DOUBLE, 6) AS outlier_ratio
+         FROM ev
+         JOIN med ON ev.event_type = med.event_type
+         JOIN mad ON ev.event_type = mad.event_type
+         GROUP BY 1 ORDER BY 1""",
     // the oracle is the DIRECT aggregation — proving salt+merge is
     // semantically invisible
     "q24_salted_type_stats" ->

@@ -336,6 +336,23 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
       ("y", 7.0, 7.0, 7.0, 7.0, 7.0, 1L)))
   }
 
+  test("mad outliers: hand fixture — robust fence flags only the burst") {
+    val s = spark
+    import s.implicits._
+    // x: [1,2,3,4,100] → med 3 (cum 3/5 ≥ .5), devs [2,1,0,1,97] →
+    // mad 1 (cum 3/5 at dev=1), fence 3·1=3 → only 97 exceeds → 1/5.
+    // A mean/σ fence would have been dragged to ~ +2σ ≈ 119 by the
+    // burst itself and flagged nothing.
+    // y: constant → mad 0, nothing flagged
+    val ev = (Seq(1, 2, 3, 4, 100).map(v => ("x", v.toDouble))
+      ++ Seq(("y", 7.0), ("y", 7.0))).toDF("event_type", "value")
+    val got = graft.ops.Skew.madCore(ev)
+      .as[(String, Long, Double, Double, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("x", 5L, 3.0, 1.0, 1L, 0.2),
+      ("y", 2L, 7.0, 0.0, 0L, 0.0)))
+  }
+
   test("property: quantiles match brute-force percentile_disc on random multisets") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val s = spark
