@@ -195,16 +195,50 @@ object Behavior {
       .orderBy(desc("jaccard"), asc("type_a"), asc("type_b"))
   }
 
+  /** q120 — ACTIVITY HEATMAP: the (day-of-week × hour-of-day) event
+    * matrix with per-cell distinct users, the load-profile read every
+    * ops dashboard opens with. Bucketing is PURE integer epoch
+    * arithmetic — dow = (days-since-epoch + 3) mod 7 with 0 = Monday
+    * (1970-01-01 was a Thursday → 3), hour = in-day µs div 3600·10⁶ —
+    * because engine calendar functions are exactly the cross-engine
+    * convention trap the quantile memo records for percentile_disc:
+    * Spark dayofweek is 1=Sunday, DuckDB's is 0=Sunday, and both
+    * consult session timezones. Integer div/mod consults nothing.
+    * One hash aggregate, 168-row output, distinct-user count exact
+    * (the q14 HLL twin would replace it at unbounded user cardinality;
+    * here the exact count IS the gate, q108's convention).
+    */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsMicros(spark, dir)
+      .select(
+        expr("((tsu div 86400000000) + 3) % 7").as("dow"),
+        expr("(tsu % 86400000000) div 3600000000").as("hour"),
+        col("user_id"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("dow", "hour")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q117_type_coengagement" -> (typeCoEngagement(_, _)),
+    "q120_activity_heatmap" -> (activityHeatmap(_, _)),
     "q76_funnel" -> (funnel(_, _)),
     "q77_cohort_retention" -> (cohortRetention(_, _)),
     "q106_event_transitions" -> (eventTransitions(_, _)),
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q120: identical integer epoch arithmetic — no calendar function,
+    // no timezone, no convention to disagree on
+    "q120_activity_heatmap" ->
+      """SELECT ((epoch_ns(ts) // 1000 // 86400000000) + 3) % 7 AS dow,
+           (epoch_ns(ts) // 1000 % 86400000000) // 3600000000 AS hour,
+           count(*) AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // q117: inclusion-exclusion Jaccard — exact BIGINTs, one float
     // division of exact integers
     "q117_type_coengagement" ->

