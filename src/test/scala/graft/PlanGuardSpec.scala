@@ -27,7 +27,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // modularity's crossJoin(broadcast(m2)): the broadcast side is the
     // single-row 2m total (q74's twin escapes the sweep only because it
     // materializes eagerly behind localCheckpoint)
-    "q75_community_modularity")
+    "q75_community_modularity",
+    // PMI's crossJoin(broadcast(n)): the broadcast side is the
+    // single-row corpus token total
+    "q111_pmi_collocations")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
