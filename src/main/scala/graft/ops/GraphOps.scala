@@ -172,6 +172,61 @@ object GraphOps {
     visited.orderBy("hop", "entity_id")
   }
 
+  /** q121 — WIDEST (maximin) paths from the hub: the strength of a
+    * relationship chain is its weakest link, so each entity's score is
+    * max over ≤ maxHops-hop paths of min edge weight — the "how
+    * strongly is X connected to the protagonist" read, where q110's
+    * hops only say "how far". Widest-path has optimal substructure for
+    * per-node max (extending a weaker prefix through u can never beat
+    * extending u's best: least(s, w) is monotone in s), so bounded
+    * Bellman-Ford-style relaxation is exact: after round k, `best`
+    * holds the optimum over ≤ k hops — precisely what the oracle's
+    * hop-bounded recursive walk enumerates. All integer arithmetic
+    * (weights are counts), frontier/best are entity-keyed DataFrames,
+    * rounds lineage-cut, early-exit when no strength improves. Same
+    * lexicon-bounded-iteration scale argument as q33/q110/q118.
+    */
+  def widestPaths(edges: DataFrame, maxHops: Int = bfsMaxHops): DataFrame = {
+    val e = edges.toDF("src", "dst", "weight")
+    val sym = e.select(col("src").as("a"), col("dst").as("b"), col("weight"))
+      .union(e.select(col("dst"), col("src"), col("weight")))
+      .groupBy("a", "b").agg(max("weight").as("w")) // parallel edges: strongest
+      .cache()
+    val hub = e.select(col("src").as("entity_id"), col("weight"))
+      .union(e.select(col("dst"), col("weight")))
+      .groupBy("entity_id").agg(sum("weight").as("degree"))
+      .orderBy(desc("degree"), asc("entity_id")).limit(1)
+      .select(col("entity_id").as("hub"))
+    // round 1: the hub's direct edges ARE the 1-hop widest paths
+    var best = hub.join(sym, col("hub") === col("a"))
+      .select(col("b").as("entity_id"), col("w").as("strength"))
+      .localCheckpoint(true)
+    var frontier = best
+    var hop = 1
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val cand = frontier.join(sym, frontier("entity_id") === sym("a"))
+        .join(hub, col("b") === col("hub"), "left_anti") // never back into the hub
+        .select(col("b").as("entity_id"),
+          least(col("strength"), col("w")).as("s"))
+        .groupBy("entity_id").agg(max("s").as("s"))
+      val improved = cand.join(best.withColumnRenamed("entity_id", "be")
+          .withColumnRenamed("strength", "bs"),
+          col("entity_id") === col("be"), "left_outer")
+        .filter(col("bs").isNull || col("s") > col("bs"))
+        .select(col("entity_id"), col("s").as("strength"))
+        .localCheckpoint(true)
+      best = best.join(improved.select(col("entity_id").as("ie")),
+          col("entity_id") === col("ie"), "left_anti")
+        .select("entity_id", "strength")
+        .union(improved)
+        .localCheckpoint(true)
+      frontier = improved
+    }
+    sym.unpersist(blocking = false)
+    best.orderBy(desc("strength"), asc("entity_id"))
+  }
+
   val kCoreMaxK = 16
 
   /** q118 — K-CORE DECOMPOSITION: each vertex's core number (the
@@ -626,6 +681,7 @@ object GraphOps {
     // rows-only like q35: iterative peeling has no SQL oracle; the
     // defining property and fixtures are spec-pinned
     "q118_kcore" -> ((s, d) => kCoreNumbers(CooccurrenceGraph.edgeCounts(s, d))),
+    "q121_widest_paths" -> ((s, d) => widestPaths(CooccurrenceGraph.edgeCounts(s, d))),
     "q107_triangle_census" -> (triangleCensus(_, _)),
     "q74_component_modularity" -> (componentModularity(_, _)),
     // modularity OF the LPA communities (composition of the two graph
@@ -713,6 +769,39 @@ object GraphOps {
              ELSE 0.0::DOUBLE END AS clustering
            FROM deg d LEFT JOIN pe ON d.entity_id = pe.entity_id
            ORDER BY n_triangles DESC, d.entity_id"""),
+    // q121: the same hop-bounded recursive walk carrying least(s, w);
+    // UNION dedups (vertex, strength, hop) triples (strengths live in
+    // the finite edge-weight set, hops bounded → terminates); max(s)
+    // per vertex = the maximin optimum over ≤ maxHops-hop paths
+    "q121_widest_paths" ->
+      (CooccurrenceGraph.entsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""", e AS (
+             SELECT a.w AS src, b.w AS dst, count(*)::BIGINT AS weight
+             FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+             GROUP BY 1, 2
+           ), sym AS (
+             SELECT src AS a, dst AS b, max(weight) AS wt FROM (
+               SELECT src, dst, weight FROM e
+               UNION ALL SELECT dst, src, weight FROM e)
+             GROUP BY 1, 2
+           ), hub AS (
+             SELECT entity_id FROM (
+               SELECT entity_id, sum(weight)::BIGINT AS degree FROM (
+                 SELECT src AS entity_id, weight FROM e
+                 UNION ALL SELECT dst, weight FROM e)
+               GROUP BY 1)
+             ORDER BY degree DESC, entity_id LIMIT 1
+           ), walk AS (
+             SELECT s.b AS w, s.wt AS st, 1 AS hop
+             FROM sym s JOIN hub ON s.a = hub.entity_id
+             UNION
+             SELECT s2.b, least(walk.st, s2.wt), walk.hop + 1
+             FROM walk JOIN sym s2 ON walk.w = s2.a
+             WHERE walk.hop < ${bfsMaxHops}
+               AND s2.b NOT IN (SELECT entity_id FROM hub)
+           )
+           SELECT w AS entity_id, max(st)::BIGINT AS strength
+           FROM walk GROUP BY 1 ORDER BY strength DESC, entity_id"""),
     // q110: min-hop BFS as a hop-bounded recursive walk — UNION dedups
     // (vertex, hop) pairs so the hop<maxHops guard terminates it on the
     // cyclic graph; min(hop) per vertex IS the BFS distance because

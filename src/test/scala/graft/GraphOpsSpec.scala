@@ -57,6 +57,22 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
       Map("e" -> 0L, "f" -> 1L, "h" -> 1L))
   }
 
+  test("widest paths: a 2-hop chain beats a weak direct edge, hand-computed") {
+    val s = spark
+    import s.implicits._
+    // degrees: h=9, a=8, b=9, c=2 → tie h/b breaks to hub 'b'.
+    // From b: a = max(direct 3, via h min(4,5)=4) = 4
+    //         h = max(direct 4, via a min(3,5)=3) = 4
+    //         c = direct 2
+    val edges = Seq(("h", "a", 5L), ("h", "b", 4L), ("a", "b", 3L),
+      ("b", "c", 2L)).toDF("src", "dst", "weight")
+    assert(GraphOps.widestPaths(edges).as[(String, Long)].collect().toMap ==
+      Map("a" -> 4L, "h" -> 4L, "c" -> 2L))
+    // maxHops=1: direct edges only
+    assert(GraphOps.widestPaths(edges, maxHops = 1).as[(String, Long)]
+      .collect().toMap == Map("a" -> 3L, "h" -> 4L, "c" -> 2L))
+  }
+
   test("k-core: triangle+tail and 4-clique fixtures, hand-computed core numbers") {
     val s = spark
     import s.implicits._
