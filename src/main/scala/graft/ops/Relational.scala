@@ -253,6 +253,46 @@ object Relational {
       .orderBy(desc("exact_n"), asc("user_id"))
   }
 
+  /** q122 — SCD2-style STATE TIMELINE: collapse each user's event
+    * stream into runs of consecutive identical states with half-open
+    * validity intervals [valid_from_us, valid_to_us), valid_to NULL
+    * for the current (open) run — the slowly-changing-dimension
+    * history shape every warehouse keeps for "what was this user's
+    * state at time T" point-in-time joins. Change detection is one
+    * lag + running-sum window, run collapse one aggregate, interval
+    * closing one lead — all three on the same user_id-grained
+    * exchange (the q27 argument: one shuffle serves the lot).
+    * Exact integers and strings only.
+    *
+    * Open (current) runs close at Long.MaxValue — the classic SCD2
+    * "9999-12-31" end-of-time sentinel, and deliberately NOT NULL:
+    * a nullable BIGINT column re-hydrates as float64+NaN in the
+    * driver's pandas compare (the q104-class trap — NaN breaks the
+    * hash), and the sentinel also keeps BETWEEN point-in-time
+    * predicates branch-free.
+    */
+  val scd2StateTimeline: Q = (s, d) => scd2Core(Tables.eventsMicros(s, d))
+
+  private[graft] def scd2Core(ev: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byRun = Window.partitionBy("user_id").orderBy("run_id")
+    ev.select("user_id", "event_id", "event_type", "tsu")
+      .withColumn("prev_type", lag("event_type", 1).over(byTime))
+      .withColumn("chg",
+        when(col("prev_type").isNull
+          || col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(running))
+      .groupBy("user_id", "run_id")
+      .agg(min("event_type").as("state"), // constant within the run
+        min("tsu").as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us",
+        coalesce(lead("valid_from_us", 1).over(byRun), lit(Long.MaxValue)))
+      .select("user_id", "state", "valid_from_us", "valid_to_us", "n_events")
+      .orderBy("user_id", "valid_from_us")
+  }
+
   /** CASE-tiering + numeric binning (histogram). */
   val valueHistogram: Q = (s, d) =>
     Tables.events(s, d)
@@ -489,6 +529,7 @@ object Relational {
     "q13_distinct_users_by_type" -> distinctUsersByType,
     "q14_approx_distinct_users" -> approxDistinctUsers,
     "q114_cms_heavy_hitters" -> cmsHeavyHitters,
+    "q122_scd2_state_timeline" -> scd2StateTimeline,
     "q15_value_histogram" -> valueHistogram,
     "q16_props_key_stats" -> propsKeyStats,
     "q17_monthly_orders" -> monthlyOrders,
@@ -498,6 +539,34 @@ object Relational {
     "q39_event_type_unpivot" -> eventTypeUnpivot)
 
   val oracles: Map[String, String] = Map(
+    // q122: identical lag→running-sum→collapse→lead chain at µs
+    // precision; first-row change via IS DISTINCT FROM (event_type is
+    // non-null, so it equals Spark's isNull-or-≠)
+    "q122_scd2_state_timeline" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000 AS tsu
+           FROM events WHERE ts IS NOT NULL),
+         m AS (
+           SELECT *, CASE WHEN lag(event_type) OVER w
+               IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         r AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id
+             ORDER BY tsu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS run_id
+           FROM m),
+         runs AS (
+           SELECT user_id, run_id, min(event_type) AS state,
+             min(tsu) AS valid_from_us, count(*) AS n_events
+           FROM r GROUP BY 1, 2)
+         SELECT user_id, state, valid_from_us,
+           coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+             ORDER BY run_id), 9223372036854775807) AS valid_to_us,
+           n_events
+         FROM runs ORDER BY user_id, valid_from_us""",
     "q104_full_outer_reconciliation" ->
       """WITH a AS (
            SELECT user_id, count(*) AS n_events

@@ -52,6 +52,25 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("scd2 timeline: runs collapse, intervals chain, open run has null end") {
+    import spark.implicits._
+    // user 1: a,a,b,a → runs (a,[0,20),2) (b,[20,30),1) (a,[30,null),1)
+    // user 2: single run stays open from its first event
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "a", 10L), (3L, 1L, "b", 20L),
+      (4L, 1L, "a", 30L), (5L, 2L, "x", 5L), (6L, 2L, "x", 7L))
+      .toDF("event_id", "user_id", "event_type", "tsu")
+    val got = graft.ops.Relational.scd2Core(ev)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 0L, 20L, 2L),
+      (1L, "b", 20L, 30L, 1L),
+      (1L, "a", 30L, Long.MaxValue, 1L),
+      (2L, "x", 5L, Long.MaxValue, 2L)))
+    // intervals tile: every non-final run's end is the next run's
+    // start; open runs close at the end-of-time sentinel
+  }
+
   test("cms heavy hitters: never underestimates, overcount ≤ ε·N, deterministic") {
     val out = Relational.queries("q114_cms_heavy_hitters")(spark, sf).collect()
     assert(out.length > 0)
