@@ -273,7 +273,16 @@ object Relational {
     */
   val scd2StateTimeline: Q = (s, d) => scd2Core(Tables.eventsMicros(s, d))
 
-  private[graft] def scd2Core(ev: DataFrame): DataFrame = {
+  private[graft] def scd2Core(ev: DataFrame): DataFrame =
+    scd2Runs(ev)
+      .select("user_id", "state", "valid_from_us", "valid_to_us", "n_events")
+      .orderBy("user_id", "valid_from_us")
+
+  /** The run table WITH run_id — q123's point-in-time probe needs the
+    * run order to disambiguate zero-width runs (two state changes in
+    * the same µs share a valid_from; the later run wins the instant).
+    */
+  private[graft] def scd2Runs(ev: DataFrame): DataFrame = {
     val byTime = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val byRun = Window.partitionBy("user_id").orderBy("run_id")
@@ -289,8 +298,54 @@ object Relational {
         count(lit(1)).as("n_events"))
       .withColumn("valid_to_us",
         coalesce(lead("valid_from_us", 1).over(byRun), lit(Long.MaxValue)))
-      .select("user_id", "state", "valid_from_us", "valid_to_us", "n_events")
-      .orderBy("user_id", "valid_from_us")
+  }
+
+  /** q123 — POINT-IN-TIME join: each order enriched with the
+    * customer's q122 state AT order time (valid_from ≤ t < valid_to),
+    * the "what did we know then" join that makes SCD2 history useful
+    * and that training-data pipelines need to avoid feature leakage
+    * (joining TODAY's state onto YESTERDAY's example teaches the model
+    * the future).
+    *
+    * Physically NOT an interval join: the q36 union-tag trick — state
+    * boundaries and order probes merge into one user_id-grained
+    * stream, sorted (tsu, tag, run_id) so a state change sorts before
+    * a same-µs probe and the later of two same-µs runs wins the
+    * instant (exactly the half-open containment the oracle evaluates),
+    * then one running `last(ignoreNulls)` carries the state. ONE
+    * exchange, zero pair blowup however many orders land inside one
+    * run — the naive BETWEEN join is quadratic per user.
+    * Orders before any state stay null (left-join semantics; strings
+    * re-hydrate as None, not the q104-class NaN trap).
+    */
+  val pointInTimeJoin: Q = (s, d) =>
+    pitCore(Tables.eventsMicros(s, d),
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(o_orderdate)").as("otsu")))
+
+  /** Core over (events, probes(o_orderkey, o_custkey, otsu)) — fixture
+    * seam for the spec.
+    */
+  private[graft] def pitCore(ev: DataFrame, orders: DataFrame): DataFrame = {
+    val runs = scd2Runs(ev)
+    val states = runs.select(col("user_id"),
+      col("valid_from_us").as("tsu"), col("state"),
+      lit(0).as("tag"), col("run_id"),
+      lit(null).cast("long").as("o_orderkey"))
+    val probes = orders.select(
+      col("o_custkey").as("user_id"),
+      col("otsu").as("tsu"),
+      lit(null).cast("string").as("state"),
+      lit(1).as("tag"), lit(Long.MaxValue).as("run_id"),
+      col("o_orderkey"))
+    val w = Window.partitionBy("user_id").orderBy("tsu", "tag", "run_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    states.unionByName(probes)
+      .withColumn("state_at", last("state", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("o_orderkey"), col("user_id").as("o_custkey"),
+        col("tsu").as("order_tsu"), col("state_at").as("state_at_order"))
+      .orderBy("o_orderkey")
   }
 
   /** CASE-tiering + numeric binning (histogram). */
@@ -530,6 +585,7 @@ object Relational {
     "q14_approx_distinct_users" -> approxDistinctUsers,
     "q114_cms_heavy_hitters" -> cmsHeavyHitters,
     "q122_scd2_state_timeline" -> scd2StateTimeline,
+    "q123_point_in_time_join" -> pointInTimeJoin,
     "q15_value_histogram" -> valueHistogram,
     "q16_props_key_stats" -> propsKeyStats,
     "q17_monthly_orders" -> monthlyOrders,
@@ -567,6 +623,42 @@ object Relational {
              ORDER BY run_id), 9223372036854775807) AS valid_to_us,
            n_events
          FROM runs ORDER BY user_id, valid_from_us""",
+    // q123: the oracle evaluates the DECLARATIVE half-open interval
+    // containment over the q122 run table — an independent formulation
+    // of the union-tag running-last the Spark plan executes
+    "q123_point_in_time_join" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000 AS tsu
+           FROM events WHERE ts IS NOT NULL),
+         m AS (
+           SELECT *, CASE WHEN lag(event_type) OVER w
+               IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         r AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id
+             ORDER BY tsu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS run_id
+           FROM m),
+         runs AS (
+           SELECT user_id, run_id, min(event_type) AS state,
+             min(tsu) AS valid_from_us
+           FROM r GROUP BY 1, 2),
+         iv AS (
+           SELECT user_id, state, valid_from_us,
+             coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+               ORDER BY run_id), 9223372036854775807) AS valid_to_us
+           FROM runs)
+         SELECT o.o_orderkey, o.o_custkey,
+           epoch_ms(o.o_orderdate) * 1000 AS order_tsu,
+           iv.state AS state_at_order
+         FROM orders o
+         LEFT JOIN iv ON o.o_custkey = iv.user_id
+           AND iv.valid_from_us <= epoch_ms(o.o_orderdate) * 1000
+           AND epoch_ms(o.o_orderdate) * 1000 < iv.valid_to_us
+         ORDER BY o.o_orderkey""",
     "q104_full_outer_reconciliation" ->
       """WITH a AS (
            SELECT user_id, count(*) AS n_events

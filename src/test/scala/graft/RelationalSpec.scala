@@ -71,6 +71,29 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     // start; open runs close at the end-of-time sentinel
   }
 
+  test("point-in-time join: boundary inclusivity, pre-history null, leakage-free") {
+    import spark.implicits._
+    // user 1 states: a@[10,30), b@[30,∞)
+    val ev = Seq(
+      (1L, 1L, "a", 10L), (2L, 1L, "b", 30L))
+      .toDF("event_id", "user_id", "event_type", "tsu")
+    // probes: before history → null; inside a; exactly AT the boundary
+    // → the NEW state (half-open intervals); far future → still b
+    val orders = Seq(
+      (100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 29L),
+      (103L, 1L, 30L), (104L, 1L, 999L), (105L, 2L, 50L))
+      .toDF("o_orderkey", "o_custkey", "otsu")
+    val got = graft.ops.Relational.pitCore(ev, orders)
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(got === Seq(
+      (100L, 1L, 5L, None),
+      (101L, 1L, 10L, Some("a")),
+      (102L, 1L, 29L, Some("a")),
+      (103L, 1L, 30L, Some("b")),
+      (104L, 1L, 999L, Some("b")),
+      (105L, 2L, 50L, None)))
+  }
+
   test("cms heavy hitters: never underestimates, overcount ≤ ε·N, deterministic") {
     val out = Relational.queries("q114_cms_heavy_hitters")(spark, sf).collect()
     assert(out.length > 0)
