@@ -91,12 +91,62 @@ object TagMining {
       .orderBy("tag_a", "tag_b")
   }
 
+  val seqMinSupport = 0.3
+  val seqMaxPatternLen = 3
+  val seqMaxLen = 50
+
+  /** q124 — SEQUENTIAL pattern mining (PrefixSpan): which ordered
+    * event-type subsequences recur across users, the order-aware twin
+    * of FP-Growth's itemsets (q70 asks "what co-occurs", this asks
+    * "what follows what" — and unlike q116's contiguous session paths,
+    * a pattern may skip events: signup…→…purchase matches however
+    * much noise sits between). `ml.fpm.PrefixSpan`, like FP-Growth a
+    * multi-job library algorithm: sequences are projected and mined by
+    * prefix, distributed by candidate prefix.
+    *
+    * Per-user sequences are ordered (tsu, event_id) — the repo-wide
+    * deterministic tie-break — and capped at `seqMaxLen` events (the
+    * per-user state bound; the cap is part of the query's definition
+    * and the oracle applies it identically). Support counts USERS
+    * (once each), min count = ceil(minSupport·n_seq) — FP-Growth's
+    * exact integer gate. The oracle brute-force enumerates every
+    * pattern up to length 3 by ordered self-joins (tractable: the
+    * alphabet is the closed event_type domain) and counts users with
+    * an ordered occurrence — an independent formulation of the same
+    * support definition.
+    */
+  def sequencePatterns(spark: SparkSession, dir: String): DataFrame =
+    sequencePatternsCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def sequencePatternsCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.ml.fpm.PrefixSpan
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsu", "event_id")
+    val seqs = ev
+      .withColumn("rn", row_number().over(byTime))
+      .filter(col("rn") <= seqMaxLen)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_type"))))
+        .as("evs"))
+      .select(expr("transform(evs, e -> array(e.event_type))").as("sequence"))
+    new PrefixSpan()
+      .setMinSupport(seqMinSupport)
+      .setMaxPatternLength(seqMaxPatternLen)
+      .setSequenceCol("sequence")
+      .findFrequentSequentialPatterns(seqs)
+      .select(
+        expr("array_join(transform(sequence, x -> x[0]), '>')").as("pattern"),
+        col("freq").as("n_users"))
+      .orderBy(desc("n_users"), asc("pattern"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   // Registered surface serializes the itemset arrays (the driver's pandas
   // compare can't hash numpy arrays — CORRECTNESS_r02); the library API
   // (`freqItemsets` / `associationRules`) keeps native arrays.
   val queries: Map[String, Q] = Map(
+    "q124_sequence_patterns" -> (sequencePatterns(_, _)),
     "q70_freq_itemsets" -> ((s, d) =>
       freqItemsets(s, d).withColumn("items", array_join(col("items"), ","))),
     "q71_assoc_rules" -> ((s, d) =>
@@ -147,6 +197,48 @@ object TagMining {
        )"""
 
   val oracles: Map[String, String] = Map(
+    // q124: brute-force ordered-occurrence enumeration — a user
+    // supports a pattern iff an ordered (not necessarily contiguous)
+    // occurrence exists; lengths 1-3 via 0/1/2 ordered self-joins,
+    // the same ceil-gate as FP-Growth
+    "q124_sequence_patterns" ->
+      s"""WITH ev AS (
+           SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000 AS tsu
+           FROM events WHERE ts IS NOT NULL),
+         r AS (
+           SELECT user_id, event_type AS t,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY tsu, event_id) AS rn
+           FROM ev),
+         rr AS (SELECT * FROM r WHERE rn <= ${seqMaxLen}),
+         n AS (SELECT count(DISTINCT user_id) AS n_seq FROM rr),
+         minc AS (
+           SELECT CAST(ceil(${seqMinSupport}::DOUBLE * n_seq) AS BIGINT)
+             AS mc FROM n),
+         p1 AS (
+           SELECT t AS pattern, count(DISTINCT user_id) AS n_users
+           FROM rr GROUP BY 1),
+         p2 AS (
+           SELECT a.t || '>' || b.t AS pattern,
+             count(DISTINCT a.user_id) AS n_users
+           FROM rr a JOIN rr b
+             ON a.user_id = b.user_id AND a.rn < b.rn
+           GROUP BY 1),
+         p3 AS (
+           SELECT a.t || '>' || b.t || '>' || c.t AS pattern,
+             count(DISTINCT a.user_id) AS n_users
+           FROM rr a
+           JOIN rr b ON a.user_id = b.user_id AND a.rn < b.rn
+           JOIN rr c ON b.user_id = c.user_id AND b.rn < c.rn
+           GROUP BY 1),
+         allp AS (
+           SELECT * FROM p1
+           UNION ALL SELECT * FROM p2
+           UNION ALL SELECT * FROM p3)
+         SELECT pattern, n_users::BIGINT AS n_users
+         FROM allp, minc WHERE n_users >= minc.mc
+         ORDER BY n_users DESC, pattern""",
     "q70_freq_itemsets" -> (txCte +
       """ SELECT array_to_string(itemset, ',') AS items, freq
           FROM fi ORDER BY freq DESC, items"""),

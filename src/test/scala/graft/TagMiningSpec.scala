@@ -24,6 +24,31 @@ class TagMiningSpec extends AnyFunSuite with SparkTestBase {
     assert(freq == Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "a,b" -> 2L, "a,c" -> 2L))
   }
 
+  test("sequence patterns: hand-computed supports, skips allowed, order enforced") {
+    val s = spark
+    import s.implicits._
+    // u1: a,b,c  u2: a,c  u3: b — minSupport 0.3 of 3 seqs → minCount 1?
+    // No: sequencePatternsCore uses seqMinSupport = 0.3 → ceil(0.9) = 1,
+    // too permissive to discriminate; so assert the interesting subsets:
+    // a>c supported by u1 (skipping b) AND u2; c>a by nobody (order)
+    val ev = Seq(
+      (1L, 1L, "a", 10L), (2L, 1L, "b", 20L), (3L, 1L, "c", 30L),
+      (4L, 2L, "a", 10L), (5L, 2L, "c", 20L),
+      (6L, 3L, "b", 10L))
+      .toDF("event_id", "user_id", "event_type", "tsu")
+    val got = TagMining.sequencePatternsCore(ev)
+      .as[(String, Long)].collect().toMap
+    assert(got("a>c") == 2L) // u1 skips b — non-contiguous match
+    assert(got("a") == 2L && got("b") == 2L && got("c") == 2L)
+    assert(got("a>b>c") == 1L)
+    assert(!got.contains("c>a")) // order is enforced
+    // support counts users once, not occurrences
+    val ev2 = Seq((1L, 7L, "a", 1L), (2L, 7L, "a", 2L), (3L, 7L, "a", 3L))
+      .toDF("event_id", "user_id", "event_type", "tsu")
+    assert(TagMining.sequencePatternsCore(ev2)
+      .as[(String, Long)].collect().toMap.apply("a") == 1L)
+  }
+
   test("support monotonicity: freq(itemset) <= min freq of its items") {
     val itemsets = TagMining.freqItemsets(spark, sf).collect()
       .map(r => (r.getSeq[String](0), r.getLong(1)))
