@@ -67,15 +67,53 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** q125 — ORC interchange: the same events slice round-tripped
+    * through the OTHER first-class columnar warehouse format (write
+    * `.orc`, read it back, aggregate). Cross-format interchange is a
+    * real 100 TB concern — a lakehouse ingests from engines that
+    * speak ORC (Hive/Trino heritage) — and the hash gate proves the
+    * round trip is lossless to the bit: the oracle aggregates the
+    * ORIGINAL parquet, so any type coercion, timestamp convention or
+    * double drift in the ORC writer/reader pair would hash-mismatch.
+    * ORC predicate pushdown rides the same filter the q103 layout
+    * prunes by (row-group level here; asserted in ParquetLayoutSpec).
+    */
+  def orcInterchangeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q125_")
+    try {
+      val path = base.resolve("events_orc").toString
+      Tables.eventsMicros(spark, dir)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+        .write.orc(path)
+      val out = spark.read.orc(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("purchase_total"))
+        .orderBy("user_id")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "q103_partition_pruned_revenue" -> (partitionPrunedRevenue(_, _)))
+    "q103_partition_pruned_revenue" -> (partitionPrunedRevenue(_, _)),
+    "q125_orc_interchange" -> (orcInterchangeRevenue(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the oracle reads the ORIGINAL flat table: layout + pruning must be
     // semantically invisible
     "q103_partition_pruned_revenue" ->
+      """SELECT user_id, count(*) AS n_purchases,
+         round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS purchase_total
+         FROM events
+         WHERE ts IS NOT NULL AND event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
+    // q125: identical oracle — the ORC round trip must be invisible
+    "q125_orc_interchange" ->
       """SELECT user_id, count(*) AS n_purchases,
          round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS purchase_total
          FROM events

@@ -42,6 +42,25 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally Tables.deleteRecursively(base)
   }
 
+  test("orc interchange: lossless round trip, filter pushed to the ORC scan") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_orcspec_")
+    try {
+      val src = Tables.eventsMicros(spark, sf)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+      val path = base.resolve("ev").toString
+      src.write.orc(path)
+      val back = spark.read.orc(path)
+      // bit-lossless: same multiset of rows either direction
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+      // the routing filter reaches the ORC scan as a pushed predicate
+      val plan = back.filter(col("event_type") === "purchase")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("EqualTo(event_type,purchase)"), plan.take(800))
+    } finally Tables.deleteRecursively(base)
+  }
+
   test("q103 leaves no scratch layout behind") {
     import scala.jdk.CollectionConverters._
     def scratch(): Set[String] = {
