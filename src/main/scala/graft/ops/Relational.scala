@@ -348,6 +348,65 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  val bloomFpp = 0.01
+
+  /** q126 — explicit BLOOM-FILTER SEMI-JOIN prefilter: revenue by
+    * nation for one customer segment, with the fact side pre-filtered
+    * by a bloom filter built over the segment's keys BEFORE the join —
+    * the runtime-filter pattern (Spark's InjectRuntimeFilter, Trino's
+    * dynamic filters) made explicit and verifiable. At 100 TB this is
+    * the difference between shuffling the whole fact table into the
+    * join and shuffling ~1/|segments| of it (plus the fpp): the filter
+    * is a few hundred KB broadcast into a codegen'd scan-stage
+    * predicate (the engine-internal `BloomFilterMightContain`, reached
+    * through GraftColumnBridge — no UDF), and the join itself then
+    * removes the false positives.
+    *
+    * The hash gate proves the PATTERN's contract: blooms have no false
+    * negatives, so prefilter + join ≡ plain join — the oracle runs the
+    * plain join. Build cost: one pass over the DIM side only
+    * (`stat.bloomFilter`, an aggregate job; the sketch returns to the
+    * driver sized expectedKeys·~10 bits). RelationalSpec pins the
+    * mechanics: measurable fact-side reduction, zero false negatives,
+    * and the predicate sitting in the scan stage before the exchange.
+    */
+  val bloomPrejoinRevenue: Q = (s, d) => {
+    val dim = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select("c_custkey", "c_nationkey")
+    bloomPrejoinCore(s, d, Tables.events(s, d).filter(col("ts").isNotNull), dim)
+  }
+
+  private[graft] def bloomFilterOf(keys: DataFrame, column: String): Array[Byte] = {
+    val n = keys.count() max 1 // dim-side count: one small aggregate job
+    val bf = keys.stat.bloomFilter(column, n, bloomFpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private[graft] def bloomMightContain(bytes: Array[Byte], value: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftColumnBridge.expression(value)))
+
+  private[graft] def bloomPrejoinCore(s: SparkSession, d: String,
+                                      facts: DataFrame, dim: DataFrame): DataFrame = {
+    val bytes = bloomFilterOf(dim.select("c_custkey"), "c_custkey")
+    facts
+      .filter(bloomMightContain(bytes, col("user_id")))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("value_sum"))
+      .orderBy("n_name")
+  }
+
   /** CASE-tiering + numeric binning (histogram). */
   val valueHistogram: Q = (s, d) =>
     Tables.events(s, d)
@@ -586,6 +645,7 @@ object Relational {
     "q114_cms_heavy_hitters" -> cmsHeavyHitters,
     "q122_scd2_state_timeline" -> scd2StateTimeline,
     "q123_point_in_time_join" -> pointInTimeJoin,
+    "q126_bloom_prejoin_revenue" -> bloomPrejoinRevenue,
     "q15_value_histogram" -> valueHistogram,
     "q16_props_key_stats" -> propsKeyStats,
     "q17_monthly_orders" -> monthlyOrders,
@@ -623,6 +683,17 @@ object Relational {
              ORDER BY run_id), 9223372036854775807) AS valid_to_us,
            n_events
          FROM runs ORDER BY user_id, valid_from_us""",
+    // q126: the oracle is the PLAIN join — no false negatives means the
+    // bloom prefilter must be semantically invisible
+    "q126_bloom_prejoin_revenue" ->
+      """SELECT n_name,
+           count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM events
+         JOIN customer ON user_id = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE ts IS NOT NULL AND c_mktsegment = 'AUTOMOBILE'
+         GROUP BY 1 ORDER BY 1""",
     // q123: the oracle evaluates the DECLARATIVE half-open interval
     // containment over the q122 run table — an independent formulation
     // of the union-tag running-last the Spark plan executes

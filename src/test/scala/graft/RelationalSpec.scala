@@ -94,6 +94,33 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       (105L, 2L, 50L, None)))
   }
 
+  test("bloom prejoin: no false negatives, real fact-side reduction, scan-stage predicate") {
+    val seg = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select("c_custkey", "c_nationkey")
+    val bytes = graft.ops.Relational.bloomFilterOf(
+      seg.select("c_custkey"), "c_custkey")
+    val facts = Tables.events(spark, sf).filter(col("ts").isNotNull)
+    // no false negatives: every fact row that truly joins passes
+    val missed = facts
+      .join(seg, col("user_id") === col("c_custkey"), "left_semi")
+      .filter(!graft.ops.Relational.bloomMightContain(bytes, col("user_id")))
+      .count()
+    assert(missed == 0L, s"bloom dropped $missed true matches")
+    // real reduction: the segment is ~1/5 of customers, so the
+    // prefilter must cut the fact side well below half (fpp 1%)
+    val total = facts.count()
+    val kept = facts
+      .filter(graft.ops.Relational.bloomMightContain(bytes, col("user_id")))
+      .count()
+    assert(kept < total / 2, s"kept $kept of $total — no real pruning")
+    // and the predicate runs in the scan stage, before the join
+    val plan = graft.ops.Relational
+      .queries("q126_bloom_prejoin_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(600))
+  }
+
   test("cms heavy hitters: never underestimates, overcount ≤ ε·N, deterministic") {
     val out = Relational.queries("q114_cms_heavy_hitters")(spark, sf).collect()
     assert(out.length > 0)
