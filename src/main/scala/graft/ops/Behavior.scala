@@ -209,8 +209,10 @@ object Behavior {
     * here the exact count IS the gate, q108's convention).
     */
   def activityHeatmap(spark: SparkSession, dir: String): DataFrame =
-    Tables.eventsMicros(spark, dir)
-      .select(
+    heatmapCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def heatmapCore(ev: DataFrame): DataFrame =
+    ev.select(
         expr("((tsu div 86400000000) + 3) % 7").as("dow"),
         expr("(tsu % 86400000000) div 3600000000").as("hour"),
         col("user_id"))

@@ -192,11 +192,15 @@ object GraphOps {
       .union(e.select(col("dst"), col("src"), col("weight")))
       .groupBy("a", "b").agg(max("weight").as("w")) // parallel edges: strongest
       .cache()
+    // materialized ONCE: the hub subplan embeds the corpus-scale edge
+    // aggregation, and it re-enters every round's anti-join — without
+    // the checkpoint each round would re-run the whole extraction
     val hub = e.select(col("src").as("entity_id"), col("weight"))
       .union(e.select(col("dst"), col("weight")))
       .groupBy("entity_id").agg(sum("weight").as("degree"))
       .orderBy(desc("degree"), asc("entity_id")).limit(1)
       .select(col("entity_id").as("hub"))
+      .localCheckpoint(true)
     // round 1: the hub's direct edges ARE the 1-hop widest paths
     var best = hub.join(sym, col("hub") === col("a"))
       .select(col("b").as("entity_id"), col("w").as("strength"))
@@ -258,14 +262,23 @@ object GraphOps {
     var g = e.select(col("src").as("a"), col("dst").as("b"))
       .union(e.select(col("dst"), col("src")))
       .distinct().localCheckpoint(true)
+    // the vertex set is tracked EXPLICITLY: a vertex whose last edge
+    // disappears in a peel cascade has degree 0 — still < k — but no
+    // longer any row in g, so a degree aggregation over g alone would
+    // never see it again and it would silently vanish from the output
+    // (star-graph center; the review-found drop). Absent-from-g ⇒
+    // degree 0 via the left join below.
+    var verts = g.select(col("a").as("entity_id")).distinct()
+      .localCheckpoint(true)
     var core = Seq.empty[(String, Long)].toDF("entity_id", "core")
     var k = 1L
-    while (k <= maxK && !g.isEmpty) {
+    while (k <= maxK && !verts.isEmpty) {
       var peeling = true
-      while (peeling) {
-        val low = g.groupBy("a").agg(count(lit(1)).as("n"))
-          .filter(col("n") < k)
-          .select(col("a").as("entity_id"))
+      while (peeling && !verts.isEmpty) {
+        val deg = g.groupBy("a").agg(count(lit(1)).as("n"))
+        val low = verts.join(deg, verts("entity_id") === deg("a"), "left_outer")
+          .filter(col("n").isNull || col("n") < k)
+          .select("entity_id")
           .localCheckpoint(true)
         if (low.isEmpty) peeling = false
         else {
@@ -275,13 +288,14 @@ object GraphOps {
           g = g.join(rm, col("a") === col("rm"), "left_anti")
             .join(rm, col("b") === col("rm"), "left_anti")
             .localCheckpoint(true)
+          verts = verts.join(rm, col("entity_id") === col("rm"), "left_anti")
+            .localCheckpoint(true)
         }
       }
       k += 1
     }
     core
-      .union(g.select(col("a").as("entity_id")).distinct()
-        .withColumn("core", lit(maxK.toLong)))
+      .union(verts.withColumn("core", lit(maxK.toLong)))
       .orderBy(desc("core"), asc("entity_id"))
   }
 

@@ -276,7 +276,9 @@ object Relational {
   private[graft] def scd2Core(ev: DataFrame): DataFrame =
     scd2Runs(ev)
       .select("user_id", "state", "valid_from_us", "valid_to_us", "n_events")
-      .orderBy("user_id", "valid_from_us")
+      // `state` breaks the zero-width-run tie (two same-µs changes
+      // share a valid_from but consecutive runs never share a state)
+      .orderBy("user_id", "valid_from_us", "state")
 
   /** The run table WITH run_id — q123's point-in-time probe needs the
     * run order to disambiguate zero-width runs (two state changes in
@@ -300,52 +302,59 @@ object Relational {
         coalesce(lead("valid_from_us", 1).over(byRun), lit(Long.MaxValue)))
   }
 
-  /** q123 — POINT-IN-TIME join: each order enriched with the
-    * customer's q122 state AT order time (valid_from ≤ t < valid_to),
-    * the "what did we know then" join that makes SCD2 history useful
-    * and that training-data pipelines need to avoid feature leakage
-    * (joining TODAY's state onto YESTERDAY's example teaches the model
-    * the future).
+  /** q123 — POINT-IN-TIME join: each purchase enriched with the user's
+    * q122-style state AT purchase time (valid_from ≤ t < valid_to),
+    * where the state timeline is built from the user's NON-purchase
+    * activity — the "what did we know then" join that makes SCD2
+    * history useful and that training-data pipelines need to avoid
+    * feature leakage (joining TODAY's state onto YESTERDAY's example
+    * teaches the model the future). Probes and states share the
+    * events time range, so the gate exercises real containment, not
+    * just the no-match path (an orders-based probe would be vacuous
+    * here: every o_orderdate predates every event).
     *
     * Physically NOT an interval join: the q36 union-tag trick — state
-    * boundaries and order probes merge into one user_id-grained
-    * stream, sorted (tsu, tag, run_id) so a state change sorts before
-    * a same-µs probe and the later of two same-µs runs wins the
-    * instant (exactly the half-open containment the oracle evaluates),
-    * then one running `last(ignoreNulls)` carries the state. ONE
-    * exchange, zero pair blowup however many orders land inside one
-    * run — the naive BETWEEN join is quadratic per user.
-    * Orders before any state stay null (left-join semantics; strings
-    * re-hydrate as None, not the q104-class NaN trap).
+    * boundaries and probes merge into one user_id-grained stream,
+    * sorted (tsu, tag, run_id) so a state change sorts before a
+    * same-µs probe and the later of two same-µs runs wins the instant
+    * (exactly the half-open containment the oracle evaluates), then
+    * one running `last(ignoreNulls)` carries the state. ONE exchange,
+    * zero pair blowup however many probes land inside one run — the
+    * naive BETWEEN join is quadratic per user. Probes before any
+    * state stay null (left-join semantics; strings re-hydrate as
+    * None, not the q104-class NaN trap).
     */
-  val pointInTimeJoin: Q = (s, d) =>
-    pitCore(Tables.eventsMicros(s, d),
-      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
-        expr("unix_micros(o_orderdate)").as("otsu")))
+  val pointInTimeJoin: Q = (s, d) => {
+    val ev = Tables.eventsMicros(s, d)
+    pitCore(ev.filter(col("event_type") =!= "purchase"),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("probe_id"), col("user_id"),
+          col("tsu").as("ptsu")))
+  }
 
-  /** Core over (events, probes(o_orderkey, o_custkey, otsu)) — fixture
-    * seam for the spec.
+  /** Core over (state events, probes(probe_id, user_id, ptsu)) —
+    * fixture seam for the spec.
     */
-  private[graft] def pitCore(ev: DataFrame, orders: DataFrame): DataFrame = {
+  private[graft] def pitCore(ev: DataFrame, probes0: DataFrame): DataFrame = {
     val runs = scd2Runs(ev)
     val states = runs.select(col("user_id"),
       col("valid_from_us").as("tsu"), col("state"),
       lit(0).as("tag"), col("run_id"),
-      lit(null).cast("long").as("o_orderkey"))
-    val probes = orders.select(
-      col("o_custkey").as("user_id"),
-      col("otsu").as("tsu"),
+      lit(null).cast("long").as("probe_id"))
+    val probes = probes0.select(
+      col("user_id"),
+      col("ptsu").as("tsu"),
       lit(null).cast("string").as("state"),
       lit(1).as("tag"), lit(Long.MaxValue).as("run_id"),
-      col("o_orderkey"))
+      col("probe_id"))
     val w = Window.partitionBy("user_id").orderBy("tsu", "tag", "run_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     states.unionByName(probes)
       .withColumn("state_at", last("state", ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
-      .select(col("o_orderkey"), col("user_id").as("o_custkey"),
-        col("tsu").as("order_tsu"), col("state_at").as("state_at_order"))
-      .orderBy("o_orderkey")
+      .select(col("probe_id"), col("user_id"),
+        col("tsu").as("probe_tsu"), col("state_at"))
+      .orderBy("probe_id")
   }
 
   val bloomFpp = 0.01
@@ -682,7 +691,7 @@ object Relational {
            coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
              ORDER BY run_id), 9223372036854775807) AS valid_to_us,
            n_events
-         FROM runs ORDER BY user_id, valid_from_us""",
+         FROM runs ORDER BY user_id, valid_from_us, state""",
     // q126: the oracle is the PLAIN join — no false negatives means the
     // bloom prefilter must be semantically invisible
     "q126_bloom_prejoin_revenue" ->
@@ -695,13 +704,15 @@ object Relational {
          WHERE ts IS NOT NULL AND c_mktsegment = 'AUTOMOBILE'
          GROUP BY 1 ORDER BY 1""",
     // q123: the oracle evaluates the DECLARATIVE half-open interval
-    // containment over the q122 run table — an independent formulation
-    // of the union-tag running-last the Spark plan executes
+    // containment over the non-purchase run table — an independent
+    // formulation of the union-tag running-last the Spark plan
+    // executes; the shared epoch_ns // 1000 µs convention throughout
     "q123_point_in_time_join" ->
-      """WITH ev AS (
+      """WITH base AS (
            SELECT user_id, event_id, event_type,
              epoch_ns(ts) // 1000 AS tsu
            FROM events WHERE ts IS NOT NULL),
+         ev AS (SELECT * FROM base WHERE event_type <> 'purchase'),
          m AS (
            SELECT *, CASE WHEN lag(event_type) OVER w
                IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
@@ -722,14 +733,13 @@ object Relational {
              coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
                ORDER BY run_id), 9223372036854775807) AS valid_to_us
            FROM runs)
-         SELECT o.o_orderkey, o.o_custkey,
-           epoch_ms(o.o_orderdate) * 1000 AS order_tsu,
-           iv.state AS state_at_order
-         FROM orders o
-         LEFT JOIN iv ON o.o_custkey = iv.user_id
-           AND iv.valid_from_us <= epoch_ms(o.o_orderdate) * 1000
-           AND epoch_ms(o.o_orderdate) * 1000 < iv.valid_to_us
-         ORDER BY o.o_orderkey""",
+         SELECT p.event_id AS probe_id, p.user_id, p.tsu AS probe_tsu,
+           iv.state AS state_at
+         FROM base p
+         LEFT JOIN iv ON p.user_id = iv.user_id
+           AND iv.valid_from_us <= p.tsu AND p.tsu < iv.valid_to_us
+         WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
     "q104_full_outer_reconciliation" ->
       """WITH a AS (
            SELECT user_id, count(*) AS n_events

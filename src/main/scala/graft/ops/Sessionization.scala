@@ -27,20 +27,27 @@ object Sessionization {
   val gapSeconds = 3600L
   private val gapUs = gapSeconds * 1000000L
 
-  def sessions(spark: SparkSession, dir: String): DataFrame = {
-    // ordering AND gap decisions run at µs — the external precision
-    // (DuckDB truncates TIMESTAMP(NANOS) to µs on read, so an oracle
-    // can never see ns; a gap within 1 µs of exactly `gapSeconds`
-    // would otherwise split sessions differently per engine). Intra-µs
-    // ties break on event_id, identically both sides.
+  /** THE session-labeling chain (lag → opens flag → running sum),
+    * shared by q27's rollup and q116's paths so the session definition
+    * — strict > gapUs, (tsu, event_id) tie order — exists exactly
+    * once. Ordering AND gap decisions run at µs — the external
+    * precision (DuckDB truncates TIMESTAMP(NANOS) to µs on read, so an
+    * oracle can never see ns; a gap within 1 µs of exactly
+    * `gapSeconds` would otherwise split sessions differently per
+    * engine). Intra-µs ties break on event_id, identically both sides.
+    */
+  private def labeled(ev: DataFrame): DataFrame = {
     val byTime = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.eventsMicros(spark, dir)
-      .withColumn("prev_tsu", lag("tsu", 1).over(byTime))
+    ev.withColumn("prev_tsu", lag("tsu", 1).over(byTime))
       .withColumn("opens",
         when(col("prev_tsu").isNull || col("tsu") - col("prev_tsu") > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum("opens").over(running))
+  }
+
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    labeled(Tables.eventsMicros(spark, dir))
       .groupBy("user_id", "session_id")
       .agg(
         min("tsu").as("session_start_us"),
@@ -78,16 +85,9 @@ object Sessionization {
     * fixture-injection seam for the spec.
     */
   private[graft] def sessionPathsCore(events: DataFrame): DataFrame = {
-    val byTime = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bySession = Window.partitionBy("user_id", "session_id")
       .orderBy("tsu", "event_id")
-    events
-      .withColumn("prev_tsu", lag("tsu", 1).over(byTime))
-      .withColumn("opens",
-        when(col("prev_tsu").isNull || col("tsu") - col("prev_tsu") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("opens").over(running))
+    labeled(events)
       .withColumn("rnk", row_number().over(bySession))
       .filter(col("rnk") <= pathMaxLen)
       .groupBy("user_id", "session_id")

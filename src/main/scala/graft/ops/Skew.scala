@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -95,26 +95,37 @@ object Skew {
     quantilesCore(Tables.eventsMicros(spark, dir)
       .filter(col("value").isNotNull))
 
-  private[graft] def quantilesCore(ev: DataFrame): DataFrame = {
+  /** THE discrete-selection kernel (one histogram collapse + one
+    * running-share window per call): per event_type, each cut is the
+    * smallest stored value whose cumulative share reaches p. q102's
+    * quantiles and q119's two median selections all run through here —
+    * one definition of the rule the engine quantile builtins disagree
+    * on, so a future tweak can't silently diverge the call sites.
+    */
+  private def cumeCuts(df: DataFrame, valCol: String,
+                       cuts: Seq[(String, Double)],
+                       extras: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byVal = ev.groupBy("event_type", "value")
-      .agg(count(lit(1)).as("c"))
-    val run = Window.partitionBy("event_type").orderBy("value")
+    val run = Window.partitionBy("event_type").orderBy(valCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy("event_type")
-    val cum = byVal
+    val cum = df.groupBy("event_type", valCol).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(run))
       .withColumn("n", sum("c").over(whole))
-    val cuts = quantilePs.map { p =>
+    val cutCols = cuts.map { case (name, p) =>
       min(when(col("cum").cast("double") / col("n").cast("double") >= p,
-        col("value"))).as(s"p${(p * 100).round}")
+        col(valCol))).as(name)
     }
-    val extras = Seq(min("value").as("v_min"), max("value").as("v_max"),
-      max("n").as("n"))
     cum.groupBy("event_type")
-      .agg(cuts.head, (cuts.tail ++ extras): _*)
-      .orderBy("event_type")
+      .agg(cutCols.head, (cutCols.tail ++ extras): _*)
   }
+
+  private[graft] def quantilesCore(ev: DataFrame): DataFrame =
+    cumeCuts(ev, "value",
+      quantilePs.map(p => s"p${(p * 100).round}" -> p),
+      Seq(min("value").as("v_min"), max("value").as("v_max"),
+        max("n").as("n")))
+      .orderBy("event_type")
 
   /** q119 — ROBUST outlier accounting per event type: median + MAD
     * (median absolute deviation) instead of mean + stddev, the
@@ -135,22 +146,9 @@ object Skew {
   def madOutliers(spark: SparkSession, dir: String): DataFrame =
     madCore(Tables.eventsMicros(spark, dir).filter(col("value").isNotNull))
 
-  /** The q102 discrete selection rule as a reusable kernel: smallest
-    * value whose cumulative share reaches p, per event_type.
-    */
-  private def medianOf(df: DataFrame, valCol: String, outName: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val run = Window.partitionBy("event_type").orderBy(valCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy("event_type")
-    df.groupBy("event_type", valCol).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(run))
-      .withColumn("n", sum("c").over(whole))
-      .groupBy("event_type")
-      .agg(min(when(
-        col("cum").cast("double") / col("n").cast("double") >= 0.5,
-        col(valCol))).as(outName))
-  }
+  /** The same kernel, single 0.5 cut — q119's two medians. */
+  private def medianOf(df: DataFrame, valCol: String, outName: String): DataFrame =
+    cumeCuts(df, valCol, Seq(outName -> 0.5))
 
   private[graft] def madCore(ev0: DataFrame): DataFrame = {
     val ev = ev0.select("event_type", "value")

@@ -123,6 +123,10 @@ object TagMining {
     val byTime = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("tsu", "event_id")
     val seqs = ev
+      // the oracle's count(DISTINCT user_id) and equi-joins drop NULL
+      // users; match that explicitly rather than forming a null-keyed
+      // sequence (window PARTITION BY would happily group the nulls)
+      .filter(col("user_id").isNotNull)
       .withColumn("rn", row_number().over(byTime))
       .filter(col("rn") <= seqMaxLen)
       .groupBy("user_id")
@@ -205,7 +209,8 @@ object TagMining {
       s"""WITH ev AS (
            SELECT user_id, event_id, event_type,
              epoch_ns(ts) // 1000 AS tsu
-           FROM events WHERE ts IS NOT NULL),
+           FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
          r AS (
            SELECT user_id, event_type AS t,
              row_number() OVER (PARTITION BY user_id

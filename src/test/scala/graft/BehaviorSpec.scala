@@ -120,7 +120,22 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       ("b", "c", 3L, 1L, 1L, 0.333333)))
   }
 
-  test("activity heatmap: epoch arithmetic puts 1970-01-01 00:30 on Thursday hour 0") {
+  test("activity heatmap: known timestamps land on the right (dow, hour) cell") {
+    import spark.implicits._
+    val day = 86400000000L
+    // THROUGH the shipped query chain, not re-derived arithmetic:
+    // 1970-01-01 (day 0, a Thursday) 00:30 → dow 3 hour 0;
+    // 2024-01-01 (day 19723, a Monday) 12:05 → dow 0 hour 12;
+    // 2024-01-06 (a Saturday) 23:59 → dow 5 hour 23
+    val ev = Seq(
+      (1L, 30L * 60000000L),
+      (2L, 19723L * day + 12L * 3600000000L + 5L * 60000000L),
+      (3L, 19728L * day + 23L * 3600000000L + 59L * 60000000L))
+      .toDF("user_id", "tsu")
+    val got = graft.ops.Behavior.heatmapCore(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 12L, 1L, 1L), (3L, 0L, 1L, 1L), (5L, 23L, 1L, 1L)))
+
     val out = graft.ops.Behavior.queries("q120_activity_heatmap")(spark, sf)
       .collect()
     assert(out.nonEmpty && out.length <= 168)
@@ -129,10 +144,6 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       assert(dow >= 0 && dow <= 6 && hour >= 0 && hour <= 23)
       assert(r.getLong(3) <= r.getLong(2)) // n_users ≤ n_events
     }
-    // convention pin, computed by hand: day 0 (a Thursday) → dow 3
-    assert(((0L + 3) % 7) == 3L)
-    // 2024-01-01 (day 19723) was a Monday → dow 0 under this encoding
-    assert(((19723L + 3) % 7) == 0L)
   }
 
   test("event transitions: per-user consecutive pairs, deterministic intra-µs order") {

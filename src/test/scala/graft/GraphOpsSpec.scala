@@ -91,6 +91,13 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     // cap: maxK=2 saturates the clique at 2
     assert(GraphOps.kCoreNumbers(e2, maxK = 2).as[(String, Long)]
       .collect().toMap == vs.map(_ -> 2L).toMap)
+    // star: peeling the leaves at k=2 cascades the CENTER to degree 0 —
+    // it must still be assigned core 1, not silently vanish (the
+    // absent-from-g case the explicit vertex set exists for)
+    val star = Seq(("c", "l1", 1L), ("c", "l2", 1L), ("c", "l3", 1L))
+      .toDF("src", "dst", "weight")
+    assert(GraphOps.kCoreNumbers(star).as[(String, Long)].collect().toMap ==
+      Map("c" -> 1L, "l1" -> 1L, "l2" -> 1L, "l3" -> 1L))
   }
 
   test("k-core defining property holds on the real graph: induced degree ≥ core") {

@@ -79,11 +79,11 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .toDF("event_id", "user_id", "event_type", "tsu")
     // probes: before history → null; inside a; exactly AT the boundary
     // → the NEW state (half-open intervals); far future → still b
-    val orders = Seq(
+    val probes = Seq(
       (100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 29L),
       (103L, 1L, 30L), (104L, 1L, 999L), (105L, 2L, 50L))
-      .toDF("o_orderkey", "o_custkey", "otsu")
-    val got = graft.ops.Relational.pitCore(ev, orders)
+      .toDF("probe_id", "user_id", "ptsu")
+    val got = graft.ops.Relational.pitCore(ev, probes)
       .as[(Long, Long, Long, Option[String])].collect().toSeq
     assert(got === Seq(
       (100L, 1L, 5L, None),
