@@ -144,7 +144,11 @@ object GraphOps {
     * q31/q95 edge-table shape.
     */
   def bfsHops(edges: DataFrame, maxHops: Int = bfsMaxHops): DataFrame = {
-    val e = edges.toDF("src", "dst", "weight")
+    // the input plan embeds the corpus-scale edge aggregation and is
+    // consumed TWICE (symmetrization and hub selection) — cache it so
+    // the corpus pays once (review round 8: the uncached hub subplan
+    // re-ran the whole extraction)
+    val e = edges.toDF("src", "dst", "weight").cache()
     val sym = e.select(col("src").as("a"), col("dst").as("b"))
       .union(e.select(col("dst"), col("src")))
       .distinct().cache()
@@ -169,6 +173,7 @@ object GraphOps {
       frontier = next
     }
     sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     visited.orderBy("hop", "entity_id")
   }
 
@@ -187,7 +192,8 @@ object GraphOps {
     * lexicon-bounded-iteration scale argument as q33/q110/q118.
     */
   def widestPaths(edges: DataFrame, maxHops: Int = bfsMaxHops): DataFrame = {
-    val e = edges.toDF("src", "dst", "weight")
+    // consumed twice (sym + hub) — corpus pays once, like bfsHops
+    val e = edges.toDF("src", "dst", "weight").cache()
     val sym = e.select(col("src").as("a"), col("dst").as("b"), col("weight"))
       .union(e.select(col("dst"), col("src"), col("weight")))
       .groupBy("a", "b").agg(max("weight").as("w")) // parallel edges: strongest
@@ -228,6 +234,7 @@ object GraphOps {
       frontier = improved
     }
     sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     best.orderBy(desc("strength"), asc("entity_id"))
   }
 
