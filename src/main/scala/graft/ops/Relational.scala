@@ -416,6 +416,31 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** q127 — COLUMN PROFILE: per-column row/null/distinct counts over
+    * `events`, the data-quality survey every ingest pipeline runs
+    * before trusting a new drop (null-rate spikes and cardinality
+    * collapses are the first symptoms of an upstream schema break).
+    * ONE pass: all 6×(count, count distinct) pairs in a single
+    * aggregate (Spark plans the multi-distinct via Expand — one scan
+    * multiplied by the distinct-column count, the standard profiling
+    * plan), then an explode pivots the wide row into the
+    * (column, metric) shape. Exact integers only.
+    */
+  val columnProfile: Q = (s, d) => {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+    Tables.events(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_null"),
+        col(s"nd_$c").as("n_distinct"))): _*)).as("p"))
+      .select("p.*")
+      .orderBy("column_name")
+  }
+
   /** CASE-tiering + numeric binning (histogram). */
   val valueHistogram: Q = (s, d) =>
     Tables.events(s, d)
@@ -655,6 +680,7 @@ object Relational {
     "q122_scd2_state_timeline" -> scd2StateTimeline,
     "q123_point_in_time_join" -> pointInTimeJoin,
     "q126_bloom_prejoin_revenue" -> bloomPrejoinRevenue,
+    "q127_column_profile" -> columnProfile,
     "q15_value_histogram" -> valueHistogram,
     "q16_props_key_stats" -> propsKeyStats,
     "q17_monthly_orders" -> monthlyOrders,
@@ -692,6 +718,25 @@ object Relational {
              ORDER BY run_id), 9223372036854775807) AS valid_to_us,
            n_events
          FROM runs ORDER BY user_id, valid_from_us, state""",
+    // q127: one UNION ALL branch per column — count(DISTINCT) excludes
+    // nulls in both engines, timestamps profile bijectively with their
+    // nanos-long twins
+    "q127_column_profile" ->
+      """SELECT 'event_id' AS column_name, count(*) AS n_rows,
+           count(*) - count(event_id) AS n_null,
+           count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+         UNION ALL SELECT 'event_type', count(*),
+           count(*) - count(event_type),
+           count(DISTINCT event_type)::BIGINT FROM events
+         UNION ALL SELECT 'props', count(*), count(*) - count(props),
+           count(DISTINCT props)::BIGINT FROM events
+         UNION ALL SELECT 'ts', count(*), count(*) - count(ts),
+           count(DISTINCT ts)::BIGINT FROM events
+         UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id)::BIGINT FROM events
+         UNION ALL SELECT 'value', count(*), count(*) - count(value),
+           count(DISTINCT value)::BIGINT FROM events
+         ORDER BY column_name""",
     // q126: the oracle is the PLAIN join — no false negatives means the
     // bloom prefilter must be semantically invisible
     "q126_bloom_prejoin_revenue" ->

@@ -121,6 +121,22 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("might_contain"), plan.take(600))
   }
 
+  test("column profile: one row per column, null and distinct accounting sane") {
+    val out = graft.ops.Relational.queries("q127_column_profile")(spark, sf)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("event_id", "event_type", "props", "ts", "user_id", "value"))
+    val nRows = out.head.getLong(1)
+    out.foreach { r =>
+      assert(r.getLong(1) == nRows) // same denominator everywhere
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= nRows)
+      assert(r.getLong(3) <= nRows - r.getLong(2)) // distinct ≤ non-null
+    }
+    // event_id is the PK: no nulls, all distinct
+    val pk = out.find(_.getString(0) == "event_id").get
+    assert(pk.getLong(2) == 0 && pk.getLong(3) == nRows)
+  }
+
   test("cms heavy hitters: never underestimates, overcount ≤ ε·N, deterministic") {
     val out = Relational.queries("q114_cms_heavy_hitters")(spark, sf).collect()
     assert(out.length > 0)
