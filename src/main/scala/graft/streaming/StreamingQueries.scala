@@ -583,10 +583,86 @@ object StreamingQueries {
     } finally deleteRecursively(base)
   }
 
+  @volatile private[graft] var lastResumeFirstBatches: Long = -1
+  @volatile private[graft] var lastResumeSecondBatches: Long = -1
+
+  /** q128: CHECKPOINT RESTART/RESUME — the recovery semantics class
+    * q98-q113 leave untested as observed behavior: a streaming job that
+    * stops and restarts against the same checkpoint must pick up
+    * exactly where it left off — new files processed, already-committed
+    * files SKIPPED even though they still sit in the source directory,
+    * no row duplicated or lost at the sink.
+    *
+    * The replay is two separate query executions sharing one
+    * checkpoint: run 1 sees half the staged files and terminates
+    * (AvailableNow drains what exists); more files land; run 2 starts
+    * FRESH from the same checkpoint and must process only the
+    * newcomers (batch counts recorded per run, spec-pinned). The
+    * at-rest rollup then hash-matches the plain batch aggregate over
+    * everything — any reprocessed file doubles a count, any dropped
+    * file loses one. The transform is deliberately stateless
+    * (filter + projection): what's under test is the source offset log
+    * and sink commit protocol, not operator state (q98/q99 cover
+    * that).
+    */
+  def streamingRestartResume(spark: SparkSession, dir: String): DataFrame = {
+    val inSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("value_sum"))
+      .orderBy("event_type")
+
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select("event_id", "event_type", "value")
+    val base = Files.createTempDirectory("graft_q128_")
+    try {
+      val input = Files.createDirectory(base.resolve("in"))
+      val outDir = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      val now = System.currentTimeMillis()
+      def run(): Long = {
+        val q = spark.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(input.toString)
+          .filter(col("value").isNotNull)
+          .writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+        q.stop()
+        batches
+      }
+      val slice = (i: Int) => ev.filter(col("event_id") % 4 === i)
+      stageOne(slice(0), base.resolve("s0"), input, "00.parquet", now - 400000L)
+      stageOne(slice(1), base.resolve("s1"), input, "01.parquet", now - 300000L)
+      lastResumeFirstBatches = run()
+      // the job is DOWN; new data lands; the restart must skip 00/01
+      stageOne(slice(2), base.resolve("s2"), input, "02.parquet", now - 200000L)
+      stageOne(slice(3), base.resolve("s3"), input, "03.parquet", now - 100000L)
+      lastResumeSecondBatches = run()
+
+      rollup(spark.read.schema(inSchema).parquet(outDir).localCheckpoint(true))
+    } finally deleteRecursively(base)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q113_streaming_dedup" -> (streamingDedup(_, _)),
+    "q128_streaming_restart_resume" -> (streamingRestartResume(_, _)),
     "q98_streaming_word_freq" -> (streamingWordFreq(_, _)),
     "q99_streaming_sessions" -> (streamingSessions(_, _)),
     "q78_streaming_enrich_join" -> (streamingEnrichedRevenue(_, _)),
@@ -605,6 +681,14 @@ object StreamingQueries {
            round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
          FROM events JOIN customer ON user_id = c_custkey
          WHERE ts IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    // q128: restart must neither duplicate nor drop — the oracle is the
+    // plain batch rollup over everything both runs together saw
+    "q128_streaming_restart_resume" ->
+      """SELECT event_type,
+           count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM events WHERE ts IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
     // q113: the redelivered batch must vanish — the oracle is the plain
     // batch rollup over `events` as if delivery were exactly-once; any

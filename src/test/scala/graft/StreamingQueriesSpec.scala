@@ -57,6 +57,27 @@ class StreamingQueriesSpec extends AnyFunSuite with SparkTestBase {
       Tables.events(spark, sf).filter(col("ts").isNotNull).count())
   }
 
+  test("q128: restart resumes the checkpoint — batch numbering continues, no reprocessing") {
+    import org.apache.spark.sql.functions._
+    val streamed = rows(StreamingQueries.streamingRestartResume(spark, sf))
+    val batch = rows(Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("value_sum"))
+      .orderBy("event_type"))
+    assert(streamed == batch)
+    // run 1 drained its 2 staged files; run 2's batch ids CONTINUE from
+    // the checkpoint (2 more batches, numbered after run 1's) — a fresh
+    // restart would renumber from 0, a reprocess would double counts
+    assert(StreamingQueries.lastResumeFirstBatches == 2,
+      s"run 1 batches: ${StreamingQueries.lastResumeFirstBatches}")
+    assert(StreamingQueries.lastResumeSecondBatches ==
+      StreamingQueries.lastResumeFirstBatches + 2,
+      s"run 2 final batch count: ${StreamingQueries.lastResumeSecondBatches}")
+  }
+
   test("q113 horizon contract: a duplicate past the watermark delay is re-admitted") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
