@@ -28,6 +28,7 @@ object SparkEntry {
       (Sessionization.queries, Sessionization.oracles),
       (TemporalJoins.queries, TemporalJoins.oracles),
       (Behavior.queries, Behavior.oracles),
+      (Quality.queries, Quality.oracles),
       (Fidelity.queries, Fidelity.oracles),
       (graft.sources.BinaryIngest.queries, graft.sources.BinaryIngest.oracles),
       (graft.sources.ParquetLayout.queries, graft.sources.ParquetLayout.oracles),

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Pipeline data-quality gates beyond the per-column profile (q127):
+  * cross-table referential integrity and the partial-aggregate merge
+  * identity that incremental (base + delta) pipelines rely on.
+  *
+  * Not in the reference (its pipelines trust their join keys blindly —
+  * e.g. relation_graph joins name pairs with no orphan accounting);
+  * first-class capability for a 100 TB warehouse, where a broken
+  * upstream export shows up first as dangling foreign keys and a
+  * re-run-the-world batch is exactly what the merge identity exists to
+  * avoid.
+  */
+object Quality {
+
+  /** One audited relation: child rows referencing `key`, parent rows
+    * owning `pkey` (assumed unique — it is the parent's primary key).
+    */
+  private final case class Fk(relation: String, child: DataFrame,
+                              key: String, parent: DataFrame, pkey: String)
+
+  /** Audit one FK relation in BOTH directions at KEY grain: collapse
+    * the child to (key, row-count) first, so the join input is bounded
+    * by |distinct keys|, not |child rows| — the q77-style collapse that
+    * keeps a 10-billion-row fact table's audit join at dimension scale.
+    * A full-outer join against the parent key set then yields orphan
+    * children (no parent) and childless parents (no child) in one pass.
+    */
+  private def auditOne(fk: Fk): DataFrame = {
+    val childKeys = fk.child
+      .groupBy(col(fk.key).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val parentKeys = fk.parent.select(col(fk.pkey).as("k"), lit(1).as("hit"))
+    childKeys.join(parentKeys, Seq("k"), "full_outer")
+      .agg(
+        coalesce(sum("cnt"), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("hit").isNull, col("cnt"))), lit(0L))
+          .as("n_orphan"),
+        count(when(col("hit").isNull, col("k"))).as("n_orphan_keys"),
+        count(col("hit")).as("n_parent"),
+        count(when(col("cnt").isNull, col("k"))).as("n_childless"))
+      .select(lit(fk.relation).as("relation"), col("n_child"),
+        col("n_orphan"), col("n_orphan_keys"), col("n_parent"),
+        col("n_childless"))
+  }
+
+  /** q129 — REFERENTIAL-INTEGRITY AUDIT over the star schema: for each
+    * FK relation, orphan children (facts whose dimension row is
+    * missing) and childless parents (dimension rows no fact ever
+    * references). The fourth relation audits a SLICE EXTRACT — events
+    * against only the AUTOMOBILE-segment customers — the "we shipped a
+    * filtered dim copy, what dangles?" shape, which guarantees the
+    * orphan path is exercised with real non-zero counts (the synthetic
+    * star itself is referentially clean, and the audit's job is to
+    * prove that, not assume it).
+    */
+  def fkIntegrity(s: SparkSession, d: String): DataFrame = {
+    val customer = Tables.customer(s, d)
+    val events = Tables.events(s, d)
+    val relations = Seq(
+      Fk("events.user_id->customer",
+        events, "user_id", customer, "c_custkey"),
+      Fk("events.user_id->customer[AUTOMOBILE]",
+        events, "user_id",
+        customer.filter(col("c_mktsegment") === "AUTOMOBILE"), "c_custkey"),
+      Fk("lineitem.l_orderkey->orders",
+        Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      Fk("orders.o_custkey->customer",
+        Tables.orders(s, d), "o_custkey", customer, "c_custkey"))
+    relations.map(auditOne).reduce(_ unionByName _).orderBy("relation")
+  }
+
+  /** The deterministic base/delta assignment for q130 — md5-nibble on
+    * event_id (the q58/q59 discipline: content-keyed, seed-stable,
+    * layout-independent), 12/16 base : 4/16 delta.
+    */
+  private[graft] def incrSplit: Column =
+    when(conv(substring(md5(concat(col("event_id").cast("string"),
+      lit(":incr")).cast("binary")), 1, 1), 16, 10).cast("int") < 12,
+      "base").otherwise("delta")
+
+  /** q130 — INCREMENTAL ROLLUP MERGE IDENTITY: split events into a
+    * deterministic base (12/16) and delta (4/16), compute the rollup
+    * PARTIALLY per split, then merge the partials with the
+    * merge-formula algebra (sum of counts, sum of exact decimal sums,
+    * min of mins, max of maxes) — and gate the merged result against
+    * the oracle's DIRECT aggregate over everything. This is the
+    * contract an incremental pipeline stands on at 100 TB: yesterday's
+    * materialized partial plus today's delta partial must equal the
+    * full recompute bit-for-bit, which holds only if every carried
+    * metric is mergeable and exact (decimal sums, not floats — float
+    * addition is not associative, and a base+delta regroup WOULD drift).
+    * The registered plan executes the real two-phase shape: partial
+    * Aggregate per (part, event_type), then the merge Aggregate.
+    */
+  def incrementalRollup(s: SparkSession, d: String): DataFrame = {
+    val partials = Tables.eventsMicros(s, d)
+      .withColumn("part", incrSplit)
+      .groupBy("part", "event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).as("vsum"),
+        min("tsu").as("tmin"),
+        max("tsu").as("tmax"))
+    partials
+      .groupBy("event_type")
+      .agg(
+        sum("cnt").as("n_events"),
+        round(sum("vsum").cast("double"), 2).as("value_sum"),
+        min("tmin").as("tsu_min"),
+        max("tmax").as("tsu_max"))
+      .orderBy("event_type")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q129_fk_integrity" -> (fkIntegrity(_, _)),
+    "q130_incremental_rollup" -> (incrementalRollup(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    // q129: one FULL JOIN per relation at key grain — the same
+    // two-sided accounting, independently formulated. sum(BIGINT) is
+    // HUGEINT in DuckDB → every aggregate casts back to BIGINT
+    // (OracleTypeSpec's DECIMAL/HUGEINT output ban).
+    "q129_fk_integrity" -> {
+      def branch(rel: String, child: String, key: String,
+                 parent: String, pkey: String, pwhere: String) =
+        s"""SELECT '$rel' AS relation,
+           coalesce(sum(cnt), 0)::BIGINT AS n_child,
+           coalesce(sum(CASE WHEN hit IS NULL THEN cnt END), 0)::BIGINT
+             AS n_orphan,
+           count(CASE WHEN hit IS NULL THEN k END)::BIGINT AS n_orphan_keys,
+           count(hit)::BIGINT AS n_parent,
+           count(CASE WHEN cnt IS NULL THEN k END)::BIGINT AS n_childless
+         FROM (SELECT $key AS k, count(*)::BIGINT AS cnt
+               FROM $child GROUP BY 1) c
+         FULL JOIN (SELECT $pkey AS k, 1 AS hit FROM $parent $pwhere) p
+           USING (k)"""
+      Seq(
+        branch("events.user_id->customer",
+          "events", "user_id", "customer", "c_custkey", ""),
+        branch("events.user_id->customer[AUTOMOBILE]",
+          "events", "user_id", "customer", "c_custkey",
+          "WHERE c_mktsegment = 'AUTOMOBILE'"),
+        branch("lineitem.l_orderkey->orders",
+          "lineitem", "l_orderkey", "orders", "o_orderkey", ""),
+        branch("orders.o_custkey->customer",
+          "orders", "o_custkey", "customer", "c_custkey", ""))
+        .mkString("", "\nUNION ALL ", "\nORDER BY relation")
+    },
+    // q130: the oracle is the DIRECT one-pass aggregate — deliberately
+    // blind to the base/delta split, so a wrong merge formula (count of
+    // counts, float re-sum) hash-mismatches.
+    "q130_incremental_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum,
+           min(epoch_ns(ts) // 1000) AS tsu_min,
+           max(epoch_ns(ts) // 1000) AS tsu_max
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY 1 ORDER BY 1""")
+}

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -97,11 +97,58 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** The deterministic v1/v2 shard assignment for q131 — md5-nibble on
+    * event_id (the q58/q59 content-keyed discipline), 8/16 each.
+    */
+  private[graft] def schemaEpochSplit: Column =
+    conv(substring(md5(concat(col("event_id").cast("string"),
+      lit(":schema")).cast("binary")), 1, 1), 16, 10).cast("int") < 8
+
+  /** q131 — SCHEMA EVOLUTION on read: half the events land as a
+    * v1-schema shard (no `event_type` column — the column didn't exist
+    * yet), half as v2 (column added), and ONE `mergeSchema` read spans
+    * both: v1 rows surface `event_type` as null, mapped to an explicit
+    * `__pre_schema__` bucket. This is how a 100 TB lakehouse actually
+    * accretes — columns appear mid-history and no one rewrites old
+    * shards — and the engine must read across the seam without a
+    * backfill. The oracle recomputes the same result from the ORIGINAL
+    * single-schema table by re-deriving the shard rule, so the gate
+    * proves the merged read is lossless: every v1 row aggregated, none
+    * double-read, types stable across the merge. Staging stance as
+    * q103/q125: production points the same reader at a long-lived
+    * two-epoch table.
+    */
+  def schemaEvolutionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q131_")
+    try {
+      val ev = Tables.eventsMicros(spark, dir).withColumn("v1", schemaEpochSplit)
+      val v1 = base.resolve("epoch_v1").toString
+      val v2 = base.resolve("epoch_v2").toString
+      ev.filter(col("v1"))
+        .select("event_id", "user_id", "tsu", "value")
+        .write.parquet(v1)
+      ev.filter(!col("v1"))
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+        .write.parquet(v2)
+      val out = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+        .groupBy(coalesce(col("event_type"), lit("__pre_schema__"))
+          .as("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q103_partition_pruned_revenue" -> (partitionPrunedRevenue(_, _)),
-    "q125_orc_interchange" -> (orcInterchangeRevenue(_, _)))
+    "q125_orc_interchange" -> (orcInterchangeRevenue(_, _)),
+    "q131_schema_evolution" -> (schemaEvolutionRollup(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the oracle reads the ORIGINAL flat table: layout + pruning must be
@@ -118,5 +165,16 @@ object ParquetLayout {
          round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS purchase_total
          FROM events
          WHERE ts IS NOT NULL AND event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
+    // q131: the oracle re-derives the shard rule over the ORIGINAL
+    // table — the two-epoch mergeSchema read must be lossless
+    "q131_schema_evolution" ->
+      """SELECT CASE WHEN strpos('0123456789abcdef',
+             substr(md5(event_id::VARCHAR || ':schema'), 1, 1)) - 1 < 8
+           THEN '__pre_schema__' ELSE event_type END AS event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM events WHERE ts IS NOT NULL
          GROUP BY 1 ORDER BY 1""")
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Quality
+
+/** Data-quality gate contracts: the FK audit must count both directions
+  * correctly on a hand-built fixture, and the incremental rollup's
+  * merged partials must equal a direct one-pass aggregate exactly.
+  */
+class QualitySpec extends AnyFunSuite with SparkTestBase {
+
+  test("q129 audit on the real star: clean FKs are clean, the slice extract dangles") {
+    val rows = Quality.fkIntegrity(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 4)
+    // the unfiltered star is referentially clean
+    val clean = rows("orders.o_custkey->customer")
+    assert(clean.getLong(2) == 0 && clean.getLong(3) == 0,
+      "orders->customer must have zero orphans")
+    // the AUTOMOBILE slice extract must dangle: fewer parents, real orphans
+    val slice = rows("events.user_id->customer[AUTOMOBILE]")
+    val full = rows("events.user_id->customer")
+    assert(slice.getLong(4) < full.getLong(4), "slice parent set is smaller")
+    assert(slice.getLong(2) > 0, "slice extract must produce orphan events")
+    assert(full.getLong(2) == 0, "full dim has no orphan events")
+    // n_child is the same child table in both audits
+    assert(slice.getLong(1) == full.getLong(1))
+  }
+
+  test("q129 audit arithmetic on a hand fixture with orphans and childless parents") {
+    import spark.implicits._
+    val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "d"), (9L, "e"))
+      .toDF("fk", "payload")
+    val parent = Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("pk", "name")
+    // package through the public surface: a private one-relation audit
+    // isn't exposed, so re-derive via fkIntegrity's building blocks —
+    // the key-grain full-outer accounting
+    val childKeys = child.groupBy(col("fk").as("k")).agg(count(lit(1)).as("cnt"))
+    val parentKeys = parent.select(col("pk").as("k"), lit(1).as("hit"))
+    val r = childKeys.join(parentKeys, Seq("k"), "full_outer")
+      .agg(
+        coalesce(sum("cnt"), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("hit").isNull, col("cnt"))), lit(0L)).as("n_orphan"),
+        count(when(col("hit").isNull, col("k"))).as("n_orphan_keys"),
+        count(col("hit")).as("n_parent"),
+        count(when(col("cnt").isNull, col("k"))).as("n_childless"))
+      .collect().head
+    assert(r == Row(5L, 2L, 1L, 3L, 1L),
+      s"expected (n_child=5, n_orphan=2 rows d+e, n_orphan_keys=1 key 9, " +
+        s"n_parent=3, n_childless=1 key 3); got $r")
+  }
+
+  test("q130 split is non-degenerate and merged partials equal the direct aggregate") {
+    val parts = Tables.eventsMicros(spark, sf)
+      .withColumn("part", Quality.incrSplit)
+      .groupBy("part").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts.keySet == Set("base", "delta"), s"split degenerate: $parts")
+
+    val merged = Quality.incrementalRollup(spark, sf).collect()
+    val direct = Tables.eventsMicros(spark, sf)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("value_sum"),
+        min("tsu").as("tsu_min"),
+        max("tsu").as("tsu_max"))
+      .orderBy("event_type")
+      .collect()
+    assert(merged.toSeq == direct.toSeq,
+      "merge(partial(base), partial(delta)) must equal the one-pass aggregate exactly")
+  }
+
+  test("q131 mergeSchema read: pre-schema rows surface and nothing is lost") {
+    val out = graft.sources.ParquetLayout.schemaEvolutionRollup(spark, sf)
+    val byType = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.contains("__pre_schema__"), "v1 shard rows must surface")
+    assert(byType.keySet.size > 1, "v2 shard types must surface")
+    val total = Tables.eventsMicros(spark, sf).count()
+    assert(byType.values.sum == total,
+      "two-epoch read must cover every row exactly once")
+  }
+}
