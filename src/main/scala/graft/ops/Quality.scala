@@ -117,11 +117,65 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** The q133 tombstone rule — md5-nibble on user_id (salt ":purge"),
+    * nibble 0 → 1/16 of users are deletion-requested.
+    */
+  private[graft] def purgeNibble: Column =
+    conv(substring(md5(concat(col("user_id").cast("string"),
+      lit(":purge")).cast("binary")), 1, 1), 16, 10).cast("int")
+
+  /** q133 — COMPLIANCE PURGE (right-to-be-forgotten): delete every
+    * event belonging to a TOMBSTONE LIST of users and account for what
+    * was removed. The deletion set is carried as a real list-frame and
+    * applied with a LEFT ANTI join — not folded into a scan predicate —
+    * because at 100 TB the list arrives from outside (a requests
+    * table), is not expressible as a predicate over the fact columns,
+    * and is dimension-sized → the anti-join broadcasts and the fact
+    * table streams through in one pass, never shuffling. Output is the
+    * post-purge rollup PLUS the removal accounting (purged rows/users
+    * per type live alongside surviving rows in one frame), so the gate
+    * checks both presence and absence. The derivation of the tombstone
+    * list here (md5-nibble of user_id, q58's content-keyed discipline)
+    * is verification plumbing: production swaps in `spark.read` of the
+    * requests table, same plan below it. QualitySpec additionally
+    * proves ABSENCE on the purged copy — zero surviving rows for any
+    * tombstoned user — and exact row conservation.
+    */
+  def compliancePurge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val tombstones = ev.select(col("user_id")).distinct()
+      .filter(purgeNibble === 0)
+    val tagged = ev.join(broadcast(tombstones.withColumn("purged", lit(1))),
+      Seq("user_id"), "left")
+    tagged
+      .groupBy("event_type")
+      .agg(
+        count(when(col("purged").isNull, 1)).as("n_kept"),
+        count(col("purged")).as("n_purged"),
+        countDistinct(when(col("purged") === 1, col("user_id")))
+          .as("n_purged_users"),
+        round(coalesce(sum(when(col("purged").isNull,
+          col("value").cast("decimal(18,6)"))), lit(0).cast("decimal(18,6)"))
+          .cast("double"), 2).as("kept_value_sum"))
+      .orderBy("event_type")
+  }
+
+  /** The purged survivor frame itself (what production would write back
+    * out) — the spec drives this to prove absence and conservation.
+    */
+  private[graft] def purgedEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val tombstones = ev.select(col("user_id")).distinct()
+      .filter(purgeNibble === 0)
+    ev.join(broadcast(tombstones), Seq("user_id"), "left_anti")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q129_fk_integrity" -> (fkIntegrity(_, _)),
-    "q130_incremental_rollup" -> (incrementalRollup(_, _)))
+    "q130_incremental_rollup" -> (incrementalRollup(_, _)),
+    "q133_compliance_purge" -> (compliancePurge(_, _)))
 
   val oracles: Map[String, String] = Map(
     // q129: one FULL JOIN per relation at key grain — the same
@@ -163,5 +217,20 @@ object Quality {
            min(epoch_ns(ts) // 1000) AS tsu_min,
            max(epoch_ns(ts) // 1000) AS tsu_max
          FROM events WHERE ts IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    // q133: tombstone membership ≡ the nibble predicate (the list IS
+    // the users with nibble 0), so the oracle inlines it per row — an
+    // independent formulation of the list-join the Spark plan runs
+    "q133_compliance_purge" ->
+      """SELECT event_type,
+           count(CASE WHEN NOT p THEN 1 END) AS n_kept,
+           count(CASE WHEN p THEN 1 END) AS n_purged,
+           count(DISTINCT CASE WHEN p THEN user_id END) AS n_purged_users,
+           round(coalesce(sum(CASE WHEN NOT p
+               THEN CAST(value AS DECIMAL(18,6)) END), 0)::DOUBLE, 2)
+             AS kept_value_sum
+         FROM (SELECT *, strpos('0123456789abcdef',
+             substr(md5(user_id::VARCHAR || ':purge'), 1, 1)) - 1 = 0 AS p
+           FROM events)
          GROUP BY 1 ORDER BY 1""")
 }

@@ -143,12 +143,72 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** Stage a copy of events CLUSTERED on `tsu`: range-partitioned so
+    * each output file owns a disjoint time slice, sorted inside so each
+    * ROW GROUP's (min, max) footer stats span a narrow band. Seam for
+    * q132 and its spec.
+    */
+  private[graft] def stageClustered(spark: SparkSession, dir: String,
+                                    path: String, nFiles: Int): Unit =
+    Tables.eventsMicros(spark, dir)
+      .select("event_id", "user_id", "tsu", "value", "event_type")
+      .repartitionByRange(nFiles, col("tsu"))
+      .sortWithinPartitions("tsu")
+      .write.parquet(path)
+
+  /** The q132 probe range: the [3/8, 4/8) slice of the observed tsu
+    * span — content-derived (no wall clock), identically computable by
+    * the oracle. Long arithmetic only: span/8 truncates the same way in
+    * both engines.
+    */
+  private[graft] def probeBounds(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = Tables.eventsMicros(spark, dir)
+      .agg(min("tsu").as("lo"), max("tsu").as("hi")).collect().head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val step = (hi - lo) / 8
+    (lo + 3 * step, lo + 4 * step)
+  }
+
+  /** q132 — CLUSTERED LAYOUT scan: the third pruning mechanism, after
+    * directory-level partition pruning (q103) and row-group predicate
+    * pushdown (q125). Pushdown is only as good as the LAYOUT beneath
+    * it: on a time-scattered file every row group's (min, max) spans
+    * the whole domain and the pushed filter skips nothing; after a
+    * sort-on-write cluster, a time-range probe touches only the row
+    * groups whose footer band intersects — at 100 TB the difference
+    * between scanning ~1/8 of the table and decoding all of it to
+    * discard 7/8. The probe window is content-derived (the [3/8, 4/8)
+    * slice of the observed span), the oracle recomputes it over the
+    * ORIGINAL flat table, and ParquetLayoutSpec proves the mechanism
+    * from the staged footers: the clustered copy's intersecting
+    * row-group set is a strict subset of the scattered copy's.
+    */
+  def clusteredLayoutScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q132_")
+    try {
+      val path = base.resolve("events_by_time").toString
+      stageClustered(spark, dir, path, 8)
+      val (plo, phi) = probeBounds(spark, dir)
+      val out = spark.read.parquet(path)
+        .filter(col("tsu") >= plo && col("tsu") < phi)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q103_partition_pruned_revenue" -> (partitionPrunedRevenue(_, _)),
     "q125_orc_interchange" -> (orcInterchangeRevenue(_, _)),
-    "q131_schema_evolution" -> (schemaEvolutionRollup(_, _)))
+    "q131_schema_evolution" -> (schemaEvolutionRollup(_, _)),
+    "q132_clustered_layout_scan" -> (clusteredLayoutScan(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the oracle reads the ORIGINAL flat table: layout + pruning must be
@@ -176,5 +236,22 @@ object ParquetLayout {
            count(DISTINCT user_id) AS n_users,
            round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
          FROM events WHERE ts IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    // q132: the oracle recomputes the same content-derived [3/8, 4/8)
+    // probe window over the ORIGINAL flat table — layout must be
+    // semantically invisible. Integer division: DuckDB // matches
+    // Spark's Long / for the non-negative span here.
+    "q132_clustered_layout_scan" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, value, epoch_ns(ts) // 1000 AS tsu
+           FROM events WHERE ts IS NOT NULL),
+         b AS (
+           SELECT min(tsu) AS lo, (max(tsu) - min(tsu)) // 8 AS step
+           FROM ev)
+         SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM ev, b
+         WHERE tsu >= lo + 3 * step AND tsu < lo + 4 * step
          GROUP BY 1 ORDER BY 1""")
 }

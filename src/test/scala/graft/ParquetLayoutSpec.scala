@@ -61,6 +61,62 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** Per-row-group (min, max) bands of `tsu` read straight from the
+    * parquet footers of every file under `path`.
+    */
+  private def rowGroupBands(path: String): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val stats = block.getColumns.asScala
+            .find(_.getPath.toDotString == "tsu").get.getStatistics
+          (stats.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            stats.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        } finally reader.close()
+      }
+  }
+
+  test("q132: sort-on-write clustering makes row-group stats selective") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q132spec_")
+    try {
+      val clustered = base.resolve("clustered").toString
+      val scattered = base.resolve("scattered").toString
+      ParquetLayout.stageClustered(spark, sf, clustered, 8)
+      // same data, same file count, hash-scattered in time
+      Tables.eventsMicros(spark, sf)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+        .repartition(8, col("event_id"))
+        .write.parquet(scattered)
+
+      val (plo, phi) = ParquetLayout.probeBounds(spark, sf)
+      def intersecting(bands: Seq[(Long, Long)]): Int =
+        bands.count { case (lo, hi) => lo < phi && hi >= plo }
+      val cb = rowGroupBands(clustered)
+      val sb = rowGroupBands(scattered)
+      assert(cb.nonEmpty && sb.nonEmpty)
+      // the mechanism: on the scattered layout (nearly) every row group
+      // spans the probe window; clustering shrinks the touched set
+      assert(intersecting(cb) < intersecting(sb),
+        s"clustered ${intersecting(cb)}/${cb.size} vs " +
+          s"scattered ${intersecting(sb)}/${sb.size} row groups intersect")
+      // and the range predicate is pushed to the scan for stats skipping
+      val plan = spark.read.parquet(clustered)
+        .filter(col("tsu") >= plo && col("tsu") < phi)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(tsu"), plan.take(800))
+    } finally Tables.deleteRecursively(base)
+  }
+
   test("q103 leaves no scratch layout behind") {
     import scala.jdk.CollectionConverters._
     def scratch(): Set[String] = {

@@ -74,6 +74,25 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       "merge(partial(base), partial(delta)) must equal the one-pass aggregate exactly")
   }
 
+  test("q133 purge: absence proven, rows conserved, list applied as a broadcast anti-join") {
+    val ev = Tables.events(spark, sf)
+    val survivors = Quality.purgedEvents(spark, sf)
+    // ABSENCE: no surviving row belongs to a tombstoned user
+    assert(survivors.filter(Quality.purgeNibble === 0).count() == 0)
+    // the purge is non-degenerate and conserves rows exactly
+    val audit = Quality.compliancePurge(spark, sf).collect()
+    val kept = audit.map(_.getLong(1)).sum
+    val purged = audit.map(_.getLong(2)).sum
+    assert(purged > 0, "tombstone set must bite")
+    assert(kept == survivors.count())
+    assert(kept + purged == ev.count())
+    // the list lands on the fact side as a broadcast anti-join — the
+    // one-pass, shuffle-free 100 TB shape
+    val plan = survivors.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(600))
+  }
+
   test("q131 mergeSchema read: pre-schema rows surface and nothing is lost") {
     val out = graft.sources.ParquetLayout.schemaEvolutionRollup(spark, sf)
     val byType = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
