@@ -18,25 +18,31 @@ import graft.Tables
   */
 object Quality {
 
-  /** One audited relation: child rows referencing `key`, parent rows
-    * owning `pkey` (assumed unique — it is the parent's primary key).
+  /** One audited relation: the child PRE-COLLAPSED to key grain, parent
+    * rows owning `pkey` (assumed unique — it is the parent's primary
+    * key). Callers that audit one child table against several parent
+    * sets pass the SAME collapsed frame to each relation, so the child
+    * scan+collapse subplan is identical across union branches and
+    * Spark's exchange reuse executes it once.
     */
-  private final case class Fk(relation: String, child: DataFrame,
-                              key: String, parent: DataFrame, pkey: String)
+  private final case class Fk(relation: String, childKeys: DataFrame,
+                              parent: DataFrame, pkey: String)
 
-  /** Audit one FK relation in BOTH directions at KEY grain: collapse
-    * the child to (key, row-count) first, so the join input is bounded
-    * by |distinct keys|, not |child rows| — the q77-style collapse that
+  /** Collapse a child table to (key, row-count) — the audit joins run
+    * at |distinct keys|, not |child rows|: the q77-style collapse that
     * keeps a 10-billion-row fact table's audit join at dimension scale.
-    * A full-outer join against the parent key set then yields orphan
-    * children (no parent) and childless parents (no child) in one pass.
+    */
+  private def childKeysOf(child: DataFrame, key: String): DataFrame =
+    child.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+
+  /** Audit one FK relation in BOTH directions at KEY grain: a
+    * full-outer join of the collapsed child against the parent key set
+    * yields orphan children (no parent) and childless parents (no
+    * child) in one pass.
     */
   private def auditOne(fk: Fk): DataFrame = {
-    val childKeys = fk.child
-      .groupBy(col(fk.key).as("k"))
-      .agg(count(lit(1)).as("cnt"))
     val parentKeys = fk.parent.select(col(fk.pkey).as("k"), lit(1).as("hit"))
-    childKeys.join(parentKeys, Seq("k"), "full_outer")
+    fk.childKeys.join(parentKeys, Seq("k"), "full_outer")
       .agg(
         coalesce(sum("cnt"), lit(0L)).as("n_child"),
         coalesce(sum(when(col("hit").isNull, col("cnt"))), lit(0L))
@@ -61,17 +67,18 @@ object Quality {
     */
   def fkIntegrity(s: SparkSession, d: String): DataFrame = {
     val customer = Tables.customer(s, d)
-    val events = Tables.events(s, d)
+    // ONE collapse of the fact table feeds both its audits (full dim +
+    // slice extract) — exchange reuse makes the second branch free
+    val eventKeys = childKeysOf(Tables.events(s, d), "user_id")
     val relations = Seq(
-      Fk("events.user_id->customer",
-        events, "user_id", customer, "c_custkey"),
-      Fk("events.user_id->customer[AUTOMOBILE]",
-        events, "user_id",
+      Fk("events.user_id->customer", eventKeys, customer, "c_custkey"),
+      Fk("events.user_id->customer[AUTOMOBILE]", eventKeys,
         customer.filter(col("c_mktsegment") === "AUTOMOBILE"), "c_custkey"),
       Fk("lineitem.l_orderkey->orders",
-        Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+        childKeysOf(Tables.lineitem(s, d), "l_orderkey"),
+        Tables.orders(s, d), "o_orderkey"),
       Fk("orders.o_custkey->customer",
-        Tables.orders(s, d), "o_custkey", customer, "c_custkey"))
+        childKeysOf(Tables.orders(s, d), "o_custkey"), customer, "c_custkey"))
     relations.map(auditOne).reduce(_ unionByName _).orderBy("relation")
   }
 

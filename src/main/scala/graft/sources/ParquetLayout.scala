@@ -202,13 +202,76 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** On-disk bytes and file count of a parquet directory (driver-side
+    * listing — the same caveat as Tables.parquetRowCount: fine for a
+    * staging dir, not a substitute for catalog stats on a huge table).
+    */
+  private[graft] def dirStats(spark: SparkSession, path: String): (Long, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.map(_.getLen).sum, files.size)
+  }
+
+  /** Compact a fragmented parquet directory to ~targetBytes files with
+    * `coalesce` — NO shuffle: coalesce glues existing partitions onto
+    * fewer tasks, so compaction is a read+write at I/O speed, which is
+    * why it can run as a routine janitor on a 100 TB lake (a
+    * repartition-based compactor would pay a full shuffle of everything
+    * it touches). Returns the chosen output file count.
+    */
+  private[graft] def compact(spark: SparkSession, inPath: String,
+                             outPath: String, targetBytes: Long): Int = {
+    val (bytes, _) = dirStats(spark, inPath)
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).coalesce(nOut).write.parquet(outPath)
+    nOut
+  }
+
+  /** q134 — SMALL-FILE COMPACTION: the operational pathology every
+    * streaming/incremental sink creates (q98-q128 each land a file per
+    * micro-batch; a day of 1-minute batches is 1 440 files per
+    * partition, and at 100 TB the namenode/liststatus/footer overhead
+    * of millions of tiny files dominates query latency). Stage a
+    * 64-fragment copy of events, compact it to byte-sized targets with
+    * the shuffle-free coalesce compactor, and aggregate the COMPACTED
+    * copy; the oracle aggregates the ORIGINAL table, so the gate proves
+    * the janitor pass is semantically invisible. ParquetLayoutSpec pins
+    * the mechanics (file count collapses, rows conserved, no shuffle in
+    * the compaction plan).
+    */
+  def compactionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q134_")
+    try {
+      val frag = base.resolve("fragmented").toString
+      val comp = base.resolve("compacted").toString
+      Tables.eventsMicros(spark, dir)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+        .repartition(64)
+        .write.parquet(frag)
+      compact(spark, frag, comp, targetBytes = 4L << 20)
+      val out = spark.read.parquet(comp)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q103_partition_pruned_revenue" -> (partitionPrunedRevenue(_, _)),
     "q125_orc_interchange" -> (orcInterchangeRevenue(_, _)),
     "q131_schema_evolution" -> (schemaEvolutionRollup(_, _)),
-    "q132_clustered_layout_scan" -> (clusteredLayoutScan(_, _)))
+    "q132_clustered_layout_scan" -> (clusteredLayoutScan(_, _)),
+    "q134_compaction_rollup" -> (compactionRollup(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the oracle reads the ORIGINAL flat table: layout + pruning must be
@@ -253,5 +316,13 @@ object ParquetLayout {
            round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
          FROM ev, b
          WHERE tsu >= lo + 3 * step AND tsu < lo + 4 * step
+         GROUP BY 1 ORDER BY 1""",
+    // q134: the oracle aggregates the ORIGINAL table — fragmentation
+    // and compaction must both be invisible
+    "q134_compaction_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM events WHERE ts IS NOT NULL
          GROUP BY 1 ORDER BY 1""")
 }

@@ -10,7 +10,9 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(args(1))(spark, args(0))
-    df.count()  // materialize so AQE finalizes
+    // materialize THIS frame's own QueryExecution (count() would spawn
+    // a separate one and leave the printed plan isFinalPlan=false)
+    df.collect()
     println("=== FINAL PLAN ===")
     println(df.queryExecution.executedPlan.toString.linesIterator
       .map(_.take(160)).mkString("\n"))

@@ -117,6 +117,30 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally Tables.deleteRecursively(base)
   }
 
+  test("q134: compaction collapses the file count, conserves rows, and never shuffles") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q134spec_")
+    try {
+      val frag = base.resolve("frag").toString
+      val comp = base.resolve("comp").toString
+      val src = Tables.eventsMicros(spark, sf)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+      src.repartition(64).write.parquet(frag)
+      val (_, nFrag) = ParquetLayout.dirStats(spark, frag)
+      assert(nFrag == 64)
+      ParquetLayout.compact(spark, frag, comp, targetBytes = 4L << 20)
+      val (_, nComp) = ParquetLayout.dirStats(spark, comp)
+      assert(nComp < nFrag / 4,
+        s"compaction must collapse the file count: $nFrag -> $nComp")
+      // lossless: same multiset of rows
+      val back = spark.read.parquet(comp)
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+      // the compactor plan is coalesce-only — no exchange anywhere
+      val plan = spark.read.parquet(frag).coalesce(1)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(600))
+    } finally Tables.deleteRecursively(base)
+  }
+
   test("q103 leaves no scratch layout behind") {
     import scala.jdk.CollectionConverters._
     def scratch(): Set[String] = {
