@@ -19,6 +19,7 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
       (Sampling.queries, Sampling.oracles),
+      (Scoring.queries, Scoring.oracles),
       (CorpusPrep.queries, CorpusPrep.oracles),
       (Similarity.queries, Similarity.oracles),
       (TagMining.queries, TagMining.oracles),
@@ -28,6 +29,7 @@ object SparkEntry {
       (Sessionization.queries, Sessionization.oracles),
       (TemporalJoins.queries, TemporalJoins.oracles),
       (Behavior.queries, Behavior.oracles),
+      (Changelog.queries, Changelog.oracles),
       (Quality.queries, Quality.oracles),
       (Fidelity.queries, Fidelity.oracles),
       (graft.sources.BinaryIngest.queries, graft.sources.BinaryIngest.oracles),

@@ -47,17 +47,88 @@ object Sessionization {
   }
 
   def sessions(spark: SparkSession, dir: String): DataFrame = {
-    labeled(Tables.eventsMicros(spark, dir))
-      .groupBy("user_id", "session_id")
-      .agg(
-        min("tsu").as("session_start_us"),
-        max("tsu").as("session_end_us"),
-        count(lit(1)).as("n_events"))
+    sessionBounds(Tables.eventsMicros(spark, dir))
       .withColumn("duration_sec",
         expr("(session_end_us - session_start_us) div 1000000"))
       .select("user_id", "session_id", "session_start_us", "session_end_us",
         "n_events", "duration_sec")
       .orderBy("user_id", "session_id")
+  }
+
+  /** One session row per (user, session) with its closed time bounds —
+    * q27's rollup and q136's sweep share this frame.
+    */
+  private[graft] def sessionBounds(ev: DataFrame): DataFrame =
+    labeled(ev)
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("tsu").as("session_start_us"),
+        max("tsu").as("session_end_us"),
+        count(lit(1)).as("n_events"))
+
+  private val hourUs = 3600000000L
+
+  /** q136 — PEAK CONCURRENT SESSIONS per hour: the capacity-planning
+    * read ("how many sessions were open at once") that needs interval
+    * OVERLAP counting, not event counting. A session occupies the
+    * closed interval [start_us, end_us].
+    *
+    * The textbook sweep (±1 deltas, one global ordered running sum) is
+    * inherently serial, so it is decomposed into the parallel-prefix
+    * shape: deltas are collapsed per timestamp (the step function
+    * changes only BETWEEN distinct instants — also what makes
+    * intra-instant +1/−1 pairs cancel instead of overshooting the
+    * peak), the running sum runs WITHIN each hour bucket
+    * (hour-partitioned window — fully parallel), and the cross-bucket
+    * carry-in is a prefix sum over the per-hour NET table, which is
+    * calendar-bounded (one row per hour, ~9 k rows/year) however many
+    * trillion sessions the data holds — that single-partition window
+    * is over the tiny frame, never the data. Peak(h) =
+    * carry_in(h) + max(0, max local running) — the max(0,·) term is
+    * the hour-start value, reached before any delta of the hour.
+    * Hours with no boundary events still report (their concurrency is
+    * the carry), via an explode(sequence) spine off the bounds row.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    peakConcurrencyCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def peakConcurrencyCore(ev: DataFrame): DataFrame = {
+    val sess = sessionBounds(ev)
+      .select(col("session_start_us").as("s"), col("session_end_us").as("e"))
+    // closed interval → the −1 applies at e+1 (a session [a,b] and a
+    // probe at instant b still overlap)
+    val deltas = sess.select(col("s").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("e") + lit(1L)).as("t"),
+        lit(-1L).as("delta")))
+    val net = deltas.groupBy("t").agg(sum("delta").as("net"))
+      .withColumn("hour", expr(s"t div $hourUs"))
+    val wHour = Window.partitionBy("hour").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val loc = net.withColumn("run", sum("net").over(wHour))
+      .groupBy("hour")
+      .agg(sum("net").as("hour_net"), max("run").as("max_local"))
+    val spine = loc.agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val starts = sess.groupBy(expr(s"s div $hourUs").as("hour"))
+      .agg(count(lit(1)).as("n_starts"))
+    val ends = sess.groupBy(expr(s"e div $hourUs").as("hour"))
+      .agg(count(lit(1)).as("n_ends"))
+    // the carry prefix: single-partition window, but over the
+    // calendar-bounded hourly table (see scaladoc)
+    val wCarry = Window.orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spine.join(loc, Seq("hour"), "left_outer")
+      .join(starts, Seq("hour"), "left_outer")
+      .join(ends, Seq("hour"), "left_outer")
+      .withColumn("carry_in",
+        coalesce(sum("hour_net").over(wCarry), lit(0L)))
+      .select(col("hour"),
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+        coalesce(col("n_ends"), lit(0L)).as("n_ends"),
+        (col("carry_in")
+          + greatest(lit(0L), coalesce(col("max_local"), lit(0L))))
+          .as("peak_sessions"))
+      .orderBy("hour")
   }
 
   val pathMaxLen = 8
@@ -105,7 +176,8 @@ object Sessionization {
 
   val queries: Map[String, Q] = Map(
     "q27_sessionization" -> (sessions(_, _)),
-    "q116_session_paths" -> (sessionPaths(_, _)))
+    "q116_session_paths" -> (sessionPaths(_, _)),
+    "q136_peak_concurrency" -> (peakConcurrency(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q27_sessionization" ->
@@ -154,5 +226,56 @@ object Sessionization {
             FROM ranked WHERE rnk <= ${pathMaxLen}
             GROUP BY user_id, session_id)
           SELECT path, count(*) AS n_sessions FROM paths
-          GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT ${pathTopK}""")
+          GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT ${pathTopK}""",
+    // q136: same µs session derivation, then the identical
+    // collapse→bucket-sweep→carry decomposition (all BIGINT; the
+    // max(0,·) term is the hour-start concurrency)
+    "q136_peak_concurrency" ->
+      s"""WITH marked AS (
+            SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+              CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                     OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${gapUs * 1000L}
+                   THEN 1 ELSE 0 END AS opens
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+          sess0 AS (
+            SELECT user_id, tsn,
+              sum(opens) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                AS session_id
+            FROM marked),
+          sess AS (
+            SELECT min(tsn) // 1000 AS s, max(tsn) // 1000 AS e
+            FROM sess0 GROUP BY user_id, session_id),
+          d AS (SELECT s AS t, 1::BIGINT AS delta FROM sess
+                UNION ALL SELECT e + 1, (-1)::BIGINT FROM sess),
+          net AS (SELECT t, sum(delta)::BIGINT AS net,
+                    t // ${hourUs} AS hour
+                  FROM d GROUP BY t),
+          loc AS (SELECT hour, sum(net)::BIGINT AS hour_net,
+                    max(run)::BIGINT AS max_local
+                  FROM (SELECT hour, net, t,
+                          sum(net) OVER (PARTITION BY hour ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            ::BIGINT AS run
+                        FROM net) GROUP BY hour),
+          spine AS (SELECT unnest(range(min(hour), max(hour) + 1)) AS hour
+                    FROM loc),
+          starts AS (SELECT s // ${hourUs} AS hour, count(*) AS n_starts
+                     FROM sess GROUP BY 1),
+          ends AS (SELECT e // ${hourUs} AS hour, count(*) AS n_ends
+                   FROM sess GROUP BY 1),
+          c AS (SELECT sp.hour,
+                  coalesce(st.n_starts, 0) AS n_starts,
+                  coalesce(en.n_ends, 0) AS n_ends,
+                  l.max_local,
+                  coalesce(sum(l.hour_net) OVER (ORDER BY sp.hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    ::BIGINT AS carry_in
+                FROM spine sp LEFT JOIN loc l ON sp.hour = l.hour
+                  LEFT JOIN starts st ON sp.hour = st.hour
+                  LEFT JOIN ends en ON sp.hour = en.hour)
+          SELECT hour, n_starts, n_ends,
+            carry_in + greatest(0, coalesce(max_local, 0)) AS peak_sessions
+          FROM c ORDER BY hour""")
 }

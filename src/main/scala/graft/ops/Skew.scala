@@ -102,21 +102,22 @@ object Skew {
     * one definition of the rule the engine quantile builtins disagree
     * on, so a future tweak can't silently diverge the call sites.
     */
-  private def cumeCuts(df: DataFrame, valCol: String,
-                       cuts: Seq[(String, Double)],
-                       extras: Seq[Column] = Nil): DataFrame = {
+  private[graft] def cumeCuts(df: DataFrame, valCol: String,
+                              cuts: Seq[(String, Double)],
+                              extras: Seq[Column] = Nil,
+                              groupCol: String = "event_type"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val run = Window.partitionBy("event_type").orderBy(valCol)
+    val run = Window.partitionBy(groupCol).orderBy(valCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy("event_type")
-    val cum = df.groupBy("event_type", valCol).agg(count(lit(1)).as("c"))
+    val whole = Window.partitionBy(groupCol)
+    val cum = df.groupBy(groupCol, valCol).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(run))
       .withColumn("n", sum("c").over(whole))
     val cutCols = cuts.map { case (name, p) =>
       min(when(col("cum").cast("double") / col("n").cast("double") >= p,
         col(valCol))).as(name)
     }
-    cum.groupBy("event_type")
+    cum.groupBy(groupCol)
       .agg(cutCols.head, (cutCols.tail ++ extras): _*)
   }
 

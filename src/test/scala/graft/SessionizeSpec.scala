@@ -158,4 +158,59 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
         s"expected timeout-flushed 1-event session, got ${afterTimeout.toSeq}")
     } finally q.stop()
   }
+
+  private val hourUs = 3600000000L
+
+  private def evFixture(rows: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, t, "click") }
+      .toDF("event_id", "user_id", "tsu", "event_type")
+  }
+
+  test("peak concurrency: overlap counting, closed intervals, hour carry") {
+    val out = Sessionization.peakConcurrencyCore(evFixture(
+      (1L, 0L), (1L, 1000L),            // S[0,1000]
+      (2L, 500L),                       // S[500,500] — overlaps u1 → peak 2
+      (4L, 2000L), (4L, 3000L),         // S[2000,3000]
+      (5L, 3000L),                      // S[3000,3000] — closed-interval touch
+      (6L, hourUs - 100), (6L, hourUs + 100), // spans the hour boundary
+      (7L, 3 * hourUs + 5)              // isolated, after an empty hour
+    )).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 5L, 4L, 2L),  // five starts, peak 2 (u1+u2 at t=500, u4+u5 at 3000)
+      (1L, 0L, 1L, 1L),  // no deltas but u6 still open → carry-in peak 1
+      (2L, 0L, 0L, 0L),  // truly empty hour, spine-emitted
+      (3L, 1L, 1L, 1L)))
+  }
+
+  test("peak concurrency matches a brute-force sweep on real data") {
+    val sess = Sessionization.sessions(spark, sf)
+      .select("session_start_us", "session_end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute force: global step function over ±1 deltas collapsed per
+    // instant; per-hour peak includes the hour-start value
+    val deltas = (sess.map(s0 => (s0._1, 1L)) ++ sess.map(s0 => (s0._2 + 1, -1L)))
+      .groupBy(_._1).map { case (t, ds) => (t, ds.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val h0 = deltas.map(_._1 / hourUs).min
+    val h1 = deltas.map(_._1 / hourUs).max
+    var cur = 0L
+    val peaks = scala.collection.mutable.Map[Long, Long]()
+    for (h <- h0 to h1) peaks(h) = 0L // will be raised by carry below
+    var i = 0
+    for (h <- h0 to h1) {
+      var peak = cur // hour-start value
+      while (i < deltas.length && deltas(i)._1 / hourUs == h) {
+        cur += deltas(i)._2; if (cur > peak) peak = cur; i += 1
+      }
+      peaks(h) = peak
+    }
+    val got = Sessionization.peakConcurrency(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got.keySet === (h0 to h1).toSet)
+    for (h <- h0 to h1)
+      assert(got(h) === peaks(h), s"hour $h: got ${got(h)} want ${peaks(h)}")
+  }
 }
