@@ -30,6 +30,7 @@ object SparkEntry {
       (TemporalJoins.queries, TemporalJoins.oracles),
       (Behavior.queries, Behavior.oracles),
       (Changelog.queries, Changelog.oracles),
+      (Linkage.queries, Linkage.oracles),
       (Quality.queries, Quality.oracles),
       (Fidelity.queries, Fidelity.oracles),
       (graft.sources.BinaryIngest.queries, graft.sources.BinaryIngest.oracles),

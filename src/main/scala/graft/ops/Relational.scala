@@ -656,8 +656,50 @@ object Relational {
             / count(col("k")).cast("double"), 6)).as("k_avg"))
       .orderBy("event_type")
 
+  /** q138 — PARETO FRONTIER (2-D skyline) per market segment: the
+    * orders no other same-segment order dominates on (price, recency)
+    * — "at least as expensive AND at least as recent, strictly better
+    * in one". The multi-criteria shortlist read (best-offer mining,
+    * benchmark frontiers) that a plain top-k can't express.
+    *
+    * NOT the quadratic NOT-EXISTS formulation: for 2-D the skyline is
+    * a sweep — collapse duplicate points first (groupBy, so equal
+    * points can't strictly dominate each other and multiplicity
+    * survives as n_orders), then order each segment by (day DESC,
+    * price DESC) and keep rows whose price strictly exceeds the
+    * running max over all LATER-or-equal days. One exchange + one
+    * per-segment sort; the frontier check is O(1) per point. The
+    * same-day tie works because higher price sorts first: an equal-day
+    * higher-price row lands in the prefix max and correctly kills the
+    * cheaper one, while cross-day equal prices die via the non-strict
+    * prefix (later day, same price dominates).
+    */
+  val paretoFrontier: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    paretoCore(Tables.orders(s, d)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice").as("price"),
+        expr("cast(o_orderdate as long) div 86400").as("day")))
+  }
+
+  /** The collapse→sweep kernel over any (c_mktsegment, price, day)
+    * point frame — fixture-injection seam for the spec.
+    */
+  private[graft] def paretoCore(points: DataFrame): DataFrame = {
+    val pts = points.groupBy("c_mktsegment", "price", "day")
+      .agg(count(lit(1)).as("n_orders"))
+    val sweep = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("day"), desc("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("prev_max", max("price").over(sweep))
+      .filter(col("prev_max").isNull || col("price") > col("prev_max"))
+      .select("c_mktsegment", "day", "price", "n_orders")
+      .orderBy("c_mktsegment", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q104_full_outer_reconciliation" -> fullOuterReconciliation,
+    "q138_pareto_frontier" -> paretoFrontier,
     "q105_json_props_stats" -> jsonPropsStats,
     "q28_value_percentiles" -> valuePercentiles,
     "q29_latest_event_per_user" -> latestEventPerUser,
@@ -785,6 +827,23 @@ object Relational {
            AND iv.valid_from_us <= p.tsu AND p.tsu < iv.valid_to_us
          WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
+    // q138: identical collapse→sweep (same window frame); price is a
+    // carried stored double, day is exact BIGINT
+    "q138_pareto_frontier" ->
+      """WITH pts AS (
+           SELECT c.c_mktsegment, o.o_totalprice AS price,
+             epoch_ms(o.o_orderdate) // 1000 // 86400 AS day,
+             count(*) AS n_orders
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2, 3),
+         sweep AS (
+           SELECT *, max(price) OVER (PARTITION BY c_mktsegment
+             ORDER BY day DESC, price DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM pts)
+         SELECT c_mktsegment, day, price, n_orders FROM sweep
+         WHERE prev_max IS NULL OR price > prev_max
+         ORDER BY c_mktsegment, day""",
     "q104_full_outer_reconciliation" ->
       """WITH a AS (
            SELECT user_id, count(*) AS n_events

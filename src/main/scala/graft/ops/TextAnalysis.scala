@@ -373,7 +373,55 @@ object TextAnalysis {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q139 thresholds: heads must appear ≥ this often as a bigram head
+    * (prunes the Zipf noise tail AND the output), and each head keeps
+    * its top-`lmTopNext` continuations.
+    */
+  val lmMinHeadCount = 10L
+  val lmTopNext = 3
+
+  /** q139 — bigram NEXT-WORD table (the count side of a Markov/KenLM-
+    * style language model): for each sufficiently frequent head word,
+    * its top continuations with exact conditional-probability
+    * numerators — c(w1 w2), c(w1 ·), and the integer-scaled
+    * p(w2|w1)·10⁸. q111 scores bigrams GLOBALLY (PMI vs independence);
+    * this is the per-head CONDITIONAL view a generation/suggestion
+    * pipeline reads.
+    *
+    * Scale: one token scan; the bigram frame collapses map-side to
+    * vocabulary²-bounded (Zipf-sparse in practice) before the head
+    * window, and the head window partitions by w1 — fully parallel.
+    * The probability follows the q111 overflow discipline: the 10⁸
+    * scaling runs in DECIMAL(38,0) (c12 can exceed 2⁵⁵ at the design
+    * point, so c12·10⁸ would wrap a BIGINT), then one exact integral
+    * `div` lands back in BIGINT (quotient ≤ 10⁸ by construction).
+    */
+  def bigramNextWords(spark: SparkSession, dir: String): DataFrame =
+    bigramNextWordsCore(Tables.documents(spark, dir), lmMinHeadCount, lmTopNext)
+
+  private[graft] def bigramNextWordsCore(docs0: DataFrame, minHead: Long,
+                                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docs0.filter(col("text").isNotNull)
+    val bi = docs
+      .select(explode(graft.expr.NGramShingles(tokens(col("text")), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+    bi.withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
+      .filter(col("c1") >= minHead)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("w1").orderBy(desc("c12"), asc("w2"))))
+      .filter(col("rank") <= k)
+      .select(col("w1"), col("rank").cast("long").as("rank"), col("w2"),
+        col("c12"), col("c1"),
+        expr("CAST((CAST(c12 AS DECIMAL(38,0)) * 100000000) div c1 AS BIGINT)")
+          .as("p_e8"))
+      .orderBy("w1", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q139_bigram_next_words" -> (bigramNextWords(_, _)),
     "q47_bpeish_token_counts" -> (bpeishTokenCounts(_, _)),
     "q69_tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
@@ -578,6 +626,34 @@ object TextAnalysis {
          JOIN uc cy ON j.y = cy.w
          CROSS JOIN n
          ORDER BY pmi_ratio DESC, bigram LIMIT ${colloTopK}""",
+    // q139: same bigram extraction as q111; the conditional-probability
+    // scaling runs in HUGEINT then lands in BIGINT (quotient ≤ 10⁸)
+    "q139_bigram_next_words" ->
+      s"""WITH t AS (
+           SELECT list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         bc AS (
+           SELECT g, count(*)::BIGINT AS c12 FROM (
+             SELECT unnest(
+               CASE WHEN len(ws) < 2 THEN []
+                    ELSE list_transform(range(len(ws)-1),
+                           i -> ws[i+1] || ' ' || ws[i+2])
+               END) AS g
+             FROM t)
+           GROUP BY 1),
+         sp AS (
+           SELECT g, c12, string_split(g, ' ')[1] AS w1,
+             string_split(g, ' ')[2] AS w2
+           FROM bc),
+         hd AS (
+           SELECT *, sum(c12) OVER (PARTITION BY w1)::BIGINT AS c1 FROM sp),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY w1
+             ORDER BY c12 DESC, w2) AS rank
+           FROM hd WHERE c1 >= ${lmMinHeadCount})
+         SELECT w1, rank::BIGINT AS rank, w2, c12, c1,
+           ((c12::HUGEINT * 100000000) // c1)::BIGINT AS p_e8
+         FROM rk WHERE rank <= ${lmTopNext} ORDER BY w1, rank""",
     "q88_repetition_signals" ->
       """WITH t AS (
            SELECT doc_id,

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Linkage, Relational, TextAnalysis}
+
+/** Pins for the round-8 batch-2 operators: Pareto frontier dominance
+  * rules (q138), bigram next-word conditional counts (q139), and
+  * blocked edit-distance linkage (q140) — each on a hand-computed
+  * fixture, plus a brute-force cross-check where cheap.
+  */
+class FrontierLmLinkageSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("pareto frontier: dominance, ties, duplicate collapse") {
+    val pts = Seq(
+      // segment A: (day, price). Frontier: (5,10), (3,20), (1,30)
+      ("A", 10.0, 5L), ("A", 20.0, 3L), ("A", 30.0, 1L),
+      ("A", 15.0, 2L),          // dominated by (3,20)
+      ("A", 10.0, 4L),          // dominated by (5,10) — same price, later day
+      ("A", 5.0, 5L),           // dominated by (5,10) — same day, higher price
+      ("A", 30.0, 1L),          // duplicate point → collapses, n_orders=2
+      // segment B independent: single point
+      ("B", 1.0, 9L)
+    ).toDF("c_mktsegment", "price", "day")
+    val out = Relational.paretoCore(pts)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(out === Seq(
+      ("A", 1L, 30.0, 2L), ("A", 3L, 20.0, 1L), ("A", 5L, 10.0, 1L),
+      ("B", 9L, 1.0, 1L)))
+  }
+
+  test("pareto frontier matches brute-force NOT-EXISTS on real data") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.queries("q138_pareto_frontier")(spark, sf)
+      .select("c_mktsegment", "day", "price")
+      .as[(String, Long, Double)].collect().toSet
+    val all = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"),
+        expr("cast(o_orderdate as long) div 86400"))
+      .as[(String, Double, Long)].collect()
+    val want = all.groupBy(_._1).toSeq.flatMap { case (seg, rows) =>
+      val pset = rows.map(r => (r._2, r._3)).distinct.toSeq
+      pset.filterNot { case (p, d) =>
+        pset.exists { case (p2, d2) =>
+          p2 >= p && d2 >= d && (p2 > p || d2 > d) }
+      }.map { case (p, d) => (seg, d, p) }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("bigram next words: conditional counts, rank cut, p_e8") {
+    val docs = Seq(
+      (1L, "a b a b a c"),   // bigrams: ab, ba, ab, ba, ac
+      (2L, "a b b b"),       // ab, bb, bb
+      (3L, "x"),             // too short → no bigrams
+      (4L, null)
+    ).toDF("doc_id", "text")
+    // heads: a→{b:3, c:1} c1=4 ; b→{a:2, b:2} c1=4 ; minHead=4 keeps both
+    val out = TextAnalysis.bigramNextWordsCore(docs, minHead = 4L, k = 1)
+      .as[(String, Long, String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", 1L, "b", 3L, 4L, 75000000L),
+      ("b", 1L, "a", 2L, 4L, 50000000L))) // ties (a:2, b:2) → w2 asc wins
+  }
+
+  test("linkage: blocking bounds pairs; threshold counts only close names") {
+    val cust = Seq(
+      (1L, "Customer#000000001"), (2L, "Customer#000000002"), // same block, d=1
+      (3L, "Customer#000000011"),                             // same block, d=1 to both
+      (4L, "Customer#000000101"),                             // different block
+      (5L, "Customer#000000102")                              // pairs with 4
+    ).toDF("c_custkey", "c_name")
+    val out = Linkage.linkageCore(cust)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // block "Customer#0000000": members 1,2,3 → 3 cand pairs; all within d≤1?
+    // 001↔002 d=1, 001↔011 d=1, 002↔011 d=2 → 2 dup pairs
+    // block "Customer#0000001": members 4,5 → 1 cand, 101↔102 d=1 → 1 dup
+    assert(out === Seq(
+      ("Customer#0000000", 3L, 3L, 2L),
+      ("Customer#0000001", 2L, 1L, 1L)))
+  }
+}
