@@ -109,11 +109,103 @@ object Scoring {
       .orderBy("decile")
   }
 
+  /** q142 — DISTRIBUTION DRIFT by decile (the PSI-style monitoring
+    * read every production model/pipeline needs): decile boundaries
+    * are fit on the BASELINE half of the timeline (data-derived
+    * midpoint cutoff, q135's convention), both halves bucket by those
+    * fixed boundaries, and each bucket reports exact counts and
+    * integer-scaled population shares plus the share delta. A drifted
+    * feature shows up as mass leaving baseline deciles — visible in
+    * delta_e6 without ever computing the ulp-unstable Σ(p−q)·ln(p/q)
+    * (the exact counts let a consumer derive any divergence offline).
+    *
+    * Scale: boundary fit is the q102 kernel on the baseline half
+    * (histogram collapse first); bucketing is broadcast comparisons in
+    * the scan; the rest is a 10-row aggregate. One full-data exchange.
+    */
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame =
+    driftCore(Tables.eventsMicros(spark, dir)
+      .filter(col("value").isNotNull))
+
+  private[graft] def driftCore(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("value"), col("tsu"))
+    val cutoff = ev.agg(expr("(min(tsu) + max(tsu)) div 2").as("cut_us"))
+    val tagged = ev.crossJoin(broadcast(cutoff))
+      .withColumn("is_base", col("tsu") < col("cut_us"))
+    val cuts = Skew.cumeCuts(
+      tagged.filter(col("is_base")).select(lit("v").as("metric"), col("value")),
+      "value", decilePs.map(p => s"p${(p * 100).round}" -> p),
+      groupCol = "metric")
+    val bucket = decilePs.map(p =>
+        when(col("value") > col(s"p${(p * 100).round}"), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    val perBucket = tagged.crossJoin(broadcast(cuts.drop("metric")))
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_base"), 0L).otherwise(1L)).as("n_cur"))
+    val totals = perBucket.agg(sum("n_base").as("t_base"),
+      sum("n_cur").as("t_cur"))
+    perBucket.crossJoin(broadcast(totals))
+      .withColumn("share_base_e6", expr("n_base * 1000000 div t_base"))
+      .withColumn("share_cur_e6", expr("n_cur * 1000000 div t_cur"))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        col("share_base_e6"), col("share_cur_e6"),
+        (col("share_cur_e6") - col("share_base_e6")).as("delta_e6"))
+      .orderBy("bucket")
+  }
+
+  /** q143 — REVENUE CONCENTRATION ("how few customers make 80% of
+    * revenue"): exact-decimal per-customer revenue, collapsed to the
+    * distinct-revenue histogram, then one descending cumulative pass
+    * over DISTINCT values (the q102 trick again — the ordered pass
+    * never sees per-customer rows). Prefix cuts use whole-value-group
+    * granularity (a cut never splits customers with equal revenue —
+    * the deterministic convention; an intra-group split would be
+    * arbitrary anyway). The 80% compare is integer-exact
+    * (cum·5 ≥ total·4), the decile share is one IEEE division of two
+    * exact decimals.
+    */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame =
+    concentrationCore(Tables.orders(spark, dir))
+
+  private[graft] def concentrationCore(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = orders
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,6)").as("price_q"))
+      .groupBy("o_custkey").agg(sum("price_q").as("rev"))
+    // explicit widths so both engines land on DECIMAL(38,6) exactly
+    // (implicit promotion would exceed 38 and fall back engine-specific)
+    val vals = cust.groupBy("rev").agg(count(lit(1)).as("n_cust"))
+      .withColumn("grp_rev",
+        expr("CAST(rev AS DECIMAL(30,6)) * CAST(n_cust AS DECIMAL(8,0))"))
+    // ordered pass over distinct revenue values only (value-bounded)
+    val wDesc = Window.orderBy(desc("rev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("cum_cust", sum("n_cust").over(wDesc))
+      .withColumn("cum_rev", sum("grp_rev").over(wDesc))
+    val totals = vals.agg(sum("n_cust").as("t_cust"),
+      sum("grp_rev").as("t_rev"))
+    cum.crossJoin(broadcast(totals))
+      .agg(
+        max("t_cust").as("n_customers"),
+        max("t_rev").cast("double").as("total_revenue"),
+        min(when(expr("cum_rev * 5 >= t_rev * 4"), col("cum_cust")))
+          .as("n_to_80pct"),
+        round(min(when(col("cum_cust") >= greatest(lit(1L),
+            expr("t_cust div 10")), col("cum_rev"))).cast("double")
+          / max("t_rev").cast("double"), 6).as("top_decile_rev_share"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q137_rfm_segments" -> (rfmSegments(_, _)),
-    "q141_decile_lift" -> (decileLift(_, _)))
+    "q141_decile_lift" -> (decileLift(_, _)),
+    "q142_distribution_drift" -> (distributionDrift(_, _)),
+    "q143_revenue_concentration" -> (revenueConcentration(_, _)))
 
   /** Shared SQL fragment: the discrete-selection boundary rule (must
     * stay textually in sync with q102's oracle — same rule).
@@ -171,6 +263,64 @@ object Scoring {
             r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
               AS segment
           FROM scored ORDER BY c_custkey""",
+    // q142: boundaries fit on the pre-cutoff half only, identical cume
+    // rule; shares are exact BIGINT multiply-then-floor-divide
+    "q142_distribution_drift" -> {
+      val dec = decilePs.map(p =>
+        s"(value > p${(p * 100).round})::BIGINT").mkString(" + ")
+      s"""WITH ev AS (
+            SELECT value, epoch_ns(ts) // 1000 AS tsu
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          cut AS (SELECT (min(tsu) + max(tsu)) // 2 AS cut_us FROM ev),
+          t AS (SELECT value, tsu < (SELECT cut_us FROM cut) AS is_base
+                FROM ev),
+          g AS (SELECT value AS v, count(*) AS c FROM t
+                WHERE is_base GROUP BY 1),
+          cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                    sum(c) OVER () AS n FROM g),
+          cuts AS (SELECT
+             ${cutSql(decilePs.map(p => s"p${(p * 100).round}" -> p))}
+           FROM cum),
+          b AS (SELECT 1 + ($dec) AS bucket,
+                  sum(CASE WHEN is_base THEN 1 ELSE 0 END)::BIGINT AS n_base,
+                  sum(CASE WHEN is_base THEN 0 ELSE 1 END)::BIGINT AS n_cur
+                FROM t, cuts GROUP BY 1),
+          tot AS (SELECT sum(n_base)::BIGINT AS t_base,
+                    sum(n_cur)::BIGINT AS t_cur FROM b)
+          SELECT bucket, n_base, n_cur,
+            (n_base * 1000000) // t_base AS share_base_e6,
+            (n_cur * 1000000) // t_cur AS share_cur_e6,
+            (n_cur * 1000000) // t_cur - (n_base * 1000000) // t_base
+              AS delta_e6
+          FROM b, tot ORDER BY bucket"""
+    },
+    // q143: identical distinct-value cumulative pass; the 80% compare
+    // is decimal-exact, the decile share one IEEE division
+    "q143_revenue_concentration" ->
+      """WITH cust AS (
+           SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+           FROM orders GROUP BY 1),
+         vals AS (
+           SELECT rev, count(*) AS n_cust,
+             CAST(rev AS DECIMAL(30,6)) * CAST(count(*) AS DECIMAL(8,0))
+               AS grp_rev
+           FROM cust GROUP BY rev),
+         cum AS (
+           SELECT *, sum(n_cust) OVER w AS cum_cust,
+             sum(grp_rev) OVER w AS cum_rev
+           FROM vals
+           WINDOW w AS (ORDER BY rev DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         tot AS (SELECT sum(n_cust) AS t_cust, sum(grp_rev) AS t_rev
+                 FROM vals)
+         SELECT max(t_cust)::BIGINT AS n_customers,
+           max(t_rev)::DOUBLE AS total_revenue,
+           min(CASE WHEN cum_rev * 5 >= t_rev * 4 THEN cum_cust END)::BIGINT
+             AS n_to_80pct,
+           round(min(CASE WHEN cum_cust >= greatest(1, t_cust // 10)
+               THEN cum_rev END)::DOUBLE / max(t_rev)::DOUBLE, 6)
+             AS top_decile_rev_share
+         FROM cum, tot""",
     "q141_decile_lift" -> {
       val dec = decilePs.map(p =>
         s"(value > p${(p * 100).round})::BIGINT").mkString(" + ")

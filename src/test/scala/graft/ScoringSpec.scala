@@ -58,4 +58,39 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(_._1 >= 9).forall(r => r._3 == 2L && r._4 == 1000000L))
     assert(out.filter(_._1 < 9).forall(r => r._3 == 0L && r._4 == 0L))
   }
+
+  test("distribution drift: baseline-fit boundaries, exact share deltas") {
+    // tsu range 0..1000 → cutoff 500. Baseline: values 1..10 (one
+    // each). Current: 5 twice, 20 once (out-of-range high).
+    val rows = (1 to 10).map(v => (v.toLong, 1L, (v - 1) * 50L, "view", v.toDouble)) ++
+      Seq((20L, 1L, 600L, "view", 5.0), (21L, 1L, 700L, "view", 5.0),
+        (22L, 1L, 1000L, "view", 20.0))
+    val ev = rows.toDF("event_id", "user_id", "tsu", "event_type", "value")
+    val out = Scoring.driftCore(ev)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.length === 10)
+    // every baseline decile holds exactly one row (boundaries are the
+    // values themselves), shares 10% each
+    assert(out.forall(r => r._2 == 1L && r._4 == 100000L))
+    val cur = out.map(r => r._1 -> (r._3, r._5, r._6)).toMap
+    assert(cur(5L) === ((2L, 666666L, 566666L)))   // mass moved into d5
+    assert(cur(10L) === ((1L, 333333L, 233333L)))  // out-of-range → top
+    assert((1L to 9L).filter(_ != 5L).forall(b => cur(b) === ((0L, 0L, -100000L))))
+  }
+
+  test("revenue concentration: whole-group cuts, exact 80% compare") {
+    def orders(revs: (Long, Double)*) =
+      revs.zipWithIndex.map { case ((k, r), i) => (k, r, day(i + 1)) }
+        .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val a = Scoring.concentrationCore(orders(
+      (1L, 40.0), (2L, 30.0), (3L, 20.0), (4L, 10.0)))
+      .as[(Long, Double, Long, Double)].collect().head
+    assert(a === ((4L, 100.0, 3L, 0.4))) // 40+30+20=90 ≥ 80; top-1 = 40%
+    // equal revenues never split: five 10s enter together
+    val b = Scoring.concentrationCore(
+      orders((1L, 50.0), (2L, 10.0), (3L, 10.0), (4L, 10.0), (5L, 10.0),
+        (6L, 10.0)))
+      .as[(Long, Double, Long, Double)].collect().head
+    assert(b === ((6L, 100.0, 6L, 0.5))) // 50 < 80 → need the whole 10-group
+  }
 }
