@@ -221,9 +221,51 @@ object Behavior {
         countDistinct("user_id").as("n_users"))
       .orderBy("dow", "hour")
 
+  private val hourUs = 3600000000L
+
+  /** q145 trailing-baseline geometry: each hour compares against the
+    * mean of the previous `anomalyLookbackH` hours, and spikes when
+    * volume exceeds `anomalyFactor`× that mean.
+    */
+  val anomalyLookbackH = 24L
+  val anomalyFactor = 2L
+
+  /** q145 — HOURLY VOLUME ANOMALY against a trailing baseline: the
+    * operational monitoring read ("is this hour's traffic a spike?")
+    * that needs a time-relative, not population-relative, fence —
+    * q119's MAD fences values against the whole distribution; this
+    * fences each hour against its own recent past, which is what
+    * catches incidents and bot bursts in a diurnal stream.
+    *
+    * Exact by construction: the spike test n·|lookback| > factor·Σprev
+    * is pure BIGINT (no mean is ever divided out), and RANGE — not
+    * ROWS — frames make missing hours count as genuinely absent
+    * rather than silently shifting the lookback. The window runs over
+    * the calendar-bounded hourly table (q136's argument): the
+    * full-data pass is one hash agg to (hour) cells.
+    */
+  def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame =
+    hourlyAnomalyCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def hourlyAnomalyCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = ev.select(expr(s"tsu div $hourUs").as("hour"))
+      .groupBy("hour").agg(count(lit(1)).as("n"))
+    val trail = Window.orderBy("hour")
+      .rangeBetween(-anomalyLookbackH, -1)
+    hourly
+      .withColumn("prev_hours", count(lit(1)).over(trail))
+      .withColumn("prev_sum", coalesce(sum("n").over(trail), lit(0L)))
+      .withColumn("is_spike",
+        col("prev_hours") > 0 &&
+          col("n") * col("prev_hours") > lit(anomalyFactor) * col("prev_sum"))
+      .orderBy("hour")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q145_hourly_anomaly" -> (hourlyAnomaly(_, _)),
     "q117_type_coengagement" -> (typeCoEngagement(_, _)),
     "q120_activity_heatmap" -> (activityHeatmap(_, _)),
     "q76_funnel" -> (funnel(_, _)),
@@ -232,6 +274,24 @@ object Behavior {
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q145: RANGE frame over integer hours; the spike test stays in
+    // BIGINT (cross-multiplied, never divided)
+    "q145_hourly_anomaly" ->
+      s"""WITH hourly AS (
+            SELECT epoch_ns(ts) // 1000 // ${hourUs} AS hour,
+              count(*) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          w AS (
+            SELECT hour, n,
+              count(*) OVER tr AS prev_hours,
+              coalesce(sum(n) OVER tr, 0)::BIGINT AS prev_sum
+            FROM hourly
+            WINDOW tr AS (ORDER BY hour
+              RANGE BETWEEN $anomalyLookbackH PRECEDING AND 1 PRECEDING))
+          SELECT hour, n, prev_hours, prev_sum,
+            prev_hours > 0 AND n * prev_hours > $anomalyFactor * prev_sum
+              AS is_spike
+          FROM w ORDER BY hour""",
     // q120: identical integer epoch arithmetic — no calendar function,
     // no timezone, no convention to disagree on
     "q120_activity_heatmap" ->

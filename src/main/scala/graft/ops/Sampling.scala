@@ -24,8 +24,14 @@ import graft.Tables
 object Sampling {
 
   /** First hex nibble of md5(doc_id || salt) as 0-15. */
-  private def nibble(salt: String): Column =
-    conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))
+  private def nibble(salt: String): Column = nibbleOf(col("doc_id"), salt)
+
+  /** The one hash-decision primitive: first hex nibble (0-15) of
+    * md5(key || salt) — q58/q59/q87's doc-level decisions and q144's
+    * user-level fold assignment all route through here.
+    */
+  private[graft] def nibbleOf(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))
       .cast("binary")), 1, 1), 16, 10).cast("int")
 
   /** Per-language keep-rates in 16ths: en is the bulk language (downsample
@@ -61,11 +67,44 @@ object Sampling {
       .select(col("doc_id"), col("lang"), splitExpr.as("split"))
       .orderBy("doc_id")
 
+  /** q144 fold count — 4 divides the 16 nibble values exactly, so the
+    * folds are uniform by construction (a `mod 5` would bias fold 0).
+    */
+  val kFolds = 4
+
+  /** q144 — GROUP k-fold assignment: every event of a user lands in the
+    * same fold (fold = user-level hash), the property that makes
+    * cross-validation leakage-free — a row-level split (q59's shape,
+    * applied naively to events) would put one user's behavior in both
+    * train and test and leak identity features. The output is the fold
+    * audit: per (fold, event_type), events and distinct users. Group
+    * disjointness is structural (the fold is a pure function of
+    * user_id), so Σ n_users over folds for a type = global distinct
+    * users — the spec pins it.
+    *
+    * Scale: the fold decision is a zero-shuffle projection (same as
+    * q58/q59); the audit is one hash agg to a |folds|×|types| cell
+    * domain with an exact distinct per cell.
+    */
+  def groupKFold(spark: SparkSession, dir: String): DataFrame =
+    groupKFoldCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def groupKFoldCore(ev: DataFrame): DataFrame =
+    ev.select(
+        (nibbleOf(col("user_id"), ":fold") / lit(16 / kFolds)).cast("long")
+          .as("fold"),
+        col("event_type"), col("user_id"))
+      .groupBy("fold", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("fold", "event_type")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q58_stratified_sample" -> (stratifiedSample(_, _)),
-    "q59_train_eval_split" -> (trainEvalSplit(_, _)))
+    "q59_train_eval_split" -> (trainEvalSplit(_, _)),
+    "q144_group_kfold" -> (groupKFold(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the identical md5-nibble rule re-evaluated by DuckDB (nibble value
@@ -83,5 +122,14 @@ object Sampling {
            CASE WHEN strpos('0123456789abcdef',
              substr(md5(doc_id::VARCHAR || ':split'), 1, 1)) - 1 < 14
            THEN 'train' ELSE 'eval' END AS split
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    // q144: the same nibble rule keyed on user_id; fold = nibble // 4
+    "q144_group_kfold" ->
+      s"""SELECT ((strpos('0123456789abcdef',
+              substr(md5(user_id::VARCHAR || ':fold'), 1, 1)) - 1)
+              // ${16 / kFolds})::BIGINT AS fold,
+            event_type, count(*) AS n_events,
+            count(DISTINCT user_id)::BIGINT AS n_users
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -51,6 +51,45 @@ object Similarity {
       .agg(round(avg(col("component").cast("double")), 6).as("centroid"))
       .orderBy("label", "pos")
 
+  /** q146 — EMBEDDING DRIFT between two deterministic halves of the
+    * corpus (md5-keyed on vec_id — the q58/q59 decision primitive, so
+    * the halves are reproducible anywhere): per dimension, both means
+    * and the absolute shift. The model-monitoring read for a feature
+    * store — a retrained encoder or a corrupted ingest shows up as
+    * per-dimension mean displacement long before cosine recall moves.
+    * Same float discipline as q61: one avg per cell, rounded at 1e-6
+    * (order effects sit at ~1e-13 relative); the shift subtracts the
+    * RAW means, then rounds.
+    *
+    * Scale: one posexplode scan → hash agg to a |dims|×2 cell domain
+    * with map-side partials; output is |dims| rows whatever the corpus.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDriftCore(Tables.embeddings(spark, dir))
+
+  private[graft] def embeddingDriftCore(emb: DataFrame): DataFrame = {
+    val half = when(
+      conv(substring(md5(concat(col("vec_id").cast("string"),
+        lit(":edrift")).cast("binary")), 1, 1), 16, 10).cast("int") < 8,
+      "a").otherwise("b")
+    emb.select(half.as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "component")))
+      .withColumn("pos", col("pos").cast("long"))
+      .groupBy("pos")
+      .agg(
+        sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_b"),
+        avg(when(col("half") === "a", col("component").cast("double")))
+          .as("raw_a"),
+        avg(when(col("half") === "b", col("component").cast("double")))
+          .as("raw_b"))
+      .select(col("pos"), col("n_a"), col("n_b"),
+        round(col("raw_a"), 6).as("mean_a"),
+        round(col("raw_b"), 6).as("mean_b"),
+        round(abs(col("raw_a") - col("raw_b")), 6).as("shift"))
+      .orderBy("pos")
+  }
+
   /** Vector hygiene stats: dimension + L2 norm per vector. */
   def vectorNorms(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -259,7 +298,8 @@ object Similarity {
     // orthogonal (max pairwise cosine ≈ 0.51 at sf0.01), so a 0.95
     // dedup threshold is vacuously empty; 0.4 exercises the same
     // bucket-join + exact-verify machinery non-vacuously
-    "q64_embedding_near_dups" -> ((s, d) => embeddingNearDups(s, d, minCos = 0.4)))
+    "q64_embedding_near_dups" -> ((s, d) => embeddingNearDups(s, d, minCos = 0.4)),
+    "q146_embedding_drift" -> (embeddingDrift(_, _)))
 
   /** DuckDB cosine via explicit double math (list_cosine_similarity may
     * accumulate in float32; the manual fold matches Spark's sequential
@@ -307,6 +347,24 @@ object Similarity {
       """SELECT label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS centroid
          FROM embeddings, range(0, 64) t(i)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q146: the q58/q59 md5-nibble half assignment keyed on vec_id;
+    // q61's float discipline (avg per cell, round 6, shift from raws)
+    "q146_embedding_drift" ->
+      """WITH e AS (
+           SELECT CASE WHEN strpos('0123456789abcdef',
+                    substr(md5(vec_id::VARCHAR || ':edrift'), 1, 1)) - 1 < 8
+                  THEN 'a' ELSE 'b' END AS half, embedding
+           FROM embeddings),
+         x AS (SELECT half, i AS pos, embedding[i+1]::DOUBLE AS c
+               FROM e, range(0, 64) t(i))
+         SELECT pos,
+           sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+           sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+           round(avg(CASE WHEN half = 'a' THEN c END), 6) AS mean_a,
+           round(avg(CASE WHEN half = 'b' THEN c END), 6) AS mean_b,
+           round(abs(avg(CASE WHEN half = 'a' THEN c END)
+             - avg(CASE WHEN half = 'b' THEN c END)), 6) AS shift
+         FROM x GROUP BY 1 ORDER BY 1""",
     "q62_vector_norms" ->
       """SELECT vec_id, len(embedding)::BIGINT AS dim,
          round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6)

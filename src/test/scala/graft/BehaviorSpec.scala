@@ -17,6 +17,30 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       .map { case ((u, t, tp), i) => (i.toLong, u, t, tp) }
       .toDF("event_id", "user_id", "tsu", "event_type")
 
+  test("hourly anomaly: trailing-mean fence, RANGE gaps, cold start") {
+    val hourUs = 3600000000L
+    // hour 0: 10 events (cold start, no baseline → never a spike)
+    // hours 1..24: 1 event each (quiet baseline)
+    // hour 25: 10 events — baseline = hours 1..24 (hour 0 aged out):
+    //   10·24 > 2·24 → spike
+    // hour 30 after a 4-hour GAP: baseline must be the 20 present
+    //   hours in (6..29), not a shifted ROWS frame
+    val rows = (1 to 10).map(i => (1L, i * 1000L, "view")) ++
+      (1 to 24).map(h => (1L, h * hourUs + 5, "view")) ++
+      (1 to 10).map(i => (1L, 25 * hourUs + i * 1000L, "view")) ++
+      (1 to 10).map(i => (1L, 30 * hourUs + i * 1000L, "view"))
+    val out = graft.ops.Behavior.hourlyAnomalyCore(ev(rows: _*))
+      .select("hour", "n", "prev_hours", "prev_sum", "is_spike")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, 10L, 0L, 0L, false)))      // no history
+    assert(out(1L) === ((1L, 1L, 1L, 10L, false)))      // quiet after burst
+    assert(out(25L) === ((25L, 10L, 24L, 24L, true)))   // clean spike
+    // hour 30's lookback covers hours 6..29: hours 6..24 (19 quiet) +
+    // hour 25 (10 events) = 20 present hours, 29 events: 10·20 > 2·29 → spike
+    assert(out(30L) === ((30L, 10L, 20L, 29L, true)))
+  }
+
   test("funnel: steps must be ordered; pre-signup activity never counts") {
     val out = Behavior.funnelCore(ev(
       // user 1: full ordered funnel

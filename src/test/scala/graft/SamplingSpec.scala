@@ -62,4 +62,29 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(evalIds != sampleIds)
   }
+
+  test("group k-fold: folds 0..3, leakage-free (every user in exactly one fold)") {
+    val ev = Tables.eventsMicros(spark, sf)
+    val out = Sampling.groupKFoldCore(ev)
+    val folds = out.select("fold").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(folds.forall(f => f >= 0 && f < Sampling.kFolds))
+    // structural disjointness: assigning per-event reproduces the same
+    // user→fold function, so distinct (user, fold) == distinct user
+    val assign = ev.select(col("user_id"),
+      (conv(substring(md5(concat(col("user_id").cast("string"),
+        lit(":fold")).cast("binary")), 1, 1), 16, 10).cast("int")
+        / lit(16 / Sampling.kFolds)).cast("long").as("fold"))
+    assert(assign.select("user_id", "fold").distinct().count()
+      === assign.select("user_id").distinct().count())
+    // the audit's user counts add back up to the global distinct count
+    val total = out.groupBy("event_type").sum("n_users")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val global = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per type, Σ over folds = global distinct users of that type —
+    // exactly because each user owns one fold
+    assert(total === global)
+  }
 }

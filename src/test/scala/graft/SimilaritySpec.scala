@@ -174,4 +174,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(c.count() == nLabels * Similarity.embeddingDim)
     assert(c.filter(isnan(col("centroid")) || col("centroid").isNull).count() == 0)
   }
+
+  test("embedding drift: identical halves show zero shift; counts partition") {
+    val s = spark
+    import s.implicits._
+    // every vector identical → whatever the hash split, both means are
+    // the constant and the shift is exactly 0
+    val emb = (1L to 40L).map(id => (id, Seq(0.25f, -1.5f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDriftCore(emb)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq(0L, 1L, 2L))
+    assert(out.forall(r => r._2 + r._3 == 40L))
+    assert(out.forall(r => r._2 > 0 && r._3 > 0)) // both halves populated
+    assert(out.map(r => (r._4, r._5, r._6)) === Seq(
+      (0.25, 0.25, 0.0), (-1.5, -1.5, 0.0), (3.0, 3.0, 0.0)))
+  }
+
+  test("embedding drift on real data: full dimension coverage, sane splits") {
+    val out = Similarity.embeddingDrift(spark, sf)
+    assert(out.count() === Similarity.embeddingDim.toLong)
+    val r = out.agg(min(col("n_a") + col("n_b")), max(col("n_a") + col("n_b")))
+      .collect()(0)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(r.getLong(0) === n && r.getLong(1) === n)
+  }
 }
