@@ -238,6 +238,66 @@ object GraphOps {
     best.orderBy(desc("strength"), asc("entity_id"))
   }
 
+  /** q147 — SHORTEST STRONG-TIE PATHS from the hub: min-plus distance
+    * where each edge costs (maxW + 1 − weight), so strong ties are
+    * cheap and the optimum is the "path of least resistance" through
+    * the relationship graph — the third member of the path algebra the
+    * engine now covers in full (q110 hop-count = unweighted, q121
+    * maximin = bottleneck width, this = additive cost), all three on
+    * the same hub/edge derivation and the same hop-bounded frontier
+    * loop. Integer costs throughout (weights are counts, the inversion
+    * is one subtraction), so the oracle's recursive-CTE twin replays
+    * it exactly.
+    *
+    * Same scale shape as q121: relaxation rounds run on the
+    * lexicon-bounded aggregated graph, frontier/best entity-keyed,
+    * rounds lineage-cut, early-exit when no cost improves.
+    */
+  def shortestTiePaths(edges: DataFrame, maxHops: Int = bfsMaxHops): DataFrame = {
+    val e = edges.toDF("src", "dst", "weight").cache()
+    val sym0 = e.select(col("src").as("a"), col("dst").as("b"), col("weight"))
+      .union(e.select(col("dst"), col("src"), col("weight")))
+      .groupBy("a", "b").agg(max("weight").as("w")) // parallel edges: strongest
+    val maxW = sym0.agg(max("w").as("mw"))
+    // per-edge additive cost, fixed for the whole walk
+    val sym = sym0.crossJoin(broadcast(maxW))
+      .select(col("a"), col("b"), (col("mw") + 1 - col("w")).as("c"))
+      .cache()
+    val hub = e.select(col("src").as("entity_id"), col("weight"))
+      .union(e.select(col("dst"), col("weight")))
+      .groupBy("entity_id").agg(sum("weight").as("degree"))
+      .orderBy(desc("degree"), asc("entity_id")).limit(1)
+      .select(col("entity_id").as("hub"))
+      .localCheckpoint(true)
+    var best = hub.join(sym, col("hub") === col("a"))
+      .select(col("b").as("entity_id"), col("c").as("cost"))
+      .localCheckpoint(true)
+    var frontier = best
+    var hop = 1
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val cand = frontier.join(sym, frontier("entity_id") === sym("a"))
+        .join(hub, col("b") === col("hub"), "left_anti")
+        .select(col("b").as("entity_id"), (col("cost") + col("c")).as("s"))
+        .groupBy("entity_id").agg(min("s").as("s"))
+      val improved = cand.join(best.withColumnRenamed("entity_id", "be")
+          .withColumnRenamed("cost", "bc"),
+          col("entity_id") === col("be"), "left_outer")
+        .filter(col("bc").isNull || col("s") < col("bc"))
+        .select(col("entity_id"), col("s").as("cost"))
+        .localCheckpoint(true)
+      best = best.join(improved.select(col("entity_id").as("ie")),
+          col("entity_id") === col("ie"), "left_anti")
+        .select("entity_id", "cost")
+        .union(improved)
+        .localCheckpoint(true)
+      frontier = improved
+    }
+    sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    best.orderBy(asc("cost"), asc("entity_id"))
+  }
+
   val kCoreMaxK = 16
 
   /** q118 — K-CORE DECOMPOSITION: each vertex's core number (the
@@ -703,6 +763,7 @@ object GraphOps {
     // defining property and fixtures are spec-pinned
     "q118_kcore" -> ((s, d) => kCoreNumbers(CooccurrenceGraph.edgeCounts(s, d))),
     "q121_widest_paths" -> ((s, d) => widestPaths(CooccurrenceGraph.edgeCounts(s, d))),
+    "q147_shortest_tie_paths" -> ((s, d) => shortestTiePaths(CooccurrenceGraph.edgeCounts(s, d))),
     "q107_triangle_census" -> (triangleCensus(_, _)),
     "q74_component_modularity" -> (componentModularity(_, _)),
     // modularity OF the LPA communities (composition of the two graph
@@ -823,6 +884,41 @@ object GraphOps {
            )
            SELECT w AS entity_id, max(st)::BIGINT AS strength
            FROM walk GROUP BY 1 ORDER BY strength DESC, entity_id"""),
+    // q147: the same walk carrying an ADDITIVE cost (mw + 1 − wt per
+    // edge); costs live in a finite set (sums of ≤ maxHops edge costs),
+    // hops bounded → terminates; min(c) per vertex = the min-plus
+    // optimum over ≤ maxHops-hop paths
+    "q147_shortest_tie_paths" ->
+      (CooccurrenceGraph.entsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""", e AS (
+             SELECT a.w AS src, b.w AS dst, count(*)::BIGINT AS weight
+             FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+             GROUP BY 1, 2
+           ), sym AS (
+             SELECT src AS a, dst AS b, max(weight) AS wt FROM (
+               SELECT src, dst, weight FROM e
+               UNION ALL SELECT dst, src, weight FROM e)
+             GROUP BY 1, 2
+           ), mw AS (SELECT max(wt) AS mw FROM sym),
+           hub AS (
+             SELECT entity_id FROM (
+               SELECT entity_id, sum(weight)::BIGINT AS degree FROM (
+                 SELECT src AS entity_id, weight FROM e
+                 UNION ALL SELECT dst, weight FROM e)
+               GROUP BY 1)
+             ORDER BY degree DESC, entity_id LIMIT 1
+           ), walk AS (
+             SELECT s.b AS w, (SELECT mw FROM mw) + 1 - s.wt AS c, 1 AS hop
+             FROM sym s JOIN hub ON s.a = hub.entity_id
+             UNION
+             SELECT s2.b, walk.c + (SELECT mw FROM mw) + 1 - s2.wt,
+               walk.hop + 1
+             FROM walk JOIN sym s2 ON walk.w = s2.a
+             WHERE walk.hop < ${bfsMaxHops}
+               AND s2.b NOT IN (SELECT entity_id FROM hub)
+           )
+           SELECT w AS entity_id, min(c)::BIGINT AS cost
+           FROM walk GROUP BY 1 ORDER BY cost, entity_id"""),
     // q110: min-hop BFS as a hop-bounded recursive walk — UNION dedups
     // (vertex, hop) pairs so the hop<maxHops guard terminates it on the
     // cyclic graph; min(hop) per vertex IS the BFS distance because

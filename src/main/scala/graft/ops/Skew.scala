@@ -169,10 +169,44 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** q149 sketch accuracy (approx_percentile's rank-error knob). */
+  val approxAccuracy = 10000
+
+  /** q149 — the MERGEABLE-SKETCH quantile path q102's scaladoc promises
+    * ("for a truly continuous column at extreme scale the exact ordered
+    * pass wants approx_percentile"): the same three cuts per event
+    * type via Spark's built-in KLL-style sketch — one pass, map-side
+    * mergeable, no ordered pass at all. Registered rows-only (the
+    * sketch's picks are engine-specific by nature — DuckDB's
+    * approx_quantile is a different sketch); the ACCURACY CONTRACT is
+    * what the spec pins instead: each sketched cut's true rank sits
+    * within n/accuracy of the target rank against the q102-exact
+    * reference, the guarantee that makes the sketch a legitimate
+    * substitute at scale.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    approxQuantilesCore(Tables.eventsMicros(spark, dir)
+      .filter(col("value").isNotNull))
+
+  private[graft] def approxQuantilesCore(ev: DataFrame): DataFrame = {
+    val ps = quantilePs.mkString("array(", ", ", ")")
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr(s"approx_percentile(value, $ps, $approxAccuracy)").as("aps"))
+      .select(col("event_type") +: col("n") +:
+        quantilePs.zipWithIndex.map { case (p, i) =>
+          col("aps").getItem(i).as(s"p${(p * 100).round}_approx")
+        }: _*)
+      .orderBy("event_type")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q119_mad_outliers" -> (madOutliers(_, _)),
+    // rows-only by design: the sketch's picks are engine-specific; the
+    // rank-error contract vs q102-exact is pinned in SkewSpec
+    "q149_approx_quantiles" -> (approxQuantiles(_, _)),
     "q24_salted_type_stats" -> (saltedTypeStats(_, _)),
     "q25_corr_stats" -> (corrStats(_, _)),
     "q102_value_quantiles" -> (valueQuantiles(_, _)))

@@ -420,8 +420,55 @@ object TextAnalysis {
       .orderBy("w1", "rank")
   }
 
+  /** q148 result size: top docs by phrase frequency. */
+  val phraseTopDocs = 20
+
+  /** q148 — POSITIONAL PHRASE SEARCH: q112's inverted index answers
+    * "which docs contain the term"; a real search engine also answers
+    * "which docs contain the PHRASE", which needs positions — the
+    * adjacency join over positional postings implemented here. The
+    * probe phrase is parameter-free and deterministic (the corpus's
+    * most frequent bigram, ties by string), so the whole pipeline —
+    * index build, phrase selection, positional intersection — is
+    * oracle-checkable end to end.
+    *
+    * Scale: BOTH posting sides are semi-filtered by the broadcast
+    * 1-row phrase BEFORE the positional join — the join only ever sees
+    * postings of the two phrase words (classic search-engine term-at-a-
+    * time intersection), so its volume is the phrase's document
+    * frequency, not the corpus. The index itself is one posexplode
+    * scan; the bigram pick collapses map-side (vocabulary²-bounded).
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchCore(Tables.documents(spark, dir), phraseTopDocs)
+
+  private[graft] def phraseSearchCore(docs0: DataFrame, k: Int): DataFrame = {
+    val docs = docs0.filter(col("text").isNotNull)
+    val posting = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val top1 = docs
+      .select(explode(graft.expr.NGramShingles(tokens(col("text")), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c12"))
+      .orderBy(desc("c12"), asc("g")).limit(1)
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+    val p1 = posting.join(broadcast(top1), col("term") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+    val p2 = posting.join(broadcast(top1.select(col("w2").as("t2"))),
+        col("term") === col("t2"))
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+    p1.join(p2, col("d2") === col("doc_id")
+        && col("pos2") === col("pos") + 1)
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n_occ"))
+      .select("doc_id", "w1", "w2", "n_occ")
+      .orderBy(desc("n_occ"), asc("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, Q] = Map(
     "q139_bigram_next_words" -> (bigramNextWords(_, _)),
+    "q148_phrase_search" -> (phraseSearch(_, _)),
     "q47_bpeish_token_counts" -> (bpeishTokenCounts(_, _)),
     "q69_tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
@@ -626,6 +673,37 @@ object TextAnalysis {
          JOIN uc cy ON j.y = cy.w
          CROSS JOIN n
          ORDER BY pmi_ratio DESC, bigram LIMIT ${colloTopK}""",
+    // q148: postings over the same filtered token arrays (positions
+    // index the FILTERED array on both sides); phrase = top bigram with
+    // the identical (count DESC, string ASC) tie-break
+    "q148_phrase_search" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         posting AS (
+           SELECT doc_id, unnest(range(len(ws))) AS pos,
+             unnest(ws) AS term
+           FROM t),
+         bc AS (
+           SELECT g, count(*)::BIGINT AS c12 FROM (
+             SELECT unnest(
+               CASE WHEN len(ws) < 2 THEN []
+                    ELSE list_transform(range(len(ws)-1),
+                           i -> ws[i+1] || ' ' || ws[i+2])
+               END) AS g
+             FROM t)
+           GROUP BY 1),
+         top1 AS (
+           SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+           FROM bc ORDER BY c12 DESC, g LIMIT 1)
+         SELECT p1.doc_id, t1.w1, t1.w2, count(*) AS n_occ
+         FROM posting p1
+         JOIN top1 t1 ON p1.term = t1.w1
+         JOIN posting p2 ON p2.doc_id = p1.doc_id
+           AND p2.pos = p1.pos + 1 AND p2.term = t1.w2
+         GROUP BY 1, 2, 3
+         ORDER BY n_occ DESC, p1.doc_id LIMIT ${phraseTopDocs}""",
     // q139: same bigram extraction as q111; the conditional-probability
     // scaling runs in HUGEINT then lands in BIGINT (quotient ≤ 10⁸)
     "q139_bigram_next_words" ->

@@ -64,6 +64,21 @@ class FrontierLmLinkageSpec extends AnyFunSuite with SparkTestBase {
       ("b", 1L, "a", 2L, 4L, 50000000L))) // ties (a:2, b:2) → w2 asc wins
   }
 
+  test("phrase search: top bigram picked, positional adjacency counted") {
+    val docs = Seq(
+      (1L, "x y x y"),   // "x y" at pos 0 and 2
+      (2L, "x y z"),     // "x y" once; "y z" once
+      (3L, "a b"),       // unrelated bigram
+      (4L, "y x"),       // reverse order — must NOT count
+      (5L, null)
+    ).toDF("doc_id", "text")
+    // bigram counts: "x y"=3, "y x"=2 ("x y x y" has y@1→x@2, plus doc 4),
+    // "y z"=1, "a b"=1 → top is "x y"
+    val out = TextAnalysis.phraseSearchCore(docs, k = 10)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "x", "y", 2L), (2L, "x", "y", 1L)))
+  }
+
   test("linkage: blocking bounds pairs; threshold counts only close names") {
     val cust = Seq(
       (1L, "Customer#000000001"), (2L, "Customer#000000002"), // same block, d=1

@@ -73,6 +73,21 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().toMap == Map("a" -> 3L, "h" -> 4L, "c" -> 2L))
   }
 
+  test("shortest tie paths: cheap 2-hop strong chain beats a weak direct edge") {
+    val s = spark
+    import s.implicits._
+    // degrees: A=21, B=9, C=18, D=10 → hub A. maxW=10 → cost=11−w:
+    //   A−B cost 10, A−C cost 1, C−B cost 3, A−D cost 1
+    // From A: C=1, D=1, B=min(direct 10, via C 1+3=4)=4
+    val edges = Seq(("A", "B", 1L), ("A", "C", 10L), ("C", "B", 8L),
+      ("A", "D", 10L)).toDF("src", "dst", "weight")
+    assert(GraphOps.shortestTiePaths(edges).as[(String, Long)]
+      .collect().toMap == Map("C" -> 1L, "D" -> 1L, "B" -> 4L))
+    // maxHops=1: direct costs only
+    assert(GraphOps.shortestTiePaths(edges, maxHops = 1).as[(String, Long)]
+      .collect().toMap == Map("C" -> 1L, "D" -> 1L, "B" -> 10L))
+  }
+
   test("k-core: triangle+tail and 4-clique fixtures, hand-computed core numbers") {
     val s = spark
     import s.implicits._
