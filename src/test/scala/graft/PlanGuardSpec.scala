@@ -30,7 +30,17 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q75_community_modularity",
     // PMI's crossJoin(broadcast(n)): the broadcast side is the
     // single-row corpus token total
-    "q111_pmi_collocations")
+    "q111_pmi_collocations",
+    // round-8 batch: every crossJoin below broadcasts a SINGLE-ROW
+    // frame (data-derived cutoff, quantile-boundary row, global total,
+    // or max edge weight) into the scan stage — the sanctioned
+    // boundary-broadcast pattern, not a pair blowup
+    "q135_cdc_merge",            // (min+max)/2 cutoff row
+    "q137_rfm_segments",         // global last day + 3 quartile rows
+    "q141_decile_lift",          // decile-boundary row
+    "q142_distribution_drift",   // cutoff + boundary row + totals row
+    "q143_revenue_concentration", // totals row
+    "q147_shortest_tie_paths")   // max-edge-weight row
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
