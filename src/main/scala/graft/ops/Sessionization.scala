@@ -172,12 +172,41 @@ object Sessionization {
       .limit(pathTopK)
   }
 
+  /** q151 — SESSION CONVERSION RATE by hour of session start: the
+    * product metric a sessionized stream exists to answer ("of the
+    * sessions that began this hour, how many converted?"). A session
+    * converts if ANY of its events is a purchase; attribution is to
+    * the session's START hour (the acquisition view — a session
+    * straddling midnight belongs to the hour that produced it).
+    *
+    * One pass over the labeled stream: the per-session collapse
+    * (min start, max converted-flag) shares the session labeling's
+    * user_id exchange; the hourly rollup is calendar-bounded; the rate
+    * is exact (BIGINT cross-multiply, q145's discipline — no float
+    * division in the gate).
+    */
+  def sessionConversion(spark: SparkSession, dir: String): DataFrame =
+    sessionConversionCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def sessionConversionCore(ev: DataFrame): DataFrame =
+    labeled(ev)
+      .groupBy("user_id", "session_id")
+      .agg(min("tsu").as("start_us"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .groupBy(expr(s"start_us div $hourUs").as("hour"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("converted").as("n_converting"))
+      .withColumn("cvr_e6", expr("n_converting * 1000000 div n_sessions"))
+      .orderBy("hour")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q27_sessionization" -> (sessions(_, _)),
     "q116_session_paths" -> (sessionPaths(_, _)),
-    "q136_peak_concurrency" -> (peakConcurrency(_, _)))
+    "q136_peak_concurrency" -> (peakConcurrency(_, _)),
+    "q151_session_conversion" -> (sessionConversion(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q27_sessionization" ->
@@ -277,5 +306,30 @@ object Sessionization {
                   LEFT JOIN ends en ON sp.hour = en.hour)
           SELECT hour, n_starts, n_ends,
             carry_in + greatest(0, coalesce(max_local, 0)) AS peak_sessions
-          FROM c ORDER BY hour""")
+          FROM c ORDER BY hour""",
+    // q151: same µs session derivation with event_type carried; the
+    // rate is one exact BIGINT multiply-then-floor-divide
+    "q151_session_conversion" ->
+      s"""WITH marked AS (
+            SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn,
+              CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                     OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${gapUs * 1000L}
+                   THEN 1 ELSE 0 END AS opens
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+          sess AS (
+            SELECT user_id, event_type, tsn,
+              sum(opens) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                AS session_id
+            FROM marked),
+          per AS (
+            SELECT user_id, session_id, min(tsn) // 1000 AS start_us,
+              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS conv
+            FROM sess GROUP BY 1, 2)
+          SELECT start_us // ${hourUs} AS hour, count(*) AS n_sessions,
+            sum(conv)::BIGINT AS n_converting,
+            (sum(conv)::BIGINT * 1000000) // count(*) AS cvr_e6
+          FROM per GROUP BY 1 ORDER BY 1""")
 }

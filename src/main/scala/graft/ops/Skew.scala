@@ -200,10 +200,54 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** q150 clip percentiles (the winsorization fences). */
+  val winsorPs: Seq[(String, Double)] = Seq("p01" -> 0.01, "p99" -> 0.99)
+
+  /** q150 — WINSORIZED feature statistics: per event type, clip `value`
+    * at the exact p01/p99 order statistics (the q102 discrete rule) and
+    * report what training-data preprocessing needs to know — how many
+    * rows each fence clipped and the moments of the clipped feature.
+    * The standard tail-taming transform before model fitting: unlike
+    * q119's MAD fence (which COUNTS outliers), this one REWRITES them
+    * to the fence value, so the emitted sum is the post-transform
+    * feature the pipeline would actually train on.
+    *
+    * Exact throughout: fences are stored data values selected by the
+    * shared cume-share rule; clipping is a comparison; the clipped sum
+    * quantizes per-row to DECIMAL before summing (the money-sum
+    * discipline — order-independent, so it hashes), and returns to
+    * double rounded at the end.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame =
+    winsorizedCore(Tables.eventsMicros(spark, dir)
+      .filter(col("value").isNotNull))
+
+  private[graft] def winsorizedCore(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select("event_type", "value")
+    val fences = cumeCuts(ev, "value", winsorPs)
+    ev.join(broadcast(fences), "event_type")
+      .withColumn("clipped",
+        when(col("value") < col("p01"), col("p01"))
+          .when(col("value") > col("p99"), col("p99"))
+          .otherwise(col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("p01"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("value") > col("p99"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        min("p01").as("fence_low"), min("p99").as("fence_high"),
+        round(sum(col("clipped")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double"), 2).as("clipped_sum"))
+      .orderBy("event_type")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q119_mad_outliers" -> (madOutliers(_, _)),
+    "q150_winsorized_stats" -> (winsorizedStats(_, _)),
     // rows-only by design: the sketch's picks are engine-specific; the
     // rank-error contract vs q102-exact is pinned in SkewSpec
     "q149_approx_quantiles" -> (approxQuantiles(_, _)),
@@ -271,6 +315,39 @@ object Skew {
     // q102: the same spelled-out discrete selection rule (NOT the
     // engine's quantile_disc — index-convention differences), so both
     // sides pick stored doubles via identical long-ratio comparisons
+    // q150: fences via the identical cume-share rule; clipping is a
+    // CASE comparison; the clipped sum follows the money-sum discipline
+    // (per-row DECIMAL quantization → exact order-independent sum)
+    "q150_winsorized_stats" -> {
+      val fences = winsorPs.map { case (name, p) =>
+        s"min(value) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= ${p}::DOUBLE) AS $name"
+      }.mkString(",\n            ")
+      s"""WITH ev AS (
+           SELECT event_type, value FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL),
+         g AS (
+           SELECT event_type, value, count(*) AS c FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, value,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+           FROM g),
+         f AS (SELECT event_type,
+            $fences
+          FROM cum GROUP BY 1)
+         SELECT e.event_type, count(*) AS n,
+           sum(CASE WHEN e.value < f.p01 THEN 1 ELSE 0 END)::BIGINT
+             AS n_clipped_low,
+           sum(CASE WHEN e.value > f.p99 THEN 1 ELSE 0 END)::BIGINT
+             AS n_clipped_high,
+           min(f.p01) AS fence_low, min(f.p99) AS fence_high,
+           round(sum(CAST(CASE WHEN e.value < f.p01 THEN f.p01
+                               WHEN e.value > f.p99 THEN f.p99
+                               ELSE e.value END AS DECIMAL(18,6)))::DOUBLE, 2)
+             AS clipped_sum
+         FROM ev e JOIN f ON e.event_type = f.event_type
+         GROUP BY 1 ORDER BY 1"""
+    },
     "q102_value_quantiles" -> {
       val cuts = quantilePs.map(p =>
         s"min(value) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= ${p}::DOUBLE) AS p${(p * 100).round}")

@@ -185,6 +185,22 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
       (3L, 1L, 1L, 1L)))
   }
 
+  test("session conversion: any-purchase flag, start-hour attribution, exact rate") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, 0L, "click"), (1L, 1000L, "purchase"),      // hour 0, converts
+      (2L, 500L, "view"),                              // hour 0, no
+      (3L, hourUs + 5, "purchase"),                    // hour 1, converts
+      // straddles the boundary but STARTS in hour 0 → attributed there
+      (4L, hourUs - 100, "click"), (4L, hourUs + 100, "purchase")
+    ).zipWithIndex.map { case ((u, t, tp), i) => (i.toLong, u, t, tp) }
+      .toDF("event_id", "user_id", "tsu", "event_type")
+    val out = Sessionization.sessionConversionCore(rows)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 3L, 2L, 666666L), (1L, 1L, 1L, 1000000L)))
+  }
+
   test("peak concurrency matches a brute-force sweep on real data") {
     val sess = Sessionization.sessions(spark, sf)
       .select("session_start_us", "session_end_us")

@@ -12,6 +12,21 @@ import graft.ops.Skew
   */
 class SkewSpec extends AnyFunSuite with SparkTestBase {
 
+  test("winsorized stats: fences clip, interior survives, sum rewrites tails") {
+    val s = spark
+    import s.implicits._
+    // 100 rows of value 1..100 for one type: p01 fence = 1, p99 = 99
+    // (cume share of 99 hits 0.99 exactly) → only 100 clips (high).
+    val ev = (1 to 100).map(v => ("view", v.toDouble))
+      .toDF("event_type", "value")
+    val out = Skew.winsorizedCore(ev)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    // clipped sum = (1..99 sum) + 99 (the 100 row rewritten) = 4950+99-100+100...
+    // sum(1..100) = 5050; row 100 rewrites to 99 → 5049
+    assert(out === (("view", 100L, 0L, 1L, 1.0, 99.0, 5049.0)))
+  }
+
   test("approx quantiles: picks are data values within the rank-error bound") {
     val ev = Tables.eventsMicros(spark, sf).filter(col("value").isNotNull)
       .select("event_type", "value")

@@ -16,10 +16,10 @@ FAMILIES = [
       "q38", "q39", "q104", "q105", "q114", "q122", "q123", "q126", "q127",
       "q135", "q138"]),
     ("events/windows (q20-q29, q73, q101-q102, q106, q108, q119, q136, "
-     "q145, q149)",
+     "q145, q149-q151)",
      ["q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28", "q29",
       "q73", "q101", "q102", "q106", "q108", "q119", "q136", "q145",
-      "q149"]),
+      "q149", "q150", "q151"]),
     ("graph (q30-q35, q74-q75, q89, q107, q110, q118, q121, q147)",
      ["q30", "q31", "q32", "q33", "q34", "q35", "q74", "q75", "q89",
       "q107", "q110", "q118", "q121", "q147"]),
