@@ -12,7 +12,8 @@ FAMILIES = [
     ("relational + pivot + sketches + SCD2/PIT/bloom/profile/CDC "
      "(q01-q19, q38-q39, q104-q105, q114, q122-q123, q126-q127, q135, q138)",
      ["q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10_",
-      "q11_", "q12_", "q13_", "q14_", "q15", "q16", "q17", "q18", "q19",
+      "q11_", "q12_", "q13_", "q14_", "q15_", "q16_", "q17_", "q18_",
+      "q19_",
       "q38", "q39", "q104", "q105", "q114", "q122", "q123", "q126", "q127",
       "q135", "q138"]),
     ("events/windows (q20-q29, q73, q101-q102, q106, q108, q119, q136, "
