@@ -754,9 +754,47 @@ object GraphOps {
     materializeAndRelease(out, e, g, cc)
   }
 
+  /** q154 — NEIGHBOR-OVERLAP structural similarity: for every entity
+    * pair with at least one common neighbor, the Jaccard similarity of
+    * their neighbor SETS — the structural-equivalence score under
+    * common-neighbor link prediction and role discovery (two entities
+    * can be "structurally twins" without ever co-occurring). Pure
+    * DataFrame relational algebra, no GraphX: common neighbors are
+    * length-2 paths through the symmetrized adjacency (one self-join on
+    * the midpoint), degrees one hash agg, |A∪B| by inclusion-exclusion.
+    * At 100 TB the join volume is Σ_z deg(z)² over the aggregated
+    * lexicon-bounded graph — corpus-independent here; on an unbounded
+    * graph the standard cap (drop super-hub midpoints, exactly the df
+    * cap q52 applies to shingles) bounds it.
+    */
+  def neighborOverlap(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst"), col("src")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val cn = sym.as("x").join(sym.as("y"),
+        col("x.b") === col("y.a") && col("x.a") < col("y.b"))
+      .groupBy(col("x.a").as("src"), col("y.b").as("dst"))
+      .agg(count(lit(1)).as("n_common"))
+    val linked = edges.select("src", "dst").withColumn("is_linked", lit(true))
+    cn
+      .join(broadcast(deg.select(col("v").as("src"), col("deg").as("deg_src"))),
+        "src")
+      .join(broadcast(deg.select(col("v").as("dst"), col("deg").as("deg_dst"))),
+        "dst")
+      .join(linked, Seq("src", "dst"), "left_outer")
+      .withColumn("is_linked", coalesce(col("is_linked"), lit(false)))
+      .withColumn("jaccard", round(col("n_common").cast("double")
+        / (col("deg_src") + col("deg_dst") - col("n_common")).cast("double"), 6))
+      .select("src", "dst", "n_common", "deg_src", "deg_dst", "is_linked",
+        "jaccard")
+      .orderBy(desc("jaccard"), asc("src"), asc("dst"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q154_neighbor_overlap" -> ((s, d) =>
+      neighborOverlap(CooccurrenceGraph.edgeCounts(s, d))),
     "q33_pagerank" -> (pagerank(_, _)),
     "q110_bfs_hops" -> ((s, d) => bfsHops(CooccurrenceGraph.edgeCounts(s, d))),
     // rows-only like q35: iterative peeling has no SQL oracle; the
@@ -818,6 +856,35 @@ object GraphOps {
     * Σ rank = |V| and weight-monotone ranking pinned in GraphOpsSpec).
     */
   val oracles: Map[String, String] = Map(
+    // q154: the same midpoint self-join re-derived from the raw entity
+    // rows; counts and degrees exact BIGINT, one float division of
+    // exact integers
+    "q154_neighbor_overlap" ->
+      (CooccurrenceGraph.entsCte +
+        """, e AS (
+             SELECT a.w AS src, b.w AS dst
+             FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+             GROUP BY 1, 2
+           ), sym AS (
+             SELECT src AS a, dst AS b FROM e
+             UNION ALL SELECT dst, src FROM e
+           ), deg AS (
+             SELECT a AS v, count(*)::BIGINT AS deg FROM sym GROUP BY 1
+           ), cn AS (
+             SELECT x.a AS src, y.b AS dst, count(*)::BIGINT AS n_common
+             FROM sym x JOIN sym y ON x.b = y.a AND x.a < y.b
+             GROUP BY 1, 2
+           )
+           SELECT cn.src, cn.dst, n_common,
+             da.deg AS deg_src, db.deg AS deg_dst,
+             (el.src IS NOT NULL) AS is_linked,
+             round(n_common::DOUBLE
+               / (da.deg + db.deg - n_common)::DOUBLE, 6) AS jaccard
+           FROM cn
+           JOIN deg da ON cn.src = da.v
+           JOIN deg db ON cn.dst = db.v
+           LEFT JOIN e el ON el.src = cn.src AND el.dst = cn.dst
+           ORDER BY jaccard DESC, cn.src, cn.dst"""),
     // q107: the same canonical a<b<c enumeration re-derived from the
     // raw entity rows; counts and degrees exact BIGINT, clustering one
     // float division of exact integers

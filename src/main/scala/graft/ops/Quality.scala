@@ -177,14 +177,78 @@ object Quality {
     ev.join(broadcast(tombstones), Seq("user_id"), "left_anti")
   }
 
+  /** Benford expected first-digit shares, parts-per-million:
+    * round(log10(1 + 1/d)·10⁶). Carried as INTEGER CONSTANTS — the
+    * engine and the oracle share the same nine literals instead of each
+    * calling a transcendental log, so the comparison is exact by
+    * construction (they sum to exactly 1 000 000).
+    */
+  private[graft] val benfordPpm: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** q153 — BENFORD FIRST-DIGIT AUDIT over order totals: the classic
+    * fraud/corruption screen on any money column (naturally-grown
+    * multiplicative amounts follow log-uniform leading digits; invented
+    * or truncated data doesn't). Pure integer pipeline: first digit via
+    * floor → BIGINT → first character (never double→int casts — Spark
+    * truncates, DuckDB rounds: exactly the cross-engine trap), observed
+    * share in ppm by integer division, deviation = |obs − benford| in
+    * ppm. One hash aggregate to 9 cells; at 100 TB the audit is a single
+    * map-side-combined pass whatever the table size.
+    */
+  def benfordDigits(s: SparkSession, d: String): DataFrame = {
+    val digitCol = substring(floor(col("o_totalprice")).cast("long")
+      .cast("string"), 1, 1).cast("int")
+    val expected = benfordPpm.foldLeft(lit(null).cast("long")) {
+      case (acc, (dg, ppm)) => when(col("digit") === dg, ppm).otherwise(acc)
+    }
+    val counts = Tables.orders(s, d)
+      .filter(col("o_totalprice") >= 1)
+      .select(digitCol.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    // 9-row frame: the whole-frame window total is driver-trivial
+    val total = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    counts
+      .withColumn("n_total", sum("n").over(total))
+      // integer div, NOT `/`: Column./ on BIGINTs is double division
+      .withColumn("obs_ppm", expr("(n * 1000000) div n_total"))
+      .drop("n_total")
+      .withColumn("benford_ppm", expected)
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .select("digit", "n", "obs_ppm", "benford_ppm", "dev_ppm")
+      .orderBy("digit")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q153_benford_digits" -> (benfordDigits(_, _)),
     "q129_fk_integrity" -> (fkIntegrity(_, _)),
     "q130_incremental_rollup" -> (incrementalRollup(_, _)),
     "q133_compliance_purge" -> (compliancePurge(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q153: same nine shared ppm literals, same floor→BIGINT→first-char
+    // digit extraction, same integer division — no transcendental, no
+    // float anywhere
+    "q153_benford_digits" -> {
+      val caseExpr = benfordPpm.toSeq.sortBy(_._1)
+        .map { case (dg, ppm) => s"WHEN $dg THEN ${ppm}" }
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH c AS (
+           SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT
+               AS digit,
+             count(*) AS n
+           FROM orders WHERE o_totalprice >= 1 GROUP BY 1)
+         SELECT digit, n,
+           (n * 1000000) // (sum(n) OVER ())::BIGINT AS obs_ppm,
+           ($caseExpr)::BIGINT AS benford_ppm,
+           abs((n * 1000000) // (sum(n) OVER ())::BIGINT
+             - ($caseExpr)::BIGINT) AS dev_ppm
+         FROM c ORDER BY digit"""
+    },
     // q129: one FULL JOIN per relation at key grain — the same
     // two-sided accounting, independently formulated. sum(BIGINT) is
     // HUGEINT in DuckDB → every aggregate casts back to BIGINT

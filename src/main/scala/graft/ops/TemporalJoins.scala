@@ -254,9 +254,63 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** Share of readings q152 deterministically blanks (3/16) — md5-nibble
+    * on event_id (the q58/q59 content-keyed discipline), salt ":gap".
+    */
+  private[graft] def gapNibble: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(col("event_id").cast("string"),
+      lit(":gap")).cast("binary")), 1, 1), 16, 10).cast("int")
+
+  /** q152 — LOCF GAP-FILL (last observation carried forward): the
+    * standard repair for sparse sensor/metric streams — a reading is
+    * missing, carry the user's latest prior reading forward. The
+    * third member of the as-of family: q36 aligns two STREAMS, q123
+    * aligns a stream to SCD2 STATE, this aligns a stream to ITSELF
+    * across its own gaps. Physically identical discipline to
+    * [[asofCore]]: one (user_id)-partitioned window, a running
+    * `last(_, ignoreNulls)` over a single nullable STRUCT so the
+    * carried value and its source event_id come atomically from the
+    * same observed row (the round-7 advice that fixed asofCore), one
+    * exchange, zero pair blowup at any gap length.
+    *
+    * The 3/16 missingness is verification plumbing (deterministic
+    * md5-nibble, re-derivable by the oracle); production feeds a frame
+    * whose nulls are real. Leading gaps (no prior observation) stay
+    * null — LOCF repairs history, it does not invent it.
+    */
+  def locfGapFill(spark: SparkSession, dir: String): DataFrame =
+    locfCore(Tables.eventsMicros(spark, dir).withColumn("v_obs",
+      when(gapNibble >= 3, col("value"))))
+
+  /** Core over any frame with (event_id, user_id, tsu, v_obs) where
+    * v_obs is null on the rows to fill — spec seam for hand fixtures.
+    */
+  private[graft] def locfCore(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      // null struct exactly when the reading is missing: value and
+      // source id can never come from different rows
+      .withColumn("obs_pack",
+        when(col("v_obs").isNotNull,
+          struct(col("v_obs").as("v"), col("event_id").as("src"))))
+      .withColumn("fill", last("obs_pack", ignoreNulls = true).over(w))
+      // total (null-free) output: nullable doubles round-trip as NaN
+      // through parquet→pandas on the gate side, and NaN ≠ NaN would
+      // fail the exact-hash compare — flags + sentinels carry the same
+      // information losslessly (has_fill disambiguates a real 0.0)
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        col("v_obs").isNull.as("is_gap"),
+        col("fill").isNotNull.as("has_fill"),
+        coalesce(col("fill.v"), lit(0.0)).as("v_filled"),
+        coalesce(col("fill.src"), lit(-1L)).as("fill_src"))
+      .orderBy("event_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q152_locf_gap_fill" -> (locfGapFill(_, _)),
     "q36_asof_join" -> (asofErrorClicks(_, _)),
     "q37_range_join" -> (purchaseClickAttribution(_, _)),
     "q73_rolling_hour_window" -> (rollingHourWindow(_, _)),
@@ -267,6 +321,31 @@ object TemporalJoins {
       rollingCoreScalable(Tables.eventsMicros(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // q152: DuckDB's native IGNORE NULLS window carry — an independent
+    // formulation (two last_value calls over columns that are null on
+    // exactly the same rows ≡ the engine's atomic struct carry); the
+    // filled doubles pass through unrounded, so any drift anywhere
+    // would hash-mismatch
+    "q152_locf_gap_fill" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+             CASE WHEN strpos('0123456789abcdef',
+                 substr(md5(event_id::VARCHAR || ':gap'), 1, 1)) - 1 >= 3
+               THEN value END AS v_obs
+           FROM events WHERE ts IS NOT NULL),
+         f AS (
+           SELECT event_id, user_id, tsu, v_obs IS NULL AS is_gap,
+             last_value(v_obs IGNORE NULLS) OVER w AS fv,
+             last_value(CASE WHEN v_obs IS NOT NULL THEN event_id END
+               IGNORE NULLS) OVER w AS fs
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, tsu, is_gap,
+           fv IS NOT NULL AS has_fill,
+           coalesce(fv, 0.0) AS v_filled,
+           coalesce(fs, -1)::BIGINT AS fill_src
+         FROM f ORDER BY event_id""",
     // the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // implementation of the semantics, not a re-derivation of ours
     "q36_asof_join" ->

@@ -346,6 +346,26 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(0) === r.getLong(1))
   }
 
+  test("neighbor overlap: hand-computed Jaccard, non-linked structural twins surface") {
+    val s = spark
+    import s.implicits._
+    // square-with-diagonal: a-b, b-c, a-c, c-d
+    // neighbor sets: a{b,c} b{a,c} c{a,b,d} d{c}
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L),
+      ("c", "d", 1L)).toDF("src", "dst", "weight")
+    val out = GraphOps.neighborOverlap(edges)
+      .select("src", "dst", "n_common", "is_linked", "jaccard")
+      .as[(String, String, Long, Boolean, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", "d", 1L, false, 0.5),      // never co-occur, yet structural kin
+      ("b", "d", 1L, false, 0.5),
+      ("a", "b", 1L, true, 0.333333),  // 1 common / |{a,b,c} ∪ …| = 1/3
+      ("a", "c", 1L, true, 0.25),
+      ("b", "c", 1L, true, 0.25)))
+    // (c,d) share an edge but no common neighbor → correctly absent
+    assert(!out.exists(r => r._1 == "c" && r._2 == "d"))
+  }
+
   test("salted aggregation equals direct aggregation (two-phase merge is invisible)") {
     val salted = Skew.saltedTypeStats(spark, sf).collect().toSeq
     val q = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))

@@ -93,6 +93,23 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       plan.take(600))
   }
 
+  test("q153 benford: shared ppm constants are a partition of 1e6; audit covers every order once") {
+    // the nine engine/oracle-shared literals must sum to exactly one
+    // million — the property that makes the comparison float-free
+    assert(Quality.benfordPpm.values.sum == 1000000L)
+    assert(Quality.benfordPpm.keySet == (1 to 9).toSet)
+    val out = Quality.benfordDigits(spark, sf).collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 9), "all nine digits present, ordered")
+    val inScope = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 1).count()
+    assert(out.map(_.getLong(1)).sum == inScope, "every order counted exactly once")
+    // integer-division shares: each ≤ 1e6, total within 9 ulps of 1e6
+    val obsSum = out.map(_.getLong(2)).sum
+    assert(obsSum <= 1000000L && obsSum > 1000000L - 9)
+    // deviation column is consistent with its two inputs
+    out.foreach(r => assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3))))
+  }
+
   test("q131 mergeSchema read: pre-schema rows surface and nothing is lost") {
     val out = graft.sources.ParquetLayout.schemaEvolutionRollup(spark, sf)
     val byType = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -307,6 +307,40 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop).passed)
   }
 
+  test("locf gap-fill: carries latest prior observation, leading gaps stay unfilled") {
+    val df = Seq(
+      (1L, 7L, 100L, Some(1.5)),
+      (2L, 7L, 200L, None),        // → 1.5 from event 1
+      (3L, 7L, 300L, None),        // gap run: still 1.5 from event 1
+      (4L, 7L, 400L, Some(4.0)),
+      (5L, 7L, 500L, None),        // → 4.0 from event 4
+      (6L, 8L, 50L, None),         // leading gap, no prior obs → unfilled
+      (7L, 8L, 600L, Some(7.0)),
+      (8L, 8L, 600L, None)         // same-µs tie: event_id order → 7.0
+    ).toDF("event_id", "user_id", "tsu", "v_obs")
+    val out = TemporalJoins.locfCore(df)
+      .select("event_id", "is_gap", "has_fill", "v_filled", "fill_src")
+      .as[(Long, Boolean, Boolean, Double, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, false, true, 1.5, 1L),
+      (2L, true, true, 1.5, 1L),
+      (3L, true, true, 1.5, 1L),
+      (4L, false, true, 4.0, 4L),
+      (5L, true, true, 4.0, 4L),
+      (6L, true, false, 0.0, -1L),
+      (7L, false, true, 7.0, 7L),
+      (8L, true, true, 7.0, 7L)))
+  }
+
+  test("locf plan is one window over user_id: single exchange, no join") {
+    val plan = TemporalJoins.locfGapFill(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "locf must not plan a join")
+    assert(plan.contains("Window"))
+    assert(plan.split("Exchange hashpartitioning").length <= 3,
+      "at most the window exchange plus final sort: " + plan.take(400))
+  }
+
   test("as-of plan is window-based: one exchange, no join node") {
     val plan = TemporalJoins.asofErrorClicks(spark, sf)
       .queryExecution.executedPlan.toString
