@@ -763,31 +763,46 @@ object GraphOps {
     * length-2 paths through the symmetrized adjacency (one self-join on
     * the midpoint), degrees one hash agg, |A∪B| by inclusion-exclusion.
     * At 100 TB the join volume is Σ_z deg(z)² over the aggregated
-    * lexicon-bounded graph — corpus-independent here; on an unbounded
-    * graph the standard cap (drop super-hub midpoints, exactly the df
-    * cap q52 applies to shingles) bounds it.
+    * lexicon-bounded graph — and `maxMidpointDeg` ENFORCES the standard
+    * bound on unbounded graphs: midpoints whose degree exceeds the cap
+    * are dropped before the self-join (exactly the df cap q52 applies
+    * to shingles), so one super-hub can never quadratically dominate.
+    * A dropped hub undercounts n_common for pairs whose only common
+    * neighbors are hubs — the standard approximation; pick the cap
+    * above the densest legitimate entity. Degree tables join without a
+    * broadcast hint: they are vocabulary-sized, so AQE broadcasts them
+    * when (and only when) they actually fit.
+    *
+    * jaccard_ppm = ⌊n_common·10⁶ / |A∪B|⌋ is an exact BIGINT — both
+    * engines compute one integer division of exact integers, the same
+    * float-free cross-engine contract q153 uses (round(double, 6) can
+    * differ by 1 ulp between Spark's BigDecimal HALF_UP and DuckDB's
+    * float path on near-halfway quotients).
     */
-  def neighborOverlap(edges: DataFrame): DataFrame = {
+  def neighborOverlap(edges: DataFrame, maxMidpointDeg: Long = 1000000L): DataFrame = {
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst"), col("src")))
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
-    val cn = sym.as("x").join(sym.as("y"),
+    // x.b IS the midpoint (join key forces y.a = x.b), so capping the
+    // x side alone caps the pair enumeration
+    val okMid = deg.filter(col("deg") <= maxMidpointDeg)
+      .select(col("v").as("b"))
+    val capped = sym.join(okMid, Seq("b"), "left_semi")
+    val cn = capped.as("x").join(sym.as("y"),
         col("x.b") === col("y.a") && col("x.a") < col("y.b"))
       .groupBy(col("x.a").as("src"), col("y.b").as("dst"))
       .agg(count(lit(1)).as("n_common"))
     val linked = edges.select("src", "dst").withColumn("is_linked", lit(true))
     cn
-      .join(broadcast(deg.select(col("v").as("src"), col("deg").as("deg_src"))),
-        "src")
-      .join(broadcast(deg.select(col("v").as("dst"), col("deg").as("deg_dst"))),
-        "dst")
+      .join(deg.select(col("v").as("src"), col("deg").as("deg_src")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("deg_dst")), "dst")
       .join(linked, Seq("src", "dst"), "left_outer")
       .withColumn("is_linked", coalesce(col("is_linked"), lit(false)))
-      .withColumn("jaccard", round(col("n_common").cast("double")
-        / (col("deg_src") + col("deg_dst") - col("n_common")).cast("double"), 6))
+      .withColumn("jaccard_ppm", expr(
+        "n_common * 1000000L div (deg_src + deg_dst - n_common)"))
       .select("src", "dst", "n_common", "deg_src", "deg_dst", "is_linked",
-        "jaccard")
-      .orderBy(desc("jaccard"), asc("src"), asc("dst"))
+        "jaccard_ppm")
+      .orderBy(desc("jaccard_ppm"), asc("src"), asc("dst"))
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -857,8 +872,10 @@ object GraphOps {
     */
   val oracles: Map[String, String] = Map(
     // q154: the same midpoint self-join re-derived from the raw entity
-    // rows; counts and degrees exact BIGINT, one float division of
-    // exact integers
+    // rows — including the super-hub midpoint cap, so the two engines
+    // implement the same contract on ANY graph; counts, degrees and the
+    // ppm score all exact BIGINT (integer division both sides — no
+    // float rounding in the comparison at all)
     "q154_neighbor_overlap" ->
       (CooccurrenceGraph.entsCte +
         """, e AS (
@@ -873,18 +890,19 @@ object GraphOps {
            ), cn AS (
              SELECT x.a AS src, y.b AS dst, count(*)::BIGINT AS n_common
              FROM sym x JOIN sym y ON x.b = y.a AND x.a < y.b
+             JOIN deg dm ON x.b = dm.v AND dm.deg <= 1000000
              GROUP BY 1, 2
            )
            SELECT cn.src, cn.dst, n_common,
              da.deg AS deg_src, db.deg AS deg_dst,
              (el.src IS NOT NULL) AS is_linked,
-             round(n_common::DOUBLE
-               / (da.deg + db.deg - n_common)::DOUBLE, 6) AS jaccard
+             ((n_common * 1000000)
+               // (da.deg + db.deg - n_common))::BIGINT AS jaccard_ppm
            FROM cn
            JOIN deg da ON cn.src = da.v
            JOIN deg db ON cn.dst = db.v
            LEFT JOIN e el ON el.src = cn.src AND el.dst = cn.dst
-           ORDER BY jaccard DESC, cn.src, cn.dst"""),
+           ORDER BY jaccard_ppm DESC, cn.src, cn.dst"""),
     // q107: the same canonical a<b<c enumeration re-derived from the
     // raw entity rows; counts and degrees exact BIGINT, clustering one
     // float division of exact integers

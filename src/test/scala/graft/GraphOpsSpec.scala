@@ -346,7 +346,7 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(0) === r.getLong(1))
   }
 
-  test("neighbor overlap: hand-computed Jaccard, non-linked structural twins surface") {
+  test("neighbor overlap: hand-computed Jaccard ppm, non-linked structural twins surface") {
     val s = spark
     import s.implicits._
     // square-with-diagonal: a-b, b-c, a-c, c-d
@@ -354,16 +354,38 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L),
       ("c", "d", 1L)).toDF("src", "dst", "weight")
     val out = GraphOps.neighborOverlap(edges)
-      .select("src", "dst", "n_common", "is_linked", "jaccard")
-      .as[(String, String, Long, Boolean, Double)].collect().toSeq
+      .select("src", "dst", "n_common", "is_linked", "jaccard_ppm")
+      .as[(String, String, Long, Boolean, Long)].collect().toSeq
     assert(out === Seq(
-      ("a", "d", 1L, false, 0.5),      // never co-occur, yet structural kin
-      ("b", "d", 1L, false, 0.5),
-      ("a", "b", 1L, true, 0.333333),  // 1 common / |{a,b,c} ∪ …| = 1/3
-      ("a", "c", 1L, true, 0.25),
-      ("b", "c", 1L, true, 0.25)))
+      ("a", "d", 1L, false, 500000L),  // never co-occur, yet structural kin
+      ("b", "d", 1L, false, 500000L),
+      ("a", "b", 1L, true, 333333L),   // ⌊10⁶·1/|{a,b,c}|⌋ = ⌊10⁶/3⌋
+      ("a", "c", 1L, true, 250000L),
+      ("b", "c", 1L, true, 250000L)))
     // (c,d) share an edge but no common neighbor → correctly absent
     assert(!out.exists(r => r._1 == "c" && r._2 == "d"))
+  }
+
+  test("neighbor overlap: super-hub midpoint cap drops hub-mediated pairs only") {
+    val s = spark
+    import s.implicits._
+    // star z-{a,b,c,d} plus a-b; deg(z)=4, all others ≤ 2
+    val edges = Seq(("z", "a", 1L), ("z", "b", 1L), ("z", "c", 1L),
+      ("z", "d", 1L), ("a", "b", 1L)).toDF("src", "dst", "weight")
+    val capped = GraphOps.neighborOverlap(edges, maxMidpointDeg = 2L)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    // every pair whose ONLY common neighbor is the hub z vanishes;
+    // (a,z)/(b,z) survive via midpoints b/a (deg 2 each)
+    assert(capped === Set(("a", "z"), ("b", "z")))
+    // and without the cap, the hub mediates all six leaf pairs
+    val full = GraphOps.neighborOverlap(edges)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(Set(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")).subsetOf(full))
+    // degrees are reported from the UNCAPPED graph either way
+    val dz = GraphOps.neighborOverlap(edges, maxMidpointDeg = 2L)
+      .filter(col("dst") === "z").select("deg_dst").distinct()
+      .as[Long].collect().toSeq
+    assert(dz === Seq(4L))
   }
 
   test("salted aggregation equals direct aggregation (two-phase merge is invisible)") {
