@@ -68,11 +68,12 @@ object Tables {
     * `user_id` ≈ episode (bvid), `event_type` ≈ comment class,
     * `props` ≈ free-form payload.
     *
-    * `ts` is TIMESTAMP(NANOS) in the parquet, which Spark's TimestampType
-    * (µs) cannot represent — it is read as raw nanosecond longs
-    * (spark.sql.legacy.parquet.nanosAsLong) and bucketized with integer
-    * arithmetic (a double round-trip would lose precision: 2024 epoch-ns
-    * ≈ 1.7e18 > 2^53).
+    * POST-LOAD contract: `ts` is an epoch-NANOSECOND long. The parquet
+    * carries TIMESTAMP(MICROS) (earlier testdata generations carried
+    * TIMESTAMP(NANOS)); [[load]] normalizes to ns longs on read so every
+    * temporal operator bucketizes with exact integer arithmetic — a
+    * double round-trip would lose precision (2024 epoch-ns ≈ 1.7e18 >
+    * 2^53), and ns·longs stay well under Long.MaxValue (9.2e18).
     */
   val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -81,6 +82,13 @@ object Tables {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** What the events parquet physically declares: µs timestamps. */
+  private val eventsReadSchema = StructType(
+    eventsSchema.fields.map {
+      case StructField("ts", _, n, m) => StructField("ts", TimestampType, n, m)
+      case f => f
+    })
 
   val documentsSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -102,17 +110,17 @@ object Tables {
     "documents" -> documentsSchema, "embeddings" -> embeddingsSchema)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // ns-precision ts column, see eventsSchema scaladoc. The flag is a
-    // SESSION-BUILDER responsibility (Verify/Bench/tests all set it) —
-    // a table accessor silently mutating session conf is action at a
-    // distance; instead fail loudly with the fix when it's missing.
-    if (name == "events")
-      require(
-        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-        "events.parquet carries TIMESTAMP(NANOS): set " +
-          "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
-          "builder (see Tables.eventsSchema scaladoc)")
-    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // Read the µs timestamp as declared, then widen to the ns-long
+      // contract (eventsSchema scaladoc). unix_micros is an exact
+      // integer extraction of TimestampType's internal µs value, so the
+      // conversion is lossless and stays inside whole-stage codegen.
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      spark.read.schema(eventsReadSchema).parquet(s"$dir/$name.parquet")
+        .withColumn("ts", unix_micros(col("ts")) * 1000L)
+        .select(eventsSchema.fieldNames.map(col).toIndexedSeq: _*)
+    } else
+      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
   }
 
   /** Typed accessors: the declared-schema scan narrowed to a case-class

@@ -13,8 +13,6 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) — see Tables.eventsSchema
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // static conf — must be set before session creation; keeps
       // saveAsTable fixtures (BucketingSpec) out of the repo tree
       .config("spark.sql.warehouse.dir",
