@@ -221,15 +221,153 @@ object Quality {
       .orderBy("digit")
   }
 
+  /** One audited dependency for q157: does `lhs → rhs` hold in `df`?
+    * Group to LHS grain counting distinct RHS values, then collapse to
+    * one accounting row. Two hash aggregates, both keyed on the LHS —
+    * at 100 TB the first is map-side-combined to |distinct LHS| and the
+    * second is a scalar fold; nothing is ever pairwise.
+    */
+  private[graft] def fdAuditOne(df: DataFrame, relation: String,
+                                lhs: Seq[String], rhs: String): DataFrame =
+    df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col(rhs)).as("n_rhs"), count(lit(1)).as("n_rows"))
+      .agg(
+        count(lit(1)).as("n_lhs_groups"),
+        count(when(col("n_rhs") > 1, 1)).as("n_violating"),
+        max("n_rhs").as("max_rhs"),
+        sum(when(col("n_rhs") > 1, col("n_rows"))).as("n_rows_in_violation"))
+      .select(lit(relation).as("dependency"), col("n_lhs_groups"),
+        col("n_violating"), col("max_rhs"),
+        coalesce(col("n_rows_in_violation"), lit(0L))
+          .as("n_rows_in_violation"))
+
+  /** q157 — FUNCTIONAL-DEPENDENCY / CANDIDATE-KEY AUDIT: for each
+    * declared-or-suspected dependency `LHS → RHS`, how many LHS groups
+    * carry more than one RHS value (violations), how bad the worst
+    * group is, and how many rows sit inside violating groups. This is
+    * the schema-discovery half of data profiling (q127 profiles
+    * columns in isolation; this audits the relationships BETWEEN them)
+    * — on a 100 TB lake it is how you learn whether "event_id is
+    * unique" or "an order never changes priority" actually holds
+    * before a pipeline silently relies on it. The audited set mixes
+    * dependencies that genuinely hold (candidate keys — proved held,
+    * not assumed) with ones that genuinely fail, so both code paths
+    * are exercised with non-zero counts.
+    */
+  def fdAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val li = Tables.lineitem(s, d)
+    val audits = Seq(
+      fdAuditOne(ev, "events: event_id -> user_id", Seq("event_id"),
+        "user_id"),
+      fdAuditOne(ev, "events: user_id -> event_type", Seq("user_id"),
+        "event_type"),
+      fdAuditOne(li, "lineitem: (l_orderkey, l_linenumber) -> l_partkey",
+        Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+      fdAuditOne(li, "lineitem: l_orderkey -> l_suppkey",
+        Seq("l_orderkey"), "l_suppkey"),
+      fdAuditOne(Tables.orders(s, d), "orders: o_custkey -> o_orderpriority",
+        Seq("o_custkey"), "o_orderpriority"),
+      fdAuditOne(Tables.nation(s, d), "nation: n_nationkey -> n_regionkey",
+        Seq("n_nationkey"), "n_regionkey"))
+    audits.reduce(_ unionByName _).orderBy("dependency")
+  }
+
+  /** q158 — CROSS-FIELD INDEPENDENCE LIFT: for every (event_type,
+    * day-of-week) cell, observed count against the count independence
+    * predicts from the margins, as lift_ppm = ⌊o·N·10⁶ / (n_type·n_dow)⌋
+    * — 10⁶ means independent, above/below means the type concentrates
+    * in / avoids that weekday. This is the contingency-table audit
+    * behind seasonality checks and drift alarms, as PURE INTEGER
+    * arithmetic: lift is the ratio form of the chi-square cell (its
+    * log is PMI, q111's measure) but needs no square and no
+    * transcendental, so the cross-engine contract is exact integer
+    * division of exact counts (decimal(38,0) on the Spark side, HUGEINT
+    * in DuckDB — products reach o·N·10⁶ ≈ 10¹⁶ at sf0.1 and ~10³⁰ at
+    * petabyte counts, past Long either way). One scan feeds cells and
+    * both margins; margins and total are dimension-sized joins AQE
+    * broadcasts.
+    */
+  def independenceLift(s: SparkSession, d: String): DataFrame =
+    independenceLiftCore(Tables.eventsMicros(s, d)
+      .select(col("event_type"),
+        expr("((tsu div 86400000000) + 3) % 7").as("dow")))
+
+  /** Core over any frame with (event_type, dow) — fixture-injection
+    * seam for the spec.
+    */
+  private[graft] def independenceLiftCore(ev: DataFrame): DataFrame = {
+    val cells = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("n_obs"))
+    val byType = ev.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+    val byDow = ev.groupBy("dow").agg(count(lit(1)).as("n_dow"))
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    cells
+      .join(byType, "event_type")
+      .join(byDow, "dow")
+      .crossJoin(broadcast(total)) // single-row frame (sanctioned)
+      .withColumn("lift_ppm", expr(
+        """(cast(n_obs AS DECIMAL(38,0)) * n_total * 1000000)
+           div (cast(n_type AS DECIMAL(38,0)) * n_dow)"""))
+      .select("event_type", "dow", "n_obs", "n_type", "n_dow", "n_total",
+        "lift_ppm")
+      .orderBy("event_type", "dow")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q157_fd_audit" -> (fdAudit(_, _)),
+    "q158_independence_lift" -> (independenceLift(_, _)),
     "q153_benford_digits" -> (benfordDigits(_, _)),
     "q129_fk_integrity" -> (fkIntegrity(_, _)),
     "q130_incremental_rollup" -> (incrementalRollup(_, _)),
     "q133_compliance_purge" -> (compliancePurge(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q157: same group-to-LHS-grain then collapse, independently
+    // formulated with FILTER aggregates; HUGEINT sums cast back
+    "q157_fd_audit" -> {
+      def branch(rel: String, table: String, lhs: String, rhs: String) =
+        s"""SELECT '$rel' AS dependency,
+           count(*)::BIGINT AS n_lhs_groups,
+           (count(*) FILTER (WHERE n_rhs > 1))::BIGINT AS n_violating,
+           max(n_rhs)::BIGINT AS max_rhs,
+           coalesce(sum(n_rows) FILTER (WHERE n_rhs > 1), 0)::BIGINT
+             AS n_rows_in_violation
+         FROM (SELECT count(DISTINCT $rhs) AS n_rhs, count(*) AS n_rows
+               FROM $table GROUP BY $lhs) g"""
+      Seq(
+        branch("events: event_id -> user_id", "events", "event_id",
+          "user_id"),
+        branch("events: user_id -> event_type", "events", "user_id",
+          "event_type"),
+        branch("lineitem: (l_orderkey, l_linenumber) -> l_partkey",
+          "lineitem", "l_orderkey, l_linenumber", "l_partkey"),
+        branch("lineitem: l_orderkey -> l_suppkey", "lineitem",
+          "l_orderkey", "l_suppkey"),
+        branch("orders: o_custkey -> o_orderpriority", "orders",
+          "o_custkey", "o_orderpriority"),
+        branch("nation: n_nationkey -> n_regionkey", "nation",
+          "n_nationkey", "n_regionkey"))
+        .mkString("", "\n UNION ALL\n ", "\n ORDER BY dependency")
+    },
+    // q158: margins re-derived from the same single-pass counts; the
+    // ppm lift is one HUGEINT integer division — no floats anywhere
+    "q158_independence_lift" ->
+      """WITH ev AS (
+           SELECT event_type,
+             ((epoch_ns(ts) // 1000 // 86400000000) + 3) % 7 AS dow
+           FROM events WHERE ts IS NOT NULL),
+         cells AS (
+           SELECT event_type, dow, count(*) AS n_obs FROM ev GROUP BY 1, 2),
+         bt AS (SELECT event_type, count(*) AS n_type FROM ev GROUP BY 1),
+         bd AS (SELECT dow, count(*) AS n_dow FROM ev GROUP BY 1),
+         t AS (SELECT count(*) AS n_total FROM ev)
+         SELECT c.event_type, c.dow, n_obs, n_type, n_dow, n_total,
+           ((n_obs::HUGEINT * n_total * 1000000)
+             // (n_type::HUGEINT * n_dow))::BIGINT AS lift_ppm
+         FROM cells c JOIN bt USING (event_type) JOIN bd USING (dow), t
+         ORDER BY 1, 2""",
     // q153: same nine shared ppm literals, same floor→BIGINT→first-char
     // digit extraction, same integer division — no transcendental, no
     // float anywhere

@@ -466,7 +466,45 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** q156 — HASHING-TRICK FEATURES (Weinberger et al. 2009, the
+    * fixed-width text featurizer every large-scale linear/embedding
+    * trainer feeds on): every token routes to one of 256 buckets by
+    * md5, with a second hash bit giving the ± sign that keeps hash
+    * collisions unbiased in expectation. The whole vocabulary —
+    * unbounded at 100 TB — collapses to a FIXED 256-wide vector per
+    * group with one explode + one map-side-combined aggregation; no
+    * vocabulary table, no dictionary broadcast, no second pass, which
+    * is the entire point of the trick at scale. Aggregated per `lang`
+    * here (a per-language corpus feature matrix); the same core
+    * groups by doc_id for per-document vectors. The md5-nibble
+    * arithmetic is the q58 content-keyed discipline, so DuckDB
+    * re-derives bucket and sign exactly.
+    */
+  def hashedFeatures(spark: SparkSession, dir: String): DataFrame =
+    hashedFeaturesCore(Tables.documents(spark, dir))
+
+  /** Core over any frame with (lang, text) — fixture-injection seam
+    * for the spec.
+    */
+  private[graft] def hashedFeaturesCore(docs: DataFrame): DataFrame = {
+    val h = md5(col("w").cast("binary"))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .withColumn("bucket", conv(substring(h, 1, 2), 16, 10).cast("int"))
+      .withColumn("sign",
+        when(conv(substring(h, 3, 1), 16, 10).cast("int") < 8, 1L)
+          .otherwise(-1L))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_distinct"),
+        sum(col("sign")).as("signed_sum"))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q156_hashed_features" -> (hashedFeatures(_, _)),
     "q139_bigram_next_words" -> (bigramNextWords(_, _)),
     "q148_phrase_search" -> (phraseSearch(_, _)),
     "q47_bpeish_token_counts" -> (bpeishTokenCounts(_, _)),
@@ -537,6 +575,25 @@ object TextAnalysis {
     ORDER BY d.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // q156: bucket and sign re-derived nibble-by-nibble from the same
+    // md5 hex — integer counts only, no floats anywhere
+    "q156_hashed_features" ->
+      """WITH t AS (
+           SELECT lang, w FROM (
+             SELECT lang, unnest(string_split(text, ' ')) AS w
+             FROM documents WHERE text IS NOT NULL)
+           WHERE w <> ''),
+         h AS (
+           SELECT lang, w,
+             16 * (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)
+               AS bucket,
+             CASE WHEN strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1 < 8
+               THEN 1 ELSE -1 END AS sign
+           FROM t)
+         SELECT lang, bucket::INT AS bucket, count(*) AS n_tokens,
+           count(DISTINCT w) AS n_distinct, sum(sign)::BIGINT AS signed_sum
+         FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
     "q48_winnow_fingerprints" -> winnowOracle,
     // the SQL-text route must produce the bit-identical fingerprint table
     "q49_sql_winnow_fingerprints" -> winnowOracle,

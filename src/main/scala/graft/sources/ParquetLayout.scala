@@ -264,9 +264,76 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** Stage orders + lineitem as BUCKETED tables (8 buckets on the join
+    * key, sorted within) rooted at `base` — seam for q155 and its spec.
+    * `repartition(8, key)` first: repartition's hash placement matches
+    * the bucket-file rule, so each task holds exactly one bucket's rows
+    * and the layout lands as ONE file per bucket (without it every task
+    * writes a sliver of every bucket — the small-file pathology q134
+    * exists to clean up).
+    */
+  private[graft] def stageBucketed(spark: SparkSession, dir: String,
+                                   base: java.nio.file.Path): Unit = {
+    Tables.orders(spark, dir).repartition(8, col("o_orderkey"))
+      .write.mode("overwrite")
+      .option("path", base.resolve("b_orders").toString)
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_q155_orders")
+    Tables.lineitem(spark, dir).repartition(8, col("l_orderkey"))
+      .write.mode("overwrite")
+      .option("path", base.resolve("b_lineitem").toString)
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_q155_lineitem")
+  }
+
+  /** The exchange-free fact-fact join over the staged bucketed tables —
+    * seam for the spec's no-Exchange plan assertion.
+    */
+  private[graft] def bucketedJoined(spark: SparkSession): DataFrame =
+    spark.table("graft_q155_lineitem")
+      .join(spark.table("graft_q155_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+
+  /** q155 — BUCKETED CO-LOCATED JOIN: both fact tables written
+    * `bucketBy(8, join-key)` and joined with ZERO shuffle of either
+    * side — the layout pre-agrees on the partitioning, so the sort-merge
+    * join reads co-located buckets directly. This is THE lever for a
+    * 100 TB warehouse's recurring fact-fact joins: the shuffle of the
+    * big side is paid once at write time and amortized over every
+    * subsequent join (a per-query exchange of a 100 TB lineitem is the
+    * single largest cost in the plan). Broadcast is disabled for the
+    * join so the tiny test sf exercises the sort-merge path the layout
+    * is designed for; ParquetLayoutSpec asserts the absent Exchange.
+    * The oracle joins the ORIGINAL flat tables — bucketing must be
+    * semantically invisible.
+    */
+  def bucketedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q155_")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      stageBucketed(spark, dir, base)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = bucketedJoined(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double"), 4).as("revenue"))
+        .orderBy("o_orderstatus")
+      out.localCheckpoint(true)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_q155_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_q155_lineitem")
+      Tables.deleteRecursively(base)
+    }
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q155_bucketed_join_revenue" -> (bucketedJoinRevenue(_, _)),
     "q103_partition_pruned_revenue" -> (partitionPrunedRevenue(_, _)),
     "q125_orc_interchange" -> (orcInterchangeRevenue(_, _)),
     "q131_schema_evolution" -> (schemaEvolutionRollup(_, _)),
@@ -274,6 +341,15 @@ object ParquetLayout {
     "q134_compaction_rollup" -> (compactionRollup(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q155: the oracle joins the ORIGINAL flat tables — the bucketed
+    // layout must be semantically invisible
+    "q155_bucketed_join_revenue" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+           count(DISTINCT o_orderkey) AS n_orders,
+           round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,4)))::DOUBLE, 4) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     // the oracle reads the ORIGINAL flat table: layout + pruning must be
     // semantically invisible
     "q103_partition_pruned_revenue" ->

@@ -141,6 +141,38 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally Tables.deleteRecursively(base)
   }
 
+  test("q155: bucketed layout lands one file per bucket; the join never exchanges") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q155spec_")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ParquetLayout.stageBucketed(spark, sf, base)
+      // the pre-write repartition aligns task hash placement with the
+      // bucket-file rule: exactly one file per bucket, no slivers
+      val (_, nOrderFiles) =
+        ParquetLayout.dirStats(spark, base.resolve("b_orders").toString)
+      val (_, nLineFiles) =
+        ParquetLayout.dirStats(spark, base.resolve("b_lineitem").toString)
+      assert(nOrderFiles == 8 && nLineFiles == 8,
+        s"expected 8 bucket files each, got $nOrderFiles / $nLineFiles")
+      val joined = ParquetLayout.bucketedJoined(spark)
+      val plan = joined.queryExecution.executedPlan.toString
+      val ji = plan.indexOf("SortMergeJoin")
+      assert(ji >= 0, s"expected a sort-merge join of bucketed tables:\n$plan")
+      assert(!plan.substring(ji).contains("Exchange"),
+        s"bucketed join must not shuffle either input:\n$plan")
+      // parity: the layout is semantically invisible
+      val flat = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == flat)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_q155_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_q155_lineitem")
+      Tables.deleteRecursively(base)
+    }
+  }
+
   test("q103 leaves no scratch layout behind") {
     import scala.jdk.CollectionConverters._
     def scratch(): Set[String] = {

@@ -110,6 +110,49 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     out.foreach(r => assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3))))
   }
 
+  test("q157 fd audit arithmetic on a hand fixture: held and violated dependencies") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "b", 20L),
+      (4L, "b", 21L), (5L, "b", 21L)).toDF("id", "grp", "v")
+    // id -> v holds: every LHS group has exactly one RHS value
+    val holds = Quality.fdAuditOne(df, "t: id -> v", Seq("id"), "v")
+      .collect().head
+    assert(holds.getLong(1) == 5 && holds.getLong(2) == 0
+      && holds.getLong(3) == 1 && holds.getLong(4) == 0)
+    // grp -> v violated by grp=b only (v ∈ {20, 21} over 3 rows)
+    val viol = Quality.fdAuditOne(df, "t: grp -> v", Seq("grp"), "v")
+      .collect().head
+    assert(viol.getLong(1) == 2 && viol.getLong(2) == 1
+      && viol.getLong(3) == 2 && viol.getLong(4) == 3)
+  }
+
+  test("q157 on the real star: candidate keys hold, known non-keys violate") {
+    val rows = Quality.fdAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 6)
+    assert(rows("events: event_id -> user_id").getLong(2) == 0,
+      "event_id must be a candidate key")
+    assert(rows("nation: n_nationkey -> n_regionkey").getLong(2) == 0)
+    assert(rows("events: user_id -> event_type").getLong(2) > 0,
+      "a user emits more than one event type")
+  }
+
+  test("q158 independence lift arithmetic on a hand 2x2 fixture") {
+    import spark.implicits._
+    val ev = Seq(("A", 0L), ("A", 0L), ("B", 0L), ("B", 1L))
+      .toDF("event_type", "dow")
+    val out = Quality.independenceLiftCore(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out.size == 3) // (A,1) never observed → no cell
+    // (A,0): ⌊2·4·10⁶ / (2·3)⌋;  (B,0): ⌊1·4·10⁶ / (2·3)⌋;  (B,1): ⌊4·10⁶ / 2⌋
+    assert(out(("A", 0L)).getAs[Long]("lift_ppm") == 1333333L)
+    assert(out(("B", 0L)).getAs[Long]("lift_ppm") == 666666L)
+    assert(out(("B", 1L)).getAs[Long]("lift_ppm") == 2000000L)
+    // margins carried through intact
+    assert(out(("A", 0L)).getAs[Long]("n_dow") == 3L
+      && out(("A", 0L)).getAs[Long]("n_total") == 4L)
+  }
+
   test("q131 mergeSchema read: pre-schema rows surface and nothing is lost") {
     val out = graft.sources.ParquetLayout.schemaEvolutionRollup(spark, sf)
     val byType = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap

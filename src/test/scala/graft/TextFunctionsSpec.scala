@@ -134,6 +134,39 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql == fp(text))
   }
 
+  test("q156 hashed features: buckets/signs re-derived from md5, counts conserved") {
+    val s = spark
+    import s.implicits._
+    def md5hex(w: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucketOf(w: String): Int = Integer.parseInt(md5hex(w).take(2), 16)
+    def signOf(w: String): Long =
+      if (Integer.parseInt(md5hex(w).substring(2, 3), 16) < 8) 1L else -1L
+    val docs = Seq((1L, "alpha beta alpha", "en"), (2L, "beta gamma", "zh"),
+      (3L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    // independent reference computation, token-by-token
+    val expected = Seq("en" -> Seq("alpha", "beta", "alpha"),
+      "zh" -> Seq("beta", "gamma"))
+      .flatMap { case (lang, ws) =>
+        ws.groupBy(w => bucketOf(w)).map { case (b, inB) =>
+          (lang, b, inB.size.toLong, inB.distinct.size.toLong,
+            inB.map(signOf).sum)
+        }
+      }.toSet
+    val got = graft.ops.TextAnalysis.hashedFeaturesCore(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    // real corpus: buckets in range, signed mass bounded by token mass
+    val real = graft.ops.TextAnalysis.hashedFeatures(spark, sf).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 256))
+    assert(real.forall(r => math.abs(r.getLong(4)) <= r.getLong(2)))
+    assert(real.forall(r => r.getLong(3) <= r.getLong(2)))
+  }
+
   test("segmentCjk on real corpus phrases: longest dictionary match wins") {
     // 前方高能 is a dictionary 4-gram: matched whole, not 前方+高能
     assert(TextFunctions.segmentCjk("前方高能") == Seq("前方高能"))
