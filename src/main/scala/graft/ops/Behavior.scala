@@ -262,9 +262,58 @@ object Behavior {
       .orderBy("hour")
   }
 
+  /** q159 — A/B EXPERIMENT READOUT: deterministic 50/50 arm assignment
+    * by hashed user_id (the q58/q144 md5-nibble discipline — stable
+    * across runs, engines and cluster layouts, which is the property an
+    * experiment platform actually needs: a user must land in the same
+    * arm on every batch), then the signup→purchase conversion funnel
+    * per arm and the treatment/control lift, all as exact integer ppm.
+    * One row out: conditional aggregation collapses both arms in a
+    * single pass over the per-user frame, which is signup-user-sized
+    * (never event-sized) by the time anything aggregates. nullif guards
+    * make degenerate arms (empty, zero-conversion) surface as null
+    * rather than a division error — at 100 TB a mis-scoped experiment
+    * filter WILL eventually produce one.
+    */
+  def abExperimentLift(spark: SparkSession, dir: String): DataFrame =
+    abExperimentCore(Tables.eventsMicros(spark, dir))
+
+  /** Core over any frame with (user_id, event_type, tsu) — fixture-
+    * injection seam for the spec.
+    */
+  private[graft] def abExperimentCore(ev: DataFrame): DataFrame = {
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tsu").as("signup_tsu"))
+    // converted = at least one purchase at-or-after first signup (the
+    // q76 funnel gate), collapsed to user grain before the join back
+    val converted = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("tsu") >= col("signup_tsu"))
+      .select("user_id").distinct()
+      .withColumn("converted", lit(1))
+    signup.join(converted, Seq("user_id"), "left_outer")
+      .withColumn("arm",
+        when(Sampling.nibbleOf(col("user_id"), ":arm") < 8, "control")
+          .otherwise("treatment"))
+      .agg(
+        count(when(col("arm") === "control", 1)).as("n_signup_control"),
+        count(when(col("arm") === "control", col("converted")))
+          .as("n_conv_control"),
+        count(when(col("arm") === "treatment", 1)).as("n_signup_treatment"),
+        count(when(col("arm") === "treatment", col("converted")))
+          .as("n_conv_treatment"))
+      .withColumn("conv_control_ppm",
+        expr("n_conv_control * 1000000 div nullif(n_signup_control, 0)"))
+      .withColumn("conv_treatment_ppm",
+        expr("n_conv_treatment * 1000000 div nullif(n_signup_treatment, 0)"))
+      .withColumn("lift_ppm",
+        expr("conv_treatment_ppm * 1000000 div nullif(conv_control_ppm, 0)"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q159_ab_experiment" -> (abExperimentLift(_, _)),
     "q145_hourly_anomaly" -> (hourlyAnomaly(_, _)),
     "q117_type_coengagement" -> (typeCoEngagement(_, _)),
     "q120_activity_heatmap" -> (activityHeatmap(_, _)),
@@ -274,6 +323,48 @@ object Behavior {
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q159: arm re-derived from the same md5 nibble, funnel gate and
+    // ppm arithmetic re-formulated with FILTER aggregates — integer
+    // division end to end, nulls (not errors) on degenerate arms
+    "q159_ab_experiment" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu
+           FROM events WHERE ts IS NOT NULL),
+         s AS (
+           SELECT user_id, min(tsu) AS signup_tsu FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         c AS (
+           SELECT DISTINCT e.user_id FROM ev e JOIN s USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.tsu >= s.signup_tsu),
+         a AS (
+           SELECT s.user_id,
+             CASE WHEN strpos('0123456789abcdef',
+                 substr(md5(s.user_id::VARCHAR || ':arm'), 1, 1)) - 1 < 8
+               THEN 'control' ELSE 'treatment' END AS arm,
+             (c.user_id IS NOT NULL) AS converted
+           FROM s LEFT JOIN c ON s.user_id = c.user_id),
+         m AS (
+           SELECT
+             (count(*) FILTER (WHERE arm = 'control'))::BIGINT
+               AS n_signup_control,
+             (count(*) FILTER (WHERE arm = 'control' AND converted))::BIGINT
+               AS n_conv_control,
+             (count(*) FILTER (WHERE arm = 'treatment'))::BIGINT
+               AS n_signup_treatment,
+             (count(*) FILTER (WHERE arm = 'treatment' AND converted))::BIGINT
+               AS n_conv_treatment
+           FROM a)
+         SELECT n_signup_control, n_conv_control, n_signup_treatment,
+           n_conv_treatment,
+           (n_conv_control * 1000000) // nullif(n_signup_control, 0)
+             AS conv_control_ppm,
+           (n_conv_treatment * 1000000) // nullif(n_signup_treatment, 0)
+             AS conv_treatment_ppm,
+           ((n_conv_treatment * 1000000) // nullif(n_signup_treatment, 0)
+             * 1000000)
+             // nullif((n_conv_control * 1000000)
+                       // nullif(n_signup_control, 0), 0) AS lift_ppm
+         FROM m""",
     // q145: RANGE frame over integer hours; the spike test stays in
     // BIGINT (cross-multiplied, never divided)
     "q145_hourly_anomaly" ->

@@ -243,9 +243,50 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** q160 — HLL SKETCH MERGEABILITY: per-type HyperLogLog sketches of
+    * the user set (Apache DataSketches via hll_sketch_agg, lgK=12 ≈
+    * 0.8 % standard error), UNIONED into the global cardinality WITHOUT
+    * rescanning — plus the exact counts alongside, so every row carries
+    * its own observed err_ppm. Mergeability is the entire reason
+    * sketches exist at 100 TB: partial sketches from yesterday's
+    * partitions union with today's in O(sketch) instead of re-reading
+    * the year; the `__all__` row here is computed from the per-type
+    * sketch column, proving the union path (q14's plain
+    * approx_count_distinct can't do this — its estimate is terminal).
+    * Rows-only by design: sketch estimates are engine-specific; the
+    * error contract vs exact and union-equals-rescan are pinned in
+    * SkewSpec.
+    */
+  def hllMergeability(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perType = ev.groupBy("event_type").agg(
+      hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+      countDistinct(col("user_id")).as("exact_users"))
+    val typed = perType.select(
+      col("event_type").as("scope"),
+      hll_sketch_estimate(col("sk")).as("approx_users"),
+      col("exact_users"))
+    // global row: union of the per-type sketches — no second scan of ev
+    val global = perType.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+        .as("approx_users"),
+      lit(null).cast("long").as("exact_users"))
+      .select(lit("__all__").as("scope"), col("approx_users"),
+        col("exact_users"))
+    val globalExact = ev.agg(countDistinct(col("user_id")).as("ge"))
+    typed.unionByName(global.crossJoin(broadcast(globalExact)) // single-row
+      .withColumn("exact_users", col("ge")).drop("ge"))
+      .withColumn("err_ppm",
+        expr("abs(approx_users - exact_users) * 1000000 div exact_users"))
+      .orderBy("scope")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // rows-only by design: HLL estimates are engine-specific; the
+    // union-equals-rescan and error contracts are pinned in SkewSpec
+    "q160_hll_mergeability" -> (hllMergeability(_, _)),
     "q119_mad_outliers" -> (madOutliers(_, _)),
     "q150_winsorized_stats" -> (winsorizedStats(_, _)),
     // rows-only by design: the sketch's picks are engine-specific; the

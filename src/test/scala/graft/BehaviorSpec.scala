@@ -226,4 +226,40 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
       (1L, 0L, 1L), (1L, 1L, 1L)))
   }
+
+  test("q159 ab experiment: deterministic arms, funnel gate, exact ppm arithmetic") {
+    val s = spark
+    import s.implicits._
+    // reference arm assignment, independently computed from the md5 hex
+    def armOf(u: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:arm".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.take(1), 16) < 8) "control" else "treatment"
+    }
+    // 40 signup users; even ones purchase AFTER signup (converted);
+    // user 1 purchases only BEFORE signup (funnel gate must reject);
+    // user 99 purchases but never signed up (not in the experiment)
+    val rows = (1L to 40L).map(u => (u, "signup", 100L)) ++
+      (2L to 40L by 2).map(u => (u, "purchase", 200L)) ++
+      Seq((1L, "purchase", 50L), (99L, "purchase", 300L))
+    val r = Behavior.abExperimentCore(
+      rows.toDF("user_id", "event_type", "tsu")).collect().head
+    val byArm = (1L to 40L).groupBy(armOf)
+    val (nc, nt) = (byArm.getOrElse("control", Nil).size.toLong,
+      byArm.getOrElse("treatment", Nil).size.toLong)
+    val cc = byArm.getOrElse("control", Nil).count(_ % 2 == 0).toLong
+    val ct = byArm.getOrElse("treatment", Nil).count(_ % 2 == 0).toLong
+    assert(r.getAs[Long]("n_signup_control") == nc)
+    assert(r.getAs[Long]("n_signup_treatment") == nt)
+    assert(r.getAs[Long]("n_conv_control") == cc)
+    assert(r.getAs[Long]("n_conv_treatment") == ct)
+    // both arms populated on this fixture (determinism means this can't flake)
+    assert(nc > 0 && nt > 0)
+    val ccPpm = cc * 1000000L / nc
+    val ctPpm = ct * 1000000L / nt
+    assert(r.getAs[Long]("conv_control_ppm") == ccPpm)
+    assert(r.getAs[Long]("conv_treatment_ppm") == ctPpm)
+    if (ccPpm == 0) assert(r.isNullAt(r.fieldIndex("lift_ppm")))
+    else assert(r.getAs[Long]("lift_ppm") == ctPpm * 1000000L / ccPpm)
+  }
 }

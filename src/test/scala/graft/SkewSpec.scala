@@ -54,4 +54,19 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+  test("q160 hll mergeability: union of per-type sketches equals a direct global sketch") {
+    val out = Skew.hllMergeability(spark, sf).collect()
+    val all = out.find(_.getString(0) == "__all__").get
+    assert(all.getLong(2) > 0, "global exact count must be carried")
+    // observed error within the lgK=12 design envelope, every row
+    assert(out.forall(_.getLong(3) < 20000),
+      out.map(r => s"${r.getString(0)}:${r.getLong(3)}ppm").mkString(","))
+    assert(out.length >= 3, "per-type rows plus the union row")
+    // the union row must be BIT-IDENTICAL to sketching the whole table
+    // in one pass: HLL merge is register-wise max, lossless at equal lgK
+    val direct = Tables.events(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
+      .collect().head.getLong(0)
+    assert(all.getLong(1) == direct, "sketch union must equal rescan")
+  }
 }
