@@ -281,9 +281,47 @@ object Skew {
       .orderBy("scope")
   }
 
+  /** The q161 audited columns. */
+  private[graft] val statColumns =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** q161 — ANALYZE-style OPTIMIZER TABLE STATISTICS: per numeric
+    * column of lineitem, row/null accounting, exact NDV, min/max and
+    * exact quartile order statistics — the stats a cost-based optimizer
+    * (and a human debugging one) feeds on for selectivity and join-size
+    * estimates. One `stack` unpivot turns C columns into (column_name,
+    * value) rows so ALL columns share a single scan and ONE
+    * cume-selection kernel invocation (the q102 kernel, groupCol =
+    * column_name) — per-column passes would scan the table C times.
+    * NDV falls out free: the kernel's first stage is exactly the
+    * distinct-value histogram, so counting its rows per group costs
+    * nothing extra. The quartiles are data values selected by the
+    * shared cume rule, never interpolated — no arithmetic on doubles
+    * anywhere, so the gate is exact.
+    */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val stacked = li.select(expr(
+      s"stack(${statColumns.size}, " +
+        statColumns.map(c => s"'$c', $c").mkString(", ") +
+        ") AS (column_name, value)"))
+    val total = li.agg(count(lit(1)).as("n_rows"))
+    cumeCuts(stacked.filter(col("value").isNotNull), "value",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75),
+      extras = Seq(count(lit(1)).as("ndv"), max("n").as("n_values"),
+        min("value").as("v_min"), max("value").as("v_max")),
+      groupCol = "column_name")
+      .crossJoin(broadcast(total)) // single-row frame (sanctioned)
+      .withColumn("n_null", col("n_rows") - col("n_values"))
+      .select("column_name", "n_rows", "n_values", "n_null", "ndv",
+        "v_min", "v_max", "p25", "p50", "p75")
+      .orderBy("column_name")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q161_table_stats" -> (tableStats(_, _)),
     // rows-only by design: HLL estimates are engine-specific; the
     // union-equals-rescan and error contracts are pinned in SkewSpec
     "q160_hll_mergeability" -> (hllMergeability(_, _)),
@@ -297,6 +335,36 @@ object Skew {
     "q102_value_quantiles" -> (valueQuantiles(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q161: same unpivot, same distinct-value histogram, same cume
+    // selection rule; quartiles are stored data values (no
+    // interpolation), counts cast back from HUGEINT
+    "q161_table_stats" -> {
+      val longRows = statColumns
+        .map(c => s"SELECT '$c' AS column_name, $c AS value FROM lineitem")
+        .mkString("\n           UNION ALL ")
+      val cuts = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75)
+        .map { case (nm, p) =>
+          s"min(value) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= ${p}::DOUBLE) AS p$nm" }
+        .mkString(",\n           ")
+      s"""WITH long AS (
+           $longRows),
+         t AS (SELECT count(*) AS n_rows FROM lineitem),
+         g AS (
+           SELECT column_name, value, count(*) AS c FROM long
+           WHERE value IS NOT NULL GROUP BY 1, 2),
+         cum AS (
+           SELECT column_name, value,
+                  sum(c) OVER (PARTITION BY column_name ORDER BY value) AS cum,
+                  sum(c) OVER (PARTITION BY column_name) AS n
+           FROM g)
+         SELECT column_name, t.n_rows::BIGINT AS n_rows,
+           max(n)::BIGINT AS n_values,
+           (t.n_rows - max(n))::BIGINT AS n_null,
+           count(*)::BIGINT AS ndv,
+           min(value) AS v_min, max(value) AS v_max,
+           $cuts
+         FROM cum, t GROUP BY column_name, t.n_rows ORDER BY column_name"""
+    },
     // q119: the same two cume-share median selections + exact fence;
     // `mad * 3` (int × double) and the abs-subtractions are single IEEE
     // ops identical in both engines

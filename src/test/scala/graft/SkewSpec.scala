@@ -69,4 +69,18 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       .collect().head.getLong(0)
     assert(all.getLong(1) == direct, "sketch union must equal rescan")
   }
+  test("q161 table stats: null/row accounting consistent, order statistics bounded") {
+    val out = Skew.tableStats(spark, sf).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"${r.getString(0)}: n_rows = n_values + n_null")
+      assert(r.getLong(4) <= r.getLong(2), "ndv bounded by value count")
+      assert(r.getLong(4) > 0)
+      val (mn, mx) = (r.getDouble(5), r.getDouble(6))
+      val (p25, p50, p75) = (r.getDouble(7), r.getDouble(8), r.getDouble(9))
+      assert(mn <= p25 && p25 <= p50 && p50 <= p75 && p75 <= mx,
+        s"${r.getString(0)}: quartiles must be ordered within [min, max]")
+    }
+  }
 }
