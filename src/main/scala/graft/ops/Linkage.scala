@@ -53,10 +53,82 @@ object Linkage {
       .orderBy("blk")
   }
 
+  /** q162 — GOLDEN-RECORD SURVIVORSHIP: resolve q140's linkage pairs
+    * into clusters and consolidate each to ONE master record by
+    * explicit survivorship rules — the master-data step that turns
+    * "these rows match" into a usable table. Rules (each a different
+    * classic): identity = min key; name = the min-key member's (via one
+    * `min(struct(key, name))`, no second join); balance = max
+    * (best-value-wins); segment = MODE with a lexicographic tiebreak
+    * (most-frequent-wins, deterministic). Cluster resolution is GraphX
+    * CC on the PRE-COLLAPSED duplicate-pair graph (q57's stance: the
+    * pair graph is tiny next to the table, so iteration is
+    * scheduling-free; `.rdd` is the sanctioned GraphX boundary), and
+    * every un-linked record passes through as its own cluster — a
+    * golden-record table covers the whole table, not just the dupes.
+    * The oracle re-derives the closure with a recursive CTE (q57's
+    * independent-implementation discipline) and the mode with a
+    * windowed count, so clustering AND every survivorship rule are
+    * hash-gated.
+    */
+  def goldenRecords(spark: SparkSession, dir: String): DataFrame =
+    goldenCore(spark, Tables.customer(spark, dir))
+
+  private[graft] def goldenCore(spark: SparkSession, cust0: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.Graph
+    import org.apache.spark.sql.expressions.Window
+    val cust = cust0.select(col("c_custkey"), col("c_name"),
+      col("c_acctbal"), col("c_mktsegment"),
+      expr("substring(c_name, 1, length(c_name) - 2)").as("blk"))
+    val a = cust.select(col("blk"), col("c_custkey").as("k1"),
+      col("c_name").as("n1"))
+    val b = cust.select(col("blk"), col("c_custkey").as("k2"),
+      col("c_name").as("n2"))
+    val pairs = a.join(b, Seq("blk"))
+      .filter(col("n1") < col("n2"))
+      .filter(levenshtein(col("n1"), col("n2"), linkMaxDist) >= 0)
+      .select("k1", "k2")
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val g = Graph.fromEdgeTuples(pairs.coalesce(2), defaultValue = 0)
+    val cc = g.connectedComponents()
+    val s = spark
+    import s.implicits._
+    val comp = cc.vertices.toDF("c_custkey", "cluster")
+    val labeled = cust.join(comp, Seq("c_custkey"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("c_custkey")))
+    // segment mode, deterministic: count desc, then lexicographic
+    val segPick = labeled.groupBy("cluster", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(desc("cnt"), asc("c_mktsegment"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("c_mktsegment").as("golden_segment"))
+    val out = labeled.groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(struct(col("c_custkey"), col("c_name"))).as("first"),
+        max("c_acctbal").as("best_acctbal"),
+        sort_array(collect_list("c_custkey")).as("ms"))
+      .join(segPick, "cluster")
+      .select(
+        col("first.c_custkey").as("golden_custkey"),
+        col("first.c_name").as("golden_name"),
+        col("golden_segment"),
+        col("best_acctbal"),
+        array_join(transform(col("ms"), _.cast("string")), ",").as("members"),
+        col("n_members"))
+      .orderBy("golden_custkey")
+    val done = out.localCheckpoint(true)
+    cc.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    done
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "q140_name_linkage" -> (nameLinkage(_, _)))
+    "q140_name_linkage" -> (nameLinkage(_, _)),
+    "q162_golden_records" -> (goldenRecords(_, _)))
 
   val oracles: Map[String, String] = Map(
     // same blocking + normalized pair order; DuckDB's levenshtein is
@@ -79,5 +151,47 @@ object Linkage {
           SELECT m.blk, m.n_members, m.n_cand_pairs,
             coalesce(d.n_dup_pairs, 0) AS n_dup_pairs
           FROM m LEFT JOIN dup d ON m.blk = d.blk
-          ORDER BY m.blk""")
+          ORDER BY m.blk""",
+    // q162: closure re-derived with a recursive CTE (GraphX CC's
+    // min-id labeling IS the min-reachable fixpoint), survivorship
+    // re-formulated with arg_min / max / windowed mode
+    "q162_golden_records" ->
+      s"""WITH RECURSIVE c AS (
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+              substr(c_name, 1, length(c_name) - 2) AS blk
+            FROM customer),
+          e AS (
+            SELECT a.c_custkey AS x, b.c_custkey AS y
+            FROM c a JOIN c b ON a.blk = b.blk AND a.c_name < b.c_name
+            WHERE levenshtein(a.c_name, b.c_name) <= ${linkMaxDist}),
+          sym AS (SELECT x, y FROM e UNION SELECT y, x FROM e),
+          vs AS (SELECT DISTINCT x AS v FROM sym),
+          reach AS (
+            SELECT v AS a, v AS b FROM vs
+            UNION
+            SELECT r.a, s.y FROM reach r JOIN sym s ON r.b = s.x),
+          comp AS (SELECT a AS v, min(b) AS cluster FROM reach GROUP BY 1),
+          lab AS (
+            SELECT c.*, coalesce(comp.cluster, c.c_custkey) AS cluster
+            FROM c LEFT JOIN comp ON c.c_custkey = comp.v),
+          segc AS (
+            SELECT cluster, c_mktsegment, count(*) AS cnt
+            FROM lab GROUP BY 1, 2),
+          segp AS (
+            SELECT cluster, c_mktsegment AS golden_segment,
+              row_number() OVER (PARTITION BY cluster
+                ORDER BY cnt DESC, c_mktsegment) AS rn
+            FROM segc),
+          gr AS (
+            SELECT cluster,
+              count(*)::BIGINT AS n_members,
+              arg_min(c_custkey, c_custkey) AS golden_custkey,
+              arg_min(c_name, c_custkey) AS golden_name,
+              max(c_acctbal) AS best_acctbal,
+              array_to_string(list_sort(list(c_custkey)), ',') AS members
+            FROM lab GROUP BY 1)
+          SELECT golden_custkey, golden_name, s.golden_segment,
+            best_acctbal, members, n_members
+          FROM gr JOIN segp s ON gr.cluster = s.cluster AND s.rn = 1
+          ORDER BY golden_custkey""")
 }

@@ -95,4 +95,25 @@ class FrontierLmLinkageSpec extends AnyFunSuite with SparkTestBase {
       ("Customer#0000000", 3L, 3L, 2L),
       ("Customer#0000001", 2L, 1L, 1L)))
   }
+
+  test("q162 golden records: transitive clusters, survivorship rules, singleton pass-through") {
+    // cluster {1,2,3}: 2↔3 are d=2 apart but both link to 1 (transitivity);
+    // cluster {4,5}; record 9 links to nothing and must pass through
+    val cust = Seq(
+      (1L, "Customer#000000001", 10.0, "AUTOMOBILE"),
+      (2L, "Customer#000000002", 99.5, "BUILDING"),
+      (3L, "Customer#000000011", 55.0, "BUILDING"),
+      (4L, "Customer#000000101", 7.0, "MACHINERY"),
+      (5L, "Customer#000000102", 3.0, "FURNITURE"),
+      (9L, "Zzz#unique", 1.0, "HOUSEHOLD")
+    ).toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val out = Linkage.goldenCore(spark, cust)
+      .as[(Long, String, String, Double, String, Long)].collect().toSeq
+    assert(out === Seq(
+      // min-key name survives; BUILDING wins the mode 2:1; max balance
+      (1L, "Customer#000000001", "BUILDING", 99.5, "1,2,3", 3L),
+      // 1:1 segment tie → lexicographic: FURNITURE < MACHINERY
+      (4L, "Customer#000000101", "FURNITURE", 7.0, "4,5", 2L),
+      (9L, "Zzz#unique", "HOUSEHOLD", 1.0, "9", 1L)))
+  }
 }
