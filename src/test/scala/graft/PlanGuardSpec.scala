@@ -40,7 +40,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q141_decile_lift",          // decile-boundary row
     "q142_distribution_drift",   // cutoff + boundary row + totals row
     "q143_revenue_concentration", // totals row
-    "q147_shortest_tie_paths")   // max-edge-weight row
+    "q147_shortest_tie_paths",   // max-edge-weight row
+    // round-9 batch: same sanctioned single-row boundary broadcasts
+    "q158_independence_lift",    // global event-count row
+    "q160_hll_mergeability",     // global exact-distinct row
+    "q161_table_stats")          // table row-count row
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
