@@ -310,9 +310,48 @@ object Behavior {
         expr("conv_treatment_ppm * 1000000 div nullif(conv_control_ppm, 0)"))
   }
 
+  /** q163 — TIME-TO-CONVERT LATENCY DISTRIBUTION per customer segment:
+    * exact p50/p90/p99 of the signup→first-purchase delay, the
+    * product-health metric behind "how long does activation take".
+    * The delay frame collapses to one row per CONVERTED user before
+    * anything else touches it (q76's min-agg discipline — never a
+    * per-user ordered scan), the segment dimension joins at user grain
+    * (dimension-sized → AQE broadcast), and the percentiles are the
+    * q102 cume-selection kernel grouped by segment — selected data
+    * values, zero float arithmetic, so the gate is exact. At 100 TB the
+    * ordered pass runs over DISTINCT delay values per segment, which
+    * µs-quantized delays keep far below user count.
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame =
+    conversionLatencyCore(Tables.eventsMicros(spark, dir),
+      Tables.customer(spark, dir))
+
+  /** Core over (user_id, event_type, tsu) events + a customer dim —
+    * fixture-injection seam for the spec.
+    */
+  private[graft] def conversionLatencyCore(ev: DataFrame,
+                                           cust: DataFrame): DataFrame = {
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tsu").as("signup_tsu"))
+    val delays = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("tsu") >= col("signup_tsu"))
+      .groupBy("user_id")
+      .agg(min(col("tsu") - col("signup_tsu")).as("delay_us"))
+    val seg = delays.join(
+      cust.select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+      "user_id")
+    Skew.cumeCuts(seg, "delay_us",
+      Seq("p50_us" -> 0.5, "p90_us" -> 0.9, "p99_us" -> 0.99),
+      extras = Seq(max("n").as("n_converted")),
+      groupCol = "c_mktsegment")
+      .orderBy("c_mktsegment")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q163_conversion_latency" -> (conversionLatency(_, _)),
     "q159_ab_experiment" -> (abExperimentLift(_, _)),
     "q145_hourly_anomaly" -> (hourlyAnomaly(_, _)),
     "q117_type_coengagement" -> (typeCoEngagement(_, _)),
@@ -323,6 +362,39 @@ object Behavior {
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q163: same per-user min-delay collapse, same cume-selection rule
+    // as q102 — percentiles are stored delay values, no interpolation
+    "q163_conversion_latency" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu
+           FROM events WHERE ts IS NOT NULL),
+         s AS (
+           SELECT user_id, min(tsu) AS signup_tsu FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         d AS (
+           SELECT e.user_id, min(e.tsu - s.signup_tsu) AS delay_us
+           FROM ev e JOIN s USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.tsu >= s.signup_tsu
+           GROUP BY 1),
+         j AS (
+           SELECT c_mktsegment, delay_us
+           FROM d JOIN customer ON d.user_id = c_custkey),
+         g AS (
+           SELECT c_mktsegment, delay_us, count(*) AS c FROM j GROUP BY 1, 2),
+         cum AS (
+           SELECT c_mktsegment, delay_us,
+             sum(c) OVER (PARTITION BY c_mktsegment ORDER BY delay_us) AS cum,
+             sum(c) OVER (PARTITION BY c_mktsegment) AS n
+           FROM g)
+         SELECT c_mktsegment,
+           min(delay_us) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= 0.5::DOUBLE)
+             AS p50_us,
+           min(delay_us) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= 0.9::DOUBLE)
+             AS p90_us,
+           min(delay_us) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= 0.99::DOUBLE)
+             AS p99_us,
+           max(n)::BIGINT AS n_converted
+         FROM cum GROUP BY 1 ORDER BY 1""",
     // q159: arm re-derived from the same md5 nibble, funnel gate and
     // ppm arithmetic re-formulated with FILTER aggregates — integer
     // division end to end, nulls (not errors) on degenerate arms

@@ -318,9 +318,54 @@ object Skew {
       .orderBy("column_name")
   }
 
+  /** One audited shuffle key for q164: the group-size DISTRIBUTION of
+    * `key` in `df` — the pre-flight a 100 TB join runs before picking a
+    * strategy. Collapse to (key, group size) first (map-side-combined,
+    * the only pass over the table), then the q102 cume kernel over the
+    * SIZE HISTOGRAM: the ordered pass runs over distinct group sizes
+    * (tiny — sizes are heavily repeated), never over keys or rows.
+    */
+  private[graft] def skewAuditOne(df: DataFrame, relation: String,
+                                  key: String): DataFrame = {
+    val sizes = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("grp_size"))
+      .withColumn("relation", lit(relation))
+    cumeCuts(sizes, "grp_size",
+      Seq("p50_group" -> 0.5, "p99_group" -> 0.99),
+      extras = Seq(max("n").as("n_keys"),
+        sum(col("grp_size") * col("c")).as("n_rows"),
+        max("grp_size").as("max_group")),
+      groupCol = "relation")
+      .withColumn("top_share_ppm", expr("max_group * 1000000 div n_rows"))
+      .select("relation", "n_rows", "n_keys", "p50_group", "p99_group",
+        "max_group", "top_share_ppm")
+  }
+
+  /** q164 — JOIN-KEY SKEW AUDIT across the star's shuffle keys: per
+    * candidate key, total rows, distinct keys, the p50/p99 of the
+    * group-size distribution, the single largest group and its row
+    * share in ppm. This is the observability half of what q24 (salted
+    * agg) and AQE skew-join handle reactively: the audit that tells an
+    * operator WHICH keys need salting before the 100 TB shuffle, not
+    * after it straggles. All exact integers (sizes, counts, one ppm
+    * division); each relation is one map-side-combined pass plus an
+    * ordered pass over its distinct group sizes.
+    */
+  def joinKeySkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      skewAuditOne(li, "lineitem.l_orderkey", "l_orderkey"),
+      skewAuditOne(li, "lineitem.l_partkey", "l_partkey"),
+      skewAuditOne(li, "lineitem.l_suppkey", "l_suppkey"),
+      skewAuditOne(Tables.events(spark, dir), "events.user_id", "user_id"),
+      skewAuditOne(Tables.orders(spark, dir), "orders.o_custkey",
+        "o_custkey"))
+      .reduce(_ unionByName _).orderBy("relation")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q164_join_key_skew" -> (joinKeySkewAudit(_, _)),
     "q161_table_stats" -> (tableStats(_, _)),
     // rows-only by design: HLL estimates are engine-specific; the
     // union-equals-rescan and error contracts are pinned in SkewSpec
@@ -335,6 +380,36 @@ object Skew {
     "q102_value_quantiles" -> (valueQuantiles(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q164: same size-histogram collapse and cume selection per
+    // relation; all integers, HUGEINT sums cast back
+    "q164_join_key_skew" -> {
+      def branch(rel: String, table: String, key: String) =
+        s"""SELECT '$rel' AS relation,
+           sum(grp_size * c)::BIGINT AS n_rows,
+           sum(c)::BIGINT AS n_keys,
+           min(grp_size) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= 0.5::DOUBLE)
+             AS p50_group,
+           min(grp_size) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= 0.99::DOUBLE)
+             AS p99_group,
+           max(grp_size)::BIGINT AS max_group,
+           (max(grp_size) * 1000000 // sum(grp_size * c))::BIGINT
+             AS top_share_ppm
+         FROM (
+           SELECT grp_size, c,
+             sum(c) OVER (ORDER BY grp_size) AS cum,
+             sum(c) OVER () AS n
+           FROM (SELECT grp_size, count(*) AS c
+                 FROM (SELECT count(*) AS grp_size
+                       FROM $table GROUP BY $key) g0
+                 GROUP BY 1) g1) g2"""
+      Seq(
+        branch("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        branch("lineitem.l_partkey", "lineitem", "l_partkey"),
+        branch("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        branch("events.user_id", "events", "user_id"),
+        branch("orders.o_custkey", "orders", "o_custkey"))
+        .mkString("", "\n UNION ALL\n ", "\n ORDER BY relation")
+    },
     // q161: same unpivot, same distinct-value histogram, same cume
     // selection rule; quartiles are stored data values (no
     // interpolation), counts cast back from HUGEINT

@@ -262,4 +262,30 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
     if (ccPpm == 0) assert(r.isNullAt(r.fieldIndex("lift_ppm")))
     else assert(r.getAs[Long]("lift_ppm") == ctPpm * 1000000L / ccPpm)
   }
+
+  test("q163 conversion latency: per-segment exact percentile picks on a hand fixture") {
+    val s = spark
+    import s.implicits._
+    // u1→delay 10, u2→20 (first of two purchases), u3 only pre-signup
+    // (never converts), u4→40 in its own segment
+    val ev = Seq(
+      (1L, "signup", 100L), (2L, "signup", 100L), (3L, "signup", 100L),
+      (4L, "signup", 100L),
+      (1L, "purchase", 110L),
+      (2L, "purchase", 120L), (2L, "purchase", 130L),
+      (3L, "purchase", 50L),
+      (4L, "purchase", 140L)).toDF("user_id", "event_type", "tsu")
+    val cust = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = Behavior.conversionLatencyCore(ev, cust).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+    // A: delays {10, 20} → p50 = 10 (cume 0.5 exactly), p90 = p99 = 20
+    val a = out("A")
+    assert(a.getLong(4) == 2 && a.getLong(1) == 10L
+      && a.getLong(2) == 20L && a.getLong(3) == 20L)
+    // B: one delay, every percentile is it
+    val b = out("B")
+    assert(b.getLong(4) == 1 && b.getLong(1) == 40L && b.getLong(3) == 40L)
+  }
 }

@@ -83,4 +83,17 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
         s"${r.getString(0)}: quartiles must be ordered within [min, max]")
     }
   }
+  test("q164 skew audit arithmetic: known group-size distribution") {
+    val s = spark
+    import s.implicits._
+    // key sizes: 4, 2, 1, 1 → histogram {1:2, 2:1, 4:1}
+    val df = Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 4L).toDF("k0")
+    val r = Skew.skewAuditOne(df, "t.k0", "k0").collect().head
+    assert(r.getString(0) == "t.k0")
+    assert(r.getLong(1) == 8L && r.getLong(2) == 4L)   // n_rows, n_keys
+    // cume shares over sizes 1,2,4: 0.5, 0.75, 1.0
+    assert(r.getLong(3) == 1L && r.getLong(4) == 4L)   // p50, p99
+    assert(r.getLong(5) == 4L)                         // max_group
+    assert(r.getLong(6) == 500000L)                    // 4/8 in ppm
+  }
 }
