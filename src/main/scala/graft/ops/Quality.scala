@@ -294,13 +294,14 @@ object Quality {
         expr("((tsu div 86400000000) + 3) % 7").as("dow")))
 
   /** Core over any frame with (event_type, dow) — fixture-injection
-    * seam for the spec.
+    * seam for the spec. ONE scan: margins and the total re-aggregate
+    * the |types|×7 cells frame (exact long sums), never the events.
     */
   private[graft] def independenceLiftCore(ev: DataFrame): DataFrame = {
     val cells = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("n_obs"))
-    val byType = ev.groupBy("event_type").agg(count(lit(1)).as("n_type"))
-    val byDow = ev.groupBy("dow").agg(count(lit(1)).as("n_dow"))
-    val total = ev.agg(count(lit(1)).as("n_total"))
+    val byType = cells.groupBy("event_type").agg(sum("n_obs").as("n_type"))
+    val byDow = cells.groupBy("dow").agg(sum("n_obs").as("n_dow"))
+    val total = cells.agg(sum("n_obs").as("n_total"))
     cells
       .join(byType, "event_type")
       .join(byDow, "dow")
