@@ -264,6 +264,94 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** 16-bit×16-bit Morton interleave: bit i of the user rank lands at
+    * position 2i+1, bit i of the time rank at 2i — the Z-VALUE whose
+    * sort order places rows so that ANY axis-aligned (user, time)
+    * rectangle touches few contiguous runs. Pure long bit arithmetic
+    * (shifts/and/or), identical in any engine.
+    */
+  private[graft] def zValue(u16: Column, t16: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(u16, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(t16, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  /** Observed (lo, span) of user_id and tsu — the normalization the
+    * z-ranks and the probe bands share. Content-derived, so the oracle
+    * recomputes it exactly.
+    */
+  private[graft] def zBounds(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val r = Tables.eventsMicros(spark, dir)
+      .agg(min("user_id"), max("user_id"), min("tsu"), max("tsu"))
+      .collect().head
+    (r.getLong(0), r.getLong(1) - r.getLong(0) + 1,
+      r.getLong(2), r.getLong(3) - r.getLong(2) + 1)
+  }
+
+  /** Stage a copy of events Z-ORDERED on (user_id, tsu): rank both
+    * dimensions to 16 bits, interleave, range-partition + sort by the
+    * z-value. Seam for q165 and its spec.
+    */
+  private[graft] def stageZOrdered(spark: SparkSession, dir: String,
+                                   path: String, nFiles: Int): Unit = {
+    val (uLo, uSpan, tLo, tSpan) = zBounds(spark, dir)
+    val u16 = expr(s"((user_id - $uLo) * 65535) div $uSpan")
+    val t16 = expr(s"((tsu - $tLo) * 65535) div $tSpan")
+    Tables.eventsMicros(spark, dir)
+      .select(col("event_id"), col("user_id"), col("tsu"), col("value"),
+        col("event_type"), zValue(u16, t16).as("z"))
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .write.parquet(path)
+  }
+
+  /** The q165 probe rectangle: the [3/8, 4/8) slice of BOTH observed
+    * spans (q132's convention, applied per dimension). Integer steps —
+    * div-first so both engines truncate identically.
+    */
+  private[graft] def zProbeBounds(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val (uLo, uSpan, tLo, tSpan) = zBounds(spark, dir)
+    val (uStep, tStep) = (uSpan / 8, tSpan / 8)
+    (uLo + 3 * uStep, uLo + 4 * uStep, tLo + 3 * tStep, tLo + 4 * tStep)
+  }
+
+  /** q165 — Z-ORDER (multi-dimension) CLUSTERED scan: q132 proves
+    * sort-on-write makes ONE dimension's row-group stats selective; a
+    * single-column sort leaves every OTHER filter column scattered
+    * (each row group spans the full user domain, so a user-range probe
+    * skips nothing). Interleaving the bits of both dimensions into one
+    * Morton z-value and sorting by THAT gives every axis-aligned
+    * rectangle locality in the file order — the Delta/Iceberg
+    * OPTIMIZE ZORDER mechanism, built here from plain expressions.
+    * At 100 TB this is the difference between a (user-band AND
+    * time-band) probe decoding ~1/64 of the table and decoding the
+    * full 1/8 a time-only cluster admits. The probe rectangle is
+    * content-derived; the oracle recomputes it over the ORIGINAL flat
+    * table, so the layout is proven semantically invisible, and the
+    * spec proves the mechanism from the staged footers on BOTH
+    * dimensions.
+    */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q165_")
+    try {
+      val path = base.resolve("events_zorder").toString
+      stageZOrdered(spark, dir, path, 16)
+      val (pul, puh, ptl, pth) = zProbeBounds(spark, dir)
+      val out = spark.read.parquet(path)
+        .filter(col("user_id") >= pul && col("user_id") < puh
+          && col("tsu") >= ptl && col("tsu") < pth)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
   /** Stage orders + lineitem as BUCKETED tables (8 buckets on the join
     * key, sorted within) rooted at `base` — seam for q155 and its spec.
     * `repartition(8, key)` first: repartition's hash placement matches
@@ -334,6 +422,7 @@ object ParquetLayout {
 
   val queries: Map[String, Q] = Map(
     "q155_bucketed_join_revenue" -> (bucketedJoinRevenue(_, _)),
+    "q165_zorder_scan" -> (zorderScan(_, _)),
     "q103_partition_pruned_revenue" -> (partitionPrunedRevenue(_, _)),
     "q125_orc_interchange" -> (orcInterchangeRevenue(_, _)),
     "q131_schema_evolution" -> (schemaEvolutionRollup(_, _)),
@@ -349,6 +438,26 @@ object ParquetLayout {
            round(sum(CAST(l_extendedprice * (1.0 - l_discount)
              AS DECIMAL(18,4)))::DOUBLE, 4) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    // q165: the oracle recomputes the same content-derived probe
+    // rectangle over the ORIGINAL flat table — the z layout must be
+    // semantically invisible. div-first steps truncate identically.
+    "q165_zorder_scan" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, value, epoch_ns(ts) // 1000 AS tsu
+           FROM events WHERE ts IS NOT NULL),
+         b AS (
+           SELECT min(user_id) AS ulo,
+             (max(user_id) - min(user_id) + 1) // 8 AS ustep,
+             min(tsu) AS tlo,
+             (max(tsu) - min(tsu) + 1) // 8 AS tstep
+           FROM ev)
+         SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM ev, b
+         WHERE user_id >= ulo + 3 * ustep AND user_id < ulo + 4 * ustep
+           AND tsu >= tlo + 3 * tstep AND tsu < tlo + 4 * tstep
          GROUP BY 1 ORDER BY 1""",
     // the oracle reads the ORIGINAL flat table: layout + pruning must be
     // semantically invisible

@@ -61,10 +61,10 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally Tables.deleteRecursively(base)
   }
 
-  /** Per-row-group (min, max) bands of `tsu` read straight from the
+  /** Per-row-group (min, max) bands of `column` read straight from the
     * parquet footers of every file under `path`.
     */
-  private def rowGroupBands(path: String): Seq[(Long, Long)] = {
+  private def rowGroupBands(path: String, column: String = "tsu"): Seq[(Long, Long)] = {
     import scala.jdk.CollectionConverters._
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -78,7 +78,7 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
         val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
         try reader.getFooter.getBlocks.asScala.toSeq.map { block =>
           val stats = block.getColumns.asScala
-            .find(_.getPath.toDotString == "tsu").get.getStatistics
+            .find(_.getPath.toDotString == column).get.getStatistics
           (stats.genericGetMin.asInstanceOf[java.lang.Long].longValue,
             stats.genericGetMax.asInstanceOf[java.lang.Long].longValue)
         } finally reader.close()
@@ -186,5 +186,39 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     val rows = ParquetLayout.partitionPrunedRevenue(spark, sf).count()
     assert(rows > 0)
     assert((scratch() -- before).isEmpty)
+  }
+  test("q165: z-order keeps row-group stats selective on BOTH probe dimensions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q165spec_")
+    try {
+      val zpath = base.resolve("zorder").toString
+      val timeOnly = base.resolve("timeonly").toString
+      ParquetLayout.stageZOrdered(spark, sf, zpath, 16)
+      ParquetLayout.stageClustered(spark, sf, timeOnly, 16)
+      val (pul, puh, ptl, pth) = ParquetLayout.zProbeBounds(spark, sf)
+      def hits(bands: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+        bands.count { case (mn, mx) => mn < hi && mx >= lo }
+      val zU = rowGroupBands(zpath, "user_id")
+      val cU = rowGroupBands(timeOnly, "user_id")
+      assert(zU.nonEmpty && cU.nonEmpty)
+      // the mechanism: a time-only cluster leaves every row group
+      // spanning the user domain — the user band skips nothing there,
+      // while the z layout confines it
+      assert(hits(zU, pul, puh) < hits(cU, pul, puh),
+        s"z ${hits(zU, pul, puh)}/${zU.size} vs time-only " +
+          s"${hits(cU, pul, puh)}/${cU.size} row groups intersect the user band")
+      // and z has not given up time selectivity: the time band still
+      // skips row groups
+      val zT = rowGroupBands(zpath, "tsu")
+      assert(hits(zT, ptl, pth) < zT.size,
+        s"time band must skip some z row groups: ${hits(zT, ptl, pth)}/${zT.size}")
+      // layout is semantically invisible: same rows through the probe
+      val viaZ = spark.read.parquet(zpath)
+        .filter(col("user_id") >= pul && col("user_id") < puh
+          && col("tsu") >= ptl && col("tsu") < pth).count()
+      val flat = Tables.eventsMicros(spark, sf)
+        .filter(col("user_id") >= pul && col("user_id") < puh
+          && col("tsu") >= ptl && col("tsu") < pth).count()
+      assert(viaZ == flat && viaZ > 0)
+    } finally Tables.deleteRecursively(base)
   }
 }

@@ -41,8 +41,8 @@ FAMILIES = [
     ("tag/sequence mining (q70-q72, q124)", ["q70", "q71", "q72", "q124"]),
     ("behavior (q76-q77, q116-q117, q120, q159, q163)",
      ["q76", "q77", "q116", "q117", "q120", "q159", "q163"]),
-    ("sources/layout (q103, q125, q131-q132, q134, q155)",
-     ["q103", "q125", "q131", "q132", "q134", "q155"]),
+    ("sources/layout (q103, q125, q131-q132, q134, q155, q165)",
+     ["q103", "q125", "q131", "q132", "q134", "q155", "q165"]),
     ("quality/governance (q129-q130, q133, q153, q157-q158, q161, q164)",
      ["q129", "q130", "q133", "q153", "q157", "q158", "q161", "q164"]),
     ("multimodal (q80-q86)",
