@@ -221,4 +221,21 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
       assert(viaZ == flat && viaZ > 0)
     } finally Tables.deleteRecursively(base)
   }
+  test("q165 z-value property: column kernel matches a reference Morton interleave") {
+    val sess = spark
+    import sess.implicits._
+    def ref(u: Long, t: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((u >> i) & 1L) << (2 * i + 1)) | (((t >> i) & 1L) << (2 * i))
+      }
+    val rnd = new scala.util.Random(42)
+    val cases = Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = cases.toDF("u", "t")
+      .select(ParquetLayout.zValue(col("u"), col("t")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == cases.map { case (u, t) => ref(u, t) })
+    // interleave is a bijection on 16+16 bits: no two cases collide
+    assert(got.distinct.size == cases.distinct.size)
+  }
 }
