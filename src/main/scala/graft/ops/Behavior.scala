@@ -306,8 +306,15 @@ object Behavior {
         expr("n_conv_control * 1000000 div nullif(n_signup_control, 0)"))
       .withColumn("conv_treatment_ppm",
         expr("n_conv_treatment * 1000000 div nullif(n_signup_treatment, 0)"))
+      // lift from RAW counts, one exact division — dividing the two
+      // already-floored ppm ratios would compound floor error (~2 ppm).
+      // DECIMAL(38,0) intermediate: the triple product overflows Long
+      // once arm counts pass ~1e8, and 100 TB cohorts will.
       .withColumn("lift_ppm",
-        expr("conv_treatment_ppm * 1000000 div nullif(conv_control_ppm, 0)"))
+        expr("""cast(n_conv_treatment as decimal(38,0)) * n_signup_control
+                * 1000000
+                div nullif(cast(n_conv_control as decimal(38,0))
+                           * n_signup_treatment, 0)"""))
   }
 
   /** q163 — TIME-TO-CONVERT LATENCY DISTRIBUTION per customer segment:
@@ -432,10 +439,9 @@ object Behavior {
              AS conv_control_ppm,
            (n_conv_treatment * 1000000) // nullif(n_signup_treatment, 0)
              AS conv_treatment_ppm,
-           ((n_conv_treatment * 1000000) // nullif(n_signup_treatment, 0)
-             * 1000000)
-             // nullif((n_conv_control * 1000000)
-                       // nullif(n_signup_control, 0), 0) AS lift_ppm
+           ((n_conv_treatment::HUGEINT * n_signup_control * 1000000)
+             // nullif(n_conv_control::HUGEINT * n_signup_treatment, 0)
+            )::BIGINT AS lift_ppm
          FROM m""",
     // q145: RANGE frame over integer hours; the spike test stays in
     // BIGINT (cross-multiplied, never divided)

@@ -335,7 +335,11 @@ object Skew {
         sum(col("grp_size") * col("c")).as("n_rows"),
         max("grp_size").as("max_group")),
       groupCol = "relation")
-      .withColumn("top_share_ppm", expr("max_group * 1000000 div n_rows"))
+      // DECIMAL(38,0) intermediate (the q158 pattern): max_group*1e6
+      // overflows Long once the hottest key passes ~9.2e12 rows — and
+      // this audit's whole purpose is tables that big. div → BIGINT.
+      .withColumn("top_share_ppm",
+        expr("cast(max_group as decimal(38,0)) * 1000000 div n_rows"))
       .select("relation", "n_rows", "n_keys", "p50_group", "p99_group",
         "max_group", "top_share_ppm")
   }

@@ -291,13 +291,20 @@ object ParquetLayout {
 
   /** Stage a copy of events Z-ORDERED on (user_id, tsu): rank both
     * dimensions to 16 bits, interleave, range-partition + sort by the
-    * z-value. Seam for q165 and its spec.
+    * z-value. Seam for q165 and its spec. The rank normalization
+    * multiplies before dividing for exact truncation, so the
+    * intermediate is widened to DECIMAL(38,0): on a Long span the
+    * `(x − lo) * 65535` product overflows 2^63 (ANSI throws) once the
+    * observed span passes ~1.4e14 — microsecond timestamps over a few
+    * years already can. `div` brings it back to BIGINT.
     */
   private[graft] def stageZOrdered(spark: SparkSession, dir: String,
-                                   path: String, nFiles: Int): Unit = {
-    val (uLo, uSpan, tLo, tSpan) = zBounds(spark, dir)
-    val u16 = expr(s"((user_id - $uLo) * 65535) div $uSpan")
-    val t16 = expr(s"((tsu - $tLo) * 65535) div $tSpan")
+                                   path: String, nFiles: Int,
+                                   bounds: (Long, Long, Long, Long)): Unit = {
+    val (uLo, uSpan, tLo, tSpan) = bounds
+    val u16 = expr(
+      s"(cast(user_id - $uLo as decimal(38,0)) * 65535) div $uSpan")
+    val t16 = expr(s"(cast(tsu - $tLo as decimal(38,0)) * 65535) div $tSpan")
     Tables.eventsMicros(spark, dir)
       .select(col("event_id"), col("user_id"), col("tsu"), col("value"),
         col("event_type"), zValue(u16, t16).as("z"))
@@ -306,15 +313,23 @@ object ParquetLayout {
       .write.parquet(path)
   }
 
+  private[graft] def stageZOrdered(spark: SparkSession, dir: String,
+                                   path: String, nFiles: Int): Unit =
+    stageZOrdered(spark, dir, path, nFiles, zBounds(spark, dir))
+
   /** The q165 probe rectangle: the [3/8, 4/8) slice of BOTH observed
     * spans (q132's convention, applied per dimension). Integer steps —
-    * div-first so both engines truncate identically.
+    * div-first so both engines truncate identically. Pure arithmetic on
+    * already-computed bounds: no scan.
     */
-  private[graft] def zProbeBounds(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
-    val (uLo, uSpan, tLo, tSpan) = zBounds(spark, dir)
+  private[graft] def zProbeBoundsFrom(bounds: (Long, Long, Long, Long)): (Long, Long, Long, Long) = {
+    val (uLo, uSpan, tLo, tSpan) = bounds
     val (uStep, tStep) = (uSpan / 8, tSpan / 8)
     (uLo + 3 * uStep, uLo + 4 * uStep, tLo + 3 * tStep, tLo + 4 * tStep)
   }
+
+  private[graft] def zProbeBounds(spark: SparkSession, dir: String): (Long, Long, Long, Long) =
+    zProbeBoundsFrom(zBounds(spark, dir))
 
   /** q165 — Z-ORDER (multi-dimension) CLUSTERED scan: q132 proves
     * sort-on-write makes ONE dimension's row-group stats selective; a
@@ -336,8 +351,11 @@ object ParquetLayout {
     val base = Files.createTempDirectory("graft_q165_")
     try {
       val path = base.resolve("events_zorder").toString
-      stageZOrdered(spark, dir, path, 16)
-      val (pul, puh, ptl, pth) = zProbeBounds(spark, dir)
+      // one bounds aggregation feeds both the rank normalization and
+      // the probe rectangle — zBounds is a full-table scan
+      val bounds = zBounds(spark, dir)
+      stageZOrdered(spark, dir, path, 16, bounds)
+      val (pul, puh, ptl, pth) = zProbeBoundsFrom(bounds)
       val out = spark.read.parquet(path)
         .filter(col("user_id") >= pul && col("user_id") < puh
           && col("tsu") >= ptl && col("tsu") < pth)
@@ -360,27 +378,41 @@ object ParquetLayout {
     * writes a sliver of every bucket — the small-file pathology q134
     * exists to clean up).
     */
+  /** Catalog table names are scoped to the staging dir's unique name
+    * (createTempDirectory already guarantees per-invocation uniqueness),
+    * so two concurrent sessions sharing a metastore — or a query and a
+    * spec interleaved in one JVM — never clobber each other's tables.
+    */
+  private[graft] def bucketedNames(base: java.nio.file.Path): (String, String) = {
+    val tag = base.getFileName.toString
+    (s"${tag}_orders", s"${tag}_lineitem")
+  }
+
   private[graft] def stageBucketed(spark: SparkSession, dir: String,
                                    base: java.nio.file.Path): Unit = {
+    val (ordersTbl, lineitemTbl) = bucketedNames(base)
     Tables.orders(spark, dir).repartition(8, col("o_orderkey"))
       .write.mode("overwrite")
       .option("path", base.resolve("b_orders").toString)
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_q155_orders")
+      .saveAsTable(ordersTbl)
     Tables.lineitem(spark, dir).repartition(8, col("l_orderkey"))
       .write.mode("overwrite")
       .option("path", base.resolve("b_lineitem").toString)
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_q155_lineitem")
+      .saveAsTable(lineitemTbl)
   }
 
   /** The exchange-free fact-fact join over the staged bucketed tables —
     * seam for the spec's no-Exchange plan assertion.
     */
-  private[graft] def bucketedJoined(spark: SparkSession): DataFrame =
-    spark.table("graft_q155_lineitem")
-      .join(spark.table("graft_q155_orders"),
+  private[graft] def bucketedJoined(spark: SparkSession,
+                                    base: java.nio.file.Path): DataFrame = {
+    val (ordersTbl, lineitemTbl) = bucketedNames(base)
+    spark.table(lineitemTbl)
+      .join(spark.table(ordersTbl),
         col("l_orderkey") === col("o_orderkey"))
+  }
 
   /** q155 — BUCKETED CO-LOCATED JOIN: both fact tables written
     * `bucketBy(8, join-key)` and joined with ZERO shuffle of either
@@ -397,11 +429,15 @@ object ParquetLayout {
     */
   def bucketedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_q155_")
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (ordersTbl, lineitemTbl) = bucketedNames(base)
+    // getOption, not get: `get` resolves the DEFAULT when the key is
+    // unset, and restoring that would pin a previously-unset key
+    val prevThreshold =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     try {
       stageBucketed(spark, dir, base)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val out = bucketedJoined(spark)
+      val out = bucketedJoined(spark, base)
         .groupBy("o_orderstatus")
         .agg(
           count(lit(1)).as("n_lines"),
@@ -411,16 +447,154 @@ object ParquetLayout {
         .orderBy("o_orderstatus")
       out.localCheckpoint(true)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS graft_q155_orders")
-      spark.sql("DROP TABLE IF EXISTS graft_q155_lineitem")
+      prevThreshold match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $lineitemTbl")
       Tables.deleteRecursively(base)
     }
+  }
+
+  /** The event-type → category dim for q166: a tiny conformed dimension
+    * whose literal content is shared verbatim with the oracle SQL. Two
+    * of five types are `conversion`, so the dim filter prunes 3/5 of
+    * the fact's partitions — at runtime, through the join.
+    */
+  private[graft] val typeCategories: Seq[(String, String)] = Seq(
+    "purchase" -> "conversion", "signup" -> "conversion",
+    "view" -> "browse", "click" -> "browse", "error" -> "ops")
+
+  /** The q166 join shape — seam for the spec's dynamicpruning plan
+    * assertion: fact partitioned on event_type, dim read from parquet
+    * (a real scan, the shape DPP plans against) and filtered on a
+    * NON-join column, joined on the fact's partition column.
+    */
+  private[graft] def dppJoined(spark: SparkSession, factPath: String,
+                               dimPath: String): DataFrame =
+    spark.read.parquet(factPath)
+      .join(spark.read.parquet(dimPath)
+        .filter(col("category") === "conversion"), "event_type")
+
+  /** q166 — DYNAMIC PARTITION PRUNING: the fourth and last pruning
+    * mechanism, after static directory pruning (q103), row-group
+    * predicate pushdown (q125/q132) and multi-dimension clustering
+    * (q165). The fact filter here is NOT in the query — it lives on the
+    * dim (`category = 'conversion'`), a column the fact doesn't have,
+    * so no static rewrite can prune the fact. Spark's PartitionPruning
+    * rule injects the dim's post-filter join keys as a runtime subquery
+    * into the fact scan's PartitionFilters (`dynamicpruning#...`),
+    * reusing the join's own broadcast — which is THE mechanism that
+    * makes star joins cheap on partitioned 100 TB facts: the fact I/O
+    * shrinks to the dim-selected partitions before any fact bytes are
+    * read, at the cost of nothing but the broadcast the join needed
+    * anyway. The oracle joins the ORIGINAL flat table to the same
+    * literal dim — pruning must be semantically invisible.
+    */
+  def dynamicPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q166_")
+    try {
+      val factPath = base.resolve("events_by_type").toString
+      val dimPath = base.resolve("type_dim").toString
+      stageLayout(spark, dir, factPath)
+      val s = spark
+      import s.implicits._
+      typeCategories.toDF("event_type", "category")
+        .coalesce(1).write.parquet(dimPath)
+      val out = dppJoined(spark, factPath, dimPath)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
+  /** q167 — DYNAMIC PARTITION OVERWRITE (idempotent backfill): the
+    * write-side twin of q103 and the routine 100 TB maintenance op —
+    * re-running one day's pipeline must replace exactly that day's
+    * partition and leave every other partition's files untouched
+    * (`partitionOverwriteMode=dynamic`; the default STATIC mode would
+    * truncate the whole table to the replayed slice). Here the
+    * `purchase` partition is replayed from source after the initial
+    * full write; the read-back rollup is hash-gated against the
+    * ORIGINAL flat table, proving the backfill is idempotent — same
+    * rows after the replay as before it. ParquetLayoutSpec pins the
+    * mechanism: untouched partitions keep byte-identical file listings
+    * (names, sizes), and static mode really would have dropped them.
+    */
+  def backfillOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q167_")
+    try {
+      val path = base.resolve("events_by_type").toString
+      stageLayout(spark, dir, path)
+      replayPartition(spark, dir, path, "purchase")
+      val out = spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
+  /** Replay ONE partition's data into an existing partitioned layout
+    * with dynamic overwrite — only partitions present in the incoming
+    * frame are replaced. Seam for q167 and its spec.
+    */
+  private[graft] def replayPartition(spark: SparkSession, dir: String,
+                                     path: String, eventType: String): Unit =
+    Tables.eventsMicros(spark, dir)
+      .select("event_id", "user_id", "tsu", "value", "event_type")
+      .filter(col("event_type") === eventType)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(path)
+
+  /** q170 — AVRO interchange: the third first-class interchange format
+    * after parquet and ORC (q125) — Avro is the row-oriented lingua
+    * franca of the streaming ecosystem (Kafka schema registry), so a
+    * lakehouse ingest edge speaks it constantly. Same shape as q125:
+    * write the events slice as Avro, read it back, aggregate; the
+    * oracle aggregates the ORIGINAL parquet, so any type coercion
+    * (Avro has no native µs-long convention drama here — tsu is a
+    * plain long) or double drift in the writer/reader pair would
+    * hash-mismatch.
+    */
+  def avroInterchangeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q170_")
+    try {
+      val path = base.resolve("events_avro").toString
+      Tables.eventsMicros(spark, dir)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+        .write.format("org.apache.spark.sql.avro.AvroFileFormat").save(path)
+      val out = spark.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("purchase_total"))
+        .orderBy("user_id")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
   }
 
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q166_dynamic_partition_pruning" -> (dynamicPartitionPruning(_, _)),
+    "q167_backfill_overwrite" -> (backfillOverwrite(_, _)),
+    "q170_avro_interchange" -> (avroInterchangeRevenue(_, _)),
     "q155_bucketed_join_revenue" -> (bucketedJoinRevenue(_, _)),
     "q165_zorder_scan" -> (zorderScan(_, _)),
     "q103_partition_pruned_revenue" -> (partitionPrunedRevenue(_, _)),
@@ -430,6 +604,37 @@ object ParquetLayout {
     "q134_compaction_rollup" -> (compactionRollup(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q166: the oracle joins the ORIGINAL flat table to the SAME
+    // literal dim — runtime partition pruning must be semantically
+    // invisible. The VALUES list is generated from typeCategories so
+    // engine and oracle share one source of truth.
+    "q166_dynamic_partition_pruning" -> {
+      val dimRows = typeCategories
+        .map { case (t, c) => s"('$t', '$c')" }.mkString(", ")
+      s"""WITH dim(event_type, category) AS (VALUES $dimRows)
+         SELECT e.event_type, count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           round(sum(CAST(e.value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM events e JOIN dim d USING (event_type)
+         WHERE e.ts IS NOT NULL AND d.category = 'conversion'
+         GROUP BY 1 ORDER BY 1"""
+    },
+    // q167: the oracle aggregates the ORIGINAL table — the replayed
+    // partition must land the same rows it replaced (idempotence)
+    "q167_backfill_overwrite" ->
+      """SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    // q170: identical oracle to q125 — the Avro round trip must be
+    // invisible
+    "q170_avro_interchange" ->
+      """SELECT user_id, count(*) AS n_purchases,
+         round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS purchase_total
+         FROM events
+         WHERE ts IS NOT NULL AND event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
     // q155: the oracle joins the ORIGINAL flat tables — the bucketed
     // layout must be semantically invisible
     "q155_bucketed_join_revenue" ->

@@ -259,8 +259,11 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
     val ctPpm = ct * 1000000L / nt
     assert(r.getAs[Long]("conv_control_ppm") == ccPpm)
     assert(r.getAs[Long]("conv_treatment_ppm") == ctPpm)
-    if (ccPpm == 0) assert(r.isNullAt(r.fieldIndex("lift_ppm")))
-    else assert(r.getAs[Long]("lift_ppm") == ctPpm * 1000000L / ccPpm)
+    // lift is computed from RAW counts (one exact division), not from
+    // the two already-floored ppm ratios
+    if (cc == 0) assert(r.isNullAt(r.fieldIndex("lift_ppm")))
+    else assert(r.getAs[Long]("lift_ppm") ==
+      (BigInt(ct) * nc * 1000000 / (BigInt(cc) * nt)).toLong)
   }
 
   test("q163 conversion latency: per-segment exact percentile picks on a hand fixture") {

@@ -144,6 +144,7 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
   test("q155: bucketed layout lands one file per bucket; the join never exchanges") {
     val base = java.nio.file.Files.createTempDirectory("graft_q155spec_")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (ordersTbl, lineitemTbl) = ParquetLayout.bucketedNames(base)
     try {
       ParquetLayout.stageBucketed(spark, sf, base)
       // the pre-write repartition aligns task hash placement with the
@@ -154,7 +155,7 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
         ParquetLayout.dirStats(spark, base.resolve("b_lineitem").toString)
       assert(nOrderFiles == 8 && nLineFiles == 8,
         s"expected 8 bucket files each, got $nOrderFiles / $nLineFiles")
-      val joined = ParquetLayout.bucketedJoined(spark)
+      val joined = ParquetLayout.bucketedJoined(spark, base)
       val plan = joined.queryExecution.executedPlan.toString
       val ji = plan.indexOf("SortMergeJoin")
       assert(ji >= 0, s"expected a sort-merge join of bucketed tables:\n$plan")
@@ -167,9 +168,31 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
       assert(joined.count() == flat)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.sql("DROP TABLE IF EXISTS graft_q155_orders")
-      spark.sql("DROP TABLE IF EXISTS graft_q155_lineitem")
+      spark.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $lineitemTbl")
       Tables.deleteRecursively(base)
+    }
+  }
+
+  test("q155 staging names are per-invocation: interleaved stagings never collide") {
+    // the round-9 wart: fixed graft_q155_* catalog names meant a spec
+    // and a query (or two sessions on one metastore) clobbered each
+    // other; names are now scoped to the unique staging dir
+    val b1 = java.nio.file.Files.createTempDirectory("graft_q155spec_a_")
+    val b2 = java.nio.file.Files.createTempDirectory("graft_q155spec_b_")
+    val (o1, l1) = ParquetLayout.bucketedNames(b1)
+    val (o2, l2) = ParquetLayout.bucketedNames(b2)
+    try {
+      assert(o1 != o2 && l1 != l2)
+      ParquetLayout.stageBucketed(spark, sf, b1)
+      ParquetLayout.stageBucketed(spark, sf, b2) // interleaved: b1 still live
+      val n1 = ParquetLayout.bucketedJoined(spark, b1).count()
+      val n2 = ParquetLayout.bucketedJoined(spark, b2).count()
+      assert(n1 == n2 && n1 > 0)
+    } finally {
+      Seq(o1, l1, o2, l2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Tables.deleteRecursively(b1)
+      Tables.deleteRecursively(b2)
     }
   }
 
@@ -221,6 +244,95 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
       assert(viaZ == flat && viaZ > 0)
     } finally Tables.deleteRecursively(base)
   }
+  test("q166: the dim filter prunes fact partitions at RUNTIME via a dynamicpruning subquery") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q166spec_")
+    try {
+      val factPath = base.resolve("events_by_type").toString
+      val dimPath = base.resolve("type_dim").toString
+      ParquetLayout.stageLayout(spark, sf, factPath)
+      val sess = spark
+      import sess.implicits._
+      ParquetLayout.typeCategories.toDF("event_type", "category")
+        .coalesce(1).write.parquet(dimPath)
+      val joined = ParquetLayout.dppJoined(spark, factPath, dimPath)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the fact scan's PartitionFilters must carry the runtime
+      // subquery — the dim's category filter can never be pushed
+      // statically (the fact has no category column)
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(pf.exists(_.contains("dynamicpruning")),
+        s"no dynamic partition pruning in PartitionFilters: $pf")
+      // parity: runtime pruning is semantically invisible
+      val conv = ParquetLayout.typeCategories
+        .collect { case (t, "conversion") => t }
+      val flat = Tables.eventsMicros(spark, sf)
+        .filter(col("event_type").isin(conv: _*)).count()
+      assert(joined.count() == flat && flat > 0)
+    } finally Tables.deleteRecursively(base)
+  }
+
+  /** (file name, size) listing of one partition directory. */
+  private def partFiles(path: String, part: String): Set[(String, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$path/event_type=$part")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen)).toSet
+  }
+
+  test("q167: dynamic overwrite replaces ONLY the replayed partition; static would truncate") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q167spec_")
+    try {
+      val path = base.resolve("events_by_type").toString
+      ParquetLayout.stageLayout(spark, sf, path)
+      val others = Seq("view", "click", "signup", "error")
+      val before = others.map(t => t -> partFiles(path, t)).toMap
+      val purchaseBefore = partFiles(path, "purchase")
+      ParquetLayout.replayPartition(spark, sf, path, "purchase")
+      // untouched partitions: byte-identical file listings
+      others.foreach(t => assert(partFiles(path, t) == before(t),
+        s"partition $t was touched by the backfill"))
+      // the replayed partition really was rewritten (fresh task files)
+      assert(partFiles(path, "purchase") != purchaseBefore)
+      // idempotence: same rows after the replay as before it
+      val back = spark.read.parquet(path)
+      val src = Tables.eventsMicros(spark, sf)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+
+      // the contrast that makes dynamic mode load-bearing: a STATIC
+      // overwrite of the same slice truncates every other partition
+      val path2 = base.resolve("static_case").toString
+      ParquetLayout.stageLayout(spark, sf, path2)
+      Tables.eventsMicros(spark, sf)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+        .filter(col("event_type") === "purchase")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("event_type").parquet(path2)
+      val types = spark.read.parquet(path2)
+        .select("event_type").distinct().collect().map(_.getString(0)).toSet
+      assert(types == Set("purchase"),
+        s"static overwrite should have truncated to the replayed slice: $types")
+    } finally Tables.deleteRecursively(base)
+  }
+
+  test("q170: avro interchange round trip is lossless") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q170spec_")
+    try {
+      val src = Tables.eventsMicros(spark, sf)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+      val path = base.resolve("ev").toString
+      src.write.format("org.apache.spark.sql.avro.AvroFileFormat").save(path)
+      val back = spark.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(path)
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+      // schema survives: same Spark types either side of the row format
+      assert(back.schema == src.schema)
+    } finally Tables.deleteRecursively(base)
+  }
+
   test("q165 z-value property: column kernel matches a reference Morton interleave") {
     val sess = spark
     import sess.implicits._
