@@ -17,15 +17,36 @@ import graft.Tables
   * is an equi-join Spark shuffles on the key like any other, and the
   * distance check uses the THRESHOLDED levenshtein (banded O(d·n) DP
   * with early exit, not the full O(n²) matrix — the threshold form is
-  * what makes a 100 TB candidate pass affordable). At production scale
-  * the one extra guard is a block-size cap (a degenerate key — empty
-  * names — would resurrect the quadratic blowup); the summary output
-  * makes exactly that observable: n_cand_pairs IS Σ|block|² per block.
+  * what makes a 100 TB candidate pass affordable). The one extra guard
+  * production needs is ENFORCED here: a block-size cap. A degenerate
+  * key (empty names, a default placeholder) would resurrect the
+  * quadratic blowup — one 10M-member block is 5·10¹³ pairs, a job
+  * killer no matter how cheap the comparator — so blocks above
+  * [[maxBlockSize]] are excluded from the pairwise compare entirely
+  * (left-semi on under-cap blocks) and surfaced as `capped` in the
+  * q140 summary: the operator sees WHAT was skipped and can re-block
+  * those records with a finer key, instead of discovering the skew as
+  * a straggler task.
   */
 object Linkage {
 
   /** Edit-distance threshold for a candidate duplicate pair. */
   val linkMaxDist = 1
+
+  /** Hard cap on block membership for the pairwise compare: a block of
+    * n members costs n(n−1)/2 comparisons, so the worst block bounds
+    * the whole pass — 64 caps any one block at ~2k pairs. Capped
+    * blocks produce NO candidate pairs (their members pass through
+    * q162 as singleton clusters) and are flagged in the q140 summary.
+    */
+  val maxBlockSize = 64L
+
+  /** Blocks at-or-under the cap — the left-semi guard both q140 and
+    * q162 apply before their within-block self-joins.
+    */
+  private def underCap(cust: DataFrame): DataFrame =
+    cust.groupBy("blk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBlockSize).select("blk")
 
   /** q140 — per-block linkage summary over customer names: members,
     * candidate pairs actually compared (the blocking-cost audit), and
@@ -38,18 +59,25 @@ object Linkage {
   private[graft] def linkageCore(cust0: DataFrame): DataFrame = {
     val cust = cust0.select(col("c_custkey"), col("c_name"),
       expr("substring(c_name, 1, length(c_name) - 2)").as("blk"))
-    val a = cust.select(col("blk"), col("c_name").as("n1"))
-    val b = cust.select(col("blk"), col("c_name").as("n2"))
+    val inCap = cust.join(underCap(cust), Seq("blk"), "left_semi")
+    val a = inCap.select(col("blk"), col("c_name").as("n1"))
+    val b = inCap.select(col("blk"), col("c_name").as("n2"))
     val dup = a.join(b, Seq("blk"))
       .filter(col("n1") < col("n2"))
       .filter(levenshtein(col("n1"), col("n2"), linkMaxDist) >= 0)
       .groupBy("blk").agg(count(lit(1)).as("n_dup_pairs"))
     cust.groupBy("blk").agg(count(lit(1)).as("n_members"))
+      .withColumn("capped", col("n_members") > maxBlockSize)
+      // n_cand_pairs = pairs actually COMPARED: zero for capped blocks.
+      // DECIMAL(38,0) intermediate — a degenerate block's n² would
+      // overflow Long exactly when the cap matters most.
       .withColumn("n_cand_pairs",
-        expr("n_members * (n_members - 1) div 2"))
+        when(col("capped"), lit(0L)).otherwise(
+          expr("cast(n_members as decimal(38,0)) * (n_members - 1) div 2")))
       .join(dup, Seq("blk"), "left_outer")
       .select(col("blk"), col("n_members"), col("n_cand_pairs"),
-        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"))
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        col("capped"))
       .orderBy("blk")
   }
 
@@ -80,9 +108,12 @@ object Linkage {
     val cust = cust0.select(col("c_custkey"), col("c_name"),
       col("c_acctbal"), col("c_mktsegment"),
       expr("substring(c_name, 1, length(c_name) - 2)").as("blk"))
-    val a = cust.select(col("blk"), col("c_custkey").as("k1"),
+    // same cap as q140: members of over-cap blocks contribute no edges
+    // and pass through as their own (singleton) clusters
+    val inCap = cust.join(underCap(cust), Seq("blk"), "left_semi")
+    val a = inCap.select(col("blk"), col("c_custkey").as("k1"),
       col("c_name").as("n1"))
-    val b = cust.select(col("blk"), col("c_custkey").as("k2"),
+    val b = inCap.select(col("blk"), col("c_custkey").as("k2"),
       col("c_name").as("n2"))
     val pairs = a.join(b, Seq("blk"))
       .filter(col("n1") < col("n2"))
@@ -133,23 +164,29 @@ object Linkage {
   val oracles: Map[String, String] = Map(
     // same blocking + normalized pair order; DuckDB's levenshtein is
     // the same classic edit distance (no threshold form — semantics
-    // identical, only the early-exit differs)
+    // identical, only the early-exit differs). The block-size cap is
+    // mirrored: over-cap blocks are never compared.
     "q140_name_linkage" ->
       s"""WITH c AS (
             SELECT c_custkey, c_name,
               substr(c_name, 1, length(c_name) - 2) AS blk
             FROM customer),
+          m AS (
+            SELECT blk, count(*) AS n_members
+            FROM c GROUP BY 1),
+          ok AS (SELECT blk FROM m WHERE n_members <= ${maxBlockSize}),
           dup AS (
             SELECT a.blk, count(*) AS n_dup_pairs
             FROM c a JOIN c b ON a.blk = b.blk AND a.c_name < b.c_name
+            JOIN ok ON a.blk = ok.blk
             WHERE levenshtein(a.c_name, b.c_name) <= ${linkMaxDist}
-            GROUP BY 1),
-          m AS (
-            SELECT blk, count(*) AS n_members,
-              count(*) * (count(*) - 1) // 2 AS n_cand_pairs
-            FROM c GROUP BY 1)
-          SELECT m.blk, m.n_members, m.n_cand_pairs,
-            coalesce(d.n_dup_pairs, 0) AS n_dup_pairs
+            GROUP BY 1)
+          SELECT m.blk, m.n_members,
+            CASE WHEN m.n_members > ${maxBlockSize} THEN 0
+              ELSE (m.n_members::HUGEINT * (m.n_members - 1) // 2)::BIGINT
+            END AS n_cand_pairs,
+            coalesce(d.n_dup_pairs, 0) AS n_dup_pairs,
+            m.n_members > ${maxBlockSize} AS capped
           FROM m LEFT JOIN dup d ON m.blk = d.blk
           ORDER BY m.blk""",
     // q162: closure re-derived with a recursive CTE (GraphX CC's
@@ -160,9 +197,13 @@ object Linkage {
             SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
               substr(c_name, 1, length(c_name) - 2) AS blk
             FROM customer),
+          ok AS (
+            SELECT blk FROM c GROUP BY 1
+            HAVING count(*) <= ${maxBlockSize}),
           e AS (
             SELECT a.c_custkey AS x, b.c_custkey AS y
             FROM c a JOIN c b ON a.blk = b.blk AND a.c_name < b.c_name
+            JOIN ok ON a.blk = ok.blk
             WHERE levenshtein(a.c_name, b.c_name) <= ${linkMaxDist}),
           sym AS (SELECT x, y FROM e UNION SELECT y, x FROM e),
           vs AS (SELECT DISTINCT x AS v FROM sym),

@@ -87,13 +87,37 @@ class FrontierLmLinkageSpec extends AnyFunSuite with SparkTestBase {
       (5L, "Customer#000000102")                              // pairs with 4
     ).toDF("c_custkey", "c_name")
     val out = Linkage.linkageCore(cust)
-      .as[(String, Long, Long, Long)].collect().toSeq
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
     // block "Customer#0000000": members 1,2,3 → 3 cand pairs; all within d≤1?
     // 001↔002 d=1, 001↔011 d=1, 002↔011 d=2 → 2 dup pairs
     // block "Customer#0000001": members 4,5 → 1 cand, 101↔102 d=1 → 1 dup
     assert(out === Seq(
-      ("Customer#0000000", 3L, 3L, 2L),
-      ("Customer#0000001", 2L, 1L, 1L)))
+      ("Customer#0000000", 3L, 3L, 2L, false),
+      ("Customer#0000001", 2L, 1L, 1L, false)))
+  }
+
+  test("linkage: a degenerate block is capped out of the pairwise compare, not detonated") {
+    // the quadratic hazard the cap exists for: short names whose
+    // blocking key collapses to the SAME degenerate prefix — here 100
+    // two-char names block to the empty string (one 100-member block,
+    // 4950 pairs if compared); plus one healthy pair that must still
+    // be compared normally
+    val degenerate = (1L to 100L).map(k => (k, "ZZ"))
+    val healthy = Seq((201L, "Customer#000000001"),
+      (202L, "Customer#000000002"))
+    val out = Linkage.linkageCore(
+      (degenerate ++ healthy).toDF("c_custkey", "c_name"))
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      // capped: observable (n_members real), zero pairs compared
+      ("", 100L, 0L, 0L, true),
+      ("Customer#0000000", 2L, 1L, 1L, false)))
+    // and the golden-record path holds the same line: every capped
+    // member passes through as its own singleton cluster
+    val golden = Linkage.goldenCore(spark,
+      (degenerate ++ healthy).map { case (k, n) => (k, n, 1.0, "SEG") }
+        .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+    assert(golden.count() == 101) // 100 singletons + 1 merged pair
   }
 
   test("q162 golden records: transitive clusters, survivorship rules, singleton pass-through") {
