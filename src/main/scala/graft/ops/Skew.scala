@@ -281,9 +281,137 @@ object Skew {
       .orderBy("scope")
   }
 
+  /** Replication factor for the manually salted JOIN (q168): the hot
+    * key's rows spread over this many reducers, the compact side is
+    * replicated this many times. 8 bounds the replication blowup while
+    * cutting the hot partition ~8×.
+    */
+  val joinSaltFactor = 8L
+
+  /** The deliberately skewed q168 join key, applied to BOTH sides:
+    * ~30 % of rows collapse onto key 0 (ids ending 0/1/2), the rest
+    * keep their id. Content-derived — the oracle re-derives it with the
+    * same CASE, and the fixture-free skew is real: one key carries
+    * 30 % of a table that hash-partitions everything else uniformly.
+    */
+  private[graft] def skewedKeySql(idCol: String): String =
+    s"CASE WHEN $idCol % 10 < 3 THEN 0 ELSE $idCol END"
+
+  /** The two-phase replicate-and-salt join — seam for the spec's plan
+    * and balance asserts. `ev` carries the skewed key `k` plus a unique
+    * `event_id`; `compact` is key-unique on `k`. Phase 1: each fact row
+    * gets a deterministic salt (hash of its unique id — no rand(), so
+    * retries and the oracle comparison stay stable). Phase 2: the
+    * compact side is replicated once per salt value with one explode.
+    * The join key becomes (k, salt), so the hot key's rows land on
+    * `joinSaltFactor` reducers instead of one. Semantically invisible:
+    * every fact row still matches exactly its key's one compact row —
+    * via the single replica carrying that row's salt.
+    */
+  private[graft] def saltedJoin(ev: DataFrame, compact: DataFrame): DataFrame = {
+    val salted = ev.withColumn("salt",
+      pmod(xxhash64(col("event_id")), lit(joinSaltFactor)))
+    val replicated = compact.withColumn("salt",
+      explode(sequence(lit(0L), lit(joinSaltFactor - 1))))
+    salted.join(replicated, Seq("k", "salt"))
+  }
+
+  /** q168 — MANUALLY SALTED SKEW JOIN: the proactive fallback for the
+    * fact-fact join AQE's reactive skew split can't fix (pre-bucketed
+    * or pre-sorted inputs pin the partitioning, and AQE only splits
+    * SMJ/SHJ post-shuffle stats it's allowed to re-plan). q24 salts an
+    * AGGREGATION and q164 audits which keys would need this; q168 is
+    * the join itself: events (30 % of rows on one hot key) joined to a
+    * per-key compact frame, with broadcast disabled to exercise the
+    * shuffle path the pattern exists for. At 100 TB the unsalted
+    * version puts the hot key's entire row set on ONE reducer — the
+    * straggler that holds the stage; salting bounds every partition at
+    * ~1/joinSaltFactor of the hot key. The oracle runs the PLAIN join —
+    * salting must be semantically invisible.
+    */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ev = Tables.eventsMicros(spark, dir).select(
+        expr(skewedKeySql("user_id")).as("k"),
+        col("event_id"), col("event_type"), col("value"))
+      val compact = Tables.orders(spark, dir)
+        .groupBy(expr(skewedKeySql("o_custkey")).as("k"))
+        .agg(count(lit(1)).as("n_orders"))
+      val out = saltedJoin(ev, compact)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum("n_orders").as("orders_sum"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("event_type")
+      // materialize while broadcast is still pinned off
+      out.localCheckpoint(true)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None =>
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   /** The q161 audited columns. */
   private[graft] val statColumns =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** The q169 audited string columns, (table, column) — two tables,
+    * one stacked scan each. c_name is the high-NDV contrast to the
+    * enum-like flag/segment columns.
+    */
+  private[graft] val stringStatColumns: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_name", "c_mktsegment"),
+    "lineitem" -> Seq("l_returnflag", "l_linestatus"))
+
+  /** One table's contribution to q169: stack the string columns into
+    * (column_name, value) rows so the whole audit is a single scan and
+    * one hash agg — the q161 discipline, string branch. avg length is
+    * exact integer ppm (len_sum·10⁶ div n_values, DECIMAL-widened).
+    */
+  private[graft] def stringStatsOne(df: DataFrame, table: String,
+                                    cols: Seq[String]): DataFrame = {
+    val stacked = df.select(expr(
+      s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', $c").mkString(", ") +
+        ") AS (column_name, value)"))
+    val total = df.agg(count(lit(1)).as("n_rows"))
+    stacked.filter(col("value").isNotNull)
+      .groupBy("column_name")
+      .agg(
+        count(lit(1)).as("n_values"),
+        countDistinct(col("value")).as("ndv"),
+        min("value").as("v_min"),
+        max("value").as("v_max"),
+        sum(length(col("value"))).as("len_sum"))
+      .crossJoin(broadcast(total)) // single-row frame (sanctioned)
+      .select(
+        concat(lit(s"$table."), col("column_name")).as("column_name"),
+        col("n_rows"),
+        col("n_values"),
+        (col("n_rows") - col("n_values")).as("n_null"),
+        col("ndv"), col("v_min"), col("v_max"), col("len_sum"),
+        expr("cast(len_sum as decimal(38,0)) * 1000000 div n_values")
+          .as("avg_len_ppm"))
+  }
+
+  /** q169 — STRING-COLUMN TABLE STATISTICS: the companion to q161's
+    * numeric ANALYZE — real optimizer stats also profile strings (NDV
+    * for join-size estimates, min/max for range pruning on
+    * lexicographic predicates, average length for row-width and
+    * shuffle-size estimates). All-integer contract: counts, exact NDV,
+    * lexicographic min/max are data values, and average length is an
+    * exact ppm division — nothing floats, so the gate is exact.
+    */
+  def stringStats(spark: SparkSession, dir: String): DataFrame =
+    stringStatColumns.map { case (table, cols) =>
+      stringStatsOne(Tables.load(spark, dir, table), table, cols)
+    }.reduce(_ unionByName _).orderBy("column_name")
 
   /** q161 — ANALYZE-style OPTIMIZER TABLE STATISTICS: per numeric
     * column of lineitem, row/null accounting, exact NDV, min/max and
@@ -369,6 +497,8 @@ object Skew {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q168_salted_skew_join" -> (saltedSkewJoin(_, _)),
+    "q169_string_stats" -> (stringStats(_, _)),
     "q164_join_key_skew" -> (joinKeySkewAudit(_, _)),
     "q161_table_stats" -> (tableStats(_, _)),
     // rows-only by design: HLL estimates are engine-specific; the
@@ -384,6 +514,42 @@ object Skew {
     "q102_value_quantiles" -> (valueQuantiles(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q168: the oracle runs the PLAIN join on the same derived key —
+    // the salt-and-replicate mechanics must be semantically invisible
+    "q168_salted_skew_join" -> {
+      val evKey = skewedKeySql("user_id")
+      val ordKey = skewedKeySql("o_custkey")
+      s"""WITH ev AS (
+            SELECT $evKey AS k, event_type, value
+            FROM events WHERE ts IS NOT NULL),
+          os AS (
+            SELECT $ordKey AS k, count(*) AS n_orders
+            FROM orders GROUP BY 1)
+          SELECT event_type, count(*) AS n_events,
+            sum(n_orders)::BIGINT AS orders_sum,
+            round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+          FROM ev JOIN os USING (k)
+          GROUP BY 1 ORDER BY 1"""
+    },
+    // q169: same per-table stack, exact NDV / lexicographic min-max /
+    // integer-ppm average length; HUGEINT intermediates cast back
+    "q169_string_stats" -> {
+      val branches = stringStatColumns.flatMap { case (table, cols) =>
+        cols.map { c =>
+          s"""SELECT '$table.$c' AS column_name,
+             (SELECT count(*) FROM $table)::BIGINT AS n_rows,
+             count($c)::BIGINT AS n_values,
+             ((SELECT count(*) FROM $table) - count($c))::BIGINT AS n_null,
+             count(DISTINCT $c)::BIGINT AS ndv,
+             min($c) AS v_min, max($c) AS v_max,
+             sum(length($c))::BIGINT AS len_sum,
+             (sum(length($c))::HUGEINT * 1000000 // count($c))::BIGINT
+               AS avg_len_ppm
+           FROM $table"""
+        }
+      }
+      branches.mkString("", "\n UNION ALL\n ", "\n ORDER BY column_name")
+    },
     // q164: same size-histogram collapse and cume selection per
     // relation; all integers, HUGEINT sums cast back
     "q164_join_key_skew" -> {

@@ -44,7 +44,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // round-9 batch: same sanctioned single-row boundary broadcasts
     "q158_independence_lift",    // global event-count row
     "q160_hll_mergeability",     // global exact-distinct row
-    "q161_table_stats")          // table row-count row
+    "q161_table_stats",          // table row-count row
+    // round-10: per-table row-count row (q161's string twin)
+    "q169_string_stats")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

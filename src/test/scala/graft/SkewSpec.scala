@@ -96,4 +96,68 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(5) == 4L)                         // max_group
     assert(r.getLong(6) == 500000L)                    // 4/8 in ppm
   }
+
+  test("q168 salted join: hot key spreads across salts, result matches the plain join") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.eventsMicros(spark, sf).select(
+      expr(Skew.skewedKeySql("user_id")).as("k"),
+      col("event_id"), col("event_type"), col("value"))
+    val compact = Tables.orders(spark, sf)
+      .groupBy(expr(Skew.skewedKeySql("o_custkey")).as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+
+    // the fixture-free skew is real: the hot key dominates
+    val sizes = ev.groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n")).collect()
+    val maxUnsalted = sizes.head.getLong(1)
+    assert(maxUnsalted > 100, s"expected a hot key, got $maxUnsalted")
+
+    // phase 1 bounds the per-partition group: no (k, salt) cell holds
+    // more than ~1/saltFactor of the hot key (generous 2× slack for
+    // hash imbalance)
+    val saltedSizes = Skew.saltedJoin(ev, compact)
+      .groupBy("k", "salt").agg(count(lit(1)).as("n"))
+      .agg(max("n")).collect().head.getLong(0)
+    assert(saltedSizes * Skew.joinSaltFactor <= maxUnsalted * 2,
+      s"salting must spread the hot key: max cell $saltedSizes " +
+        s"vs unsalted $maxUnsalted")
+
+    // semantically invisible: same multiset of joined rows
+    val viaSalt = Skew.saltedJoin(ev, compact)
+      .select("k", "event_id", "event_type", "value", "n_orders")
+    val plain = ev.join(compact, "k")
+      .select("k", "event_id", "event_type", "value", "n_orders")
+    assert(viaSalt.exceptAll(plain).isEmpty && plain.exceptAll(viaSalt).isEmpty)
+
+    // and with broadcast off, the join is a shuffle join keyed on
+    // (k, salt) — the salt really is in the partitioning
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Skew.saltedJoin(ev, compact)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(600))
+      val ji = math.max(plan.indexOf("SortMergeJoin"),
+        plan.indexOf("ShuffledHashJoin"))
+      assert(plan.substring(ji, plan.indexOf("\n", ji)).contains("salt"),
+        "join keys must include the salt")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q169 string stats: hand fixture — nulls, ndv, lexicographic bounds, exact avg ppm") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Some("aa"), Some("aa"), Some("b"), Some("cccc"), None
+    ).toDF("v")
+    val r = Skew.stringStatsOne(df, "t", Seq("v")).collect().head
+    assert(r.getString(0) == "t.v")
+    assert(r.getLong(1) == 5L)      // n_rows
+    assert(r.getLong(2) == 4L)      // n_values
+    assert(r.getLong(3) == 1L)      // n_null
+    assert(r.getLong(4) == 3L)      // ndv
+    assert(r.getString(5) == "aa" && r.getString(6) == "cccc")
+    assert(r.getLong(7) == 9L)      // len_sum = 2+2+1+4
+    assert(r.getLong(8) == 2250000L) // 9·10⁶ div 4
+  }
 }
