@@ -589,9 +589,90 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** All parquet data files under a (possibly partitioned) layout,
+    * recursively, sorted for determinism. Driver-side listing is
+    * manifest-sized work, not data-sized — this IS the metadata layer.
+    */
+  private[graft] def listDataFiles(spark: SparkSession, root: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+    }
+    buf.result().sorted
+  }
+
+  /** Commit a snapshot: version `v` is nothing but the list of data
+    * files visible to it, one path per line.
+    */
+  private[graft] def writeManifest(dir: java.nio.file.Path, v: Int,
+                                   files: Seq[String]): Unit =
+    Files.write(dir.resolve(s"v$v.txt"),
+      files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[graft] def readManifest(dir: java.nio.file.Path, v: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(dir.resolve(s"v$v.txt")).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Read exactly one snapshot: the scan sees the manifest's file list,
+    * nothing else — `basePath` keeps directory-encoded partition
+    * columns resolvable on the explicit file list.
+    */
+  private[graft] def snapshotRead(spark: SparkSession, basePath: String,
+                                  manifestDir: java.nio.file.Path,
+                                  v: Int): DataFrame =
+    spark.read.option("basePath", basePath)
+      .parquet(readManifest(manifestDir, v): _*)
+
+  /** q171 — SNAPSHOT ISOLATION / TIME TRAVEL from immutable files + a
+    * version manifest: the core lakehouse-table mechanism (Iceberg/
+    * Delta strip away to exactly this) built from plain parquet and a
+    * text file. Data files are written once and NEVER rewritten; a
+    * version is just the list of files visible to it. Here v1 commits
+    * the full partitioned events layout and v2 "purges" the error
+    * slice — a METADATA-ONLY commit: zero data I/O (the q133 row-level
+    * purge rewrites; this one drops whole files from the manifest),
+    * which at 100 TB is the difference between an O(manifest) commit
+    * and rewriting a table. Both snapshots stay readable AFTER the
+    * commit — the time-travel guarantee — and the query aggregates
+    * BOTH through their manifests. The oracle re-derives each version
+    * from the ORIGINAL flat table (v2 = all non-error rows), so
+    * snapshot selection is proven semantically exact.
+    */
+  def snapshotTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q171_")
+    try {
+      val data = base.resolve("data").toString
+      stageLayout(spark, dir, data)
+      val manifests = Files.createDirectory(base.resolve("manifests"))
+      val v1Files = listDataFiles(spark, data)
+      writeManifest(manifests, 1, v1Files)
+      writeManifest(manifests, 2,
+        v1Files.filterNot(_.contains("event_type=error")))
+      def snap(v: Int): DataFrame =
+        snapshotRead(spark, data, manifests, v)
+          .withColumn("version", lit(s"v$v"))
+      val out = snap(1).unionByName(snap(2))
+        .groupBy("version", "event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("version", "event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q171_snapshot_time_travel" -> (snapshotTimeTravel(_, _)),
     "q166_dynamic_partition_pruning" -> (dynamicPartitionPruning(_, _)),
     "q167_backfill_overwrite" -> (backfillOverwrite(_, _)),
     "q170_avro_interchange" -> (avroInterchangeRevenue(_, _)),
@@ -604,6 +685,23 @@ object ParquetLayout {
     "q134_compaction_rollup" -> (compactionRollup(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q171: each version re-derived from the ORIGINAL flat table —
+    // v1 = everything, v2 = the metadata-only error purge. Snapshot
+    // selection must be semantically exact.
+    "q171_snapshot_time_travel" ->
+      """SELECT * FROM (
+           SELECT 'v1' AS version, event_type, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY 1, 2
+           UNION ALL
+           SELECT 'v2' AS version, event_type, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+           FROM events WHERE ts IS NOT NULL AND event_type <> 'error'
+           GROUP BY 1, 2)
+         ORDER BY version, event_type""",
     // q166: the oracle joins the ORIGINAL flat table to the SAME
     // literal dim — runtime partition pruning must be semantically
     // invisible. The VALUES list is generated from typeCategories so

@@ -333,6 +333,40 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally Tables.deleteRecursively(base)
   }
 
+  test("q171: a manifest commit is metadata-only and old snapshots stay readable") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q171spec_")
+    try {
+      val data = base.resolve("data").toString
+      ParquetLayout.stageLayout(spark, sf, data)
+      val manifests = java.nio.file.Files.createDirectory(
+        base.resolve("manifests"))
+      val v1Files = ParquetLayout.listDataFiles(spark, data)
+      assert(v1Files.nonEmpty)
+      ParquetLayout.writeManifest(manifests, 1, v1Files)
+      val v1Before = ParquetLayout.snapshotRead(spark, data, manifests, 1)
+        .count()
+
+      // the v2 commit: purge the error slice by dropping its files
+      // from the manifest — no data write, no delete
+      ParquetLayout.writeManifest(manifests, 2,
+        v1Files.filterNot(_.contains("event_type=error")))
+
+      // metadata-only: the data directory is bit-for-bit unchanged
+      assert(ParquetLayout.listDataFiles(spark, data) == v1Files,
+        "a snapshot commit must not touch data files")
+      // snapshot semantics: v2 sees no error rows, everything else intact
+      val v2 = ParquetLayout.snapshotRead(spark, data, manifests, 2)
+      val errRows = Tables.eventsMicros(spark, sf)
+        .filter(col("event_type") === "error").count()
+      assert(v2.filter(col("event_type") === "error").count() == 0)
+      assert(v2.count() == v1Before - errRows && errRows > 0)
+      // time travel: v1 read AFTER the v2 commit still sees everything
+      val v1After = ParquetLayout.snapshotRead(spark, data, manifests, 1)
+      assert(v1After.count() == v1Before)
+      assert(v1After.filter(col("event_type") === "error").count() == errRows)
+    } finally Tables.deleteRecursively(base)
+  }
+
   test("q165 z-value property: column kernel matches a reference Morton interleave") {
     val sess = spark
     import sess.implicits._
