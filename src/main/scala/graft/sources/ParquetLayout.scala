@@ -669,9 +669,79 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** Per-file (path, min, max) of `column`, read from the parquet
+    * footers at COMMIT time — the stats a lakehouse writer records
+    * into its manifest alongside the file list (the write already
+    * knows them; collecting here from footers is the same O(files)
+    * metadata pass, data untouched).
+    */
+  private[graft] def fileStats(spark: SparkSession, root: String,
+                               column: String): Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    listDataFiles(spark, root).map { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p), conf))
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.map(
+          _.getColumns.asScala.find(_.getPath.toDotString == column)
+            .get.getStatistics)
+        (p,
+          stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+      } finally reader.close()
+    }
+  }
+
+  /** The manifest-level prune: files whose [min, max] band intersects
+    * the probe window. Driver-side over manifest-sized data.
+    */
+  private[graft] def pruneByStats(stats: Seq[(String, Long, Long)],
+                                  lo: Long, hi: Long): Seq[String] =
+    stats.collect { case (p, mn, mx) if mn < hi && mx >= lo => p }
+
+  /** q172 — MANIFEST-STATS FILE PRUNING: the metadata layer above
+    * q132's row-group skipping. Row-group pruning still OPENS every
+    * file (list + footer fetch per file — at 100 TB with millions of
+    * files, that metadata round-trip IS the latency floor); a lakehouse
+    * manifest records per-file min/max at commit time, so a time-range
+    * probe selects the intersecting files from the manifest alone —
+    * O(manifest) driver work, zero object-store requests for excluded
+    * files — and only then does Spark plan a scan over the survivors.
+    * Layout feeds metadata: on the q132-clustered copy each file owns a
+    * disjoint time slice, so the [3/8, 4/8) probe keeps ~1-2 of 8 files
+    * (the spec also pins the converse — on a scattered layout the same
+    * stats prune nothing). Residual filter + aggregate are unchanged
+    * q132; the oracle recomputes the same content-derived window over
+    * the ORIGINAL flat table, proving file selection dropped no rows.
+    */
+  def manifestPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q172_")
+    try {
+      val path = base.resolve("events_by_time").toString
+      stageClustered(spark, dir, path, 8)
+      val (plo, phi) = probeBounds(spark, dir)
+      val picked = pruneByStats(fileStats(spark, path, "tsu"), plo, phi)
+      val out = spark.read.parquet(picked: _*)
+        .filter(col("tsu") >= plo && col("tsu") < phi)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q172_manifest_pruned_scan" -> (manifestPrunedScan(_, _)),
     "q171_snapshot_time_travel" -> (snapshotTimeTravel(_, _)),
     "q166_dynamic_partition_pruning" -> (dynamicPartitionPruning(_, _)),
     "q167_backfill_overwrite" -> (backfillOverwrite(_, _)),
@@ -685,6 +755,22 @@ object ParquetLayout {
     "q134_compaction_rollup" -> (compactionRollup(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q172: identical oracle to q132 — same content-derived probe
+    // window over the ORIGINAL flat table; manifest-level file
+    // selection must drop no rows
+    "q172_manifest_pruned_scan" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, value, epoch_ns(ts) // 1000 AS tsu
+           FROM events WHERE ts IS NOT NULL),
+         b AS (
+           SELECT min(tsu) AS lo, (max(tsu) - min(tsu)) // 8 AS step
+           FROM ev)
+         SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM ev, b
+         WHERE tsu >= lo + 3 * step AND tsu < lo + 4 * step
+         GROUP BY 1 ORDER BY 1""",
     // q171: each version re-derived from the ORIGINAL flat table —
     // v1 = everything, v2 = the metadata-only error purge. Snapshot
     // selection must be semantically exact.

@@ -367,6 +367,40 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally Tables.deleteRecursively(base)
   }
 
+  test("q172: manifest stats prune files on the clustered layout, nothing on scattered") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q172spec_")
+    try {
+      val clustered = base.resolve("clustered").toString
+      val scattered = base.resolve("scattered").toString
+      ParquetLayout.stageClustered(spark, sf, clustered, 8)
+      Tables.eventsMicros(spark, sf)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+        .repartition(8, col("event_id"))
+        .write.parquet(scattered)
+      val (plo, phi) = ParquetLayout.probeBounds(spark, sf)
+
+      // the mechanism: on the clustered layout the manifest alone
+      // excludes most files; the SAME stats prune nothing when the
+      // layout scatters every file across the whole domain
+      val cStats = ParquetLayout.fileStats(spark, clustered, "tsu")
+      val sStats = ParquetLayout.fileStats(spark, scattered, "tsu")
+      val cPicked = ParquetLayout.pruneByStats(cStats, plo, phi)
+      val sPicked = ParquetLayout.pruneByStats(sStats, plo, phi)
+      assert(cStats.size == 8 && sStats.size == 8)
+      assert(cPicked.size <= 2,
+        s"clustered manifest should keep ~1 slice, kept ${cPicked.size}/8")
+      assert(sPicked.size == 8,
+        s"scattered layout gives stats no leverage, kept ${sPicked.size}/8")
+
+      // correctness: the pruned read sees exactly the probe's rows
+      val viaManifest = spark.read.parquet(cPicked: _*)
+        .filter(col("tsu") >= plo && col("tsu") < phi).count()
+      val flat = Tables.eventsMicros(spark, sf)
+        .filter(col("tsu") >= plo && col("tsu") < phi).count()
+      assert(viaManifest == flat && flat > 0)
+    } finally Tables.deleteRecursively(base)
+  }
+
   test("q165 z-value property: column kernel matches a reference Morton interleave") {
     val sess = spark
     import sess.implicits._
