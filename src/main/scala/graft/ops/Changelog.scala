@@ -80,12 +80,115 @@ object Changelog {
       .orderBy("user_id")
   }
 
+  /** q174 — ROLLUP MAINTENANCE UNDER RETRACTIONS: keep a daily rollup
+    * current against a changelog that contains DELETES as well as
+    * inserts — the case q130's merge identity cannot handle. The delta
+    * is the post-cutoff slice (inserts, q135's midpoint convention)
+    * plus a purge list over the base (every 13th event_id — the GDPR
+    * shape, q173's row-delete twin on the AGGREGATE side). The algebra
+    * splits by measure class:
+    *
+    *   - count/sum are groups under signed merge: stored + insert
+    *     partials − delete partials, exact because the sums are
+    *     DECIMAL end to end (float addition would drift under regroup,
+    *     and subtraction amplifies it).
+    *   - min/max are NOT retractable — deleting the row that held the
+    *     minimum leaves no way to derive the new minimum from the old
+    *     one. The maintenance recomputes them ONLY for the groups the
+    *     purge actually touched (a left-semi group-scoped rescan);
+    *     untouched groups keep merged stored/insert extrema. At 100 TB
+    *     a purge touches a handful of (type, day) groups, so the
+    *     rescan reads a few partitions of one day each, not history.
+    *
+    * Groups the purge empties entirely disappear (the count/sum frame
+    * inner-joins the extrema frame). The oracle recomputes the rollup
+    * directly over base∖deletes ∪ inserts in one pass: the maintained
+    * result must hash-equal the recompute, sums bit-exactly.
+    */
+  def retractableRollup(spark: SparkSession, dir: String): DataFrame =
+    retractCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] val usPerDay = 86400000000L
+  private[graft] val purgeModulus = 13
+
+  private[graft] def retractCore(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("event_type"), col("tsu"), col("value"),
+        col("event_id"))
+      .withColumn("day", expr(s"tsu div $usPerDay"))
+    // data-derived cutoff; single-row frame, broadcast (the sanctioned
+    // tiny-crossJoin pattern — q135)
+    val cutoff = ev.agg(expr("(min(tsu) + max(tsu)) div 2").as("cut_us"))
+    val tagged = ev.crossJoin(broadcast(cutoff))
+    val base = tagged.filter(col("tsu") < col("cut_us"))
+    val inserts = tagged.filter(col("tsu") >= col("cut_us"))
+    val deletes = base.filter(col("event_id") % purgeModulus === 0)
+
+    // the mergeable partial-aggregate state, one row per rollup group
+    def partials(df: DataFrame, sign: Int): DataFrame =
+      df.groupBy("event_type", "day")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).as("vsum"),
+          min("value").as("vmin"),
+          max("value").as("vmax"))
+        .withColumn("sign", lit(sign))
+    val stored = partials(base, 1) // yesterday's materialized state
+    val insP = partials(inserts, 1)
+    val delP = partials(deletes, -1)
+
+    // signed merge: exact for the group-structured measures
+    val counts = stored.unionByName(insP).unionByName(delP)
+      .groupBy("event_type", "day")
+      .agg(
+        sum(expr("sign * cnt")).as("n_events"),
+        sum(expr("cast(sign AS decimal(2,0)) * vsum")).as("vsum_total"))
+
+    // extrema: recompute only where a delete landed
+    val touched = delP.select("event_type", "day").distinct()
+    val untouchedMM = stored.select("event_type", "day", "vmin", "vmax")
+      .unionByName(insP.select("event_type", "day", "vmin", "vmax"))
+      .join(touched, Seq("event_type", "day"), "left_anti")
+      .groupBy("event_type", "day")
+      .agg(min("vmin").as("value_min"), max("vmax").as("value_max"))
+    val live = base.filter(col("event_id") % purgeModulus =!= 0)
+      .unionByName(inserts)
+    val touchedMM = live.join(touched, Seq("event_type", "day"), "left_semi")
+      .groupBy("event_type", "day")
+      .agg(min("value").as("value_min"), max("value").as("value_max"))
+
+    counts.join(untouchedMM.unionByName(touchedMM), Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("vsum_total").cast("double"), 2).as("value_sum"),
+        col("value_min"), col("value_max"))
+      .orderBy("event_type", "day")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "q135_cdc_merge" -> (cdcMerge(_, _)))
+    "q135_cdc_merge" -> (cdcMerge(_, _)),
+    "q174_retractable_rollup" -> (retractableRollup(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q174: the post-changelog table (base∖deletes ∪ inserts)
+    // aggregated directly in ONE pass — the engine's signed-merge +
+    // group-scoped-rescan result must hash-equal it, sums bit-exactly
+    "q174_retractable_rollup" ->
+      s"""WITH ev AS (
+           SELECT event_type, epoch_ns(ts) // 1000 AS tsu, value, event_id
+           FROM events WHERE ts IS NOT NULL),
+         cut AS (SELECT (min(tsu) + max(tsu)) // 2 AS cut_us FROM ev),
+         live AS (
+           SELECT * FROM ev
+           WHERE (tsu < (SELECT cut_us FROM cut)
+                    AND event_id % $purgeModulus <> 0)
+              OR tsu >= (SELECT cut_us FROM cut))
+         SELECT event_type, tsu // $usPerDay AS day,
+           count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum,
+           min(value) AS value_min,
+           max(value) AS value_max
+         FROM live GROUP BY 1, 2 ORDER BY 1, 2""",
     // identical latest-wins rule spelled out as row_number DESC; `val`
     // is a carried stored double (no arithmetic), so it hashes exactly
     "q135_cdc_merge" ->

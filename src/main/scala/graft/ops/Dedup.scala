@@ -116,6 +116,67 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q177 — INCREMENTAL NEAR-DUP (delta vs corpus): dedup a NEW batch
+    * against an already-deduped corpus without ever re-comparing the
+    * corpus to itself — how near-dup runs in steady state at 100 TB
+    * (a daily crawl lands against three years of history; base×base
+    * was settled yesterday). The cutoff is the data-derived top
+    * quarter of the doc_id span; ingest assigns ids monotonically, so
+    * every delta id exceeds every base id and ONE equi-join — full
+    * corpus (a) × delta only (b), a.doc_id < b.doc_id — enumerates
+    * exactly the pairs with a delta member in canonical order while
+    * structurally excluding base×base: probe cost is O(delta·df), not
+    * O(corpus²). Shingle relation, full-corpus df-cap (the stored
+    * index stats a production run would reuse) and Jaccard arithmetic
+    * are all q52's, so the two surfaces can never drift; `pair_kind`
+    * separates the vs_corpus hits (drop the new doc) from the
+    * within_batch ones (pick a batch survivor). The oracle is q52's
+    * restricted to delta pairs, proving the restriction loses nothing.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       minJ: Double = minJaccard): DataFrame =
+    incrementalDedupCore(Tables.spread(Tables.documents(spark, dir)), minJ)
+
+  private[graft] def incrementalDedupCore(docs: DataFrame,
+                                          minJ: Double): DataFrame = {
+    val cut = docs.agg(
+      expr("min(doc_id) + 3 * ((max(doc_id) - min(doc_id) + 1) div 4)")
+        .as("cut_id"))
+    val rows = docs
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(
+          shingles(TextFunctions.tokens(col("text")), shingleSize))).as("sh"))
+      .repartition(col("sh"))
+      .crossJoin(broadcast(cut))
+    val hot = rows.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("sh")
+    val capped = rows.join(hot, Seq("sh"), "left_anti")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = capped.as("a")
+      .join(capped.filter(col("doc_id") >= col("cut_id")).as("b"),
+        col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.cut_id").as("cut_id"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jac_raw",
+        col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jac_raw") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("jac_raw"), 6).as("jaccard"),
+        when(col("doc_a") >= col("cut_id"), lit("within_batch"))
+          .otherwise(lit("vs_corpus")).as("pair_kind"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- MinHash + banded LSH --------------------------------------------
 
   val numHashes = 16
@@ -339,9 +400,46 @@ object Dedup {
     "q54_lsh_candidates" -> (lshCandidates(_, _)),
     "q55_simhash" -> (simhashes(_, _)),
     "q56_simhash_pairs" -> (simhashPairs(_, _)),
-    "q57_dedup_clusters" -> (dedupClusters(_, _)))
+    "q57_dedup_clusters" -> (dedupClusters(_, _)),
+    "q177_incremental_dedup" -> (incrementalDedup(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q177: q52's oracle restricted to pairs whose b member is in the
+    // delta (the top quarter of the doc_id span) — the incremental
+    // join must find exactly the delta-touching subset of q52's pairs
+    "q177_incremental_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, lang, list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents),
+         cut AS (
+           SELECT min(doc_id) + 3 * ((max(doc_id) - min(doc_id) + 1) // 4)
+             AS cut_id
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, lang, unnest(list_distinct(
+             CASE WHEN len(ws) < 3 THEN []
+                  ELSE list_transform(range(len(ws)-2),
+                         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             END)) AS sh
+           FROM t),
+         rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+         capped AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM capped a JOIN capped b
+             ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE b.doc_id >= (SELECT cut_id FROM cut)
+           GROUP BY 1,2)
+         SELECT doc_a, doc_b, n_common,
+           round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard,
+           CASE WHEN doc_a >= (SELECT cut_id FROM cut) THEN 'within_batch'
+                ELSE 'vs_corpus' END AS pair_kind
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+         ORDER BY doc_a, doc_b""",
     // q87: winnow picks CTE (TextAnalysis, HUGEINT mod-2^64 twin) + the
     // q59 split rule, joined and aggregated exactly like the engine
     "q87_decontamination" -> (TextAnalysis.winnowPicksCte +

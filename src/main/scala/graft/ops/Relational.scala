@@ -416,6 +416,68 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** The q175 join, built declaratively with no manual filter — the
+    * optimizer is the one that must inject the runtime filter. Seam
+    * for the spec's plan assert.
+    */
+  private[graft] def runtimeBloomJoined(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 4).as("revenue"))
+      .orderBy("l_returnflag")
+
+  /** Scoped confs that make InjectRuntimeFilter fire at test scale:
+    * broadcast off (both sides big → the shuffle join the rewrite
+    * targets) and the application-side scan floor dropped to 0 (its
+    * 10 GB default assumes a cluster; the REWRITE under test is
+    * size-independent). Restored via getOption so previously-unset
+    * keys stay unset (the q155 discipline).
+    */
+  private[graft] def withRuntimeBloomConfs[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** q175 — OPTIMIZER-INJECTED runtime bloom filter: q126's pattern,
+    * but the ENGINE does the rewriting. The plan is a plain declarative
+    * join of the full lineitem against the urgent slice of orders;
+    * Spark's InjectRuntimeFilter sees a selective creation-side filter
+    * and plants a BloomFilterMightContain over l_orderkey into the
+    * fact scan stage, so the fact side is thinned BEFORE its shuffle —
+    * at 100 TB the exchange shrinks ~5× (the slice's selectivity)
+    * without the query author writing a filter at all. This completes
+    * the runtime-filtering family: q166 prunes PARTITIONS through a
+    * join at runtime, q175 prunes ROWS through a join at runtime, q126
+    * is the same lever made explicit when the optimizer's thresholds
+    * can't see the opportunity. Hash-gated against the plain join
+    * (blooms have no false negatives; the join removes the false
+    * positives), executed UNDER the scoped confs (localCheckpoint) so
+    * the verified run is the injected plan. RelationalSpec asserts the
+    * injection: bloom_filter_agg + might_contain in the optimized
+    * plan, absent with the rewrite disabled.
+    */
+  val runtimeBloomJoin: Q = (s, d) =>
+    withRuntimeBloomConfs(s) {
+      runtimeBloomJoined(s, d).localCheckpoint(true)
+    }
+
   /** q127 — COLUMN PROFILE: per-column row/null/distinct counts over
     * `events`, the data-quality survey every ingest pipeline runs
     * before trusting a new drop (null-rate spikes and cardinality
@@ -722,6 +784,7 @@ object Relational {
     "q122_scd2_state_timeline" -> scd2StateTimeline,
     "q123_point_in_time_join" -> pointInTimeJoin,
     "q126_bloom_prejoin_revenue" -> bloomPrejoinRevenue,
+    "q175_runtime_bloom_join" -> runtimeBloomJoin,
     "q127_column_profile" -> columnProfile,
     "q15_value_histogram" -> valueHistogram,
     "q16_props_key_stats" -> propsKeyStats,
@@ -789,6 +852,17 @@ object Relational {
          JOIN customer ON user_id = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          WHERE ts IS NOT NULL AND c_mktsegment = 'AUTOMOBILE'
+         GROUP BY 1 ORDER BY 1""",
+    // q175: the plain join — the injected bloom filter must be
+    // semantically invisible (no false negatives; the join removes
+    // the false positives)
+    "q175_runtime_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+           round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,4)))::DOUBLE, 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
          GROUP BY 1 ORDER BY 1""",
     // q123: the oracle evaluates the DECLARATIVE half-open interval
     // containment over the non-purchase run table — an independent

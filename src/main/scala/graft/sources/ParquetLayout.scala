@@ -738,9 +738,129 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** The q173 delete predicate — a sparse user-keyed purge (every
+    * 97th user), the GDPR-delete shape: rows scattered across every
+    * data file, the worst case for copy-on-write and the motivating
+    * case for merge-on-read.
+    */
+  private[graft] val dvDeletePredicate = col("user_id") % 97 === 0
+
+  /** Commit a row-level delete as an equality-delete sidecar: the set
+    * of deleted ROW KEYS (event_id is the table's unique key), written
+    * once next to the immutable data files. O(deleted rows) I/O, zero
+    * data files rewritten.
+    */
+  private[graft] def commitDeleteVector(spark: SparkSession, data: String,
+                                        dvPath: String): Unit =
+    spark.read.parquet(data)
+      .filter(dvDeletePredicate)
+      .select("event_id")
+      .write.parquet(dvPath)
+
+  /** The merge-on-read scan: data files anti-joined to the deletion
+    * vector on the row key. The DV is broadcast — while deletes are a
+    * tiny fraction of the table (the steady state between compactions)
+    * the anti-join adds no exchange to the fact side; once a DV
+    * outgrows the broadcast bound the same plan shuffles on the row
+    * key, and compaction (q134's kernel) folds the DV back into the
+    * data files and resets it to empty.
+    */
+  private[graft] def dvRead(spark: SparkSession, data: String,
+                            dvPath: String): DataFrame =
+    spark.read.parquet(data)
+      .join(broadcast(spark.read.parquet(dvPath)), Seq("event_id"),
+        "left_anti")
+
+  /** q173 — DELETION VECTORS (merge-on-read row-level delete): the
+    * fourth lakehouse-table mechanism, after time travel (q171),
+    * manifest pruning (q172) and compaction (q134). q133's purge and
+    * q171's error drop delete by REWRITING or by dropping WHOLE files;
+    * a sparse row-level delete (GDPR erasure of scattered users) would
+    * force a copy-on-write of nearly every file it touches — at 100 TB,
+    * rewriting the table to remove 1% of rows. Merge-on-read instead
+    * commits only the deleted keys and makes every reader anti-join
+    * them. The oracle applies the same predicate to the ORIGINAL flat
+    * table, so the DV scan must be row-exact: the sidecar must capture
+    * exactly the predicate's rows and the anti-join must drop exactly
+    * those.
+    */
+  def deletionVectorScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q173_")
+    try {
+      val data = base.resolve("data").toString
+      stageClustered(spark, dir, data, 8)
+      val dv = base.resolve("deletes").toString
+      commitDeleteVector(spark, data, dv)
+      val out = dvRead(spark, data, dv)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
+  /** q176 — VACUUM / SNAPSHOT RETENTION: the garbage collector of the
+    * q171 store. Time travel keeps superseded files alive as long as a
+    * retained manifest references them; vacuum under a retention policy
+    * (here: latest only) computes the reachable file set from the
+    * RETAINED manifests — O(manifest) driver work — and deletes the
+    * orphans. At 100 TB this is what keeps storage from growing without
+    * bound under compaction/backfill churn, and reachability-from-
+    * manifests is what makes it SAFE: a file is deleted because no
+    * retained snapshot can see it, never because of its age or name.
+    * The query reads the live snapshot AFTER the vacuum; the oracle
+    * re-derives it from the ORIGINAL flat table (v2 = non-error), so a
+    * vacuum that deleted a reachable file surfaces as a missing-file
+    * read error or a hash mismatch. The spec pins the other half: the
+    * orphans are actually gone from disk and only they are.
+    */
+  def vacuumRetention(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q176_")
+    try {
+      val data = base.resolve("data").toString
+      stageLayout(spark, dir, data)
+      val manifests = Files.createDirectory(base.resolve("manifests"))
+      val v1Files = listDataFiles(spark, data)
+      writeManifest(manifests, 1, v1Files)
+      val v2Files = v1Files.filterNot(_.contains("event_type=error"))
+      writeManifest(manifests, 2, v2Files)
+      vacuumTo(spark, data, keep = v2Files.toSet)
+      val out = snapshotRead(spark, data, manifests, 2)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
+  /** Delete every data file under `data` not in the reachable set.
+    * Returns the deleted paths (the spec asserts on them).
+    */
+  private[graft] def vacuumTo(spark: SparkSession, data: String,
+                              keep: Set[String]): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val orphans = listDataFiles(spark, data).filterNot(keep)
+    orphans.foreach { p =>
+      val hp = new Path(p)
+      hp.getFileSystem(conf).delete(hp, false)
+    }
+    orphans
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q173_deletion_vector_scan" -> (deletionVectorScan(_, _)),
+    "q176_vacuum_retention" -> (vacuumRetention(_, _)),
     "q172_manifest_pruned_scan" -> (manifestPrunedScan(_, _)),
     "q171_snapshot_time_travel" -> (snapshotTimeTravel(_, _)),
     "q166_dynamic_partition_pruning" -> (dynamicPartitionPruning(_, _)),
@@ -755,6 +875,25 @@ object ParquetLayout {
     "q134_compaction_rollup" -> (compactionRollup(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q173: the same delete predicate applied to the ORIGINAL flat
+    // table — the DV sidecar + anti-join must drop exactly the
+    // predicate's rows, nothing else
+    "q173_deletion_vector_scan" ->
+      """SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM events
+         WHERE ts IS NOT NULL AND user_id % 97 <> 0
+         GROUP BY 1 ORDER BY 1""",
+    // q176: the live snapshot re-derived from the ORIGINAL flat table
+    // (v2 = the error purge) — a vacuum that deleted a reachable file
+    // would error or hash-mismatch
+    "q176_vacuum_retention" ->
+      """SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM events WHERE ts IS NOT NULL AND event_type <> 'error'
+         GROUP BY 1 ORDER BY 1""",
     // q172: identical oracle to q132 — same content-derived probe
     // window over the ORIGINAL flat table; manifest-level file
     // selection must drop no rows

@@ -56,4 +56,36 @@ class ChangelogSpec extends AnyFunSuite with SparkTestBase {
       (9L, "view", 1.0)))
     assert(out.find(_._1 == 3L).get._4 === 600L)
   }
+
+  // q174 fixture: tsu placed on day boundaries (U = µs/day); min tsu 0
+  // and max 4U pin the cutoff to exactly 2U, so days 0-1 are base and
+  // days 2+ are inserts. Deleted base rows are event_id ≡ 0 (mod 13).
+  private val U = Changelog.usPerDay
+
+  test("retractable rollup: deletes retract sums, force min recompute, " +
+    "empty a group, and never touch inserts") {
+    val out = Changelog.retractCore(Seq(
+      // (view, day0): id 13 deleted — it held the group MIN, so the
+      // maintained extrema must come from the group-scoped rescan
+      (1L, "view", 0L, 5.0),
+      (13L, "view", 20L, 1.0),
+      (2L, "view", 30L, 9.0),
+      // (view, day1): untouched base group → stored extrema survive
+      (3L, "view", U + 10L, 2.0),
+      // (click, day0): its only row deleted → the group disappears
+      (26L, "click", 40L, 3.0),
+      // inserts (day2): id 39 ≡ 0 (mod 13) but the purge targets the
+      // BASE only — inserts must survive regardless of id
+      (4L, "view", 2 * U + 5L, 7.0),
+      (39L, "view", 2 * U + 10L, 6.0),
+      // (purchase, day4): insert-only group; pins the cutoff high end
+      (5L, "purchase", 4 * U, 8.0)
+    ).toDF("event_id", "event_type", "tsu", "value"))
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("purchase", 4L, 1L, 8.0, 8.0, 8.0),
+      ("view", 0L, 2L, 14.0, 5.0, 9.0),
+      ("view", 1L, 1L, 2.0, 2.0, 2.0),
+      ("view", 2L, 2L, 13.0, 6.0, 7.0)))
+  }
 }

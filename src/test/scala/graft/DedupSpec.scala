@@ -167,4 +167,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // sanity: shared fingerprints can never exceed the doc's own count
     assert(flagged.filter(col("n_shared") > col("n_fp")).count() === 0L)
   }
+
+  test("incremental dedup: finds vs_corpus and within_batch pairs, " +
+    "structurally never base×base") {
+    import spark.implicits._
+    // ids 0-7 → cut = 0 + 3·(8 div 4) = 6: delta = {6, 7}
+    val text = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, text), // base twin of 1 → base×base pair, must NOT appear
+      (1L, text),
+      (2L, "one two three four five six seven"), // base, unique
+      (3L, "unrelated words entirely different here now"),
+      (4L, "more filler content padding the id space"),
+      (5L, "yet another unique base document text"),
+      (6L, text), // delta twin of 0/1 AND of 7
+      (7L, text)
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = Dedup.incrementalDedupCore(docs, 0.8)
+      .select("doc_a", "doc_b", "jaccard", "pair_kind")
+      .as[(Long, Long, Double, String)].collect().toSeq
+    assert(out === Seq(
+      (0L, 6L, 1.0, "vs_corpus"),
+      (0L, 7L, 1.0, "vs_corpus"),
+      (1L, 6L, 1.0, "vs_corpus"),
+      (1L, 7L, 1.0, "vs_corpus"),
+      (6L, 7L, 1.0, "within_batch")))
+    // the base×base duplicate (0,1) is structurally out of scope
+    assert(!out.exists(p => p._1 == 0L && p._2 == 1L))
+  }
 }

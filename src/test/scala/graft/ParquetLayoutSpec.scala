@@ -418,4 +418,69 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     // interleave is a bijection on 16+16 bits: no two cases collide
     assert(got.distinct.size == cases.distinct.size)
   }
+
+  test("q173: the delete commit is O(deleted keys), data files untouched, " +
+    "and the merge-on-read scan drops exactly the deleted rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q173spec_")
+    try {
+      val data = base.resolve("data").toString
+      ParquetLayout.stageClustered(spark, sf, data, 4)
+      val filesBefore = ParquetLayout.listDataFiles(spark, data)
+      val dv = base.resolve("deletes").toString
+      ParquetLayout.commitDeleteVector(spark, data, dv)
+      // the commit wrote the sidecar only — no data file rewritten
+      assert(ParquetLayout.listDataFiles(spark, data) == filesBefore)
+      // the DV holds exactly the predicate's row keys
+      val dvIds = spark.read.parquet(dv)
+        .orderBy("event_id").collect().map(_.getLong(0)).toSeq
+      val expected = Tables.eventsMicros(spark, sf)
+        .filter(ParquetLayout.dvDeletePredicate)
+        .select("event_id").orderBy("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(dvIds == expected && dvIds.nonEmpty)
+      // merge-on-read: survivors = everything minus the DV, and no
+      // deleted user remains
+      val read = ParquetLayout.dvRead(spark, data, dv)
+      val total = Tables.eventsMicros(spark, sf).count()
+      assert(read.count() == total - dvIds.size)
+      assert(read.filter(ParquetLayout.dvDeletePredicate).count() == 0)
+      // plan: the DV broadcasts into a LeftAnti hash join — the fact
+      // side is never exchanged for the delete
+      val plan = read.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"expected broadcast anti-join, got:\n${plan.take(600)}")
+    } finally Tables.deleteRecursively(base)
+  }
+
+  test("q176: vacuum deletes exactly the unreachable files; the live " +
+    "snapshot is untouched and the expired one really dies") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q176spec_")
+    try {
+      val data = base.resolve("data").toString
+      ParquetLayout.stageLayout(spark, sf, data)
+      val manifests = java.nio.file.Files.createDirectory(
+        base.resolve("manifests"))
+      val v1Files = ParquetLayout.listDataFiles(spark, data)
+      ParquetLayout.writeManifest(manifests, 1, v1Files)
+      val v2Files = v1Files.filterNot(_.contains("event_type=error"))
+      ParquetLayout.writeManifest(manifests, 2, v2Files)
+      val liveBefore = ParquetLayout
+        .snapshotRead(spark, data, manifests, 2).count()
+
+      val orphans = ParquetLayout.vacuumTo(spark, data, v2Files.toSet)
+      // exactly the files only v1 references — nothing more, nothing less
+      assert(orphans.toSet == v1Files.toSet -- v2Files.toSet)
+      assert(orphans.nonEmpty && orphans.forall(_.contains("event_type=error")))
+      // gone from disk; every reachable file still present
+      assert(ParquetLayout.listDataFiles(spark, data).toSet == v2Files.toSet)
+      // the live snapshot reads identically after the vacuum
+      assert(ParquetLayout.snapshotRead(spark, data, manifests, 2).count()
+        == liveBefore)
+      // the expired snapshot is really dead: its manifest names files
+      // that no longer exist
+      intercept[Exception] {
+        ParquetLayout.snapshotRead(spark, data, manifests, 1).count()
+      }
+    } finally Tables.deleteRecursively(base)
+  }
 }

@@ -46,7 +46,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q160_hll_mergeability",     // global exact-distinct row
     "q161_table_stats",          // table row-count row
     // round-10: per-table row-count row (q161's string twin)
-    "q169_string_stats")
+    "q169_string_stats",
+    // round-10: single-row data-derived cutoffs (q135's pattern)
+    "q174_retractable_rollup",   // (min+max)/2 rollup cutoff row
+    "q177_incremental_dedup")    // doc_id batch-cutoff row
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -221,4 +221,20 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(Relational.queries("q05_big_spenders_semi")(spark, sf).count() <= nCust)
     assert(Relational.queries("q06_never_finished_anti")(spark, sf).count() <= nCust)
   }
+
+  test("q175: InjectRuntimeFilter plants a bloom might_contain under the " +
+    "scoped confs — and only then — without changing the result") {
+    val (onPlan, onRows) = Relational.withRuntimeBloomConfs(spark) {
+      val df = Relational.runtimeBloomJoined(spark, sf)
+      (df.queryExecution.optimizedPlan.toString, df.collect().toSeq)
+    }
+    assert(onPlan.contains("bloom_filter_agg") && onPlan.contains("might_contain"),
+      s"expected an injected runtime bloom filter:\n${onPlan.take(600)}")
+    val off = Relational.runtimeBloomJoined(spark, sf)
+    assert(!off.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("bloom"))
+    // no false negatives: the injected-filter run returns the plain
+    // join's rows exactly
+    assert(onRows == off.collect().toSeq)
+  }
 }
