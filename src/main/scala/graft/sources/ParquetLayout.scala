@@ -841,6 +841,77 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** The row-level diff between two snapshots, derived from their
+    * manifests alone: rows in files REMOVED between the versions are
+    * deletes, rows in ADDED files are inserts; files in both manifests
+    * are untouched by construction (immutable files never change
+    * content) and are never opened. I/O is O(changed files) — at
+    * 100 TB a daily diff reads the day's churn, not the table.
+    */
+  private[graft] def snapshotDiff(spark: SparkSession, basePath: String,
+                                  manifestDir: java.nio.file.Path,
+                                  vOld: Int, vNew: Int): DataFrame = {
+    val oldF = readManifest(manifestDir, vOld).toSet
+    val newF = readManifest(manifestDir, vNew).toSet
+    def rd(fs: Seq[String], tag: String): DataFrame =
+      spark.read.option("basePath", basePath).parquet(fs.sorted: _*)
+        .withColumn("change_type", lit(tag))
+    val removed = (oldF -- newF).toSeq
+    val added = (newF -- oldF).toSeq
+    (removed.nonEmpty, added.nonEmpty) match {
+      case (true, true) =>
+        rd(removed, "delete").unionByName(rd(added, "insert"))
+      case (true, false) => rd(removed, "delete")
+      case (false, true) => rd(added, "insert")
+      case _ => // identical manifests: empty diff with the data's schema
+        spark.read.option("basePath", basePath)
+          .parquet(newF.toSeq.sorted: _*)
+          .withColumn("change_type", lit("insert")).limit(0)
+    }
+  }
+
+  /** q178 — CHANGE DATA FEED from a manifest diff: the row-level
+    * changes between two snapshots of the q171 store, computed without
+    * a table scan. Because data files are immutable, the manifest diff
+    * IS the change log: removed files carry exactly the deleted rows,
+    * added files exactly the inserted ones, and the (typically vast)
+    * intersection is provably unchanged without opening a single file
+    * — O(changed files) I/O where a join-based table diff would read
+    * both versions in full. This is the mechanism under Delta's CDF /
+    * Iceberg's incremental read, derived here from plain manifests;
+    * it is also what feeds q174's maintenance: the diff's deletes and
+    * inserts ARE the retraction changelog. The commit under test
+    * archives the error slice — drops its files and adds a relabeled
+    * copy (immutable files: changed rows are NEW files) — so the feed
+    * must report the same rows once as deletes and once as inserts
+    * under the new label; the oracle re-derives both sides from the
+    * ORIGINAL flat table.
+    */
+  def snapshotChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q178_")
+    try {
+      val data = base.resolve("data").toString
+      stageLayout(spark, dir, data)
+      val manifests = Files.createDirectory(base.resolve("manifests"))
+      val v1Files = listDataFiles(spark, data)
+      writeManifest(manifests, 1, v1Files)
+      val errFiles = v1Files.filter(_.contains("event_type=error"))
+      spark.read.option("basePath", data).parquet(errFiles: _*)
+        .withColumn("event_type", lit("error_archived"))
+        .write.mode("append").partitionBy("event_type").parquet(data)
+      writeManifest(manifests, 2,
+        listDataFiles(spark, data).filterNot(errFiles.contains))
+      val out = snapshotDiff(spark, data, manifests, 1, 2)
+        .groupBy("change_type", "event_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("change_type", "event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
   /** Delete every data file under `data` not in the reachable set.
     * Returns the deleted paths (the spec asserts on them).
     */
@@ -861,6 +932,7 @@ object ParquetLayout {
   val queries: Map[String, Q] = Map(
     "q173_deletion_vector_scan" -> (deletionVectorScan(_, _)),
     "q176_vacuum_retention" -> (vacuumRetention(_, _)),
+    "q178_snapshot_change_feed" -> (snapshotChangeFeed(_, _)),
     "q172_manifest_pruned_scan" -> (manifestPrunedScan(_, _)),
     "q171_snapshot_time_travel" -> (snapshotTimeTravel(_, _)),
     "q166_dynamic_partition_pruning" -> (dynamicPartitionPruning(_, _)),
@@ -885,6 +957,24 @@ object ParquetLayout {
          FROM events
          WHERE ts IS NOT NULL AND user_id % 97 <> 0
          GROUP BY 1 ORDER BY 1""",
+    // q178: both sides of the archive commit re-derived from the
+    // ORIGINAL flat table — the manifest diff must surface exactly the
+    // error rows as deletes and the same rows, relabeled, as inserts
+    "q178_snapshot_change_feed" ->
+      """WITH err AS (
+           SELECT value FROM events
+           WHERE ts IS NOT NULL AND event_type = 'error')
+         SELECT * FROM (
+           SELECT 'delete' AS change_type, 'error' AS event_type,
+             count(*) AS n_rows,
+             round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+           FROM err
+           UNION ALL
+           SELECT 'insert' AS change_type, 'error_archived' AS event_type,
+             count(*) AS n_rows,
+             round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+           FROM err)
+         ORDER BY change_type, event_type""",
     // q176: the live snapshot re-derived from the ORIGINAL flat table
     // (v2 = the error purge) — a vacuum that deleted a reachable file
     // would error or hash-mismatch

@@ -452,6 +452,51 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally Tables.deleteRecursively(base)
   }
 
+  test("q178: the manifest diff reads ONLY changed files and reports " +
+    "exactly the commit's deletes and inserts") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q178spec_")
+    try {
+      val data = base.resolve("data").toString
+      ParquetLayout.stageLayout(spark, sf, data)
+      val manifests = java.nio.file.Files.createDirectory(
+        base.resolve("manifests"))
+      val v1Files = ParquetLayout.listDataFiles(spark, data)
+      ParquetLayout.writeManifest(manifests, 1, v1Files)
+      // the commit: archive the error slice (drop + relabeled add)
+      val errFiles = v1Files.filter(_.contains("event_type=error"))
+      spark.read.option("basePath", data).parquet(errFiles: _*)
+        .withColumn("event_type", lit("error_archived"))
+        .write.mode("append").partitionBy("event_type").parquet(data)
+      val v2Files = ParquetLayout.listDataFiles(spark, data)
+        .filterNot(errFiles.contains)
+      ParquetLayout.writeManifest(manifests, 2, v2Files)
+
+      val diff = ParquetLayout.snapshotDiff(spark, data, manifests, 1, 2)
+      // I/O bound: the scan's file set is exactly the changed files —
+      // the untouched partitions are never opened
+      val changed = (v1Files.toSet -- v2Files.toSet) ++
+        (v2Files.toSet -- v1Files.toSet)
+      def norm(f: String) = new java.net.URI(f).getPath
+      val opened = diff.inputFiles.map(norm).toSet
+      assert(opened == changed.map(norm),
+        s"diff opened ${opened.size} files, expected ${changed.size} changed")
+      // row accounting: deletes = the error slice, inserts = the same
+      // rows under the new label, nothing from untouched partitions
+      val errRows = Tables.eventsMicros(spark, sf)
+        .filter(col("event_type") === "error").count()
+      assert(errRows > 0)
+      assert(diff.filter(col("change_type") === "delete").count() == errRows)
+      assert(diff.filter(col("change_type") === "insert").count() == errRows)
+      assert(diff.filter(col("change_type") === "delete")
+        .filter(col("event_type") =!= "error").count() == 0)
+      assert(diff.filter(col("change_type") === "insert")
+        .filter(col("event_type") =!= "error_archived").count() == 0)
+      // identical manifests → structurally empty feed, schema intact
+      val empty = ParquetLayout.snapshotDiff(spark, data, manifests, 2, 2)
+      assert(empty.count() == 0 && empty.columns.contains("change_type"))
+    } finally Tables.deleteRecursively(base)
+  }
+
   test("q176: vacuum deletes exactly the unreachable files; the live " +
     "snapshot is untouched and the expired one really dies") {
     val base = java.nio.file.Files.createTempDirectory("graft_q176spec_")
