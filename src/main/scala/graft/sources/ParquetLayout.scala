@@ -912,6 +912,80 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  /** Stage a candidate batch as data files that NO manifest references
+    * yet: physically present, logically invisible to every snapshot
+    * reader. Returns the staged file paths (the publish decision and
+    * the spec both need them).
+    */
+  private[graft] def stageBatch(spark: SparkSession, data: String,
+                                batch: DataFrame): Seq[String] = {
+    val before = listDataFiles(spark, data).toSet
+    batch.write.mode("append").parquet(data)
+    (listDataFiles(spark, data).toSet -- before).toSeq.sorted
+  }
+
+  /** q179 — WRITE-AUDIT-PUBLISH: the governance workflow the manifest
+    * store enables (Iceberg's WAP pattern). A candidate batch lands as
+    * staged files that no manifest references — readers of the live
+    * snapshot cannot see it — then an AUDIT runs against the staged
+    * data while it is still invisible, and only a clean batch enters
+    * the next manifest commit. A failing batch costs NOTHING to
+    * reject: its files simply never get referenced (q176's vacuum
+    * reclaims them later); there is no partial-publish state at any
+    * point because the commit is one manifest write. The audit here is
+    * key uniqueness against the live snapshot — the double-publish
+    * accident this pattern exists to catch: the incoming open-orders
+    * batch has disjoint keys (publishes), the replayed slice of
+    * already-live orders collides on every key (rejected). Audit cost
+    * is one semi-join of the BATCH against live — batch-sized shuffle,
+    * live side read through the manifest. The oracle re-derives both
+    * batches' row and collision counts from the flat table; the spec
+    * pins the isolation (staged files invisible pre-publish, published
+    * rows visible after, rejected rows never) and the orphan cleanup.
+    */
+  def writeAuditPublish(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q179_")
+    try {
+      val data = base.resolve("data").toString
+      val orders = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      orders.filter(col("o_orderstatus") === "F").write.parquet(data)
+      val manifests = Files.createDirectory(base.resolve("manifests"))
+      writeManifest(manifests, 1, listDataFiles(spark, data))
+
+      val openFiles = stageBatch(spark, data,
+        orders.filter(col("o_orderstatus") === "O"))
+      val replayFiles = stageBatch(spark, data,
+        orders.filter(col("o_orderstatus") === "F"
+          && col("o_orderkey") % 10 === 0))
+
+      // the audit: batch key uniqueness vs the LIVE snapshot
+      def audit(files: Seq[String]): (Long, Long) = {
+        val cand = spark.read.parquet(files: _*)
+        val live = snapshotRead(spark, data, manifests, 1)
+        (cand.count(),
+          cand.join(live, Seq("o_orderkey"), "left_semi").count())
+      }
+      val (nOpen, dupOpen) = audit(openFiles)
+      val (nReplay, dupReplay) = audit(replayFiles)
+
+      // the publish: ONE manifest write; only clean batches enter it
+      writeManifest(manifests, 2, readManifest(manifests, 1)
+        ++ (if (dupOpen == 0) openFiles else Nil)
+        ++ (if (dupReplay == 0) replayFiles else Nil))
+
+      val s = spark
+      import s.implicits._
+      Seq(
+        ("incoming_open", nOpen, dupOpen,
+          if (dupOpen == 0) "published" else "rejected"),
+        ("replayed_slice", nReplay, dupReplay,
+          if (dupReplay == 0) "published" else "rejected"))
+        .toDF("batch", "n_rows", "n_dup_keys", "verdict")
+        .orderBy("batch")
+    } finally Tables.deleteRecursively(base)
+  }
+
   /** Delete every data file under `data` not in the reachable set.
     * Returns the deleted paths (the spec asserts on them).
     */
@@ -933,6 +1007,7 @@ object ParquetLayout {
     "q173_deletion_vector_scan" -> (deletionVectorScan(_, _)),
     "q176_vacuum_retention" -> (vacuumRetention(_, _)),
     "q178_snapshot_change_feed" -> (snapshotChangeFeed(_, _)),
+    "q179_write_audit_publish" -> (writeAuditPublish(_, _)),
     "q172_manifest_pruned_scan" -> (manifestPrunedScan(_, _)),
     "q171_snapshot_time_travel" -> (snapshotTimeTravel(_, _)),
     "q166_dynamic_partition_pruning" -> (dynamicPartitionPruning(_, _)),
@@ -957,6 +1032,19 @@ object ParquetLayout {
          FROM events
          WHERE ts IS NOT NULL AND user_id % 97 <> 0
          GROUP BY 1 ORDER BY 1""",
+    // q179: both batches' row and collision counts re-derived from the
+    // flat table — orderkeys are unique table-wide, so the open batch
+    // collides with nothing and the replayed slice collides entirely
+    "q179_write_audit_publish" ->
+      """SELECT * FROM (
+           SELECT 'incoming_open' AS batch, count(*) AS n_rows,
+             CAST(0 AS BIGINT) AS n_dup_keys, 'published' AS verdict
+           FROM orders WHERE o_orderstatus = 'O'
+           UNION ALL
+           SELECT 'replayed_slice' AS batch, count(*) AS n_rows,
+             count(*) AS n_dup_keys, 'rejected' AS verdict
+           FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+         ORDER BY batch""",
     // q178: both sides of the archive commit re-derived from the
     // ORIGINAL flat table — the manifest diff must surface exactly the
     // error rows as deletes and the same rows, relabeled, as inserts

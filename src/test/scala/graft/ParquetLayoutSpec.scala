@@ -497,6 +497,49 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally Tables.deleteRecursively(base)
   }
 
+  test("q179: staged batches are invisible until the publish commit, " +
+    "rejected batches forever, and vacuum reclaims them") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q179spec_")
+    try {
+      val data = base.resolve("data").toString
+      val orders = Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val nF = orders.filter(col("o_orderstatus") === "F").count()
+      val nO = orders.filter(col("o_orderstatus") === "O").count()
+      orders.filter(col("o_orderstatus") === "F").write.parquet(data)
+      val manifests = java.nio.file.Files.createDirectory(
+        base.resolve("manifests"))
+      ParquetLayout.writeManifest(manifests, 1,
+        ParquetLayout.listDataFiles(spark, data))
+
+      val good = ParquetLayout.stageBatch(spark, data,
+        orders.filter(col("o_orderstatus") === "O"))
+      val bad = ParquetLayout.stageBatch(spark, data,
+        orders.filter(col("o_orderstatus") === "F"
+          && col("o_orderkey") % 10 === 0))
+      assert(good.nonEmpty && bad.nonEmpty)
+      // isolation: the live snapshot does not see staged files
+      assert(ParquetLayout.snapshotRead(spark, data, manifests, 1).count()
+        == nF)
+
+      // publish only the clean batch
+      ParquetLayout.writeManifest(manifests, 2,
+        ParquetLayout.readManifest(manifests, 1) ++ good)
+      val v2 = ParquetLayout.snapshotRead(spark, data, manifests, 2)
+      assert(v2.count() == nF + nO)
+      // the rejected replay is not in v2: every key appears once
+      assert(v2.groupBy("o_orderkey").count()
+        .filter(col("count") > 1).count() == 0)
+
+      // the rejected batch is exactly the orphan set vacuum reclaims
+      val orphans = ParquetLayout.vacuumTo(spark, data,
+        ParquetLayout.readManifest(manifests, 2).toSet)
+      assert(orphans.toSet == bad.toSet)
+      assert(ParquetLayout.snapshotRead(spark, data, manifests, 2).count()
+        == nF + nO)
+    } finally Tables.deleteRecursively(base)
+  }
+
   test("q176: vacuum deletes exactly the unreachable files; the live " +
     "snapshot is untouched and the expired one really dies") {
     val base = java.nio.file.Files.createTempDirectory("graft_q176spec_")
