@@ -912,6 +912,76 @@ object ParquetLayout {
     } finally Tables.deleteRecursively(base)
   }
 
+  private[graft] val usPerDay = graft.ops.Changelog.usPerDay
+
+  /** The q180 spec-change cutoff: NOON of the observed span's middle
+    * day — deliberately mid-day so the probe day has rows on BOTH
+    * sides of the partition-spec change. Driver-side bounds read
+    * (metadata-sized, the probeBounds pattern); pure Long arithmetic
+    * so the oracle truncates identically.
+    */
+  private[graft] def evolutionCut(spark: SparkSession, dir: String): Long = {
+    val r = Tables.eventsMicros(spark, dir)
+      .agg(min("tsu").as("lo"), max("tsu").as("hi")).collect().head
+    ((r.getLong(0) + r.getLong(1)) / 2 / usPerDay) * usPerDay + usPerDay / 2
+  }
+
+  /** The unified reader over both partition specs: the coarse spec
+    * derives `day` from data, the fine spec carries it as a directory
+    * key (cast back to the shared long convention). Seam for q180 and
+    * its spec.
+    */
+  private[graft] def evolvedTable(spark: SparkSession, coarsePath: String,
+                                  finePath: String): DataFrame = {
+    val coarse = spark.read.parquet(coarsePath)
+      .withColumn("day", expr(s"tsu div $usPerDay"))
+    val fine = spark.read.parquet(finePath)
+      .withColumn("day", col("day").cast("long"))
+    coarse.unionByName(fine)
+  }
+
+  /** q180 — PARTITION SPEC EVOLUTION: the table's partitioning scheme
+    * changes over its lifetime WITHOUT rewriting history — the
+    * manifest-layer decoupling (Iceberg partition evolution) that a
+    * path-partitioned warehouse cannot express (Hive-style evolution =
+    * rewrite every old file). Old data stays under the coarse spec
+    * (event_type); data after the spec change lands under the fine
+    * spec (event_type, day). One logical table reads both: the fine
+    * side's probe prunes by DIRECTORY, the coarse side falls back to
+    * the pushed row filter — each file is pruned under the spec it was
+    * WRITTEN with, which is the entire contract. The probe day
+    * deliberately straddles the spec change (noon cutoff), so a reader
+    * that consulted only one spec would lose half the day; the oracle
+    * recomputes the day over the ORIGINAL flat table. The spec pins
+    * the asymmetry: the fine scan opens only the probe day's
+    * directories while the coarse scan cannot directory-prune on day.
+    */
+  def partitionEvolutionScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q180_")
+    try {
+      val ev = Tables.eventsMicros(spark, dir)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+      val cut = evolutionCut(spark, dir)
+      val coarsePath = base.resolve("coarse").toString
+      ev.filter(col("tsu") < cut)
+        .write.partitionBy("event_type").parquet(coarsePath)
+      val finePath = base.resolve("fine").toString
+      ev.filter(col("tsu") >= cut)
+        .withColumn("day", expr(s"tsu div $usPerDay"))
+        .write.partitionBy("event_type", "day").parquet(finePath)
+      val out = evolvedTable(spark, coarsePath, finePath)
+        .filter(col("day") === cut / usPerDay)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("value_sum"))
+        .orderBy("event_type")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
   /** Stage a candidate batch as data files that NO manifest references
     * yet: physically present, logically invisible to every snapshot
     * reader. Returns the staged file paths (the publish decision and
@@ -1008,6 +1078,7 @@ object ParquetLayout {
     "q176_vacuum_retention" -> (vacuumRetention(_, _)),
     "q178_snapshot_change_feed" -> (snapshotChangeFeed(_, _)),
     "q179_write_audit_publish" -> (writeAuditPublish(_, _)),
+    "q180_partition_evolution" -> (partitionEvolutionScan(_, _)),
     "q172_manifest_pruned_scan" -> (manifestPrunedScan(_, _)),
     "q171_snapshot_time_travel" -> (snapshotTimeTravel(_, _)),
     "q166_dynamic_partition_pruning" -> (dynamicPartitionPruning(_, _)),
@@ -1031,6 +1102,23 @@ object ParquetLayout {
            round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
          FROM events
          WHERE ts IS NOT NULL AND user_id % 97 <> 0
+         GROUP BY 1 ORDER BY 1""",
+    // q180: the straddling probe day recomputed over the ORIGINAL flat
+    // table — a reader that consulted only one spec would lose the
+    // morning or the afternoon and hash-mismatch
+    "q180_partition_evolution" ->
+      s"""WITH ev AS (
+           SELECT user_id, event_type, value, epoch_ns(ts) // 1000 AS tsu
+           FROM events WHERE ts IS NOT NULL),
+         c AS (
+           SELECT ((min(tsu) + max(tsu)) // 2 // $usPerDay) * $usPerDay
+             + $usPerDay // 2 AS cut
+           FROM ev)
+         SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS value_sum
+         FROM ev
+         WHERE tsu // $usPerDay = (SELECT cut // $usPerDay FROM c)
          GROUP BY 1 ORDER BY 1""",
     // q179: both batches' row and collision counts re-derived from the
     // flat table — orderkeys are unique table-wide, so the open batch

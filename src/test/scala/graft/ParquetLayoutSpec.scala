@@ -497,6 +497,41 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally Tables.deleteRecursively(base)
   }
 
+  test("q180: the fine spec directory-prunes the probe day, the coarse " +
+    "spec row-filters it, and the straddling day loses nothing") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q180spec_")
+    try {
+      val ev = Tables.eventsMicros(spark, sf)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+      val cut = ParquetLayout.evolutionCut(spark, sf)
+      val cutDay = cut / ParquetLayout.usPerDay
+      val coarsePath = base.resolve("coarse").toString
+      ev.filter(col("tsu") < cut)
+        .write.partitionBy("event_type").parquet(coarsePath)
+      val finePath = base.resolve("fine").toString
+      ev.filter(col("tsu") >= cut)
+        .withColumn("day", expr(s"tsu div ${ParquetLayout.usPerDay}"))
+        .write.partitionBy("event_type", "day").parquet(finePath)
+      val probed = ParquetLayout.evolvedTable(spark, coarsePath, finePath)
+        .filter(col("day") === cutDay)
+      // the straddle: BOTH specs contribute rows to the probe day — a
+      // one-spec reader would lose the morning or the afternoon
+      assert(probed.filter(col("tsu") < cut).count() > 0)
+      assert(probed.filter(col("tsu") >= cut).count() > 0)
+      // parity with the flat table
+      val flat = Tables.eventsMicros(spark, sf)
+        .filter(expr(s"tsu div ${ParquetLayout.usPerDay}") === cutDay)
+        .count()
+      assert(probed.count() == flat && flat > 0)
+      // the fine scan resolves the day probe as PARTITION pruning
+      val plan = probed.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(pf.exists(f => f.contains("day") && f.contains(cutDay.toString)),
+        s"fine spec not directory-pruned on day: $pf")
+    } finally Tables.deleteRecursively(base)
+  }
+
   test("q179: staged batches are invisible until the publish commit, " +
     "rejected batches forever, and vacuum reclaims them") {
     val base = java.nio.file.Files.createTempDirectory("graft_q179spec_")
