@@ -99,12 +99,61 @@ object Sampling {
         countDistinct("user_id").as("n_users"))
       .orderBy("fold", "event_type")
 
+  val negOversample = 8
+  val negPerUser = 4
+
+  /** q181 — DETERMINISTIC NEGATIVE SAMPLING: the contrastive-training
+    * pairing op — for every user with purchases, sample items the user
+    * did NOT buy as training negatives. The sample is a pure function
+    * of (user, slot): candidate item = five md5 hex nibbles of
+    * `user:i:neg` mod the item-key domain (data-derived single-row
+    * broadcast), so the same user gets the same negatives on every
+    * run, any cluster layout — the q58/q59 seed-stability contract,
+    * which `df.sample()`'s partition RNG cannot give and training-data
+    * lineage requires. Accidental positives are removed by ONE
+    * anti-join against the positive pairs (the only data-sized
+    * shuffle); oversampling (8 candidates for 4 keeps) absorbs the
+    * removals, per-user dedup keeps the earliest slot, and the keep
+    * rank is a window over ≤8 rows per user — linear end to end at
+    * 10⁹ users. The oracle replays the identical arithmetic in DuckDB
+    * (nibble-compose, same modulus, same tie-break), so the sample is
+    * verified bit-for-bit, not statistically.
+    */
+  def negativeSamples(s: SparkSession, d: String): DataFrame = {
+    val pos = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .distinct()
+    // item-key domain (contiguous 0..P-1): single-row broadcast, the
+    // sanctioned boundary pattern
+    val itemDomain = Tables.part(s, d)
+      .agg((max("p_partkey") + 1).as("n_items"))
+    val cand = pos.select("user_id").distinct()
+      .crossJoin(broadcast(itemDomain))
+      .select(col("user_id"), col("n_items"),
+        explode(sequence(lit(0), lit(negOversample - 1))).as("i"))
+      .select(col("user_id"), col("i").cast("long").as("i"),
+        (conv(substring(md5(concat(col("user_id").cast("string"), lit(":"),
+          col("i").cast("string"), lit(":neg")).cast("binary")), 1, 5),
+          16, 10).cast("long") % col("n_items")).as("item_id"))
+    cand.join(pos, Seq("user_id", "item_id"), "left_anti")
+      .groupBy("user_id", "item_id").agg(min("i").as("i"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("i", "item_id")))
+      .filter(col("rk") <= negPerUser)
+      .select(col("user_id"), col("item_id"), col("i"))
+      .orderBy("user_id", "i", "item_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q58_stratified_sample" -> (stratifiedSample(_, _)),
     "q59_train_eval_split" -> (trainEvalSplit(_, _)),
-    "q144_group_kfold" -> (groupKFold(_, _)))
+    "q144_group_kfold" -> (groupKFold(_, _)),
+    "q181_negative_samples" -> (negativeSamples(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the identical md5-nibble rule re-evaluated by DuckDB (nibble value
@@ -131,5 +180,38 @@ object Sampling {
             event_type, count(*) AS n_events,
             count(DISTINCT user_id)::BIGINT AS n_users
           FROM events WHERE ts IS NOT NULL
-          GROUP BY 1, 2 ORDER BY 1, 2""")
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q181: the identical five-nibble hash, modulus, anti-join and
+    // tie-break replayed in DuckDB — the sample must match bit-for-bit
+    "q181_negative_samples" ->
+      s"""WITH pos AS (
+           SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         p AS (SELECT max(p_partkey) + 1 AS n_items FROM part),
+         users AS (SELECT DISTINCT user_id FROM pos),
+         cand AS (
+           SELECT user_id, i,
+             (65536 * (strpos('0123456789abcdef', substr(h,1,1)) - 1)
+              + 4096 * (strpos('0123456789abcdef', substr(h,2,1)) - 1)
+              + 256 * (strpos('0123456789abcdef', substr(h,3,1)) - 1)
+              + 16 * (strpos('0123456789abcdef', substr(h,4,1)) - 1)
+              + (strpos('0123456789abcdef', substr(h,5,1)) - 1))
+               % (SELECT n_items FROM p) AS item_id
+           FROM (
+             SELECT user_id, t.i AS i,
+               md5(user_id::VARCHAR || ':' || t.i::VARCHAR || ':neg') AS h
+             FROM users CROSS JOIN range($negOversample) t(i))),
+         neg AS (
+           SELECT c.user_id, c.item_id, min(c.i) AS i
+           FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM pos
+                             WHERE pos.user_id = c.user_id
+                               AND pos.item_id = c.item_id)
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY i, item_id) AS rk
+           FROM neg)
+         SELECT user_id, item_id, i FROM rk WHERE rk <= $negPerUser
+         ORDER BY user_id, i, item_id""")
 }

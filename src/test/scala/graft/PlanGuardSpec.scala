@@ -49,7 +49,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q169_string_stats",
     // round-10: single-row data-derived cutoffs (q135's pattern)
     "q174_retractable_rollup",   // (min+max)/2 rollup cutoff row
-    "q177_incremental_dedup")    // doc_id batch-cutoff row
+    "q177_incremental_dedup",    // doc_id batch-cutoff row
+    "q181_negative_samples")     // item-key-domain row
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -87,4 +87,32 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     // exactly because each user owns one fold
     assert(total === global)
   }
+
+  test("q181: negatives never collide with positives, cap at k per " +
+    "user, and are bit-stable across runs") {
+    val out = Sampling.negativeSamples(spark, sf).cache()
+    try {
+      val pos = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("l_partkey").as("item_id")).distinct()
+      // no sampled negative is a true positive
+      assert(out.join(pos, Seq("user_id", "item_id"), "left_semi")
+        .count() == 0)
+      // every purchasing user gets some negatives, never more than k
+      val perUser = out.groupBy("user_id").count()
+      assert(perUser.count() == pos.select("user_id").distinct().count())
+      assert(perUser.filter(col("count") > Sampling.negPerUser)
+        .count() == 0)
+      // item ids stay inside the catalog domain
+      val maxItem = Tables.part(spark, sf)
+        .agg(max("p_partkey")).collect().head.getLong(0)
+      assert(out.filter(col("item_id") < 0 || col("item_id") > maxItem)
+        .count() == 0)
+      // seed stability: a second evaluation is bit-identical
+      val again = Sampling.negativeSamples(spark, sf)
+      assert(out.collect().toSeq == again.collect().toSeq)
+    } finally out.unpersist()
+  }
 }
