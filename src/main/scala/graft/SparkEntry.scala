@@ -30,6 +30,7 @@ object SparkEntry {
       (TemporalJoins.queries, TemporalJoins.oracles),
       (Behavior.queries, Behavior.oracles),
       (Changelog.queries, Changelog.oracles),
+      (GlobalIndex.queries, GlobalIndex.oracles),
       (Linkage.queries, Linkage.oracles),
       (Quality.queries, Quality.oracles),
       (Fidelity.queries, Fidelity.oracles),

@@ -163,13 +163,102 @@ object Changelog {
       .orderBy("event_type", "day")
   }
 
+  /** q183 — INCREMENTAL JOIN-VIEW MAINTENANCE: keep a JOIN view current
+    * from delta batches alone. The view is order-grain revenue over
+    * orders ⋈ lineitem; the delta is the post-cutoff lineitem slice
+    * (shipdate midpoint, q135's convention — every scale factor
+    * exercises both sides). The maintenance identity for an
+    * insert-only delta over a key-partitioned aggregate-join view:
+    *
+    *   V(base ∪ Δ) = merge(V_stored, agg(orders ⋈ Δ))
+    *
+    * i.e. yesterday's materialized per-order partials full-outer-merged
+    * with the DELTA's partials — the base lineitem slice is NEVER
+    * rescanned. At 100 TB that is the difference between touching one
+    * day's partitions and touching five years of history; q130 proves
+    * the identity for a single-table rollup and q174 for retractions —
+    * this is the JOIN-view member of the family. All three exchanges
+    * (stored view, delta partials, merge) hash on the same order key,
+    * so AQE plans one partitioning family; the final orders attachment
+    * is a same-key hash join, no extra shuffle grain.
+    *
+    * Money is exact integer cents (`floor(extprice·(1−disc)·100)` —
+    * floor, not cast: DuckDB's double→int cast ROUNDS while Spark's
+    * truncates, the one silent cross-engine divergence in this
+    * expression class). The oracle recomputes the view from the FULL
+    * lineitem in one pass; the maintained result must hash-equal it,
+    * including the base/delta/both provenance column.
+    */
+  def incrementalJoinView(spark: SparkSession, dir: String): DataFrame =
+    joinViewCore(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  private[graft] val viewStride = 20
+
+  private[graft] def joinViewCore(orders: DataFrame,
+                                  lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"),
+      expr("floor(l_extendedprice * (1.0D - l_discount) * 100.0D)")
+        .as("cents"),
+      unix_micros(col("l_shipdate")).as("su"))
+    val cutoff = li.agg(expr("(min(su) + max(su)) div 2").as("cut_us"))
+    val tagged = li.crossJoin(broadcast(cutoff))
+
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), sum("cents").as("rev"))
+    val stored = partials(tagged.filter(col("su") < col("cut_us")))
+    val deltaV = partials(tagged.filter(col("su") >= col("cut_us")))
+
+    val merged = stored.as("b")
+      .join(deltaV.as("d"), Seq("l_orderkey"), "full_outer")
+      .select(col("l_orderkey"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+          .as("n_items"),
+        (coalesce(col("b.rev"), lit(0L)) + coalesce(col("d.rev"), lit(0L)))
+          .as("revenue_cents"),
+        when(col("b.n").isNotNull && col("d.n").isNotNull, "both")
+          .when(col("b.n").isNotNull, "base").otherwise("delta").as("src"))
+
+    merged.join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("n_items"),
+        col("revenue_cents"), col("src"))
+      .filter(col("o_orderkey") % viewStride === 0)
+      .orderBy("o_orderkey")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q135_cdc_merge" -> (cdcMerge(_, _)),
-    "q174_retractable_rollup" -> (retractableRollup(_, _)))
+    "q174_retractable_rollup" -> (retractableRollup(_, _)),
+    "q183_incremental_join_view" -> (incrementalJoinView(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q183: the view recomputed from the FULL lineitem in one pass —
+    // the engine's stored+delta merge must hash-equal it; provenance
+    // re-derived from the same midpoint cutoff via FILTER counts
+    "q183_incremental_join_view" ->
+      s"""WITH li AS (
+           SELECT l_orderkey,
+             CAST(floor(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                        * CAST(100.0 AS DOUBLE)) AS BIGINT) AS cents,
+             epoch_ns(l_shipdate) // 1000 AS su
+           FROM lineitem),
+         cut AS (SELECT (min(su) + max(su)) // 2 AS cut_us FROM li),
+         v AS (
+           SELECT l_orderkey, count(*) AS n_items,
+             sum(cents)::BIGINT AS revenue_cents,
+             CASE
+               WHEN count(*) FILTER (WHERE su < (SELECT cut_us FROM cut)) > 0
+                AND count(*) FILTER (WHERE su >= (SELECT cut_us FROM cut)) > 0
+               THEN 'both'
+               WHEN count(*) FILTER (WHERE su < (SELECT cut_us FROM cut)) > 0
+               THEN 'base' ELSE 'delta' END AS src
+           FROM li GROUP BY 1)
+         SELECT o_orderkey, o_orderpriority, n_items, revenue_cents, src
+         FROM v JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderkey % $viewStride = 0 ORDER BY o_orderkey""",
     // q174: the post-changelog table (base∖deletes ∪ inserts)
     // aggregated directly in ONE pass — the engine's signed-merge +
     // group-scoped-rescan result must hash-equal it, sums bit-exactly

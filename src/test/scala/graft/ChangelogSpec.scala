@@ -88,4 +88,37 @@ class ChangelogSpec extends AnyFunSuite with SparkTestBase {
       ("view", 1L, 1L, 2.0, 2.0, 2.0),
       ("view", 2L, 2L, 13.0, 6.0, 7.0)))
   }
+
+  // q183 fixture: shipdate micros 0..1000 → cutoff 500. Order keys are
+  // multiples of viewStride (20) so they pass the audit filter; key 7
+  // pins that non-stride orders are excluded from the dump (not the
+  // view).
+  test("join-view maintenance: stored+delta merge covers base-only, " +
+    "delta-only and straddling orders with exact cents") {
+    val orders = Seq((20L, "1-URGENT"), (40L, "2-HIGH"), (60L, "3-MEDIUM"),
+      (7L, "4-LOW")).toDF("o_orderkey", "o_orderpriority")
+    val li = Seq(
+      // order 20: base only (su 0 pins the cutoff low end); cents =
+      // floor(10.00·(1−0.1)·100) = 900 and floor(19.99·100) = 1998 —
+      // double(19.99)·100 is 1998.999…, and floor is the point: both
+      // engines truncate the SAME double, so the value is portable
+      // even where the decimal intuition (1999) is not
+      (20L, 10.0, 0.1, 0L),
+      (20L, 19.99, 0.0, 100L),
+      // order 40: one base + one delta row → 'both'
+      (40L, 5.0, 0.0, 200L), (40L, 7.5, 0.2, 900L),
+      // order 60: delta only (su 1000 pins the high end)
+      (60L, 1.0, 0.0, 1000L),
+      // order 7: in the view but filtered from the audit dump
+      (7L, 2.0, 0.0, 300L)
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "su")
+      .withColumn("l_shipdate", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.col("su")))
+    val out = Changelog.joinViewCore(orders, li)
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (20L, "1-URGENT", 2L, 900L + 1998L, "base"),
+      (40L, "2-HIGH", 2L, 500L + 600L, "both"),
+      (60L, "3-MEDIUM", 1L, 100L, "delta")))
+  }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.GlobalIndex
+
+/** Pins for the two-phase global row numbering (q182): the assigned
+  * ordinals must equal the rank in the total (l_orderkey, l_linenumber)
+  * order for an adversarially shuffled, skewed fixture, and the plan
+  * must contain NO global sort — the whole reason the two-phase shape
+  * exists is that `row_number() OVER (ORDER BY …)` would collapse the
+  * table into one task.
+  */
+class GlobalIndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // 1..997 as (orderkey = v/4, linenumber = v%4) in a hash-scrambled
+  // order: many duplicate orderkeys (4 lines each), no natural input
+  // ordering for the range partitioner to get lucky with.
+  private val n = 997
+  private val fixture = (1 to n)
+    .sortBy(v => (v * 2654435761L) % 1000003)
+    .map(v => (v.toLong / 4, v % 4))
+    .toDF("l_orderkey", "l_linenumber")
+    .repartition(7)
+
+  test("ordinals equal the rank in the total order, 1..n consecutive") {
+    val got = GlobalIndex.numberedAll(fixture)
+      .as[(Long, Int, Long)].collect().sortBy(_._3)
+    assert(got.length === n)
+    assert(got.map(_._3).toSeq === (1L to n.toLong))
+    val expected = (1 to n).map(v => (v.toLong / 4, v % 4))
+      .sortBy(identity)
+    assert(got.map(r => (r._1, r._2)).toSeq === expected)
+  }
+
+  test("the plan has no global sort of the data path") {
+    val plan = GlobalIndex.numberedAll(fixture)
+      .queryExecution.executedPlan.toString
+    // a rendered global sort is `Sort [keys], true, 0`; the only one
+    // permitted is the offsets prefix-sum window over the
+    // one-row-per-partition side frame (which never carries the data
+    // columns). Any global sort mentioning the key columns means the
+    // numbering degenerated into the single-task window shape.
+    val dataGlobalSort = "Sort \\[[^\\]]*l_orderkey[^\\]]*\\], true".r
+    assert(dataGlobalSort.findFirstIn(plan).isEmpty,
+      s"two-phase numbering must not globally sort the data path:\n$plan")
+  }
+}
