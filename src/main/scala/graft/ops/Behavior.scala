@@ -124,6 +124,60 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** EWMA lookback depth for q185: the current row plus 7 lags. */
+  private[graft] val ewmaDepth = 8
+  private[graft] val ewmaStride = 7
+
+  /** q185 — EXPONENTIAL MOVING AVERAGE, bounded lookback: per-user
+    * smoothed event value with decay α = 1/2 over the last 8
+    * observations — the standard trend/smoothing signal (load scores,
+    * spend velocity, engagement decay). A true unbounded EWMA is a
+    * sequential recurrence no SQL engine parallelizes and no
+    * cross-engine oracle can replay exactly in floats; the bounded
+    * form is the production shape anyway (with α = 1/2 the truncated
+    * tail weighs < 0.4% of the signal) and it makes the op a plain
+    * 8-term weighted sum over lag windows: weights 2⁷..2⁰ over
+    * (current..lag7), normalized by the weights actually present at
+    * the head of each user's timeline. Everything is integer
+    * arithmetic — values in exact milli-units via floor, one shared
+    * truncating division at the end — so the oracle replays it
+    * bit-for-bit.
+    *
+    * 100 TB: ONE exchange on user_id, one per-partition sort, and the
+    * 8 lags all share the same window frame (Spark plans a single
+    * Window node); per-row state is 8 longs however long the history.
+    * The emitted audit is every 7th row of each user's timeline.
+    */
+  def ewmaSmoothing(spark: SparkSession, dir: String): DataFrame =
+    // value-null guard (P4): keeps vm non-null so den ≥ 2⁷ and the
+    // shared division can never hit ANSI divide-by-zero
+    ewmaCore(Tables.eventsMicros(spark, dir).filter(col("value").isNotNull))
+
+  private[graft] def ewmaCore(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsu", "event_id")
+    val base = ev.select(col("user_id"), col("tsu"), col("event_id"),
+      expr("floor(value * 1000.0D)").as("vm"))
+    val lagged = (1 until ewmaDepth).foldLeft(
+      base.withColumn("rn", row_number().over(w).cast("long"))) {
+      case (df, k) => df.withColumn(s"vm_$k", lag("vm", k).over(w))
+    }
+    val terms = (0 until ewmaDepth).map { k =>
+      val weight = 1L << (ewmaDepth - 1 - k)
+      val v = if (k == 0) col("vm") else col(s"vm_$k")
+      (when(v.isNotNull, v * weight).otherwise(lit(0L)),
+        when(v.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    lagged
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .select(col("user_id"), col("event_id"), col("vm"),
+        expr("num div den").as("ewma_milli"), col("rn"))
+      .filter(col("rn") % ewmaStride === 0)
+      .select("user_id", "event_id", "vm", "ewma_milli")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Sliding-window geometry for q108: 1-hour windows advancing every
     * 15 minutes (width a whole multiple of the slide, so every event
     * covers exactly width/slide windows).
@@ -358,6 +412,7 @@ object Behavior {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q185_ewma_smoothing" -> (ewmaSmoothing(_, _)),
     "q163_conversion_latency" -> (conversionLatency(_, _)),
     "q159_ab_experiment" -> (abExperimentLift(_, _)),
     "q145_hourly_anomaly" -> (hourlyAnomaly(_, _)),
@@ -369,6 +424,34 @@ object Behavior {
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q185: the identical 8-term weighted sum over lag windows, same
+    // milli-unit floor, same single truncating division
+    "q185_ewma_smoothing" -> {
+      val lagCols = (1 until ewmaDepth)
+        .map(k => s"lag(vm, $k) OVER w AS vm_$k").mkString(", ")
+      val num = (0 until ewmaDepth).map { k =>
+        val wgt = 1L << (ewmaDepth - 1 - k)
+        val v = if (k == 0) "vm" else s"vm_$k"
+        s"coalesce($v * $wgt, 0)"
+      }.mkString(" + ")
+      val den = (0 until ewmaDepth).map { k =>
+        val wgt = 1L << (ewmaDepth - 1 - k)
+        val v = if (k == 0) "vm" else s"vm_$k"
+        s"CASE WHEN $v IS NOT NULL THEN $wgt ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH ev AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu,
+             CAST(floor(value * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS vm
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         l AS (
+           SELECT user_id, event_id, vm, row_number() OVER w AS rn,
+             $lagCols
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+         SELECT user_id, event_id, vm,
+           ($num) // ($den) AS ewma_milli
+         FROM l WHERE rn % $ewmaStride = 0 ORDER BY user_id, event_id"""
+    },
     // q163: same per-user min-delay collapse, same cume-selection rule
     // as q102 — percentiles are stored delay values, no interpolation
     "q163_conversion_latency" ->

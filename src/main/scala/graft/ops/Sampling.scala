@@ -147,13 +147,47 @@ object Sampling {
       .orderBy("user_id", "i", "item_id")
   }
 
+  val prioritySampleK = 200
+
+  /** q184 — DETERMINISTIC WEIGHTED SAMPLING (priority sampling,
+    * Duffield–Lund–Thorup, CACM 2007): draw a fixed-size sample of
+    * orders where selection probability scales with order value — the
+    * curation op for value-weighted corpus mixes (sample documents
+    * proportional to a quality weight) and weighted sketches of spend.
+    * Each item gets priority = w·2³² div u, u a 32-bit uniform derived
+    * from md5(key) (the q58 seed-stability contract: same item, same
+    * priority, every run, any layout); the sample is the top-k by
+    * priority. Everything is 64-bit integer arithmetic — weights are
+    * floor(dollars)+1 ≤ ~5·10⁵, so w·2³² ≤ 2.1·10¹⁸ < 2⁶³ (ANSI-safe
+    * headroom documented, not assumed) — and both engines truncate
+    * integer division identically, so the oracle re-derives the
+    * IDENTICAL sample bit-for-bit, not a statistical approximation.
+    *
+    * 100 TB: one codegen'd projection computes priorities, then ONE
+    * TakeOrderedAndProject (per-partition top-k, k-row merge on the
+    * driver) — no global sort, no shuffle of the data. k rows of state
+    * per partition regardless of input size.
+    */
+  def weightedPrioritySample(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("floor(o_totalprice) + 1L").as("w"),
+        (conv(substring(md5(concat(col("o_orderkey").cast("string"),
+          lit(":wsamp")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") + 1L).as("u"))
+      .select(col("o_orderkey"), col("w"),
+        expr("(w * 4294967296L) div u").as("priority"))
+      .orderBy(col("priority").desc, col("o_orderkey"))
+      .limit(prioritySampleK)
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q58_stratified_sample" -> (stratifiedSample(_, _)),
     "q59_train_eval_split" -> (trainEvalSplit(_, _)),
     "q144_group_kfold" -> (groupKFold(_, _)),
-    "q181_negative_samples" -> (negativeSamples(_, _)))
+    "q181_negative_samples" -> (negativeSamples(_, _)),
+    "q184_weighted_sample" -> (weightedPrioritySample(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the identical md5-nibble rule re-evaluated by DuckDB (nibble value
@@ -181,6 +215,17 @@ object Sampling {
             count(DISTINCT user_id)::BIGINT AS n_users
           FROM events WHERE ts IS NOT NULL
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q184: the identical md5-u32, weight, and integer-division
+    // priority re-derived in DuckDB ('0x'-prefixed hex cast = Spark's
+    // conv(…,16,10)); same top-k, same (priority, key) tie-break
+    "q184_weighted_sample" ->
+      s"""SELECT o_orderkey, w, (w * 4294967296) // u AS priority FROM (
+            SELECT o_orderkey,
+              CAST(floor(o_totalprice) AS BIGINT) + 1 AS w,
+              ('0x' || substr(md5(o_orderkey::VARCHAR || ':wsamp'), 1, 8))
+                ::BIGINT + 1 AS u
+            FROM orders)
+          ORDER BY priority DESC, o_orderkey LIMIT $prioritySampleK""",
     // q181: the identical five-nibble hash, modulus, anti-join and
     // tie-break replayed in DuckDB — the sample must match bit-for-bit
     "q181_negative_samples" ->

@@ -291,4 +291,24 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
     val b = out("B")
     assert(b.getLong(4) == 1 && b.getLong(1) == 40L && b.getLong(3) == 40L)
   }
+
+  test("q185 ewma: hand-computed 8-term weighted sums, short-history " +
+    "normalization, audit stride") {
+    // user 1: values 1..14 → audit rows at rn 7 and 14.
+    //   rn 7 has only 7 terms (weights 128..2, den 254):
+    //     Σ w·v = (128·7+64·6+32·5+16·4+8·3+4·2+2·1)·1000 = 1538000
+    //     → 1538000 div 254 = 6055 (truncated)
+    //   rn 14 has the full 8 (den 255): Σ = 3323000 → 13031
+    // user 2: constant 2.5 → ewma is exactly 2500 whatever the depth
+    val rows =
+      (1 to 14).map(i => (i.toLong, 1L, i * 10L, i.toDouble)) ++
+        (1 to 7).map(i => (100L + i, 2L, i * 10L, 2.5))
+    val out = Behavior.ewmaCore(
+      rows.toDF("event_id", "user_id", "tsu", "value"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 7L, 7000L, 6055L),
+      (1L, 14L, 14000L, 13031L),
+      (2L, 107L, 2500L, 2500L)))
+  }
 }

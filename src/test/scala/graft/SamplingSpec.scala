@@ -115,4 +115,30 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       assert(out.collect().toSeq == again.collect().toSeq)
     } finally out.unpersist()
   }
+
+  test("q184: priority sample equals an independent JVM recomputation " +
+    "of the Duffield-Lund-Thorup rule") {
+    import spark.implicits._
+    val got = Sampling.weightedPrioritySample(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    // independent reference: java MessageDigest md5, BigInteger hex
+    // parse, plain Long arithmetic — shares no code with the operator
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].collect().toSeq
+      .map { case (k, price) =>
+        val hex = md.digest(s"$k:wsamp".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(8)
+        val u = java.lang.Long.parseLong(hex, 16) + 1L
+        val w = math.floor(price).toLong + 1L
+        (k, w, (w * 4294967296L) / u)
+      }
+      .sortBy { case (k, _, p) => (-p, k) }
+      .take(Sampling.prioritySampleK)
+    assert(got === expected)
+    // higher weight must never lose to a lower weight at the same u —
+    // the monotonicity that makes it WEIGHTED sampling
+    assert(got.forall { case (_, w, p) => p >= w })
+  }
 }
