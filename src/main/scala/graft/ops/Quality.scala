@@ -316,7 +316,49 @@ object Quality {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Minimum group size below which the quasi-identifier is suppressed
+    * in the masked export (the k of k-anonymity).
+    */
+  private[graft] val kAnonymity = 5
+
+  /** q187 — GOVERNED EXPORT (pseudonymization + k-anonymity): the
+    * shape every data-sharing/clean-room export runs. Direct
+    * identifiers are tokenized (first 16 hex of salted SHA-256 — a
+    * deterministic join-stable token, NOT reversible masking, so two
+    * exports of the same customer still link); the numeric
+    * quasi-identifier is generalized to $1000 bands; and any
+    * (segment, band) cell smaller than k is SUPPRESSED (band → null),
+    * the standard k-anonymity rule — a cell of 2 customers would
+    * re-identify by intersection even through the tokens. `n_in_cell`
+    * stays in the output so the suppression rule itself is
+    * oracle-audited, not just its effect.
+    *
+    * 100 TB: one codegen'd projection (hash + floor) and ONE window
+    * count over the (segment, band) grain — equivalently a broadcast
+    * join of cell sizes; nothing beyond one exchange on the cell key.
+    * Salted SHA-256 over the full column domain is the same kernel
+    * class as q45's fingerprints; the q67 PII scrub redacts content,
+    * this governs the RELEASE — complementary halves of the
+    * compliance story with q133's purge.
+    */
+  def maskedExport(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment", "band")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        substring(sha2(concat(col("c_name"), lit(":mask")), 256), 1, 16)
+          .as("name_token"),
+        expr("cast(floor(c_acctbal / 1000.0D) as bigint) * 1000")
+          .as("band"))
+      .withColumn("n_in_cell", count(lit(1)).over(w))
+      .select(col("c_custkey"), col("c_mktsegment"), col("name_token"),
+        when(col("n_in_cell") >= kAnonymity, col("band")).as("acct_band"),
+        col("n_in_cell"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q187_masked_export" -> (maskedExport(_, _)),
     "q157_fd_audit" -> (fdAudit(_, _)),
     "q158_independence_lift" -> (independenceLift(_, _)),
     "q153_benford_digits" -> (benfordDigits(_, _)),
@@ -325,6 +367,23 @@ object Quality {
     "q133_compliance_purge" -> (compliancePurge(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q187: identical salted sha256 prefix, identical banding, and the
+    // k rule re-derived from a window count — suppression must match
+    // row for row, not just in aggregate
+    "q187_masked_export" ->
+      s"""SELECT c_custkey, c_mktsegment, name_token,
+            CASE WHEN n_in_cell >= $kAnonymity THEN band END AS acct_band,
+            n_in_cell
+          FROM (
+            SELECT c_custkey, c_mktsegment,
+              substr(sha256(c_name || ':mask'), 1, 16) AS name_token,
+              CAST(floor(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT)
+                * 1000 AS band,
+              count(*) OVER (PARTITION BY c_mktsegment,
+                CAST(floor(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT))
+                AS n_in_cell
+            FROM customer)
+          ORDER BY c_custkey""",
     // q157: same group-to-LHS-grain then collapse, independently
     // formulated with FILTER aggregates; HUGEINT sums cast back
     "q157_fd_audit" -> {

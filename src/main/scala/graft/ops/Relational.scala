@@ -145,6 +145,36 @@ object Relational {
          ORDER BY region, nation""")
   }
 
+  /** q186 — explicit GROUPING SETS (the third grouping-lattice shape:
+    * q08 proves ROLLUP's prefix chain, q09 CUBE's full lattice; real
+    * reporting queries usually want a HAND-PICKED set of levels —
+    * here detail, each single-dimension margin, and the grand total,
+    * exactly the q158 margins computed in ONE pass). Spark's Expand
+    * turns the four sets into a 4× row replication feeding one hash
+    * aggregate — one scan, one exchange, however many levels; the
+    * alternative (four queries + union) scans four times. `gid` is the
+    * engine-computed grouping_id bit vector — DuckDB's GROUPING_ID
+    * has identical bit order (first listed column = MSB), so the
+    * oracle checks the level tagging itself, not just the numbers.
+    */
+  val groupingSetsTypeHour: Q = (s, d) => {
+    val ev = Tables.eventsMicros(s, d)
+      .select(col("event_type"),
+        expr("(tsu % 86400000000) div 3600000000").as("hour"),
+        col("user_id"))
+    ev.groupingSets(
+        Seq(Seq(col("event_type"), col("hour")), Seq(col("event_type")),
+          Seq(col("hour")), Seq()),
+        col("event_type"), col("hour"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("hour"), lit(-1L)).as("hour"),
+        col("gid"), col("n_events"), col("n_users"))
+      .orderBy("gid", "event_type", "hour")
+  }
+
   /** Ranking window with total ordering (tie-broken by key). */
   val segmentTopAccounts: Q = (s, d) => {
     val w = Window.partitionBy("c_mktsegment")
@@ -775,6 +805,7 @@ object Relational {
     "q07_set_ops" -> setOps,
     "q08_rollup_status_priority" -> rollupStatusPriority,
     "q09_cube_region_nation" -> cubeRegionNation,
+    "q186_grouping_sets" -> groupingSetsTypeHour,
     "q10_segment_top_accounts" -> segmentTopAccounts,
     "q11_running_revenue" -> runningRevenue,
     "q12_order_gaps" -> orderGaps,
@@ -795,6 +826,23 @@ object Relational {
     "q39_event_type_unpivot" -> eventTypeUnpivot)
 
   val oracles: Map[String, String] = Map(
+    // q186: same four grouping sets; GROUPING_ID bit order matches
+    // Spark's (first listed column = MSB), verified, not assumed
+    "q186_grouping_sets" ->
+      """WITH ev AS (
+           SELECT event_type,
+             (epoch_ns(ts) // 1000 % 86400000000) // 3600000000 AS hour,
+             user_id
+           FROM events WHERE ts IS NOT NULL)
+         SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(hour, -1) AS hour,
+           GROUPING_ID(event_type, hour)::BIGINT AS gid,
+           count(*) AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users
+         FROM ev
+         GROUP BY GROUPING SETS ((event_type, hour), (event_type),
+                                 (hour), ())
+         ORDER BY gid, event_type, hour""",
     // q122: identical lag→running-sum→collapse→lead chain at µs
     // precision; first-row change via IS DISTINCT FROM (event_type is
     // non-null, so it equals Spark's isNull-or-≠)

@@ -200,15 +200,115 @@ object Sessionization {
       .withColumn("cvr_e6", expr("n_converting * 1000000 div n_sessions"))
       .orderBy("hour")
 
+  private[graft] val firstLastPpm = 400000L
+  private[graft] val middlePoolPpm = 200000L
+
+  /** q188 — POSITION-BASED MULTI-TOUCH ATTRIBUTION: distribute each
+    * session's purchase value across the clicks that led to it —
+    * first and last touch 40% each, the middle pool splitting the
+    * remaining 20% (U-shaped attribution, the standard marketing
+    * model; 1 click takes 100%, 2 clicks 50/50). Credit shares are
+    * exact integer ppm — the middle split truncates (`div (n−2)`),
+    * and the per-click credit is the session's purchase milli-value
+    * scaled through a DECIMAL(38,0) intermediate (the q158 pattern:
+    * milli·10⁶ passes 2⁶³ once a session's purchases pass ~$9·10⁹ —
+    * absurd for one session, but the audit column class is the same
+    * one ADVICE flagged twice; widen by construction, not by hope).
+    *
+    * One session labeling (the shared `labeled` chain — same exchange
+    * family on user_id for the purchase collapse, the click ranking,
+    * and their join), then a 24-row hourly rollup. Truncation dust
+    * (≤ 2 ppm per session) is deliberately dropped, never
+    * redistributed — the conservation property worth having is
+    * "credit ≤ purchase", and the oracle re-derives the identical
+    * dust.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attributionCore(Tables.eventsMicros(spark, dir)
+      .filter(col("value").isNotNull))
+
+  private[graft] def attributionCore(ev: DataFrame): DataFrame = {
+    val lab = labeled(ev.select(col("user_id"), col("tsu"),
+      col("event_id"), col("event_type"), col("value")))
+    val purch = lab.groupBy("user_id", "session_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("floor(value * 1000.0D)")).otherwise(0L)).as("purchase_milli"))
+      .filter(col("purchase_milli") > 0)
+    val bySess = Window.partitionBy("user_id", "session_id")
+    val clicks = lab.filter(col("event_type") === "click")
+      .withColumn("pos",
+        row_number().over(bySess.orderBy("tsu", "event_id")).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySess))
+    clicks.join(purch, Seq("user_id", "session_id"))
+      .withColumn("share_ppm",
+        when(col("n") === 1, 1000000L)
+          .when(col("pos") === 1 || col("pos") === col("n"),
+            when(col("n") === 2, 500000L).otherwise(lit(firstLastPpm)))
+          .otherwise(expr(s"$middlePoolPpm div (n - 2)")))
+      .withColumn("credit_milli",
+        expr("(cast(purchase_milli as decimal(38,0)) * share_ppm)" +
+          " div 1000000"))
+      .groupBy(expr("(tsu % 86400000000) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum("credit_milli").as("credited_milli"))
+      .orderBy("hour")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q188_session_attribution" -> (attribution(_, _)),
     "q27_sessionization" -> (sessions(_, _)),
     "q116_session_paths" -> (sessionPaths(_, _)),
     "q136_peak_concurrency" -> (peakConcurrency(_, _)),
     "q151_session_conversion" -> (sessionConversion(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q188: identical µs session labeling, U-shaped share table, and
+    // HUGEINT-widened credit scaling; per-click truncation before the
+    // hourly sum, exactly as the engine computes it
+    "q188_session_attribution" ->
+      s"""WITH ev AS (
+            SELECT user_id, event_id, event_type, value,
+              epoch_ns(ts) // 1000 AS tsu
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          marked AS (
+            SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+                OR tsu - lag(tsu) OVER w > $gapUs THEN 1 ELSE 0 END AS opens
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+          sess AS (
+            SELECT *, sum(opens) OVER (PARTITION BY user_id
+              ORDER BY tsu, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+              AS session_id
+            FROM marked),
+          purch AS (
+            SELECT user_id, session_id,
+              sum(CASE WHEN event_type = 'purchase' THEN
+                CAST(floor(value * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+                ELSE 0 END)::BIGINT AS purchase_milli
+            FROM sess GROUP BY 1, 2
+            HAVING sum(CASE WHEN event_type = 'purchase' THEN
+              CAST(floor(value * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+              ELSE 0 END) > 0),
+          clicks AS (
+            SELECT user_id, session_id, tsu,
+              row_number() OVER (PARTITION BY user_id, session_id
+                ORDER BY tsu, event_id) AS pos,
+              count(*) OVER (PARTITION BY user_id, session_id) AS n
+            FROM sess WHERE event_type = 'click'),
+          cr AS (
+            SELECT tsu, purchase_milli,
+              CASE WHEN n = 1 THEN 1000000
+                   WHEN pos = 1 OR pos = n THEN
+                     CASE WHEN n = 2 THEN 500000 ELSE $firstLastPpm END
+                   ELSE $middlePoolPpm // (n - 2) END AS share_ppm
+            FROM clicks JOIN purch USING (user_id, session_id))
+          SELECT (tsu % 86400000000) // 3600000000 AS hour,
+            count(*) AS n_clicks,
+            sum((purchase_milli::HUGEINT * share_ppm) // 1000000)::BIGINT
+              AS credited_milli
+          FROM cr GROUP BY 1 ORDER BY 1""",
     "q27_sessionization" ->
       s"""WITH marked AS (
             SELECT user_id, event_id, epoch_ns(ts) AS tsn,

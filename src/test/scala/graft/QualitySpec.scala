@@ -162,4 +162,32 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(byType.values.sum == total,
       "two-epoch read must cover every row exactly once")
   }
+
+  test("q187 masked export: join-stable tokens, exact banding, and the " +
+    "k-anonymity suppression rule applied row-for-row") {
+    val out = Quality.maskedExport(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == Tables.customer(spark, sf).count(),
+      "an export governs rows, it must not drop any")
+    // tokens: 16 lowercase hex chars, deterministic across evaluations
+    assert(rows.forall(_.getString(2).matches("[0-9a-f]{16}")))
+    assert(rows.map(_.getString(2)).toSeq ==
+      Quality.maskedExport(spark, sf).collect().map(_.getString(2)).toSeq)
+    // suppression: band present iff the cell meets k; present bands
+    // are $1000 multiples consistent with the source balance
+    val src = Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val n = r.getLong(4)
+      if (n >= 5) {
+        assert(!r.isNullAt(3), s"cell of $n must not be suppressed")
+        val band = r.getLong(3)
+        assert(band % 1000 == 0)
+        assert(band == math.floor(src(r.getLong(0)) / 1000.0).toLong * 1000)
+      } else assert(r.isNullAt(3), s"cell of $n must be suppressed")
+    }
+    // tokenization is not the identity and collides only on equal names
+    assert(rows.map(_.getString(2)).distinct.length > 1)
+  }
 }

@@ -237,4 +237,34 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     // join's rows exactly
     assert(onRows == off.collect().toSeq)
   }
+
+  test("q186 grouping sets: the four levels agree with each other and " +
+    "with independent direct aggregates") {
+    val rows = Relational.groupingSetsTypeHour(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val detail = rows.filter(_._3 == 0)
+    val byType = rows.filter(_._3 == 1) // hour rolled up (LSB set)
+    val byHour = rows.filter(_._3 == 2) // type rolled up (MSB set)
+    val total = rows.filter(_._3 == 3)
+    assert(total.length == 1 && total.head._1 == "ALL"
+      && total.head._2 == -1L)
+    // counts are conserved up every margin
+    assert(detail.map(_._4).sum == total.head._4)
+    assert(byType.map(_._4).sum == total.head._4)
+    assert(byHour.map(_._4).sum == total.head._4)
+    // each type margin equals the sum of its detail cells, and the
+    // margin's distinct-user count can only shrink vs summing cells
+    byType.foreach { case (tp, h, _, n, users) =>
+      assert(h == -1L)
+      val cells = detail.filter(_._1 == tp)
+      assert(cells.map(_._4).sum == n)
+      assert(users <= cells.map(_._5).sum && users >= cells.map(_._5).max)
+    }
+    // independent recomputation of the grand total
+    val direct = Tables.eventsMicros(spark, sf)
+      .agg(count(lit(1)), countDistinct("user_id")).collect().head
+    assert(total.head._4 == direct.getLong(0)
+      && total.head._5 == direct.getLong(1))
+  }
 }

@@ -201,6 +201,40 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((0L, 3L, 2L, 666666L), (1L, 1L, 1L, 1000000L)))
   }
 
+  test("q188 attribution: U-shaped shares, middle-split truncation, " +
+    "no credit without purchase or clicks") {
+    val s = spark
+    import s.implicits._
+    val g = Sessionization.gapSeconds * 1000000L
+    // all tsu inside hour 0 unless offset; purchase value 10.0 →
+    // purchase_milli 10000 per purchasing session
+    val rows = Seq(
+      // user 1, one session: 1 click + purchase → 100% = 10000
+      (1L, 1L, 10L, "click", 0.5),
+      (2L, 1L, 20L, "purchase", 10.0),
+      // user 2, one session: 5 clicks + purchase → shares
+      // 400000, 66666, 66666, 66666, 400000 (middle pool 200000 div 3;
+      // dust 2 ppm dropped) → credits 4000+666+666+666+4000 = 9998
+      (3L, 2L, 10L, "click", 0.1), (4L, 2L, 20L, "click", 0.1),
+      (5L, 2L, 30L, "click", 0.1), (6L, 2L, 40L, "click", 0.1),
+      (7L, 2L, 50L, "click", 0.1),
+      (8L, 2L, 60L, "purchase", 10.0),
+      // user 3: clicks but NO purchase → zero credit rows
+      (9L, 3L, 10L, "click", 0.1), (10L, 3L, 20L, "click", 0.1),
+      // user 4: purchase with no clicks → drops out (no click rows)
+      (11L, 4L, 10L, "purchase", 10.0),
+      // user 2, SECOND session past the gap (lands in a later hour):
+      // 2 clicks + purchase → 50/50 of 10000
+      (12L, 2L, 2 * g + 10L, "click", 0.1),
+      (13L, 2L, 2 * g + 20L, "click", 0.1),
+      (14L, 2L, 2 * g + 30L, "purchase", 10.0))
+    val out = Sessionization.attributionCore(
+      rows.toDF("event_id", "user_id", "tsu", "event_type", "value"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // hour 0: 1 + 5 credited clicks, 10000 + 9998; hour 2: the 50/50
+    assert(out === Seq((0L, 6L, 19998L), (2L, 2L, 10000L)))
+  }
+
   test("peak concurrency matches a brute-force sweep on real data") {
     val sess = Sessionization.sessions(spark, sf)
       .select("session_start_us", "session_end_us")
