@@ -175,6 +175,36 @@ object Relational {
       .orderBy("gid", "event_type", "hour")
   }
 
+  private[graft] val topKPerGroup = 3
+
+  /** q189 — grouped top-k through a custom typed `Aggregator`
+    * (expr/TopKAggregator.scala) registered with `functions.udaf`: the
+    * k smallest (milli-value, event_id) pairs per event type. The
+    * window formulation (q10's shape) sorts every row of every group;
+    * the aggregator is an algebraic fold, so partial aggregation caps
+    * the shuffled state at k pairs per group per partition — the
+    * scale-correct shape for "top/bottom k per group" when group
+    * cardinality is bounded. The spec asserts the plan really is a
+    * two-phase ObjectHashAggregate (partial before the exchange); the
+    * oracle replays the contract with a plain row_number, so the
+    * custom code path is hash-checked against the declarative one.
+    */
+  val groupedTopKAgg: Q = (s, d) => {
+    val topk = udaf(new graft.expr.TopKMinAggregator(topKPerGroup),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    Tables.eventsMicros(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("floor(value * 1000.0D)").as("vm"), col("event_id"))
+      .groupBy("event_type")
+      .agg(topk(col("vm"), col("event_id")).as("tops"))
+      .select(col("event_type"), posexplode(col("tops")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("vm"), col("col._2").as("event_id"))
+      .orderBy("event_type", "rank")
+  }
+
   /** Ranking window with total ordering (tie-broken by key). */
   val segmentTopAccounts: Q = (s, d) => {
     val w = Window.partitionBy("c_mktsegment")
@@ -806,6 +836,7 @@ object Relational {
     "q08_rollup_status_priority" -> rollupStatusPriority,
     "q09_cube_region_nation" -> cubeRegionNation,
     "q186_grouping_sets" -> groupingSetsTypeHour,
+    "q189_grouped_topk_agg" -> groupedTopKAgg,
     "q10_segment_top_accounts" -> segmentTopAccounts,
     "q11_running_revenue" -> runningRevenue,
     "q12_order_gaps" -> orderGaps,
@@ -826,6 +857,20 @@ object Relational {
     "q39_event_type_unpivot" -> eventTypeUnpivot)
 
   val oracles: Map[String, String] = Map(
+    // q189: the aggregator's contract stated declaratively — the k
+    // smallest (vm, event_id) per type by row_number — so the custom
+    // partial/merge/finish path is verified against the plain window
+    "q189_grouped_topk_agg" ->
+      s"""SELECT event_type, rank, vm, event_id FROM (
+            SELECT event_type, vm, event_id,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY vm, event_id) AS rank
+            FROM (
+              SELECT event_type,
+                CAST(floor(value * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS vm,
+                event_id
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL))
+          WHERE rank <= ${topKPerGroup} ORDER BY event_type, rank""",
     // q186: same four grouping sets; GROUPING_ID bit order matches
     // Spark's (first listed column = MSB), verified, not assumed
     "q186_grouping_sets" ->

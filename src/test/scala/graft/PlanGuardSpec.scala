@@ -50,7 +50,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // round-10: single-row data-derived cutoffs (q135's pattern)
     "q174_retractable_rollup",   // (min+max)/2 rollup cutoff row
     "q177_incremental_dedup",    // doc_id batch-cutoff row
-    "q181_negative_samples")     // item-key-domain row
+    "q181_negative_samples",     // item-key-domain row
+    // round-10 second batch: (min+max)/2 shipdate cutoff row (q135's
+    // pattern applied to the join-view delta split)
+    "q183_incremental_join_view")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

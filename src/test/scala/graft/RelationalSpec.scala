@@ -238,6 +238,45 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(onRows == off.collect().toSeq)
   }
 
+  test("q189 aggregator top-k: two-phase plan, window-reference parity, " +
+    "monoid laws on adversarial buffers") {
+    val s = spark
+    import s.implicits._
+    // plan shape: a typed-aggregator UDAF plans as ObjectHashAggregate
+    // with a partial phase BEFORE the exchange — the k-bounded
+    // map-side combine is the whole point vs the window formulation
+    val q = Relational.groupedTopKAgg(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(plan.contains("partial_topkminaggregator"), plan.take(500))
+    // parity with an independent window reference on real data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("vm", "event_id")
+    val ref = Tables.eventsMicros(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("floor(value * 1000.0D)").as("vm"), col("event_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Relational.topKPerGroup)
+      .select("event_type", "rank", "vm", "event_id")
+      .orderBy("event_type", "rank")
+    assert(q.collect().toSeq == ref.collect().toSeq)
+    // monoid laws the partial/merge contract relies on: merge agrees
+    // with sequential reduce for every split point of a hostile
+    // sequence (duplicates-heavy values, reverse-sorted, ties broken
+    // only by the second element)
+    val agg = new graft.expr.TopKMinAggregator(3)
+    val xs = Seq((5L, 1L), (1L, 9L), (1L, 2L), (7L, 0L), (1L, 9L),
+      (0L, 4L), (5L, 0L), (0L, 3L))
+    val direct = xs.foldLeft(agg.zero)(agg.reduce)
+    (0 to xs.length).foreach { i =>
+      val (a, b) = xs.splitAt(i)
+      assert(agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce)) == direct, s"split at $i")
+    }
+    // duplicates kept: top-k of a BAG, not a set
+    assert(direct == xs.sorted.take(3))
+  }
+
   test("q186 grouping sets: the four levels agree with each other and " +
     "with independent direct aggregates") {
     val rows = Relational.groupingSetsTypeHour(spark, sf).collect()
