@@ -11,17 +11,17 @@ import sys
 FAMILIES = [
     ("relational + pivot + sketches + SCD2/PIT/bloom/profile/CDC/HLL "
      "(q01-q19, q38-q39, q104-q105, q114, q122-q123, q126-q127, q135, "
-     "q138, q160, q175)",
+     "q138, q160, q175, q182, q186, q189)",
      ["q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10_",
       "q11_", "q12_", "q13_", "q14_", "q15_", "q16_", "q17_", "q18_",
       "q19_",
       "q38", "q39", "q104", "q105", "q114", "q122", "q123", "q126", "q127",
-      "q135", "q138", "q160", "q175"]),
+      "q135", "q138", "q160", "q175", "q182", "q186", "q189"]),
     ("events/windows (q20-q29, q73, q101-q102, q106, q108, q119, q136, "
-     "q145, q149-q152)",
+     "q145, q149-q152, q185)",
      ["q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28", "q29",
       "q73", "q101", "q102", "q106", "q108", "q119", "q136", "q145",
-      "q149", "q150", "q151", "q152"]),
+      "q149", "q150", "q151", "q152", "q185"]),
     ("graph (q30-q35, q74-q75, q89, q107, q110, q118, q121, q147, q154)",
      ["q30", "q31", "q32", "q33", "q34", "q35", "q74", "q75", "q89",
       "q107", "q110", "q118", "q121", "q147", "q154"]),
@@ -30,26 +30,26 @@ FAMILIES = [
      ["q40", "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q49",
       "q69", "q88", "q109", "q111", "q112", "q139", "q148", "q156"]),
     ("dedup + decontamination + sampling + linkage (q50-q59, q87, q140, "
-     "q144, q162, q177, q181)",
+     "q144, q162, q177, q181, q184)",
      ["q50", "q51", "q52", "q53", "q54", "q55", "q56", "q57", "q58", "q59",
-      "q87", "q140", "q144", "q162", "q177", "q181"]),
+      "q87", "q140", "q144", "q162", "q177", "q181", "q184"]),
     ("similarity/ANN (q60-q68, q115, q146)",
      ["q60", "q61", "q62", "q63", "q64", "q65", "q66", "q67", "q68",
       "q115", "q146"]),
     ("scoring/monitoring (q137, q141-q143)",
      ["q137", "q141", "q142", "q143"]),
     ("tag/sequence mining (q70-q72, q124)", ["q70", "q71", "q72", "q124"]),
-    ("behavior (q76-q77, q116-q117, q120, q159, q163)",
-     ["q76", "q77", "q116", "q117", "q120", "q159", "q163"]),
+    ("behavior (q76-q77, q116-q117, q120, q159, q163, q188)",
+     ["q76", "q77", "q116", "q117", "q120", "q159", "q163", "q188"]),
     ("sources/layout + lakehouse (q103, q125, q131-q132, q134, q155, "
      "q165-q167, q170-q173, q176, q178-q180)",
      ["q103", "q125", "q131", "q132", "q134", "q155", "q165", "q166",
       "q167", "q170", "q171", "q172", "q173", "q176", "q178", "q179",
       "q180"]),
     ("quality/governance (q129-q130, q133, q153, q157-q158, q161, q164, "
-     "q168-q169, q174)",
+     "q168-q169, q174, q183, q187)",
      ["q129", "q130", "q133", "q153", "q157", "q158", "q161", "q164",
-      "q168", "q169", "q174"]),
+      "q168", "q169", "q174", "q183", "q187"]),
     ("multimodal (q80-q86)",
      ["q80", "q81", "q82", "q83", "q84", "q85", "q86"]),
     ("fidelity CSV corpus (q90-q97)",
