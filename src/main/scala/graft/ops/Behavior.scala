@@ -178,6 +178,73 @@ object Behavior {
       .orderBy("user_id", "event_id")
   }
 
+  /** q190 — TIME-WEIGHTED AVERAGE (TWAP): the correct mean for
+    * irregularly sampled step signals (meter readings, prices, state
+    * levels), where the plain average over-weights bursts. Each
+    * observation holds until the next one, so its weight is the hold
+    * duration: twap = Σ vᵢ·dtᵢ / Σ dtᵢ over [first, last] per user.
+    * One lead window (same user_id exchange + sort as the q185 EWMA),
+    * then a hash aggregate. The per-interval product vm·dt reaches
+    * milli-value·µs ≈ 5·10⁵ · 3·10¹³ ≈ 10¹⁹ over a year's hold —
+    * PAST 2⁶³, so the products and their sum run in DECIMAL(38,0)
+    * (HUGEINT oracle-side) by construction, with one truncating
+    * division at the end. Same-µs observations get dt = 0 (zero
+    * weight, kept); single-observation users have no hold interval
+    * and drop (span 0 — no TWAP is defined).
+    */
+  def twap(spark: SparkSession, dir: String): DataFrame =
+    twapCore(Tables.eventsMicros(spark, dir).filter(col("value").isNotNull))
+
+  private[graft] def twapCore(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsu", "event_id")
+    ev.select(col("user_id"), col("tsu"), col("event_id"),
+        expr("floor(value * 1000.0D)").as("vm"))
+      .withColumn("dt", lead("tsu", 1).over(w) - col("tsu"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_holds"),
+        sum("dt").as("span_us"),
+        sum(expr("cast(vm as decimal(38,0)) * dt")).as("vt"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_holds"), col("span_us"),
+        expr("vt div span_us").as("twap_milli"))
+      .orderBy("user_id")
+  }
+
+  /** q192 — CALENDAR SPINE DENSIFY: turn the observed event stream into
+    * a gapless (event_type, day) panel with explicit ZERO rows — the
+    * precondition for any window/trend computation downstream (a ROWS
+    * frame over a table with missing days silently reads the wrong
+    * neighbors; q145 dodges that with RANGE frames, this op fixes the
+    * table itself, the other standard answer). The spine is generated,
+    * not stored: a single-row (min_day, max_day) bounds broadcast
+    * (q135's sanctioned pattern) crossed with the bounded type
+    * dimension and `sequence`-exploded — |types|·|days| rows however
+    * large the fact table — then ONE left join against the hash-agg'd
+    * daily counts.
+    */
+  def calendarSpine(spark: SparkSession, dir: String): DataFrame =
+    spineCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] val dayUs2 = 86400000000L
+
+  private[graft] def spineCore(ev: DataFrame): DataFrame = {
+    val days = ev.select(expr(s"tsu div $dayUs2").as("day"),
+      col("event_type"))
+    val bounds = days.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = days.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = days.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "day")
+  }
+
   /** Sliding-window geometry for q108: 1-hour windows advancing every
     * 15 minutes (width a whole multiple of the slide, so every event
     * covers exactly width/slide windows).
@@ -412,6 +479,8 @@ object Behavior {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q190_twap" -> (twap(_, _)),
+    "q192_calendar_spine" -> (calendarSpine(_, _)),
     "q185_ewma_smoothing" -> (ewmaSmoothing(_, _)),
     "q163_conversion_latency" -> (conversionLatency(_, _)),
     "q159_ab_experiment" -> (abExperimentLift(_, _)),
@@ -424,6 +493,41 @@ object Behavior {
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q190: same lead-hold weighting, HUGEINT products, one truncating
+    // division — the TWAP must match to the milli-unit
+    "q190_twap" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu,
+             CAST(floor(value * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS vm
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         h AS (
+           SELECT user_id, vm,
+             lead(tsu) OVER (PARTITION BY user_id
+               ORDER BY tsu, event_id) - tsu AS dt
+           FROM ev)
+         SELECT user_id, count(*) AS n_holds,
+           sum(dt)::BIGINT AS span_us,
+           (sum(vm::HUGEINT * dt) // sum(dt))::BIGINT AS twap_milli
+         FROM h WHERE dt IS NOT NULL
+         GROUP BY 1 HAVING sum(dt) > 0 ORDER BY 1""",
+    // q192: same bounds, same generated spine (DuckDB generate_series
+    // is inclusive like Spark sequence), same zero-fill
+    "q192_calendar_spine" ->
+      s"""WITH d AS (
+            SELECT event_type, epoch_ns(ts) // 1000 // ${dayUs2} AS day
+            FROM events WHERE ts IS NOT NULL),
+          bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+          spine AS (
+            SELECT t.event_type, s.day
+            FROM (SELECT DISTINCT event_type FROM d) t
+            CROSS JOIN (SELECT unnest(generate_series(
+              (SELECT d0 FROM bounds), (SELECT d1 FROM bounds))) AS day) s),
+          daily AS (
+            SELECT event_type, day, count(*) AS n FROM d GROUP BY 1, 2)
+          SELECT spine.event_type, spine.day,
+            coalesce(daily.n, 0)::BIGINT AS n_events
+          FROM spine LEFT JOIN daily USING (event_type, day)
+          ORDER BY 1, 2""",
     // q185: the identical 8-term weighted sum over lag windows, same
     // milli-unit floor, same single truncating division
     "q185_ewma_smoothing" -> {

@@ -85,6 +85,54 @@ object TemporalJoins {
       .orderBy("error_id")
   }
 
+  /** q191 — NEAREST-neighbor as-of: each `error` matched to the click
+    * closest in time in EITHER direction (sensor/trace alignment wants
+    * the nearest reading, not the latest-before — q36 is the backward
+    * half, this is the symmetric member of the as-of family). Same
+    * one-union-one-sort shape as [[asofCore]]: the backward candidate
+    * is the frame's last click pack (unbounded preceding, inclusive of
+    * same-µs earlier-id clicks — q36's tie rule), the forward
+    * candidate the frame's first click pack over the FOLLOWING frame;
+    * the pick is pure arithmetic (backward wins distance ties,
+    * documented and oracle-mirrored). Still one exchange on user_id
+    * and one per-partition sort — the two frames share the same window
+    * ordering, so Spark plans a single Window node; no self-join, no
+    * per-error probe.
+    */
+  def nearestErrorClicks(spark: SparkSession, dir: String): DataFrame =
+    nearestCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def nearestCore(ev: DataFrame): DataFrame = {
+    // same atomic click-pack discipline as asofCore: id and tsu travel
+    // in ONE nullable struct so both always come from the same click
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("tsu"), lit(0).as("side"), col("event_id"),
+      struct(col("event_id").as("click_id"), col("tsu").as("click_tsu"))
+        .as("click_pack"),
+      lit(null).cast("long").as("error_id"))
+    val errors = ev.filter(col("event_type") === "error").select(
+      col("user_id"), col("tsu"), lit(1).as("side"), col("event_id"),
+      lit(null).cast("struct<click_id:bigint,click_tsu:bigint>")
+        .as("click_pack"),
+      col("event_id").as("error_id"))
+    val order = Window.partitionBy("user_id").orderBy("tsu", "side", "event_id")
+    val wb = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(errors)
+      .withColumn("b", last("click_pack", ignoreNulls = true).over(wb))
+      .withColumn("f", first("click_pack", ignoreNulls = true).over(wf))
+      .filter(col("side") === 1 && (col("b").isNotNull || col("f").isNotNull))
+      .withColumn("m",
+        when(col("b").isNull, col("f"))
+          .when(col("f").isNull, col("b"))
+          .when(col("tsu") - col("b.click_tsu")
+            <= col("f.click_tsu") - col("tsu"), col("b"))
+          .otherwise(col("f")))
+      .select(col("error_id"), col("user_id"), col("tsu").as("err_tsu"),
+        col("m.click_id"), (col("m.click_tsu") - col("tsu")).as("delta_us"))
+      .orderBy("error_id")
+  }
+
   /** Lookback width for q37: clicks strictly before the purchase,
     * within 10 minutes.
     */
@@ -312,6 +360,7 @@ object TemporalJoins {
   val queries: Map[String, Q] = Map(
     "q152_locf_gap_fill" -> (locfGapFill(_, _)),
     "q36_asof_join" -> (asofErrorClicks(_, _)),
+    "q191_nearest_asof" -> (nearestErrorClicks(_, _)),
     "q37_range_join" -> (purchaseClickAttribution(_, _)),
     "q73_rolling_hour_window" -> (rollingHourWindow(_, _)),
     // the hot-key-safe twin as a first-class registered query: same
@@ -348,6 +397,45 @@ object TemporalJoins {
          FROM f ORDER BY event_id""",
     // the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // implementation of the semantics, not a re-derivation of ours
+    // q191: independently formulated as TWO DuckDB ASOF joins (backward
+    // >= with max-id µs collapse — q36's tie rule; forward < with
+    // min-id collapse, same-µs clicks being backward-only by the
+    // engine's (tsu, side, id) order), then the same arithmetic pick
+    "q191_nearest_asof" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+                  event_type
+           FROM events WHERE ts IS NOT NULL),
+         bclicks AS (
+           SELECT user_id, tsu, max(event_id) AS click_id
+           FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+         fclicks AS (
+           SELECT user_id, tsu, min(event_id) AS click_id
+           FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+         errors AS (
+           SELECT event_id AS error_id, user_id, tsu AS err_tsu
+           FROM ev WHERE event_type = 'error'),
+         b AS (
+           SELECT e.error_id, e.user_id, e.err_tsu,
+                  c.click_id AS b_id, c.tsu AS b_tsu
+           FROM errors e ASOF LEFT JOIN bclicks c
+             ON e.user_id = c.user_id AND e.err_tsu >= c.tsu),
+         f AS (
+           SELECT e.error_id, c.click_id AS f_id, c.tsu AS f_tsu
+           FROM errors e ASOF LEFT JOIN fclicks c
+             ON e.user_id = c.user_id AND e.err_tsu < c.tsu)
+         SELECT b.error_id, b.user_id, b.err_tsu,
+           CASE WHEN b_id IS NULL THEN f_id
+                WHEN f_id IS NULL THEN b_id
+                WHEN b.err_tsu - b_tsu <= f_tsu - b.err_tsu THEN b_id
+                ELSE f_id END AS click_id,
+           CASE WHEN b_id IS NULL THEN f_tsu
+                WHEN f_id IS NULL THEN b_tsu
+                WHEN b.err_tsu - b_tsu <= f_tsu - b.err_tsu THEN b_tsu
+                ELSE f_tsu END - b.err_tsu AS delta_us
+         FROM b JOIN f USING (error_id)
+         WHERE b_id IS NOT NULL OR f_id IS NOT NULL
+         ORDER BY error_id""",
     "q36_asof_join" ->
       """WITH ev AS (
            SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu, value,

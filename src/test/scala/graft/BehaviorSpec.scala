@@ -311,4 +311,38 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       (1L, 14L, 14000L, 13031L),
       (2L, 107L, 2500L, 2500L)))
   }
+
+  test("q190 twap: hold-duration weighting, zero-weight same-µs ties, " +
+    "single-observation users drop") {
+    // user 1: 1.0 held 10µs, 3.0 held 20µs, 5.0 terminal (no hold)
+    //   → (1000·10 + 3000·20) div 30 = 2333
+    // user 2: 2.0 and 4.0 at the SAME µs (ids 4 < 5 order them; the
+    //   first hold is 0µs → zero weight), then 6.0 terminal
+    //   → (2000·0 + 4000·10) div 10 = 4000
+    // user 3: one observation → no hold interval, drops
+    val rows = Seq(
+      (1L, 1L, 0L, 1.0), (2L, 1L, 10L, 3.0), (3L, 1L, 30L, 5.0),
+      (4L, 2L, 5L, 2.0), (5L, 2L, 5L, 4.0), (6L, 2L, 15L, 6.0),
+      (7L, 3L, 100L, 9.0))
+    val out = Behavior.twapCore(
+      rows.toDF("event_id", "user_id", "tsu", "value"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 30L, 2333L), (2L, 2L, 10L, 4000L)))
+  }
+
+  test("q192 calendar spine: zero days materialize for every type over " +
+    "the global bounds") {
+    val D = Behavior.dayUs2
+    // observed: a on days 0 and 2, b on day 1 only → spine covers days
+    // 0..2 for BOTH types; four of the six cells are zero-filled
+    val rows = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 2 * D, "a"), (3L, 2L, D, "b"),
+      (4L, 2L, D + 5L, "b"))
+    val out = Behavior.spineCore(
+      rows.toDF("event_id", "user_id", "tsu", "event_type"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", 0L, 1L), ("a", 1L, 0L), ("a", 2L, 1L),
+      ("b", 0L, 0L), ("b", 1L, 2L), ("b", 2L, 0L)))
+  }
 }

@@ -53,7 +53,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q181_negative_samples",     // item-key-domain row
     // round-10 second batch: (min+max)/2 shipdate cutoff row (q135's
     // pattern applied to the join-view delta split)
-    "q183_incremental_join_view")
+    "q183_incremental_join_view",
+    // round-10: single-row (min_day, max_day) bounds broadcast feeding
+    // the generated spine
+    "q192_calendar_spine")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

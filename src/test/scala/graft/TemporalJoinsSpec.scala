@@ -54,6 +54,39 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq === Seq((2L, 200L, None)))
   }
 
+  test("q191 nearest as-of: both directions, backward tie win, same-µs " +
+    "backward, one-sided users, clickless errors drop") {
+    val out = TemporalJoins.nearestCore(ev(
+      // user 7: error 3 sits 50 after click 2 and 150 before click 4
+      //   → backward (delta −50); error 5 sits 150 after click 4 and
+      //   50 before click 6 → forward (delta +50)
+      (1L, 7L, 100L, "click", 1.0),
+      (2L, 7L, 200L, "click", 2.0),
+      (3L, 7L, 250L, "error", 0.0),
+      (4L, 7L, 400L, "click", 4.0),
+      (5L, 7L, 550L, "error", 0.0),
+      (6L, 7L, 600L, "click", 6.0),
+      // user 8: EXACT distance tie (100 both ways) → backward wins
+      (10L, 8L, 0L, "click", 0.0),
+      (11L, 8L, 100L, "error", 0.0),
+      (12L, 8L, 200L, "click", 0.0),
+      // user 9: same-µs click counts as backward, delta 0 — even
+      // though a nearer-than-anything forward click exists
+      (20L, 9L, 300L, "click", 0.0),
+      (21L, 9L, 300L, "error", 0.0),
+      (22L, 9L, 301L, "click", 0.0),
+      // user 10: only a FORWARD click exists → matched forward
+      (30L, 10L, 500L, "error", 0.0),
+      (31L, 10L, 900L, "click", 0.0),
+      // user 11: no clicks at all → dropped
+      (40L, 11L, 700L, "error", 0.0)
+    )).select("error_id", "click_id", "delta_us")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (3L, 2L, -50L), (5L, 6L, 50L), (11L, 10L, -100L),
+      (21L, 20L, 0L), (30L, 31L, 400L)))
+  }
+
   test("range join counts only same-user clicks in [t-10min, t)") {
     val t0 = 1000000000L // arbitrary µs origin, NOT band-aligned
     val w = TemporalJoins.lookbackSeconds * 1000000L
