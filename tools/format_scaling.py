@@ -18,14 +18,14 @@ FAMILIES = [
       "q38", "q39", "q104", "q105", "q114", "q122", "q123", "q126", "q127",
       "q135", "q138", "q160", "q175", "q182", "q186", "q189"]),
     ("events/windows (q20-q29, q73, q101-q102, q106, q108, q119, q136, "
-     "q145, q149-q152, q185)",
+     "q145, q149-q152, q185, q190, q192)",
      ["q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28", "q29",
       "q73", "q101", "q102", "q106", "q108", "q119", "q136", "q145",
-      "q149", "q150", "q151", "q152", "q185"]),
+      "q149", "q150", "q151", "q152", "q185", "q190", "q192"]),
     ("graph (q30-q35, q74-q75, q89, q107, q110, q118, q121, q147, q154)",
      ["q30", "q31", "q32", "q33", "q34", "q35", "q74", "q75", "q89",
       "q107", "q110", "q118", "q121", "q147", "q154"]),
-    ("temporal joins (q36-q37)", ["q36", "q37"]),
+    ("temporal joins (q36-q37, q191)", ["q36", "q37", "q191"]),
     ("text (q40-q49, q69, q88, q109, q111-q112, q139, q148, q156)",
      ["q40", "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q49",
       "q69", "q88", "q109", "q111", "q112", "q139", "q148", "q156"]),
