@@ -180,9 +180,52 @@ object Sampling {
       .orderBy(col("priority").desc, col("o_orderkey"))
       .limit(prioritySampleK)
 
+  val bootstrapReplicates = 16
+
+  /** q193 — POISSON BOOTSTRAP in one pass: B resample replicates of
+    * mean order value, computed WITHOUT materializing a single
+    * resample. The classical bootstrap draws n rows with replacement B
+    * times — O(B·n) and unshardable; the Poisson bootstrap replaces
+    * each row's multiplicity with an independent Poisson(1) weight, so
+    * every replicate is just a weighted sum and all B of them fold
+    * into ONE scan with B conditional-sum pairs (stacked back to rows
+    * afterwards) — the standard way to put error bars on a 100 TB
+    * aggregate. Weights are a pure function of (key, replicate) via
+    * the q58 md5-nibble primitive, quantized to 16ths
+    * (P(0)=P(1)=6/16, P(2)=3/16, P(3)=1/16 vs Poisson(1)'s
+    * .368/.368/.184/.080 — the closest 16th-lattice fit, documented
+    * not hidden), so the oracle re-derives every replicate
+    * bit-for-bit. Money in exact integer cents; replicate means are
+    * one truncating division, DECIMAL-widened sums.
+    */
+  def poissonBootstrap(s: SparkSession, d: String): DataFrame = {
+    val B = bootstrapReplicates
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      expr("floor(o_totalprice * 100.0D)").as("cents"))
+    val weighted = (0 until B).foldLeft(base) { (df, b) =>
+      df.withColumn(s"w_$b",
+        when(nibbleOf(col("o_orderkey"), s":$b:boot") < 6, 0L)
+          .when(nibbleOf(col("o_orderkey"), s":$b:boot") < 12, 1L)
+          .when(nibbleOf(col("o_orderkey"), s":$b:boot") < 15, 2L)
+          .otherwise(3L))
+    }
+    val aggCols = (0 until B).flatMap(b => Seq(
+      sum(col(s"w_$b")).as(s"n_$b"),
+      expr(s"sum(cast(cents as decimal(38,0)) * w_$b)").as(s"s_$b")))
+    val agg = weighted.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = (0 until B)
+      .map(b => s"${b}L, n_$b, s_$b").mkString(", ")
+    agg.select(expr(
+        s"stack($B, $stackArgs) AS (replicate, n_eff, s)"))
+      .select(col("replicate"), col("n_eff"),
+        expr("s div nullif(n_eff, 0)").as("mean_cents"))
+      .orderBy("replicate")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q193_poisson_bootstrap" -> (poissonBootstrap(_, _)),
     "q58_stratified_sample" -> (stratifiedSample(_, _)),
     "q59_train_eval_split" -> (trainEvalSplit(_, _)),
     "q144_group_kfold" -> (groupKFold(_, _)),
@@ -215,6 +258,27 @@ object Sampling {
             count(DISTINCT user_id)::BIGINT AS n_users
           FROM events WHERE ts IS NOT NULL
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q193: every replicate's nibble→weight table, DECIMAL-widened
+    // weighted sums, and truncating mean re-derived per (key, b)
+    "q193_poisson_bootstrap" ->
+      s"""WITH w AS (
+            SELECT b.b AS replicate,
+              CASE WHEN h < 6 THEN 0 WHEN h < 12 THEN 1
+                   WHEN h < 15 THEN 2 ELSE 3 END AS w,
+              cents
+            FROM (
+              SELECT o_orderkey,
+                CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)) AS BIGINT)
+                  AS cents
+              FROM orders) o
+            CROSS JOIN range(${bootstrapReplicates}) b(b)
+            CROSS JOIN LATERAL (SELECT strpos('0123456789abcdef',
+              substr(md5(o.o_orderkey::VARCHAR || ':' || b.b::VARCHAR
+                || ':boot'), 1, 1)) - 1 AS h) x)
+          SELECT replicate, sum(w)::BIGINT AS n_eff,
+            (sum(w::HUGEINT * cents) // nullif(sum(w), 0))::BIGINT
+              AS mean_cents
+          FROM w GROUP BY 1 ORDER BY 1""",
     // q184: the identical md5-u32, weight, and integer-division
     // priority re-derived in DuckDB ('0x'-prefixed hex cast = Spark's
     // conv(…,16,10)); same top-k, same (priority, key) tie-break

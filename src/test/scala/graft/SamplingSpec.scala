@@ -141,4 +141,35 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     // the monotonicity that makes it WEIGHTED sampling
     assert(got.forall { case (_, w, p) => p >= w })
   }
+
+  test("q193: every bootstrap replicate matches an independent JVM " +
+    "recomputation of the Poisson weights and weighted means") {
+    import spark.implicits._
+    val got = Sampling.poissonBootstrap(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (0L until Sampling.bootstrapReplicates.toLong))
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].collect().toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(k: Long, b: Int): Long = {
+      val h = (md.digest(s"$k:$b:boot".getBytes("UTF-8"))(0) >> 4) & 0xf
+      if (h < 6) 0L else if (h < 12) 1L else if (h < 15) 2L else 3L
+    }
+    val expected = (0 until Sampling.bootstrapReplicates).map { b =>
+      val ws = src.map { case (k, p) =>
+        (weight(k, b), math.floor(p * 100.0).toLong)
+      }
+      val n = ws.map(_._1).sum
+      val s = ws.map { case (w, c) => BigInt(w) * c }.sum
+      (b.toLong, n, (s / n).toLong)
+    }
+    assert(got === expected)
+    // resampling sanity: replicates genuinely differ (not one sample
+    // repeated) and every effective size is near n (Poisson(1) mass)
+    assert(got.map(_._3).distinct.size > 1)
+    val n0 = src.size
+    assert(got.forall { case (_, n, _) =>
+      n > n0 / 2 && n < n0 * 2 })
+  }
 }
