@@ -129,6 +129,61 @@ object StreamingQueries {
     } finally deleteRecursively(base)
   }
 
+  /** Micro-batches the last q194 run actually executed (spec pins > 1:
+    * sliding-window counts must ACCUMULATE across triggers).
+    */
+  @volatile private[graft] var lastSlidingBatches: Long = -1
+
+  private val slideUs194 = 900000000L       // 15 min
+  private val slidesPerWindow194 = 4        // 1 h window = 4 slides
+
+  /** q194 — streaming SLIDING event-time windows: hourly event counts
+    * advancing every 15 minutes — the overlapping-window shape none of
+    * q98-q128 exercise (q98 global agg, q99 sessions, q100 TUMBLING
+    * windows). Each event enters ceil(width/slide) = 4 window states;
+    * Spark expands the memberships inside the stateful agg, so state
+    * is O(open windows), not O(events). The replay arrives as 4
+    * micro-batches (range-split on time), so window counts must
+    * accumulate across triggers through the state store; complete-mode
+    * memory sink reads the final snapshot. The driver hash-gates the
+    * result against the batch oracle — the same epoch-aligned
+    * 4-covering-windows arithmetic q108 proves in batch — so
+    * streaming == batch on overlapping windows is a verified identity,
+    * not an assumption.
+    */
+  def streamingSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q194_")
+    try {
+      val input = base.resolve("in").toString
+      Tables.eventsMicros(spark, dir)
+        .select(timestamp_micros(col("tsu")).as("ts"))
+        .repartitionByRange(4, col("ts"))
+        .write.parquet(input)
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("ts", TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input)
+      val win = window(col("ts"),
+        s"${slidesPerWindow194 * slideUs194 / 1000000L} seconds",
+        s"${slideUs194 / 1000000L} seconds")
+      val counts = stream.groupBy(win)
+        .agg(count(lit(1)).as("n_events"))
+        .select(expr("unix_micros(window.start)").as("window_start_us"),
+          col("n_events"))
+      val sink = s"graft_q194_sink_${sinkSeq.incrementAndGet()}"
+      val q = counts.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastSlidingBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      q.stop()
+      spark.table(sink).orderBy("window_start_us")
+    } finally deleteRecursively(base)
+  }
+
   private val sessionInSchema = StructType(Seq(
     StructField("user_id", LongType),
     StructField("ts", TimestampType),
@@ -667,12 +722,26 @@ object StreamingQueries {
     "q99_streaming_sessions" -> (streamingSessions(_, _)),
     "q78_streaming_enrich_join" -> (streamingEnrichedRevenue(_, _)),
     "q79_stream_stream_join" -> (streamStreamJoin(_, _)),
-    "q100_late_data_accounting" -> (lateDataAccounting(_, _)))
+    "q100_late_data_accounting" -> (lateDataAccounting(_, _)),
+    "q194_streaming_sliding_counts" -> (streamingSlidingCounts(_, _)))
 
   /** The batch twins' oracles, verbatim: the driver hash-gates
     * streaming == batch-oracle, i.e. streaming == batch.
     */
   val oracles: Map[String, String] = Map(
+    // q194: the q108 covering-window identity — every event lands in
+    // exactly width/slide = 4 epoch-aligned windows — recomputed in
+    // batch; the streaming state-store accumulation must equal it
+    "q194_streaming_sliding_counts" ->
+      s"""WITH ev AS (
+            SELECT epoch_ns(ts) // 1000 AS tsu
+            FROM events WHERE ts IS NOT NULL),
+          cov AS (
+            SELECT ((tsu // ${slideUs194}) - k.k) * ${slideUs194}
+              AS window_start_us
+            FROM ev CROSS JOIN range(${slidesPerWindow194}) k(k))
+          SELECT window_start_us, count(*) AS n_events
+          FROM cov GROUP BY 1 ORDER BY 1""",
     "q98_streaming_word_freq" -> TextAnalysis.oracles("q40_word_freq_topk"),
     "q99_streaming_sessions" -> Sessionization.oracles("q27_sessionization"),
     "q78_streaming_enrich_join" ->

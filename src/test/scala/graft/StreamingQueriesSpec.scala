@@ -22,6 +22,25 @@ class StreamingQueriesSpec extends AnyFunSuite with SparkTestBase {
       s"expected >=2 micro-batches, got ${StreamingQueries.lastWordFreqBatches}")
   }
 
+  test("q194: streaming sliding windows == batch 4-covering-window " +
+    "recompute, multi-batch accumulation") {
+    import org.apache.spark.sql.functions._
+    val streamed = rows(StreamingQueries.streamingSlidingCounts(spark, sf))
+    // independent batch recompute of the covering-window identity
+    val slideUs = 900000000L
+    val batch = rows(Tables.eventsMicros(spark, sf)
+      .select(col("tsu"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(expr(s"(tsu div $slideUs - k) * $slideUs")
+        .as("window_start_us"))
+      .groupBy("window_start_us")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("window_start_us"))
+    assert(streamed == batch)
+    assert(StreamingQueries.lastSlidingBatches >= 2,
+      s"expected >=2 micro-batches, got ${StreamingQueries.lastSlidingBatches}")
+  }
+
   test("q78: stream-static enrichment join == batch join+agg, multi-batch") {
     import org.apache.spark.sql.functions._
     val streamed = rows(StreamingQueries.streamingEnrichedRevenue(spark, sf))

@@ -54,8 +54,8 @@ FAMILIES = [
      ["q80", "q81", "q82", "q83", "q84", "q85", "q86"]),
     ("fidelity CSV corpus (q90-q97)",
      ["q90", "q91", "q92", "q93", "q94", "q95", "q96", "q97"]),
-    ("streaming (q78-q79, q98-q100, q113, q128)",
-     ["q78", "q79", "q98", "q99", "q100", "q113", "q128"]),
+    ("streaming (q78-q79, q98-q100, q113, q128, q194)",
+     ["q78", "q79", "q98", "q99", "q100", "q113", "q128", "q194"]),
 ]
 
 
