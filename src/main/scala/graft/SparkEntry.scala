@@ -33,6 +33,7 @@ object SparkEntry {
       (GlobalIndex.queries, GlobalIndex.oracles),
       (Linkage.queries, Linkage.oracles),
       (Quality.queries, Quality.oracles),
+      (Integrity.queries, Integrity.oracles),
       (Fidelity.queries, Fidelity.oracles),
       (graft.sources.BinaryIngest.queries, graft.sources.BinaryIngest.oracles),
       (graft.sources.ParquetLayout.queries, graft.sources.ParquetLayout.oracles),

@@ -55,16 +55,26 @@ object GlobalIndex {
     * compares to a driver-side sort, and asserts the plan contains no
     * global sort of the data path).
     */
-  private[graft] def numberedAll(li: DataFrame): DataFrame = {
-    val nParts = li.sparkSession.sessionState.conf.numShufflePartitions
+  private[graft] def numberedAll(li: DataFrame): DataFrame =
+    numberedBy(li, Seq("l_orderkey", "l_linenumber"))
+
+  /** The generic two-phase numbering: appends `rn` = 1-based rank in
+    * the total order of `sortCols` (which must be a unique key of the
+    * frame for the rank to be deterministic). Data path: one range
+    * exchange + local sorts; only the #partitions-row offsets frame is
+    * sequential.
+    */
+  private[graft] def numberedBy(df: DataFrame,
+                                sortCols: Seq[String]): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     // phase 1: range partition — partition ids are ordered by key range
-    val ranged = li
-      .repartitionByRange(nParts, col("l_orderkey"), col("l_linenumber"))
+    val ranged = df
+      .repartitionByRange(nParts, sortCols.map(col): _*)
       .withColumn("pid", spark_partition_id())
     // phase 2: local numbering (each pid sorts only its own slice)
     val local = ranged.withColumn("local_rn",
       row_number().over(
-        Window.partitionBy("pid").orderBy("l_orderkey", "l_linenumber"))
+        Window.partitionBy("pid").orderBy(sortCols.map(col): _*))
         .cast("long"))
     // phase 3: per-partition counts → exclusive prefix sums. One row
     // per partition, so the single-partition window is O(#partitions),
@@ -75,14 +85,56 @@ object GlobalIndex {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "offset")
     local.join(broadcast(offsets), Seq("pid"))
-      .select(col("l_orderkey"), col("l_linenumber"),
-        (col("offset") + col("local_rn")).as("rn"))
+      .select(sortCols.map(col) :+
+        (col("offset") + col("local_rn")).as("rn"): _*)
+  }
+
+  /** q200 bucket count (the ANALYZE-histogram convention: equal-HEIGHT
+    * buckets, boundaries wherever the data puts them).
+    */
+  private[graft] val histBuckets = 8
+
+  /** q200 — EQUI-DEPTH HISTOGRAM: the other ANALYZE artifact after
+    * q161's per-column stats — B buckets each holding exactly ~n/B rows
+    * of `o_totalprice`, with observed [lo, hi] boundaries and an exact
+    * decimal sum per bucket. Equal-depth (not equal-width) is what a
+    * cost-based optimizer stores, because selectivity of a range
+    * predicate then reads off as "how many buckets does it span" even
+    * under heavy skew (an equal-width histogram collapses to one
+    * overloaded bin on Zipf data).
+    *
+    * Scale: bucket assignment = the two-phase global numbering
+    * ([[numberedBy]] — range exchange + local sorts, no
+    * single-partition window), then `bucket = (rn−1)·B div n`, then one
+    * hash agg. The bucket multiply is safe to 2^63/B ≈ 1.1e18 rows —
+    * documented bound, far beyond a 100 TB table's row count. The
+    * (price, orderkey) sort key is unique, so bucket membership — and
+    * therefore every output cell — is engine-independent; the oracle
+    * re-derives it with a plain rank.
+    */
+  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_totalprice"), col("o_orderkey"))
+    // driver-side single-value count (the probeBounds stance: one
+    // metadata-sized read feeding a literal into the plan)
+    val n = base.count()
+    numberedBy(base, Seq("o_totalprice", "o_orderkey"))
+      .withColumn("bucket", expr(s"(rn - 1) * $histBuckets div ${math.max(n, 1L)}"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4)
+          .as("price_sum"))
+      .orderBy("bucket")
   }
 
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "q182_global_row_numbers" -> (globalRowNumbers(_, _)))
+    "q182_global_row_numbers" -> (globalRowNumbers(_, _)),
+    "q200_equidepth_histogram" -> (equidepthHistogram(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the logical contract — rank in the total order — stated directly;
@@ -92,5 +144,19 @@ object GlobalIndex {
             SELECT l_orderkey, l_linenumber,
               row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
             FROM lineitem)
-          WHERE rn % $stride = 0 ORDER BY rn""")
+          WHERE rn % $stride = 0 ORDER BY rn""",
+    // q200: bucket re-derived from a plain rank over the same unique
+    // total order, same integral bucket formula, decimal-exact sums
+    "q200_equidepth_histogram" ->
+      s"""WITH r AS (
+            SELECT o_totalprice,
+              row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+              count(*) OVER () AS n
+            FROM orders)
+          SELECT (rn - 1) * $histBuckets // greatest(n, 1) AS bucket,
+            count(*)::BIGINT AS n_rows,
+            min(o_totalprice) AS lo,
+            max(o_totalprice) AS hi,
+            round(sum(o_totalprice::DECIMAL(18,4))::DOUBLE, 4) AS price_sum
+          FROM r GROUP BY 1 ORDER BY 1""")
 }

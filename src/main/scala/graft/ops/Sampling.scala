@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -224,7 +225,46 @@ object Sampling {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q199 — DATASET MIXTURE REWEIGHTING: compute the per-(lang, source)
+    * keep rates that rebalance the corpus to a target language mixture
+    * (uniform across observed languages; within a language every source
+    * keeps the same rate) — the planning step of pretraining-data
+    * curation ("we want 1/n_langs of the final tokens from each
+    * language") that q58's fixed-rate stratified sampler then EXECUTES.
+    * Rates are exact integer ppm capped at 10⁶ (a scarce language is
+    * never upsampled, it just keeps everything), and expected surviving
+    * rows per cell come from the same integral arithmetic, so the whole
+    * plan is re-derivable by any engine.
+    *
+    * Scale: one hash agg collapses the corpus to (lang, source) cells;
+    * language totals and the language count are window sums OVER THE
+    * CELL FRAME (dimension-sized, never row-sized). Nothing touches
+    * document rows twice — the plan IS the audit table a curation run
+    * reviews before launching the sampler.
+    */
+  def mixtureReweight(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_rows"))
+      .withColumn("lang_rows",
+        sum("n_rows").over(Window.partitionBy("lang")))
+      .withColumn("total_rows",
+        sum("n_rows").over(Window.partitionBy()))
+      .withColumn("n_langs",
+        size(collect_set("lang").over(Window.partitionBy())).cast("long"))
+      // target rows per lang = total div n_langs; keep_ppm capped at 10⁶
+      // (never upsample). DECIMAL(38,0): rows·10⁶ wraps BIGINT past ~9e12.
+      .withColumn("keep_ppm",
+        least(lit(1000000L), expr(
+          """CAST(CAST(total_rows div n_langs AS DECIMAL(38,0)) * 1000000
+               div lang_rows AS BIGINT)""")))
+      .withColumn("expected_rows",
+        expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * keep_ppm div 1000000" +
+          " AS BIGINT)"))
+      .select("lang", "source", "n_rows", "keep_ppm", "expected_rows")
+      .orderBy("lang", "source")
+
   val queries: Map[String, Q] = Map(
+    "q199_mixture_reweight" -> (mixtureReweight(_, _)),
     "q193_poisson_bootstrap" -> (poissonBootstrap(_, _)),
     "q58_stratified_sample" -> (stratifiedSample(_, _)),
     "q59_train_eval_split" -> (trainEvalSplit(_, _)),
@@ -233,6 +273,26 @@ object Sampling {
     "q184_weighted_sample" -> (weightedPrioritySample(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q199: same cell collapse, same integral target/cap arithmetic
+    "q199_mixture_reweight" ->
+      """WITH c AS (
+           SELECT lang, source, count(*)::BIGINT AS n_rows
+           FROM documents GROUP BY 1, 2),
+         e AS (
+           SELECT *,
+             sum(n_rows) OVER (PARTITION BY lang) AS lang_rows,
+             sum(n_rows) OVER () AS total_rows,
+             (SELECT count(DISTINCT lang) FROM c) AS n_langs
+           FROM c),
+         k AS (
+           SELECT *, least(1000000::HUGEINT,
+             (total_rows // n_langs)::HUGEINT * 1000000 // lang_rows)
+             AS keep
+           FROM e)
+         SELECT lang, source, n_rows,
+           keep::BIGINT AS keep_ppm,
+           (n_rows::HUGEINT * keep // 1000000)::BIGINT AS expected_rows
+         FROM k ORDER BY 1, 2""",
     // the identical md5-nibble rule re-evaluated by DuckDB (nibble value
     // via hex-alphabet strpos — no hex-literal cast dialect dependence)
     "q58_stratified_sample" ->

@@ -503,7 +503,98 @@ object TextAnalysis {
       .orderBy("lang", "bucket")
   }
 
+  /** q196 — LM LIKELIHOOD DOC SCORING: score every document against the
+    * corpus bigram model (q139's count side, un-truncated) by its mean
+    * conditional bigram probability — the perplexity-proxy filter a
+    * pretraining pipeline runs to drop gibberish/boilerplate before
+    * training (low score = the doc's word transitions are atypical for
+    * the corpus; high = predictable text). Everything is exact integer
+    * ppm: p(w2|w1)·10⁶ = c12·10⁶ div c1 per bigram TYPE, a doc's score
+    * = Σ p_ppm over its bigram OCCURRENCES div its bigram count — no
+    * transcendental log-perplexity in the gated surface (the q69
+    * stance: callers wanting nats apply `ln` on top of the exact
+    * ratios).
+    *
+    * Scale: the model is vocabulary²-bounded (Zipf-sparse), built with
+    * one map-side-combined count; the scoring join is (doc_id, bigram)
+    * ⋈ (bigram, p) — the model side has exactly ONE row per key, so
+    * the join cannot blow up, and a hot bigram's fan-out is bounded by
+    * its document frequency. The per-doc epilogue is a map-side
+    * combinable sum. Docs with <2 tokens have no bigrams and are
+    * absent (q41's zero-token convention).
+    */
+  def lmDocScores(spark: SparkSession, dir: String): DataFrame =
+    lmDocScoresCore(Tables.documents(spark, dir))
+
+  private[graft] def lmDocScoresCore(docs0: DataFrame): DataFrame = {
+    val docs = docs0.filter(col("text").isNotNull)
+    val docBigrams = docs
+      .select(col("doc_id"),
+        explode(graft.expr.NGramShingles(tokens(col("text")), 2)).as("g"))
+    val model = docBigrams
+      .groupBy("g").agg(count(lit(1)).as("c12"))
+      .withColumn("c1",
+        sum("c12").over(Window.partitionBy(split(col("g"), " ").getItem(0))))
+      // c12·10⁶ wraps a BIGINT once a bigram passes ~9e12 occurrences:
+      // the q111/q139 DECIMAL(38,0) discipline, quotient ≤ 10⁶
+      .select(col("g"),
+        expr("CAST((CAST(c12 AS DECIMAL(38,0)) * 1000000) div c1 AS BIGINT)")
+          .as("p_ppm"))
+    docBigrams.join(model, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("lm_score_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** The q198 vocabulary cut: top-N corpus tokens by frequency, ties
+    * broken by token string — deterministic, so the oracle re-derives
+    * the identical vocabulary.
+    */
+  val vocabSize = 1000
+
+  /** q198 — VOCABULARY COVERAGE / OOV AUDIT: build the top-[[vocabSize]]
+    * vocabulary and report, per (lang, source) cell, how much of the
+    * token stream falls outside it — the go/no-go audit before freezing
+    * a tokenizer vocabulary (an OOV-heavy slice means the vocab was
+    * trained on the wrong mixture, and every OOV token becomes <unk>
+    * noise at training time).
+    *
+    * Scale: tokens collapse to (lang, source, word) counts FIRST (one
+    * map-side-combined hash agg, vocabulary-bounded per cell), so the
+    * vocab join runs at vocab grain, not token grain; the 1000-row
+    * vocabulary broadcasts. Nothing touches raw token rows twice.
+    */
+  def vocabOov(spark: SparkSession, dir: String): DataFrame =
+    vocabOovCore(Tables.documents(spark, dir), vocabSize)
+
+  private[graft] def vocabOovCore(docs0: DataFrame, vSize: Int): DataFrame = {
+    val cellWords = docs0.filter(col("text").isNotNull)
+      .select(col("lang"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy("lang", "source", "w").agg(count(lit(1)).as("n"))
+    // top-N as TakeOrderedAndProject (distributed heap per partition +
+    // driver merge), NOT a single-partition rank window — the vocab
+    // frame is corpus-vocabulary-sized and must never serialize through
+    // one task
+    val vocab = cellWords.groupBy("w").agg(sum("n").as("cn"))
+      .orderBy(desc("cn"), asc("w")).limit(vSize)
+      .select(col("w"), lit(true).as("in_vocab"))
+    cellWords.join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy("lang", "source")
+      .agg(sum("n").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(lit(0L)))
+          .as("n_oov"))
+      // DECIMAL(38,0): n_oov·10⁶ wraps a BIGINT past ~9e12 tokens
+      .withColumn("oov_ppm",
+        expr("CAST(CAST(n_oov AS DECIMAL(38,0)) * 1000000 div n_tokens" +
+          " AS BIGINT)"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q196_lm_doc_scores" -> (lmDocScores(_, _)),
+    "q198_vocab_oov" -> (vocabOov(_, _)),
     "q156_hashed_features" -> (hashedFeatures(_, _)),
     "q139_bigram_next_words" -> (bigramNextWords(_, _)),
     "q148_phrase_search" -> (phraseSearch(_, _)),
@@ -575,6 +666,48 @@ object TextAnalysis {
     ORDER BY d.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // q196: identical tokenization/bigram CTEs as q139, model p in exact
+    // integer ppm, doc score = integral mean over bigram occurrences
+    "q196_lm_doc_scores" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         db AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(ws) < 2 THEN []
+                  ELSE list_transform(range(len(ws)-1),
+                         i -> ws[i+1] || ' ' || ws[i+2])
+             END) AS g
+           FROM t),
+         m AS (SELECT g, count(*)::BIGINT AS c12 FROM db GROUP BY 1),
+         m2 AS (
+           SELECT g, ((c12::HUGEINT * 1000000)
+             // sum(c12) OVER (PARTITION BY string_split(g,' ')[1])
+             )::BIGINT AS p_ppm
+           FROM m)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           (sum(p_ppm) // count(*))::BIGINT AS lm_score_ppm
+         FROM db JOIN m2 USING (g)
+         GROUP BY 1 ORDER BY 1""",
+    // q198: identical vocabulary cut (count desc, token asc, LIMIT) and
+    // the same integral ppm
+    "q198_vocab_oov" ->
+      s"""WITH cw AS (
+           SELECT lang, source, w, count(*)::BIGINT AS n FROM (
+             SELECT lang, source,
+               unnest(list_filter(string_split(text,' '), x -> x <> '')) AS w
+             FROM documents WHERE text IS NOT NULL)
+           GROUP BY 1, 2, 3),
+         v AS (
+           SELECT w FROM (SELECT w, sum(n) AS cn FROM cw GROUP BY 1)
+           ORDER BY cn DESC, w LIMIT $vocabSize)
+         SELECT lang, source, sum(n)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.w IS NULL THEN n ELSE 0 END)::BIGINT AS n_oov,
+           ((sum(CASE WHEN v.w IS NULL THEN n ELSE 0 END)::HUGEINT
+             * 1000000) // sum(n))::BIGINT AS oov_ppm
+         FROM cw LEFT JOIN v ON cw.w = v.w
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // q156: bucket and sign re-derived nibble-by-nibble from the same
     // md5 hex — integer counts only, no floats anywhere
     "q156_hashed_features" ->
