@@ -478,7 +478,54 @@ object Behavior {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q201 — OLS TREND SLOPES as a one-pass aggregation: per customer
+    * segment, the least-squares slope of order value (exact cents)
+    * against order day, computed from the five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) — regression is algebraic, so it
+    * map-side-combines like any sum and NEVER materializes the
+    * per-point frame twice, which is the only shape that survives a
+    * 100 TB fact scan (the textbook two-pass "subtract the mean"
+    * formulation reads the data twice and is order-sensitive in
+    * doubles).
+    *
+    * Everything integral until one truncating division: y = floor
+    * cents (the q183 convention), x = epoch-day, sums in
+    * DECIMAL(38,0) — Σxy passes 2⁶³ near 1e7 rows per segment at
+    * these magnitudes, and n·Σxy passes it immediately. Slope is
+    * emitted in milli-cents/day (·1000 before the div); both engines
+    * truncate toward zero on negatives (verified: DuckDB `//` ==
+    * Spark `div`). A segment whose orders all land on one day has a
+    * zero denominator → null slope (nullif, both engines).
+    */
+  def trendSlopes(spark: SparkSession, dir: String): DataFrame =
+    trendCore(Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        expr(s"unix_micros(o_orderdate) div ${graft.ops.Changelog.usPerDay}")
+          .as("x"),
+        expr("floor(o_totalprice * 100.0D)").as("y")))
+
+  /** The sufficient-statistics fold over a (segment, x, y) frame —
+    * fixture seam for the spec.
+    */
+  private[graft] def trendCore(pts: DataFrame): DataFrame =
+    pts
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .select(col("segment"), col("n").as("n_orders"),
+        expr("""CAST((n * sxy - sx * sy) * 1000
+                  div nullif(n * sxx - sx * sx, 0) AS BIGINT)""")
+          .as("slope_milli"))
+      .orderBy("segment")
+
   val queries: Map[String, Q] = Map(
+    "q201_trend_slopes" -> (trendSlopes(_, _)),
     "q190_twap" -> (twap(_, _)),
     "q192_calendar_spine" -> (calendarSpine(_, _)),
     "q185_ewma_smoothing" -> (ewmaSmoothing(_, _)),
@@ -493,6 +540,25 @@ object Behavior {
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q201: same sufficient statistics in HUGEINT, same truncating
+    // division (DuckDB // == Spark div toward zero, verified on
+    // negatives)
+    "q201_trend_slopes" ->
+      """WITH o AS (
+           SELECT c_mktsegment AS segment,
+             (epoch_ns(o_orderdate) // 1000) // 86400000000 AS x,
+             CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)) AS BIGINT)
+               AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         a AS (
+           SELECT segment, count(*)::HUGEINT AS n,
+             sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+             sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+           FROM o GROUP BY 1)
+         SELECT segment, n::BIGINT AS n_orders,
+           ((n * sxy - sx * sy) * 1000
+            // nullif(n * sxx - sx * sx, 0))::BIGINT AS slope_milli
+         FROM a ORDER BY segment""",
     // q190: same lead-hold weighting, HUGEINT products, one truncating
     // division — the TWAP must match to the milli-unit
     "q190_twap" ->

@@ -807,7 +807,66 @@ object GraphOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q203 walk length (steps beyond the start node). */
+  private[graft] val walkLen = 4
+
+  /** q203 — DETERMINISTIC RANDOM WALKS (node2vec/DeepWalk corpus
+    * generation): one L-step walk per node over the symmetrized
+    * weighted co-occurrence graph, the sampling pass that turns a graph
+    * into sequence training data for embedding models. The "random"
+    * choice is a pure hash — neighbor index = md5(walk_id, step, node)
+    * mod degree over a deterministically ranked adjacency (weight desc,
+    * name asc) — so walks are reproducible across engines and restarts
+    * (a resumable 100 TB sampling job needs exactly this: re-running a
+    * failed partition regenerates identical walks, and the oracle can
+    * replay every step).
+    *
+    * Scale: the ranked adjacency + degree tables are built ONCE (one
+    * window per src partition, graph-sized); each step is TWO
+    * equi-joins at walk-count grain (walk ⋈ degree on node to compute
+    * the pick, walk ⋈ adjacency on (node, pos) — never a fan-out to
+    * all neighbors). L steps = 2L hash joins, all partitioned on the
+    * node key; no driver-side state, no RDDs.
+    */
+  def randomWalks(edgeCounts: DataFrame, len: Int = walkLen): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edgeCounts.select(col("src"), col("dst"), col("weight"))
+      .unionAll(edgeCounts.select(col("dst").as("src"),
+        col("src").as("dst"), col("weight")))
+    val adj = sym.select(col("src"), col("dst"),
+      (row_number().over(
+        Window.partitionBy("src").orderBy(desc("weight"), asc("dst")))
+        .cast("long") - 1).as("pos"))
+    // per-use renames: walks descend FROM adj after step 1, so joining
+    // back against adj/deg is a self-join lineage — unambiguous column
+    // names sidestep the analyzer's ambiguity failure
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("d_src"), col("deg"))
+    val hop = adj.select(col("src").as("a_src"), col("dst").as("a_dst"),
+      col("pos").as("a_pos"))
+    var cur = deg.select(col("d_src").as("walk_id"), col("d_src").as("node"))
+    val steps = scala.collection.mutable.Buffer(
+      cur.withColumn("step", lit(0)))
+    for (i <- 1 to len) {
+      val pick = cur.join(deg, col("node") === col("d_src"))
+        .withColumn("h",
+          conv(substring(md5(concat_ws(":", col("walk_id"), lit(i),
+            col("node")).cast("binary")), 1, 8), 16, 10).cast("long"))
+        .select(col("walk_id"), col("node"),
+          pmod(col("h"), col("deg")).as("ppos"))
+      cur = pick.join(hop,
+          col("node") === col("a_src") && col("ppos") === col("a_pos"))
+        .select(col("walk_id"), col("a_dst").as("node"))
+      steps += cur.withColumn("step", lit(i))
+    }
+    steps.reduce(_ unionByName _)
+      .select("walk_id", "step", "node")
+      .orderBy("walk_id", "step")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q203_random_walks" -> ((s, d) =>
+      randomWalks(CooccurrenceGraph.edgeCounts(s, d))),
     "q154_neighbor_overlap" -> ((s, d) =>
       neighborOverlap(CooccurrenceGraph.edgeCounts(s, d))),
     "q33_pagerank" -> (pagerank(_, _)),
@@ -871,6 +930,39 @@ object GraphOps {
     * Σ rank = |V| and weight-monotone ranking pinned in GraphOpsSpec).
     */
   val oracles: Map[String, String] = Map(
+    // q203: every step replayed — same ranked adjacency (weight desc,
+    // dst asc), same md5-mod-degree pick, chained CTE per step
+    "q203_random_walks" ->
+      (CooccurrenceGraph.entsCte +
+        """, e AS (
+             SELECT a.w AS src, b.w AS dst, count(*)::BIGINT AS weight
+             FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+             GROUP BY 1, 2
+           ), sym AS (
+             SELECT src, dst, weight FROM e
+             UNION ALL SELECT dst, src, weight FROM e
+           ), adj AS (
+             SELECT src, dst, row_number() OVER (PARTITION BY src
+               ORDER BY weight DESC, dst) - 1 AS pos
+             FROM sym
+           ), dg AS (
+             SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1
+           ), s0 AS (
+             SELECT src AS walk_id, src AS node FROM dg
+           )""" +
+        (1 to walkLen).map(i =>
+          s""", s$i AS (
+             SELECT w.walk_id, a.dst AS node
+             FROM s${i - 1} w
+             JOIN dg d ON w.node = d.src
+             JOIN adj a ON a.src = w.node AND a.pos =
+               ('0x' || substr(md5(w.walk_id || ':$i:' || w.node), 1, 8)
+               )::BIGINT % d.deg
+           )""").mkString +
+        " SELECT walk_id, 0 AS step, node FROM s0" +
+        (1 to walkLen).map(i =>
+          s" UNION ALL SELECT walk_id, $i, node FROM s$i").mkString +
+        " ORDER BY walk_id, step"),
     // q154: the same midpoint self-join re-derived from the raw entity
     // rows — including the super-hub midpoint cap, so the two engines
     // implement the same contract on ANY graph; counts, degrees and the

@@ -357,7 +357,55 @@ object Quality {
       .orderBy("c_custkey")
   }
 
+  /** The q202 contract's event-type domain — DELIBERATELY stale (it
+    * predates the `error` type), so the domain rule fails: the exact
+    * upstream-drift accident a data contract exists to catch, and a
+    * deterministic fail row at every scale factor.
+    */
+  private[graft] val contractDomain = Seq("view", "click", "purchase", "signup")
+
+  /** q202 — DATA-CONTRACT EXPECTATION GATE: a declarative rule table
+    * (completeness, domain membership, key uniqueness, bounds)
+    * evaluated against `events` in ONE stacked scan — the
+    * Great-Expectations-style go/no-go every ingest edge runs before
+    * publishing a batch (pairs with q179's write-audit-publish: this is
+    * the AUDIT step as a reusable rule table). All observations are
+    * exact integer ppm or raw values; `pass` is pure arithmetic, so the
+    * whole verdict table is engine-re-derivable.
+    *
+    * Scale: one aggregation computes every rule's statistic (shared
+    * scan, map-side combined); the unpivot to rule rows happens on the
+    * SINGLE aggregate row. The uniqueness rule uses an exact distinct
+    * (one extra shuffle at the key's grain) — at unbounded cardinality
+    * the q160 HLL union replaces it under a tolerance, documented
+    * trade.
+    */
+  def dataContract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("value")).as("n_value"),
+        count(when(col("event_type").isin(contractDomain: _*), 1))
+          .as("n_dom"),
+        countDistinct(col("event_id")).as("n_dist"),
+        min("user_id").as("min_user"))
+      .selectExpr(
+        s"""stack(4,
+             'event_id_unique_ppm',
+               CAST(CAST(n_dist AS DECIMAL(38,0)) * 1000000 div n AS BIGINT),
+               1000000L,
+             'type_in_domain_ppm',
+               CAST(CAST(n_dom AS DECIMAL(38,0)) * 1000000 div n AS BIGINT),
+               1000000L,
+             'user_id_min', min_user, 0L,
+             'value_not_null_ppm',
+               CAST(CAST(n_value AS DECIMAL(38,0)) * 1000000 div n AS BIGINT),
+               900000L) AS (rule, observed, threshold)""")
+      .withColumn("pass", col("observed") >= col("threshold"))
+      .orderBy("rule")
+
   val queries: Map[String, Q] = Map(
+    "q202_data_contract" -> (dataContract(_, _)),
     "q187_masked_export" -> (maskedExport(_, _)),
     "q157_fd_audit" -> (fdAudit(_, _)),
     "q158_independence_lift" -> (independenceLift(_, _)),
@@ -367,6 +415,29 @@ object Quality {
     "q133_compliance_purge" -> (compliancePurge(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q202: the same single-aggregate statistics unpivoted to rule rows
+    "q202_data_contract" ->
+      s"""WITH a AS (
+            SELECT count(*)::BIGINT AS n,
+              count(value)::BIGINT AS n_value,
+              count(*) FILTER (WHERE event_type IN
+                (${contractDomain.map(t => s"'$t'").mkString(", ")}))::BIGINT
+                AS n_dom,
+              count(DISTINCT event_id)::BIGINT AS n_dist,
+              min(user_id) AS min_user
+            FROM events),
+          r AS (
+            SELECT 'event_id_unique_ppm' AS rule,
+              (n_dist::HUGEINT * 1000000 // n)::BIGINT AS observed,
+              1000000::BIGINT AS threshold FROM a
+            UNION ALL SELECT 'type_in_domain_ppm',
+              (n_dom::HUGEINT * 1000000 // n)::BIGINT, 1000000 FROM a
+            UNION ALL SELECT 'user_id_min', min_user, 0 FROM a
+            UNION ALL SELECT 'value_not_null_ppm',
+              (n_value::HUGEINT * 1000000 // n)::BIGINT, 900000 FROM a)
+          SELECT rule, observed, threshold,
+            observed >= threshold AS pass
+          FROM r ORDER BY rule""",
     // q187: identical salted sha256 prefix, identical banding, and the
     // k rule re-derived from a window count — suppression must match
     // row for row, not just in aggregate
