@@ -456,7 +456,94 @@ object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The q206 content pattern: an 8×8 grid of grayscale cells, cell i's
+    * value = ((group+1)·(i+1)·37 + group·11 + i·5) mod 256 — pure
+    * integer arithmetic shared verbatim with the oracle. The group·i
+    * CROSS term matters: a purely additive form collapses mod 256 to a
+    * per-group constant offset, which the mean-threshold hash erases
+    * (observed: 4 distinct hashes for 167 groups). Two images with the
+    * same GROUP have identical patterns at different resolutions (the
+    * near-duplicate shape: same picture, different size); groups are
+    * pairwise distinct mod 256.
+    */
+  private[graft] def patternGray(group: Long, i: Int): Int =
+    (((group + 1) * (i + 1) * 37 + group * 11 + i * 5) % 256).toInt
+
+  /** Encode the q206 pattern as a real BMP at cell size k (image is
+    * 8k × 8k, each cell a uniform k×k block, r=g=b so decoded gray is
+    * exact).
+    */
+  private[graft] def encodePatternBmp(k: Int, group: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8 * k, 8 * k, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8 * k) {
+      var x = 0
+      while (x < 8 * k) {
+        val g = patternGray(group, (y / k) * 8 + (x / k))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Average-hash of an already-8×8 image: gray = (r+g+b)/3 per pixel,
+    * bit = gray ≥ floor(mean), emitted row-major as a 64-char bit
+    * string (a hex render would be equivalent; the bit string keeps the
+    * oracle a plain string_agg).
+    */
+  private[graft] def aHashBits(img: java.awt.image.BufferedImage): String = {
+    val grays = for (y <- 0 until 8; x <- 0 until 8) yield {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+    }
+    val mean = grays.sum / 64
+    grays.map(g => if (g >= mean) '1' else '0').mkString
+  }
+
+  /** q206 — PERCEPTUAL-HASH IMAGE DEDUP through the REAL codec path:
+    * synthesize a patterned BMP per doc (three resolutions per content
+    * group — the same picture stored at different sizes), decode with
+    * the JDK codec, resize to 8×8 through the q86 pipeline, average-
+    * hash the result, and group identical hashes — the standard
+    * near-duplicate image collapse (aHash/pHash bucketing) a multimodal
+    * training corpus runs before training, where byte-level dedup (q50)
+    * sees three distinct files. The uniform k×k cells make the resize
+    * sampling-point-independent, so the measured hash is analytic and
+    * the ORACLE re-derives every bit from the doc_id arithmetic alone —
+    * hash equality proves encode → decode → resize → threshold end to
+    * end.
+    *
+    * Scale: hashing is a per-row kernel (partition-parallel, no
+    * shuffle); the collapse is one hash agg on the 64-bit signature.
+    * The full Hamming-distance neighborhood (near-dups that differ in
+    * a few bits) is q55/q56's SimHash sub-band blocking applied to
+    * this signature — same mechanism, documented bridge.
+    */
+  def imagePhashDups(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val hashes = docIds(spark, dir).map { id =>
+      val payload = encodePatternBmp(1 + (id % 3).toInt, id / 3)
+      val resized = resizeImage(payload, 8, 8)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(resized))
+      (id, aHashBits(img))
+    }
+    hashes.toDF("doc_id", "phash")
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_images"),
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("members"))
+      .filter(col("n_images") >= 2)
+      .orderBy("phash")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q206_image_phash_dups" -> (imagePhashDups(_, _)),
     "q80_binary_meta" -> (binaryMeta(_, _)),
     "q81_media_features" -> (mediaFeatures(_, _)),
     "q82_frame_samples" -> (frameSamples(_, _)),
@@ -465,6 +552,27 @@ object Multimodal {
     "q86_image_resize" -> (imageResizeRoundtrip(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q206: every hash bit re-derived from the doc_id arithmetic alone —
+    // the real encode/decode/resize pipeline must land on the analytic
+    // pattern exactly
+    "q206_image_phash_dups" ->
+      """WITH g AS (
+           SELECT d.doc_id, i.i,
+             ((d.doc_id // 3 + 1) * (i.i + 1) * 37
+              + (d.doc_id // 3) * 11 + i.i * 5) % 256 AS gray
+           FROM documents d, (SELECT unnest(range(64)) AS i) i),
+         m AS (SELECT doc_id, sum(gray) // 64 AS mean FROM g GROUP BY 1),
+         h AS (
+           SELECT g.doc_id,
+             string_agg(CASE WHEN gray >= mean THEN '1' ELSE '0' END,
+               '' ORDER BY i) AS phash
+           FROM g JOIN m USING (doc_id) GROUP BY 1),
+         grp AS (
+           SELECT phash, count(*)::BIGINT AS n_images,
+             array_to_string(list_sort(list(doc_id)), ',') AS members
+           FROM h GROUP BY 1)
+         SELECT phash, n_images, members FROM grp
+         WHERE n_images >= 2 ORDER BY phash""",
     "q80_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
          md5(text) AS content_md5,

@@ -404,7 +404,46 @@ object Quality {
       .withColumn("pass", col("observed") >= col("threshold"))
       .orderBy("rule")
 
+  /** q205 — EXACT DISTRIBUTED AUC from rank statistics: per source, the
+    * ROC area of "n_chars predicts lang = 'en'" via the Mann-Whitney
+    * identity AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) — the classifier
+    * evaluation a 100 TB scoring pipeline needs WITHOUT collecting
+    * scores to a driver (sklearn-style per-point curves do not scale;
+    * the rank identity is pure aggregation). Ties get midranks, kept
+    * integral by working with 2·rank throughout; the single division is
+    * the last step, so the whole statistic is exact integer ppm.
+    *
+    * Scale: scores collapse to VALUE GRAIN first (one hash agg —
+    * |distinct scores| rows, not |rows|); the cumulative count is a
+    * window over that value-grain frame partitioned by group. Σ2·rank
+    * passes 2⁶³ at ~3e9 rows/group → DECIMAL(38,0) throughout. A group
+    * with no positives or no negatives has undefined AUC → null
+    * (nullif).
+    */
+  def aucRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.documents(spark, dir)
+      .groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col("lang") === "en", 1)).as("pos"))
+    val c = v.withColumn("cumb",
+      coalesce(sum("cnt").over(
+        Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    c.groupBy("source")
+      .agg(sum("pos").as("n_pos"),
+        sum(expr("cnt - pos")).as("n_neg"),
+        sum(expr("CAST(pos AS DECIMAL(38,0)) * (2 * cumb + cnt + 1)"))
+          .as("s2"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        expr("""CAST((s2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+                  * 1000000 div nullif(2 * CAST(n_pos AS DECIMAL(38,0))
+                  * n_neg, 0) AS BIGINT)""").as("auc_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q205_auc_rank" -> (aucRank(_, _)),
     "q202_data_contract" -> (dataContract(_, _)),
     "q187_masked_export" -> (maskedExport(_, _)),
     "q157_fd_audit" -> (fdAudit(_, _)),
@@ -415,6 +454,26 @@ object Quality {
     "q133_compliance_purge" -> (compliancePurge(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q205: the same Mann-Whitney midrank identity in HUGEINT
+    "q205_auc_rank" ->
+      """WITH v AS (
+           SELECT source, n_chars AS s, count(*)::BIGINT AS cnt,
+             count(*) FILTER (WHERE lang = 'en')::BIGINT AS pos
+           FROM documents GROUP BY 1, 2),
+         c AS (
+           SELECT *, coalesce(sum(cnt) OVER (PARTITION BY source
+             ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS cumb
+           FROM v),
+         a AS (
+           SELECT source, sum(pos)::HUGEINT AS n_pos,
+             sum(cnt - pos)::HUGEINT AS n_neg,
+             sum(pos::HUGEINT * (2 * cumb + cnt + 1)) AS s2
+           FROM c GROUP BY 1)
+         SELECT source, n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
+           ((s2 - n_pos * (n_pos + 1)) * 1000000
+            // nullif(2 * n_pos * n_neg, 0))::BIGINT AS auc_ppm
+         FROM a ORDER BY source""",
     // q202: the same single-aggregate statistics unpivoted to rule rows
     "q202_data_contract" ->
       s"""WITH a AS (

@@ -496,7 +496,56 @@ object Skew {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private[graft] val usPerDayQ204 = graft.ops.Changelog.usPerDay
+
+  /** The q204 anonymization rule: every 5th event carries no user key —
+    * the logged-out-traffic shape that puts 20% of a clickstream on the
+    * NULL join key. Shared with the spec and re-derived by the oracle.
+    */
+  private[graft] def withUserKey(ev: DataFrame): DataFrame =
+    ev.withColumn("user_key",
+      expr("CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END"))
+
+  /** q204 — NULL-BYPASS OUTER JOIN: enrich events with a per-user
+    * profile through a LEFT join whose key is null for anonymous
+    * traffic. The naive plan hashes every null-key row to the SAME
+    * shuffle partition (nulls are one key); at 100 TB with 20%
+    * logged-out traffic that is one executor receiving a fifth of the
+    * table — the classic outer-join skew killer that AQE's skew split
+    * mitigates but the bypass ELIMINATES: null-key rows can never
+    * match, so they skip the join entirely (a narrow filter + union),
+    * and only keyed rows enter the exchange. Inner-join null filtering
+    * is automatic in Spark; for OUTER joins preserving the null rows
+    * this split is the manual rewrite, and the gate proves it is
+    * semantically invisible (the oracle runs the plain LEFT JOIN).
+    *
+    * Scale: the profile is built at user grain from the keyed slice
+    * (one hash agg); the join is key-unique on the profile side (no
+    * fan-out); the bypass branch is a scan-local projection with no
+    * exchange at all.
+    */
+  def nullBypassJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withUserKey(Tables.eventsMicros(spark, dir))
+    val keyed = ev.filter(col("user_key").isNotNull)
+    val profile = keyed
+      .groupBy(col("user_key").as("p_user"))
+      .agg(countDistinct(expr(s"tsu div $usPerDayQ204")).as("days_active"))
+    val joined = keyed
+      .join(profile, col("user_key") === col("p_user"), "left")
+      .drop("p_user")
+    val bypass = ev.filter(col("user_key").isNull)
+      .withColumn("days_active", lit(null).cast("long"))
+    joined.unionByName(bypass)
+      .groupBy(col("user_key").isNull.as("is_anon"),
+        coalesce(col("days_active"), lit(0L)).as("days_active"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("value_sum"))
+      .orderBy("is_anon", "days_active")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q204_null_bypass_join" -> (nullBypassJoin(_, _)),
     "q168_salted_skew_join" -> (saltedSkewJoin(_, _)),
     "q169_string_stats" -> (stringStats(_, _)),
     "q164_join_key_skew" -> (joinKeySkewAudit(_, _)),
@@ -514,6 +563,24 @@ object Skew {
     "q102_value_quantiles" -> (valueQuantiles(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q204: the oracle runs the PLAIN LEFT JOIN (nulls straight through
+    // the join operator) — the bypass split must be invisible
+    "q204_null_bypass_join" ->
+      """WITH ev AS (
+           SELECT *, CASE WHEN event_id % 5 = 0 THEN NULL
+                          ELSE user_id END AS user_key,
+             epoch_ns(ts) // 1000 AS tsu
+           FROM events),
+         p AS (
+           SELECT user_key AS p_user,
+             count(DISTINCT tsu // 86400000000)::BIGINT AS days_active
+           FROM ev WHERE user_key IS NOT NULL GROUP BY 1)
+         SELECT user_key IS NULL AS is_anon,
+           coalesce(days_active, 0) AS days_active,
+           count(*)::BIGINT AS n_events,
+           round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS value_sum
+         FROM ev LEFT JOIN p ON ev.user_key = p.p_user
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // q168: the oracle runs the PLAIN join on the same derived key —
     // the salt-and-replicate mechanics must be semantically invisible
     "q168_salted_skew_join" -> {
