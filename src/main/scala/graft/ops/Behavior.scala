@@ -476,6 +476,124 @@ object Behavior {
       .orderBy("c_mktsegment")
   }
 
+  /** Ordering-key scale for q207's longest-streak argmax: encodes
+    * (len DESC, start_day ASC) as the single BIGINT `len·10⁷ −
+    * start_day` so both engines pick the same streak with plain
+    * max_by/arg_max — no struct-comparator semantics to align.
+    * Epoch-days stay < 10⁷ until the year 29379, and len ≤ days, so
+    * the product is < 10¹⁴ — no overflow anywhere near 2⁶³.
+    */
+  private val streakKeyScale = 10000000L
+
+  /** q207 — ACTIVITY STREAKS (gaps-and-islands): per user, the maximal
+    * runs of CONSECUTIVE active days — the engagement read behind
+    * "7-day streak" product mechanics and the canonical
+    * gaps-and-islands pattern (group = day − row_number per user) that
+    * no other registered query exercises. Output is user-grain: active
+    * days, number of islands, longest island, and the start day of the
+    * longest island (earliest start on equal length, made total by the
+    * single-BIGINT ordering key above).
+    *
+    * Scale: the event stream collapses to DISTINCT (user, day) in one
+    * hash aggregate (map-side combine kills the per-day fan-in), so
+    * the window sort ranks days-per-user rows, not events — bounded by
+    * the calendar, not the data. Everything downstream shuffles on
+    * user_id exactly once; all-BIGINT output, no floats anywhere.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame =
+    streaksCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def streaksCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = ev.select(col("user_id"), expr(s"tsu div $dayUs2").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val runs = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    runs.groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("max_streak_days"),
+        max_by(col("start_day"),
+          col("len") * streakKeyScale - col("start_day"))
+          .as("top_streak_start"))
+      .orderBy("user_id")
+  }
+
+  /** q208's sparse-series selector: a deterministic ~1% slice of the
+    * stream (the "sensor with dropped readings" fixture — sparse
+    * enough that the daily panel has real interior gaps at every test
+    * SF, so the interpolation path is actually exercised, not
+    * vacuously green).
+    */
+  private[graft] val gapFillMod = 101L
+
+  /** q208 — GAP-FILL with LINEAR INTERPOLATION: q192 densifies the
+    * calendar and leaves explicit zeros; this is the other standard
+    * repair — missing interior days get the linearly interpolated
+    * value between the nearest observed neighbors, edge days (before
+    * the first / after the last observation of a series) carry 0 and
+    * the 'edge' label, observed days pass through. The panel is daily
+    * Σ value (milli-units) per event type over the sparse slice.
+    *
+    * Exact despite "interpolation": values are floor-milli BIGINTs
+    * (q190's convention) and the interpolant
+    * `prev + (next−prev)·(day−prev_day) div gap` is one truncating
+    * integer division — bit-identical cross-engine, no float ever
+    * materializes. prev/next arrive via ignore-nulls last/first over
+    * (UNBOUNDED,0] and [0,UNBOUNDED) frames; the prev_day/prev_val
+    * pair can't desynchronize because both CASE projections null on
+    * exactly the same rows.
+    *
+    * Scale: one full-data hash agg to (type, day) cells; the spine is
+    * generated from a single-row bounds broadcast (q192's sanctioned
+    * pattern); the windows rank the |types|·|days| panel — calendar-
+    * bounded, so per-series sorts never see corpus-scale rows.
+    */
+  def gapFillInterpolate(spark: SparkSession, dir: String): DataFrame =
+    gapFillCore(Tables.eventsMicros(spark, dir)
+      .filter(col("value").isNotNull &&
+        pmod(col("event_id"), lit(gapFillMod)) === 0))
+
+  private[graft] def gapFillCore(sub0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = sub0.select(col("event_type"),
+      expr(s"tsu div $dayUs2").as("day"),
+      expr("cast(floor(value * 1000.0D) as bigint)").as("vm"))
+    val bounds = sub.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = sub.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = sub.groupBy("event_type", "day")
+      .agg(sum("vm").as("m"))
+    val panel = spine.join(daily, Seq("event_type", "day"), "left")
+    val series = Window.partitionBy("event_type").orderBy("day")
+    val back = series.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = series.rowsBetween(0, Window.unboundedFollowing)
+    val obs = col("m").isNotNull
+    panel
+      .withColumn("pm", last(when(obs, col("m")), ignoreNulls = true).over(back))
+      .withColumn("pd", last(when(obs, col("day")), ignoreNulls = true).over(back))
+      .withColumn("nm", first(when(obs, col("m")), ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(when(obs, col("day")), ignoreNulls = true).over(fwd))
+      // edge rows carry 0, never NULL: a nullable BIGINT re-hydrates as
+      // float64+NaN in the driver's pandas compare (the q104-class
+      // trap) — `src` already says the 0 is "no value", and the
+      // observed input is recoverable (src='obs' rows ARE the input)
+      .select(col("event_type"), col("day"),
+        when(obs, col("m"))
+          .when(col("pm").isNotNull && col("nm").isNotNull,
+            col("pm") + expr("(nm - pm) * (day - pd) div (nd - pd)"))
+          .otherwise(lit(0L)).as("m_filled"),
+        when(obs, lit("obs"))
+          .when(col("pm").isNotNull && col("nm").isNotNull, lit("interp"))
+          .otherwise(lit("edge")).as("src"))
+      .orderBy("event_type", "day")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** q201 — OLS TREND SLOPES as a one-pass aggregation: per customer
@@ -525,6 +643,8 @@ object Behavior {
       .orderBy("segment")
 
   val queries: Map[String, Q] = Map(
+    "q207_activity_streaks" -> (activityStreaks(_, _)),
+    "q208_gap_fill_interpolate" -> (gapFillInterpolate(_, _)),
     "q201_trend_slopes" -> (trendSlopes(_, _)),
     "q190_twap" -> (twap(_, _)),
     "q192_calendar_spine" -> (calendarSpine(_, _)),
@@ -540,6 +660,81 @@ object Behavior {
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q207: same distinct-day islands, same row_number grouping key,
+    // same single-BIGINT (len DESC, start ASC) argmax encoding — every
+    // column is BIGINT, nothing to drift
+    "q207_activity_streaks" ->
+      s"""WITH d AS (
+            SELECT DISTINCT user_id,
+              (epoch_ns(ts) // 1000) // $dayUs2 AS day
+            FROM events WHERE ts IS NOT NULL),
+          r AS (
+            SELECT user_id, day,
+              day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                AS grp
+            FROM d),
+          s AS (
+            SELECT user_id, grp, count(*)::BIGINT AS len,
+              min(day) AS start_day
+            FROM r GROUP BY 1, 2)
+          SELECT user_id, sum(len)::BIGINT AS n_active_days,
+            count(*)::BIGINT AS n_streaks,
+            max(len)::BIGINT AS max_streak_days,
+            arg_max(start_day, len * $streakKeyScale - start_day)
+              AS top_streak_start
+          FROM s GROUP BY 1 ORDER BY 1""",
+    // q208: same sparse slice, same floor-milli sums, same generated
+    // spine, same ignore-nulls neighbor windows and the same one
+    // truncating integer division — interpolated values compare as
+    // exact BIGINTs
+    "q208_gap_fill_interpolate" ->
+      s"""WITH sub AS (
+            SELECT event_type,
+              (epoch_ns(ts) // 1000) // $dayUs2 AS day,
+              CAST(floor(value * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS vm
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND event_id % $gapFillMod = 0),
+          bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM sub),
+          spine AS (
+            SELECT t.event_type, s.day
+            FROM (SELECT DISTINCT event_type FROM sub) t
+            CROSS JOIN (SELECT unnest(generate_series(
+              (SELECT d0 FROM bounds), (SELECT d1 FROM bounds))) AS day) s),
+          daily AS (
+            SELECT event_type, day, sum(vm)::BIGINT AS m
+            FROM sub GROUP BY 1, 2),
+          panel AS (
+            SELECT spine.event_type, spine.day, daily.m
+            FROM spine LEFT JOIN daily USING (event_type, day)),
+          w AS (
+            SELECT event_type, day, m,
+              last_value(CASE WHEN m IS NOT NULL THEN m END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS pm,
+              last_value(CASE WHEN m IS NOT NULL THEN day END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS pd,
+              first_value(CASE WHEN m IS NOT NULL THEN m END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS nm,
+              first_value(CASE WHEN m IS NOT NULL THEN day END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS nd
+            FROM panel)
+          SELECT event_type, day,
+            CASE WHEN m IS NOT NULL THEN m
+                 WHEN pm IS NOT NULL AND nm IS NOT NULL THEN
+                   pm + (nm - pm) * (day - pd) // (nd - pd)
+                 ELSE 0 END AS m_filled,
+            CASE WHEN m IS NOT NULL THEN 'obs'
+                 WHEN pm IS NOT NULL AND nm IS NOT NULL THEN 'interp'
+                 ELSE 'edge' END AS src
+          FROM w ORDER BY 1, 2""",
     // q201: same sufficient statistics in HUGEINT, same truncating
     // division (DuckDB // == Spark div toward zero, verified on
     // negatives)

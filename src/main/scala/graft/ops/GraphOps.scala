@@ -919,7 +919,121 @@ object GraphOps {
     // members serialized for the driver (pandas can't hash numpy arrays,
     // CORRECTNESS_r02); library API keeps the native array<string>.
     "q34_connected_components" -> ((s, d) =>
-      connectedComponents(s, d).withColumn("members", array_join(col("members"), ","))))
+      connectedComponents(s, d).withColumn("members", array_join(col("members"), ","))),
+    "q209_cc_dataframe" -> ((s, d) =>
+      ccDataFrame(s, d).withColumn("members", array_join(col("members"), ","))))
+
+  /** Iteration cap for q209's star alternation. Large-star/small-star
+    * provably converges in O(log² n) rounds (and O(log n) in practice);
+    * on the lexicon-bounded graph the observed fixpoint is ≤ 5 rounds.
+    * The cap is a runaway backstop, not a tuning knob — hitting it
+    * would mean the fixpoint test itself is broken.
+    */
+  private val ccMaxRounds = 30
+
+  /** q209 — CONNECTED COMPONENTS WITHOUT GraphX: the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) expressed purely
+    * in DataFrame operators — the same result contract and the same
+    * recursive-CTE oracle as q34, computed by a second, independent
+    * algorithm with no RDD/GraphX boundary at all.
+    *
+    * Why it earns a slot next to q34: GraphX's Pregel loop exits
+    * Catalyst (no AQE, no codegen, Java serialization at the
+    * boundary), while every step here is two hash aggregates and an
+    * equi-join on the node key — whole-stage-codegen'd, AQE-planned,
+    * and shuffle-partitioned like any other query. At 100 TB-scale
+    * graphs (the aggregated edge set here is lexicon-bounded, but the
+    * same operator runs unchanged on a billion-edge identity graph)
+    * the star steps keep every round a bounded number of node-keyed
+    * shuffles, converge in O(log² n) rounds, and never materialize a
+    * neighborhood cross product — each round's output is ≤ one edge
+    * per (node, min-reachable-label) pair, monotonically collapsing
+    * toward the star fixpoint.
+    *
+    * Mechanics per round (labels are the entity strings themselves,
+    * min = lexicographic — identical in DuckDB, proven by q34):
+    *  - large-star: every node attaches its strictly-LARGER neighbors
+    *    to m(u) = min(N(u) ∪ {u}) — long chains halve toward the min;
+    *  - small-star: every node attaches its smaller-or-equal neighbors
+    *    and itself to m(u) — stars flatten to depth 1.
+    * The fixpoint test is the Integrity fingerprint discipline: the
+    * canonical pair set is unchanged iff (count, XOR of pair hashes)
+    * is unchanged — one tiny action per round over the checkpointed
+    * (lineage-cut) edge frame.
+    */
+  def ccDataFrame(spark: SparkSession, dir: String): DataFrame =
+    ccStarCore(CooccurrenceGraph.edgeCounts(spark, dir)
+      .select(col("src").as("a"), col("dst").as("b")))
+
+  /** The star alternation over an arbitrary (a, b) string-pair edge
+    * frame — fixture seam for the spec.
+    */
+  private[graft] def ccStarCore(raw: DataFrame): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+
+    // min(N(u) ∪ {u}) per node — one hash aggregate on the node key
+    def mins(s: DataFrame): DataFrame =
+      s.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      canon(s.join(mins(s), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      canon(s.join(mins(s), "u")
+        .filter(col("v") <= col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(s.select(col("u")).distinct()
+          .join(mins(s), "u")
+          .select(col("u").as("a"), col("m").as("b"))))
+    }
+
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var pairs = canon(raw).localCheckpoint(true)
+    var s = sig(pairs)
+    var converged = false
+    var round = 0
+    while (!converged && round < ccMaxRounds) {
+      val next = smallStar(largeStar(pairs)).localCheckpoint(true)
+      val s2 = sig(next)
+      converged = s2 == s
+      pairs.unpersist(blocking = false)
+      pairs = next
+      s = s2
+      round += 1
+    }
+
+    // at the star fixpoint min(N(u) ∪ {u}) IS the component rep
+    val lbl = mins(sym(pairs))
+    val out = lbl.select(col("u").as("entity_id"), col("m").as("rep"))
+      .groupBy("rep")
+      .agg(sort_array(collect_list("entity_id")).as("members"),
+        count(lit(1)).as("n_members"))
+      .select(col("members")(0).as("component_rep"), col("members"),
+        col("n_members"))
+      .orderBy(desc("n_members"), asc("component_rep"))
+      .localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    out
+  }
 
   /** q34 IS oracle-able despite GraphX: the output is label-free
     * (component_rep = min member, not a GraphX vertex id), so a DuckDB
@@ -929,6 +1043,33 @@ object GraphOps {
     * power-iteration sums are order-dependent in IEEE; invariants
     * Σ rank = |V| and weight-monotone ranking pinned in GraphOpsSpec).
     */
+  /** The label-free component closure both q34 (GraphX) and q209
+    * (DataFrame star alternation) must reproduce: recursive-CTE
+    * reachability over the same symmetrized edge set, rep = min member.
+    */
+  private val ccClosureOracle: String =
+    CooccurrenceGraph.entsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, e AS (
+           SELECT a.w AS src, b.w AS dst
+           FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+           GROUP BY 1, 2
+         ), sym AS (
+           SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+         ), vs AS (SELECT DISTINCT a AS w FROM sym),
+         reach AS (
+           SELECT w AS a, w AS b FROM vs
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         ), comp AS (
+           SELECT a AS w, min(b) AS rep FROM reach GROUP BY 1
+         ), grp AS (
+           SELECT rep, list_sort(list(w)) AS ms, count(*) AS n_members
+           FROM comp GROUP BY 1
+         )
+         SELECT ms[1] AS component_rep, array_to_string(ms, ',') AS members,
+           n_members
+         FROM grp ORDER BY n_members DESC, component_rep"""
+
   val oracles: Map[String, String] = Map(
     // q203: every step replayed — same ranked adjacency (weight desc,
     // dst asc), same md5-mod-degree pick, chained CTE per step
@@ -1124,28 +1265,11 @@ object GraphOps {
            )
            SELECT w AS entity_id, min(hop)::BIGINT AS hop
            FROM walk GROUP BY 1 ORDER BY hop, entity_id"""),
-    "q34_connected_components" ->
-      (CooccurrenceGraph.entsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, e AS (
-             SELECT a.w AS src, b.w AS dst
-             FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
-             GROUP BY 1, 2
-           ), sym AS (
-             SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
-           ), vs AS (SELECT DISTINCT a AS w FROM sym),
-           reach AS (
-             SELECT w AS a, w AS b FROM vs
-             UNION
-             SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-           ), comp AS (
-             SELECT a AS w, min(b) AS rep FROM reach GROUP BY 1
-           ), grp AS (
-             SELECT rep, list_sort(list(w)) AS ms, count(*) AS n_members
-             FROM comp GROUP BY 1
-           )
-           SELECT ms[1] AS component_rep, array_to_string(ms, ',') AS members,
-             n_members
-           FROM grp ORDER BY n_members DESC, component_rep"""),
+    "q34_connected_components" -> ccClosureOracle,
+    // q209: the SAME closure oracle as q34 — the point of the query is
+    // that an independent algorithm (star alternation vs Pregel)
+    // reproduces the identical label-free component table
+    "q209_cc_dataframe" -> ccClosureOracle,
     // q74: the same recursive reachability closure, weighted, feeding
     // the exact-integer modularity identity (2m·I_c − T_c²)/(2m)².
     // Every aggregate is ::BIGINT-cast (DuckDB sums BIGINT → HUGEINT);

@@ -442,7 +442,63 @@ object Quality {
       .orderBy("source")
   }
 
+  /** q210 — SOURCE-MIX DRIFT as exact total-variation distance: per
+    * document source, how far its language mix sits from the corpus-
+    * wide language distribution, in ppm — the categorical complement
+    * to q142 (whose PSI deciles fence a NUMERIC feature) and the
+    * curation pre-flight behind "which crawl source is skewing the
+    * training mix". TV = ½·Σ_lang |p_source(lang) − p_corpus(lang)|
+    * is the standard bounded distance for categorical mixes (no log,
+    * no division per term — unlike KL it needs no smoothing for
+    * zero cells).
+    *
+    * Exact integers throughout: with per-cell counts n_sl, per-lang
+    * totals n_l, per-source totals n_s and the corpus total N,
+    * TV_ppm = Σ|n_sl·N − n_l·n_s| · 10⁶ div (2·n_s·N) — one
+    * truncating division after an exact DECIMAL(38,0) sum (n_sl·N
+    * passes 2⁶³ near 10⁹·10¹⁰-row corpora; decimal keeps the 100 TB
+    * claim honest). Missing cells matter — a source with ZERO docs of
+    * a corpus language still drifts by that language's whole mass —
+    * so the cell table densifies over the source×lang spine before
+    * the sum (both dimensions are bounded vocabularies, not data-
+    * scale; the spine is a broadcast cross of two tiny distincts).
+    *
+    * Scale: one full-data hash agg to (source, lang) cells; every
+    * join after it is over bounded-cardinality aggregates.
+    */
+  def sourceMixTv(spark: SparkSession, dir: String): DataFrame =
+    mixTvCore(Tables.documents(spark, dir)
+      .select(col("source"), col("lang")))
+
+  private[graft] def mixTvCore(docs: DataFrame): DataFrame = {
+    val cell = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_sl"))
+    val byLang = cell.groupBy("lang").agg(sum("n_sl").as("n_l"))
+    val bySrc = cell.groupBy("source").agg(sum("n_sl").as("n_s"))
+    val total = cell.agg(sum("n_sl").as("n_total"))
+    val spine = cell.select("source").distinct()
+      .crossJoin(broadcast(cell.select("lang").distinct()))
+    spine
+      .join(cell, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("n_sl"))
+      .join(broadcast(byLang), "lang")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .groupBy("source")
+      .agg(max("n_s").as("n_docs"),
+        sum(expr("""abs(cast(n_sl as decimal(38,0)) * n_total
+                    - cast(n_l as decimal(38,0)) * n_s)"""))
+          .as("dev"),
+        max("n_total").as("nt"))
+      .select(col("source"), col("n_docs"),
+        expr("""cast(dev * 1000000
+                div (2 * cast(n_docs as decimal(38,0)) * nt)
+                as bigint)""").as("tv_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q210_source_mix_tv" -> (sourceMixTv(_, _)),
     "q205_auc_rank" -> (aucRank(_, _)),
     "q202_data_contract" -> (dataContract(_, _)),
     "q187_masked_export" -> (maskedExport(_, _)),
@@ -454,6 +510,30 @@ object Quality {
     "q133_compliance_purge" -> (compliancePurge(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q210: same densified source×lang spine, same cross-multiplied
+    // integer deviation in HUGEINT, one truncating division
+    "q210_source_mix_tv" ->
+      """WITH cell AS (
+           SELECT source, lang, count(*)::BIGINT AS n_sl
+           FROM documents GROUP BY 1, 2),
+         l AS (SELECT lang, sum(n_sl)::BIGINT AS n_l FROM cell GROUP BY 1),
+         s AS (SELECT source, sum(n_sl)::BIGINT AS n_s FROM cell GROUP BY 1),
+         t AS (SELECT sum(n_sl)::BIGINT AS n_total FROM cell),
+         spine AS (
+           SELECT ds.source, dl.lang
+           FROM (SELECT DISTINCT source FROM cell) ds
+           CROSS JOIN (SELECT DISTINCT lang FROM cell) dl),
+         f AS (
+           SELECT spine.source, spine.lang,
+             coalesce(cell.n_sl, 0)::BIGINT AS n_sl
+           FROM spine LEFT JOIN cell USING (source, lang))
+         SELECT f.source, max(s.n_s)::BIGINT AS n_docs,
+           (sum(abs(f.n_sl::HUGEINT * t.n_total - l.n_l::HUGEINT * s.n_s))
+            * 1000000
+            // (2 * max(s.n_s)::HUGEINT * max(t.n_total)))::BIGINT
+             AS tv_ppm
+         FROM f JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t
+         GROUP BY 1 ORDER BY 1""",
     // q205: the same Mann-Whitney midrank identity in HUGEINT
     "q205_auc_rank" ->
       """WITH v AS (

@@ -345,4 +345,56 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       ("a", 0L, 1L), ("a", 1L, 0L), ("a", 2L, 1L),
       ("b", 0L, 0L), ("b", 1L, 2L), ("b", 2L, 0L)))
   }
+
+  test("q207 activity streaks: islands split on gaps, repeat events " +
+    "collapse, longest-streak tie takes the earliest start") {
+    val D = Behavior.dayUs2
+    def day(u: Long, d: Long, n: Int = 1): Seq[(Long, Long, String)] =
+      (1 to n).map(i => (u, d * D + i * 1000L, "view"))
+    val rows =
+      // user 1: days 1-3, 5, 10-11 → streaks (1..3),(5),(10..11);
+      // day 2 has THREE events — must still count as one active day
+      day(1, 1) ++ day(1, 2, 3) ++ day(1, 3) ++ day(1, 5) ++
+        day(1, 10) ++ day(1, 11) ++
+      // user 2: two equal-length streaks (1-2 and 5-6) → top start = 1
+      day(2, 1) ++ day(2, 2) ++ day(2, 5) ++ day(2, 6) ++
+      // user 3: a single day
+      day(3, 7)
+    val out = Behavior.streaksCore(
+      rows.zipWithIndex.map { case ((u, t, tp), i) => (i.toLong, u, t, tp) }
+        .toDF("event_id", "user_id", "tsu", "event_type"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 6L, 3L, 3L, 1L),
+      (2L, 4L, 2L, 2L, 1L),
+      (3L, 1L, 1L, 1L, 7L)))
+  }
+
+  test("q208 gap-fill: interior gaps interpolate with truncating " +
+    "integer division, edge rows carry 0, bounds are global") {
+    val D = Behavior.dayUs2
+    // type a: observed day 0 (v=1.0) and day 4 (v=3.0) → vm 1000/3000;
+    //   interior days 1..3 interpolate 1500/2000/2500
+    // type b: observed day 2 only → days 0,1,3,4 are edges (0,'edge')
+    // type c: falling series 0.005 → -0.005 over days 0..3: the
+    //   negative-delta interpolant must truncate toward zero
+    //   (5 + (-10·d) div 3 → 2, -1), day 4 is a trailing edge
+    val rows = Seq(
+      (1L, 0L * D + 1, 1.0, "a"), (2L, 4L * D + 1, 3.0, "a"),
+      (3L, 2L * D + 1, 7.0, "b"),
+      (4L, 0L * D + 1, 0.005, "c"), (5L, 3L * D + 1, -0.005, "c"))
+    val out = Behavior.gapFillCore(
+      rows.toDF("event_id", "tsu", "value", "event_type"))
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      ("a", 0L, 1000L, "obs"), ("a", 1L, 1500L, "interp"),
+      ("a", 2L, 2000L, "interp"), ("a", 3L, 2500L, "interp"),
+      ("a", 4L, 3000L, "obs"),
+      ("b", 0L, 0L, "edge"), ("b", 1L, 0L, "edge"),
+      ("b", 2L, 7000L, "obs"),
+      ("b", 3L, 0L, "edge"), ("b", 4L, 0L, "edge"),
+      ("c", 0L, 5L, "obs"), ("c", 1L, 2L, "interp"),
+      ("c", 2L, -1L, "interp"), ("c", 3L, -5L, "obs"),
+      ("c", 4L, 0L, "edge")))
+  }
 }

@@ -465,4 +465,38 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
   test("AQE is enabled in the session (runtime skew/coalesce re-planning)") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
+
+  test("q209 star-alternation CC: chains, triangles and isolated pairs " +
+    "land in min-rep components identical to hand-computed closure") {
+    val s = spark
+    import s.implicits._
+    // component 1: an 8-node chain (forces multiple star rounds —
+    //   each large-star halves chain depth, so depth-7 needs ≥ 3)
+    // component 2: a triangle with a pendant
+    // component 3: a 2-node pair; edge arrives in REVERSED order (z, y)
+    //   to prove canonicalization
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "e" -> "f", "f" -> "g", "g" -> "h",
+      "p" -> "q", "q" -> "r", "r" -> "p", "r" -> "s",
+      "z" -> "y").toDF("a", "b")
+    val out = GraphOps.ccStarCore(edges)
+      .select(col("component_rep"), array_join(col("members"), ",")
+        .as("members"), col("n_members"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", "a,b,c,d,e,f,g,h", 8L),
+      ("p", "p,q,r,s", 4L),
+      ("y", "y,z", 2L)))
+  }
+
+  test("q209 agrees with q34's GraphX components on the documents corpus") {
+    val star = GraphOps.ccDataFrame(spark, sf)
+      .withColumn("members", array_join(col("members"), ","))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val graphx = GraphOps.connectedComponents(spark, sf)
+      .withColumn("members", array_join(col("members"), ","))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(star.toSeq === graphx.toSeq)
+  }
 }

@@ -56,7 +56,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q183_incremental_join_view",
     // round-10: single-row (min_day, max_day) bounds broadcast feeding
     // the generated spine
-    "q192_calendar_spine")
+    "q192_calendar_spine",
+    // round-10 third batch: q192's bounds-spine pattern (q208) and the
+    // bounded source×lang spine + single-row corpus-total broadcast
+    // (q210) — every broadcast side is a vocabulary, never data-scale
+    "q208_gap_fill_interpolate",
+    "q210_source_mix_tv")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -190,4 +190,22 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     // tokenization is not the identity and collides only on equal names
     assert(rows.map(_.getString(2)).distinct.length > 1)
   }
+
+  test("q210 source-mix TV arithmetic on a hand fixture, including a " +
+    "lang the source has zero docs of") {
+    import spark.implicits._
+    // X: en×3 fr×1; Y: en×1 fr×3; Z: de×2
+    // totals: en 4, fr 4, de 2, N 10
+    // X: |3·10−4·4| + |1·10−4·4| + |0·10−2·4| = 14+6+8 = 28
+    //    → 28·10⁶ / (2·4·10) = 350000 ppm
+    // Y symmetric to X → 350000; Z: (|2·10−2·2|=16) + 8 + 8 = 32
+    //    → 32·10⁶ / (2·2·10) = 800000 ppm
+    val docs = (Seq.fill(3)(("X", "en")) ++ Seq(("X", "fr")) ++
+      Seq(("Y", "en")) ++ Seq.fill(3)(("Y", "fr")) ++
+      Seq.fill(2)(("Z", "de"))).toDF("source", "lang")
+    val out = graft.ops.Quality.mixTvCore(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("X", 4L, 350000L), ("Y", 4L, 350000L),
+      ("Z", 2L, 800000L)))
+  }
 }
