@@ -594,6 +594,40 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  /** q211 — USER GROWTH CURVE: per day, active users, NEW users (first
+    * ever seen that day) and the cumulative distinct-user count — the
+    * DAU / acquisition / total-reach triple every growth dashboard
+    * opens with. The naive formulation (count(DISTINCT user) over an
+    * expanding window) re-scans every prefix and is quadratic in days;
+    * the identity used here — cumulative distinct ≡ running Σ of
+    * first-seen counts — makes it two hash aggregates and one window
+    * over the day-grain frame.
+    *
+    * Scale: the stream collapses to DISTINCT (user, day) map-side
+    * first; first-seen day is a min-agg on user_id (the q76/q77
+    * user-grain discipline); the only window runs over the
+    * calendar-bounded daily frame, so the single-partition Window sort
+    * ranks days, never users or events. All-BIGINT output.
+    */
+  def userGrowthCurve(spark: SparkSession, dir: String): DataFrame =
+    growthCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def growthCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = ev.select(col("user_id"), expr(s"tsu div $dayUs2").as("day"))
+      .distinct()
+    val f = d.groupBy("user_id").agg(min("day").as("first_day"))
+    val perDay = d.join(f, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active_users"),
+        count(when(col("day") === col("first_day"), 1)).as("n_new_users"))
+    perDay
+      .withColumn("n_cum_users", sum("n_new_users")
+        .over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("day")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** q201 — OLS TREND SLOPES as a one-pass aggregation: per customer
@@ -645,6 +679,7 @@ object Behavior {
   val queries: Map[String, Q] = Map(
     "q207_activity_streaks" -> (activityStreaks(_, _)),
     "q208_gap_fill_interpolate" -> (gapFillInterpolate(_, _)),
+    "q211_user_growth" -> (userGrowthCurve(_, _)),
     "q201_trend_slopes" -> (trendSlopes(_, _)),
     "q190_twap" -> (twap(_, _)),
     "q192_calendar_spine" -> (calendarSpine(_, _)),
@@ -735,6 +770,25 @@ object Behavior {
                  WHEN pm IS NOT NULL AND nm IS NOT NULL THEN 'interp'
                  ELSE 'edge' END AS src
           FROM w ORDER BY 1, 2""",
+    // q211: same first-seen identity — cumulative distinct as the
+    // running sum of first-day counts, all BIGINT
+    "q211_user_growth" ->
+      s"""WITH d AS (
+            SELECT DISTINCT user_id,
+              (epoch_ns(ts) // 1000) // $dayUs2 AS day
+            FROM events WHERE ts IS NOT NULL),
+          f AS (
+            SELECT user_id, min(day) AS first_day FROM d GROUP BY 1),
+          pd AS (
+            SELECT d.day, count(*)::BIGINT AS n_active_users,
+              count(*) FILTER (WHERE d.day = f.first_day)::BIGINT
+                AS n_new_users
+            FROM d JOIN f USING (user_id) GROUP BY 1)
+          SELECT day, n_active_users, n_new_users,
+            (sum(n_new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+              AS n_cum_users
+          FROM pd ORDER BY day""",
     // q201: same sufficient statistics in HUGEINT, same truncating
     // division (DuckDB // == Spark div toward zero, verified on
     // negatives)

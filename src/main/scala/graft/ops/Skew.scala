@@ -169,6 +169,41 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** q213 — FEATURE-SCALING PARAMETER TABLE (z-score normalization
+    * stats): per event type, n, mean and sample variance of the value
+    * column as exact scaled integers — the "fit" half of a
+    * StandardScaler, exported as a model table the serving side joins
+    * against (the training-pipeline twin of q119: that one FENCES with
+    * robust stats, this one NORMALIZES with moments). Consumers derive
+    * σ = √(var) themselves — no square root enters the gated surface
+    * (the q69 no-transcendentals stance).
+    *
+    * One pass, algebraic: (n, Σv, Σv²) map-side-combine like any sum
+    * (q201's sufficient-statistics argument applied to moments), then
+    * two truncating divisions. DECIMAL(38,0) sums: Σvm² reaches 1e22
+    * at 100 TB magnitudes — far past 2⁶³, decimal or wrong. Sample
+    * variance via the exact integer identity
+    * (n·Σv² − (Σv)²) div (n·(n−1)); single-row groups → null via
+    * nullif rather than a division error.
+    */
+  def zscoreParams(spark: SparkSession, dir: String): DataFrame =
+    zscoreCore(Tables.eventsMicros(spark, dir)
+      .filter(col("value").isNotNull))
+
+  private[graft] def zscoreCore(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        expr("cast(floor(value * 1000.0D) as bigint)").as("vm"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_values"),
+        sum(expr("cast(vm as decimal(38,0))")).as("sv"),
+        sum(expr("cast(vm as decimal(38,0)) * vm")).as("svv"))
+      .select(col("event_type"), col("n_values"),
+        expr("cast(sv div n_values as bigint)").as("mean_milli"),
+        expr("""cast((n_values * svv - sv * sv)
+                div nullif(n_values * cast(n_values - 1 as decimal(38,0)), 0)
+                as bigint)""").as("var_milli2"))
+      .orderBy("event_type")
+
   /** q149 sketch accuracy (approx_percentile's rank-error knob). */
   val approxAccuracy = 10000
 
@@ -545,6 +580,7 @@ object Skew {
   }
 
   val queries: Map[String, Q] = Map(
+    "q213_zscore_params" -> (zscoreParams(_, _)),
     "q204_null_bypass_join" -> (nullBypassJoin(_, _)),
     "q168_salted_skew_join" -> (saltedSkewJoin(_, _)),
     "q169_string_stats" -> (stringStats(_, _)),
@@ -563,6 +599,21 @@ object Skew {
     "q102_value_quantiles" -> (valueQuantiles(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q213: same moment sums in HUGEINT, same two truncating divisions
+    "q213_zscore_params" ->
+      """WITH v AS (
+           SELECT event_type,
+             CAST(floor(value * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS vm
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         a AS (
+           SELECT event_type, count(*)::HUGEINT AS n,
+             sum(vm::HUGEINT) AS sv, sum(vm::HUGEINT * vm) AS svv
+           FROM v GROUP BY 1)
+         SELECT event_type, n::BIGINT AS n_values,
+           (sv // n)::BIGINT AS mean_milli,
+           ((n * svv - sv * sv) // nullif(n * (n - 1), 0))::BIGINT
+             AS var_milli2
+         FROM a ORDER BY event_type""",
     // q204: the oracle runs the PLAIN LEFT JOIN (nulls straight through
     // the join operator) — the bypass split must be invisible
     "q204_null_bypass_join" ->

@@ -713,9 +713,121 @@ object StreamingQueries {
     } finally deleteRecursively(base)
   }
 
+  /** q212: stream-stream LEFT OUTER interval join — the semantics q79
+    * cannot show: a purchase with NO qualifying click must still be
+    * emitted (with null click columns), and in streaming that emission
+    * is not a join result but a STATE-EVICTION event — the row leaves
+    * the state store unmatched only once the watermark proves no
+    * late-arriving click can ever pair with it. This is the shape
+    * attribution pipelines actually run ("every purchase, attributed
+    * or not"), and the correctness risk it gates — outer rows held
+    * hostage by a stalled watermark — is invisible to inner joins.
+    *
+    * The flush problem and the sentinel: event-time watermarks only
+    * advance when newer data arrives, so the LAST window's unmatched
+    * purchases would sit in state forever on a finite replay. Each
+    * side therefore stages a final single-row sentinel (user −1, both
+    * sides the SAME timestamp far past max+lookback, so the two
+    * sentinels cannot pair with real rows or each other: c_ts < p_ts
+    * fails on equality), which drives both watermarks past every real
+    * purchase; Spark's trailing no-data micro-batch then evicts and
+    * emits the outer rows. The sentinel's own unmatched outer row is
+    * filtered by id post-read. Same q99 discipline.
+    *
+    * Gated output is null-free by construction (the q104 NaN trap):
+    * unmatched purchases carry click_id/click_tsu/gap_us = −1 —
+    * impossible values for real pairs (ids are non-negative, gap > 0).
+    * Oracle = the plain batch LEFT JOIN with the same coalesce.
+    *
+    * Scale: identical state bound to q79 (one lookback of clicks per
+    * user); the outer path adds no state — eviction emits, nothing is
+    * retained longer than the inner join already retains it.
+    */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val lookbackUs = graft.ops.TemporalJoins.lookbackSeconds * 1000000L
+    val ev = Tables.eventsMicros(spark, dir)
+      .select(col("event_id"), col("user_id"), col("tsu"), col("event_type"))
+    val bounds = ev.agg(min("tsu"), max("tsu")).head()
+    val out0 = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("purchase_id", LongType), StructField("user_id", LongType),
+        StructField("purchase_tsu", LongType), StructField("click_id", LongType),
+        StructField("click_tsu", LongType), StructField("gap_us", LongType))))
+    if (bounds.isNullAt(0)) return out0
+    val maxT = bounds.getLong(1)
+    val mid = bounds.getLong(0) + (maxT - bounds.getLong(0)) / 2
+    val sentinelTsu = maxT + 2 * lookbackUs + 2000000L
+
+    val base = Files.createTempDirectory("graft_q212_")
+    try {
+      def stage(tpe: String, sub: String): String = {
+        val inDir = Files.createDirectory(base.resolve(sub))
+        val rows = ev.filter(col("event_type") === tpe)
+          .select(col("event_id"), col("user_id"),
+            timestamp_micros(col("tsu")).as("ts"))
+        val now = System.currentTimeMillis()
+        stageOne(rows.filter(col("ts") < timestamp_micros(lit(mid))),
+          base.resolve(sub + "_s0"), inDir, "00_early.parquet", now - 240000L)
+        stageOne(rows.filter(col("ts") >= timestamp_micros(lit(mid))),
+          base.resolve(sub + "_s1"), inDir, "01_late.parquet", now - 120000L)
+        stageOne(ev.limit(1).select(lit(-1L).as("event_id"),
+            lit(-1L).as("user_id"),
+            timestamp_micros(lit(sentinelTsu)).as("ts")),
+          base.resolve(sub + "_s2"), inDir, "02_sentinel.parquet", now)
+        inDir.toString
+      }
+      def read(dir: String): DataFrame = spark.readStream
+        .schema(ssInSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+
+      val clicks = read(stage("click", "clicks"))
+        .withWatermark("ts", s"${graft.ops.TemporalJoins.lookbackSeconds} seconds")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val purchases = read(stage("purchase", "purchases"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val joined = purchases.join(clicks, expr(
+        s"""p_user = c_user
+            AND c_ts >= p_ts - INTERVAL ${graft.ops.TemporalJoins.lookbackSeconds} SECONDS
+            AND c_ts < p_ts"""), "leftOuter")
+
+      val outDir = base.resolve("out").toString
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+
+      val pairs = spark.read.schema(StructType(Seq(
+          StructField("purchase_id", LongType), StructField("p_user", LongType),
+          StructField("p_ts", TimestampType), StructField("click_id", LongType),
+          StructField("c_user", LongType), StructField("c_ts", TimestampType))))
+        .parquet(outDir)
+        .localCheckpoint(true)
+      pairs
+        .filter(col("purchase_id") >= 0)
+        .select(
+          col("purchase_id"), col("p_user").as("user_id"),
+          expr("unix_micros(p_ts)").as("purchase_tsu"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(expr("unix_micros(c_ts)"), lit(-1L)).as("click_tsu"))
+        .withColumn("gap_us",
+          when(col("click_id") >= 0,
+            col("purchase_tsu") - col("click_tsu")).otherwise(lit(-1L)))
+        .orderBy("purchase_id", "click_id")
+    } finally deleteRecursively(base)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q212_stream_left_outer_join" -> (streamStreamLeftJoin(_, _)),
     "q113_streaming_dedup" -> (streamingDedup(_, _)),
     "q128_streaming_restart_resume" -> (streamingRestartResume(_, _)),
     "q98_streaming_word_freq" -> (streamingWordFreq(_, _)),
@@ -796,6 +908,27 @@ object StreamingQueries {
          SELECT wstart AS window_start_us, n AS n_events FROM closed
          UNION ALL SELECT -1, c FROM dropped
          ORDER BY 1""",
+    // q212: the batch LEFT interval join with the same −1 coalesce —
+    // every unmatched purchase must surface exactly once, which gates
+    // the watermark-driven outer-row flush end to end
+    "q212_stream_left_outer_join" ->
+      s"""WITH ev AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu, event_type
+           FROM events WHERE ts IS NOT NULL),
+         p AS (SELECT event_id AS purchase_id, user_id, tsu
+               FROM ev WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, tsu
+               FROM ev WHERE event_type = 'click')
+         SELECT p.purchase_id, p.user_id, p.tsu AS purchase_tsu,
+                coalesce(c.click_id, -1) AS click_id,
+                coalesce(c.tsu, -1) AS click_tsu,
+                CASE WHEN c.click_id IS NULL THEN -1
+                     ELSE p.tsu - c.tsu END AS gap_us
+         FROM p LEFT JOIN c
+           ON p.user_id = c.user_id
+          AND c.tsu >= p.tsu - ${graft.ops.TemporalJoins.lookbackSeconds * 1000000L}
+          AND c.tsu < p.tsu
+         ORDER BY p.purchase_id, coalesce(c.click_id, -1)""",
     // q79: the batch interval join, pair for pair — streaming state +
     // watermark eviction must be semantically invisible
     "q79_stream_stream_join" ->

@@ -370,6 +370,23 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       (3L, 1L, 1L, 1L, 7L)))
   }
 
+  test("q211 user growth: new = first-seen only, cumulative = running " +
+    "sum of new, repeat visits count active but never new") {
+    val D = Behavior.dayUs2
+    // day 0: users 1,2 (both new) → active 2, new 2, cum 2
+    // day 1: users 1 (repeat), 3 (new) → active 2, new 1, cum 3
+    // day 3: users 2 (repeat, TWO events) → active 1, new 0, cum 3
+    val rows = Seq(
+      (1L, 1L, 0L * D + 1), (2L, 2L, 0L * D + 2),
+      (3L, 1L, 1L * D + 1), (4L, 3L, 1L * D + 2),
+      (5L, 2L, 3L * D + 1), (6L, 2L, 3L * D + 2))
+    val out = Behavior.growthCore(
+      rows.toDF("event_id", "user_id", "tsu"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L), (3L, 1L, 0L, 3L)))
+  }
+
   test("q208 gap-fill: interior gaps interpolate with truncating " +
     "integer division, edge rows carry 0, bounds are global") {
     val D = Behavior.dayUs2

@@ -160,4 +160,29 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(7) == 9L)      // len_sum = 2+2+1+4
     assert(r.getLong(8) == 2250000L) // 9·10⁶ div 4
   }
+
+  test("q213 z-score params: exact integer moment identity, truncated " +
+    "mean, null variance on a single-value group") {
+    val s = spark
+    import s.implicits._
+    // type a: values 1.0/2.0/3.0 → vm 1000/2000/3000:
+    //   mean = 6000 div 3 = 2000
+    //   var  = (3·14e6 − 36e6) div (3·2) = 6e6/6 = 1_000_000 milli²
+    // type b: 0.0015/0.0035 → vm 1/3: mean = 4 div 2 = 2,
+    //   var = (2·10 − 16) div 2 = 2 (exact, no float rounding)
+    // type c: single value → variance must be NULL via nullif, not a
+    //   division error
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 0.0015), ("b", 0.0035), ("c", 9.0))
+      .toDF("event_type", "value")
+    val out = Skew.zscoreCore(df).collect()
+    val byType = out.map(r => r.getString(0) -> r).toMap
+    assert(byType("a").getLong(1) == 3L)
+    assert(byType("a").getLong(2) == 2000L)
+    assert(byType("a").getLong(3) == 1000000L)
+    assert(byType("b").getLong(2) == 2L)
+    assert(byType("b").getLong(3) == 2L)
+    assert(byType("c").getLong(1) == 1L)
+    assert(byType("c").isNullAt(3))
+  }
 }

@@ -156,6 +156,36 @@ class StreamingQueriesSpec extends AnyFunSuite with SparkTestBase {
       s"expected >=2 micro-batches, got ${StreamingQueries.lastSSJoinBatches}")
   }
 
+  test("q212: stream-stream LEFT OUTER join == batch left join — " +
+    "unmatched purchases flush via the sentinel-driven watermark") {
+    import org.apache.spark.sql.functions._
+    val w = graft.ops.TemporalJoins.lookbackSeconds * 1000000L
+    val streamed = rows(StreamingQueries.streamStreamLeftJoin(spark, sf))
+    val ev = Tables.eventsMicros(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tsu").as("purchase_tsu"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        col("tsu").as("ctsu"))
+    val batch = rows(p.join(c,
+        col("user_id") === col("cu")
+          && col("ctsu") >= col("purchase_tsu") - w
+          && col("ctsu") < col("purchase_tsu"), "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_tsu"),
+        coalesce(col("cid"), lit(-1L)).as("click_id"),
+        coalesce(col("ctsu"), lit(-1L)).as("click_tsu"),
+        when(col("cid").isNotNull, col("purchase_tsu") - col("ctsu"))
+          .otherwise(lit(-1L)).as("gap_us"))
+      .orderBy("purchase_id", "click_id"))
+    assert(streamed.nonEmpty && streamed == batch)
+    // the class under test must be non-vacuous both ways: matched pairs
+    // AND watermark-flushed unmatched purchases must both occur
+    val unmatched = streamed.count(_(3) == -1L) // click_id column
+    assert(unmatched > 0, "no unmatched purchases — outer path untested")
+    assert(streamed.size > unmatched, "no matched pairs — join untested")
+  }
+
   test("q99: streaming sessionization == batch q27 over the same events, multi-batch") {
     val streamed = rows(StreamingQueries.streamingSessions(spark, sf))
     val batch = rows(Sessionization.sessions(spark, sf))
