@@ -628,6 +628,93 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** q214 — OHLC RESAMPLE BARS: the canonical time-series downsampling
+    * (open / high / low / close / count per hour per series) that turns
+    * a tick-grain stream into fixed-frequency bars — the read behind
+    * every price chart and the standard first step before any bar-level
+    * model. Open/close are ORDER statistics (first/last by event time,
+    * event_id breaking same-µs ties — the q36 tie discipline), not
+    * aggregates, which is what makes this a distinct operator from a
+    * plain min/max rollup.
+    *
+    * Mechanics: one window partitioned by (series, hour) ordered by
+    * (tsu, event_id) ranks ascending and descending in the same sorted
+    * run (the descending rank is n+1−rank — no second sort, no second
+    * exchange); open/close fall out as conditional aggregates on
+    * rank 1 / rank n. Values are floor-milli BIGINTs end to end.
+    *
+    * Scale: ONE exchange on (series, hour); per-partition sort ranks
+    * one bar's ticks, bounded by per-series-per-hour volume, never the
+    * stream. The bar table is calendar×series-bounded.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    ohlcCore(Tables.eventsMicros(spark, dir)
+      .filter(col("value").isNotNull))
+
+  private[graft] def ohlcCore(ev0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = ev0.select(col("event_type"),
+      expr(s"tsu div $hourUs").as("hr"),
+      col("tsu"), col("event_id"),
+      expr("cast(floor(value * 1000.0D) as bigint)").as("vm"))
+    val w = Window.partitionBy("event_type", "hr")
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    ev.withColumn("ra", row_number().over(w))
+      .withColumn("nb", count(lit(1)).over(
+        Window.partitionBy("event_type", "hr")))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n_ticks"),
+        max(when(col("ra") === 1, col("vm"))).as("open_milli"),
+        max("vm").as("high_milli"),
+        min("vm").as("low_milli"),
+        max(when(col("ra") === col("nb"), col("vm"))).as("close_milli"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** q216 — CUSUM CHANGE-POINT DETECTION over daily volumes: the
+    * sequential drift detector (Page 1954) behind "did this stream's
+    * level shift?" — q145 catches single-hour spikes against a trailing
+    * mean; CUSUM catches SUSTAINED small shifts a spike fence never
+    * trips on, which is how ingestion regressions and slow-ramp
+    * incidents actually present.
+    *
+    * The recurrence S_t = max(0, S_{t−1} + (x_t − μ − k)) looks
+    * inherently sequential, but has the closed form
+    * S_t = cum_t − min(0, min_{j≤t} cum_j) — a prefix sum and a prefix
+    * min, BOTH plain window functions over the gapless daily panel
+    * (q192's spine: a missing day is a REAL zero to a drift detector,
+    * not an absent row). Everything stays integral by scaling through
+    * N (days) and T (total): y_t = N·x_t − T − (T div 10) encodes
+    * x_t − μ − 0.1μ times N; the alarm S′_t > 3·T encodes S_t > 3μ.
+    * Products stay under 2⁶³ through ~10¹⁶ row-days — documented
+    * bound, decimal-widen past it.
+    *
+    * Scale: one full-data hash agg to (type, day) cells; windows rank
+    * the calendar-bounded panel. Same shape as q145/q192.
+    */
+  def cusumChangepoints(spark: SparkSession, dir: String): DataFrame =
+    cusumCore(spineCore(Tables.eventsMicros(spark, dir)))
+
+  /** Over a gapless (event_type, day, n_events) panel. */
+  private[graft] def cusumCore(panel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = Window.partitionBy("event_type")
+    val run = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    panel
+      .withColumn("n_days", count(lit(1)).over(series))
+      .withColumn("total", sum("n_events").over(series))
+      .withColumn("y",
+        col("n_days") * col("n_events") - col("total")
+          - expr("total div 10"))
+      .withColumn("cum", sum("y").over(run))
+      .withColumn("cusum_scaled",
+        col("cum") - least(lit(0L), min("cum").over(run)))
+      .withColumn("is_alarm", col("cusum_scaled") > lit(3L) * col("total"))
+      .select("event_type", "day", "n_events", "cusum_scaled", "is_alarm")
+      .orderBy("event_type", "day")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** q201 — OLS TREND SLOPES as a one-pass aggregation: per customer
@@ -680,6 +767,8 @@ object Behavior {
     "q207_activity_streaks" -> (activityStreaks(_, _)),
     "q208_gap_fill_interpolate" -> (gapFillInterpolate(_, _)),
     "q211_user_growth" -> (userGrowthCurve(_, _)),
+    "q214_ohlc_bars" -> (ohlcBars(_, _)),
+    "q216_cusum_changepoints" -> (cusumChangepoints(_, _)),
     "q201_trend_slopes" -> (trendSlopes(_, _)),
     "q190_twap" -> (twap(_, _)),
     "q192_calendar_spine" -> (calendarSpine(_, _)),
@@ -789,6 +878,66 @@ object Behavior {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
               AS n_cum_users
           FROM pd ORDER BY day""",
+    // q216: same spine, same N/T scaling, same prefix-sum/prefix-min
+    // closed form of the CUSUM recurrence — all BIGINT
+    "q216_cusum_changepoints" ->
+      s"""WITH d AS (
+            SELECT event_type, (epoch_ns(ts) // 1000) // $dayUs2 AS day
+            FROM events WHERE ts IS NOT NULL),
+          bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+          spine AS (
+            SELECT t.event_type, s.day
+            FROM (SELECT DISTINCT event_type FROM d) t
+            CROSS JOIN (SELECT unnest(generate_series(
+              (SELECT d0 FROM bounds), (SELECT d1 FROM bounds))) AS day) s),
+          daily AS (
+            SELECT event_type, day, count(*) AS n FROM d GROUP BY 1, 2),
+          panel AS (
+            SELECT spine.event_type, spine.day,
+              coalesce(daily.n, 0)::BIGINT AS n_events
+            FROM spine LEFT JOIN daily USING (event_type, day)),
+          scaled AS (
+            SELECT event_type, day, n_events,
+              count(*) OVER (PARTITION BY event_type) AS n_days,
+              sum(n_events) OVER (PARTITION BY event_type) AS total
+            FROM panel),
+          c AS (
+            SELECT event_type, day, n_events, total,
+              sum(n_days * n_events - total - (total // 10))
+                OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum
+            FROM scaled)
+          SELECT event_type, day, n_events,
+            (cum - least(0, min(cum) OVER (PARTITION BY event_type
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT
+              AS cusum_scaled,
+            (cum - least(0, min(cum) OVER (PARTITION BY event_type
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+              > 3 * total AS is_alarm
+          FROM c ORDER BY 1, 2""",
+    // q214: same (tsu, event_id) tick order, same milli floors; DuckDB
+    // picks open/close with the identical rank rule
+    "q214_ohlc_bars" ->
+      s"""WITH t AS (
+            SELECT event_type,
+              (epoch_ns(ts) // 1000) // ${hourUs} AS hr,
+              epoch_ns(ts) // 1000 AS tsu, event_id,
+              CAST(floor(value * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS vm
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          r AS (
+            SELECT event_type, hr, vm,
+              row_number() OVER (PARTITION BY event_type, hr
+                ORDER BY tsu, event_id) AS ra,
+              count(*) OVER (PARTITION BY event_type, hr) AS nb
+            FROM t)
+          SELECT event_type, hr, count(*)::BIGINT AS n_ticks,
+            max(CASE WHEN ra = 1 THEN vm END) AS open_milli,
+            max(vm) AS high_milli, min(vm) AS low_milli,
+            max(CASE WHEN ra = nb THEN vm END) AS close_milli
+          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
     // q201: same sufficient statistics in HUGEINT, same truncating
     // division (DuckDB // == Spark div toward zero, verified on
     // negatives)

@@ -921,7 +921,10 @@ object GraphOps {
     "q34_connected_components" -> ((s, d) =>
       connectedComponents(s, d).withColumn("members", array_join(col("members"), ","))),
     "q209_cc_dataframe" -> ((s, d) =>
-      ccDataFrame(s, d).withColumn("members", array_join(col("members"), ","))))
+      ccDataFrame(s, d).withColumn("members", array_join(col("members"), ","))),
+    // rows-only by design: a matroid-greedy fixpoint has no SQL oracle;
+    // GraphOpsSpec pins corpus equality vs an in-JVM Prim plus a fixture
+    "q215_max_spanning_forest" -> (maxSpanningForest(_, _)))
 
   /** Iteration cap for q209's star alternation. Large-star/small-star
     * provably converges in O(log² n) rounds (and O(log n) in practice);
@@ -970,6 +973,22 @@ object GraphOps {
     * frame — fixture seam for the spec.
     */
   private[graft] def ccStarCore(raw: DataFrame): DataFrame = {
+    val lbl = starLabels(raw)
+    val out = lbl
+      .groupBy("rep")
+      .agg(sort_array(collect_list("u")).as("members"),
+        count(lit(1)).as("n_members"))
+      .select(col("members")(0).as("component_rep"), col("members"),
+        col("n_members"))
+      .orderBy(desc("n_members"), asc("component_rep"))
+      .localCheckpoint(true)
+    out
+  }
+
+  /** The star-alternation fixpoint itself, exposed as a (node, rep)
+    * label map — q209's engine and q215's contraction subroutine.
+    */
+  private[graft] def starLabels(raw: DataFrame): DataFrame = {
     def canon(e: DataFrame): DataFrame =
       e.select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
@@ -1023,16 +1042,104 @@ object GraphOps {
 
     // at the star fixpoint min(N(u) ∪ {u}) IS the component rep
     val lbl = mins(sym(pairs))
-    val out = lbl.select(col("u").as("entity_id"), col("m").as("rep"))
-      .groupBy("rep")
-      .agg(sort_array(collect_list("entity_id")).as("members"),
-        count(lit(1)).as("n_members"))
-      .select(col("members")(0).as("component_rep"), col("members"),
-        col("n_members"))
-      .orderBy(desc("n_members"), asc("component_rep"))
+      .select(col("u"), col("m").as("rep"))
       .localCheckpoint(true)
     pairs.unpersist(blocking = false)
-    out
+    lbl
+  }
+
+  /** Round cap for q215's Borůvka loop: components at least halve per
+    * round, so log₂|V| rounds suffice; 20 covers a million-node graph
+    * with margin. Backstop, not a knob (the q209 stance).
+    */
+  private val mstMaxRounds = 20
+
+  /** q215 — MAXIMUM SPANNING FOREST (graph backbone) via Borůvka: per
+    * round every component picks its heaviest outgoing edge (ties
+    * broken by the total order weight DESC, src ASC, dst ASC — which
+    * makes the optimum forest UNIQUE, hence deterministic
+    * cross-engine), the picked edges join the forest, and the touched
+    * components contract through the q209 star-alternation label map.
+    * The backbone is the standard relation-graph summarization — the
+    * reference's relation_graph/readme.md:18-19 visualizes exactly
+    * this kind of strongest-ties skeleton — and Borůvka is THE
+    * spanning-tree algorithm that parallelizes: all components choose
+    * simultaneously, so the loop runs O(log |V|) rounds of plain
+    * hash-join + window, no priority queue, no sequential frontier
+    * (Prim/Kruskal are inherently serial in the edge order).
+    *
+    * Scale: corpus-sized work is only the edge aggregation feeding it;
+    * each round is two label joins (node key), one per-component
+    * window over candidate edges (component-bounded), and a
+    * contraction over the picked-edge graph (≤ one edge per
+    * component). Components at least halve per round. Lineage is cut
+    * per round (localCheckpoint, the q35 discipline).
+    *
+    * Rows-only by design: a matroid-greedy fixpoint has no SQL oracle
+    * (DuckDB's recursive CTEs can't express union-find contraction) —
+    * GraphOpsSpec pins the result against an independent in-JVM
+    * Prim's algorithm on the full corpus edge set (exact equality;
+    * the lexicon-bounded edge table collects safely) plus a
+    * hand-computed fixture.
+    */
+  def maxSpanningForest(spark: SparkSession, dir: String): DataFrame =
+    boruvkaCore(spark, CooccurrenceGraph.edgeCounts(spark, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        col("weight")))
+
+  private[graft] def boruvkaCore(spark: SparkSession, raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val edges = raw.groupBy("a", "b").agg(max("weight").as("weight"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint(true)
+    var comp = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var mst = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", StringType),
+        StructField("dst", StringType), StructField("weight", LongType))))
+    var round = 0
+    var done = false
+    while (!done && round < mstMaxRounds) {
+      val ca = comp.select(col("node").as("a"), col("comp").as("comp_a"))
+      val cb = comp.select(col("node").as("b"), col("comp").as("comp_b"))
+      val cross = edges.join(ca, "a").join(cb, "b")
+        .filter(col("comp_a") =!= col("comp_b"))
+        .localCheckpoint(true)
+      if (cross.isEmpty) done = true
+      else {
+        // every touched component nominates its best edge; the picked
+        // set is cycle-free because the tie-broken order is total (the
+        // only possible repeat is both endpoints picking the SAME edge)
+        val cand = cross.select(col("comp_a").as("c"), col("a"), col("b"),
+            col("weight"), col("comp_a"), col("comp_b"))
+          .unionAll(cross.select(col("comp_b").as("c"), col("a"), col("b"),
+            col("weight"), col("comp_a"), col("comp_b")))
+        val w = Window.partitionBy("c")
+          .orderBy(desc("weight"), asc("a"), asc("b"))
+        val best = cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .localCheckpoint(true)
+        mst = mst.unionAll(best
+            .select(col("a").as("src"), col("b").as("dst"), col("weight"))
+            .distinct())
+          .localCheckpoint(true)
+        // contract touched components through the star label map
+        val relbl = starLabels(
+          best.select(col("comp_a").as("a"), col("comp_b").as("b")))
+        comp = comp.join(relbl, comp("comp") === relbl("u"), "left")
+          .select(col("node"), coalesce(col("rep"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    mst.orderBy(desc("weight"), asc("src"), asc("dst"))
+      .localCheckpoint(true)
   }
 
   /** q34 IS oracle-able despite GraphX: the output is label-free

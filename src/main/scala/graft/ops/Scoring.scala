@@ -199,9 +199,96 @@ object Scoring {
           / max("t_rev").cast("double"), 6).as("top_decile_rev_share"))
   }
 
+  /** q218 — TWO-SAMPLE KOLMOGOROV–SMIRNOV statistic: the
+    * distribution-shift test that needs NO binning choice at all —
+    * q142's PSI deciles quantize (a shift inside one decile is
+    * invisible); KS is the supremum gap between the two empirical
+    * CDFs, sensitive everywhere. Samples are the q142 timeline halves
+    * (baseline = before the data-derived midpoint), so the two tests
+    * audit the same split two ways.
+    *
+    * Exact integers: the frame collapses to VALUE grain (q205's
+    * discipline — doubles are only grouped and compared, never summed),
+    * cumulative counts come from one ordered pass over distinct
+    * values, and the sup gap is max |cum₁·n₂ − cum₂·n₁| — cross-
+    * multiplied so no per-value division; one truncating division at
+    * the end emits ks_ppm. DECIMAL(38,0) products (cum·n passes 2⁶³
+    * near 3e9-row samples).
+    *
+    * Scale: one full-data hash agg to value grain; the ordered pass is
+    * the q102 cume kernel's shape (distinct-value frame). One row out.
+    */
+  def ksStatistic(spark: SparkSession, dir: String): DataFrame =
+    ksCore(Tables.eventsMicros(spark, dir)
+      .filter(col("value").isNotNull))
+
+  private[graft] def ksCore(ev0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = ev0.select(col("value"), col("tsu"))
+    val cutoff = ev.agg(expr("(min(tsu) + max(tsu)) div 2").as("cut_us"))
+    val grain = ev.crossJoin(broadcast(cutoff))
+      .groupBy("value")
+      .agg(count(when(col("tsu") < col("cut_us"), 1)).as("c1"),
+        count(when(col("tsu") >= col("cut_us"), 1)).as("c2"))
+    val run = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val full = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grain
+      .withColumn("cum1", sum("c1").over(run))
+      .withColumn("cum2", sum("c2").over(run))
+      .withColumn("n1", sum("c1").over(full))
+      .withColumn("n2", sum("c2").over(full))
+      .withColumn("dev",
+        expr("""abs(cast(cum1 as decimal(38,0)) * n2
+                - cast(cum2 as decimal(38,0)) * n1)"""))
+      .agg(max("n1").as("n_base"), max("n2").as("n_current"),
+        max("dev").as("sup"))
+      .select(col("n_base"), col("n_current"),
+        expr("""cast(sup * 1000000
+                div nullif(cast(n_base as decimal(38,0)) * n_current, 0)
+                as bigint)""").as("ks_ppm"))
+  }
+
+  /** q219 — GINI COEFFICIENT of customer revenue: the standard
+    * inequality index completing q143's concentration read (top-share
+    * answers "how few make 80%"; Gini summarizes the WHOLE Lorenz
+    * curve in one number). The textbook all-pairs |xᵢ−xⱼ| definition
+    * is quadratic; the order-statistic identity
+    * G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) makes it one ranked pass — and the
+    * rank comes from the q182 TWO-PHASE numbering (range exchange +
+    * local sorts), not a single-partition ntile window, so the ranking
+    * scales like any shuffle. (cents, custkey) is a unique total
+    * order → the rank, hence the coefficient, is deterministic.
+    *
+    * Exact: revenue in floor-cents (q201's convention), Σ(rank·x) in
+    * DECIMAL(38,0) (passes 2⁶³ almost immediately: rank·cents is
+    * ~10¹⁸ at one million customers), one truncating division to
+    * gini_ppm.
+    */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame =
+    giniCore(Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ckey"))
+      .agg(expr("cast(sum(floor(o_totalprice * 100.0D)) as bigint)")
+        .as("cents")))
+
+  /** Over a (ckey, cents) per-entity frame; fixture seam. */
+  private[graft] def giniCore(rev: DataFrame): DataFrame =
+    GlobalIndex.numberedBy(rev.select(col("cents"), col("ckey")),
+        Seq("cents", "ckey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("cast(cents as decimal(38,0))")).as("s"),
+        sum(expr("cast(rn as decimal(38,0)) * cents")).as("srx"))
+      .select(col("n_customers"), col("s").cast("long").as("total_cents"),
+        expr("""cast((2 * srx - (n_customers + 1) * s) * 1000000
+                div nullif(n_customers * s, 0) as bigint)""")
+          .as("gini_ppm"))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q218_ks_statistic" -> (ksStatistic(_, _)),
+    "q219_gini_revenue" -> (giniRevenue(_, _)),
     "q137_rfm_segments" -> (rfmSegments(_, _)),
     "q141_decile_lift" -> (decileLift(_, _)),
     "q142_distribution_drift" -> (distributionDrift(_, _)),
@@ -216,6 +303,49 @@ object Scoring {
     }.mkString(",\n             ")
 
   val oracles: Map[String, String] = Map(
+    // q218: same midpoint split, same value-grain cumulative counts,
+    // same cross-multiplied sup gap in HUGEINT
+    "q218_ks_statistic" ->
+      """WITH ev AS (
+           SELECT value, epoch_ns(ts) // 1000 AS tsu
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         p AS (SELECT (min(tsu) + max(tsu)) // 2 AS cut FROM ev),
+         g AS (
+           SELECT value,
+             count(*) FILTER (WHERE tsu < (SELECT cut FROM p)) AS c1,
+             count(*) FILTER (WHERE tsu >= (SELECT cut FROM p)) AS c2
+           FROM ev GROUP BY 1),
+         c AS (
+           SELECT
+             sum(c1) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             sum(c2) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+           FROM g)
+         SELECT max(n1)::BIGINT AS n_base, max(n2)::BIGINT AS n_current,
+           (max(abs(cum1::HUGEINT * n2 - cum2::HUGEINT * n1)) * 1000000
+            // nullif(max(n1)::HUGEINT * max(n2), 0))::BIGINT AS ks_ppm
+         FROM c""",
+    // q219: same (cents, ckey) total order, same order-statistic
+    // identity in HUGEINT, same truncating division
+    "q219_gini_revenue" ->
+      """WITH r AS (
+           SELECT o_custkey AS ckey,
+             CAST(sum(floor(o_totalprice * CAST(100.0 AS DOUBLE)))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         k AS (
+           SELECT cents,
+             row_number() OVER (ORDER BY cents, ckey) AS rn
+           FROM r)
+         SELECT count(*)::BIGINT AS n_customers,
+           sum(cents)::BIGINT AS total_cents,
+           ((2 * sum(rn::HUGEINT * cents)
+             - (count(*) + 1) * sum(cents::HUGEINT)) * 1000000
+            // nullif(count(*)::HUGEINT * sum(cents), 0))::BIGINT
+             AS gini_ppm
+         FROM k""",
     "q137_rfm_segments" ->
       s"""WITH o AS (
             SELECT o_custkey,

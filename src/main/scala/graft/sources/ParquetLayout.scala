@@ -570,6 +570,46 @@ object ParquetLayout {
     * plain long) or double drift in the writer/reader pair would
     * hash-mismatch.
     */
+  /** q217 — JSONL interchange: the fourth interchange format, and the
+    * one every external producer can emit with no library at all —
+    * line-delimited JSON is the API-export / webhook / log-shipper
+    * lingua franca, so the lakehouse edge reads it daily. Same gate
+    * shape as q125/q170: write the events slice as JSONL, read it back
+    * WITH AN EXPLICIT SCHEMA (schema inference on JSON is a full extra
+    * pass over the data and type-guesses — never at 100 TB), aggregate,
+    * hash-gate against the ORIGINAL parquet. Timestamps travel as the
+    * epoch-µs long `tsu`, not ISO strings — JSON has no timestamp type,
+    * and string round-trips re-enter timezone/precision territory the
+    * µs-long contract exists to avoid. Doubles survive because Spark's
+    * JSON writer emits shortest-round-trip literals; if either
+    * direction lost a ulp the decimal-cast revenue sum would
+    * hash-mismatch.
+    */
+  def jsonlInterchangeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q217_")
+    try {
+      val path = base.resolve("events_jsonl").toString
+      Tables.eventsMicros(spark, dir)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+        .write.format("json").save(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tsu", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+      val out = spark.read.schema(schema).json(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("purchase_total"))
+        .orderBy("user_id")
+      out.localCheckpoint(true)
+    } finally Tables.deleteRecursively(base)
+  }
+
   def avroInterchangeRevenue(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_q170_")
     try {
@@ -1084,6 +1124,7 @@ object ParquetLayout {
     "q166_dynamic_partition_pruning" -> (dynamicPartitionPruning(_, _)),
     "q167_backfill_overwrite" -> (backfillOverwrite(_, _)),
     "q170_avro_interchange" -> (avroInterchangeRevenue(_, _)),
+    "q217_jsonl_interchange" -> (jsonlInterchangeRevenue(_, _)),
     "q155_bucketed_join_revenue" -> (bucketedJoinRevenue(_, _)),
     "q165_zorder_scan" -> (zorderScan(_, _)),
     "q103_partition_pruned_revenue" -> (partitionPrunedRevenue(_, _)),
@@ -1218,6 +1259,14 @@ object ParquetLayout {
          GROUP BY 1 ORDER BY 1""",
     // q170: identical oracle to q125 — the Avro round trip must be
     // invisible
+    // q217: identical epilogue over the original parquet — the JSONL
+    // writer/reader pair must be lossless for longs and doubles
+    "q217_jsonl_interchange" ->
+      """SELECT user_id, count(*) AS n_purchases,
+         round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS purchase_total
+         FROM events
+         WHERE ts IS NOT NULL AND event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
     "q170_avro_interchange" ->
       """SELECT user_id, count(*) AS n_purchases,
          round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS purchase_total

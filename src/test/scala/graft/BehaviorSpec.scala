@@ -387,6 +387,41 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       (0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L), (3L, 1L, 0L, 3L)))
   }
 
+  test("q214 ohlc bars: open/close are order statistics with event_id " +
+    "tie-break, high/low plain extrema, bars split on the hour") {
+    val H = 3600000000L
+    // hour 0, type a: ticks at t=30 (v=2.0), t=10 (v=1.0), t=10 with
+    //   HIGHER id (v=9.0): open = 1.0 (t=10, lower id first), close =
+    //   2.0 (t=30), high = 9.0, low = 1.0
+    // hour 1, type a: single tick
+    val rows = Seq(
+      (5L, 30L, 2.0, "a"), (1L, 10L, 1.0, "a"), (2L, 10L, 9.0, "a"),
+      (7L, H + 50L, 4.5, "a"))
+    val out = Behavior.ohlcCore(
+      rows.toDF("event_id", "tsu", "value", "event_type"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", 0L, 3L, 1000L, 9000L, 1000L, 2000L),
+      ("a", 1L, 1L, 4500L, 4500L, 4500L, 4500L)))
+  }
+
+  test("q216 cusum: quiet prefix resets to zero, a sustained level " +
+    "shift accumulates and crosses the 3T alarm line") {
+    // one series: 8 days at 10 then 2 days at 110.
+    // N=10, T=300, T div 10 = 30 → y = 10x − 330:
+    //   x=10 → −230 (quiet: prefix-min tracks cum, S′ pinned at 0)
+    //   x=110 → +770: day8 S′=770 (< 900 = 3T, no alarm),
+    //                 day9 S′=1540 (> 900, ALARM)
+    val panel = ((0 to 7).map(d => ("a", d.toLong, 10L)) ++
+      Seq(("a", 8L, 110L), ("a", 9L, 110L)))
+      .toDF("event_type", "day", "n_events")
+    val out = Behavior.cusumCore(panel)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.take(8).forall { case (_, _, _, s, a) => s == 0L && !a })
+    assert(out(8) === (("a", 8L, 110L, 770L, false)))
+    assert(out(9) === (("a", 9L, 110L, 1540L, true)))
+  }
+
   test("q208 gap-fill: interior gaps interpolate with truncating " +
     "integer division, edge rows carry 0, bounds are global") {
     val D = Behavior.dayUs2

@@ -490,6 +490,56 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
       ("y", "y,z", 2L)))
   }
 
+  /** Independent max-spanning-forest: Kruskal with the SAME total edge
+    * order (weight DESC, src ASC, dst ASC). Under a total order the
+    * matroid-greedy optimum is unique, so Borůvka (engine) and Kruskal
+    * (here) must produce the identical edge set.
+    */
+  private def kruskalMax(
+      edges: Seq[(String, String, Long)]): Set[(String, String, Long)] = {
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val out = scala.collection.mutable.Set[(String, String, Long)]()
+    for ((a, b, w) <- edges.sortBy { case (a, b, w) => (-w, a, b) }) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; out += ((a, b, w)) }
+    }
+    out.toSet
+  }
+
+  test("q215 Borůvka forest: cycle edges dropped, ties broken by the " +
+    "total order, disconnected graphs give a forest") {
+    val s = spark
+    import s.implicits._
+    // square+chords: tree keeps the three heaviest acyclic edges;
+    // triangle of EQUAL weights: tie order keeps (x,y) and (x,z)
+    val edges = Seq(
+      ("a", "b", 5L), ("b", "c", 4L), ("c", "d", 3L),
+      ("a", "d", 2L), ("a", "c", 1L),
+      ("x", "y", 7L), ("x", "z", 7L), ("y", "z", 7L))
+    val got = GraphOps.boruvkaCore(spark, edges.toDF("a", "b", "weight"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("x", "y", 7L), ("x", "z", 7L),
+      ("a", "b", 5L), ("b", "c", 4L), ("c", "d", 3L)))
+    assert(got.toSet === kruskalMax(edges))
+  }
+
+  test("q215 equals an independent Kruskal on the documents corpus") {
+    val corpus = CooccurrenceGraph.edgeCounts(spark, sf)
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")),
+        col("weight"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = kruskalMax(corpus.toSeq)
+    val got = GraphOps.maxSpanningForest(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length == got.distinct.length)
+    assert(got.toSet === want)
+  }
+
   test("q209 agrees with q34's GraphX components on the documents corpus") {
     val star = GraphOps.ccDataFrame(spark, sf)
       .withColumn("members", array_join(col("members"), ","))

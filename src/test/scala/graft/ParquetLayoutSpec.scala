@@ -333,6 +333,20 @@ class ParquetLayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally Tables.deleteRecursively(base)
   }
 
+  test("q217: jsonl interchange round trip is lossless under an explicit schema") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q217spec_")
+    try {
+      val src = Tables.eventsMicros(spark, sf)
+        .select("event_id", "user_id", "tsu", "value", "event_type")
+      val path = base.resolve("ev").toString
+      src.write.format("json").save(path)
+      val back = spark.read.schema(src.schema).json(path)
+      // longs exact, doubles shortest-round-trip exact, nulls preserved
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+      assert(back.schema == src.schema)
+    } finally Tables.deleteRecursively(base)
+  }
+
   test("q171: a manifest commit is metadata-only and old snapshots stay readable") {
     val base = java.nio.file.Files.createTempDirectory("graft_q171spec_")
     try {

@@ -61,7 +61,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // bounded source×lang spine + single-row corpus-total broadcast
     // (q210) — every broadcast side is a vocabulary, never data-scale
     "q208_gap_fill_interpolate",
-    "q210_source_mix_tv")
+    "q210_source_mix_tv",
+    // q192's bounds-spine broadcast again (the CUSUM panel IS the spine)
+    "q216_cusum_changepoints",
+    // q142's single-row midpoint-cutoff broadcast, reused for the KS
+    // timeline split
+    "q218_ks_statistic")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

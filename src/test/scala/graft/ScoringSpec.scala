@@ -93,4 +93,27 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Double, Long, Double)].collect().head
     assert(b === ((6L, 100.0, 6L, 0.5))) // 50 < 80 → need the whole 10-group
   }
+
+  test("q218 ks: hand-computed sup CDF gap, exact cross-multiplied ppm") {
+    // baseline values {1,2,3,4} (early tsu), current {3,4,5,6} (late);
+    // midpoint (0+103) div 2 = 51 splits them 4/4. Sup gap at v=2..4:
+    // |F1−F2| = 0.5 → 500000 ppm (cross-mult: cum1·n2−cum2·n1 = 8,
+    // 8·10⁶ div 16)
+    val ev = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (3L, 4.0),
+      (100L, 3.0), (101L, 4.0), (102L, 5.0), (103L, 6.0))
+      .toDF("tsu", "value")
+    val out = Scoring.ksCore(ev).as[(Long, Long, Long)].collect().head
+    assert(out === ((4L, 4L, 500000L)))
+  }
+
+  test("q219 gini: order-statistic identity — uniform → 0, " +
+    "concentrated → 2/3, mixed hand value") {
+    def gini(cents: Seq[Long]): Long =
+      Scoring.giniCore(cents.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }.toDF("ckey", "cents"))
+        .as[(Long, Long, Long)].collect().head._3
+    assert(gini(Seq(5L, 5L, 5L)) == 0L)          // perfect equality
+    assert(gini(Seq(0L, 0L, 12L)) == 666666L)    // one owner (n−1)/n = 2/3
+    assert(gini(Seq(1L, 2L, 3L)) == 222222L)     // Σ(2i−n−1)x / nΣx = 4/18
+  }
 }
