@@ -726,13 +726,16 @@ object StreamingQueries {
     * The flush problem and the sentinel: event-time watermarks only
     * advance when newer data arrives, so the LAST window's unmatched
     * purchases would sit in state forever on a finite replay. Each
-    * side therefore stages a final single-row sentinel (user −1, both
-    * sides the SAME timestamp far past max+lookback, so the two
-    * sentinels cannot pair with real rows or each other: c_ts < p_ts
-    * fails on equality), which drives both watermarks past every real
-    * purchase; Spark's trailing no-data micro-batch then evicts and
-    * emits the outer rows. The sentinel's own unmatched outer row is
-    * filtered by id post-read. Same q99 discipline.
+    * side therefore carries a single-row sentinel in its final staged
+    * file (user −1, both sides the SAME timestamp far past
+    * max+lookback, so the two sentinels cannot pair with real rows or
+    * each other: c_ts < p_ts fails on equality), which drives both
+    * watermarks past every real purchase; Spark's trailing no-data
+    * micro-batch then evicts and emits the outer rows (watermarks
+    * update at end-of-batch for the NEXT batch, so riding in the last
+    * data file costs no extra micro-batches). The sentinel's own
+    * unmatched outer row is filtered by id post-read. Same q99
+    * discipline.
     *
     * Gated output is null-free by construction (the q104 NaN trap):
     * unmatched purchases carry click_id/click_tsu/gap_us = −1 —
@@ -768,12 +771,15 @@ object StreamingQueries {
         val now = System.currentTimeMillis()
         stageOne(rows.filter(col("ts") < timestamp_micros(lit(mid))),
           base.resolve(sub + "_s0"), inDir, "00_early.parquet", now - 240000L)
-        stageOne(rows.filter(col("ts") >= timestamp_micros(lit(mid))),
+        // the sentinel RIDES IN the late file: watermarks update at the
+        // END of a batch for the NEXT one, so a same-batch sentinel
+        // still drives the trailing no-data batch's eviction — and the
+        // replay spends 4 data micro-batches (q79's count), not 6
+        stageOne(rows.filter(col("ts") >= timestamp_micros(lit(mid)))
+            .unionByName(ev.limit(1).select(lit(-1L).as("event_id"),
+              lit(-1L).as("user_id"),
+              timestamp_micros(lit(sentinelTsu)).as("ts"))),
           base.resolve(sub + "_s1"), inDir, "01_late.parquet", now - 120000L)
-        stageOne(ev.limit(1).select(lit(-1L).as("event_id"),
-            lit(-1L).as("user_id"),
-            timestamp_micros(lit(sentinelTsu)).as("ts")),
-          base.resolve(sub + "_s2"), inDir, "02_sentinel.parquet", now)
         inDir.toString
       }
       def read(dir: String): DataFrame = spark.readStream
