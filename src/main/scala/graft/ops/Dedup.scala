@@ -116,6 +116,65 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Thresholds swept by q220, in exact ppm (0.30 … 0.90). */
+  private[graft] val sweepThresholds: Seq[Long] =
+    (3 to 9).map(_ * 100000L)
+
+  /** q220 — DEDUP THRESHOLD SENSITIVITY SWEEP: before committing a
+    * near-dup threshold, a curation run asks "how many pairs — and how
+    * many removed documents — does each candidate threshold imply?"
+    * This answers it for seven thresholds in ONE pass over the q52
+    * pair machinery (identical shingles, df-cap, lang blocking — the
+    * surfaces can't drift): the pair table is built once at the lowest
+    * swept threshold, each pair then fans out to the thresholds it
+    * clears (a ≤7× fan-out of the already-tiny pair table, not of the
+    * corpus), and a conditional aggregate per threshold reports pair
+    * count and the documents a keep-smallest-id policy would drop.
+    * The alternative — seven separate dedup runs — re-shingles the
+    * corpus seven times; at 100 TB that is the whole cost.
+    *
+    * Exact: similarity as integer ppm (n_common·10⁶ div union), so
+    * the threshold comparisons are BIGINT on both engines; the
+    * threshold spine left-joins the counts so a threshold clearing
+    * zero pairs still reports an explicit zero row.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val rows = shingleRows(spark, dir).repartition(col("sh"))
+    val hot = rows.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("sh")
+    val capped = rows.join(hot, Seq("sh"), "left_anti")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = capped.as("a")
+      .join(capped.as("b"),
+        col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jac_ppm",
+        expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+      .filter(col("jac_ppm") >= sweepThresholds.min)
+    val counts = pairs
+      .select(col("jac_ppm"), col("doc_b"),
+        explode(array(sweepThresholds.map(lit): _*)).as("threshold_ppm"))
+      .filter(col("jac_ppm") >= col("threshold_ppm"))
+      .groupBy("threshold_ppm")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("doc_b").as("n_drop_docs"))
+    val se = spark
+    import se.implicits._
+    val spine = sweepThresholds.toDF("threshold_ppm")
+    spine.join(counts, Seq("threshold_ppm"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_drop_docs"))
+      .orderBy("threshold_ppm")
+  }
+
   /** q177 — INCREMENTAL NEAR-DUP (delta vs corpus): dedup a NEW batch
     * against an already-deduped corpus without ever re-comparing the
     * corpus to itself — how near-dup runs in steady state at 100 TB
@@ -401,9 +460,52 @@ object Dedup {
     "q55_simhash" -> (simhashes(_, _)),
     "q56_simhash_pairs" -> (simhashPairs(_, _)),
     "q57_dedup_clusters" -> (dedupClusters(_, _)),
-    "q177_incremental_dedup" -> (incrementalDedup(_, _)))
+    "q177_incremental_dedup" -> (incrementalDedup(_, _)),
+    "q220_dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q220: q52's relation verbatim, integer-ppm similarity, unnested
+    // threshold spine left-joining the conditional counts
+    "q220_dedup_threshold_sweep" ->
+      """WITH t AS (
+           SELECT doc_id, lang, list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, lang, unnest(list_distinct(
+             CASE WHEN len(ws) < 3 THEN []
+                  ELSE list_transform(range(len(ws)-2),
+                         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             END)) AS sh
+           FROM t),
+         rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+         capped AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM capped a JOIN capped b
+             ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+           GROUP BY 1,2),
+         pairs AS (
+           SELECT doc_b,
+             n_common * 1000000 // (sa.n_sh + sb.n_sh - n_common) AS jac_ppm
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_common * 1000000 // (sa.n_sh + sb.n_sh - n_common)
+             >= 300000),
+         spine AS (
+           SELECT unnest([300000, 400000, 500000, 600000, 700000,
+             800000, 900000])::BIGINT AS threshold_ppm),
+         agg AS (
+           SELECT s.threshold_ppm, count(*)::BIGINT AS n_pairs,
+             count(DISTINCT p.doc_b)::BIGINT AS n_drop_docs
+           FROM spine s JOIN pairs p ON p.jac_ppm >= s.threshold_ppm
+           GROUP BY 1)
+         SELECT spine.threshold_ppm,
+           coalesce(agg.n_pairs, 0)::BIGINT AS n_pairs,
+           coalesce(agg.n_drop_docs, 0)::BIGINT AS n_drop_docs
+         FROM spine LEFT JOIN agg USING (threshold_ppm)
+         ORDER BY threshold_ppm""",
     // q177: q52's oracle restricted to pairs whose b member is in the
     // delta (the top quarter of the doc_id span) — the incremental
     // join must find exactly the delta-touching subset of q52's pairs

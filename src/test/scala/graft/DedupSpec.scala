@@ -195,4 +195,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // the base×base duplicate (0,1) is structurally out of scope
     assert(!out.exists(p => p._1 == 0L && p._2 == 1L))
   }
+
+  test("q220 sweep: thresholds complete, counts monotone non-increasing, " +
+    "and the 0.8 row equals q52's pair count exactly") {
+    val sweep = graft.ops.Dedup.dedupThresholdSweep(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.map(_._1).toSeq == (3 to 9).map(_ * 100000L))
+    assert(sweep.sliding(2).forall {
+      case Array(lo, hi) => lo._2 >= hi._2 && lo._3 >= hi._3
+      case _ => true
+    }, "tightening the threshold must never find MORE pairs")
+    assert(sweep.head._2 > 0, "fixture corpus has near-dups at 0.3")
+    // jac_raw >= 0.8 ⟺ floor(nc·10⁶/union) >= 800000 (exact rational
+    // boundary), so the sweep's 0.8 row IS q52's pair count
+    val q52n = graft.ops.Dedup.jaccardPairs(spark, sf).count()
+    assert(sweep.find(_._1 == 800000L).get._2 == q52n)
+  }
 }

@@ -36,10 +36,10 @@ FAMILIES = [
       "q69", "q88", "q109", "q111", "q112", "q139", "q148", "q156",
       "q196", "q198"]),
     ("dedup + decontamination + sampling + linkage (q50-q59, q87, q140, "
-     "q144, q162, q177, q181, q184, q193, q199)",
+     "q144, q162, q177, q181, q184, q193, q199, q220)",
      ["q50", "q51", "q52", "q53", "q54", "q55", "q56", "q57", "q58", "q59",
       "q87", "q140", "q144", "q162", "q177", "q181", "q184", "q193",
-      "q199"]),
+      "q199", "q220"]),
     ("similarity/ANN (q60-q68, q115, q146)",
      ["q60", "q61", "q62", "q63", "q64", "q65", "q66", "q67", "q68",
       "q115", "q146"]),
