@@ -438,6 +438,57 @@ object Behavior {
                            * n_signup_treatment, 0)"""))
   }
 
+  /** q222 — A/B SIGNIFICANCE in pure integers: the two-proportion
+    * pooled z-test on q159's experiment, decided WITHOUT a single
+    * float. q159 reports the effect (lift); this answers the other
+    * half every readout needs — "is it noise?" — via the algebraic
+    * identity z² = N·(c₁n₂ − c₂n₁)² / (n₁·n₂·C·(N−C)) (c=conversions,
+    * n=arm sizes, C=c₁+c₂, N=n₁+n₂), so the α=0.05 decision is the
+    * exact cross-multiplied comparison
+    * 10⁴·N·(c₁n₂−c₂n₁)² > 38415·n₁n₂·C·(N−C) — the critical value
+    * 3.8415 enters as an integer constant, never as an IEEE ratio.
+    * z² itself ships as exact milli (one truncating division) for
+    * dashboards that want the magnitude.
+    *
+    * DECIMAL(38,0) bound, documented: (c₁n₂−c₂n₁)² stays under 10³⁸
+    * through ~3·10⁹ users per arm; the ·10⁴·N product tightens that to
+    * ~10⁷ per arm — beyond it, reduce the counts by their gcd or
+    * widen to a two-word representation. At any plausible experiment
+    * size the arithmetic is exact.
+    *
+    * Scale: reuses q159's single-pass arm aggregation (user-grain
+    * collapse, one row out) — the test adds projections, no new scan.
+    */
+  def abSignificance(spark: SparkSession, dir: String): DataFrame =
+    abSignificanceCore(abExperimentCore(Tables.eventsMicros(spark, dir)))
+
+  /** Over q159's one-row readout — fixture seam. */
+  private[graft] def abSignificanceCore(readout: DataFrame): DataFrame =
+    readout
+      .select(
+        col("n_signup_control").as("n1"),
+        col("n_conv_control").as("c1"),
+        col("n_signup_treatment").as("n2"),
+        col("n_conv_treatment").as("c2"))
+      .withColumn("d",
+        expr("cast(c1 as decimal(38,0)) * n2 - cast(c2 as decimal(38,0)) * n1"))
+      .withColumn("den",
+        expr("""cast(n1 as decimal(38,0)) * n2
+                * (c1 + c2) * (n1 + n2 - c1 - c2)"""))
+      // degenerate dens (an empty arm, zero or total conversion) carry
+      // 0, never NULL (the q104 NaN trap) — d is provably 0 in every
+      // such case, so 0 is the honest value, not a sentinel
+      .select(col("n1"), col("c1"), col("n2"), col("c2"),
+        expr("""coalesce(cast((cast(c1 as decimal(38,0)) * n2
+                      - cast(c2 as decimal(38,0)) * n1) * 1000000
+                div nullif(cast(n1 as decimal(38,0)) * n2, 0) as bigint),
+                0L)""").as("diff_ppm"),
+        expr("""coalesce(cast(1000 * (n1 + n2) * d * d
+                div nullif(den, 0) as bigint), 0L)""")
+          .as("z2_milli"),
+        expr("""coalesce(10000 * (n1 + n2) * d * d
+                > 38415 * den, false)""").as("significant_95"))
+
   /** q163 — TIME-TO-CONVERT LATENCY DISTRIBUTION per customer segment:
     * exact p50/p90/p99 of the signup→first-purchase delay, the
     * product-health metric behind "how long does activation take".
@@ -775,6 +826,7 @@ object Behavior {
     "q185_ewma_smoothing" -> (ewmaSmoothing(_, _)),
     "q163_conversion_latency" -> (conversionLatency(_, _)),
     "q159_ab_experiment" -> (abExperimentLift(_, _)),
+    "q222_ab_significance" -> (abSignificance(_, _)),
     "q145_hourly_anomaly" -> (hourlyAnomaly(_, _)),
     "q117_type_coengagement" -> (typeCoEngagement(_, _)),
     "q120_activity_heatmap" -> (activityHeatmap(_, _)),
@@ -1056,6 +1108,48 @@ object Behavior {
     // q159: arm re-derived from the same md5 nibble, funnel gate and
     // ppm arithmetic re-formulated with FILTER aggregates — integer
     // division end to end, nulls (not errors) on degenerate arms
+    // q222: q159's arm counts verbatim, then the identical z² identity
+    // in HUGEINT — the significance boolean is the same cross-
+    // multiplied integer comparison, never an IEEE ratio
+    "q222_ab_significance" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu
+           FROM events WHERE ts IS NOT NULL),
+         s AS (
+           SELECT user_id, min(tsu) AS signup_tsu FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         c AS (
+           SELECT DISTINCT e.user_id FROM ev e JOIN s USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.tsu >= s.signup_tsu),
+         a AS (
+           SELECT s.user_id,
+             CASE WHEN strpos('0123456789abcdef',
+                 substr(md5(s.user_id::VARCHAR || ':arm'), 1, 1)) - 1 < 8
+               THEN 'control' ELSE 'treatment' END AS arm,
+             (c.user_id IS NOT NULL) AS converted
+           FROM s LEFT JOIN c ON s.user_id = c.user_id),
+         m AS (
+           SELECT
+             (count(*) FILTER (WHERE arm = 'control'))::BIGINT AS n1,
+             (count(*) FILTER (WHERE arm = 'control' AND converted))::BIGINT
+               AS c1,
+             (count(*) FILTER (WHERE arm = 'treatment'))::BIGINT AS n2,
+             (count(*) FILTER (WHERE arm = 'treatment' AND converted))::BIGINT
+               AS c2
+           FROM a),
+         z AS (
+           SELECT n1, c1, n2, c2,
+             (c1::HUGEINT * n2 - c2::HUGEINT * n1) AS d,
+             (n1::HUGEINT * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)) AS den
+           FROM m)
+         SELECT n1, c1, n2, c2,
+           coalesce((d * 1000000 // nullif(n1::HUGEINT * n2, 0))::BIGINT,
+             0) AS diff_ppm,
+           coalesce((1000 * (n1 + n2)::HUGEINT * d * d
+             // nullif(den, 0))::BIGINT, 0) AS z2_milli,
+           coalesce(10000 * (n1 + n2)::HUGEINT * d * d > 38415 * den,
+             false) AS significant_95
+         FROM z""",
     "q159_ab_experiment" ->
       """WITH ev AS (
            SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu

@@ -924,7 +924,8 @@ object GraphOps {
       ccDataFrame(s, d).withColumn("members", array_join(col("members"), ","))),
     // rows-only by design: a matroid-greedy fixpoint has no SQL oracle;
     // GraphOpsSpec pins corpus equality vs an in-JVM Prim plus a fixture
-    "q215_max_spanning_forest" -> (maxSpanningForest(_, _)))
+    "q215_max_spanning_forest" -> (maxSpanningForest(_, _)),
+    "q221_skipgram_pairs" -> (skipgramPairs(_, _)))
 
   /** Iteration cap for q209's star alternation. Large-star/small-star
     * provably converges in O(log² n) rounds (and O(log n) in practice);
@@ -1047,6 +1048,43 @@ object GraphOps {
     pairs.unpersist(blocking = false)
     lbl
   }
+
+  /** q221 skip-gram context radius (positions within ±W pair up). */
+  private[graft] val skipgramWindow = 2
+
+  /** q221 — SKIP-GRAM PAIR CORPUS from the q203 walks: the
+    * (center, context) co-occurrence table word2vec/node2vec training
+    * actually consumes — q203 generates the walk sequences; this is
+    * the windowing pass that turns sequences into weighted training
+    * pairs (DeepWalk §4.2's mapping of walks onto the skip-gram
+    * objective). Each position pairs with every other position within
+    * ±W on the SAME walk, directional (center→context), aggregated to
+    * pair counts.
+    *
+    * Deterministic end to end: the walks are pure-hash (q203), the
+    * window is positional, the counts are BIGINT — so unlike most
+    * embedding tooling this corpus is bit-reproducible across engines,
+    * restarts and cluster layouts, and the oracle re-derives every
+    * pair from the replayed walks.
+    *
+    * Scale: the self-join is keyed on walk_id and each walk has
+    * (len+1) ≤ 5 positions — fan-out is a constant ≤ (len+1)·2W per
+    * walk, never data×data; the walk table itself is one row per
+    * (node, step), linear in the node set. One hash aggregate on the
+    * bounded (center, context) pair domain.
+    */
+  def skipgramPairs(spark: SparkSession, dir: String): DataFrame =
+    skipgramCore(randomWalks(CooccurrenceGraph.edgeCounts(spark, dir))
+      .localCheckpoint(true))
+
+  private[graft] def skipgramCore(walks: DataFrame): DataFrame =
+    walks.as("a").join(walks.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+          col("a.step") =!= col("b.step") &&
+          abs(col("a.step") - col("b.step")) <= skipgramWindow)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("center", "context")
 
   /** Round cap for q215's Borůvka loop: components at least halve per
     * round, so log₂|V| rounds suffice; 20 covers a million-node graph
@@ -1177,40 +1215,60 @@ object GraphOps {
            n_members
          FROM grp ORDER BY n_members DESC, component_rep"""
 
+  /** The q203 walk replay, CTE-prefix form: ranked adjacency, degree
+    * table, and one chained CTE per step — shared by the q203 and q221
+    * oracles so the walk corpus can never drift between them.
+    */
+  private val walksCtePrefix: String =
+    CooccurrenceGraph.entsCte +
+      """, e AS (
+           SELECT a.w AS src, b.w AS dst, count(*)::BIGINT AS weight
+           FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+           GROUP BY 1, 2
+         ), sym AS (
+           SELECT src, dst, weight FROM e
+           UNION ALL SELECT dst, src, weight FROM e
+         ), adj AS (
+           SELECT src, dst, row_number() OVER (PARTITION BY src
+             ORDER BY weight DESC, dst) - 1 AS pos
+           FROM sym
+         ), dg AS (
+           SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1
+         ), s0 AS (
+           SELECT src AS walk_id, src AS node FROM dg
+         )""" +
+      (1 to walkLen).map(i =>
+        s""", s$i AS (
+           SELECT w.walk_id, a.dst AS node
+           FROM s${i - 1} w
+           JOIN dg d ON w.node = d.src
+           JOIN adj a ON a.src = w.node AND a.pos =
+             ('0x' || substr(md5(w.walk_id || ':$i:' || w.node), 1, 8)
+             )::BIGINT % d.deg
+         )""").mkString
+
   val oracles: Map[String, String] = Map(
     // q203: every step replayed — same ranked adjacency (weight desc,
     // dst asc), same md5-mod-degree pick, chained CTE per step
     "q203_random_walks" ->
-      (CooccurrenceGraph.entsCte +
-        """, e AS (
-             SELECT a.w AS src, b.w AS dst, count(*)::BIGINT AS weight
-             FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
-             GROUP BY 1, 2
-           ), sym AS (
-             SELECT src, dst, weight FROM e
-             UNION ALL SELECT dst, src, weight FROM e
-           ), adj AS (
-             SELECT src, dst, row_number() OVER (PARTITION BY src
-               ORDER BY weight DESC, dst) - 1 AS pos
-             FROM sym
-           ), dg AS (
-             SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1
-           ), s0 AS (
-             SELECT src AS walk_id, src AS node FROM dg
-           )""" +
-        (1 to walkLen).map(i =>
-          s""", s$i AS (
-             SELECT w.walk_id, a.dst AS node
-             FROM s${i - 1} w
-             JOIN dg d ON w.node = d.src
-             JOIN adj a ON a.src = w.node AND a.pos =
-               ('0x' || substr(md5(w.walk_id || ':$i:' || w.node), 1, 8)
-               )::BIGINT % d.deg
-           )""").mkString +
+      (walksCtePrefix +
         " SELECT walk_id, 0 AS step, node FROM s0" +
         (1 to walkLen).map(i =>
           s" UNION ALL SELECT walk_id, $i, node FROM s$i").mkString +
         " ORDER BY walk_id, step"),
+    // q221: q203's walks verbatim, then the same bounded-window
+    // self-join per walk — both engines derive the identical corpus
+    "q221_skipgram_pairs" ->
+      (walksCtePrefix +
+        ", walks AS (SELECT walk_id, 0 AS step, node FROM s0" +
+        (1 to walkLen).map(i =>
+          s" UNION ALL SELECT walk_id, $i, node FROM s$i").mkString +
+        s""") SELECT a.node AS center, b.node AS context,
+             count(*)::BIGINT AS n_pairs
+           FROM walks a JOIN walks b
+             ON a.walk_id = b.walk_id AND a.step <> b.step
+            AND abs(a.step - b.step) <= $skipgramWindow
+           GROUP BY 1, 2 ORDER BY 1, 2"""),
     // q154: the same midpoint self-join re-derived from the raw entity
     // rows — including the super-hub midpoint cap, so the two engines
     // implement the same contract on ANY graph; counts, degrees and the

@@ -405,6 +405,24 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       ("a", 1L, 1L, 4500L, 4500L, 4500L, 4500L)))
   }
 
+  test("q222 ab significance: z² identity on hand counts — clear " +
+    "effect significant, small effect not, degenerate arms zero") {
+    def run(n1: Long, c1: Long, n2: Long, c2: Long) =
+      Behavior.abSignificanceCore(Seq((n1, c1, n2, c2))
+          .toDF("n_signup_control", "n_conv_control",
+            "n_signup_treatment", "n_conv_treatment"))
+        .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+        .collect().head
+    // 10% vs 20% on 1000/arm: z² = 39.215 — significant
+    assert(run(1000, 100, 1000, 200) ===
+      ((1000L, 100L, 1000L, 200L, -100000L, 39215L, true)))
+    // 10% vs 11% on 1000/arm: z² = 0.532 — noise
+    assert(run(1000, 100, 1000, 110) ===
+      ((1000L, 100L, 1000L, 110L, -10000L, 532L, false)))
+    // total conversion in both arms: no variance, exact zeros, false
+    assert(run(5, 5, 4, 4) === ((5L, 5L, 4L, 4L, 0L, 0L, false)))
+  }
+
   test("q216 cusum: quiet prefix resets to zero, a sustained level " +
     "shift accumulates and crosses the 3T alarm line") {
     // one series: 8 days at 10 then 2 days at 110.

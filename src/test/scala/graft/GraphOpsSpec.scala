@@ -540,6 +540,75 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSet === want)
   }
 
+  test("q221 skip-gram pairs: directional ±2 window over a hand walk") {
+    val s = spark
+    import s.implicits._
+    // one walk a,b,c,a,d at steps 0..4 — 14 directional pairs
+    val walks = Seq(("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"),
+      ("w1", 3, "a"), ("w1", 4, "d")).toDF("walk_id", "step", "node")
+    val out = GraphOps.skipgramCore(walks)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", "b", 2L), ("a", "c", 2L), ("a", "d", 1L),
+      ("b", "a", 2L), ("b", "c", 1L),
+      ("c", "a", 2L), ("c", "b", 1L), ("c", "d", 1L),
+      ("d", "a", 1L), ("d", "c", 1L)))
+    assert(out.map(_._3).sum == 14L)
+  }
+
+  /** Plain JVM union-find components for the property pins. */
+  private def ufComponents(
+      edges: Seq[(String, String)]): Set[Set[String]] = {
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(find).values.map(_.toSet).toSet
+  }
+
+  test("q209 property: star-alternation components equal union-find on " +
+    "random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val nodeGen = Gen.oneOf(('a' to 'j').map(_.toString))
+    val edgesGen = Gen.nonEmptyListOf(Gen.zip(nodeGen, nodeGen))
+      .map(_.filter(e => e._1 != e._2)).suchThat(_.nonEmpty)
+    val prop = Prop.forAll(edgesGen) { edges =>
+      val got = GraphOps.ccStarCore(edges.toDF("a", "b"))
+        .collect()
+        .map(_.getSeq[String](1).toSet).toSet
+      got == ufComponents(edges)
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop).passed)
+  }
+
+  test("q215 property: Borůvka forest equals tie-broken Kruskal on " +
+    "random weighted graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val nodeGen = Gen.oneOf(('a' to 'h').map(_.toString))
+    val edgesGen = Gen.nonEmptyListOf(
+        Gen.zip(nodeGen, nodeGen, Gen.choose(1L, 9L)))
+      .map(_.collect { case (a, b, w) if a < b => (a, b, w) }
+        .groupBy(e => (e._1, e._2))
+        .map { case ((a, b), es) => (a, b, es.map(_._3).max) }.toList)
+      .suchThat(_.nonEmpty)
+    val prop = Prop.forAll(edgesGen) { edges =>
+      val got = GraphOps.boruvkaCore(spark, edges.toDF("a", "b", "weight"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      got == kruskalMax(edges)
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop).passed)
+  }
+
   test("q209 agrees with q34's GraphX components on the documents corpus") {
     val star = GraphOps.ccDataFrame(spark, sf)
       .withColumn("members", array_join(col("members"), ","))

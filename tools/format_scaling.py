@@ -26,10 +26,10 @@ FAMILIES = [
       "q149", "q150", "q151", "q152", "q185", "q190", "q192", "q208",
       "q214"]),
     ("graph (q30-q35, q74-q75, q89, q107, q110, q118, q121, q147, q154, "
-     "q203, q209, q215)",
+     "q203, q209, q215, q221)",
      ["q30", "q31", "q32", "q33", "q34", "q35", "q74", "q75", "q89",
       "q107", "q110", "q118", "q121", "q147", "q154", "q203", "q209",
-      "q215"]),
+      "q215", "q221"]),
     ("temporal joins (q36-q37, q191)", ["q36", "q37", "q191"]),
     ("text (q40-q49, q69, q88, q109, q111-q112, q139, q148, q156, q196, q198)",
      ["q40", "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q49",
@@ -49,9 +49,9 @@ FAMILIES = [
       "q218", "q219"]),
     ("tag/sequence mining (q70-q72, q124)", ["q70", "q71", "q72", "q124"]),
     ("behavior (q76-q77, q116-q117, q120, q159, q163, q188, q201, "
-     "q207, q211)",
+     "q207, q211, q222)",
      ["q76", "q77", "q116", "q117", "q120", "q159", "q163", "q188",
-      "q201", "q207", "q211"]),
+      "q201", "q207", "q211", "q222"]),
     ("sources/layout + lakehouse (q103, q125, q131-q132, q134, q155, "
      "q165-q167, q170-q173, q176, q178-q180, q217)",
      ["q103", "q125", "q131", "q132", "q134", "q155", "q165", "q166",
