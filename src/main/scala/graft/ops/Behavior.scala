@@ -489,6 +489,90 @@ object Behavior {
         expr("""coalesce(10000 * (n1 + n2) * d * d
                 > 38415 * den, false)""").as("significant_95"))
 
+  /** q223 — CUPED-ADJUSTED A/B READOUT: the industry-standard variance
+    * reduction (Deng et al., WSDM 2013) — each user's experiment-period
+    * spend is adjusted by θ·(pre-period spend − pooled pre-mean),
+    * where θ = Cov(X,Y)/Var(X) over the pooled population, removing
+    * the between-user variance the pre-period already explains. q159
+    * answers "did it move", q222 "is it noise"; this is the pass that
+    * makes both SHARPER on the same traffic — the third leg of a real
+    * experimentation platform.
+    *
+    * Exact fixed-point, both engines replicating the same truncation
+    * order: spends are floor-milli sums per user; θ comes from the
+    * one-pass sufficient statistics (n, Σx, Σy, Σxy, Σx²) — q201's
+    * algebraic-aggregation argument — as θ_ppm = (nΣxy − ΣxΣy)·10⁶
+    * div (nΣx² − (Σx)²); adjusted arm means apply θ_ppm with one
+    * explicit div 10⁶. Zero pre-period variance → θ honest 0 (its
+    * covariance is provably 0 too), never NULL. DECIMAL(38,0)
+    * everywhere products can pass 2⁶³.
+    *
+    * Scale: one full-data pass collapses to user grain (the q159
+    * discipline); ONE further aggregation row carries the pooled and
+    * per-arm sufficient statistics together (conditional sums), so
+    * the whole readout is two hash aggregates and a single-row
+    * projection. The pre/post split is the q142 midpoint-cutoff
+    * broadcast.
+    */
+  def cupedReadout(spark: SparkSession, dir: String): DataFrame =
+    cupedCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def cupedCore(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("user_id"), col("tsu"), col("event_type"),
+      col("value"))
+    val cutoff = ev.agg(expr("(min(tsu) + max(tsu)) div 2").as("cut_us"))
+    val perUser = ev.crossJoin(broadcast(cutoff))
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("tsu") < col("cut_us")
+            && col("event_type") === "purchase",
+          expr("cast(floor(value * 1000.0D) as bigint)"))), lit(0L))
+          .as("x"),
+        coalesce(sum(when(col("tsu") >= col("cut_us")
+            && col("event_type") === "purchase",
+          expr("cast(floor(value * 1000.0D) as bigint)"))), lit(0L))
+          .as("y"))
+      .withColumn("is_t",
+        Sampling.nibbleOf(col("user_id"), ":arm") >= 8)
+    perUser.agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        count(when(!col("is_t"), 1)).as("n_c"),
+        sum(when(!col("is_t"), expr("cast(x as decimal(38,0))")))
+          .as("sx_c"),
+        sum(when(!col("is_t"), expr("cast(y as decimal(38,0))")))
+          .as("sy_c"),
+        count(when(col("is_t"), 1)).as("n_t"),
+        sum(when(col("is_t"), expr("cast(x as decimal(38,0))")))
+          .as("sx_t"),
+        sum(when(col("is_t"), expr("cast(y as decimal(38,0))")))
+          .as("sy_t"))
+      .withColumn("theta_ppm",
+        expr("""coalesce((n * sxy - sx * sy) * 1000000
+                div nullif(n * sxx - sx * sx, 0), 0)"""))
+      .withColumn("mean_x_all_milli", expr("sx div n"))
+      .withColumn("mean_y_c_milli", expr("sy_c div nullif(n_c, 0)"))
+      .withColumn("mean_y_t_milli", expr("sy_t div nullif(n_t, 0)"))
+      .withColumn("adj_y_c_milli",
+        expr("""mean_y_c_milli - (theta_ppm
+                * (sx_c div nullif(n_c, 0) - mean_x_all_milli)) div 1000000"""))
+      .withColumn("adj_y_t_milli",
+        expr("""mean_y_t_milli - (theta_ppm
+                * (sx_t div nullif(n_t, 0) - mean_x_all_milli)) div 1000000"""))
+      .select(
+        col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+        expr("cast(theta_ppm as bigint)").as("theta_ppm"),
+        expr("cast(mean_y_c_milli as bigint)").as("mean_y_control_milli"),
+        expr("cast(mean_y_t_milli as bigint)").as("mean_y_treatment_milli"),
+        expr("cast(adj_y_c_milli as bigint)").as("adj_y_control_milli"),
+        expr("cast(adj_y_t_milli as bigint)").as("adj_y_treatment_milli"),
+        expr("cast(adj_y_t_milli - adj_y_c_milli as bigint)")
+          .as("adj_diff_milli"))
+  }
+
   /** q163 — TIME-TO-CONVERT LATENCY DISTRIBUTION per customer segment:
     * exact p50/p90/p99 of the signup→first-purchase delay, the
     * product-health metric behind "how long does activation take".
@@ -827,6 +911,7 @@ object Behavior {
     "q163_conversion_latency" -> (conversionLatency(_, _)),
     "q159_ab_experiment" -> (abExperimentLift(_, _)),
     "q222_ab_significance" -> (abSignificance(_, _)),
+    "q223_cuped_readout" -> (cupedReadout(_, _)),
     "q145_hourly_anomaly" -> (hourlyAnomaly(_, _)),
     "q117_type_coengagement" -> (typeCoEngagement(_, _)),
     "q120_activity_heatmap" -> (activityHeatmap(_, _)),
@@ -1108,6 +1193,62 @@ object Behavior {
     // q159: arm re-derived from the same md5 nibble, funnel gate and
     // ppm arithmetic re-formulated with FILTER aggregates — integer
     // division end to end, nulls (not errors) on degenerate arms
+    // q223: same per-user pre/post spends, same pooled sufficient
+    // statistics, same θ and the same explicit truncation order — the
+    // adjusted means compare as exact BIGINTs
+    "q223_cuped_readout" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_type, value
+           FROM events WHERE ts IS NOT NULL),
+         p AS (SELECT (min(tsu) + max(tsu)) // 2 AS cut FROM ev),
+         u AS (
+           SELECT user_id,
+             coalesce(sum(CASE WHEN tsu < (SELECT cut FROM p)
+                 AND event_type = 'purchase'
+               THEN CAST(floor(value * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+               END), 0) AS x,
+             coalesce(sum(CASE WHEN tsu >= (SELECT cut FROM p)
+                 AND event_type = 'purchase'
+               THEN CAST(floor(value * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+               END), 0) AS y
+           FROM ev GROUP BY 1),
+         a AS (
+           SELECT x, y,
+             strpos('0123456789abcdef',
+               substr(md5(user_id::VARCHAR || ':arm'), 1, 1)) - 1 >= 8
+               AS is_t
+           FROM u),
+         m AS (
+           SELECT count(*)::HUGEINT AS n, sum(x::HUGEINT) AS sx,
+             sum(y::HUGEINT) AS sy, sum(x::HUGEINT * y) AS sxy,
+             sum(x::HUGEINT * x) AS sxx,
+             (count(*) FILTER (WHERE NOT is_t))::HUGEINT AS n_c,
+             sum(x::HUGEINT) FILTER (WHERE NOT is_t) AS sx_c,
+             sum(y::HUGEINT) FILTER (WHERE NOT is_t) AS sy_c,
+             (count(*) FILTER (WHERE is_t))::HUGEINT AS n_t,
+             sum(x::HUGEINT) FILTER (WHERE is_t) AS sx_t,
+             sum(y::HUGEINT) FILTER (WHERE is_t) AS sy_t
+           FROM a),
+         t AS (
+           SELECT *,
+             coalesce((n * sxy - sx * sy) * 1000000
+               // nullif(n * sxx - sx * sx, 0), 0) AS theta_ppm,
+             sx // n AS mxa,
+             sy_c // nullif(n_c, 0) AS myc,
+             sy_t // nullif(n_t, 0) AS myt
+           FROM m)
+         SELECT n_c::BIGINT AS n_control, n_t::BIGINT AS n_treatment,
+           theta_ppm::BIGINT AS theta_ppm,
+           myc::BIGINT AS mean_y_control_milli,
+           myt::BIGINT AS mean_y_treatment_milli,
+           (myc - (theta_ppm * (sx_c // nullif(n_c, 0) - mxa))
+             // 1000000)::BIGINT AS adj_y_control_milli,
+           (myt - (theta_ppm * (sx_t // nullif(n_t, 0) - mxa))
+             // 1000000)::BIGINT AS adj_y_treatment_milli,
+           ((myt - (theta_ppm * (sx_t // nullif(n_t, 0) - mxa)) // 1000000)
+            - (myc - (theta_ppm * (sx_c // nullif(n_c, 0) - mxa))
+               // 1000000))::BIGINT AS adj_diff_milli
+         FROM t""",
     // q222: q159's arm counts verbatim, then the identical z² identity
     // in HUGEINT — the significance boolean is the same cross-
     // multiplied integer comparison, never an IEEE ratio

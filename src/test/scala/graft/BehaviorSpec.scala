@@ -423,6 +423,47 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
     assert(run(5, 5, 4, 4) === ((5L, 5L, 4L, 4L, 0L, 0L, false)))
   }
 
+  test("q223 cuped: θ and adjusted means replicated independently in " +
+    "BigInt with the engine's exact truncation order") {
+    def isT(u: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:arm".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(1), 16) >= 8
+    }
+    // users 1..12: pre-spend x = u, post-spend y = 2u + (u mod 3) —
+    // correlated, so θ must be materially non-zero
+    val users = (1L to 12L)
+    val rows = users.flatMap { u =>
+      Seq((u, 0L, "purchase", u.toDouble),
+        (u, 100L, "purchase", (2 * u + u % 3).toDouble))
+    }
+    val r = Behavior.cupedCore(
+      rows.toDF("user_id", "tsu", "event_type", "value")).collect().head
+    // independent replication (cut = (0+100) div 2 = 50)
+    val x = users.map(u => u -> BigInt(u * 1000)).toMap
+    val y = users.map(u => u -> BigInt((2 * u + u % 3) * 1000)).toMap
+    val n = BigInt(users.size)
+    val (sx, sy) = (users.map(x).sum, users.map(y).sum)
+    val sxy = users.map(u => x(u) * y(u)).sum
+    val sxx = users.map(u => x(u) * x(u)).sum
+    val theta = (n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx)
+    val (tU, cU) = users.partition(isT)
+    assert(tU.nonEmpty && cU.nonEmpty)
+    val mxa = sx / n
+    def adj(us: Seq[Long]): BigInt = {
+      val m = BigInt(us.size)
+      us.map(y).sum / m - (theta * (us.map(x).sum / m - mxa)) / 1000000
+    }
+    assert(r.getAs[Long]("n_control") == cU.size.toLong)
+    assert(r.getAs[Long]("n_treatment") == tU.size.toLong)
+    assert(r.getAs[Long]("theta_ppm") == theta.toLong)
+    assert(theta != 0, "fixture must exercise a non-trivial adjustment")
+    assert(r.getAs[Long]("adj_y_control_milli") == adj(cU).toLong)
+    assert(r.getAs[Long]("adj_y_treatment_milli") == adj(tU).toLong)
+    assert(r.getAs[Long]("adj_diff_milli") ==
+      (adj(tU) - adj(cU)).toLong)
+  }
+
   test("q216 cusum: quiet prefix resets to zero, a sustained level " +
     "shift accumulates and crosses the 3T alarm line") {
     // one series: 8 days at 10 then 2 days at 110.

@@ -65,8 +65,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // q192's bounds-spine broadcast again (the CUSUM panel IS the spine)
     "q216_cusum_changepoints",
     // q142's single-row midpoint-cutoff broadcast, reused for the KS
-    // timeline split
-    "q218_ks_statistic")
+    // timeline split (q218) and CUPED's pre/post split (q223)
+    "q218_ks_statistic",
+    "q223_cuped_readout")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
