@@ -850,6 +850,68 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  /** q224 — EVENT-TIME LATENESS AUDIT: per event type, how
+    * out-of-order the stream actually arrives — the measurement that
+    * CHOOSES a watermark delay (q100 accounts for what a given delay
+    * drops; this is the pre-flight that picks it: set the delay at the
+    * p99 lateness and you bound both state size and drop rate).
+    * Lateness of an event = how far its event time sits behind the
+    * high-water mark of everything that arrived BEFORE it in the same
+    * user's stream (event_id is arrival order; the per-user scope
+    * matches how keyed streaming state actually observes disorder, and
+    * is the scale-safe formulation — a GLOBAL arrival ranking is a
+    * single-task sort of the corpus).
+    *
+    * Exact: lateness is a µs BIGINT difference; the p50/p99 picks are
+    * the q102 discrete-selection kernel (shared cume rule, so engines
+    * can't drift); late_ppm is one truncating division.
+    *
+    * Scale: the high-water-mark window shares the user_id exchange
+    * every behavioral op uses; the percentile pass runs at
+    * (type, lateness)-grain after the histogram collapse.
+    */
+  /** q224's simulated delivery: the synthetic stream is perfectly
+    * ordered (ts monotone in event_id), so the registered instance
+    * delays every 11th event by 50 arrival slots — the q113
+    * redelivery discipline: manufacture the disorder class
+    * deterministically so the audit's interesting path is genuinely
+    * exercised and gated; production points the same audit at the
+    * REAL arrival order (a log offset / kafka offset column).
+    */
+  private[graft] val lateMod = 11L
+  private[graft] val lateSlots = 50L
+
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame =
+    latenessCore(Tables.eventsMicros(spark, dir)
+      .withColumn("arrival",
+        when(pmod(col("event_id"), lit(lateMod)) === 0,
+          col("event_id") + lateSlots).otherwise(col("event_id"))))
+
+  /** Over any frame with (user_id, event_id, arrival, event_type,
+    * tsu); lateness is measured against the high-water mark in
+    * ARRIVAL order.
+    */
+  private[graft] def latenessCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prior = Window.partitionBy("user_id")
+      .orderBy("arrival", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLate = ev
+      .withColumn("hwm", max("tsu").over(prior))
+      .withColumn("lateness_us",
+        greatest(coalesce(col("hwm") - col("tsu"), lit(0L)), lit(0L)))
+    Skew.cumeCuts(withLate.select(col("event_type"), col("lateness_us")),
+        "lateness_us",
+        Seq("p50_lateness_us" -> 0.5, "p99_lateness_us" -> 0.99),
+        extras = Seq(
+          max("n").as("n_events"),
+          expr("sum(case when lateness_us > 0 then c else 0 end)")
+            .as("n_late"),
+          max(col("lateness_us")).as("max_lateness_us")))
+      .withColumn("late_ppm", expr("n_late * 1000000 div n_events"))
+      .orderBy("event_type")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** q201 — OLS TREND SLOPES as a one-pass aggregation: per customer
@@ -912,6 +974,7 @@ object Behavior {
     "q159_ab_experiment" -> (abExperimentLift(_, _)),
     "q222_ab_significance" -> (abSignificance(_, _)),
     "q223_cuped_readout" -> (cupedReadout(_, _)),
+    "q224_lateness_audit" -> (latenessAudit(_, _)),
     "q145_hourly_anomaly" -> (hourlyAnomaly(_, _)),
     "q117_type_coengagement" -> (typeCoEngagement(_, _)),
     "q120_activity_heatmap" -> (activityHeatmap(_, _)),
@@ -1193,6 +1256,40 @@ object Behavior {
     // q159: arm re-derived from the same md5 nibble, funnel gate and
     // ppm arithmetic re-formulated with FILTER aggregates — integer
     // division end to end, nulls (not errors) on degenerate arms
+    // q224: same per-user arrival high-water mark, same shared cume
+    // selection rule, same truncating ppm division
+    "q224_lateness_audit" ->
+      s"""WITH ev AS (
+           SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000 AS tsu,
+             CASE WHEN event_id % $lateMod = 0
+               THEN event_id + $lateSlots ELSE event_id END AS arrival
+           FROM events WHERE ts IS NOT NULL),
+         l AS (
+           SELECT event_type,
+             greatest(coalesce(max(tsu) OVER (PARTITION BY user_id
+               ORDER BY arrival, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - tsu,
+               0), 0) AS v
+           FROM ev),
+         c AS (SELECT event_type, v, count(*) AS c FROM l GROUP BY 1, 2),
+         k AS (
+           SELECT event_type, v, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+           FROM c)
+         SELECT event_type,
+           min(v) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= 0.5::DOUBLE)
+             AS p50_lateness_us,
+           min(v) FILTER (WHERE cum::DOUBLE / n::DOUBLE >= 0.99::DOUBLE)
+             AS p99_lateness_us,
+           max(n)::BIGINT AS n_events,
+           sum(CASE WHEN v > 0 THEN c ELSE 0 END)::BIGINT AS n_late,
+           max(v) AS max_lateness_us,
+           (sum(CASE WHEN v > 0 THEN c ELSE 0 END) * 1000000
+            // max(n))::BIGINT AS late_ppm
+         FROM k GROUP BY 1 ORDER BY 1""",
     // q223: same per-user pre/post spends, same pooled sufficient
     // statistics, same θ and the same explicit truncation order — the
     // adjusted means compare as exact BIGINTs

@@ -423,6 +423,20 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
     assert(run(5, 5, 4, 4) === ((5L, 5L, 4L, 4L, 0L, 0L, false)))
   }
 
+  test("q224 lateness: high-water-mark definition, zero for the first " +
+    "arrival and in-order events, exact cume picks and ppm") {
+    // user 1, type a, arrival order: ts 100 → 300 → 200. The third
+    // arrival is 100 µs behind the high-water mark; first two are 0.
+    // p50 over {0,0,100} = 0 (cume 2/3 ≥ .5), p99 = 100, ppm = 333333
+    val rows = Seq(
+      (1L, 1L, 1L, 100L, "a"), (2L, 1L, 2L, 300L, "a"),
+      (3L, 1L, 3L, 200L, "a"))
+      .toDF("event_id", "user_id", "arrival", "tsu", "event_type")
+    val out = Behavior.latenessCore(rows)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 0L, 100L, 3L, 1L, 100L, 333333L)))
+  }
+
   test("q223 cuped: θ and adjusted means replicated independently in " +
     "BigInt with the engine's exact truncation order") {
     def isT(u: Long): Boolean = {

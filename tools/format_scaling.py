@@ -49,9 +49,9 @@ FAMILIES = [
       "q218", "q219"]),
     ("tag/sequence mining (q70-q72, q124)", ["q70", "q71", "q72", "q124"]),
     ("behavior (q76-q77, q116-q117, q120, q159, q163, q188, q201, "
-     "q207, q211, q222-q223)",
+     "q207, q211, q222-q224)",
      ["q76", "q77", "q116", "q117", "q120", "q159", "q163", "q188",
-      "q201", "q207", "q211", "q222", "q223"]),
+      "q201", "q207", "q211", "q222", "q223", "q224"]),
     ("sources/layout + lakehouse (q103, q125, q131-q132, q134, q155, "
      "q165-q167, q170-q173, q176, q178-q180, q217)",
      ["q103", "q125", "q131", "q132", "q134", "q155", "q165", "q166",
