@@ -1,0 +1,166 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Behavior, Quality, Scoring}
+
+/** Property pins for the round-10 exact-integer kernels: each operator
+  * is recomputed by an INDEPENDENT plain-JVM implementation of the same
+  * contract (BigInt/Long arithmetic, same truncation-toward-zero
+  * division) on random inputs — the strongest local check that the
+  * DataFrame formulation implements the declared arithmetic, not an
+  * engine-specific accident. The DuckDB oracles prove cross-engine
+  * agreement on the corpus; these prove the CONTRACT on the whole input
+  * space ScalaCheck reaches.
+  */
+class ExactKernelPropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+
+  test("q216 cusum: prefix closed form equals the sequential recurrence") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 20L)).map(_.take(24))
+    val prop = Prop.forAll(gen) { counts =>
+      val panel = counts.zipWithIndex
+        .map { case (n, d) => ("a", d.toLong, n) }
+        .toDF("event_type", "day", "n_events")
+      val got = Behavior.cusumCore(panel)
+        .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+      // independent: Page's recurrence S_t = max(0, S_{t-1} + y_t)
+      val bigN = BigInt(counts.size)
+      val t = BigInt(counts.sum)
+      val k = t / 10
+      var s = BigInt(0)
+      val want = counts.zipWithIndex.map { case (n, d) =>
+        s = (s + (bigN * n - t - k)).max(0)
+        ("a", d.toLong, n, s.toLong, s > 3 * t)
+      }
+      got == want
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("q207 streaks: islands equal a direct scan of sorted day sets") {
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 15L)))
+    val prop = Prop.forAll(gen) { pairs =>
+      val d = Behavior.dayUs2
+      val ev = pairs.zipWithIndex
+        .map { case ((u, day), i) => (i.toLong, u, day * d + 1) }
+        .toDF("event_id", "user_id", "tsu")
+      val got = Behavior.streaksCore(ev)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val want = pairs.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (u, ps) =>
+          val days = ps.map(_._2).distinct.sorted
+          // islands: split where the gap exceeds one day
+          val runs = days.foldLeft(List.empty[List[Long]]) {
+            case (acc @ (run :: rest), day) if day == run.head + 1 =>
+              (day :: run) :: rest
+            case (acc, day) => List(day) :: acc
+          }.map(r => (r.size.toLong, r.min)).reverse
+          val top = runs.maxBy { case (len, st) => len * 10000000L - st }
+          (u, days.size.toLong, runs.size.toLong, runs.map(_._1).max, top._2)
+      }
+      got == want
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("q214 ohlc: order statistics equal a direct sort per bar") {
+    val H = 3600000000L
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 3L * H), Gen.choose(-50L, 50L)))
+    val prop = Prop.forAll(gen) { ticks =>
+      val rows = ticks.zipWithIndex.map { case ((tsu, vRaw), i) =>
+        (i.toLong, tsu, vRaw / 10.0, "a")
+      }
+      val got = Behavior.ohlcCore(
+        rows.toDF("event_id", "tsu", "value", "event_type"))
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val want = rows.groupBy(r => r._2 / H).toSeq.sortBy(_._1).map {
+        case (hr, rs) =>
+          val ordered = rs.sortBy(r => (r._2, r._1))
+          def vm(r: (Long, Long, Double, String)) =
+            math.floor(r._3 * 1000.0).toLong
+          ("a", hr, rs.size.toLong, vm(ordered.head),
+            rs.map(vm).max, rs.map(vm).min, vm(ordered.last))
+      }
+      got == want
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("q210 source-mix TV: exact ppm equals the BigInt identity") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("X", "Y", "Z"), Gen.oneOf("en", "fr", "de", "ja")))
+    val prop = Prop.forAll(gen) { docs =>
+      val got = Quality.mixTvCore(docs.toDF("source", "lang"))
+        .as[(String, Long, Long)].collect().toSeq
+      val n = BigInt(docs.size)
+      val bySrc = docs.groupBy(_._1)
+      val byLang = docs.groupBy(_._2).view.mapValues(v => BigInt(v.size))
+      val langs = docs.map(_._2).distinct
+      val want = bySrc.toSeq.sortBy(_._1).map { case (src, ds) =>
+        val ns = BigInt(ds.size)
+        val dev = langs.map { l =>
+          val nsl = BigInt(ds.count(_._2 == l))
+          (nsl * n - byLang(l) * ns).abs
+        }.sum
+        (src, ds.size.toLong, (dev * 1000000 / (2 * ns * n)).toLong)
+      }
+      got == want
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("q218 ks: sup CDF gap equals the BigInt cross-multiplied scan") {
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(-20, 20)),
+      Gen.nonEmptyListOf(Gen.choose(-20, 20)))
+    val prop = Prop.forAll(gen) { case (aRaw, bRaw) =>
+      // sample 1 at early tsu, sample 2 at late tsu; the data-derived
+      // midpoint lands strictly between the two blocks
+      val ev = aRaw.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v / 4.0)
+      } ++ bRaw.zipWithIndex.map { case (v, i) =>
+        (1000L + i, v / 4.0)
+      }
+      val got = Scoring.ksCore(ev.toDF("tsu", "value"))
+        .as[(Long, Long, Long)].collect().head
+      val (n1, n2) = (BigInt(aRaw.size), BigInt(bRaw.size))
+      val a = aRaw.map(_ / 4.0)
+      val b = bRaw.map(_ / 4.0)
+      val values = (a ++ b).distinct.sorted
+      var (c1, c2) = (BigInt(0), BigInt(0))
+      var sup = BigInt(0)
+      values.foreach { v =>
+        c1 += a.count(_ == v); c2 += b.count(_ == v)
+        sup = sup.max((c1 * n2 - c2 * n1).abs)
+      }
+      got == ((n1.toLong, n2.toLong, (sup * 1000000 / (n1 * n2)).toLong))
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("q219 gini: two-phase ranked identity equals the BigInt formula") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 500L))
+      .suchThat(_.sum > 0)
+    val prop = Prop.forAll(gen) { cents =>
+      val rev = cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("ckey", "cents")
+      val got = Scoring.giniCore(rev)
+        .as[(Long, Long, Long)].collect().head
+      val n = BigInt(cents.size)
+      val sorted = cents.zipWithIndex
+        .sortBy { case (c, k) => (c, k.toLong) }.map(_._1)
+      val s = BigInt(cents.sum)
+      val srx = sorted.zipWithIndex
+        .map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gini = (2 * srx - (n + 1) * s) * 1000000 / (n * s)
+      got == ((cents.size.toLong, cents.sum, gini.toLong))
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+}
