@@ -144,6 +144,121 @@ class ExactKernelPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(SCTest.check(params, prop).passed)
   }
 
+  test("q208 gap-fill: interpolant equals a direct Long replication, " +
+    "global bounds across series") {
+    val D = Behavior.dayUs2
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("a", "b"), Gen.choose(0L, 12L), Gen.choose(-20, 20)))
+    val prop = Prop.forAll(gen) { obs =>
+      val rows = obs.map { case (t, day, v) =>
+        (day * D + 1, v.toDouble, t)
+      }
+      val got = Behavior.gapFillCore(rows.toDF("tsu", "value", "event_type"))
+        .as[(String, Long, Long, String)].collect().toSeq
+      val d0 = obs.map(_._2).min
+      val d1 = obs.map(_._2).max
+      val types = obs.map(_._1).distinct.sorted
+      val want = types.flatMap { t =>
+        val daily = obs.filter(_._1 == t).groupBy(_._2).view
+          .mapValues(_.map(o => 1000L * o._3).sum).toMap
+        (d0 to d1).map { day =>
+          daily.get(day) match {
+            case Some(m) => (t, day, m, "obs")
+            case None =>
+              val prev = (d0 until day).reverse.find(daily.contains)
+              val next = (day + 1 to d1).find(daily.contains)
+              (prev, next) match {
+                case (Some(pd), Some(nd)) =>
+                  val (pm, nm) = (daily(pd), daily(nd))
+                  (t, day, pm + (nm - pm) * (day - pd) / (nd - pd),
+                    "interp")
+                case _ => (t, day, 0L, "edge")
+              }
+          }
+        }
+      }
+      got == want
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("q211 growth: DAU/new/cumulative equal a direct first-seen scan") {
+    val D = Behavior.dayUs2
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 5L), Gen.choose(0L, 10L)))
+    val prop = Prop.forAll(gen) { pairs =>
+      val ev = pairs.zipWithIndex
+        .map { case ((u, day), i) => (i.toLong, u, day * D + 1) }
+        .toDF("event_id", "user_id", "tsu")
+      val got = Behavior.growthCore(ev)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val first = pairs.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val days = pairs.map(_._2).distinct.sorted
+      var cum = 0L
+      val want = days.map { d =>
+        val active = pairs.filter(_._2 == d).map(_._1).distinct
+        val fresh = active.count(u => first(u) == d).toLong
+        cum += fresh
+        (d, active.size.toLong, fresh, cum)
+      }
+      got == want
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("q224 lateness: audit equals a direct high-water-mark scan with " +
+    "the shared cume rule") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 3L), Gen.choose(0L, 30L), Gen.choose(0L, 1000L)))
+    val prop = Prop.forAll(gen) { rowsRaw =>
+      val rows = rowsRaw.zipWithIndex.map { case ((u, arr, tsu), i) =>
+        (i.toLong, u, arr, tsu, "a")
+      }
+      val got = Behavior.latenessCore(
+        rows.toDF("event_id", "user_id", "arrival", "tsu", "event_type"))
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+      // direct replication: per user in (arrival, event_id) order
+      val lats = rows.groupBy(_._2).values.toSeq.flatMap { es =>
+        val ordered = es.sortBy(e => (e._3, e._1))
+        ordered.zipWithIndex.map { case (e, i) =>
+          if (i == 0) 0L
+          else math.max(0L, ordered.take(i).map(_._4).max - e._4)
+        }
+      }
+      val n = lats.size.toLong
+      def cut(p: Double): Long = {
+        val sorted = lats.sorted
+        sorted.zipWithIndex
+          .find { case (_, i) => (i + 1).toDouble / n.toDouble >= p }
+          .get._1
+      }
+      val nLate = lats.count(_ > 0).toLong
+      got == (("a", cut(0.5), cut(0.99), n, nLate, lats.max,
+        nLate * 1000000L / n))
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("q213 z-score params: moments equal the BigInt identity, " +
+    "singleton variance null") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(-300, 300))
+    val prop = Prop.forAll(gen) { vsRaw =>
+      val df = vsRaw.map(v => ("a", v / 10.0)).toDF("event_type", "value")
+      val row = graft.ops.Skew.zscoreCore(df).collect().head
+      val vms = vsRaw.map(v => BigInt(math.floor(v / 10.0 * 1000.0).toLong))
+      val n = BigInt(vms.size)
+      val (sv, svv) = (vms.sum, vms.map(v => v * v).sum)
+      val meanOk = row.getLong(2) == (sv / n).toLong
+      val varOk =
+        if (vms.size == 1) row.isNullAt(3)
+        else row.getLong(3) ==
+          ((n * svv - sv * sv) / (n * (n - 1))).toLong
+      row.getString(0) == "a" && row.getLong(1) == vms.size.toLong &&
+        meanOk && varOk
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
   test("q219 gini: two-phase ranked identity equals the BigInt formula") {
     val gen = Gen.nonEmptyListOf(Gen.choose(0L, 500L))
       .suchThat(_.sum > 0)
