@@ -9,6 +9,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // pin the session zone like Verify does: the events-time contract
+      // (tsu = unix_micros under UTC) and the footer-bounds probe both
+      // assume it, and a bench host with a non-UTC JVM default must not
+      // time different plans than the correctness gate verifies
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

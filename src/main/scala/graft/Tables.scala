@@ -165,6 +165,57 @@ object Tables {
     }.sum
   }
 
+  /** (min, max) of the events table's `tsu` (µs-long) from parquet
+    * FOOTER statistics — the same probeBounds stance as
+    * [[parquetRowCount]]: a driver-side metadata read instead of a
+    * full-table `agg(min, max)` scan stage, which at 100 TB is a real
+    * extra pass just to pick a midpoint. Exactness: the file stores
+    * `ts` as INT64 TIMESTAMP(MICROS); the engine-side contract is
+    * `tsu = unix_micros(ts)` under the UTC session timezone (see
+    * [[load]]), an identity on the stored µs value — and min/max are
+    * preserved (monotone identity, parquet stats exclude NULLs just
+    * like the `ts IS NOT NULL` read filter). Returns None when no
+    * row group carries stats (then the caller must fall back to the
+    * scan — correctness over cleverness) or the table is empty/all-
+    * NULL (matching the scan's NULL bounds path).
+    */
+  def eventsTsuFooterBounds(spark: SparkSession,
+                            dir: String): Option[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$dir/events.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(root))
+    val perGroup = files.flatMap { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val idx = schema.getFieldIndex("ts")
+        reader.getFooter.getBlocks.asScala.map { block =>
+          val cc = block.getColumns.get(idx)
+          val stats = cc.getStatistics
+          if (stats == null || !stats.hasNonNullValue) None
+          else Some((stats.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            stats.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+        }.toSeq
+      } finally reader.close()
+    }
+    // any stats-less row group voids the whole probe: its rows could
+    // extend the range, so a partial answer would be WRONG, not coarse
+    if (perGroup.isEmpty || perGroup.exists(_.isEmpty)) None
+    else {
+      val flat = perGroup.flatten
+      Some((flat.map(_._1).min, flat.map(_._2).max))
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

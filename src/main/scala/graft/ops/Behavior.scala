@@ -450,11 +450,12 @@ object Behavior {
     * z² itself ships as exact milli (one truncating division) for
     * dashboards that want the magnitude.
     *
-    * DECIMAL(38,0) bound, documented: (c₁n₂−c₂n₁)² stays under 10³⁸
-    * through ~3·10⁹ users per arm; the ·10⁴·N product tightens that to
-    * ~10⁷ per arm — beyond it, reduce the counts by their gcd or
-    * widen to a two-word representation. At any plausible experiment
-    * size the arithmetic is exact.
+    * DECIMAL(38,0) bound, documented AND enforced: (c₁n₂−c₂n₁)² stays
+    * under 10³⁸ through ~3·10⁹ users per arm; the ·10⁴·N product
+    * tightens that to ~10⁷ per arm. Past the bound the kernel RAISES
+    * ([[Exact.orOverflowError]]) rather than saturating — reduce the
+    * counts by their gcd or widen to a two-word representation. At any
+    * plausible experiment size the arithmetic is exact.
     *
     * Scale: reuses q159's single-pass arm aggregation (user-grain
     * collapse, one row out) — the test adds projections, no new scan.
@@ -476,18 +477,30 @@ object Behavior {
         expr("""cast(n1 as decimal(38,0)) * n2
                 * (c1 + c2) * (n1 + n2 - c1 - c2)"""))
       // degenerate dens (an empty arm, zero or total conversion) carry
-      // 0, never NULL (the q104 NaN trap) — d is provably 0 in every
-      // such case, so 0 is the honest value, not a sentinel
+      // 0/false, never NULL (the q104 NaN trap) — d is provably 0 in
+      // every such case, so 0 is the honest value, not a sentinel. Each
+      // degenerate case is decided by its OWN predicate; a NULL from
+      // any other source can only be decimal overflow and RAISES
+      // (Exact.orOverflowError) instead of saturating to a plausible
+      // 0/false the oracle's HUGEINT would contradict (round-11 ADVICE;
+      // the previous blanket coalesce conflated the two meanings).
       .select(col("n1"), col("c1"), col("n2"), col("c2"),
-        expr("""coalesce(cast((cast(c1 as decimal(38,0)) * n2
+        when(expr("n1 = 0 or n2 = 0"), lit(0L))
+          .otherwise(Exact.orOverflowError(
+            expr("""cast((cast(c1 as decimal(38,0)) * n2
                       - cast(c2 as decimal(38,0)) * n1) * 1000000
-                div nullif(cast(n1 as decimal(38,0)) * n2, 0) as bigint),
-                0L)""").as("diff_ppm"),
-        expr("""coalesce(cast(1000 * (n1 + n2) * d * d
-                div nullif(den, 0) as bigint), 0L)""")
-          .as("z2_milli"),
-        expr("""coalesce(10000 * (n1 + n2) * d * d
-                > 38415 * den, false)""").as("significant_95"))
+                    div (cast(n1 as decimal(38,0)) * n2) as bigint)"""),
+            "q222 diff_ppm")).as("diff_ppm"),
+        when(expr("""n1 = 0 or n2 = 0 or c1 + c2 = 0
+                     or c1 + c2 = n1 + n2"""), lit(0L))
+          .otherwise(Exact.orOverflowError(
+            expr("cast(1000 * (n1 + n2) * d * d div den as bigint)"),
+            "q222 z2_milli")).as("z2_milli"),
+        when(expr("""n1 = 0 or n2 = 0 or c1 + c2 = 0
+                     or c1 + c2 = n1 + n2"""), lit(false))
+          .otherwise(Exact.orOverflowError(
+            expr("10000 * (n1 + n2) * d * d > 38415 * den"),
+            "q222 significant_95")).as("significant_95"))
 
   /** q223 — CUPED-ADJUSTED A/B READOUT: the industry-standard variance
     * reduction (Deng et al., WSDM 2013) — each user's experiment-period
@@ -550,9 +563,16 @@ object Behavior {
           .as("sx_t"),
         sum(when(col("is_t"), expr("cast(y as decimal(38,0))")))
           .as("sy_t"))
+      // n=0 (empty frame: sums NULL) and zero pre-period variance are
+      // the two honest-0 cases, each decided by its own predicate; any
+      // other NULL is decimal overflow and raises (round-11 ADVICE —
+      // the blanket coalesce previously mapped overflow to θ=0, a
+      // silently un-adjusted readout the oracle would contradict)
       .withColumn("theta_ppm",
-        expr("""coalesce((n * sxy - sx * sy) * 1000000
-                div nullif(n * sxx - sx * sx, 0), 0)"""))
+        when(expr("n = 0 or n * sxx - sx * sx = 0"), lit(0L))
+          .otherwise(graft.ops.Exact.orOverflowError(
+            expr("""(n * sxy - sx * sy) * 1000000
+                    div (n * sxx - sx * sx)"""), "q223 theta_ppm")))
       .withColumn("mean_x_all_milli", expr("sx div n"))
       .withColumn("mean_y_c_milli", expr("sy_c div nullif(n_c, 0)"))
       .withColumn("mean_y_t_milli", expr("sy_t div nullif(n_t, 0)"))
@@ -564,7 +584,10 @@ object Behavior {
                 * (sx_t div nullif(n_t, 0) - mean_x_all_milli)) div 1000000"""))
       .select(
         col("n_c").as("n_control"), col("n_t").as("n_treatment"),
-        expr("cast(theta_ppm as bigint)").as("theta_ppm"),
+        // theta is non-NULL by the guard above; a NULL from this cast
+        // can only be a >2⁶³ quotient — raise, don't ship NULL
+        Exact.orOverflowError(expr("cast(theta_ppm as bigint)"),
+          "q223 theta_ppm (bigint cast)").as("theta_ppm"),
         expr("cast(mean_y_c_milli as bigint)").as("mean_y_control_milli"),
         expr("cast(mean_y_t_milli as bigint)").as("mean_y_treatment_milli"),
         expr("cast(adj_y_c_milli as bigint)").as("adj_y_control_milli"),

@@ -245,6 +245,36 @@ object Fidelity {
   def wordFrequency(spark: SparkSession, glob: String): DataFrame =
     wordFreqFrom(CsvIngest.readDanmaku(spark, glob))
 
+  /** q225 — the ASCII/latin SUB-SURFACE of q96, split out so it can be
+    * oracle-gated (round-11 verdict item: q96 is rows-only solely
+    * because dictionary max-match CJK segmentation has no SQL oracle —
+    * but the latin-token half of the same word-frequency contract
+    * (hot/preprocess_high_energy.py:39-78's counting over the SPY
+    * corpus) is fully SQL-expressible in both engines). Token contract:
+    * maximal `[A-Za-z]+` runs, lowercased, length ≥ 2 — identical
+    * Java-regex/RE2 semantics, so DuckDB re-derives every row and the
+    * no-oracle set shrinks 18 → 17. Same deterministic (freq DESC,
+    * word ASC) top-500 total order as q96.
+    *
+    * Scale: `regexp_extract_all` is a codegen'd native expression (no
+    * UDF on this path, unlike the sanctioned CJK segmenter); then one
+    * partial+final hash agg and TakeOrdered(500) — no full sort.
+    */
+  def latinWordFreq(spark: SparkSession, glob: String): DataFrame =
+    latinWordFreqFrom(CsvIngest.readDanmaku(spark, glob))
+
+  /** Fixture seam for the spec. */
+  private[graft] def latinWordFreqFrom(danmaku: DataFrame): DataFrame =
+    danmaku
+      .filter(col("text").isNotNull)
+      .select(explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+        .as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(lower(col("tok")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("frequency"))
+      .orderBy(desc("frequency"), asc("word"))
+      .limit(500)
+
   /** Exact-duplicate danmaku detection over the committed SPY corpus —
     * the dedup stack pointed at the reference's real data. The crawler
     * dedups by dmid only (spider_worker.py:104-113); content-level
@@ -274,7 +304,8 @@ object Fidelity {
     "q94_episode_energy" -> ((s, _) => episodeEnergy(s, spyGlob)),
     "q95_fanren_graph" -> ((s, _) => relationGraphCombined(s, fanRenGlob, RefLexicons.fanRen)),
     "q96_word_freq" -> ((s, _) => wordFrequency(s, spyGlob)),
-    "q97_spy_dup_texts" -> ((s, _) => dupTexts(s, spyGlob)))
+    "q97_spy_dup_texts" -> ((s, _) => dupTexts(s, spyGlob)),
+    "q225_latin_word_freq" -> ((s, _) => latinWordFreq(s, spyGlob)))
 
   // ---- DuckDB oracles, generated from the same lexicon data ----------
 
@@ -373,5 +404,15 @@ object Fidelity {
           FROM read_csv('${sq(spyGlob)}', header=true, all_varchar=true)
           WHERE text IS NOT NULL
           GROUP BY 1 HAVING count(*) >= 50
-          ORDER BY 2 DESC, 1""")
+          ORDER BY 2 DESC, 1""",
+    // `[A-Za-z]+` means the same thing in Java regex and RE2, so the
+    // token stream — hence every counted row — is engine-independent
+    "q225_latin_word_freq" ->
+      s"""WITH toks AS (
+            SELECT lower(t.tok) AS word
+            FROM read_csv('${sq(spyGlob)}', header=true, all_varchar=true),
+              unnest(regexp_extract_all(text, '[A-Za-z]+')) AS t(tok)
+            WHERE text IS NOT NULL AND len(t.tok) >= 2)
+          SELECT word, count(*) AS frequency FROM toks
+          GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 500""")
 }

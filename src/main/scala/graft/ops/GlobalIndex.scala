@@ -89,6 +89,53 @@ object GlobalIndex {
         (col("offset") + col("local_rn")).as("rn"): _*)
   }
 
+  /** The generic two-phase GLOBAL PREFIX SUM — the cumulative-sum
+    * sibling of [[numberedBy]], for kernels (KS CDFs, Lorenz curves)
+    * that need running totals in a global order without the
+    * single-partition `Window.orderBy` sort. Appends, for each
+    * `sumCols` column c, `cum_c` = inclusive prefix sum of c in the
+    * total order of `sortCols`, and `total_c` = the grand total —
+    * both from the same two slim exchanges: range partition, local
+    * windowed sums per partition, then a #partitions-row offsets
+    * frame (per-partition totals, exclusive-prefix-summed and
+    * grand-totalled in one O(#partitions) window) broadcast back.
+    * `sortCols` must be a unique key of the frame (same contract as
+    * [[numberedBy]]) or per-row cumulative values are tie-ambiguous.
+    * Added round 11 for q218 (ADVICE: its value-grain CDF pass was a
+    * bare `Window.orderBy("value")` — single-partition at continuous-
+    * double scale, contradicting the q182/q219 discipline).
+    */
+  private[graft] def prefixSummedBy(df: DataFrame, sortCols: Seq[String],
+                                    sumCols: Seq[String]): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(nParts, sortCols.map(col): _*)
+      .withColumn("pid", spark_partition_id())
+    val run = Window.partitionBy("pid").orderBy(sortCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = sumCols.foldLeft(ranged) { (d, c) =>
+      d.withColumn(s"local_cum_$c", sum(col(c)).over(run))
+    }
+    // one row per partition → the sequential windows are O(#partitions)
+    val perPid = local.groupBy("pid")
+      .agg(sum(col(sumCols.head)).as(s"part_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).as(s"part_$c")): _*)
+    val offW = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = sumCols.foldLeft(perPid) { (d, c) =>
+      d.withColumn(s"off_$c",
+          coalesce(sum(col(s"part_$c")).over(offW), lit(0L)))
+        .withColumn(s"total_$c", sum(col(s"part_$c")).over(totW))
+    }.select(col("pid") +: sumCols.flatMap(c =>
+        Seq(col(s"off_$c"), col(s"total_$c"))): _*)
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(df.columns.map(col).toIndexedSeq ++ sumCols.flatMap(c => Seq(
+        (col(s"off_$c") + col(s"local_cum_$c")).as(s"cum_$c"),
+        col(s"total_$c"))): _*)
+  }
+
   /** q200 bucket count (the ANALYZE-histogram convention: equal-HEIGHT
     * buckets, boundaries wherever the data puts them).
     */

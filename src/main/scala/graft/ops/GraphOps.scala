@@ -1049,7 +1049,14 @@ object GraphOps {
     while (!converged && round < ccMaxRounds) {
       val next = smallStar(largeStar(pairs)).localCheckpoint(true)
       val s2 = sig(next)
-      converged = s2 == s
+      // the (count, XOR) fingerprint is a screen, not a proof — XOR of
+      // hashes is a weak set digest (changed pairs can cancel), and a
+      // collision here would end iteration early with wrong components.
+      // So when the fingerprint reports convergence, confirm once with
+      // the exact set check: counts already match, so next ⊆ pairs ⇒
+      // next = pairs (both frames are distinct canonical pair sets).
+      // One extra join on the final round only (round-11 ADVICE fix).
+      converged = s2 == s && next.exceptAll(pairs).isEmpty
       pairs.unpersist(blocking = false)
       pairs = next
       s = s2

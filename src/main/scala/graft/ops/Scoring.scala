@@ -209,36 +209,36 @@ object Scoring {
     *
     * Exact integers: the frame collapses to VALUE grain (q205's
     * discipline — doubles are only grouped and compared, never summed),
-    * cumulative counts come from one ordered pass over distinct
-    * values, and the sup gap is max |cum₁·n₂ − cum₂·n₁| — cross-
-    * multiplied so no per-value division; one truncating division at
-    * the end emits ks_ppm. DECIMAL(38,0) products (cum·n passes 2⁶³
-    * near 3e9-row samples).
+    * cumulative counts come from the TWO-PHASE global prefix sum
+    * ([[GlobalIndex.prefixSummedBy]] — range exchange + per-partition
+    * partials + broadcast offsets; round-11 ADVICE fix: the previous
+    * bare `Window.orderBy("value")` was a single-partition sort that
+    * approaches corpus scale on continuous doubles), and the sup gap
+    * is max |cum₁·n₂ − cum₂·n₁| — cross-multiplied so no per-value
+    * division; one truncating division at the end emits ks_ppm.
+    * DECIMAL(38,0) products (cum·n passes 2⁶³ near 3e9-row samples).
     *
-    * Scale: one full-data hash agg to value grain; the ordered pass is
-    * the q102 cume kernel's shape (distinct-value frame). One row out.
+    * Scale: one full-data hash agg to value grain; the CDF pass
+    * scales like any range shuffle — no distinct-value-domain
+    * assumption left. One row out.
     */
   def ksStatistic(spark: SparkSession, dir: String): DataFrame =
     ksCore(Tables.eventsMicros(spark, dir)
       .filter(col("value").isNotNull))
 
   private[graft] def ksCore(ev0: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = ev0.select(col("value"), col("tsu"))
     val cutoff = ev.agg(expr("(min(tsu) + max(tsu)) div 2").as("cut_us"))
     val grain = ev.crossJoin(broadcast(cutoff))
       .groupBy("value")
       .agg(count(when(col("tsu") < col("cut_us"), 1)).as("c1"),
         count(when(col("tsu") >= col("cut_us"), 1)).as("c2"))
-    val run = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val full = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    grain
-      .withColumn("cum1", sum("c1").over(run))
-      .withColumn("cum2", sum("c2").over(run))
-      .withColumn("n1", sum("c1").over(full))
-      .withColumn("n2", sum("c2").over(full))
+    // grain is value-unique (groupBy key) → the two-phase contract holds
+    GlobalIndex.prefixSummedBy(grain, Seq("value"), Seq("c1", "c2"))
+      .withColumnRenamed("cum_c1", "cum1")
+      .withColumnRenamed("cum_c2", "cum2")
+      .withColumnRenamed("total_c1", "n1")
+      .withColumnRenamed("total_c2", "n2")
       .withColumn("dev",
         expr("""abs(cast(cum1 as decimal(38,0)) * n2
                 - cast(cum2 as decimal(38,0)) * n1)"""))

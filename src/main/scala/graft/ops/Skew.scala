@@ -197,11 +197,19 @@ object Skew {
       .agg(count(lit(1)).as("n_values"),
         sum(expr("cast(vm as decimal(38,0))")).as("sv"),
         sum(expr("cast(vm as decimal(38,0)) * vm")).as("svv"))
+      // n=1 is the one honest NULL for the sample variance (its own
+      // predicate); any other NULL — a sum or the sv·sv square passing
+      // DECIMAL(38,0), or a quotient passing 2⁶³ on the bigint cast —
+      // is overflow and raises rather than shipping a silent NULL the
+      // oracle's HUGEINT would contradict (round-11 ADVICE)
       .select(col("event_type"), col("n_values"),
-        expr("cast(sv div n_values as bigint)").as("mean_milli"),
-        expr("""cast((n_values * svv - sv * sv)
-                div nullif(n_values * cast(n_values - 1 as decimal(38,0)), 0)
-                as bigint)""").as("var_milli2"))
+        Exact.orOverflowError(expr("cast(sv div n_values as bigint)"),
+          "q213 mean_milli").as("mean_milli"),
+        when(col("n_values") <= 1, lit(null).cast("long"))
+          .otherwise(Exact.orOverflowError(
+            expr("""cast((n_values * svv - sv * sv)
+                    div (n_values * cast(n_values - 1 as decimal(38,0)))
+                    as bigint)"""), "q213 var_milli2")).as("var_milli2"))
       .orderBy("event_type")
 
   /** q149 sketch accuracy (approx_percentile's rank-error knob). */

@@ -64,6 +64,25 @@ object StreamingQueries {
     */
   private def deleteRecursively(p: Path): Unit = Tables.deleteRecursively(p)
 
+  /** The events table's observed (min, max) tsu — every replay harness
+    * needs it to derive micro-batch split points and watermark spans.
+    * Round-11 ADVICE/verdict fix: this used to be a per-invocation
+    * `ev.agg(min, max).head()` — a FULL events scan stage whose only
+    * product is two longs, an extra 100-TB pass before the staging
+    * split re-scans the same table. Now a driver-side parquet FOOTER
+    * probe ([[Tables.eventsTsuFooterBounds]] — min/max of the stored
+    * µs column are exactly min/max tsu), with the scan as the fallback
+    * whenever any row group lacks stats. None ⇔ no non-null ts rows,
+    * matching the old NULL-bounds path bit for bit.
+    */
+  private def tsuBounds(spark: SparkSession,
+                        dir: String): Option[(Long, Long)] =
+    Tables.eventsTsuFooterBounds(spark, dir).orElse {
+      val r = Tables.eventsMicros(spark, dir)
+        .agg(min("tsu"), max("tsu")).head()
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    }
+
   /** Batch counts of the last run, for the specs to pin the
     * multi-trigger claim (>= number of staged files).
     */
@@ -217,10 +236,9 @@ object StreamingQueries {
     val ev = Tables.events(spark, dir)
       .filter(col("ts").isNotNull)
       .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_type"))
-    val bounds = ev.agg(min("tsu"), max("tsu")).head()
-    if (bounds.isNullAt(0)) return emptySessions(spark)
-    val minT = bounds.getLong(0)
-    val maxT = bounds.getLong(1)
+    val bounds = tsuBounds(spark, dir)
+    if (bounds.isEmpty) return emptySessions(spark)
+    val (minT, maxT) = bounds.get
     val mid = minT + (maxT - minT) / 2
 
     val base = Files.createTempDirectory("graft_q99_")
@@ -351,14 +369,15 @@ object StreamingQueries {
     val lookbackUs = graft.ops.TemporalJoins.lookbackSeconds * 1000000L
     val ev = Tables.eventsMicros(spark, dir)
       .select(col("event_id"), col("user_id"), col("tsu"), col("event_type"))
-    val bounds = ev.agg(min("tsu"), max("tsu")).head()
+    val bounds = tsuBounds(spark, dir)
     val out0 = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(
         StructField("purchase_id", LongType), StructField("user_id", LongType),
         StructField("purchase_tsu", LongType), StructField("click_id", LongType),
         StructField("click_tsu", LongType), StructField("gap_us", LongType))))
-    if (bounds.isNullAt(0)) return out0
-    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    if (bounds.isEmpty) return out0
+    val (minT, maxT) = bounds.get
+    val mid = minT + (maxT - minT) / 2
 
     val base = Files.createTempDirectory("graft_q79_")
     try {
@@ -479,12 +498,13 @@ object StreamingQueries {
       StructField("window_start_us", LongType),
       StructField("n_events", LongType)))
     val ev = Tables.eventsMicros(spark, dir).select(col("tsu"))
-    val bounds = ev.agg(min("tsu"), max("tsu")).head()
-    if (bounds.isNullAt(0))
+    val bounds = tsuBounds(spark, dir)
+    if (bounds.isEmpty)
       // degenerate input still carries the accounting row, like the oracle
       return spark.createDataFrame(
         java.util.List.of(Row(-1L, 0L)), outSchema)
-    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val (minT, maxT) = bounds.get
+    val mid = minT + (maxT - minT) / 2
 
     val base = Files.createTempDirectory("graft_q100_")
     try {
@@ -495,7 +515,7 @@ object StreamingQueries {
       // newest quarter first (holds the global max → batch 0 sets the
       // watermark), rest of the on-time half second (seals it — the
       // late-row filter lags one batch), older half last (all late)
-      val mid2 = mid + (bounds.getLong(1) - mid) / 2
+      val mid2 = mid + (maxT - mid) / 2
       stageOne(asIn(ev.filter(col("tsu") >= mid2)),
         base.resolve("s0"), input, "00_newest.parquet", now - 300000L)
       stageOne(asIn(ev.filter(col("tsu") >= mid && col("tsu") < mid2)),
@@ -586,12 +606,13 @@ object StreamingQueries {
     val ev = Tables.eventsMicros(spark, dir)
       .select(col("event_id"), timestamp_micros(col("tsu")).as("ts"),
         col("event_type"), col("value"))
-    val bounds = ev
-      .agg(expr("unix_micros(min(ts))"), expr("unix_micros(max(ts))")).head()
-    if (bounds.isNullAt(0)) return rollup(ev) // degenerate: empty input
+    // unix_micros(timestamp_micros(tsu)) is the identity → the span is
+    // exactly the tsu span, footer-probed like every other harness
+    val bounds = tsuBounds(spark, dir)
+    if (bounds.isEmpty) return rollup(ev) // degenerate: empty input
     // delay covers the whole replayed span (+1 s for the engine's ms
     // truncation) → nothing evicts, nothing is late: exact dedup
-    val delaySec = (bounds.getLong(1) - bounds.getLong(0)) / 1000000L + 1L
+    val delaySec = (bounds.get._2 - bounds.get._1) / 1000000L + 1L
 
     val base = Files.createTempDirectory("graft_q113_")
     try {
@@ -750,15 +771,15 @@ object StreamingQueries {
     val lookbackUs = graft.ops.TemporalJoins.lookbackSeconds * 1000000L
     val ev = Tables.eventsMicros(spark, dir)
       .select(col("event_id"), col("user_id"), col("tsu"), col("event_type"))
-    val bounds = ev.agg(min("tsu"), max("tsu")).head()
+    val bounds = tsuBounds(spark, dir)
     val out0 = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(
         StructField("purchase_id", LongType), StructField("user_id", LongType),
         StructField("purchase_tsu", LongType), StructField("click_id", LongType),
         StructField("click_tsu", LongType), StructField("gap_us", LongType))))
-    if (bounds.isNullAt(0)) return out0
-    val maxT = bounds.getLong(1)
-    val mid = bounds.getLong(0) + (maxT - bounds.getLong(0)) / 2
+    if (bounds.isEmpty) return out0
+    val (minT, maxT) = bounds.get
+    val mid = minT + (maxT - minT) / 2
     val sentinelTsu = maxT + 2 * lookbackUs + 2000000L
 
     val base = Files.createTempDirectory("graft_q212_")

@@ -278,4 +278,65 @@ class ExactKernelPropertySpec extends AnyFunSuite with SparkTestBase {
     }
     assert(SCTest.check(params, prop).passed)
   }
+
+  // ── round-11 ADVICE: overflow raises, degenerates stay honest ─────
+  // Non-ANSI decimal overflow yields NULL; the kernels used to coalesce
+  // that into 0/false — a plausible-looking answer the oracle's HUGEINT
+  // would contradict. Past the documented bounds they must now FAIL
+  // loudly (Exact.orOverflowError) while every provably-degenerate case
+  // keeps its exact honest value.
+
+  // under ANSI (the session default) Spark itself raises
+  // SparkArithmeticException at the overflowing product/sum; under
+  // non-ANSI the NULL flows to the kernel's Exact.orOverflowError
+  // raise. Either way the failure must be LOUD and name the overflow.
+  private def raisesOverflow(body: => Unit): Unit = {
+    val e = intercept[Exception](body)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.toLowerCase.contains("overflow")
+        || m.contains("NUMERIC_VALUE_OUT_OF_RANGE")
+        || m.contains("cannot be represented")),
+      s"expected a loud overflow failure, got: $e")
+  }
+
+  test("q222 guards: arm counts past the DECIMAL(38,0) bound raise " +
+    "instead of saturating to 0/false; empty arms still exact zeros") {
+    def frame(n1: Long, c1: Long, n2: Long, c2: Long) =
+      Seq((n1, c1, n2, c2)).toDF("n_signup_control", "n_conv_control",
+        "n_signup_treatment", "n_conv_treatment")
+    // den = n1·n2·C·(N−C) ≈ 10¹⁸·10¹⁸·2·10¹⁷·… ≫ 10³⁸ → overflow
+    raisesOverflow(Behavior.abSignificanceCore(
+      frame(1000000000000000000L, 100000000000000000L,
+        1000000000000000000L, 200000000000000000L)).collect())
+    // degenerate: one empty arm — all three outputs honest 0/false
+    val deg = Behavior.abSignificanceCore(frame(1000L, 100L, 0L, 0L))
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(deg === ((1000L, 100L, 0L, 0L, 0L, 0L, false)))
+  }
+
+  test("q213 guards: sv·sv past DECIMAL(38,0) raises; singleton group " +
+    "keeps the honest NULL variance") {
+    // two values of ~9.1e15 → vm ≈ 9.1e18, sv ≈ 1.8e19,
+    // sv² ≈ 3.3e38 > 10³⁸ → overflow in the variance numerator
+    val big = 9.1e15
+    raisesOverflow(graft.ops.Skew.zscoreCore(
+      Seq(("a", big), ("a", big)).toDF("event_type", "value")).collect())
+    val single = graft.ops.Skew.zscoreCore(
+      Seq(("c", 9.0)).toDF("event_type", "value")).collect().head
+    assert(single.getLong(1) === 1L && single.isNullAt(3))
+  }
+
+  test("q223 guard: zero pre-period variance keeps the honest θ=0 " +
+    "(its covariance is provably 0), adjusted means equal raw means") {
+    // every user has identical pre-period spend → Var(X)=0 → θ=0 and
+    // the adjustment is a no-op — the degenerate predicate, not the
+    // overflow raise, must decide this case
+    val ev = Seq(
+      (1L, 0L, "purchase", 5.0), (1L, 100L, "purchase", 7.0),
+      (2L, 0L, "purchase", 5.0), (2L, 100L, "purchase", 9.0))
+      .toDF("user_id", "tsu", "event_type", "value")
+    val r = Behavior.cupedCore(ev).collect().head
+    assert(r.getLong(2) === 0L) // theta_ppm
+  }
 }

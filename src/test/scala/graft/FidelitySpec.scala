@@ -217,6 +217,30 @@ class FidelitySpec extends AnyFunSuite with SparkTestBase {
       w.length > 1 && !w.matches(numericClass) && !RefLexicons.segStopwords.contains(w)))
   }
 
+  test("q225 latin word-freq: maximal [A-Za-z]+ runs, lowercased, " +
+    "len>=2, CJK and digits never tokenized") {
+    val s = spark
+    import s.implicits._
+    // "GJ" twice across case variants; "abc" split out of digit/CJK
+    // context; single letters dropped; pure CJK rows contribute nothing
+    val df = Seq(Some("GJ gj!"), Some("abc123abc你好abc"), Some("x 的 了"),
+      Some("哈哈哈"), None).toDF("text")
+    val out = Fidelity.latinWordFreqFrom(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("abc", 3L), ("gj", 2L)))
+  }
+
+  test("q225 over a real episode: nonempty, monotone, all-lowercase-latin") {
+    val out = Fidelity
+      .latinWordFreq(spark, "/root/repo/refdata/spy/danmaku_BV14G4y157E5.csv")
+      .collect()
+    assert(out.nonEmpty, "the corpus carries latin tokens (GJ, SPY, ...)")
+    val freqs = out.map(_.getLong(1))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    assert(out.map(_.getString(0)).forall(w =>
+      w.length >= 2 && w.matches("^[a-z]+$")))
+  }
+
   test("q97 exact-dup texts on the real corpus: thresholded, monotone, genuinely duplicated") {
     val out = Fidelity.dupTexts(spark, Fidelity.spyGlob).collect()
     assert(out.nonEmpty, "the corpus has copypasta; none found")

@@ -45,4 +45,40 @@ class GlobalIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(dataGlobalSort.findFirstIn(plan).isEmpty,
       s"two-phase numbering must not globally sort the data path:\n$plan")
   }
+
+  // ── prefixSummedBy (the q218 cumulative-sum sibling) ──────────────
+
+  // unique sort key (v), two summed columns with different shapes:
+  // a constant-ish count and a signed value, scrambled like above
+  private val psFixture = (1 to n)
+    .sortBy(v => (v * 2654435761L) % 1000003)
+    .map(v => (v.toLong, (v % 5).toLong, (v % 7).toLong - 3L))
+    .toDF("v", "c1", "c2")
+    .repartition(7)
+
+  test("prefixSummedBy: cumulative and total sums equal a driver-side " +
+    "scan over the sorted fixture") {
+    val got = GlobalIndex.prefixSummedBy(psFixture, Seq("v"), Seq("c1", "c2"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length === n)
+    var (r1, r2) = (0L, 0L)
+    val want = (1 to n).map { v =>
+      val (c1, c2) = ((v % 5).toLong, (v % 7).toLong - 3L)
+      r1 += c1; r2 += c2
+      (v.toLong, c1, c2, r1, r2)
+    }
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._6)).toSeq === want)
+    // grand totals identical on every row, equal to the final running sum
+    assert(got.map(_._5).distinct.toSeq === Seq(r1))
+    assert(got.map(_._7).distinct.toSeq === Seq(r2))
+  }
+
+  test("prefixSummedBy: no global sort of the data path (the ADVICE " +
+    "single-partition-window fix this helper exists for)") {
+    val plan = GlobalIndex.prefixSummedBy(psFixture, Seq("v"), Seq("c1", "c2"))
+      .queryExecution.executedPlan.toString
+    val dataGlobalSort = "Sort \\[[^\\]]*\\bv#[^\\]]*\\], true".r
+    assert(dataGlobalSort.findFirstIn(plan).isEmpty,
+      s"two-phase prefix sum must not globally sort the data path:\n$plan")
+  }
 }

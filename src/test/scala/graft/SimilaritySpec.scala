@@ -62,6 +62,55 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.2, s"recall@${Similarity.topK} was $recall")
   }
 
+  test("q226 batched ANN: consecutive per-query ranks, mean recall vs " +
+    "per-query brute force usable, candidate volume far below nq x n") {
+    val out = Similarity.annBatched(spark, sf).collect()
+    assert(out.nonEmpty, "batched ANN returned nothing")
+    val byQ = out.groupBy(_.getLong(0))
+    // only stride-selected ids may appear as queries
+    assert(byQ.keySet.forall(_ % Similarity.batchQueryStride == 0L))
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to sorted.length.toLong),
+        s"query $q ranks not consecutive")
+      val cs = sorted.map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse, s"query $q cos not descending")
+      assert(!rows.exists(_.getLong(1) == q), s"query $q returned itself")
+    }
+    // ground truth: driver-side per-query brute force on the 500-vector sf
+    val all = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecOf = all.toMap
+    val recalls = byQ.keys.toSeq.map { q =>
+      val truth = all.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecOf(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.topK).map(_._1).toSet
+      val got = byQ(q).map(_.getLong(1)).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // same 4x4-table OR-amplification as q63 → same "clearly better
+    // than random" pin (random ≈ k/n ≈ 2%)
+    assert(meanRecall >= 0.2, s"mean recall@${Similarity.topK} was $meanRecall")
+    // candidate-volume bound: the exactly-once bucket join must generate
+    // far fewer (query, candidate) pairs than the nq·(n−1) cartesian —
+    // with 4 tables of 4 planes the expected fraction is ≈ 4/16; pin at
+    // one half as the "never degenerates into all-pairs" guard
+    val nq = byQ.size.toLong
+    val n = all.length.toLong
+    val candCount = Similarity.annBatchedCandidates(
+      graft.Tables.embeddings(spark, sf)).count()
+    assert(candCount < nq * (n - 1) / 2,
+      s"candidate volume $candCount approaches all-pairs ${nq * (n - 1)}")
+  }
+
   test("embedding near-dups: every reported pair truly has cos >= threshold, " +
     "and LSH recall vs brute force is usable") {
     val s = spark
