@@ -134,14 +134,96 @@ object CorpusPrep {
       .orderBy("lang")
   }
 
+  // ---- q230: overlapping chunking --------------------------------------
+
+  /** q230 chunk geometry: C-token windows every S tokens (C > S, so
+    * consecutive chunks overlap by C−S — the RAG/pretrain convention
+    * that no C−S-token span is ever split across a chunk boundary).
+    */
+  val chunkSize = 64
+  val chunkStride = 48
+
+  /** q230 — OVERLAPPING-WINDOW CHUNKING, the inverse of q66's packing:
+    * q66 assembles short docs into fixed token budgets; q230 SPLITS
+    * long docs into fixed C-token windows with stride S — the chunker
+    * every retrieval index and every long-doc pretraining shard job
+    * runs. Emits one row per chunk with its deterministic identity
+    * (doc_id, chunk_idx), geometry (start, length) and an md5 over the
+    * space-joined token slice, so downstream exact-dedup (q18's class)
+    * can run at CHUNK grain directly.
+    *
+    * The chunk set is minimal-covering: starts run 0, S, 2S, … up to
+    * `ceil((n−C)/S)·S` (0 when n ≤ C), so every token is covered and
+    * only the last chunk may be short (never shorter than C−S+1 —
+    * C ≥ S keeps the last start below n).
+    *
+    * Scale: pure per-row codegen — tokenize (native WsTokenize), one
+    * `sequence` + posexplode, a `slice`+md5 projection. No shuffle at
+    * all until the presentation sort; output is ~n/S rows per doc.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunkCore(Tables.documents(spark, dir))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** The chunking transform over any (doc_id, text) frame; fixture
+    * seam (no presentation sort — the caller owns egress order).
+    */
+  private[graft] def chunkCore(docs: DataFrame): DataFrame = {
+    val C = chunkSize
+    val S = chunkStride
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("last_start", expr(
+        s"case when n <= $C then 0L else ((n - $C + $S - 1) div $S) * $S end"))
+      .select(col("doc_id"), col("ws"), col("n"),
+        posexplode(expr(s"sequence(0L, last_start, $S)")))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("start_tok"),
+        least(lit(C.toLong), col("n") - col("col")).as("chunk_len"),
+        md5(concat_ws(" ",
+          slice(col("ws"), (col("col") + 1).cast("int"), lit(C)))
+          .cast("binary")).as("chunk_md5"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q66_context_packing" -> (contextPacking(_, _)),
     "q67_pii_scrub" -> (piiScrub(_, _)),
-    "q68_quality_rules" -> (qualityRuleStats(_, _)))
+    "q68_quality_rules" -> (qualityRuleStats(_, _)),
+    "q230_chunk_overlap" -> (chunkOverlap(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q230: same tokenizer mapping (list_filter ∘ string_split — the
+    // established WsTokenize oracle form), same start arithmetic, same
+    // space-joined md5 over the inclusive 1-based token slice
+    "q230_chunk_overlap" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          t AS (
+            SELECT doc_id, ws, len(ws)::BIGINT AS n
+            FROM d WHERE len(ws) > 0),
+          s AS (
+            SELECT doc_id, ws, n,
+              unnest(generate_series(0,
+                CASE WHEN n <= $chunkSize THEN 0
+                  ELSE ((n - $chunkSize + $chunkStride - 1)
+                        // $chunkStride) * $chunkStride END,
+                $chunkStride)) AS start
+            FROM t)
+          SELECT doc_id, (start // $chunkStride)::BIGINT AS chunk_idx,
+            start::BIGINT AS start_tok,
+            least($chunkSize, n - start)::BIGINT AS chunk_len,
+            md5(array_to_string(
+              ws[start + 1 : least(start + $chunkSize, n)], ' '))
+              AS chunk_md5
+          FROM s ORDER BY doc_id, chunk_idx""",
     "q66_context_packing" ->
       s"""WITH t AS (
             SELECT doc_id, lang, doc_id % $packShards AS shard,

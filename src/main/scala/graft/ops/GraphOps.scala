@@ -998,6 +998,7 @@ object GraphOps {
         col("n_members"))
       .orderBy(desc("n_members"), asc("component_rep"))
       .localCheckpoint(true)
+    lbl.unpersist(blocking = false)
     out
   }
 
@@ -1162,7 +1163,6 @@ object GraphOps {
 
   private[graft] def boruvkaCore(spark: SparkSession, raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val edges = raw.groupBy("a", "b").agg(max("weight").as("weight"))
       .filter(col("a") =!= col("b"))
       .localCheckpoint(true)
@@ -1171,10 +1171,21 @@ object GraphOps {
       .distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint(true)
-    var mst = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("src", StringType),
-        StructField("dst", StringType), StructField("weight", LongType))))
+    // picked-edge batches accumulate here and union ONCE at the end:
+    // each `best` below is already checkpointed, so the per-round
+    // `mst = mst.unionAll(...).localCheckpoint(true)` this replaces was
+    // a pure materialization job per round with no lineage to cut
+    // (round-11 bench fix — the loop's cost is Spark JOB scheduling on
+    // a lexicon-bounded frame, not data). `best` is per-component
+    // unique within a round and rounds only merge components, so the
+    // only cross-batch repeat is both endpoints of one edge picking it
+    // in the SAME round — the final distinct() handles it.
+    val picked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // every intermediate this loop checkpoints, released before return
+    // (the q35 discipline; leaked blocks made repeated invocations pay
+    // growing storage in the round-10 driver sweep)
+    val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    retired += edges
     var round = 0
     var done = false
     while (!done && round < mstMaxRounds) {
@@ -1183,6 +1194,7 @@ object GraphOps {
       val cross = edges.join(ca, "a").join(cb, "b")
         .filter(col("comp_a") =!= col("comp_b"))
         .localCheckpoint(true)
+      retired += cross
       if (cross.isEmpty) done = true
       else {
         // every touched component nominates its best edge; the picked
@@ -1197,21 +1209,37 @@ object GraphOps {
         val best = cand.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .localCheckpoint(true)
-        mst = mst.unionAll(best
-            .select(col("a").as("src"), col("b").as("dst"), col("weight"))
-            .distinct())
-          .localCheckpoint(true)
+        retired += best
+        picked += best.select(col("a").as("src"), col("b").as("dst"),
+          col("weight"))
         // contract touched components through the star label map
         val relbl = starLabels(
           best.select(col("comp_a").as("a"), col("comp_b").as("b")))
+        retired += relbl
+        retired += comp
         comp = comp.join(relbl, comp("comp") === relbl("u"), "left")
           .select(col("node"), coalesce(col("rep"), col("comp")).as("comp"))
           .localCheckpoint(true)
       }
       round += 1
     }
-    mst.orderBy(desc("weight"), asc("src"), asc("dst"))
-      .localCheckpoint(true)
+    retired += comp
+    val mst = picked.reduceOption(_ unionAll _) match {
+      case Some(all) => all.distinct()
+        .orderBy(desc("weight"), asc("src"), asc("dst"))
+        .localCheckpoint(true)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("dst",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("weight",
+            org.apache.spark.sql.types.LongType))))
+    }
+    retired.foreach(_.unpersist(blocking = false))
+    mst
   }
 
   /** q34 IS oracle-able despite GraphX: the output is label-free

@@ -497,7 +497,51 @@ object Quality {
       .orderBy("source")
   }
 
+  /** q228 bin count (deciles — the reporting convention). */
+  private[graft] val calibBuckets = 10
+
+  /** q228 — CALIBRATION / RELIABILITY CURVE, the companion read to
+    * q205's AUC: AUC says the score RANKS positives above negatives;
+    * the reliability curve says what a score LEVEL means — per
+    * equal-population score decile, the observed positive rate (same
+    * honest proxy task as q205: n_chars predicting lang = 'en').
+    * sklearn's calibration_curve collects scores to one node; here the
+    * curve is pure aggregation.
+    *
+    * Deciles are assigned at VALUE-GROUP granularity (the q143
+    * convention — equal scores never split across buckets; ntile's
+    * arbitrary intra-tie split is both unscalable and semantically
+    * worse), via the q218 two-phase prefix sum over the value-grain
+    * frame: bucket = (cum_before·10) div n. Counts and rates are exact
+    * integers; the single ppm division is truncating.
+    *
+    * Scale: one hash agg to value grain, the two-phase range exchange
+    * over |distinct scores| rows, one dimension-sized final agg. No
+    * single-partition window, no row-grain ordered pass.
+    */
+  def calibrationCurve(spark: SparkSession, dir: String): DataFrame =
+    calibrationCore(Tables.documents(spark, dir)
+      .select(col("n_chars"), col("lang")))
+
+  private[graft] def calibrationCore(docs: DataFrame): DataFrame =
+    GlobalIndex.prefixSummedBy(
+        docs.groupBy("n_chars")
+          .agg(count(lit(1)).as("cnt"),
+            count(when(col("lang") === "en", 1)).as("pos")),
+        Seq("n_chars"), Seq("cnt"))
+      .withColumn("bucket",
+        expr(s"(cum_cnt - cnt) * $calibBuckets div total_cnt"))
+      .groupBy("bucket")
+      .agg(sum("cnt").as("n_docs"), sum("pos").as("n_pos"),
+        min("n_chars").as("lo_score"), max("n_chars").as("hi_score"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        col("lo_score"), col("hi_score"),
+        expr("""cast(cast(n_pos as decimal(38,0)) * 1000000 div n_docs
+                as bigint)""").as("pos_rate_ppm"))
+      .orderBy("bucket")
+
   val queries: Map[String, Q] = Map(
+    "q228_calibration_curve" -> (calibrationCurve(_, _)),
     "q210_source_mix_tv" -> (sourceMixTv(_, _)),
     "q205_auc_rank" -> (aucRank(_, _)),
     "q202_data_contract" -> (dataContract(_, _)),
@@ -510,6 +554,26 @@ object Quality {
     "q133_compliance_purge" -> (compliancePurge(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q228: same value-grain collapse, same value-group bucket rule
+    // ((cum_before·10) div n — a tie never splits), same ppm division
+    "q228_calibration_curve" ->
+      """WITH g AS (
+           SELECT n_chars, count(*)::BIGINT AS cnt,
+             count(*) FILTER (WHERE lang = 'en')::BIGINT AS pos
+           FROM documents GROUP BY 1),
+         c AS (
+           SELECT *,
+             sum(cnt) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER () AS n
+           FROM g)
+         SELECT ((cum - cnt) * 10 // n)::BIGINT AS bucket,
+           sum(cnt)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_pos,
+           min(n_chars)::BIGINT AS lo_score,
+           max(n_chars)::BIGINT AS hi_score,
+           (sum(pos)::HUGEINT * 1000000 // sum(cnt))::BIGINT
+             AS pos_rate_ppm
+         FROM c GROUP BY 1 ORDER BY 1""",
     // q210: same densified source×lang spine, same cross-multiplied
     // integer deviation in HUGEINT, one truncating division
     "q210_source_mix_tv" ->

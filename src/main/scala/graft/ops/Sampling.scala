@@ -263,7 +263,85 @@ object Sampling {
       .select("lang", "source", "n_rows", "keep_ppm", "expected_rows")
       .orderBy("lang", "source")
 
+  /** q227 per-stratum allocation; sf-independent constant. */
+  val topkPerStratum = 200
+
+  /** q227 prefilter oversample: expected survivors per stratum =
+    * oversample·k, so the per-stratum sort below runs over ~800 rows
+    * even when the stratum holds 50 TB. With k=200 the survivor count
+    * is Binomial(n, 4k/n): P(< k) is astronomically small (Chernoff:
+    * exp(−4k·(3/4)²/2) ≈ e⁻²²⁵), and the exactness-restoring fallback
+    * below covers even that tail.
+    */
+  private val topkOversample = 4L
+
+  /** q227 — EXACT-ALLOCATION STRATIFIED TOP-K: per language, the k
+    * deterministically-"first" documents in md5 order — the balanced
+    * eval-set builder (q58's rate sampler keeps a PROPORTION per
+    * stratum; a leaderboard eval set wants an exact COUNT per stratum,
+    * identical on every run and every engine). The naive formulation —
+    * `row_number() OVER (PARTITION BY lang ORDER BY md5)` ≤ k — sorts
+    * every stratum in full: one task per language, and the bulk
+    * language IS the corpus (the q102 hot-key shape). The scalable
+    * plan prefilters by hash prefix first:
+    *
+    *   1. count each stratum (hash agg, dimension-sized result);
+    *   2. keep rows whose first-8-hex-digit value is below
+    *      `thr_s ≈ 2³²·(oversample·k)/n_s` — a broadcast-joined
+    *      per-row filter in the scan stage, expected survivors
+    *      oversample·k per stratum;
+    *   3. window-rank ONLY the survivors (bounded partitions).
+    *
+    * Exactness is unconditional, not probabilistic: the md5-hex
+    * alphabet is ordered (0-9 < a-f), so `prefix8 < thr` is
+    * downward-closed in the full-key order — the survivor set is a
+    * PREFIX of each stratum's sort order, and ranking survivors equals
+    * ranking the stratum whenever ≥ k survive. Strata where the
+    * prefilter leaves < k rows (tiny strata keep everything anyway —
+    * thr caps at 2³²; a hash-clustering fluke would land here too)
+    * are detected by a dimension-sized count and re-ranked over their
+    * FULL rows, so the output never depends on the filter's luck.
+    * The oracle is the naive formulation — both must agree exactly.
+    *
+    * Scale: two projected scans of the stratum/key columns (count +
+    * pool build) plus a broadcast filter; no full-stratum sort
+    * anywhere. 100 TB cost is the scans, which prune to 2 columns.
+    */
+  def stratifiedTopK(spark: SparkSession, dir: String): DataFrame =
+    stratifiedTopKCore(Tables.documents(spark, dir), topkPerStratum)
+
+  private[graft] def stratifiedTopKCore(docs0: DataFrame, k: Int): DataFrame = {
+    val docs = docs0.select(col("lang"), col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":topk"))
+          .cast("binary")).as("key"))
+      .withColumn("h", conv(substring(col("key"), 1, 8), 16, 10)
+        .cast("long"))
+    val ns = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+    val thr = ns.select(col("lang"),
+      least(lit(4294967296L), expr(
+        s"cast(4294967296 as bigint) * ${topkOversample * k} div n_s + 1"))
+        .as("thr"))
+    val surv = docs.join(broadcast(thr), Seq("lang"))
+      .filter(col("h") < col("thr"))
+    // strata the prefilter left short of k (dimension-sized frame;
+    // right join so a stratum with ZERO survivors still appears)
+    val short = surv.groupBy("lang").agg(count(lit(1)).as("c"))
+      .join(ns, Seq("lang"), "right")
+      .filter(coalesce(col("c"), lit(0L)) < k)
+      .select("lang")
+    val pool = surv.select("lang", "key", "doc_id")
+      .join(broadcast(short), Seq("lang"), "left_anti")
+      .unionByName(docs.select("lang", "key", "doc_id")
+        .join(broadcast(short), Seq("lang"), "left_semi"))
+    val wk = Window.partitionBy("lang").orderBy("key", "doc_id")
+    pool.withColumn("rn", row_number().over(wk).cast("long"))
+      .filter(col("rn") <= k)
+      .select("lang", "rn", "doc_id")
+      .orderBy("lang", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q227_stratified_topk" -> (stratifiedTopK(_, _)),
     "q199_mixture_reweight" -> (mixtureReweight(_, _)),
     "q193_poisson_bootstrap" -> (poissonBootstrap(_, _)),
     "q58_stratified_sample" -> (stratifiedSample(_, _)),
@@ -273,6 +351,16 @@ object Sampling {
     "q184_weighted_sample" -> (weightedPrioritySample(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q227: the NAIVE full-sort formulation — the prefilter plan must
+    // reproduce it exactly (same md5 key, same doc_id tie-break)
+    "q227_stratified_topk" ->
+      s"""SELECT lang, rn, doc_id FROM (
+            SELECT lang, doc_id,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY md5(doc_id::VARCHAR || ':topk'), doc_id) AS rn
+            FROM documents) t
+          WHERE rn <= $topkPerStratum
+          ORDER BY lang, rn""",
     // q199: same cell collapse, same integral target/cap arithmetic
     "q199_mixture_reweight" ->
       """WITH c AS (

@@ -284,9 +284,69 @@ object Scoring {
                 div nullif(n_customers * s, 0) as bigint)""")
           .as("gini_ppm"))
 
+  /** q229 bin count: 1/B relative-error class on the Lorenz curve. */
+  private[graft] val giniBins = 256
+
+  /** q229 — BINNED-LORENZ GINI, the sketch twin of q219 for the
+    * continuous-value regime (the q102→q149 pattern: the exact kernel
+    * is the gate, the sketch is the scale path when the ordered pass
+    * over the value domain is itself the bottleneck). q219's two-phase
+    * ranking already scales like a shuffle, but it still range-
+    * exchanges EVERY entity row; this twin collapses entities to
+    * [[giniBins]] equal-WIDTH revenue bins in one hash agg and
+    * integrates the Lorenz curve over bins: within-bin order
+    * contributes at most the bin's value spread, so the coefficient is
+    * exact-to-the-binning — and because the binning rule is pure
+    * integer arithmetic ((cents−lo)·B div span), the SKETCH ITSELF is
+    * engine-reproducible and oracle-gated, unlike a t-digest.
+    * ScoringSpec pins the sketch-vs-exact gap against q219.
+    *
+    * Grouped-data identity (trapezoid Lorenz, all integers):
+    * G·N·S = N·S − Σᵢ nᵢ·(2·cumS₍₋₁₎ + sᵢ) over ascending bins.
+    * DECIMAL(38,0) throughout — N·S < 10³⁸ holds to ~10¹² customers ×
+    * ~10¹⁷ total cents, far past the 100 TB design point.
+    *
+    * Scale: one bounds agg + one hash agg to B rows (the rev subplan
+    * evaluates once per pass — two passes total, vs q219's one pass +
+    * row-grain range exchange); the ordered pass is O(B) on one task.
+    */
+  def giniBinned(spark: SparkSession, dir: String): DataFrame =
+    giniBinnedCore(Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ckey"))
+      .agg(expr("cast(sum(floor(o_totalprice * 100.0D)) as bigint)")
+        .as("cents")))
+
+  /** Over a (ckey, cents) per-entity frame; fixture seam. */
+  private[graft] def giniBinnedCore(rev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = rev.agg(min("cents").as("lo"), max("cents").as("hi"))
+    val binned = rev.crossJoin(broadcast(b))
+      .withColumn("bin", expr(
+        s"""cast((cast(cents as decimal(38,0)) - lo) * $giniBins
+            div (cast(hi as decimal(38,0)) - lo + 1) as bigint)"""))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_i"),
+        sum(expr("cast(cents as decimal(38,0))")).as("s_i"))
+    // B-row frame: the single-partition ordered pass is O(B), by design
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binned
+      .withColumn("cum_prev",
+        coalesce(sum("s_i").over(w), lit(0).cast("decimal(38,0)")))
+      .agg(sum("n_i").as("n"), sum("s_i").as("s"),
+        sum(expr("cast(n_i as decimal(38,0)) * (2 * cum_prev + s_i)"))
+          .as("t"))
+      .select(col("n").as("n_customers"),
+        col("s").cast("long").as("total_cents"),
+        expr("""cast((cast(n as decimal(38,0)) * s - t) * 1000000
+                div nullif(cast(n as decimal(38,0)) * s, 0) as bigint)""")
+          .as("gini_binned_ppm"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q229_gini_binned" -> (giniBinned(_, _)),
     "q218_ks_statistic" -> (ksStatistic(_, _)),
     "q219_gini_revenue" -> (giniRevenue(_, _)),
     "q137_rfm_segments" -> (rfmSegments(_, _)),
@@ -303,6 +363,33 @@ object Scoring {
     }.mkString(",\n             ")
 
   val oracles: Map[String, String] = Map(
+    // q229: same integer bin rule, same grouped-Lorenz identity in
+    // HUGEINT, same truncating division — the sketch is deterministic
+    "q229_gini_binned" ->
+      s"""WITH r AS (
+            SELECT o_custkey AS ckey,
+              CAST(sum(floor(o_totalprice * CAST(100.0 AS DOUBLE)))
+                AS BIGINT) AS cents
+            FROM orders GROUP BY 1),
+          b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM r),
+          g AS (
+            SELECT ((cents::HUGEINT - lo) * $giniBins
+                    // (hi::HUGEINT - lo + 1))::BIGINT AS bin,
+              count(*)::BIGINT AS n_i, sum(cents::HUGEINT) AS s_i
+            FROM r, b GROUP BY 1),
+          c AS (
+            SELECT *, coalesce(sum(s_i) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS cum_prev
+            FROM g),
+          t AS (
+            SELECT sum(n_i) AS n, sum(s_i) AS s,
+              sum(n_i::HUGEINT * (2 * cum_prev + s_i)) AS t
+            FROM c)
+          SELECT n::BIGINT AS n_customers, s::BIGINT AS total_cents,
+            ((n::HUGEINT * s - t) * 1000000
+             // nullif(n::HUGEINT * s, 0))::BIGINT AS gini_binned_ppm
+          FROM t""",
     // q218: same midpoint split, same value-grain cumulative counts,
     // same cross-multiplied sup gap in HUGEINT
     "q218_ks_statistic" ->

@@ -78,4 +78,36 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       case _ =>
     }
   }
+
+  test("q230 chunking: geometry, full coverage, and md5 identity on " +
+    "hand-built docs") {
+    import graft.ops.CorpusPrep
+    val S = CorpusPrep.chunkStride
+    // 150 tokens → starts 0, 48, 96; lens 64, 64, 54. 10 tokens → one
+    // chunk. Tokens are distinct so slices are unambiguous.
+    val words150 = (0 until 150).map(i => s"w$i")
+    val words10 = (0 until 10).map(i => s"v$i")
+    val docs = Seq((1L, words150.mkString(" ")), (2L, words10.mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = CorpusPrep.chunkCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq.sortBy(x => (x._1, x._2))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m(s: String): String = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val expect = Seq(
+      (1L, 0L, 0L, 64L, m(words150.slice(0, 64).mkString(" "))),
+      (1L, 1L, 48L, 64L, m(words150.slice(48, 112).mkString(" "))),
+      (1L, 2L, 96L, 54L, m(words150.slice(96, 150).mkString(" "))),
+      (2L, 0L, 0L, 10L, m(words10.mkString(" "))))
+    assert(rows === expect)
+    // coverage: consecutive chunks advance by exactly S ≤ chunk length,
+    // so no token gap
+    rows.filter(_._1 == 1L).sliding(2).foreach {
+      case Seq((_, _, s1, l1, _), (_, _, s2, _, _)) =>
+        assert(s2 <= s1 + l1, "chunks must not leave a gap")
+        assert(s2 - s1 == S)
+      case _ =>
+    }
+  }
 }

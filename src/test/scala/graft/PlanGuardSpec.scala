@@ -67,7 +67,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // q142's single-row midpoint-cutoff broadcast, reused for the KS
     // timeline split (q218) and CUPED's pre/post split (q223)
     "q218_ks_statistic",
-    "q223_cuped_readout")
+    "q223_cuped_readout",
+    // round-11: single-row (lo, hi) revenue-bounds broadcast feeding
+    // the bin rule (q143's totals-row pattern)
+    "q229_gini_binned")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

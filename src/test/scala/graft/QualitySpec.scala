@@ -208,4 +208,28 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq(("X", 4L, 350000L), ("Y", 4L, 350000L),
       ("Z", 2L, 800000L)))
   }
+
+  test("q228 calibration: hand fixture — value-group deciles, ties never " +
+    "split, exact ppm rates") {
+    import spark.implicits._
+    // scores 1..20 once each, 'en' on evens → each decile holds exactly
+    // two adjacent scores (one even), positive rate 1/2 everywhere
+    val docs = (1L to 20L).map(v =>
+      (v, if (v % 2 == 0) "en" else "de")).toDF("n_chars", "lang")
+    val out = Quality.calibrationCore(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val expect = (0L until 10L).map(b =>
+      (b, 2L, 1L, 2 * b + 1, 2 * b + 2, 500000L))
+    assert(out === expect)
+    // tie cohesion: one value carrying most of the mass stays in ONE
+    // bucket (the q143 whole-value-group convention)
+    val tied = (Seq.fill(15)((7L, "en")) ++ Seq((1L, "de"), (9L, "de")))
+      .toDF("n_chars", "lang")
+    val buckets = Quality.calibrationCore(tied)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // value 7 lands wholly in the bucket of its cum-before (1·10 div 17)
+    assert(buckets.count { case (_, _, _, lo, hi, _) => lo <= 7 && 7 <= hi }
+      == 1)
+    assert(buckets.map(_._2).sum == 17L)
+  }
 }

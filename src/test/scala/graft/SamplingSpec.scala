@@ -172,4 +172,39 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall { case (_, n, _) =>
       n > n0 / 2 && n < n0 * 2 })
   }
+
+  test("q227 stratified top-k: the hash-prefilter plan reproduces the " +
+    "naive full-sort ranking exactly, with the prefilter ACTIVE") {
+    import spark.implicits._
+    // 5000 docs in one stratum with k=10 → thr = 2³²·40/5000 ≪ 2³²,
+    // so the prefilter genuinely drops ~99% of rows before ranking —
+    // the test would not regress to triviality if thr capped out.
+    val k = 10
+    val docs = (0L until 5000L).map(i => (if (i % 5 == 0) "aa" else "bb", i))
+      .toDF("lang", "doc_id")
+    val got = Sampling.stratifiedTopKCore(docs, k)
+      .as[(String, Long, Long)].collect().toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md.digest(s"$id:topk".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val naive = Seq("aa", "bb").flatMap { lang =>
+      (0L until 5000L).filter(i => (if (i % 5 == 0) "aa" else "bb") == lang)
+        .sortBy(i => (key(i), i)).take(k).zipWithIndex
+        .map { case (id, r) => (lang, r + 1L, id) }
+    }
+    assert(got === naive)
+  }
+
+  test("q227 stratified top-k: a stratum smaller than k emits all its " +
+    "rows, ranked") {
+    import spark.implicits._
+    val docs = ((0L until 3L).map(("tiny", _)) ++
+      (100L until 1100L).map(("big", _))).toDF("lang", "doc_id")
+    val got = Sampling.stratifiedTopKCore(docs, 50)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.count(_._1 == "tiny") == 3)
+    assert(got.count(_._1 == "big") == 50)
+    assert(got.filter(_._1 == "tiny").map(_._2).sorted == Seq(1L, 2L, 3L))
+  }
 }

@@ -116,4 +116,32 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
     assert(gini(Seq(0L, 0L, 12L)) == 666666L)    // one owner (n−1)/n = 2/3
     assert(gini(Seq(1L, 2L, 3L)) == 222222L)     // Σ(2i−n−1)x / nΣx = 4/18
   }
+
+  test("q229 binned gini: exact on degenerate shapes, tracks the exact " +
+    "q219 coefficient within the bin-resolution bound on real data") {
+    def binned(cents: Seq[Long]): Long =
+      Scoring.giniBinnedCore(cents.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }.toDF("ckey", "cents"))
+        .as[(Long, Long, Long)].collect().head._3
+    // degenerate shapes where binning loses nothing:
+    assert(binned(Seq(5L, 5L, 5L)) == 0L)        // one bin → exact 0
+    assert(binned(Seq(0L, 0L, 12L)) == 666666L)  // holders split cleanly
+    // real data: sketch vs exact within the grouped-Lorenz resolution.
+    // The bin quantization moves mass by at most one bin's value width,
+    // so the ppm gap is O(10⁶/B) times a distribution-shape constant;
+    // 4/B ppm-scaled is a conservative pin for the testdata shape.
+    val rev = Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("o_custkey").as("ckey"))
+      .agg(org.apache.spark.sql.functions
+        .expr("cast(sum(floor(o_totalprice * 100.0D)) as bigint)")
+        .as("cents"))
+    val exact = Scoring.giniCore(rev).as[(Long, Long, Long)].collect().head
+    val approx = Scoring.giniBinnedCore(rev)
+      .as[(Long, Long, Long)].collect().head
+    assert(approx._1 == exact._1 && approx._2 == exact._2,
+      "count/total must be exact regardless of binning")
+    val tol = 4L * 1000000L / Scoring.giniBins
+    assert(math.abs(approx._3 - exact._3) <= tol,
+      s"binned ${approx._3} vs exact ${exact._3} exceeds ±$tol ppm")
+  }
 }
