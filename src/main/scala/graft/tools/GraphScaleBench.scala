@@ -20,13 +20,22 @@ import graft.ops.{CooccurrenceGraph, GraphOps}
   * wall when K=1 under-fills the 32 cores), and any hidden
   * corpus-proportional or super-linear step shows up as ≫ K×.
   *
-  * Usage: runMain graft.tools.GraphScaleBench [sfDir] [K1,K2,...]
-  * (defaults: /root/testdata/sf0.1 and 1,10). Results land in SCALE.md.
+  * The corpus-derived entity graph aggregates to only dozens of edges
+  * (lexicon-bounded — that IS the scale claim for q33/q35/q75/q89), so
+  * replication mostly measures fixed scheduling cost. The synthetic
+  * mode is the real stress: `synth:E1,E2,...` builds deterministic
+  * hash-random graphs with E edges over E/2 nodes (supercritical — one
+  * giant component, the worst case for the CC/Borůvka fixpoints) and
+  * times the kernels where the per-round joins genuinely move data.
+  *
+  * Usage: runMain graft.tools.GraphScaleBench [sfDir] [K1,K2,... |
+  * synth:E1,E2,...] (defaults: /root/testdata/sf0.1 and 1,10).
+  * Results land in SCALE.md.
   */
 object GraphScaleBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val ks = args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
+    val spec = args.lift(1).getOrElse("1,10")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -41,6 +50,41 @@ object GraphScaleBench {
       println(f"[gscale] $label ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
+    def kernels(tag: String, edges: DataFrame): Unit = {
+      timed(s"$tag cc_star")(
+        GraphOps.ccStarCore(edges.select(col("src").as("a"),
+          col("dst").as("b"))).count())
+      timed(s"$tag boruvka_msf")(
+        GraphOps.boruvkaCore(spark, edges.select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"),
+          col("weight"))).count())
+      timed(s"$tag kcore")(GraphOps.kCoreNumbers(edges).count())
+      timed(s"$tag lpa")(GraphOps.labelPropagation(edges).count())
+    }
+
+    if (spec.startsWith("synth:")) {
+      for (e <- spec.stripPrefix("synth:").split(",").map(_.trim.toLong)) {
+        val v = math.max(e / 2, 2L)
+        // deterministic hash-random multigraph: e edges over v nodes,
+        // mean degree 4 (supercritical — one giant component)
+        val edges = spark.range(e).select(
+            concat(lit("n"), pmod(xxhash64(col("id"), lit(1)), lit(v)))
+              .as("src"),
+            concat(lit("n"), pmod(xxhash64(col("id"), lit(2)), lit(v)))
+              .as("dst"),
+            (pmod(xxhash64(col("id"), lit(3)), lit(1000)) + 1).as("weight"))
+          .filter(col("src") =!= col("dst"))
+          .localCheckpoint(true)
+        println(s"[gscale] --- synth E=$e (${edges.count()} edges, $v nodes) ---")
+        kernels(s"E=$e", edges)
+        edges.unpersist(blocking = false)
+      }
+      spark.stop()
+      return
+    }
+    val ks = spec.split(",").map(_.trim.toInt).toSeq
+
     val t0 = System.nanoTime()
     val base = CooccurrenceGraph.edgeCounts(spark, dir).localCheckpoint(true)
     val nE = base.count()
@@ -52,16 +96,7 @@ object GraphScaleBench {
           concat(col("dst"), lit(s"#$i")).as("dst"), col("weight"))
       }.reduce(_ unionAll _).localCheckpoint(true)
       println(s"[gscale] --- K=$k (${scaled.count()} edges) ---")
-      timed(s"K=$k cc_star")(
-        GraphOps.ccStarCore(scaled.select(col("src").as("a"),
-          col("dst").as("b"))).count())
-      timed(s"K=$k boruvka_msf")(
-        GraphOps.boruvkaCore(spark, scaled.select(
-          least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"),
-          col("weight"))).count())
-      timed(s"K=$k kcore")(GraphOps.kCoreNumbers(scaled).count())
-      timed(s"K=$k lpa")(GraphOps.labelPropagation(scaled).count())
+      kernels(s"K=$k", scaled)
       timed(s"K=$k louvain")(GraphOps.louvain(scaled).count())
       scaled.unpersist(blocking = false)
     }
