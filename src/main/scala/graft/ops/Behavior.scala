@@ -983,7 +983,75 @@ object Behavior {
           .as("slope_milli"))
       .orderBy("segment")
 
+  /** q237 — TWO-FACTOR OLS per segment: β for y = β₀ + β₁·day +
+    * β₂·balance over the orders×customer frame (q201 fits the
+    * single-feature trend; this is the multiple-regression step an
+    * analytics engine owes its users — "is the trend real once account
+    * balance is controlled for"). One hash aggregate collects the NINE
+    * sufficient statistics (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂²,
+    * Σx₁y, Σx₂y) in DECIMAL(38,0) — exact, map-side-combined, one
+    * exchange on segment (the q201/q213 sufficient-statistics
+    * argument); the centered normal-equation solve (Cramer on the 2×2
+    * system) runs on the segment-grain frame.
+    *
+    * Exactness stance: the centered moments S₁₁ = nΣx₁²−(Σx₁)² etc.
+    * are EXACT DECIMAL(38,0) (bound ~10³² at 100 TB magnitudes — safe);
+    * Cramer's quotients would need ~10⁶⁰ numerators, past any fixed
+    * decimal, so the SOLVE casts the exact moments to DOUBLE — both
+    * engines correctly-round the same exact integers to the same
+    * binary64, then run the identical expression tree → bit-equal
+    * results, rounded to 6dp (the q109 convention).
+    */
+  def olsTwoFactor(spark: SparkSession, dir: String): DataFrame =
+    olsTwoFactorCore(Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        expr(s"unix_micros(o_orderdate) div ${graft.ops.Changelog.usPerDay}")
+          .as("x1"),
+        expr("floor(c_acctbal * 100.0D)").as("x2"),
+        expr("floor(o_totalprice * 100.0D)").as("y")))
+
+  /** The sufficient-statistics fold + centered Cramer solve over a
+    * (segment, x1, x2, y) frame — fixture seam for the spec.
+    */
+  private[graft] def olsTwoFactorCore(pts: DataFrame): DataFrame =
+    pts
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(x1 as decimal(38,0))")).as("s1"),
+        sum(expr("cast(x2 as decimal(38,0))")).as("s2"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(x1 as decimal(38,0)) * x1")).as("s11"),
+        sum(expr("cast(x1 as decimal(38,0)) * x2")).as("s12"),
+        sum(expr("cast(x2 as decimal(38,0)) * x2")).as("s22"),
+        sum(expr("cast(x1 as decimal(38,0)) * y")).as("s1y"),
+        sum(expr("cast(x2 as decimal(38,0)) * y")).as("s2y"))
+      .select(col("segment"), col("n").as("n_orders"),
+        expr("cast(n * s11 - s1 * s1 as double)").as("c11"),
+        expr("cast(n * s12 - s1 * s2 as double)").as("c12"),
+        expr("cast(n * s22 - s2 * s2 as double)").as("c22"),
+        expr("cast(n * s1y - s1 * sy as double)").as("c1y"),
+        expr("cast(n * s2y - s2 * sy as double)").as("c2y"),
+        expr("cast(s1 as double)").as("d1"),
+        expr("cast(s2 as double)").as("d2"),
+        expr("cast(sy as double)").as("dy"),
+        expr("cast(n as double)").as("dn"))
+      .withColumn("det", expr("c11 * c22 - c12 * c12"))
+      .withColumn("beta_day",
+        expr("round((c22 * c1y - c12 * c2y) / nullif(det, 0.0D), 6)"))
+      .withColumn("beta_bal",
+        expr("round((c11 * c2y - c12 * c1y) / nullif(det, 0.0D), 6)"))
+      .withColumn("intercept", expr(
+        """round((dy - ((c22 * c1y - c12 * c2y) / nullif(det, 0.0D)) * d1
+                     - ((c11 * c2y - c12 * c1y) / nullif(det, 0.0D)) * d2)
+             / dn, 6)"""))
+      .select("segment", "n_orders", "beta_day", "beta_bal", "intercept")
+      .orderBy("segment")
+
   val queries: Map[String, Q] = Map(
+    "q237_ols_two_factor" -> (olsTwoFactor(_, _)),
     "q207_activity_streaks" -> (activityStreaks(_, _)),
     "q208_gap_fill_interpolate" -> (gapFillInterpolate(_, _)),
     "q211_user_growth" -> (userGrowthCurve(_, _)),
@@ -1164,6 +1232,43 @@ object Behavior {
     // q201: same sufficient statistics in HUGEINT, same truncating
     // division (DuckDB // == Spark div toward zero, verified on
     // negatives)
+    // q237: same exact HUGEINT centered moments, then the identical
+    // DOUBLE Cramer expression tree (both engines correctly-round the
+    // same exact integers to binary64, so the solve is bit-equal)
+    "q237_ols_two_factor" ->
+      """WITH o AS (
+           SELECT c_mktsegment AS segment,
+             (epoch_ns(o_orderdate) // 1000) // 86400000000 AS x1,
+             CAST(floor(c_acctbal * CAST(100.0 AS DOUBLE)) AS BIGINT) AS x2,
+             CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)) AS BIGINT)
+               AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         a AS (
+           SELECT segment, count(*)::HUGEINT AS n,
+             sum(x1::HUGEINT) AS s1, sum(x2::HUGEINT) AS s2,
+             sum(y::HUGEINT) AS sy,
+             sum(x1::HUGEINT * x1) AS s11, sum(x1::HUGEINT * x2) AS s12,
+             sum(x2::HUGEINT * x2) AS s22,
+             sum(x1::HUGEINT * y) AS s1y, sum(x2::HUGEINT * y) AS s2y
+           FROM o GROUP BY 1),
+         c AS (
+           SELECT segment, n::BIGINT AS n_orders,
+             (n * s11 - s1 * s1)::DOUBLE AS c11,
+             (n * s12 - s1 * s2)::DOUBLE AS c12,
+             (n * s22 - s2 * s2)::DOUBLE AS c22,
+             (n * s1y - s1 * sy)::DOUBLE AS c1y,
+             (n * s2y - s2 * sy)::DOUBLE AS c2y,
+             s1::DOUBLE AS d1, s2::DOUBLE AS d2, sy::DOUBLE AS dy,
+             n::DOUBLE AS dn
+           FROM a),
+         d AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c)
+         SELECT segment, n_orders,
+           round((c22 * c1y - c12 * c2y) / nullif(det, 0.0), 6) AS beta_day,
+           round((c11 * c2y - c12 * c1y) / nullif(det, 0.0), 6) AS beta_bal,
+           round((dy - ((c22 * c1y - c12 * c2y) / nullif(det, 0.0)) * d1
+                     - ((c11 * c2y - c12 * c1y) / nullif(det, 0.0)) * d2)
+             / dn, 6) AS intercept
+         FROM d ORDER BY segment""",
     "q201_trend_slopes" ->
       """WITH o AS (
            SELECT c_mktsegment AS segment,

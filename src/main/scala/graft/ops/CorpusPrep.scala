@@ -189,15 +189,186 @@ object CorpusPrep {
           .cast("binary")).as("chunk_md5"))
   }
 
+  // ---- q233/q234: BPE merge learning ------------------------------------
+
+  /** End-of-word marker (the Sennrich 2016 convention: BPE learns on
+    * word-internal symbol sequences terminated by a marker, so merges
+    * never cross word boundaries and suffixes stay distinct from
+    * prefixes).
+    */
+  val bpeEow = "</w>"
+
+  /** Number of learned merges q233 emits. */
+  val bpeMerges = 8
+
+  /** Corpus word-frequency table over the lowercase latin word surface
+    * — the input grain for BPE training (the corpus collapses to its
+    * vocabulary once; every merge round is vocabulary-sized).
+    */
+  private[graft] def wordFreqs(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** q234 — INITIAL SYMBOL-PAIR FREQUENCIES: the round-1 statistic of
+    * BPE training (adjacent character-pair counts over the
+    * word-frequency table, end-of-word marker included), split out of
+    * q233 so the SQL-expressible surface gets a DuckDB oracle (the
+    * q96→q225 pattern: the iterative fixpoint is rows-only, its first
+    * round is oracle-gated). Alphabet-bounded output (≤ 27² rows).
+    *
+    * Scale: the corpus collapses to vocabulary grain in one word
+    * explode + hash agg (Zipf head absorbed map-side); the per-word
+    * pair generator is length-bounded; the pair agg domain is the
+    * alphabet square.
+    */
+  def symbolPairFreqs(spark: SparkSession, dir: String): DataFrame =
+    symbolPairCore(Tables.documents(spark, dir))
+
+  private[graft] def symbolPairCore(docs: DataFrame): DataFrame =
+    wordFreqs(docs)
+      .select(col("freq"), expr(
+        s"""explode(transform(sequence(1, length(word)), i -> named_struct(
+             'lft', substr(word, i, 1),
+             'rgt', case when i = length(word) then '$bpeEow'
+                         else substr(word, i + 1, 1) end))) AS p"""))
+      .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+      .agg(sum("freq").as("pair_freq"))
+      .orderBy(desc("pair_freq"), asc("lft"), asc("rgt"))
+
+  /** q233 — BPE MERGE TRAINING: learn the first [[bpeMerges]] byte-pair
+    * merges from the corpus (Sennrich et al. 2016, the tokenizer-
+    * training algorithm behind GPT-2/RoBERTa vocabularies): each round
+    * counts adjacent symbol pairs over the word-frequency table
+    * (weighted by word freq), merges the most frequent pair corpus-wide
+    * (ties broken lexicographically — the optimum is then UNIQUE, hence
+    * deterministic), and rewrites every word's symbol sequence with the
+    * leftmost-greedy merge pass.
+    *
+    * Scale: the corpus is touched ONCE (the word-frequency collapse);
+    * every round after that is vocabulary-sized — a length-bounded pair
+    * explode, a hash agg on the (grown) symbol alphabet, a
+    * TakeOrderedAndProject(1) for the argmax, and a map-only aggregate()
+    * rewrite with the 1-row winner broadcast in (never a driver
+    * collect). Rounds are checkpointed (the Borůvka discipline) and
+    * every intermediate is released before return.
+    *
+    * Rows-only by design: K chained merge rounds re-tokenize through
+    * learned state — no SQL oracle (the q215 class) — but round 1 IS
+    * oracle-gated as q234, and CurationSpec pins the full merge table
+    * against an independent plain-Scala BPE implementation.
+    */
+  def bpeMergeTable(spark: SparkSession, dir: String): DataFrame =
+    bpeCore(wordFreqs(Tables.documents(spark, dir)))
+
+  private[graft] def bpeCore(wf: DataFrame): DataFrame = {
+    val (merges, _, retired) = bpeLoop(wf)
+    val out = merges.reduce(_ unionAll _).orderBy("merge_rank")
+      .localCheckpoint(true)
+    retired.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The shared K-round trainer: per-round (merge frames, final
+    * rewritten vocabulary, every checkpointed intermediate for the
+    * caller to release AFTER materializing its own result).
+    */
+  private def bpeLoop(wf: DataFrame)
+      : (Seq[DataFrame], DataFrame, Seq[DataFrame]) = {
+    val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var vocab = wf.withColumn("syms", expr(
+      s"concat(transform(sequence(1, length(word)), i -> substr(word, i, 1)), array('$bpeEow'))"))
+      .localCheckpoint(true)
+    retired += vocab
+    val merges = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (r <- 1 to bpeMerges) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), expr(
+          """explode(transform(sequence(1, size(syms) - 1), i -> named_struct(
+               'lft', element_at(syms, i),
+               'rgt', element_at(syms, i + 1)))) AS p"""))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum("freq").as("pair_freq"))
+        .orderBy(desc("pair_freq"), asc("lft"), asc("rgt"))
+        .limit(1)
+        .localCheckpoint(true)
+      retired += best
+      merges += best.select(lit(r.toLong).as("merge_rank"),
+        col("lft"), col("rgt"), col("pair_freq"))
+      vocab = vocab.crossJoin(broadcast(
+          best.select(col("lft").as("m_l"), col("rgt").as("m_r"))))
+        .withColumn("syms", expr(
+          """aggregate(syms, cast(array() as array<string>), (acc, x) ->
+               case when size(acc) = 0 then array(x)
+                    when element_at(acc, -1) = m_l and x = m_r
+                      then concat(slice(acc, 1, size(acc) - 1),
+                                  array(concat(m_l, m_r)))
+                    else concat(acc, array(x)) end)"""))
+        .select("word", "freq", "syms")
+        .localCheckpoint(true)
+      retired += vocab
+    }
+    (merges.toSeq, vocab, retired.toSeq)
+  }
+
+  /** q236 — LEARNED-VOCABULARY SEGMENTATION STATS: apply q233's K
+    * merges and report the resulting symbol vocabulary — per symbol its
+    * corpus token frequency (occurrences weighted by word freq) and
+    * word support; the "what did BPE buy" read every tokenizer-training
+    * run ends with (vocabulary composition + corpus compression).
+    * Same training loop as q233 (shared [[bpeLoop]], so the two
+    * surfaces can never drift), one extra vocabulary-sized explode +
+    * hash agg on the (alphabet + K)-bounded symbol domain.
+    *
+    * Rows-only (inherits q233's learned-state dependence); CurationSpec
+    * replays the full table against the independent trainer.
+    */
+  def bpeSegmentStats(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab, retired) = bpeLoop(
+      wordFreqs(Tables.documents(spark, dir)))
+    val out = vocab
+      .select(col("word"), col("freq"), explode(col("syms")).as("symbol"))
+      .groupBy("symbol")
+      .agg(sum("freq").as("token_freq"),
+        countDistinct("word").as("n_words"))
+      .withColumn("sym_len", length(col("symbol")).cast("long"))
+      .orderBy(desc("token_freq"), asc("symbol"))
+      .localCheckpoint(true)
+    retired.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q66_context_packing" -> (contextPacking(_, _)),
     "q67_pii_scrub" -> (piiScrub(_, _)),
     "q68_quality_rules" -> (qualityRuleStats(_, _)),
-    "q230_chunk_overlap" -> (chunkOverlap(_, _)))
+    "q230_chunk_overlap" -> (chunkOverlap(_, _)),
+    "q233_bpe_merges" -> ((s, d) => bpeMergeTable(s, d)),
+    "q234_symbol_pair_freqs" -> (symbolPairFreqs(_, _)),
+    "q236_bpe_segment_stats" -> (bpeSegmentStats(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q234: same lowercase-latin word collapse, same per-word adjacent
+    // pair generator with the end-of-word marker, same tie order
+    "q234_symbol_pair_freqs" ->
+      s"""WITH w AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents WHERE text IS NOT NULL),
+          wf AS (SELECT word, count(*)::BIGINT AS freq FROM w GROUP BY 1),
+          p AS (
+            SELECT substr(word, i, 1) AS lft,
+              CASE WHEN i = length(word) THEN '$bpeEow'
+                   ELSE substr(word, i + 1, 1) END AS rgt,
+              freq
+            FROM wf, LATERAL unnest(
+              generate_series(1, length(word)::INT)) AS u(i))
+          SELECT lft, rgt, sum(freq)::BIGINT AS pair_freq
+          FROM p GROUP BY 1, 2
+          ORDER BY pair_freq DESC, lft, rgt""",
     // q230: same tokenizer mapping (list_filter ∘ string_split — the
     // established WsTokenize oracle form), same start arithmetic, same
     // space-joined md5 over the inclusive 1-based token slice

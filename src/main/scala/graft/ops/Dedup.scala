@@ -444,10 +444,88 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q232 span-gram length: the repeated-substring threshold, in
+    * tokens. A shared run of `spanGramLen` consecutive tokens is the
+    * unit of evidence; coverage is measured over the UNION of all such
+    * runs, so a shared span of m ≥ spanGramLen tokens contributes
+    * exactly m covered tokens (every window inside it matches).
+    */
+  val spanGramLen = 5
+
+  /** q232 — EXACT SUBSTRING-SPAN COVERAGE: per document, how many of
+    * its tokens sit inside a token run of length ≥ [[spanGramLen]] that
+    * also appears in ANOTHER document — the per-doc accounting behind
+    * exact-substring dedup (Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" §3.1 builds a suffix array to
+    * find such runs; the Spark-native equivalent is positional L-gram
+    * fingerprints + one hash aggregate, no suffix structure to build or
+    * shard). Winnowing (q48/q87) SAMPLES grams and answers "do these
+    * docs share something"; q232 keeps EVERY position and answers "how
+    * much of this doc is duplicated text" — the signal curation uses to
+    * drop or trim boilerplate-heavy docs.
+    *
+    * Shape: one generator pass emits (doc, start, md5(L-token slice))
+    * per position — corpus-token-scale, the honest cost of exact
+    * substring accounting; a gram is "duplicated" iff its doc set has
+    * ≥ 2 members, detected by min(doc) ≠ max(doc) in ONE hash aggregate
+    * (never a count-distinct sketch, never a self-join). Matched
+    * positions flow back through a LEFT SEMI join on the gram hash —
+    * semi joins never multiply rows, so a boilerplate gram in millions
+    * of docs costs its own row count, not a pair blowup. Per-doc
+    * interval union is the gaps-and-islands running-max window,
+    * partitioned by doc (frame = doc length, never corpus).
+    */
+  def substringSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    spanCoverageCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** The coverage transform over any (doc_id, text) frame; fixture seam
+    * for the spec.
+    */
+  private[graft] def spanCoverageCore(docs: DataFrame): DataFrame = {
+    val L = spanGramLen
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .filter(col("n") >= L)
+    val grams = toks
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), (col("n") - L).cast("int"))).as("start"))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("start") + 1, lit(L))).cast("binary"))
+          .as("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("gram")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("start")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perDoc = grams
+      .join(dup, Seq("gram"), "left_semi")
+      .withColumn("contrib",
+        greatest(lit(0L), (col("start") + (L - 1)) -
+          greatest(col("start") - 1,
+            coalesce(max(col("start") + (L - 1)).over(w), lit(-1L)))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_positions"),
+        sum("contrib").as("covered_tokens"))
+    toks.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        expr("coalesce(covered_tokens, 0L) * 1000000 div n_tokens")
+          .as("coverage_ppm"))
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q87_decontamination" -> (decontamination(_, _)),
+    "q232_substring_span_coverage" -> (substringSpanCoverage(_, _)),
     "q50_exact_dedup_stats" -> (exactDedupStats(_, _)),
     "q51_shingle_stats" -> (shingleStats(_, _)),
     "q52_jaccard_pairs" -> (jaccardPairs(_, _)),
@@ -464,6 +542,46 @@ object Dedup {
     "q220_dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q232: same tokenizer mapping, same positional L-gram md5 over the
+    // space-joined slice, duplicated-gram rule min(doc)<>max(doc), and
+    // the identical gaps-and-islands running-max interval union
+    "q232_substring_span_coverage" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          t AS (
+            SELECT doc_id, ws, len(ws)::BIGINT AS n
+            FROM d WHERE len(ws) >= $spanGramLen),
+          g AS (
+            SELECT doc_id, i::BIGINT AS start,
+              md5(array_to_string(
+                ws[i + 1 : i + $spanGramLen], ' ')) AS gram
+            FROM t, LATERAL unnest(
+              generate_series(0, (n - $spanGramLen)::INT)) AS u(i)),
+          dup AS (
+            SELECT gram FROM g GROUP BY gram
+            HAVING min(doc_id) <> max(doc_id)),
+          m AS (SELECT g.* FROM g WHERE gram IN (SELECT gram FROM dup)),
+          isl AS (
+            SELECT doc_id,
+              greatest(0, (start + ${spanGramLen - 1})
+                - greatest(start - 1,
+                    coalesce(max(start + ${spanGramLen - 1}) OVER (
+                      PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1))) AS contrib
+            FROM m),
+          p AS (
+            SELECT doc_id, count(*)::BIGINT AS dup_positions,
+              sum(contrib)::BIGINT AS covered_tokens
+            FROM isl GROUP BY 1)
+          SELECT t.doc_id, t.n AS n_tokens,
+            coalesce(p.dup_positions, 0)::BIGINT AS dup_positions,
+            coalesce(p.covered_tokens, 0)::BIGINT AS covered_tokens,
+            (coalesce(p.covered_tokens, 0) * 1000000 // t.n)::BIGINT
+              AS coverage_ppm
+          FROM t LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
     // q220: q52's relation verbatim, integer-ppm similarity, unnested
     // threshold spine left-joining the conditional counts
     "q220_dedup_threshold_sweep" ->

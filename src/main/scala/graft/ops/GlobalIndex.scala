@@ -64,13 +64,61 @@ object GlobalIndex {
     * exchange + local sorts; only the #partitions-row offsets frame is
     * sequential.
     */
+  /** Deterministically range-bucketed copy of `df` with an ordered
+    * `pid` column — the shared phase 1 of [[numberedBy]] and
+    * [[prefixSummedBy]].
+    *
+    * WHY NOT `repartitionByRange` + `spark_partition_id()` (round-11
+    * bug fix, caught by q238): the pid-stamped range exchange feeds
+    * TWO consumers (the offsets aggregate and the final join), and
+    * Spark will NOT reuse it — `spark_partition_id()` is a
+    * nondeterministic expression, so the two subtrees never
+    * canonicalize equal and each consumer executes its own copy.
+    * `repartitionByRange` picks its boundaries by SAMPLING the
+    * child's rows in arrival order; on an agg-fed input that order
+    * varies per execution, so the two copies land rows in DIFFERENT
+    * pids — offsets from one partitioning joined to local sums of
+    * another (measured: five runs of the q238 rank sum gave five
+    * different wrong totals; a local sort below the range exchange
+    * does not help — EliminateSorts removes it). The oracle passes
+    * q218/q219/q182 had been riding exchange-reuse luck.
+    *
+    * The fix removes runtime partition identity from the math
+    * entirely: ONE bounded job at plan-build time collects ≤ nParts
+    * approx-quantile boundaries of the leading sort key (numeric by
+    * kernel contract) to the driver, and `pid` becomes a LITERAL
+    * bucket expression — a pure function of the row, identical in
+    * every execution of every consumer, AQE-proof by construction.
+    * The boundaries only steer BALANCE, never correctness: any
+    * monotone bucketing yields correct global sums/ranks, and the
+    * ordered-`pid` windows downstream do their own exchange. Massive
+    * ties on one key value collapse to one bucket — the inherent
+    * key-grain bound, same as range partitioning's.
+    */
+  private def rangedDeterministic(df: DataFrame,
+                                  sortCols: Seq[String]): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val head = sortCols.head
+    val probs = (1 until nParts).map(i => i.toDouble / nParts)
+    val bounds: Seq[Double] =
+      if (probs.isEmpty) Seq.empty
+      else {
+        val r = df.agg(expr(
+          s"approx_percentile(cast(`$head` as double), " +
+            s"array(${probs.mkString(", ")}), 10000)")).head()
+        if (r.isNullAt(0)) Seq.empty else r.getSeq[Double](0).distinct
+      }
+    val pidExpr =
+      if (bounds.isEmpty) lit(0)
+      else expr(s"size(filter(array(${bounds.map(b => s"${b}D").mkString(", ")}), " +
+        s"b -> cast(`$head` as double) > b))")
+    df.withColumn("pid", pidExpr)
+  }
+
   private[graft] def numberedBy(df: DataFrame,
                                 sortCols: Seq[String]): DataFrame = {
-    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     // phase 1: range partition — partition ids are ordered by key range
-    val ranged = df
-      .repartitionByRange(nParts, sortCols.map(col): _*)
-      .withColumn("pid", spark_partition_id())
+    val ranged = rangedDeterministic(df, sortCols)
     // phase 2: local numbering (each pid sorts only its own slice)
     val local = ranged.withColumn("local_rn",
       row_number().over(
@@ -107,10 +155,7 @@ object GlobalIndex {
     */
   private[graft] def prefixSummedBy(df: DataFrame, sortCols: Seq[String],
                                     sumCols: Seq[String]): DataFrame = {
-    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df
-      .repartitionByRange(nParts, sortCols.map(col): _*)
-      .withColumn("pid", spark_partition_id())
+    val ranged = rangedDeterministic(df, sortCols)
     val run = Window.partitionBy("pid").orderBy(sortCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = sumCols.foldLeft(ranged) { (d, c) =>

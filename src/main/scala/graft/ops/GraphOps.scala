@@ -1163,7 +1163,7 @@ object GraphOps {
 
   private[graft] def boruvkaCore(spark: SparkSession, raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = raw.groupBy("a", "b").agg(max("weight").as("weight"))
+    var edges = raw.groupBy("a", "b").agg(max("weight").as("weight"))
       .filter(col("a") =!= col("b"))
       .localCheckpoint(true)
     var comp = edges.select(col("a").as("node"))
@@ -1220,6 +1220,16 @@ object GraphOps {
         comp = comp.join(relbl, comp("comp") === relbl("u"), "left")
           .select(col("node"), coalesce(col("rep"), col("comp")).as("comp"))
           .localCheckpoint(true)
+        // geometric edge shrink, FREE (round-11 synth-bench fix): an
+        // edge internal to a component now is internal forever
+        // (components only merge), so next round's candidate set is
+        // exactly this round's cross-component survivors — already
+        // checkpointed; selecting three columns of `cross` costs
+        // nothing. On the corpus-grain graph this is a no-op; on the
+        // million-edge synthetic graphs it cut Borůvka's per-round join
+        // input geometrically (the giant component swallows most edges
+        // within a few rounds).
+        edges = cross.select("a", "b", "weight")
       }
       round += 1
     }

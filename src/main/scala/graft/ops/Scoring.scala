@@ -343,11 +343,62 @@ object Scoring {
           .as("gini_binned_ppm"))
   }
 
+  /** q238's two cohorts — event types whose `value` distributions the
+    * test compares. ONE definition shared with the interpolated oracle.
+    */
+  private[graft] val mwuGroupA = "purchase"
+  private[graft] val mwuGroupB = "click"
+
+  /** q238 — MANN–WHITNEY U (rank-sum) test: do purchase values
+    * stochastically dominate click values? The nonparametric
+    * two-sample location test completing q218's KS (KS asks "are the
+    * distributions DIFFERENT anywhere"; U asks "is one SHIFTED above
+    * the other" and yields the common-language effect size
+    * P(A > B) + ½P(A = B)).
+    *
+    * Exact integers throughout: value-grain collapse (q205's
+    * discipline), cumulative counts from the two-phase global prefix
+    * sum (q218's kernel — no single-partition window), tied ranks by
+    * the midrank convention DOUBLED so they stay integral
+    * (2·midrank of a tie block = 2·cum_before + cnt + 1), so
+    * 2R₁ = Σ c₁·rank2 and 2U₁ = 2R₁ − n₁(n₁+1) are exact
+    * DECIMAL(38,0); cles_ppm = 2U₁·10⁶ div (2n₁n₂). u_a_x2 emits as
+    * BIGINT — past n ≈ 2·10⁹ per cohort that cast would overflow and
+    * ANSI RAISES (the Exact stance: fail loudly, never saturate);
+    * cles_ppm stays valid to any n.
+    */
+  def mannWhitneyU(spark: SparkSession, dir: String): DataFrame =
+    mwuCore(Tables.events(spark, dir)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin(mwuGroupA, mwuGroupB))
+      .select(col("value"), (col("event_type") === mwuGroupA).as("is_a")))
+
+  /** Over a (value, is_a) frame; fixture seam for the spec. */
+  private[graft] def mwuCore(ev: DataFrame): DataFrame = {
+    val grain = ev.groupBy("value")
+      .agg(count(lit(1)).as("cnt"), count(when(col("is_a"), 1)).as("ca"))
+    // grain is value-unique (groupBy key) → the two-phase contract holds
+    GlobalIndex.prefixSummedBy(grain, Seq("value"), Seq("cnt"))
+      .withColumn("rank2", expr("2 * (cum_cnt - cnt) + cnt + 1"))
+      .agg(max("total_cnt").as("n_tot"),
+        sum("ca").as("n_a"),
+        sum(expr("cast(ca as decimal(38,0)) * rank2")).as("r_a_x2"))
+      .select(col("n_a"),
+        expr("n_tot - n_a").as("n_b"),
+        expr("""cast(r_a_x2 - cast(n_a as decimal(38,0)) * (n_a + 1)
+                as bigint)""").as("u_a_x2"),
+        expr("""cast((r_a_x2 - cast(n_a as decimal(38,0)) * (n_a + 1))
+                  * 1000000
+                div nullif(2 * cast(n_a as decimal(38,0)) * (n_tot - n_a), 0)
+                as bigint)""").as("cles_ppm"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q229_gini_binned" -> (giniBinned(_, _)),
     "q218_ks_statistic" -> (ksStatistic(_, _)),
+    "q238_mann_whitney_u" -> (mannWhitneyU(_, _)),
     "q219_gini_revenue" -> (giniRevenue(_, _)),
     "q137_rfm_segments" -> (rfmSegments(_, _)),
     "q141_decile_lift" -> (decileLift(_, _)),
@@ -390,6 +441,32 @@ object Scoring {
             ((n::HUGEINT * s - t) * 1000000
              // nullif(n::HUGEINT * s, 0))::BIGINT AS gini_binned_ppm
           FROM t""",
+    // q238: same value-grain collapse, same doubled-midrank identity
+    // (2·cum_before + cnt + 1), same HUGEINT rank-sum and truncating
+    // effect-size division
+    "q238_mann_whitney_u" ->
+      s"""WITH ev AS (
+            SELECT value, event_type = '$mwuGroupA' AS is_a
+            FROM events WHERE value IS NOT NULL
+              AND event_type IN ('$mwuGroupA', '$mwuGroupB')),
+          g AS (
+            SELECT value, count(*)::BIGINT AS cnt,
+              (count(*) FILTER (is_a))::BIGINT AS ca
+            FROM ev GROUP BY 1),
+          p AS (
+            SELECT *, sum(cnt) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+            FROM g),
+          a AS (
+            SELECT sum(ca)::HUGEINT AS n_a,
+              sum(cnt)::HUGEINT AS n_tot,
+              sum(ca::HUGEINT * (2 * (cum_cnt - cnt) + cnt + 1)) AS r_a_x2
+            FROM p)
+          SELECT n_a::BIGINT AS n_a, (n_tot - n_a)::BIGINT AS n_b,
+            (r_a_x2 - n_a * (n_a + 1))::BIGINT AS u_a_x2,
+            ((r_a_x2 - n_a * (n_a + 1)) * 1000000
+             // nullif(2 * n_a * (n_tot - n_a), 0))::BIGINT AS cles_ppm
+          FROM a""",
     // q218: same midpoint split, same value-grain cumulative counts,
     // same cross-multiplied sup gap in HUGEINT
     "q218_ks_statistic" ->

@@ -66,6 +66,38 @@ object Sessionization {
         max("tsu").as("session_end_us"),
         count(lit(1)).as("n_events"))
 
+  /** q235 — NATIVE session_window TWIN of q27: the same gap-session
+    * rollup through Spark's built-in `session_window` aggregation (the
+    * operator Structured Streaming uses for stateful session aggs,
+    * equally available in batch). The registered surface keeps BOTH:
+    * q27's explicit lag→running-sum chain is the portable/backfill
+    * form; this is the engine-native form — one hash-less session
+    * aggregation, no window functions at all, and the SAME exchange
+    * (user_id) at scale.
+    *
+    * Semantics bridge, exact at the µs grain both engines share:
+    * q27 merges consecutive events iff gap ≤ gapUs (strict > opens);
+    * `session_window` merges iff gap < windowGap. With
+    * windowGap = gapUs + 1 µs the two rules coincide on integer µs.
+    * Output is q27's rollup minus the per-user ordinal (session_id is
+    * an artifact of the labeling chain; the native operator identifies
+    * sessions by their bounds), ordered by (user, start).
+    */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsMicros(spark, dir)
+      .withColumn("tsx", timestamp_micros(col("tsu")))
+      .groupBy(col("user_id"),
+        session_window(col("tsx"), s"${gapUs + 1} microseconds"))
+      .agg(
+        min("tsu").as("session_start_us"),
+        max("tsu").as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_sec",
+        expr("(session_end_us - session_start_us) div 1000000"))
+      .select("user_id", "session_start_us", "session_end_us",
+        "n_events", "duration_sec")
+      .orderBy("user_id", "session_start_us")
+
   private val hourUs = 3600000000L
 
   /** q136 — PEAK CONCURRENT SESSIONS per hour: the capacity-planning
@@ -259,6 +291,7 @@ object Sessionization {
   val queries: Map[String, Q] = Map(
     "q188_session_attribution" -> (attribution(_, _)),
     "q27_sessionization" -> (sessions(_, _)),
+    "q235_session_window_native" -> (sessionWindowNative(_, _)),
     "q116_session_paths" -> (sessionPaths(_, _)),
     "q136_peak_concurrency" -> (peakConcurrency(_, _)),
     "q151_session_conversion" -> (sessionConversion(_, _)))
@@ -309,6 +342,28 @@ object Sessionization {
             sum((purchase_milli::HUGEINT * share_ppm) // 1000000)::BIGINT
               AS credited_milli
           FROM cr GROUP BY 1 ORDER BY 1""",
+    // q235: q27's session relation (the gap rules coincide at µs grain
+    // — see the scaladoc bridge), rolled up without the ordinal
+    "q235_session_window_native" ->
+      s"""WITH marked AS (
+            SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+              CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                     OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${gapUs * 1000L}
+                   THEN 1 ELSE 0 END AS opens
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+          sess AS (
+            SELECT user_id, tsn,
+              sum(opens) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+            FROM marked)
+          SELECT user_id,
+            min(tsn) // 1000 AS session_start_us,
+            max(tsn) // 1000 AS session_end_us,
+            count(*) AS n_events,
+            (max(tsn) // 1000 - min(tsn) // 1000) // 1000000 AS duration_sec
+          FROM sess GROUP BY user_id, session_id
+          ORDER BY user_id, session_start_us""",
     "q27_sessionization" ->
       s"""WITH marked AS (
             SELECT user_id, event_id, epoch_ns(ts) AS tsn,

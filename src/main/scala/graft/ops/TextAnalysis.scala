@@ -220,6 +220,91 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  // ---- q231: BM25 ranked retrieval -------------------------------------
+
+  /** q231 geometry: 12 corpus-frequency-top terms, chunked by rank into
+    * 4 queries of 3 terms; 10 results per query. ONE definition shared
+    * with the interpolated oracle (the tfidfK discipline).
+    */
+  val bm25TopTerms = 12
+  val bm25TermsPerQuery = 3
+  val bm25K = 10
+
+  /** q231 — BM25 TOP-K RETRIEVAL: rank documents for a query set with
+    * the Okapi BM25 shape — tf saturation (k1 = 1.2) and document-length
+    * normalization (b = 0.75) — the scoring function every lexical
+    * retrieval/RAG pipeline runs on its inverted index. q69 stops at
+    * TF-IDF term weights; this is the full query-side ranker: queries
+    * join the posting lists (an equi-join on term — exactly the
+    * inverted-index access path), scores sum per (query, doc), and a
+    * per-query window takes the top k.
+    *
+    * Exactness stance (the q69 discipline): the textbook idf is
+    * `ln((N−df+0.5)/(df+0.5))` — transcendental, ulp-unstable across
+    * engines — so the registered surface scores with the exact-integer
+    * monotone surrogate `idf_e6 = (2(N−df)+1)·10⁶ div (2df+1)` (the
+    * same ratio, ln dropped, ×2 clearing the halves). The tf side IS
+    * exact BM25: with k1 = 6/5, b = 3/4 and avgdl = T/N (T = corpus
+    * tokens, N = docs), multiplying numerator and denominator by 10T
+    * gives `tf_part = 22·T·tf / (10·T·tf + 3·T + 9·N·dl)` — all
+    * integers, evaluated in DECIMAL(38,0) (bound: T·tf·10⁶ < 10³⁸ —
+    * safe past T = 10²⁸ corpus tokens; overflow raises via the Exact
+    * contract, never saturates). Callers wanting the float-ln weighting
+    * apply it as an epilogue over the exact (tf, df, dl, N, T) columns,
+    * the [[tfidfWeighted]] pattern.
+    *
+    * Scale: the query set derives from the corpus itself (top-12 terms
+    * by total frequency — deterministic, self-contained): a
+    * TakeOrderedAndProject over the vocabulary-sized term-frequency
+    * aggregate, THEN a 12-row window for rank→query assignment (bounded
+    * by the limit, the q229 single-task class). Posting-list join keys
+    * are terms (Zipf head is exactly the query terms — each query term's
+    * postings are one reducer's worth, the inherent retrieval shape);
+    * the (N, T) statistics row rides a sanctioned single-row broadcast.
+    * Per-query top-k is a window over query_id — 4 partitions of
+    * candidate counts, never corpus-wide.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Core(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame; fixture seam for the spec. */
+  private[graft] def bm25Core(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(filteredTokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qs = tf.groupBy("term").agg(sum("tf").as("freq"))
+      .orderBy(desc("freq"), asc("term")).limit(bm25TopTerms)
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("freq"), asc("term"))))
+      .select(expr(s"cast((r - 1) div $bm25TermsPerQuery as bigint)")
+        .as("query_id"), col("term"))
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(desc("score_e6"), asc("doc_id"))
+    tf.join(qs, "term")
+      .join(dfr, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("idf_e6",
+        expr("(2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1)"))
+      .withColumn("tfp_e6", Exact.orOverflowError(expr(
+        """cast(22 as decimal(38,0)) * t_tokens * tf * 1000000
+           div (cast(10 as decimal(38,0)) * t_tokens * tf
+                + cast(3 as decimal(38,0)) * t_tokens
+                + cast(9 as decimal(38,0)) * n_docs * dl)"""), "bm25"))
+      .withColumn("contrib_e6",
+        expr("cast(idf_e6 as decimal(38,0)) * tfp_e6 div 1000000"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("contrib_e6").as("score_e6"))
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= bm25K)
+      .select("query_id", "rank", "doc_id", "n_hit", "score_e6")
+      .orderBy("query_id", "rank")
+  }
+
   /** q109 — token CONCENTRATION per document: Herfindahl index and Gini
     * impurity of the unigram distribution, the distributional-diversity
     * quality signal (how dominated a doc is by few tokens — templated
@@ -600,6 +685,7 @@ object TextAnalysis {
     "q148_phrase_search" -> (phraseSearch(_, _)),
     "q47_bpeish_token_counts" -> (bpeishTokenCounts(_, _)),
     "q69_tfidf_top_terms" -> (tfidfTopTerms(_, _)),
+    "q231_bm25_topk" -> (bm25TopK(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
@@ -941,6 +1027,48 @@ object TextAnalysis {
            max(c)::BIGINT AS top_bigram_freq,
            round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS rep_ratio
          FROM c GROUP BY 1 ORDER BY 1""",
+    // q231: same filtered tokenizer as q40, same integer-surrogate idf,
+    // same 10T-cleared exact BM25 tf part in HUGEINT, same rank→query
+    // chunking of the top-12 terms and per-query top-10 cut
+    "q231_bm25_topk" ->
+      s"""WITH tok AS (
+            SELECT doc_id, w AS term FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+            WHERE w <> '' AND w NOT IN ($stopList)
+              AND length(w) > 1 AND NOT regexp_matches(w, '^[0-9]+$$')),
+          tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                 FROM tok GROUP BY 1, 2),
+          dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+                 FROM tok GROUP BY 1),
+          st AS (SELECT count(*)::BIGINT AS n_docs,
+                   sum(dl)::BIGINT AS t_tokens FROM dl),
+          df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+          top AS (
+            SELECT term, row_number() OVER (ORDER BY freq DESC, term) AS r
+            FROM (SELECT term, sum(tf) AS freq FROM tf GROUP BY 1)),
+          q AS (SELECT ((r - 1) // $bm25TermsPerQuery)::BIGINT AS query_id,
+                  term FROM top WHERE r <= $bm25TopTerms),
+          sc AS (
+            SELECT q.query_id, tf.doc_id,
+              ((2 * (st.n_docs - df.df) + 1) * 1000000 // (2 * df.df + 1))
+                AS idf_e6,
+              (22::HUGEINT * st.t_tokens * tf.tf * 1000000)
+                // (10::HUGEINT * st.t_tokens * tf.tf
+                    + 3::HUGEINT * st.t_tokens
+                    + 9::HUGEINT * st.n_docs * dl.dl) AS tfp_e6
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+          s2 AS (
+            SELECT query_id, doc_id, count(*)::BIGINT AS n_hit,
+              sum((idf_e6::HUGEINT * tfp_e6) // 1000000)::BIGINT AS score_e6
+            FROM sc GROUP BY 1, 2),
+          r AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rk
+            FROM s2)
+          SELECT query_id, rk::BIGINT AS rank, doc_id, n_hit, score_e6
+          FROM r WHERE rk <= $bm25K ORDER BY query_id, rank""",
     "q69_tfidf_top_terms" ->
       s"""WITH t AS (
            SELECT doc_id, w AS term FROM (

@@ -522,4 +522,17 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       ("c", 2L, -1L, "interp"), ("c", 3L, -5L, "obs"),
       ("c", 4L, 0L, "edge")))
   }
+
+  test("q237: two-factor OLS recovers exact coefficients on a " +
+    "perfect-fit fixture") {
+    import spark.implicits._
+    // y = 2 + 3*x1 + 5*x2 exactly; x1, x2 not collinear -> det != 0
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (4L, 1L))
+      .map { case (x1, x2) => ("s", x1, x2, 2L + 3 * x1 + 5 * x2) }
+      .toDF("segment", "x1", "x2", "y")
+    val out = Behavior.olsTwoFactorCore(pts)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).head
+    assert(out === (("s", 6L, 3.0, 5.0, 2.0)))
+  }
 }

@@ -110,4 +110,131 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       case _ =>
     }
   }
+
+  test("q234: symbol pairs on a hand fixture (terminal marker included)") {
+    import graft.ops.CorpusPrep
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    // wf: ab→2, b→1; pairs: (a,b)×2, (b,</w>)×2 from 'ab', (b,</w>)×1
+    val out = CorpusPrep.symbolPairCore(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("b", "</w>", 3L), ("a", "b", 2L)))
+  }
+
+  /** Independent plain-Scala BPE trainer (Sennrich greedy): the q233
+    * oracle stand-in. Distinct words map to distinct symbol vectors
+    * (concatenation is injective), so the map never collides.
+    */
+  private def refBpe(wf0: Map[String, Long], k: Int)
+      : (Seq[(Long, String, String, Long)],
+         Map[String, (Vector[String], Long)]) = {
+    var vocab: Map[String, (Vector[String], Long)] = wf0.map {
+      case (w, f) => w -> ((w.map(_.toString).toVector :+ "</w>", f))
+    }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, Long)]
+    for (r <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, (syms, f)) <- vocab; i <- 0 until syms.length - 1) {
+        val key = (syms(i), syms(i + 1))
+        counts(key) = counts.getOrElse(key, 0L) + f
+      }
+      if (counts.nonEmpty) {
+        val ((l, rr), c) = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r.toLong, l, rr, c))
+        vocab = vocab.map { case (w, (syms, f)) =>
+          val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- syms) {
+            if (nb.nonEmpty && nb.last == l && x == rr)
+              nb(nb.length - 1) = l + rr
+            else nb += x
+          }
+          w -> ((nb.toVector, f))
+        }
+      }
+    }
+    (out.toSeq, vocab)
+  }
+
+  test("q233: merge table equals an independent in-JVM BPE trainer on " +
+    "the corpus word-frequency table") {
+    import graft.ops.CorpusPrep
+    val wf = CorpusPrep.wordFreqs(graft.Tables.documents(spark, sf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = refBpe(wf, CorpusPrep.bpeMerges)._1
+    val got = CorpusPrep.bpeMergeTable(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got === expect)
+  }
+
+  test("q236: segmented-vocabulary stats equal the independent trainer's " +
+    "final vocabulary") {
+    import graft.ops.CorpusPrep
+    val wf = CorpusPrep.wordFreqs(graft.Tables.documents(spark, sf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = refBpe(wf, CorpusPrep.bpeMerges)._2
+    val expect = vocab.toSeq
+      .flatMap { case (w, (syms, f)) => syms.map(s => (s, w, f)) }
+      .groupBy(_._1).toSeq
+      .map { case (s, occ) =>
+        (s, occ.map(_._3).sum, occ.map(_._2).distinct.size.toLong,
+          s.length.toLong) }
+      .sortBy { case (s, tf, _, _) => (-tf, s) }
+    val got = CorpusPrep.bpeSegmentStats(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expect)
+  }
+
+  test("q231: BM25 top-k equals an independent BigInt replication") {
+    val stop = graft.expr.TextFunctions.stopwords.toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .flatMap(r => Option(r.getAs[String]("text")).map(r.getLong(0) -> _))
+    def toks(t: String): Seq[String] = t.split("\\s+").toSeq
+      .filter(w => w.length > 1 && !w.forall(_.isDigit) && !stop(w))
+    val tf = scala.collection.mutable.Map.empty[(Long, String), Long]
+    val dl = scala.collection.mutable.Map.empty[Long, Long]
+    for ((id, t) <- docs; w <- toks(t)) {
+      tf((id, w)) = tf.getOrElse((id, w), 0L) + 1
+      dl(id) = dl.getOrElse(id, 0L) + 1
+    }
+    val bigN = BigInt(dl.size)
+    val bigT = BigInt(dl.values.sum)
+    val dfm = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val termFreq = tf.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2).sum).toMap
+    val top = termFreq.toSeq.sortBy { case (t, f) => (-f, t) }
+      .take(graft.ops.TextAnalysis.bm25TopTerms).map(_._1)
+    val expect = top.zipWithIndex
+      .groupBy(_._2 / graft.ops.TextAnalysis.bm25TermsPerQuery)
+      .toSeq.sortBy(_._1)
+      .flatMap { case (qid, terms) =>
+        val scored = dl.keys.toSeq.flatMap { doc =>
+          val hits = terms.map(_._1).filter(t => tf.contains((doc, t)))
+          if (hits.isEmpty) None
+          else {
+            val s = hits.map { t =>
+              val df = BigInt(dfm(t))
+              val idf = (2 * (bigN - df) + 1) * 1000000 / (2 * df + 1)
+              val tfv = BigInt(tf((doc, t)))
+              val dlv = BigInt(dl(doc))
+              val tfp = (22 * bigT * tfv * 1000000) /
+                (10 * bigT * tfv + 3 * bigT + 9 * bigN * dlv)
+              idf * tfp / 1000000
+            }.sum
+            Some((doc, hits.size.toLong, s.toLong))
+          }
+        }
+        scored.sortBy { case (doc, _, s) => (-s, doc) }
+          .take(graft.ops.TextAnalysis.bm25K).zipWithIndex
+          .map { case ((doc, nh, s), i) =>
+            (qid.toLong, (i + 1).toLong, doc, nh, s) }
+      }
+    val got = graft.ops.TextAnalysis.bm25TopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+  }
 }

@@ -211,4 +211,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val q52n = graft.ops.Dedup.jaccardPairs(spark, sf).count()
     assert(sweep.find(_._1 == 800000L).get._2 == q52n)
   }
+
+  test("q232: span coverage unions overlapping cross-doc runs and " +
+    "ignores within-doc-only repetition") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // shares exactly the 5-run with d2
+      (2L, "x a b c d e y z"),
+      (3L, "p q r s t u v w"),        // shares a 6-run with d4 → two
+      (4L, "p q r s t u m n"),        //   overlapping grams, union = 6
+      (5L, "k k k k k k k k"))        // repeated gram, but ONE doc only
+      .toDF("doc_id", "text")
+    val out = Dedup.spanCoverageCore(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out === Seq(
+      (1L, 8L, 1L, 5L, 625000L),
+      (2L, 8L, 1L, 5L, 625000L),
+      (3L, 8L, 2L, 6L, 750000L),
+      (4L, 8L, 2L, 6L, 750000L),
+      (5L, 8L, 0L, 0L, 0L)))
+  }
 }

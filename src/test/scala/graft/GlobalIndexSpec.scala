@@ -81,4 +81,34 @@ class GlobalIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(dataGlobalSort.findFirstIn(plan).isEmpty,
       s"two-phase prefix sum must not globally sort the data path:\n$plan")
   }
+
+  test("two-phase kernels are deterministic on AGG-FED inputs (the " +
+    "round-11 q238 regression: pid from a sampled range exchange read " +
+    "by two non-reusable consumers gave a different wrong rank sum " +
+    "per run)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // an agg output's row order is execution-dependent — exactly the
+    // input class that exposed the bug (five runs, five wrong totals)
+    val grain = spark.range(4001)
+      .select((pmod(xxhash64(col("id")), lit(977)).cast("double") / 10)
+        .as("value"))
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+    val ref = grain
+      .withColumn("cum", sum("cnt").over(Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .agg(sum(expr("cum * cnt"))).head.getLong(0)
+    val runs = (1 to 3).map { _ =>
+      GlobalIndex.prefixSummedBy(grain, Seq("value"), Seq("cnt"))
+        .agg(sum(expr("cum_cnt * cnt"))).head.getLong(0)
+    }
+    assert(runs.distinct === Seq(ref),
+      s"nondeterministic or wrong prefix sums: $runs vs ref $ref")
+    val rnRuns = (1 to 3).map { _ =>
+      GlobalIndex.numberedBy(grain, Seq("value"))
+        .agg(sum(expr("rn * rn"))).head.getLong(0)
+    }
+    assert(rnRuns.distinct.length === 1 && rnRuns.head > 0,
+      s"nondeterministic numbering: $rnRuns")
+  }
 }

@@ -70,7 +70,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q223_cuped_readout",
     // round-11: single-row (lo, hi) revenue-bounds broadcast feeding
     // the bin rule (q143's totals-row pattern)
-    "q229_gini_binned")
+    "q229_gini_binned",
+    // round-11: single-row (N, T) corpus-statistics broadcast feeding
+    // the BM25 score projection (q111's corpus-total pattern)
+    "q231_bm25_topk")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -144,4 +144,20 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(approx._3 - exact._3) <= tol,
       s"binned ${approx._3} vs exact ${exact._3} exceeds ±$tol ppm")
   }
+
+  test("q238: Mann-Whitney U on a hand fixture with ties (doubled " +
+    "midranks, exact effect size)") {
+    import spark.implicits._
+    // A = {3, 5, 5}, B = {1, 5}: wins(a>b) = 3 (3>1, 5>1, 5>1), ties
+    // = 2 (5=5 twice) -> U_A = 3 + 2/2 = 4, doubled = 8
+    val ev = Seq((3.0, true), (5.0, true), (5.0, true),
+      (1.0, false), (5.0, false)).toDF("value", "is_a")
+    val out = graft.ops.Scoring.mwuCore(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).head
+    // rank2: v=1 -> 2, v=3 -> 4, v=5 (3-way tie) -> 8 each
+    // 2R_A = 4 + 8 + 8 = 20; 2U_A = 20 - 3*4 = 8  (wins 3 + 2 ties/2 = 4)
+    // cles = 8e6 // (2*3*2) = 666666
+    assert(out === ((3L, 2L, 8L, 666666L)))
+  }
 }

@@ -263,4 +263,16 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
     for (h <- h0 to h1)
       assert(got(h) === peaks(h), s"hour $h: got ${got(h)} want ${peaks(h)}")
   }
+
+  test("q235: native session_window reproduces q27's sessions exactly " +
+    "(bounds, counts, durations)") {
+    val viaLag = Sessionization.sessions(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sorted
+    val viaNative = Sessionization.sessionWindowNative(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    assert(viaNative === viaLag)
+    assert(viaNative.nonEmpty)
+  }
 }

@@ -19,39 +19,39 @@ FAMILIES = [
       "q135", "q138", "q160", "q175", "q182", "q186", "q189", "q200",
       "q204"]),
     ("events/windows (q20-q29, q73, q101-q102, q106, q108, q119, q136, "
-     "q145, q149-q152, q185, q190, q192, q208, q214)",
+     "q145, q149-q152, q185, q190, q192, q208, q214, q235)",
      ["q20_", "q21_", "q22_", "q23_", "q24_", "q25_", "q26_", "q27_",
       "q28_", "q29_",
       "q73", "q101", "q102", "q106", "q108", "q119", "q136", "q145",
       "q149", "q150", "q151", "q152", "q185", "q190", "q192", "q208",
-      "q214"]),
+      "q214", "q235"]),
     ("graph (q30-q35, q74-q75, q89, q107, q110, q118, q121, q147, q154, "
      "q203, q209, q215, q221)",
      ["q30", "q31", "q32", "q33", "q34", "q35", "q74", "q75", "q89",
       "q107", "q110", "q118", "q121", "q147", "q154", "q203", "q209",
       "q215", "q221"]),
     ("temporal joins (q36-q37, q191)", ["q36", "q37", "q191"]),
-    ("text (q40-q49, q69, q88, q109, q111-q112, q139, q148, q156, q196, q198)",
+    ("text (q40-q49, q69, q88, q109, q111-q112, q139, q148, q156, q196, q198, q230-q231, q233-q234, q236)",
      ["q40", "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q49",
       "q69", "q88", "q109", "q111", "q112", "q139", "q148", "q156",
-      "q196", "q198"]),
+      "q196", "q198", "q230", "q231", "q233", "q234", "q236"]),
     ("dedup + decontamination + sampling + linkage (q50-q59, q87, q140, "
-     "q144, q162, q177, q181, q184, q193, q199, q220)",
+     "q144, q162, q177, q181, q184, q193, q199, q220, q227, q232)",
      ["q50", "q51", "q52", "q53", "q54", "q55", "q56", "q57", "q58", "q59",
       "q87", "q140", "q144", "q162", "q177", "q181", "q184", "q193",
-      "q199", "q220"]),
-    ("similarity/ANN (q60-q68, q115, q146)",
+      "q199", "q220", "q227", "q232"]),
+    ("similarity/ANN (q60-q68, q115, q146, q226)",
      ["q60", "q61", "q62", "q63", "q64", "q65", "q66", "q67", "q68",
-      "q115", "q146"]),
+      "q115", "q146", "q226"]),
     ("scoring/monitoring (q137, q141-q143, q205, q210, q213, q216, "
-     "q218-q219)",
+     "q218-q219, q228-q229, q238)",
      ["q137", "q141", "q142", "q143", "q205", "q210", "q213", "q216",
-      "q218", "q219"]),
+      "q218", "q219", "q228", "q229", "q238"]),
     ("tag/sequence mining (q70-q72, q124)", ["q70", "q71", "q72", "q124"]),
     ("behavior (q76-q77, q116-q117, q120, q159, q163, q188, q201, "
-     "q207, q211, q222-q224)",
+     "q207, q211, q222-q224, q237)",
      ["q76", "q77", "q116", "q117", "q120", "q159", "q163", "q188",
-      "q201", "q207", "q211", "q222", "q223", "q224"]),
+      "q201", "q207", "q211", "q222", "q223", "q224", "q237"]),
     ("sources/layout + lakehouse (q103, q125, q131-q132, q134, q155, "
      "q165-q167, q170-q173, q176, q178-q180, q217)",
      ["q103", "q125", "q131", "q132", "q134", "q155", "q165", "q166",
@@ -63,8 +63,8 @@ FAMILIES = [
       "q168", "q169", "q174", "q183", "q187", "q195", "q197", "q202"]),
     ("multimodal (q80-q86, q206)",
      ["q80", "q81", "q82", "q83", "q84", "q85", "q86", "q206"]),
-    ("fidelity CSV corpus (q90-q97)",
-     ["q90", "q91", "q92", "q93", "q94", "q95", "q96", "q97"]),
+    ("fidelity CSV corpus (q90-q97, q225)",
+     ["q90", "q91", "q92", "q93", "q94", "q95", "q96", "q97", "q225"]),
     ("streaming (q78-q79, q98-q100, q113, q128, q194, q212)",
      ["q78", "q79", "q98", "q99", "q100", "q113", "q128", "q194",
       "q212"]),
