@@ -82,6 +82,64 @@ object Quality {
     relations.map(auditOne).reduce(_ unionByName _).orderBy("relation")
   }
 
+  /** One joinability probe: both columns distinct-collapsed (hash agg —
+    * the ONLY corpus-scale stage), then a full-outer equi-join of the
+    * two key SETS feeds one tiny aggregate. Scale: |distinct| per side,
+    * never |rows|; ppm products stay in BIGINT to ~9·10¹² distinct keys
+    * per column (far past any real key domain).
+    */
+  private[graft] def joinabilityOne(pair: String, a: DataFrame, ac: String,
+                                    b: DataFrame, bc: String): DataFrame = {
+    def keys(df: DataFrame, c: String, tag: String) =
+      df.filter(col(c).isNotNull)
+        .select(col(c).cast("bigint").as("k")).distinct()
+        .withColumn(tag, lit(1))
+    keys(a, ac, "in_a").join(keys(b, bc, "in_b"), Seq("k"), "full_outer")
+      .agg(count("in_a").as("n_a"), count("in_b").as("n_b"),
+        count(when(col("in_a").isNotNull && col("in_b").isNotNull, 1))
+          .as("n_both"))
+      .select(lit(pair).as("pair"), col("n_a"), col("n_b"), col("n_both"),
+        expr("n_both * 1000000 div nullif(n_a, 0)").as("a_in_b_ppm"),
+        expr("n_both * 1000000 div nullif(n_b, 0)").as("b_in_a_ppm"),
+        expr("n_both * 1000000 div nullif(n_a + n_b - n_both, 0)")
+          .as("jaccard_ppm"))
+  }
+
+  /** q240 — JOINABILITY DISCOVERY over candidate column pairs: exact
+    * key-set containment in BOTH directions plus Jaccard, per pair.
+    * This is the data-discovery profiler (the Aurum/"which columns
+    * join" question) — the complement of q129, which audits DECLARED
+    * FK relations for violations; this one ranks CANDIDATE pairs, with
+    * two deliberately false pairs (partkey~suppkey, suppkey~custkey)
+    * in the set so the output demonstrably discriminates true
+    * relations (containment ≈ 10⁶) from coincidental overlap (dense
+    * integer key ranges overlap by accident — the reason direction
+    * matters and Jaccard alone misleads).
+    *
+    * At 100 TB each probe is one distinct-collapse per column (map-side
+    * partial agg absorbs the fact-table grain) + one key-set join; the
+    * sketch twin for EXPLORATORY sweeps over thousands of pairs is
+    * q160's HLL register algebra (inclusion–exclusion on merged
+    * sketches) — this query is the exact tier run on the shortlist.
+    */
+  def joinabilityProfile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    Seq(
+      joinabilityOne("events.user_id~customer.c_custkey",
+        Tables.events(s, d), "user_id", Tables.customer(s, d), "c_custkey"),
+      joinabilityOne("lineitem.l_partkey~supplier.s_suppkey",
+        li, "l_partkey", Tables.supplier(s, d), "s_suppkey"),
+      joinabilityOne("lineitem.l_suppkey~supplier.s_suppkey",
+        li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      joinabilityOne("nation.n_nationkey~region.r_regionkey",
+        Tables.nation(s, d), "n_nationkey", Tables.region(s, d), "r_regionkey"),
+      joinabilityOne("orders.o_custkey~customer.c_custkey",
+        Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"),
+      joinabilityOne("supplier.s_suppkey~customer.c_custkey",
+        Tables.supplier(s, d), "s_suppkey", Tables.customer(s, d), "c_custkey")
+    ).reduce(_ unionByName _).orderBy("pair")
+  }
+
   /** The deterministic base/delta assignment for q130 — md5-nibble on
     * event_id (the q58/q59 discipline: content-keyed, seed-stable,
     * layout-independent), 12/16 base : 4/16 delta.
@@ -550,10 +608,46 @@ object Quality {
     "q158_independence_lift" -> (independenceLift(_, _)),
     "q153_benford_digits" -> (benfordDigits(_, _)),
     "q129_fk_integrity" -> (fkIntegrity(_, _)),
+    "q240_joinability_profile" -> (joinabilityProfile(_, _)),
     "q130_incremental_rollup" -> (incrementalRollup(_, _)),
     "q133_compliance_purge" -> (compliancePurge(_, _)))
 
+  /** One joinability probe in DuckDB — same distinct key sets, same
+    * inner-join overlap, same truncating ppm divisions.
+    */
+  private def joinabilitySql(pair: String, ta: String, ca: String,
+                             tb: String, cb: String): String =
+    s"""SELECT '$pair' AS pair, n_a, n_b, n_both,
+          n_both * 1000000 // nullif(n_a, 0) AS a_in_b_ppm,
+          n_both * 1000000 // nullif(n_b, 0) AS b_in_a_ppm,
+          n_both * 1000000 // nullif(n_a + n_b - n_both, 0) AS jaccard_ppm
+        FROM (SELECT
+          (SELECT count(DISTINCT $ca) FROM $ta
+             WHERE $ca IS NOT NULL)::BIGINT AS n_a,
+          (SELECT count(DISTINCT $cb) FROM $tb
+             WHERE $cb IS NOT NULL)::BIGINT AS n_b,
+          (SELECT count(*) FROM
+            (SELECT DISTINCT $ca AS k FROM $ta WHERE $ca IS NOT NULL) x
+            JOIN (SELECT DISTINCT $cb AS k FROM $tb
+                    WHERE $cb IS NOT NULL) y USING (k))::BIGINT AS n_both)"""
+
   val oracles: Map[String, String] = Map(
+    // q240: per pair, same distinct sets / overlap / ppm rules
+    "q240_joinability_profile" -> (Seq(
+      ("events.user_id~customer.c_custkey",
+        "events", "user_id", "customer", "c_custkey"),
+      ("lineitem.l_partkey~supplier.s_suppkey",
+        "lineitem", "l_partkey", "supplier", "s_suppkey"),
+      ("lineitem.l_suppkey~supplier.s_suppkey",
+        "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation.n_nationkey~region.r_regionkey",
+        "nation", "n_nationkey", "region", "r_regionkey"),
+      ("orders.o_custkey~customer.c_custkey",
+        "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier.s_suppkey~customer.c_custkey",
+        "supplier", "s_suppkey", "customer", "c_custkey"))
+      .map { case (p, ta, ca, tb, cb) => joinabilitySql(p, ta, ca, tb, cb) }
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY pair")),
     // q228: same value-grain collapse, same value-group bucket rule
     // ((cum_before·10) div n — a tie never splits), same ppm division
     "q228_calibration_curve" ->

@@ -393,12 +393,65 @@ object Scoring {
                 as bigint)""").as("cles_ppm"))
   }
 
+  /** q239 — SPEARMAN RANK CORRELATION between order quantity and line
+    * price: the monotone-association readout completing the stats
+    * family (q25 Pearson assumes linearity; q238's U compares two
+    * cohorts; Spearman asks "do these two columns RANK together"
+    * across one population, robust to any monotone transform and to
+    * outliers).
+    *
+    * Scale shape: each column collapses to VALUE grain (one hash agg),
+    * gets exact doubled midranks from the two-phase global prefix sum
+    * (q238's kernel — no single-partition window, no row-grain ordered
+    * pass), and the tiny rank tables join back to rows by value — the
+    * x side is a broadcast (bounded quantity domain), the y side a
+    * shuffle equi-join that scales like any join. One final hash agg
+    * folds the five sufficient statistics.
+    *
+    * Exactness stance (q237's): Σr, Σr², Σrᵪrᵧ are exact
+    * DECIMAL(38,0) over doubled midranks (rank2 ≤ 2n ⇒ n·Σrᵪrᵧ ≤ 4n⁴,
+    * exact to n ≈ 2·10⁹ rows; past that ANSI RAISES, never saturates);
+    * the final ρ casts the exact centered moments to DOUBLE — both
+    * engines correctly-round the same integers to the same binary64,
+    * run the identical sqrt/divide tree, and round to 6dp.
+    * Doubling the midranks cancels in ρ (scale-invariance), so no
+    * halving step exists to drift.
+    */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame =
+    spearmanCore(Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
+      .select(expr("cast(floor(l_quantity) as bigint)").as("x"),
+        expr("cast(floor(l_extendedprice * 100.0D) as bigint)").as("y")))
+
+  /** Over an (x, y) BIGINT frame; fixture seam for the spec. */
+  private[graft] def spearmanCore(pts: DataFrame): DataFrame = {
+    def rank2Of(cn: String): DataFrame = {
+      val grain = pts.groupBy(cn).agg(count(lit(1)).as("cnt"))
+      GlobalIndex.prefixSummedBy(grain, Seq(cn), Seq("cnt"))
+        .select(col(cn), expr("2 * (cum_cnt - cnt) + cnt + 1").as(s"r$cn"))
+    }
+    pts.join(rank2Of("x"), Seq("x"))
+      .join(rank2Of("y"), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(rx as decimal(38,0))")).as("sx"),
+        sum(expr("cast(ry as decimal(38,0))")).as("sy"),
+        sum(expr("cast(rx as decimal(38,0)) * rx")).as("sxx"),
+        sum(expr("cast(ry as decimal(38,0)) * ry")).as("syy"),
+        sum(expr("cast(rx as decimal(38,0)) * ry")).as("sxy"))
+      .select(col("n").as("n_rows"),
+        expr("""round(cast(n * sxy - sx * sy as double)
+                / nullif(sqrt(cast(n * sxx - sx * sx as double))
+                       * sqrt(cast(n * syy - sy * sy as double)), 0.0D),
+                6)""").as("rho"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q229_gini_binned" -> (giniBinned(_, _)),
     "q218_ks_statistic" -> (ksStatistic(_, _)),
     "q238_mann_whitney_u" -> (mannWhitneyU(_, _)),
+    "q239_spearman_corr" -> (spearmanCorr(_, _)),
     "q219_gini_revenue" -> (giniRevenue(_, _)),
     "q137_rfm_segments" -> (rfmSegments(_, _)),
     "q141_decile_lift" -> (decileLift(_, _)),
@@ -467,6 +520,37 @@ object Scoring {
             ((r_a_x2 - n_a * (n_a + 1)) * 1000000
              // nullif(2 * n_a * (n_tot - n_a), 0))::BIGINT AS cles_ppm
           FROM a""",
+    // q239: same value-grain doubled midranks (2·cum_before + cnt + 1),
+    // same HUGEINT sufficient statistics, same double solve + round 6dp
+    "q239_spearman_corr" ->
+      """WITH t AS (
+            SELECT floor(l_quantity)::BIGINT AS x,
+              floor(l_extendedprice * 100)::BIGINT AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+          gx AS (SELECT x, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+          rx AS (
+            SELECT x, 2 * (sum(cnt) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+              + cnt + 1 AS rx
+            FROM gx),
+          gy AS (SELECT y, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+          ry AS (
+            SELECT y, 2 * (sum(cnt) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+              + cnt + 1 AS ry
+            FROM gy),
+          s AS (
+            SELECT count(*)::HUGEINT AS n,
+              sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+              sum(rx::HUGEINT * rx) AS sxx, sum(ry::HUGEINT * ry) AS syy,
+              sum(rx::HUGEINT * ry) AS sxy
+            FROM t JOIN rx USING (x) JOIN ry USING (y))
+          SELECT n::BIGINT AS n_rows,
+            round((n * sxy - sx * sy)::DOUBLE
+              / nullif(sqrt((n * sxx - sx * sx)::DOUBLE)
+                     * sqrt((n * syy - sy * sy)::DOUBLE), 0), 6) AS rho
+          FROM s""",
     // q218: same midpoint split, same value-grain cumulative counts,
     // same cross-multiplied sup gap in HUGEINT
     "q218_ks_statistic" ->

@@ -360,10 +360,58 @@ object Similarity {
            END"""))
       .select(col("vec_id"), col("label"), col("scale"), col("qs"))
 
+  /** q242 — LABEL AFFINITY MATRIX: pairwise cosine between per-label
+    * SUM vectors of the q115-quantized embeddings — the corpus-mixture
+    * designer's "how close are these domains" readout (labels proxy
+    * sources/domains; near-parallel centroids mean the mixture weights
+    * trade off against each other, near-orthogonal ones don't).
+    * cos(Σa, Σb) = cos(mean_a, mean_b) — the scaling cancels — so
+    * summing instead of averaging keeps every accumulation an EXACT
+    * integer (order-free, no fp drift to reconcile cross-engine),
+    * which a mean of floats could never be.
+    *
+    * Scale shape: explode to (label, pos) grain — d·n rows absorbed by
+    * map-side partial sums into L·d — then everything downstream
+    * (norms, the pos-equi-joined dot products, the L² matrix) lives at
+    * label grain. Nothing pairwise ever touches row grain. Exactness:
+    * component sums ≈ n·127 stay in BIGINT to n ≈ 7·10¹⁶ rows;
+    * dot/norm products run in DECIMAL(38,0) (d·(n·127)² ≈ 10³² at
+    * 10¹² rows — safe, ANSI-raising past); the final cosine casts the
+    * exact integers to double and rounds 6dp (the q237 convention).
+    */
+  def labelAffinityMatrix(spark: SparkSession, dir: String): DataFrame =
+    labelAffinityCore(int8QuantizedCore(Tables.embeddings(spark, dir)))
+
+  /** Over a quantized (label, qs) frame — fixture seam for the spec. */
+  private[graft] def labelAffinityCore(quant: DataFrame): DataFrame = {
+    val sums = quant
+      .select(col("label"), posexplode(col("qs")))
+      .toDF("label", "pos", "qi")
+      .groupBy("label", "pos")
+      .agg(sum("qi").as("s"))
+    val norms = sums.groupBy("label")
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("n2"))
+    sums.as("a")
+      .join(sums.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.s").cast("decimal(38,0)") * col("b.s")).as("dot"))
+      .join(norms.select(col("label").as("label_a"), col("n2").as("n2_a")),
+        "label_a")
+      .join(norms.select(col("label").as("label_b"), col("n2").as("n2_b")),
+        "label_b")
+      .select(col("label_a"), col("label_b"),
+        expr("""round(cast(dot as double)
+                / nullif(sqrt(cast(n2_a as double))
+                       * sqrt(cast(n2_b as double)), 0.0D), 6)""").as("cos"))
+      .orderBy("label_a", "label_b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q115_int8_quantization" -> (int8Quantization(_, _)),
+    "q242_label_affinity" -> (labelAffinityMatrix(_, _)),
     "q65_ann_ivf" -> (annIvf(_, _)),
     "q60_knn_bruteforce" -> (knnBruteForce(_, _)),
     "q61_label_centroids" -> (labelCentroids(_, _)),
@@ -393,6 +441,36 @@ object Similarity {
     // q115: the same ⌊x/scale + ½⌋ chain in DOUBLE (identical IEEE ops
     // both engines — no round-half convention in sight); Σq² exact
     // BIGINT, scale the one rounded double
+    // q242: the same ⌊x/scale + ½⌋ quantization (q115's rule), exact
+    // HUGEINT component sums and products, the same double cosine +
+    // round 6dp
+    "q242_label_affinity" ->
+      """WITH x AS (
+           SELECT vec_id, label, i AS pos, embedding[i+1]::DOUBLE AS v
+           FROM embeddings, range(0, 64) t(i)),
+         m AS (
+           SELECT vec_id, max(abs(v)) AS mx FROM x GROUP BY 1),
+         q AS (
+           SELECT x.label, x.pos,
+             CASE WHEN m.mx = 0 THEN 0
+                  ELSE floor(x.v / (m.mx / 127) + 0.5)::BIGINT END AS qi
+           FROM x JOIN m USING (vec_id)),
+         s AS (
+           SELECT label, pos, sum(qi)::HUGEINT AS s FROM q GROUP BY 1, 2),
+         n AS (SELECT label, sum(s * s) AS n2 FROM s GROUP BY 1),
+         d AS (
+           SELECT a.label AS label_a, b.label AS label_b,
+             sum(a.s * b.s) AS dot
+           FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+           GROUP BY 1, 2)
+         SELECT label_a, label_b,
+           round(dot::DOUBLE
+             / nullif(sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE), 0), 6)
+             AS cos
+         FROM d
+         JOIN n na ON na.label = d.label_a
+         JOIN n nb ON nb.label = d.label_b
+         ORDER BY label_a, label_b""",
     "q115_int8_quantization" ->
       """WITH x AS (
            SELECT vec_id, label, unnest(embedding)::DOUBLE AS v

@@ -292,6 +292,93 @@ object StreamingQueries {
     } finally deleteRecursively(base)
   }
 
+  @volatile private[graft] var lastSessionWindowBatches: Long = -1
+
+  /** q241: the STREAMING twin of q235 — the same gap sessions through
+    * Spark's built-in `session_window` aggregation running inside
+    * MicroBatchExecution, i.e. the engine's own session-window state
+    * path (merging session state store), which q99's hand-rolled
+    * keyed-state fold deliberately does NOT exercise. Together the two
+    * pin the parity triangle: q27 (batch window chain) = q235 (batch
+    * session_window) = q99 (streaming keyed state) = q241 (streaming
+    * session_window) — all against ONE oracle relation.
+    *
+    * Replay: q99's time-split staging (cross-trigger order matches a
+    * live stream). Flush: session_window emits in append mode only
+    * when the WATERMARK passes a session's close, so the staging
+    * appends one sentinel row for a fake user (-1) 2 gaps past the
+    * global max — a GLOBAL watermark needs one pusher, not q99's
+    * per-user sentinels (the keyed fold needed a per-key later event;
+    * the watermark is stream-wide). The sentinel's own open session
+    * dies in state at stream end and its user is filtered on read.
+    * Gap bridge: windowGap = gapUs + 1 µs, exactly q235's argument —
+    * merge-iff-gap<windowGap coincides with q27's gap ≤ gapUs on the
+    * integer µs grain both engines share.
+    */
+  def streamingSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = Sessionize.gapSeconds * 1000000L
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"))
+    val bounds = tsuBounds(spark, dir)
+    if (bounds.isEmpty) return emptySessions(spark).drop("session_id")
+    val (minT, maxT) = bounds.get
+    val mid = minT + (maxT - minT) / 2
+
+    val base = Files.createTempDirectory("graft_q241_")
+    try {
+      val input = Files.createDirectory(base.resolve("in"))
+      def asIn(df: DataFrame): DataFrame =
+        df.select(col("user_id"), timestamp_micros(col("tsu")).as("ts"))
+      val now = System.currentTimeMillis()
+      stageOne(asIn(ev.filter(col("tsu") < mid)),
+        base.resolve("s0"), input, "00_early.parquet", now - 240000L)
+      stageOne(asIn(ev.filter(col("tsu") >= mid)),
+        base.resolve("s1"), input, "01_late.parquet", now - 120000L)
+      stageOne(asIn(spark.range(1).select(lit(-1L).as("user_id"),
+          lit(maxT + 2 * gapUs).as("tsu"))),
+        base.resolve("s2"), input, "02_sentinel.parquet", now)
+
+      val inSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType)))
+      val stream = spark.readStream
+        .schema(inSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input.toString)
+        .withWatermark("ts", "0 seconds")
+      val outDir = base.resolve("out").toString
+      val q = stream
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"${gapUs + 1} microseconds"))
+        .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+          max(unix_micros(col("ts"))).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .drop("session_window")
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastSessionWindowBatches =
+        Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      q.stop()
+
+      val outSchema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("session_start_us", LongType),
+        StructField("session_end_us", LongType),
+        StructField("n_events", LongType)))
+      spark.read.schema(outSchema).parquet(outDir)
+        .localCheckpoint(true)
+        .filter(col("user_id") >= 0)
+        .withColumn("duration_sec",
+          expr("(session_end_us - session_start_us) div 1000000"))
+        .orderBy("user_id", "session_start_us")
+    } finally deleteRecursively(base)
+  }
+
   @volatile private[graft] var lastEnrichBatches: Long = -1
 
   /** q78: stream-STATIC enrichment join — the third canonical streaming
@@ -859,6 +946,7 @@ object StreamingQueries {
     "q128_streaming_restart_resume" -> (streamingRestartResume(_, _)),
     "q98_streaming_word_freq" -> (streamingWordFreq(_, _)),
     "q99_streaming_sessions" -> (streamingSessions(_, _)),
+    "q241_streaming_session_window" -> (streamingSessionWindow(_, _)),
     "q78_streaming_enrich_join" -> (streamingEnrichedRevenue(_, _)),
     "q79_stream_stream_join" -> (streamStreamJoin(_, _)),
     "q100_late_data_accounting" -> (lateDataAccounting(_, _)),
@@ -883,6 +971,8 @@ object StreamingQueries {
           FROM cov GROUP BY 1 ORDER BY 1""",
     "q98_streaming_word_freq" -> TextAnalysis.oracles("q40_word_freq_topk"),
     "q99_streaming_sessions" -> Sessionization.oracles("q27_sessionization"),
+    "q241_streaming_session_window" ->
+      Sessionization.oracles("q235_session_window_native"),
     "q78_streaming_enrich_join" ->
       """SELECT c_mktsegment,
            count(*) AS n_events,

@@ -232,4 +232,19 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       == 1)
     assert(buckets.map(_._2).sum == 17L)
   }
+
+  test("q240: joinability probe — distinct collapse, directional " +
+    "containment, truncating ppm") {
+    // A rows {1,2,2,3,4,null}; B rows {3,4,4,5}: distinct A={1,2,3,4},
+    // B={3,4,5}, overlap {3,4} -> a_in_b = 2/4, b_in_a = 2/3,
+    // jaccard = 2/5 (all truncating ppm)
+    val s = spark
+    import s.implicits._
+    val a = Seq(Some(1L), Some(2L), Some(2L), Some(3L), Some(4L), None)
+      .toDF("ka")
+    val b = Seq(3L, 4L, 4L, 5L).toDF("kb")
+    val out = Quality.joinabilityOne("a~b", a, "ka", b, "kb")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out === (("a~b", 4L, 3L, 2L, 500000L, 666666L, 400000L)))
+  }
 }

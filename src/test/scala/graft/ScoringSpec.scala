@@ -160,4 +160,22 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
     // cles = 8e6 // (2*3*2) = 666666
     assert(out === ((3L, 2L, 8L, 666666L)))
   }
+
+  test("q239: Spearman rho on hand fixtures (perfect monotone, ties, " +
+    "anti-monotone)") {
+    import spark.implicits._
+    def rho(pts: Seq[(Long, Long)]): Double =
+      graft.ops.Scoring.spearmanCore(pts.toDF("x", "y"))
+        .collect().head.getDouble(1)
+    // strictly increasing -> rho = 1
+    assert(rho(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))) === 1.0)
+    // strictly decreasing -> rho = -1
+    assert(rho(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))) === -1.0)
+    // tie fixture, hand-computed with midranks:
+    // x = (1,1,2), y = (5,7,7); midranks rx = (1.5,1.5,3), ry = (1,2.5,2.5)
+    // cov terms: n=3, sxy=3*(1.5*1+1.5*2.5+3*2.5)=3*12.75=38.25; sx*sy=6*6=36
+    // num=2.25; var_x: 3*(1.5^2+1.5^2+9)-36=40.5-36=4.5; var_y same=4.5
+    // rho = 2.25/4.5 = 0.5  (doubled ranks cancel)
+    assert(rho(Seq((1L, 5L), (1L, 7L), (2L, 7L))) === 0.5)
+  }
 }

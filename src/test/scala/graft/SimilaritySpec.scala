@@ -240,6 +240,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       (0.25, 0.25, 0.0), (-1.5, -1.5, 0.0), (3.0, 3.0, 0.0)))
   }
 
+  test("q242: label affinity — exact sum vectors, hand-computed cosines") {
+    val s = spark
+    import s.implicits._
+    // label 1: [1,0]+[1,0] -> s=(2,0), n2=4; label 2: (0,3), n2=9;
+    // label 3: (2,2), n2=8. cos(1,2)=0; cos(1,3)=4/(2*sqrt(8));
+    // cos(2,3)=6/(3*sqrt(8)) — both 0.707107 at 6dp
+    val quant = Seq(
+      (1, Seq(1L, 0L)), (1, Seq(1L, 0L)),
+      (2, Seq(0L, 3L)), (3, Seq(2L, 2L))
+    ).toDF("label", "qs")
+    val out = Similarity.labelAffinityCore(quant)
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(out === Seq((1, 2, 0.0), (1, 3, 0.707107), (2, 3, 0.707107)))
+  }
+
   test("embedding drift on real data: full dimension coverage, sane splits") {
     val out = Similarity.embeddingDrift(spark, sf)
     assert(out.count() === Similarity.embeddingDim.toLong)

@@ -196,6 +196,17 @@ class StreamingQueriesSpec extends AnyFunSuite with SparkTestBase {
       s"expected >=3 micro-batches, got ${StreamingQueries.lastSessionBatches}")
   }
 
+  test("q241: streaming session_window == batch q235, multi-batch, " +
+    "sentinel filtered") {
+    val streamed = rows(StreamingQueries.streamingSessionWindow(spark, sf))
+    val batch = rows(Sessionization.sessionWindowNative(spark, sf))
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+    // 2 time-split files + 1 watermark-pusher sentinel, one per trigger
+    assert(StreamingQueries.lastSessionWindowBatches >= 3,
+      s"expected >=3 micro-batches, got ${StreamingQueries.lastSessionWindowBatches}")
+  }
+
   test("q100: late rows are dropped behind the watermark and accounted") {
     import org.apache.spark.sql.functions._
     val W = 3600L * 1000000L
