@@ -39,19 +39,38 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load = loadavg1()
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // A query's leaked cache must never bill (or subsidize) a
+        // later rep or a later query (r3 artifact — cross-query
+        // interference in the q6x group), and a query that caches
+        // internally (q95) must pay its real scan every rep.
+        spark.catalog.clearCache()
+        dt
+      }
       val times =
         try {
-          (1 to reps).map { _ =>
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            val dt = (System.nanoTime() - t0) / 1e9
-            // A query's leaked cache must never bill (or subsidize) a
-            // later rep or a later query (r3 artifact — cross-query
-            // interference in the q6x group), and a query that caches
-            // internally (q95) must pay its real scan every rep.
-            spark.catalog.clearCache()
-            dt
+          var ts = (1 to reps).map(_ => rep())
+          // Adaptive re-measurement (r11 verdict task 2): on a shared
+          // host a contention spike can inflate a rep several-fold,
+          // and every round has burned judge time separating load
+          // noise from real regression (r10 q75/q215/q221, r11
+          // q34/q82/q101/q107 — ALL re-measured clean at loadavg<1).
+          // When the warm reps disagree >1.5x, or the 1-minute load at
+          // query start was already high, the min is not trustworthy:
+          // take up to two extra reps so at least one is likely to
+          // land in a quiet scheduling window. Sub-0.3 s absolutes are
+          // exempt (scheduler jitter dominates; ratios are meaningless
+          // there and extra reps just burn wall-clock x242 queries).
+          var extra = 0
+          while (extra < 2 && ts.min >= 0.3 &&
+                 (ts.max / ts.min > 1.5 || load > 8.0)) {
+            ts = ts :+ rep()
+            extra += 1
           }
+          ts
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           spark.catalog.clearCache()

@@ -264,7 +264,14 @@ object CorpusPrep {
 
   private[graft] def bpeCore(wf: DataFrame): DataFrame = {
     val (merges, _, retired) = bpeLoop(wf)
-    val out = merges.reduce(_ unionAll _).orderBy("merge_rank")
+    // zero completed rounds (corpus with no adjacent pair at all) →
+    // a schema-correct empty merge table, not a reduce() throw
+    val out = (if (merges.isEmpty)
+        wf.sparkSession.sql(
+          """SELECT cast(null as bigint) AS merge_rank,
+               cast(null as string) AS lft, cast(null as string) AS rgt,
+               cast(null as bigint) AS pair_freq WHERE false""")
+      else merges.reduce(_ unionAll _).orderBy("merge_rank"))
       .localCheckpoint(true)
     retired.foreach(_.unpersist(blocking = false))
     out
@@ -282,7 +289,9 @@ object CorpusPrep {
       .localCheckpoint(true)
     retired += vocab
     val merges = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    for (r <- 1 to bpeMerges) {
+    var r = 1
+    var exhausted = false
+    while (r <= bpeMerges && !exhausted) {
       val best = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), expr(
@@ -295,20 +304,32 @@ object CorpusPrep {
         .limit(1)
         .localCheckpoint(true)
       retired += best
-      merges += best.select(lit(r.toLong).as("merge_rank"),
-        col("lft"), col("rgt"), col("pair_freq"))
-      vocab = vocab.crossJoin(broadcast(
-          best.select(col("lft").as("m_l"), col("rgt").as("m_r"))))
-        .withColumn("syms", expr(
-          """aggregate(syms, cast(array() as array<string>), (acc, x) ->
-               case when size(acc) = 0 then array(x)
-                    when element_at(acc, -1) = m_l and x = m_r
-                      then concat(slice(acc, 1, size(acc) - 1),
-                                  array(concat(m_l, m_r)))
-                    else concat(acc, array(x)) end)"""))
-        .select("word", "freq", "syms")
-        .localCheckpoint(true)
-      retired += vocab
+      // Degenerate-vocabulary guard (r11 ADVICE): if every word has
+      // already collapsed to one symbol before round K, `best` is
+      // EMPTY — and crossJoin(empty) would wipe the vocabulary for all
+      // remaining rounds, corrupting q236's segment stats. Mirror the
+      // reference trainer's `if (counts.nonEmpty)`: stop merging, keep
+      // the vocabulary as-is. The check is free — best is already
+      // checkpointed, so isEmpty reads one materialized partition.
+      if (best.isEmpty) {
+        exhausted = true
+      } else {
+        merges += best.select(lit(r.toLong).as("merge_rank"),
+          col("lft"), col("rgt"), col("pair_freq"))
+        vocab = vocab.crossJoin(broadcast(
+            best.select(col("lft").as("m_l"), col("rgt").as("m_r"))))
+          .withColumn("syms", expr(
+            """aggregate(syms, cast(array() as array<string>), (acc, x) ->
+                 case when size(acc) = 0 then array(x)
+                      when element_at(acc, -1) = m_l and x = m_r
+                        then concat(slice(acc, 1, size(acc) - 1),
+                                    array(concat(m_l, m_r)))
+                      else concat(acc, array(x)) end)"""))
+          .select("word", "freq", "syms")
+          .localCheckpoint(true)
+        retired += vocab
+        r += 1
+      }
     }
     (merges.toSeq, vocab, retired.toSeq)
   }

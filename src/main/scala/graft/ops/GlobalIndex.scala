@@ -95,19 +95,51 @@ object GlobalIndex {
     * ties on one key value collapse to one bucket — the inherent
     * key-grain bound, same as range partitioning's.
     */
-  private def rangedDeterministic(df: DataFrame,
-                                  sortCols: Seq[String]): DataFrame = {
+  /** One-pass boundary probe for SEVERAL numeric columns at once: one
+    * aggregate job over `df` returns, per column, the deduped
+    * approx-quantile boundaries [[rangedDeterministic]] needs. Exists
+    * so a kernel that two-phase-ranks MULTIPLE columns of the same
+    * frame (q239 Spearman ranks x and y) pays ONE scan of the upstream
+    * lineage for all its boundary arrays instead of one scan per
+    * column (r11 ADVICE: spearmanCore re-scanned lineitem twice just
+    * for boundaries). Non-finite percentiles are dropped (r11 ADVICE:
+    * a ±Infinity/NaN boundary would render as 'InfinityD' and fail SQL
+    * literal parsing; boundaries only steer balance, so dropping them
+    * is always safe).
+    */
+  private[graft] def probeBounds(df: DataFrame,
+                                 cols: Seq[String]): Map[String, Seq[Double]] = {
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val head = sortCols.head
     val probs = (1 until nParts).map(i => i.toDouble / nParts)
+    if (probs.isEmpty) return cols.map(_ -> Seq.empty[Double]).toMap
+    val aggs = cols.map(c => expr(
+      s"approx_percentile(cast(`$c` as double), " +
+        s"array(${probs.mkString(", ")}), 10000)"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> (if (r.isNullAt(i)) Seq.empty[Double]
+            else r.getSeq[Double](i).distinct
+              .filter(java.lang.Double.isFinite))
+    }.toMap
+  }
+
+  /** `preBounds`: a caller that already probed boundaries (via
+    * [[probeBounds]], possibly over a DIFFERENT but distribution-
+    * representative frame — e.g. row grain instead of value grain)
+    * passes them here and skips this call's own probe job. Correctness
+    * never depends on which boundaries arrive: any monotone bucketing
+    * yields correct ranks/sums (scaladoc above); boundaries are
+    * balance-only.
+    */
+  private def rangedDeterministic(df: DataFrame, sortCols: Seq[String],
+      preBounds: Option[Seq[Double]] = None): DataFrame = {
+    val head = sortCols.head
     val bounds: Seq[Double] =
-      if (probs.isEmpty) Seq.empty
-      else {
-        val r = df.agg(expr(
-          s"approx_percentile(cast(`$head` as double), " +
-            s"array(${probs.mkString(", ")}), 10000)")).head()
-        if (r.isNullAt(0)) Seq.empty else r.getSeq[Double](0).distinct
-      }
+      preBounds.getOrElse(probeBounds(df, Seq(head))(head))
+    // pid: O(#bounds) linear scan per row — bounded by the session's
+    // shuffle-partition count (32 here); a cluster running thousands
+    // of range partitions would want a binary-search bucket lookup,
+    // noted as the scale-up lever (r11 ADVICE).
     val pidExpr =
       if (bounds.isEmpty) lit(0)
       else expr(s"size(filter(array(${bounds.map(b => s"${b}D").mkString(", ")}), " +
@@ -154,8 +186,10 @@ object GlobalIndex {
     * double scale, contradicting the q182/q219 discipline).
     */
   private[graft] def prefixSummedBy(df: DataFrame, sortCols: Seq[String],
-                                    sumCols: Seq[String]): DataFrame = {
-    val ranged = rangedDeterministic(df, sortCols)
+                                    sumCols: Seq[String],
+                                    preBounds: Option[Seq[Double]] = None)
+      : DataFrame = {
+    val ranged = rangedDeterministic(df, sortCols, preBounds)
     val run = Window.partitionBy("pid").orderBy(sortCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = sumCols.foldLeft(ranged) { (d, c) =>

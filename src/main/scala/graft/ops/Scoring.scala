@@ -425,9 +425,17 @@ object Scoring {
 
   /** Over an (x, y) BIGINT frame; fixture seam for the spec. */
   private[graft] def spearmanCore(pts: DataFrame): DataFrame = {
+    // ONE boundary pass for BOTH ranked columns (r11 verdict task 3):
+    // both range-bucketing boundary arrays come from a single
+    // aggregate over pts instead of one approx-quantile job per
+    // column, each re-scanning the upstream lineage. Row-grain
+    // quantiles stand in for value-grain ones — boundaries steer
+    // balance only, never rank values, so the hash is unchanged.
+    val bounds = GlobalIndex.probeBounds(pts, Seq("x", "y"))
     def rank2Of(cn: String): DataFrame = {
       val grain = pts.groupBy(cn).agg(count(lit(1)).as("cnt"))
-      GlobalIndex.prefixSummedBy(grain, Seq(cn), Seq("cnt"))
+      GlobalIndex.prefixSummedBy(grain, Seq(cn), Seq("cnt"),
+          Some(bounds(cn)))
         .select(col(cn), expr("2 * (cum_cnt - cnt) + cnt + 1").as(s"r$cn"))
     }
     pts.join(rank2Of("x"), Seq("x"))
