@@ -254,10 +254,12 @@ object CorpusPrep {
     * collect). Rounds are checkpointed (the Borůvka discipline) and
     * every intermediate is released before return.
     *
-    * Rows-only by design: K chained merge rounds re-tokenize through
-    * learned state — no SQL oracle (the q215 class) — but round 1 IS
-    * oracle-gated as q234, and CurationSpec pins the full merge table
-    * against an independent plain-Scala BPE implementation.
+    * Oracle-gated since round 12: the K rounds are replayed in DuckDB
+    * as chained CTEs ([[bpeCtePrefix]] — the q203 technique), with the
+    * leftmost-greedy rewrite reproduced exactly by a list_reduce fold;
+    * round 1 is additionally oracle-gated standalone as q234, and
+    * CurationSpec pins the merge table against an independent
+    * plain-Scala BPE implementation.
     */
   def bpeMergeTable(spark: SparkSession, dir: String): DataFrame =
     bpeCore(wordFreqs(Tables.documents(spark, dir)))
@@ -343,8 +345,9 @@ object CorpusPrep {
     * surfaces can never drift), one extra vocabulary-sized explode +
     * hash agg on the (alphabet + K)-bounded symbol domain.
     *
-    * Rows-only (inherits q233's learned-state dependence); CurationSpec
-    * replays the full table against the independent trainer.
+    * Oracle-gated since round 12 (the chained-CTE replay's final
+    * vocabulary — [[bpeCtePrefix]]); CurationSpec additionally replays
+    * the full table against the independent trainer.
     */
   def bpeSegmentStats(spark: SparkSession, dir: String): DataFrame = {
     val (_, vocab, retired) = bpeLoop(
@@ -372,7 +375,63 @@ object CorpusPrep {
     "q234_symbol_pair_freqs" -> (symbolPairFreqs(_, _)),
     "q236_bpe_segment_stats" -> (bpeSegmentStats(_, _)))
 
+  /** Chained-CTE replay of the K-round BPE trainer for DuckDB (the
+    * q203 walk-oracle technique, r11 verdict task 6): v0 is the
+    * character-split vocabulary; each round r derives pair counts
+    * (p_r), the unique argmax merge (m_r — count desc, pair asc, so
+    * the optimum is unique and engine-independent), and the rewritten
+    * vocabulary (v_r). The leftmost-greedy rewrite is replayed EXACTLY
+    * via `list_reduce` over singleton lists — a string-replace
+    * formulation was rejected because non-overlapping replace diverges
+    * from the sequential fold on odd same-symbol runs ≥ 5 (e.g.
+    * [a,a,a,a,a] with merge (a,a): fold → [aa,aa,a], replace →
+    * [aa,a,aa] — different round-r+1 pair counts).
+    */
+  private def bpeCtePrefix: String =
+    s"""WITH w AS (
+         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         FROM documents WHERE text IS NOT NULL),
+       wf AS (SELECT word, count(*)::BIGINT AS freq FROM w GROUP BY 1),
+       v0 AS (
+         SELECT word, freq,
+           list_append(list_transform(generate_series(1, length(word)::INT),
+             i -> substr(word, i, 1)), '$bpeEow') AS syms
+         FROM wf)""" +
+      (1 to bpeMerges).map(r =>
+        s""", p$r AS (
+         SELECT syms[i] AS lft, syms[i+1] AS rgt,
+           sum(freq)::BIGINT AS pair_freq
+         FROM v${r - 1},
+           LATERAL unnest(generate_series(1, len(syms)::INT - 1)) AS u(i)
+         WHERE len(syms) >= 2
+         GROUP BY 1, 2),
+       m$r AS (
+         SELECT lft, rgt, pair_freq FROM p$r
+         ORDER BY pair_freq DESC, lft, rgt LIMIT 1),
+       v$r AS (
+         SELECT word, freq,
+           list_reduce(list_transform(syms, s -> [s]),
+             (acc, x) -> CASE WHEN acc[-1] = m.lft AND x[1] = m.rgt
+               THEN list_append(acc[1:len(acc)-1], acc[-1] || x[1])
+               ELSE list_concat(acc, x) END) AS syms
+         FROM v${r - 1}, m$r m)""").mkString
+
   val oracles: Map[String, String] = Map(
+    // q233: the full K-round merge table, replayed round by round
+    "q233_bpe_merges" ->
+      (bpeCtePrefix + " SELECT * FROM (" +
+        (1 to bpeMerges).map(r =>
+          s"SELECT $r::BIGINT AS merge_rank, lft, rgt, pair_freq FROM m$r")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY merge_rank"),
+    // q236: segment stats over the FINAL rewritten vocabulary
+    "q236_bpe_segment_stats" ->
+      (bpeCtePrefix +
+        s""" SELECT symbol, sum(freq)::BIGINT AS token_freq,
+             count(DISTINCT word)::BIGINT AS n_words,
+             length(symbol)::BIGINT AS sym_len
+           FROM v$bpeMerges, LATERAL unnest(syms) AS s(symbol)
+           GROUP BY 1 ORDER BY token_freq DESC, symbol"""),
     // q234: same lowercase-latin word collapse, same per-word adjacent
     // pair generator with the end-of-word marker, same tie order
     "q234_symbol_pair_freqs" ->
