@@ -144,6 +144,64 @@ object TagMining {
       .orderBy(desc("n_users"), asc("pattern"))
   }
 
+  // ---- q243/q244: CJK column-name fixture (SURVEY §7.5) ----------------
+
+  /** Committed fixture mirroring the reference's anime-metadata CSV
+    * (tag/bilibili_anime_spider.py:91-98 writes 标题/标签/追番人数/评分/
+    * 剧集状态; tag/main.py:45 reads it): CJK COLUMN NAMES end-to-end —
+    * scan → derive → filter → groupBy → parquet sink → DuckDB oracle —
+    * proving unicode identifiers survive every layer (quoting, parquet
+    * field names, the driver's sort-columns-by-name hash).
+    */
+  val animeCsvPath = "/root/repo/refdata/anime/data.csv"
+
+  /** All-string scan (the reference passes inferSchema=true at
+    * tag/main.py:45; typed derivation below is explicit instead, so
+    * the oracle's all_varchar read sees identical raw values).
+    */
+  private def animeRaw(spark: SparkSession): DataFrame =
+    spark.read.option("header", true).csv(animeCsvPath)
+
+  /** The tag/main.py:52-57 cleaning rules, ANSI-safe: follower counts
+    * parsed with the 万=×10000 unit rule, junk follower rows
+    * (想看/追剧) and tagless (无) rows dropped, tags split to an
+    * array. Double arithmetic throughout (the reference's float cast
+    * would reproduce, but double keeps the oracle comparison exact
+    * without an fp-narrowing step on both sides).
+    */
+  private[graft] def animeClean(spark: SparkSession): DataFrame =
+    animeRaw(spark)
+      .withColumn("follows",
+        expr("""try_cast(regexp_extract(`追番人数`, '(\\d+\\.?\\d*)', 1)
+                as double)""") *
+          when(col("追番人数").contains("万"), lit(10000.0)).otherwise(lit(1.0)))
+      .withColumn("tags_arr", split(col("标签"), ","))
+      .withColumn("rating", expr("try_cast(`评分` as double)"))
+      .filter(col("tags_arr").isNotNull && col("标签") =!= "无" &&
+        !col("追番人数").contains("想看") && !col("追番人数").contains("追剧") &&
+        size(col("tags_arr")) > 0)
+
+  /** q243 — the cleaned table, CJK title column kept under its native
+    * name in the OUTPUT schema (the point of the fixture).
+    */
+  def animeCleanCjk(spark: SparkSession, dir: String): DataFrame =
+    animeClean(spark)
+      .select(col("标题"), col("follows"), col("rating"),
+        size(col("tags_arr")).cast("long").as("n_tags"),
+        col("剧集状态").cast("long").as("finished"))
+      .orderBy("标题")
+
+  /** q244 — tag frequencies with a CJK GROUP-BY output column (标签 as
+    * the exploded per-tag grain; the tag/main.py:166-170 tag-frequency
+    * bar chart's data).
+    */
+  def animeTagFreqCjk(spark: SparkSession, dir: String): DataFrame =
+    animeClean(spark)
+      .select(explode(col("tags_arr")).as("标签"))
+      .groupBy("标签")
+      .agg(count(lit(1)).as("n_titles"))
+      .orderBy(desc("n_titles"), col("标签"))
+
   type Q = (SparkSession, String) => DataFrame
 
   // Registered surface serializes the itemset arrays (the driver's pandas
@@ -157,7 +215,9 @@ object TagMining {
       associationRules(s, d)
         .withColumn("antecedent", array_join(col("antecedent"), ","))
         .withColumn("consequent", array_join(col("consequent"), ","))),
-    "q72_tag_cooccurrence" -> (tagCooccurrence(_, _)))
+    "q72_tag_cooccurrence" -> (tagCooccurrence(_, _)),
+    "q243_anime_clean_cjk" -> (animeCleanCjk(_, _)),
+    "q244_anime_tag_freq_cjk" -> (animeTagFreqCjk(_, _)))
 
   /** DuckDB oracles by brute-force subset enumeration: a doc contains
     * itemset S iff S ⊆ its basket, so enumerating every non-empty
@@ -200,7 +260,44 @@ object TagMining {
          HAVING count(*) >= (SELECT min_count FROM minc)
        )"""
 
+  /** Shared DuckDB CTE for the q243/q244 oracles: same raw all-varchar
+    * read, same 万-unit parse, same junk filters, CJK identifiers
+    * double-quoted.
+    */
+  private val animeCleanCte =
+    s"""WITH raw AS (
+         SELECT * FROM read_csv('$animeCsvPath', header=true,
+           all_varchar=true)
+       ), c AS (
+         SELECT "标题",
+           TRY_CAST(regexp_extract("追番人数", '(\\d+\\.?\\d*)', 1) AS DOUBLE)
+             * (CASE WHEN contains("追番人数", '万')
+                  THEN 10000.0::DOUBLE ELSE 1.0::DOUBLE END) AS follows,
+           string_split("标签", ',') AS tags_arr,
+           TRY_CAST("评分" AS DOUBLE) AS rating,
+           TRY_CAST("剧集状态" AS BIGINT) AS finished,
+           "标签", "追番人数"
+         FROM raw
+       ), cleaned AS (
+         SELECT * FROM c
+         WHERE tags_arr IS NOT NULL AND "标签" <> '无'
+           AND NOT contains("追番人数", '想看')
+           AND NOT contains("追番人数", '追剧')
+           AND len(tags_arr) > 0
+       )"""
+
   val oracles: Map[String, String] = Map(
+    "q243_anime_clean_cjk" ->
+      (animeCleanCte +
+        s""" SELECT "标题", follows, rating,
+             len(tags_arr)::BIGINT AS n_tags, finished
+           FROM cleaned ORDER BY "标题""""),
+    "q244_anime_tag_freq_cjk" ->
+      (animeCleanCte +
+        s""", tags AS (
+             SELECT unnest(tags_arr) AS "标签" FROM cleaned)
+           SELECT "标签", count(*)::BIGINT AS n_titles
+           FROM tags GROUP BY 1 ORDER BY n_titles DESC, "标签""""),
     // q124: brute-force ordered-occurrence enumeration — a user
     // supports a pattern iff an ordered (not necessarily contiguous)
     // occurrence exists; lengths 1-3 via 0/1/2 ordered self-joins,

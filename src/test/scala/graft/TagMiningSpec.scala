@@ -87,6 +87,25 @@ class TagMiningSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == all) // lexicon has exactly 10 entities → top-10 is total
   }
 
+  test("CJK column-name fixture: clean rules + unicode identifiers end-to-end") {
+    val cleaned = TagMining.animeCleanCjk(spark, sf).collect()
+    assert(cleaned.nonEmpty)
+    // junk rows (想看/追剧 followers, 无 tags) are filtered
+    val titles = cleaned.map(_.getString(0)).toSet
+    assert(!titles.contains("葬送的芙莉莲")) // 追番人数 = 想看
+    assert(!titles.contains("灵笼"))         // 标签 = 无
+    // the 万-unit parse: 孤独摇滚 follows "183.4万" → 1,834,000.0
+    val bocchi = cleaned.find(_.getString(0) == "孤独摇滚").get
+    assert(bocchi.getDouble(1) == 1834000.0)
+    // the CJK output identifier is carried verbatim through the plan
+    assert(TagMining.animeCleanCjk(spark, sf).columns.head == "标题")
+    val freq = TagMining.animeTagFreqCjk(spark, sf)
+    assert(freq.columns.toSeq == Seq("标签", "n_titles"))
+    // tag totals reconcile against the cleaned table's array sizes
+    val nTagsTotal = cleaned.map(_.getLong(3)).sum
+    assert(freq.collect().map(_.getLong(1)).sum == nTagsTotal)
+  }
+
   test("association rules: confidence >= minConfidence, metrics in range, lift consistent") {
     val rules = TagMining.associationRules(spark, sf).collect()
     assert(rules.nonEmpty)
