@@ -72,7 +72,16 @@ object GraphOps {
     * dangling vertices, so Σ rank = |V| is preserved exactly
     * (GraphOpsSpec pins it). Fixed iteration count → deterministic.
     */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankRanks(spark, dir)
+      .select(col("entity_id"), round(col("rank"), 6).as("pagerank"))
+      .orderBy(desc("pagerank"), asc("entity_id"))
+
+  /** Unrounded ranks — the GraphOpsSpec seam: the value pin against an
+    * independent plain-Scala power iteration compares at 1e-9, which
+    * the 6dp presentation rounding above would mask.
+    */
+  private[graft] def pagerankRanks(spark: SparkSession, dir: String): DataFrame = {
     val (g0, e) = edgeGraph(spark, dir)
     val sym = Graph.fromEdges(
       g0.edges.union(g0.edges.map(ed => Edge(ed.dstId, ed.srcId, ed.attr))),
@@ -95,8 +104,7 @@ object GraphOps {
     import s.implicits._
     val rankDf = ranks.vertices.toDF("vid", "rank")
     val out = names(e).join(rankDf, "vid")
-      .select(col("entity_id"), round(col("rank"), 6).as("pagerank"))
-      .orderBy(desc("pagerank"), asc("entity_id"))
+      .select(col("entity_id"), col("rank"))
     materializeAndRelease(out, e, g0, sym, norm, ranks)
   }
 

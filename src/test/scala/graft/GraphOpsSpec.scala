@@ -18,6 +18,36 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(total - nodes) / nodes < 0.05, s"Σ rank $total vs |V| $nodes")
   }
 
+  test("pagerank equals an independent plain-Scala power iteration " +
+      "on the corpus graph (per-vertex, 1e-9)") {
+    // replica built from the same aggregated edge counts, entirely
+    // outside GraphX: symmetrize, weight-normalize per source, then
+    // the same fixed-iteration update rank = reset + (1-reset)·Σ in.
+    val edges = CooccurrenceGraph.edgeCounts(spark, sf)
+      .select("src", "dst", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sym = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+    val outW = sym.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._3.toDouble).sum }
+    val inAdj = sym.groupBy(_._2) // dst -> incoming (src, w)
+    val verts = sym.map(_._1).distinct
+    var rank = verts.map(_ -> 1.0).toMap
+    for (_ <- 1 to GraphOps.pageRankIters) {
+      rank = verts.map { v =>
+        val in = inAdj.getOrElse(v, Array.empty[(String, String, Long)])
+          .map { case (s, _, w) => rank(s) * (w.toDouble / outW(s)) }.sum
+        v -> (GraphOps.resetProb + (1 - GraphOps.resetProb) * in)
+      }.toMap
+    }
+    val got = GraphOps.pagerankRanks(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == rank.keySet)
+    got.foreach { case (v, g) =>
+      assert(math.abs(g - rank(v)) <= 1e-9,
+        s"$v: graphx $g vs replica ${rank(v)}")
+    }
+  }
+
   test("pagerank is deterministic across runs (fixed iterations)") {
     val a = GraphOps.pagerank(spark, sf).collect().toSeq
     val b = GraphOps.pagerank(spark, sf).collect().toSeq
