@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expr.Vectors
@@ -159,12 +159,16 @@ object Similarity {
   def annBatched(spark: SparkSession, dir: String): DataFrame =
     annBatchedCore(Tables.embeddings(spark, dir))
 
-  /** Fixture seam. */
-  private[graft] def annBatchedCore(emb: DataFrame): DataFrame = {
+  /** Fixture seam. `isQuery` selects the probing subset (default: the
+    * registered stride rule; AnnScaleBench passes a bounded id range so
+    * ground-truth brute force at synthetic scale stays tractable).
+    */
+  private[graft] def annBatchedCore(emb: DataFrame,
+      isQuery: Column = col("vec_id") % batchQueryStride === 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perQuery = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("vec_id"))
-    annBatchedCandidates(emb)
+    annBatchedCandidates(emb, isQuery)
       .withColumn("rank", row_number().over(perQuery).cast("long"))
       .filter(col("rank") <= topK)
       .orderBy("query_id", "rank")
@@ -174,7 +178,8 @@ object Similarity {
     * top-k — the spec's candidate-volume probe point (the scale claim
     * "≈ n_q·n/2^planes, never n_q×n" is measured here, not argued).
     */
-  private[graft] def annBatchedCandidates(emb: DataFrame): DataFrame = {
+  private[graft] def annBatchedCandidates(emb: DataFrame,
+      isQuery: Column = col("vec_id") % batchQueryStride === 0L): DataFrame = {
     val tables = (0 until numTables).map(t =>
       Vectors.randomPlanes(planesPerTable, embeddingDim, seed = 42L + t))
     val banded = emb
@@ -187,7 +192,7 @@ object Similarity {
         posexplode(col("buckets")).as(Seq("t", "bucket")))
       .repartition(col("t"), col("bucket"))
     val queries = banded
-      .filter(col("vec_id") % batchQueryStride === 0L)
+      .filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("buckets").as("qbuckets"),
         col("t"), col("bucket"))
