@@ -364,6 +364,37 @@ object CorpusPrep {
     out
   }
 
+  /** q248 — BPE ENCODE: apply the learned K merges back to the corpus
+    * — the "tokenize the training set" step every trainer runs after
+    * q233's learning pass — and report per-document token counts and
+    * the chars-per-token compression ratio (exact, ‰ integer grain).
+    *
+    * Scale shape: the segmentation lives at VOCABULARY grain (the
+    * trained `word → syms` table — bounded by the corpus vocabulary,
+    * shipped as a broadcast), so encoding the corpus is one word
+    * explode + broadcast join + per-doc hash agg; no per-document
+    * merge loop ever runs. The +1 in the char sum is the end-of-word
+    * marker, counted as one symbol on both sides of the ratio.
+    */
+  def bpeEncodeStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, vocab, retired) = bpeLoop(wordFreqs(docs))
+    val wordTok = vocab
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    val out = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .join(broadcast(wordTok), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_syms").as("n_tokens"),
+        expr("sum(length(word) + 1) * 1000 div sum(n_syms)").as("ratio_e3"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    retired.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -372,6 +403,7 @@ object CorpusPrep {
     "q68_quality_rules" -> (qualityRuleStats(_, _)),
     "q230_chunk_overlap" -> (chunkOverlap(_, _)),
     "q233_bpe_merges" -> ((s, d) => bpeMergeTable(s, d)),
+    "q248_bpe_encode_stats" -> (bpeEncodeStats(_, _)),
     "q234_symbol_pair_freqs" -> (symbolPairFreqs(_, _)),
     "q236_bpe_segment_stats" -> (bpeSegmentStats(_, _)))
 
@@ -424,6 +456,22 @@ object CorpusPrep {
           s"SELECT $r::BIGINT AS merge_rank, lft, rgt, pair_freq FROM m$r")
           .mkString(" UNION ALL ") +
         ") ORDER BY merge_rank"),
+    // q248: the same replayed final vocabulary, joined back to the
+    // word-exploded corpus; ‰ ratio is a truncating integer division
+    "q248_bpe_encode_stats" ->
+      (bpeCtePrefix +
+        s""", wt AS (
+             SELECT word, len(syms)::BIGINT AS n_syms FROM v$bpeMerges),
+           dw AS (
+             SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             FROM documents WHERE text IS NOT NULL)
+           SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(n_syms)::BIGINT AS n_tokens,
+             (sum(length(word) + 1) * 1000 // sum(n_syms))::BIGINT
+               AS ratio_e3
+           FROM dw JOIN wt USING (word)
+           GROUP BY 1 ORDER BY doc_id"""),
     // q236: segment stats over the FINAL rewritten vocabulary
     "q236_bpe_segment_stats" ->
       (bpeCtePrefix +

@@ -256,11 +256,64 @@ object GlobalIndex {
       .orderBy("bucket")
   }
 
+  /** q246 percentile fractions. */
+  private[graft] val pcontPs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** q246 — EXACT INTERPOLATED PERCENTILES (the `percentile_cont`
+    * contract: rank position pos = 1 + p·(n−1), linear interpolation
+    * between the two bracketing order statistics) — completing the
+    * quantile family: q102/q28 are the DISCRETE selection rule, q149
+    * the approximate sketch; this is the exact continuous one, and the
+    * classic way to compute it (`percentile_cont` over a window, or
+    * sort-and-index) collapses the table into one sorted partition.
+    *
+    * Scale shape: the same two-phase global numbering as q182 (range
+    * exchange + local sorts; only the #partitions offsets frame is
+    * sequential), then the ≤ 2·|ps| bracketing rows are picked by a
+    * pushed `rn IN (...)` filter and joined to a broadcast 5-row
+    * target table — no post-numbering full-table pass and never a
+    * single-partition sort. Ties in the value column don't disturb the
+    * result: the tie-break (orderkey, linenumber) only permutes equal
+    * values within a rank run, and interpolation reads VALUES at the
+    * two positions.
+    *
+    * One driver-side count() feeds the literal positions — the
+    * probeBounds stance (a column-pruned count stage, no data
+    * movement), and at any corpus size its output is one long.
+    */
+  def percentileCont(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("double").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+    val n = base.count()
+    val targets = pcontPs.map { p =>
+      val pos = 1.0 + p * (n - 1)
+      (p, math.floor(pos).toLong, math.ceil(pos).toLong,
+        pos - math.floor(pos))
+    }
+    val s = spark
+    import s.implicits._
+    val tdf = targets.toDF("p", "lo_rn", "hi_rn", "frac")
+    val wanted = targets.flatMap(t => Seq(t._2, t._3)).distinct
+    numberedBy(base, Seq("v", "l_orderkey", "l_linenumber"))
+      .filter(col("rn").isin(wanted: _*))
+      .join(broadcast(tdf),
+        col("rn") === col("lo_rn") || col("rn") === col("hi_rn"))
+      .groupBy("p", "frac")
+      .agg(min(when(col("rn") === col("lo_rn"), col("v"))).as("lo_v"),
+        min(when(col("rn") === col("hi_rn"), col("v"))).as("hi_v"))
+      .select(col("p"),
+        round(col("lo_v") + col("frac") * (col("hi_v") - col("lo_v")), 4)
+          .as("value"))
+      .orderBy("p")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q182_global_row_numbers" -> (globalRowNumbers(_, _)),
-    "q200_equidepth_histogram" -> (equidepthHistogram(_, _)))
+    "q200_equidepth_histogram" -> (equidepthHistogram(_, _)),
+    "q246_percentile_cont" -> (percentileCont(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the logical contract — rank in the total order — stated directly;
@@ -271,6 +324,20 @@ object GlobalIndex {
               row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
             FROM lineitem)
           WHERE rn % $stride = 0 ORDER BY rn""",
+    // q246: DuckDB's native percentile_cont implements the identical
+    // pos = 1 + p(n−1) + linear-interpolation contract over the same
+    // double-cast values; 4dp rounding on both sides absorbs the
+    // engines' association-order ulp
+    "q246_percentile_cont" -> {
+      val arr = pcontPs.mkString("[", ",", "]")
+      s"""WITH q AS (
+            SELECT percentile_cont($arr)
+              WITHIN GROUP (ORDER BY l_extendedprice::DOUBLE) AS vs
+            FROM lineitem)
+          SELECT $arr[i]::DOUBLE AS p, round(vs[i], 4) AS value
+          FROM q, LATERAL unnest(generate_series(1, ${pcontPs.size})) AS u(i)
+          ORDER BY p"""
+    },
     // q200: bucket re-derived from a plain rank over the same unique
     // total order, same integral bucket formula, decimal-exact sums
     "q200_equidepth_histogram" ->

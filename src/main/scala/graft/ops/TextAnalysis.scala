@@ -269,6 +269,20 @@ object TextAnalysis {
 
   /** Core over any (doc_id, text) frame; fixture seam for the spec. */
   private[graft] def bm25Core(docs: DataFrame): DataFrame = {
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(desc("score_e6"), asc("doc_id"))
+    bm25ScoresCore(docs)
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= bm25K)
+      .select("query_id", "rank", "doc_id", "n_hit", "score_e6")
+      .orderBy("query_id", "rank")
+  }
+
+  /** The pre-top-k per-(query, doc) score frame — shared by q231 and
+    * q245's rank fusion. Carries BOTH ranking signals: the exact-
+    * integer BM25 score and the raw summed term frequency.
+    */
+  private[graft] def bm25ScoresCore(docs: DataFrame): DataFrame = {
     val tok = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(filteredTokens(col("text"))).as("term"))
@@ -282,8 +296,6 @@ object TextAnalysis {
         Window.orderBy(desc("freq"), asc("term"))))
       .select(expr(s"cast((r - 1) div $bm25TermsPerQuery as bigint)")
         .as("query_id"), col("term"))
-    val byScore = Window.partitionBy("query_id")
-      .orderBy(desc("score_e6"), asc("doc_id"))
     tf.join(qs, "term")
       .join(dfr, "term")
       .join(dl, "doc_id")
@@ -298,10 +310,48 @@ object TextAnalysis {
       .withColumn("contrib_e6",
         expr("cast(idf_e6 as decimal(38,0)) * tfp_e6 div 1000000"))
       .groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).as("n_hit"), sum("contrib_e6").as("score_e6"))
-      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .agg(count(lit(1)).as("n_hit"), sum("contrib_e6").as("score_e6"),
+        sum("tf").as("tf_sum"))
+  }
+
+  /** q245 RRF smoothing constant (the k=60 of Cormack/Clarke/Büttcher
+    * 2009 — the value every production fusion uses).
+    */
+  val rrfK = 60
+
+  /** q245 — RECIPROCAL RANK FUSION: combine two rankers over the same
+    * candidate sets — BM25 (lexical relevance) and raw summed term
+    * frequency (the match-count prior) — into one list per query via
+    * RRF(d) = Σ_r 1/(k + rank_r(d)), the standard score-free fusion
+    * for hybrid retrieval (its rank-only form is what lets lexical and
+    * vector rankers fuse without calibrating score scales).
+    *
+    * Scale shape: both rankings are per-query windows over the SAME
+    * (query, doc) score frame — one shuffle on query_id serves both
+    * row_number passes and the fused top-k; nothing global. The fused
+    * score is a sum of two exact reciprocals, emitted at 6dp (two-term
+    * double sums are association-free).
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfCore(Tables.documents(spark, dir))
+
+  private[graft] def rrfCore(docs: DataFrame): DataFrame = {
+    val byQ = Window.partitionBy("query_id")
+    val rBm = byQ.orderBy(desc("score_e6"), asc("doc_id"))
+    val rTf = byQ.orderBy(desc("tf_sum"), asc("doc_id"))
+    val byRrf = byQ.orderBy(desc("rrf_e9"), asc("doc_id"))
+    bm25ScoresCore(docs)
+      .withColumn("rank_bm25", row_number().over(rBm).cast("long"))
+      .withColumn("rank_tf", row_number().over(rTf).cast("long"))
+      // integer-exact fused score at 1e-9 grain: 1e9/(k+r) twice, both
+      // truncating integer divisions — no fp at all, so the cross-
+      // engine hash can't drift on reciprocal rounding
+      .withColumn("rrf_e9",
+        expr(s"1000000000 div ($rrfK + rank_bm25) " +
+          s"+ 1000000000 div ($rrfK + rank_tf)"))
+      .withColumn("rank", row_number().over(byRrf).cast("long"))
       .filter(col("rank") <= bm25K)
-      .select("query_id", "rank", "doc_id", "n_hit", "score_e6")
+      .select("query_id", "rank", "doc_id", "rank_bm25", "rank_tf", "rrf_e9")
       .orderBy("query_id", "rank")
   }
 
@@ -686,6 +736,7 @@ object TextAnalysis {
     "q47_bpeish_token_counts" -> (bpeishTokenCounts(_, _)),
     "q69_tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "q231_bm25_topk" -> (bm25TopK(_, _)),
+    "q245_rrf_fusion" -> (rrfFusion(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
@@ -750,6 +801,45 @@ object TextAnalysis {
       coalesce(array_to_string(a.fps, ','), '') AS fp_set
     FROM documents d LEFT JOIN agg a USING (doc_id)
     ORDER BY d.doc_id"""
+
+  /** Shared q231/q245 oracle prefix: same filtered tokenizer as q40,
+    * same integer-surrogate idf/tf' arithmetic, ending at the
+    * per-(query, doc) score frame `s2` (BM25 score + summed tf).
+    */
+  private lazy val bm25ScoresCte =
+    s"""WITH tok AS (
+          SELECT doc_id, w AS term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL)
+          WHERE w <> '' AND w NOT IN ($stopList)
+            AND length(w) > 1 AND NOT regexp_matches(w, '^[0-9]+$$')),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+               FROM tok GROUP BY 1),
+        st AS (SELECT count(*)::BIGINT AS n_docs,
+                 sum(dl)::BIGINT AS t_tokens FROM dl),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        top AS (
+          SELECT term, row_number() OVER (ORDER BY freq DESC, term) AS r
+          FROM (SELECT term, sum(tf) AS freq FROM tf GROUP BY 1)),
+        q AS (SELECT ((r - 1) // $bm25TermsPerQuery)::BIGINT AS query_id,
+                term FROM top WHERE r <= $bm25TopTerms),
+        sc AS (
+          SELECT q.query_id, tf.doc_id, tf.tf,
+            ((2 * (st.n_docs - df.df) + 1) * 1000000 // (2 * df.df + 1))
+              AS idf_e6,
+            (22::HUGEINT * st.t_tokens * tf.tf * 1000000)
+              // (10::HUGEINT * st.t_tokens * tf.tf
+                  + 3::HUGEINT * st.t_tokens
+                  + 9::HUGEINT * st.n_docs * dl.dl) AS tfp_e6
+          FROM tf JOIN q USING (term) JOIN df USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+        s2 AS (
+          SELECT query_id, doc_id, count(*)::BIGINT AS n_hit,
+            sum((idf_e6::HUGEINT * tfp_e6) // 1000000)::BIGINT AS score_e6,
+            sum(tf)::BIGINT AS tf_sum
+          FROM sc GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
     // q196: identical tokenization/bigram CTEs as q139, model p in exact
@@ -1031,44 +1121,34 @@ object TextAnalysis {
     // same 10T-cleared exact BM25 tf part in HUGEINT, same rank→query
     // chunking of the top-12 terms and per-query top-10 cut
     "q231_bm25_topk" ->
-      s"""WITH tok AS (
-            SELECT doc_id, w AS term FROM (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS w
-              FROM documents WHERE text IS NOT NULL)
-            WHERE w <> '' AND w NOT IN ($stopList)
-              AND length(w) > 1 AND NOT regexp_matches(w, '^[0-9]+$$')),
-          tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-                 FROM tok GROUP BY 1, 2),
-          dl AS (SELECT doc_id, count(*)::BIGINT AS dl
-                 FROM tok GROUP BY 1),
-          st AS (SELECT count(*)::BIGINT AS n_docs,
-                   sum(dl)::BIGINT AS t_tokens FROM dl),
-          df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-          top AS (
-            SELECT term, row_number() OVER (ORDER BY freq DESC, term) AS r
-            FROM (SELECT term, sum(tf) AS freq FROM tf GROUP BY 1)),
-          q AS (SELECT ((r - 1) // $bm25TermsPerQuery)::BIGINT AS query_id,
-                  term FROM top WHERE r <= $bm25TopTerms),
-          sc AS (
-            SELECT q.query_id, tf.doc_id,
-              ((2 * (st.n_docs - df.df) + 1) * 1000000 // (2 * df.df + 1))
-                AS idf_e6,
-              (22::HUGEINT * st.t_tokens * tf.tf * 1000000)
-                // (10::HUGEINT * st.t_tokens * tf.tf
-                    + 3::HUGEINT * st.t_tokens
-                    + 9::HUGEINT * st.n_docs * dl.dl) AS tfp_e6
-            FROM tf JOIN q USING (term) JOIN df USING (term)
-            JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
-          s2 AS (
-            SELECT query_id, doc_id, count(*)::BIGINT AS n_hit,
-              sum((idf_e6::HUGEINT * tfp_e6) // 1000000)::BIGINT AS score_e6
-            FROM sc GROUP BY 1, 2),
-          r AS (
+      (bm25ScoresCte +
+        s""", r AS (
             SELECT *, row_number() OVER (
               PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rk
             FROM s2)
           SELECT query_id, rk::BIGINT AS rank, doc_id, n_hit, score_e6
-          FROM r WHERE rk <= $bm25K ORDER BY query_id, rank""",
+          FROM r WHERE rk <= $bm25K ORDER BY query_id, rank"""),
+    // q245: both rankings re-derived from the shared score CTE, same
+    // k=60 truncating-integer reciprocal sum, same fused tie-break
+    "q245_rrf_fusion" ->
+      (bm25ScoresCte +
+        s""", rr AS (
+            SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score_e6 DESC, doc_id)::BIGINT AS rank_bm25,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY tf_sum DESC, doc_id)::BIGINT AS rank_tf
+            FROM s2),
+          fused AS (
+            SELECT *, (1000000000 // ($rrfK + rank_bm25)
+                     + 1000000000 // ($rrfK + rank_tf))::BIGINT AS rrf_e9
+            FROM rr),
+          rk AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf_e9 DESC, doc_id)::BIGINT AS rank
+            FROM fused)
+          SELECT query_id, rank, doc_id, rank_bm25, rank_tf, rrf_e9
+          FROM rk WHERE rank <= $bm25K ORDER BY query_id, rank"""),
     "q69_tfidf_top_terms" ->
       s"""WITH t AS (
            SELECT doc_id, w AS term FROM (

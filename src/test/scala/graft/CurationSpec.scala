@@ -237,4 +237,51 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
         r.getLong(3), r.getLong(4))).toSeq
     assert(got === expect)
   }
+
+  test("q245 RRF: fused score is the exact reciprocal identity and the " +
+      "BM25-side ranking agrees with q231") {
+    val rrf = TextAnalysis.rrfFusion(spark, sf).collect()
+    assert(rrf.nonEmpty)
+    rrf.foreach { r =>
+      val (rb, rt, s) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(s == 1000000000L / (TextAnalysis.rrfK + rb)
+        + 1000000000L / (TextAnalysis.rrfK + rt))
+    }
+    // the doc q231 ranks first is rank_bm25 = 1 in the fused frame
+    // whenever it survives into the fused top-k
+    val bmTop = TextAnalysis.bm25TopK(spark, sf).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fusedBm1 = rrf.filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    fusedBm1.foreach { case (q, d) => assert(bmTop(q) == d) }
+  }
+
+  test("q247 levenshtein near-dups: planted edit found, cross-block " +
+      "pair skipped by design") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zetX"), // 1 edit, same block
+      (3L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (4L, "omega beta gamma delta epsilon zeta"), // other block: missed
+      (5L, "alpha beta " + ("q" * 200))            // same block, far
+    ).toDF("doc_id", "text")
+    val got = Dedup.levNearDupsCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
+  }
+
+  test("q248 BPE encode: corpus token total reconciles with q236's " +
+      "vocabulary token frequencies") {
+    import graft.ops.CorpusPrep
+    val enc = CorpusPrep.bpeEncodeStats(spark, sf).collect()
+    assert(enc.nonEmpty)
+    val encTotal = enc.map(_.getLong(2)).sum
+    val segTotal = CorpusPrep.bpeSegmentStats(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(encTotal == segTotal,
+      s"encode total $encTotal vs segment-stats total $segTotal")
+    // ratio sanity: merges can only shorten, so chars+eow >= tokens
+    enc.foreach(r => assert(r.getLong(3) >= 1000L))
+  }
 }

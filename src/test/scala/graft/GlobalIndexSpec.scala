@@ -33,6 +33,26 @@ class GlobalIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(r => (r._1, r._2)).toSeq === expected)
   }
 
+  test("q246 percentile_cont equals a driver-side sort-and-interpolate " +
+      "replica at the small sf") {
+    val got = GlobalIndex.percentileCont(spark, sf).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val vs = graft.Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_extendedprice")
+        .cast("double")).collect().map(_.getDouble(0)).sorted
+    val want = GlobalIndex.pcontPs.map { p =>
+      val pos = p * (vs.length - 1) // 0-indexed
+      val lo = vs(math.floor(pos).toInt)
+      val hi = vs(math.ceil(pos).toInt)
+      p -> BigDecimal(lo + (pos - math.floor(pos)) * (hi - lo))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (p, w) =>
+      assert(math.abs(got(p) - w) < 1e-9, s"p=$p: got ${got(p)}, want $w")
+    }
+  }
+
   test("the plan has no global sort of the data path") {
     val plan = GlobalIndex.numberedAll(fixture)
       .queryExecution.executedPlan.toString
