@@ -32,6 +32,7 @@ object SparkEntry {
       (Changelog.queries, Changelog.oracles),
       (GlobalIndex.queries, GlobalIndex.oracles),
       (Linkage.queries, Linkage.oracles),
+      (SpatialGrid.queries, SpatialGrid.oracles),
       (Quality.queries, Quality.oracles),
       (Integrity.queries, Integrity.oracles),
       (Fidelity.queries, Fidelity.oracles),

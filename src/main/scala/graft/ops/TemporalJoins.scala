@@ -355,9 +355,67 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  // ---- q249: interval-overlap join -------------------------------------
+
+  /** q249 geometry: per-day synthetic maintenance windows (start hour
+    * = md5(day)%22, length 2 h — both engines replay the hash), hour
+    * cells for the grid join.
+    */
+  private val mwLenUs = 2L * 3600L * 1000000L
+  private val cellUs = 3600L * 1000000L
+  private val dayUs = 86400L * 1000000L
+
+  /** q249 — INTERVAL-OVERLAP JOIN: which user sessions overlap which
+    * maintenance windows, with the exact overlap duration — the
+    * both-sides-are-intervals join that q36/q37/q191 (point-vs-range)
+    * don't cover, and the canonical shape Spark has no native operator
+    * for (a raw `ON s < we AND ws < e` range predicate plans as a
+    * nested-loop over the cross product).
+    *
+    * Scale shape: both interval sets explode to HOUR CELLS and
+    * equi-join on the cell — candidate volume is Σ busy-hours, linear
+    * in total interval length, never |A|×|B|. Each overlapping pair
+    * shares its FIRST common cell exactly once (cell = max of the two
+    * start cells — the q64 first-collision discipline, no
+    * dropDuplicates shuffle), where the exact µs overlap is computed
+    * and the touching-only case (overlap 0) is dropped. The cell join
+    * is an ordinary hash exchange; a skewed busy hour salts like
+    * q168.
+    */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalOverlapCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def intervalOverlapCore(ev: DataFrame): DataFrame = {
+    val sess = Sessionization.sessionBounds(ev)
+    val wins = ev
+      .select(expr(s"tsu div $dayUs").as("day")).distinct()
+      .withColumn("h0",
+        expr("cast(conv(substring(md5(cast(concat(cast(day as string), " +
+          "':mw') as binary)), 1, 8), 16, 10) as bigint) % 22"))
+      .select(col("day"),
+        (col("day") * dayUs + col("h0") * cellUs).as("ws"))
+      .withColumn("we", col("ws") + mwLenUs)
+    val sCells = sess.withColumn("cell", explode(sequence(
+      expr(s"session_start_us div $cellUs"),
+      expr(s"session_end_us div $cellUs"))))
+    val wCells = wins.withColumn("cell", explode(sequence(
+      expr(s"ws div $cellUs"), expr(s"(we - 1) div $cellUs"))))
+    sCells.join(wCells, Seq("cell"))
+      .filter(col("cell") === greatest(
+        expr(s"session_start_us div $cellUs"), expr(s"ws div $cellUs")))
+      .withColumn("overlap_us",
+        least(col("session_end_us"), col("we"))
+          - greatest(col("session_start_us"), col("ws")))
+      .filter(col("overlap_us") > 0)
+      .select(col("user_id"), col("session_id"), col("day"),
+        col("overlap_us"))
+      .orderBy("user_id", "session_id", "day")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q249_interval_overlap_join" -> (intervalOverlapJoin(_, _)),
     "q152_locf_gap_fill" -> (locfGapFill(_, _)),
     "q36_asof_join" -> (asofErrorClicks(_, _)),
     "q191_nearest_asof" -> (nearestErrorClicks(_, _)),
@@ -370,6 +428,41 @@ object TemporalJoins {
       rollingCoreScalable(Tables.eventsMicros(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // q249: brute-force interval join (no grid — the oracle proves the
+    // cell/first-cell machinery changes nothing), same q27 session
+    // derivation at µs, same md5 window-placement hash
+    "q249_interval_overlap_join" -> {
+      val gapUs = Sessionization.gapSeconds * 1000000L
+      s"""WITH marked AS (
+            SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu,
+              CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+                     OR epoch_ns(ts) // 1000
+                        - lag(epoch_ns(ts) // 1000) OVER w > $gapUs
+                   THEN 1 ELSE 0 END AS opens
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id
+              ORDER BY epoch_ns(ts) // 1000, event_id)),
+          sess AS (
+            SELECT user_id, tsu,
+              sum(opens) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                AS session_id
+            FROM marked),
+          sb AS (
+            SELECT user_id, session_id, min(tsu) AS s, max(tsu) AS e
+            FROM sess GROUP BY 1, 2),
+          wins AS (
+            SELECT day,
+              day * $dayUs
+                + (('0x' || substr(md5(day::VARCHAR || ':mw'), 1, 8))::BIGINT
+                   % 22) * $cellUs AS ws
+            FROM (SELECT DISTINCT epoch_ns(ts) // 1000 // $dayUs AS day
+                  FROM events WHERE ts IS NOT NULL)),
+          w2 AS (SELECT day, ws, ws + $mwLenUs AS we FROM wins)
+          SELECT user_id, session_id, day,
+            (least(e, we) - greatest(s, ws))::BIGINT AS overlap_us
+          FROM sb JOIN w2 ON least(e, we) - greatest(s, ws) > 0
+          ORDER BY user_id, session_id, day""" },
     // q152: DuckDB's native IGNORE NULLS window carry — an independent
     // formulation (two last_value calls over columns that are null on
     // exactly the same rows ≡ the engine's atomic struct carry); the

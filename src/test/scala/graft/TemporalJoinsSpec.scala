@@ -380,4 +380,32 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"), "as-of must not plan a join")
     assert(plan.contains("Window"))
   }
+
+  test("q249 interval overlap equals an in-JVM brute force over the " +
+      "same sessions and replayed maintenance windows") {
+    val dayUs = 86400L * 1000000L
+    val cellUs = 3600L * 1000000L
+    val ev = graft.Tables.eventsMicros(spark, sf)
+    val sess = graft.ops.Sessionization.sessionBounds(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def h22(day: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$day:mw".getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 22
+    }
+    val wins = ev.select(expr(s"tsu div $dayUs").as("day")).distinct()
+      .collect().map(_.getLong(0))
+      .map(d => (d, d * dayUs + h22(d) * cellUs,
+        d * dayUs + h22(d) * cellUs + 2 * cellUs))
+    val want = (for {
+      (u, sid, s, e) <- sess; (d, ws, we) <- wins
+      ov = math.min(e, we) - math.max(s, ws) if ov > 0
+    } yield (u, sid, d, ov)).toSet
+    val got = TemporalJoins.intervalOverlapJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must exercise overlaps")
+  }
 }
