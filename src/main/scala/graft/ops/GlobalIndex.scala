@@ -293,15 +293,19 @@ object GlobalIndex {
     }
     val s = spark
     import s.implicits._
-    val tdf = targets.toDF("p", "lo_rn", "hi_rn", "frac")
+    // one row PER BRACKET SIDE so the pick is a plain equi-join on rn
+    // (an OR of the two bracket ranks would plan a BroadcastNestedLoop
+    // — O(1) here, but the hash-join form is free and PlanGuard-clean)
+    val tdf = targets.flatMap { case (p, lo, hi, frac) =>
+      Seq((p, frac, lo, "lo"), (p, frac, hi, "hi"))
+    }.toDF("p", "frac", "rn", "side")
     val wanted = targets.flatMap(t => Seq(t._2, t._3)).distinct
     numberedBy(base, Seq("v", "l_orderkey", "l_linenumber"))
       .filter(col("rn").isin(wanted: _*))
-      .join(broadcast(tdf),
-        col("rn") === col("lo_rn") || col("rn") === col("hi_rn"))
+      .join(broadcast(tdf), Seq("rn"))
       .groupBy("p", "frac")
-      .agg(min(when(col("rn") === col("lo_rn"), col("v"))).as("lo_v"),
-        min(when(col("rn") === col("hi_rn"), col("v"))).as("hi_v"))
+      .agg(min(when(col("side") === "lo", col("v"))).as("lo_v"),
+        min(when(col("side") === "hi", col("v"))).as("hi_v"))
       .select(col("p"),
         round(col("lo_v") + col("frac") * (col("hi_v") - col("lo_v")), 4)
           .as("value"))

@@ -73,7 +73,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q229_gini_binned",
     // round-11: single-row (N, T) corpus-statistics broadcast feeding
     // the BM25 score projection (q111's corpus-total pattern)
-    "q231_bm25_topk")
+    "q231_bm25_topk",
+    // round-12: same shared BM25 score frame (bm25ScoresCore), same
+    // single-row stats broadcast, consumed by the rank fusion
+    "q245_rrf_fusion")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
