@@ -761,6 +761,36 @@ object Relational {
         org.apache.spark.sql.types.StructField("k",
           org.apache.spark.sql.types.LongType)))).getField("k")
 
+  /** q251 — VARIANT-TYPED semi-structured extraction: the Spark 4
+    * native path through `VariantType` (`parse_json` → binary variant
+    * encoding → `variant_get` with a target type), completing the
+    * semi-structured triple: q16 string surgery, q105 static-schema
+    * `from_json`, and this — schema-ON-READ per row, the open-schema
+    * form a lakehouse stores when payloads evolve faster than table
+    * DDL. `try_parse_json` (not `parse_json`): corrupt payloads become
+    * typed nulls, never task failures — the q105 strictness stance.
+    * `variant_get(v, '$.k', 'bigint')` casts inside the variant
+    * decoder (codegen'd, no string round-trip); `schema_of_variant`
+    * audits the per-row inferred shape and the distinct-shape count
+    * guards against payload drift.
+    *
+    * Scale: map-only projection into the same event_type hash agg as
+    * q105 — the variant decode adds no shuffle.
+    */
+  val variantPropsStats: Q = (s, d) =>
+    Tables.eventsMicros(s, d)
+      .withColumn("v", expr("try_parse_json(props)"))
+      .withColumn("k", expr("try_variant_get(v, '$.k', 'bigint')"))
+      .groupBy("event_type")
+      .agg(
+        count(col("v")).as("n_variant"),
+        count(col("k")).as("n_with_k"),
+        coalesce(sum("k"), lit(0L)).as("k_sum"),
+        min("k").as("k_min"),
+        max("k").as("k_max"),
+        countDistinct(expr("schema_of_variant(v)")).as("n_shapes"))
+      .orderBy("event_type")
+
   val jsonPropsStats: Q = (s, d) =>
     Tables.eventsMicros(s, d)
       .withColumn("k", propsK(col("props")))
@@ -823,6 +853,7 @@ object Relational {
     "q104_full_outer_reconciliation" -> fullOuterReconciliation,
     "q138_pareto_frontier" -> paretoFrontier,
     "q105_json_props_stats" -> jsonPropsStats,
+    "q251_variant_props_stats" -> variantPropsStats,
     "q28_value_percentiles" -> valuePercentiles,
     "q29_latest_event_per_user" -> latestEventPerUser,
     "q26_spend_quartiles" -> spendQuartiles,
@@ -1030,6 +1061,29 @@ object Relational {
     // JSON, missing key, NULL → all NULL) — a bare CAST(props->>'k')
     // would coerce string-typed "12" and ABORT on corrupt JSON
     // (round-8 review)
+    // q251: the variant path replayed through DuckDB JSON — json_valid
+    // mirrors try_parse_json, the integer-type guard mirrors the
+    // variant decoder on this corpus's integer payloads (string/double
+    // cast edges are pinned fixture-side in RelationalSpec), and
+    // json_structure stands in for schema_of_variant at equal
+    // distinct-cardinality
+    "q251_variant_props_stats" ->
+      """WITH x AS (
+           SELECT event_type,
+             CASE WHEN json_valid(props) THEN props END AS vp,
+             CASE WHEN json_valid(props)
+                    AND json_type(json_extract(props, '$.k'))
+                        IN ('BIGINT', 'UBIGINT')
+               THEN CAST(props->>'k' AS BIGINT) END AS k
+           FROM events WHERE ts IS NOT NULL)
+         SELECT event_type,
+           count(vp) AS n_variant,
+           count(k) AS n_with_k,
+           coalesce(sum(k), 0)::BIGINT AS k_sum,
+           min(k) AS k_min,
+           max(k) AS k_max,
+           count(DISTINCT json_structure(vp))::BIGINT AS n_shapes
+         FROM x GROUP BY 1 ORDER BY 1""",
     "q105_json_props_stats" ->
       """WITH x AS (
            SELECT event_type,

@@ -223,6 +223,45 @@ object Sampling {
       .orderBy("replicate")
   }
 
+  // ---- q252: rendezvous (HRW) sharding ---------------------------------
+
+  /** q252 shard counts before/after the resize. */
+  val hrwShards = 8
+  val hrwShardsAfter = 9
+
+  /** q252 — RENDEZVOUS-HASH SHARD ASSIGNMENT + RESIZE AUDIT: each doc
+    * goes to argmax over shards s of hash(doc, s) (highest random
+    * weight — the consistent-placement rule behind distributed caches
+    * and shard routers), computed for S=8 and S=9 in ONE pass; the
+    * audit reports, per post-resize shard, how many docs it holds and
+    * how many MOVED. HRW's defining property — only docs whose argmax
+    * IS the new shard move, ≈ 1/(S+1) of the corpus, nothing
+    * reshuffles among survivors — falls out as: every `moved` row
+    * lands in shard S (SamplingSpec pins it).
+    *
+    * Scale: pure map-side projection (an S-element array argmax per
+    * row — no shuffle at all until the 9-row count agg); the argmax is
+    * `array_max` over (weight, shard) structs, ties impossible at
+    * 48-bit md5 weights but deterministically broken toward the higher
+    * shard id on both engines anyway.
+    */
+  def rendezvousSharding(spark: SparkSession, dir: String): DataFrame = {
+    def w(s: Int) =
+      expr("cast(conv(substring(md5(cast(concat(cast(doc_id as string), " +
+        s"':hrw:$s') as binary)), 1, 12), 16, 10) as bigint)")
+    def pick(n: Int) = array_max(array((0 until n).map(s =>
+      struct(w(s).as("w"), lit(s.toLong).as("s"))): _*)).getField("s")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pick(hrwShards).as("shard_before"),
+        pick(hrwShardsAfter).as("shard_after"))
+      .groupBy("shard_after")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_before") =!= col("shard_after"), 1L)
+          .otherwise(0L)).as("n_moved"))
+      .orderBy("shard_after")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** q199 — DATASET MIXTURE REWEIGHTING: compute the per-(lang, source)
@@ -348,9 +387,27 @@ object Sampling {
     "q59_train_eval_split" -> (trainEvalSplit(_, _)),
     "q144_group_kfold" -> (groupKFold(_, _)),
     "q181_negative_samples" -> (negativeSamples(_, _)),
-    "q184_weighted_sample" -> (weightedPrioritySample(_, _)))
+    "q184_weighted_sample" -> (weightedPrioritySample(_, _)),
+    "q252_rendezvous_sharding" -> (rendezvousSharding(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q252: per-shard arg-max replayed with the same md5 weights;
+    // DuckDB picks the argmax with a (w, s)-ordered window
+    "q252_rendezvous_sharding" -> {
+      def w(s: Int) =
+        s"('0x' || substr(md5(doc_id::VARCHAR || ':hrw:" + s.toString +
+          "'), 1, 12))::BIGINT"
+      def pick(n: Int, alias: String) =
+        (0 until n).map(s => s"(${w(s)}, ${s}::BIGINT)").mkString(
+          s"list_max([", ", ", s"])[2] AS $alias")
+      s"""WITH a AS (
+            SELECT doc_id, ${pick(hrwShards, "shard_before")},
+              ${pick(hrwShardsAfter, "shard_after")}
+            FROM documents)
+          SELECT shard_after, count(*)::BIGINT AS n_docs,
+            sum(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0
+                END)::BIGINT AS n_moved
+          FROM a GROUP BY 1 ORDER BY 1""" },
     // q227: the NAIVE full-sort formulation — the prefilter plan must
     // reproduce it exactly (same md5 key, same doc_id tie-break)
     "q227_stratified_topk" ->

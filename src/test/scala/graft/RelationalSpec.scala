@@ -24,6 +24,33 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq(Some(12L), None, None, None, None, None))
   }
 
+  test("q251 variant path: decode/cast matrix and where it differs " +
+      "from q105's static-schema strictness") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq("""{"k": 12}""", """{"k": "12"}""", """{"k": 12.5}""",
+      """{bad""", """{"x": 1}""", null).toDF("props")
+      .select(expr("try_parse_json(props)").as("v"))
+      .select(col("v").isNotNull.as("valid"),
+        expr("try_variant_get(v, '$.k', 'bigint')").as("k"))
+      .collect().map(r => (r.getBoolean(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // variant CASTS on read — string "12" and decimal 12.5 both land
+    // (12.5 truncates), unlike q105's type-strict from_json; corrupt
+    // JSON nulls at parse, missing path nulls at get
+    assert(rows.toSeq === Seq(
+      (true, Some(12L)), (true, Some(12L)), (true, Some(12L)),
+      (false, None), (true, None), (false, None)))
+    // the corpus payloads are uniformly integer-typed, which is what
+    // lets the oracle's type-guarded JSON path stand in for the
+    // variant decoder (scaladoc caveat); one shape corpus-wide
+    val shapes = graft.Tables.eventsMicros(spark, sf)
+      .filter(col("props").isNotNull)
+      .select(expr("schema_of_variant(try_parse_json(props))").as("s"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(shapes == Seq("OBJECT<k: BIGINT>"))
+  }
+
   test("full outer reconciliation tags all three presence classes") {
     import spark.implicits._
     // the sf testdata's user domain ⊆ customer keys, so events_only

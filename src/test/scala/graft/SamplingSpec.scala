@@ -207,4 +207,21 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count(_._1 == "big") == 50)
     assert(got.filter(_._1 == "tiny").map(_._2).sorted == Seq(1L, 2L, 3L))
   }
+
+  test("q252 rendezvous sharding: movement lands ONLY in the new shard " +
+      "and totals reconcile") {
+    val rows = Sampling.rendezvousSharding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq ==
+      (0L until Sampling.hrwShardsAfter.toLong))
+    // HRW's defining property: resize S→S+1 moves exactly the docs
+    // whose new-argmax is the added shard; survivors never reshuffle
+    rows.filter(_._1 != Sampling.hrwShards.toLong)
+      .foreach { case (s, _, moved) => assert(moved == 0L, s"shard $s") }
+    val newShard = rows.find(_._1 == Sampling.hrwShards.toLong).get
+    assert(newShard._2 == newShard._3 && newShard._2 > 0)
+    val total = rows.map(_._2).sum
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(total == nDocs)
+  }
 }
