@@ -331,6 +331,62 @@ object Quality {
     audits.reduce(_ unionByName _).orderBy("dependency")
   }
 
+  /** q253 — CHI-SQUARE INDEPENDENCE STATISTIC over the (market
+    * segment × order priority) contingency table: the single rollup
+    * number an alerting system thresholds, complementing q158's
+    * per-cell lift map (lift says WHERE the table deviates; χ² says
+    * HOW MUCH in total, with its degrees of freedom). Exact
+    * fixed-point arithmetic end to end: per cell
+    * χ²_cell·10⁶ = (O·N − r·c)²·10⁶ div (N·r·c) over DECIMAL(38,0)
+    * (DuckDB HUGEINT), summed as exact integers — no transcendental,
+    * no fp association order, engine-identical to the last digit.
+    * Exact to N ≈ 3·10⁹ rows ((N²)² ≤ 10³⁸); past that ANSI RAISES,
+    * never silently saturates (the q237/q239 stance).
+    *
+    * ZERO CELLS count: a (segment, priority) combination with no
+    * orders still contributes r·c/N to χ², so the cell frame is the
+    * full margin cross product (a broadcast of two dimension-sized
+    * frames), left-joined with observed counts — omitting empty cells
+    * understates the statistic exactly when dependence is strongest.
+    *
+    * Scale: one fact scan → hash agg to |segments|×|priorities| cells;
+    * margins/total re-aggregate the CELLS (never the fact table); the
+    * grid cross join is dimension×dimension (5×5).
+    */
+  def chiSquareIndependence(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+    chiSquareCore(fact)
+  }
+
+  /** Core over any (seg, prio) frame — fixture seam for the spec. */
+  private[graft] def chiSquareCore(fact: DataFrame): DataFrame = {
+    val cells = fact.groupBy("seg", "prio").agg(count(lit(1)).as("n_obs"))
+    val rm = cells.groupBy("seg").agg(sum("n_obs").as("rt"))
+    val cm = cells.groupBy("prio").agg(sum("n_obs").as("ct"))
+    val tot = cells.agg(sum("n_obs").as("n"))
+    val grid = broadcast(rm).crossJoin(broadcast(cm)).crossJoin(broadcast(tot))
+      .join(cells, Seq("seg", "prio"), "left")
+      .withColumn("o", coalesce(col("n_obs"), lit(0L)))
+    grid
+      .withColumn("cell_e6", Exact.orOverflowError(expr(
+        """(cast(o as decimal(38,0)) * n - cast(rt as decimal(38,0)) * ct)
+           * (cast(o as decimal(38,0)) * n - cast(rt as decimal(38,0)) * ct)
+           * 1000000
+           div (cast(n as decimal(38,0)) * rt * ct)"""), "chi2"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        countDistinct("seg").as("n_segs"),
+        countDistinct("prio").as("n_prios"),
+        max("n").as("n_rows"),
+        sum("cell_e6").cast("long").as("chi2_e6"))
+      .withColumn("dof", (col("n_segs") - 1) * (col("n_prios") - 1))
+      .select("n_cells", "n_rows", "dof", "chi2_e6")
+  }
+
   /** q158 — CROSS-FIELD INDEPENDENCE LIFT: for every (event_type,
     * day-of-week) cell, observed count against the count independence
     * predicts from the margins, as lift_ppm = ⌊o·N·10⁶ / (n_type·n_dow)⌋
@@ -606,6 +662,7 @@ object Quality {
     "q187_masked_export" -> (maskedExport(_, _)),
     "q157_fd_audit" -> (fdAudit(_, _)),
     "q158_independence_lift" -> (independenceLift(_, _)),
+    "q253_chi_square_independence" -> (chiSquareIndependence(_, _)),
     "q153_benford_digits" -> (benfordDigits(_, _)),
     "q129_fk_integrity" -> (fkIntegrity(_, _)),
     "q240_joinability_profile" -> (joinabilityProfile(_, _)),
@@ -779,6 +836,36 @@ object Quality {
           "n_nationkey", "n_regionkey"))
         .mkString("", "\n UNION ALL\n ", "\n ORDER BY dependency")
     },
+    // q253: same full-grid contingency construction (zero cells via a
+    // margin cross product), same HUGEINT fixed-point cell formula
+    "q253_chi_square_independence" ->
+      """WITH fact AS (
+           SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         cells AS (
+           SELECT seg, prio, count(*)::BIGINT AS n_obs
+           FROM fact GROUP BY 1, 2),
+         rm AS (SELECT seg, sum(n_obs)::BIGINT AS rt FROM cells GROUP BY 1),
+         cm AS (SELECT prio, sum(n_obs)::BIGINT AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT sum(n_obs)::BIGINT AS n FROM cells),
+         grid AS (
+           SELECT rm.seg, cm.prio, rm.rt, cm.ct, tot.n,
+             coalesce(cells.n_obs, 0)::BIGINT AS o
+           FROM rm CROSS JOIN cm CROSS JOIN tot
+           LEFT JOIN cells ON cells.seg = rm.seg AND cells.prio = cm.prio),
+         percell AS (
+           SELECT n,
+             ((o::HUGEINT * n - rt::HUGEINT * ct)
+              * (o::HUGEINT * n - rt::HUGEINT * ct) * 1000000)
+             // (n::HUGEINT * rt * ct) AS cell_e6,
+             seg, prio
+           FROM grid)
+         SELECT count(*)::BIGINT AS n_cells,
+           max(n)::BIGINT AS n_rows,
+           ((count(DISTINCT seg) - 1) * (count(DISTINCT prio) - 1))::BIGINT
+             AS dof,
+           sum(cell_e6)::BIGINT AS chi2_e6
+         FROM percell""",
     // q158: margins re-derived from the same single-pass counts; the
     // ppm lift is one HUGEINT integer division — no floats anywhere
     "q158_independence_lift" ->

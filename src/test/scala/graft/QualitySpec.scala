@@ -247,4 +247,25 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
     assert(out === (("a~b", 4L, 3L, 2L, 500000L, 666666L, 400000L)))
   }
+
+  test("q253 chi-square: independent table ~0, deterministic table maxes " +
+      "at n·(k-1), zero cells contribute") {
+    import spark.implicits._
+    // perfectly independent 2x2 (counts proportional to margins)
+    val ind = (Seq.fill(40)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(80)(("b", "x")) ++ Seq.fill(20)(("b", "y")))
+      .toDF("seg", "prio")
+    val r0 = Quality.chiSquareCore(ind).collect().head
+    assert(r0.getLong(3) == 0L, s"independent table must give 0, got $r0")
+    assert(r0.getLong(0) == 4L && r0.getLong(2) == 1L)
+    // perfectly dependent (diagonal): chi2 = n·(k-1); its off-diagonal
+    // cells are ZERO-observed and still contribute — dropping them
+    // would halve the statistic
+    val dep = (Seq.fill(30)(("a", "x")) ++ Seq.fill(30)(("b", "y")))
+      .toDF("seg", "prio")
+    val r1 = Quality.chiSquareCore(dep).collect().head
+    assert(r1.getLong(0) == 4L)
+    assert(r1.getLong(3) == 60L * 1L * 1000000L,
+      s"diagonal 2x2 must give n*(k-1)=60e6, got ${r1.getLong(3)}")
+  }
 }
