@@ -312,12 +312,50 @@ object GlobalIndex {
       .orderBy("p")
   }
 
+  /** q254 percentile points (×100). */
+  private[graft] val wpctPs = Seq(25L, 50L, 75L, 90L)
+
+  /** q254 — EXACT WEIGHTED PERCENTILES: quantity-weighted price
+    * percentiles — "the price below which p% of SHIPPED UNITS (not
+    * line items) fall" — the weighted sibling of q246 (row-weighted)
+    * and q102 (discrete selection). The selection rule is pure
+    * integers: the smallest value v with cumWeight(v)·100 ≥ p·totalW —
+    * no interpolation, no division, so the cross-engine contract is
+    * exact whatever the weight magnitudes.
+    *
+    * Scale shape: collapse to VALUE grain (one hash agg — the only
+    * corpus-scale stage), then the q238/q239 two-phase prefix-sum
+    * kernel gives every grain row its cumulative weight without a
+    * single-partition window; the percentile pick is a 4-row broadcast
+    * join + min-agg over the filtered grain.
+    */
+  def weightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val grain = Tables.lineitem(spark, dir)
+      .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
+      .select(expr("cast(l_extendedprice * 100 as bigint)").as("v"),
+        expr("cast(l_quantity as bigint)").as("w"))
+      .groupBy("v").agg(sum("w").as("w"))
+    val cum = prefixSummedBy(grain, Seq("v"), Seq("w"))
+    // no join at all: each grain row knows which percentile thresholds
+    // its cumulative step CROSSES ((cum−w, cum] spans p·tot/100), and
+    // cum is strictly increasing over the value grain, so each p picks
+    // exactly one row — a literal explode + filter, never a
+    // nested-loop join of grain × thresholds
+    cum.withColumn("p", explode(typedLit(wpctPs)))
+      .filter(col("cum_w") * 100 >= col("p") * col("total_w") &&
+        (col("cum_w") - col("w")) * 100 < col("p") * col("total_w"))
+      .groupBy("p")
+      .agg(min("v").as("value_e2"), max("total_w").as("total_weight"))
+      .orderBy("p")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q182_global_row_numbers" -> (globalRowNumbers(_, _)),
     "q200_equidepth_histogram" -> (equidepthHistogram(_, _)),
-    "q246_percentile_cont" -> (percentileCont(_, _)))
+    "q246_percentile_cont" -> (percentileCont(_, _)),
+    "q254_weighted_percentiles" -> (weightedPercentiles(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the logical contract — rank in the total order — stated directly;
@@ -328,6 +366,28 @@ object GlobalIndex {
               row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
             FROM lineitem)
           WHERE rn % $stride = 0 ORDER BY rn""",
+    // q254: same value-grain collapse, same integer crossing rule via
+    // a plain cumulative window (DuckDB's single-node sort is the
+    // oracle's privilege; the engine side must reproduce it from the
+    // partitioned prefix-sum kernel)
+    "q254_weighted_percentiles" -> {
+      val arr = wpctPs.mkString("[", ",", "]")
+      s"""WITH grain AS (
+            SELECT (l_extendedprice * 100)::BIGINT AS v,
+              sum(l_quantity::BIGINT)::BIGINT AS w
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            GROUP BY 1),
+          cum AS (
+            SELECT v, w,
+              sum(w) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+              sum(w) OVER () AS tw
+            FROM grain),
+          x AS (SELECT unnest($arr::BIGINT[]) AS p)
+          SELECT p, min(v) AS value_e2, max(tw)::BIGINT AS total_weight
+          FROM cum JOIN x ON cw * 100 >= p * tw AND (cw - w) * 100 < p * tw
+          GROUP BY 1 ORDER BY p""" },
     // q246: DuckDB's native percentile_cont implements the identical
     // pos = 1 + p(n−1) + linear-interpolation contract over the same
     // double-cast values; 4dp rounding on both sides absorbs the

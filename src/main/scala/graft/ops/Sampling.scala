@@ -223,6 +223,53 @@ object Sampling {
       .orderBy("replicate")
   }
 
+  // ---- q255: token-budget apportionment --------------------------------
+
+  /** q255 target budget (tokens). */
+  val apportionBudget = 100000L
+
+  /** q255 — LARGEST-REMAINDER APPORTIONMENT of a token budget across
+    * languages (Hamilton's method): the integer step after q199's
+    * mixture proportions — a training mix ultimately needs WHOLE token
+    * budgets per source that sum EXACTLY to the target, and naive
+    * per-group rounding drifts by up to ±|groups|/2. Each language
+    * gets ⌊T·w/W⌋, then the T−Σ⌊⌋ leftover goes +1 each to the largest
+    * remainders (tie → lang asc, deterministic). All integer: quota
+    * products T·w stay in BIGINT to W ≈ 9·10¹⁸/T tokens.
+    *
+    * Scale: one corpus-scale token-count agg (map-side partials); the
+    * apportionment itself is a window over the LANGUAGE frame —
+    * single-partition but |langs|-sized by construction (the q238
+    * "small-by-construction" class, asserted in the spec).
+    */
+  def tokenApportionment(spark: SparkSession, dir: String): DataFrame =
+    apportionCore(
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .groupBy("lang")
+        .agg(sum(graft.expr.TextFunctions.tokenCount(col("text"))
+          .cast("long")).as("w")),
+      apportionBudget)
+
+  /** Core over any (lang, w) frame; fixture seam for the spec. */
+  private[graft] def apportionCore(weights: DataFrame, t: Long): DataFrame = {
+    val tot = weights.agg(sum("w").as("tw"))
+    val base = weights.crossJoin(broadcast(tot))
+      .withColumn("floor_alloc", expr(s"$t * w div tw"))
+      .withColumn("rem", expr(s"($t * w) % tw"))
+    val byRem = Window.orderBy(desc("rem"), asc("lang"))
+    val leftW = Window.partitionBy(lit(1))
+    base
+      .withColumn("leftover", lit(t) - sum("floor_alloc").over(leftW))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .withColumn("alloc",
+        col("floor_alloc") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L))
+      .select(col("lang"), col("w").as("n_tokens"), col("floor_alloc"),
+        col("rem"), col("alloc"))
+      .orderBy("lang")
+  }
+
   // ---- q252: rendezvous (HRW) sharding ---------------------------------
 
   /** q252 shard counts before/after the resize. */
@@ -388,9 +435,33 @@ object Sampling {
     "q144_group_kfold" -> (groupKFold(_, _)),
     "q181_negative_samples" -> (negativeSamples(_, _)),
     "q184_weighted_sample" -> (weightedPrioritySample(_, _)),
-    "q252_rendezvous_sharding" -> (rendezvousSharding(_, _)))
+    "q252_rendezvous_sharding" -> (rendezvousSharding(_, _)),
+    "q255_token_apportionment" -> (tokenApportionment(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q255: same whitespace token count (the q66 tokenizer mapping),
+    // same integer quota/remainder rule, same tie order
+    "q255_token_apportionment" ->
+      s"""WITH wts AS (
+            SELECT lang,
+              sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                ::BIGINT AS w
+            FROM documents WHERE text IS NOT NULL GROUP BY 1),
+          tot AS (SELECT sum(w)::BIGINT AS tw FROM wts),
+          base AS (
+            SELECT lang, w,
+              ($apportionBudget * w) // tw AS floor_alloc,
+              ($apportionBudget * w) % tw AS rem,
+              $apportionBudget - sum(($apportionBudget * w) // tw) OVER ()
+                AS leftover,
+              row_number() OVER (ORDER BY ($apportionBudget * w) % tw DESC,
+                lang) AS rk
+            FROM wts CROSS JOIN tot)
+          SELECT lang, w AS n_tokens, floor_alloc::BIGINT AS floor_alloc,
+            rem::BIGINT AS rem,
+            (floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+              ::BIGINT AS alloc
+          FROM base ORDER BY lang""",
     // q252: per-shard arg-max replayed with the same md5 weights;
     // DuckDB picks the argmax with a (w, s)-ordered window
     "q252_rendezvous_sharding" -> {

@@ -208,6 +208,47 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.filter(_._1 == "tiny").map(_._2).sorted == Seq(1L, 2L, 3L))
   }
 
+  test("q255 apportionment: allocations sum EXACTLY to the budget and " +
+      "largest remainders win the leftover") {
+    import spark.implicits._
+    // T=10 over weights 1,1,1 → quotas 3.33… : floors 3,3,3, leftover 1
+    // → the lexicographically-first lang wins the tie
+    val eq = Sampling.apportionCore(
+      Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("lang", "w"), 10L)
+      .collect().map(r => (r.getString(0), r.getLong(4)))
+    assert(eq.toSeq == Seq(("a", 4L), ("b", 3L), ("c", 3L)))
+    // remainder order ≠ weight order: T=100, w=(10,14,76) → quotas
+    // (10, 14, 76) exact… use w=(13,28,59): quotas 13,28,59 exact too.
+    // w=(15,22,63)/Σ=100? exact again — pick Σ∤T: w=(1,2,4), T=10 →
+    // quotas 10/7,20/7,40/7 = floors 1,2,5 leftover 2; rems 3/7,6/7,5/7
+    // → b and c get +1, a (largest floor-gap loser) does not
+    val un = Sampling.apportionCore(
+      Seq(("a", 1L), ("b", 2L), ("c", 4L)).toDF("lang", "w"), 10L)
+      .collect().map(r => (r.getString(0), r.getLong(4)))
+    assert(un.toSeq == Seq(("a", 1L), ("b", 3L), ("c", 6L)))
+    // the corpus query: exact-sum invariant
+    val corpus = Sampling.tokenApportionment(spark, sf).collect()
+    assert(corpus.map(_.getLong(4)).sum == Sampling.apportionBudget)
+  }
+
+  test("q254 weighted percentiles equal a driver-side replica") {
+    val grain = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
+      .selectExpr("cast(l_extendedprice * 100 as bigint) as v",
+        "cast(l_quantity as bigint) as w")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (v, ws) => (v, ws.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val tot = grain.map(_._2).sum
+    var cum = 0L
+    val cums = grain.map { case (v, w) => cum += w; (v, cum) }
+    val want = graft.ops.GlobalIndex.wpctPs.map(p =>
+      p -> cums.find { case (_, c) => c * 100 >= p * tot }.get._1).toMap
+    val got = graft.ops.GlobalIndex.weightedPercentiles(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("q252 rendezvous sharding: movement lands ONLY in the new shard " +
       "and totals reconcile") {
     val rows = Sampling.rendezvousSharding(spark, sf).collect()
