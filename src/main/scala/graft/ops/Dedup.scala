@@ -175,6 +175,84 @@ object Dedup {
       .orderBy("threshold_ppm")
   }
 
+  /** q257 Jaccard threshold in exact ppm (0.50). */
+  private[graft] val ppjoinThetaPpm = 500000L
+
+  /** q257 — PPJOIN: EXACT set-similarity self-join by PREFIX FILTERING
+    * (Xiao et al., WWW'08; Bayardo et al., WWW'07) — all pairs with
+    * distinct-shingle Jaccard ≥ θ, with NO df-cap and NO recall loss.
+    * The third candidate-generation regime in the dedup family, with a
+    * different trade than its siblings: q52 joins on EVERY shingle and
+    * keeps exact semantics only after df-capping the hot tail (documents
+    * sharing only ultra-common shingles silently fall out); q53/q54 LSH
+    * is sub-linear but probabilistic. PPJoin is exact AND pruned:
+    * order each document's shingle set by GLOBAL RARITY (df asc, then
+    * shingle — any total order works; rarest-first makes prefixes
+    * selective), and only the first |x| − ⌈θ·|x|⌉ + 1 shingles of each
+    * document enter the join. Completeness: two sets with J ≥ θ overlap
+    * in ≥ ⌈θ·max(|a|,|b|)⌉ elements, so under a shared total order their
+    * θ-prefixes must intersect — every qualifying pair survives, proven
+    * here by the oracle being the UNPRUNED exact relation.
+    *
+    * Scale shape: candidate volume is Σ_sh (prefix-df choose 2) over
+    * PREFIX document frequency — at θ=0.5 half of each posting list
+    * never joins, and the surviving prefix mass concentrates in RARE
+    * shingles (a shingle common enough to blow up a posting list is by
+    * construction late in the rarity order and prefix-pruned out of
+    * most documents). The θ-derived length filter (min·10⁶ ≥ θppm·max)
+    * prunes cross-size candidates before verification; verification
+    * joins the per-doc sorted arrays back by id (arrays ride only the
+    * candidate-bounded joins, never the corpus-scale one). One exchange
+    * on the prefix-shingle key is shared by both self-join sides
+    * (ReuseExchange, q52's discipline); the per-doc index frame is
+    * exchanged once on doc_id and reused by both verification probes.
+    */
+  def ppjoinPairs(spark: SparkSession, dir: String,
+                  thetaPpm: Long = ppjoinThetaPpm): DataFrame =
+    ppjoinCore(shingleRows(spark, dir).select("doc_id", "sh"), thetaPpm)
+
+  /** Over any (doc_id, sh) relation with per-doc-distinct `sh` — fixture
+    * seam for the completeness property spec (random sets, swept θ).
+    */
+  private[graft] def ppjoinCore(shRows: DataFrame, thetaPpm: Long): DataFrame = {
+    // one exchange on sh under BOTH consumers (the df table and the
+    // rarity join) — the tokenize+shingle projection runs once
+    // (ReuseExchange, q52's discipline)
+    val rows = shRows.repartition(col("sh"))
+    val df = rows
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val docs = rows
+      .join(df, "sh")
+      .groupBy("doc_id")
+      .agg(expr("transform(sort_array(collect_list(struct(df, sh))), x -> x.sh)")
+        .as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+      .withColumn("prefix",
+        expr(s"slice(shs, 1, cast(n - ((n * $thetaPpm + 999999) div 1000000) + 1 as int))"))
+      .repartition(col("doc_id"))
+    val pref = docs
+      .select(col("doc_id"), col("n"), explode(col("prefix")).as("sh"))
+      .repartition(col("sh"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.n"), col("b.n")) * 1000000L
+             >= lit(thetaPpm) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("a_shs"),
+        col("n").as("n_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("b_shs"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+      .withColumn("jac_ppm",
+        expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+      .filter(col("jac_ppm") >= thetaPpm)
+      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q177 — INCREMENTAL NEAR-DUP (delta vs corpus): dedup a NEW batch
     * against an already-deduped corpus without ever re-comparing the
     * corpus to itself — how near-dup runs in steady state at 100 TB
@@ -592,9 +670,39 @@ object Dedup {
     "q56_simhash_pairs" -> (simhashPairs(_, _)),
     "q57_dedup_clusters" -> (dedupClusters(_, _)),
     "q177_incremental_dedup" -> (incrementalDedup(_, _)),
-    "q220_dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)))
+    "q220_dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
+    "q257_ppjoin_pairs" -> (ppjoinPairs(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q257: the UNPRUNED exact θ-Jaccard relation (full shingle join,
+    // no df-cap, no prefix) — the oracle deliberately skips the
+    // engine's prefix filter, so a hash match PROVES the pruning's
+    // completeness theorem on this corpus, not just self-consistency.
+    // Integer-ppm similarity (q220's convention) keeps the threshold
+    // compare exact in BIGINT on both engines.
+    "q257_ppjoin_pairs" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+            FROM documents),
+          sh AS (
+            SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(ws) < 3 THEN []
+                   ELSE list_transform(range(len(ws)-2),
+                          i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+              END)) AS sh
+            FROM t),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1,2)
+          SELECT doc_a, doc_b,
+            n_common * 1000000 // (sa.n + sb.n - n_common) AS jac_ppm
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE n_common * 1000000 // (sa.n + sb.n - n_common) >= $ppjoinThetaPpm
+          ORDER BY doc_a, doc_b""",
     // q247: same prefix key, same two-token block, plain levenshtein
     // (DuckDB lacks the threshold arg; the ≤ levMax filter makes the
     // thresholded and plain forms extensionally identical)

@@ -155,13 +155,98 @@ object Linkage {
     done
   }
 
+  /** q258 window: each record is compared to the next `snWindow` records
+    * in sort order (the merge/purge sliding window).
+    */
+  val snWindow = 5L
+
+  /** q258 similarity floor on the 6dp-rounded Jaro-Winkler score. */
+  val snJwMin = 0.85
+
+  /** q258 — SORTED-NEIGHBORHOOD record linkage (Hernández & Stolfo's
+    * merge/purge): the OTHER classic blocking family next to q140's
+    * key-equality blocking. Key blocking fails when a typo lands in the
+    * block key itself; sorted-neighborhood instead globally ORDERS the
+    * records and compares each to its `snWindow` successors — near-dups
+    * sort near each other even when every fixed-key choice would split
+    * them. Scored with Jaro-Winkler (graft.expr.JaroWinkler, the native
+    * codegen'd expression — Spark has no built-in), which weighs shared
+    * prefixes, exactly what typo-linkage wants; identical-name pairs are
+    * excluded (they are q50's exact-dedup problem, not linkage's).
+    *
+    * Scale shape — two things a naive translation gets wrong:
+    *   1. The global sort rank comes from the deterministic two-phase
+    *      kernel (GlobalIndex.numberedBy), never a single-partition
+    *      `Window.orderBy`. Its numeric leading key is the name's first
+    *      8 chars packed base-128 (`pk8` — order-isomorphic to the
+    *      string order on an ASCII key domain, and 7-bit-capped so the
+    *      pack can never overflow ANSI Long arithmetic); the full sort
+    *      stays (pk8, name, key) so ties beyond 8 chars still order by
+    *      the real name.
+    *   2. The sliding window becomes a BALANCED rank-block equi-join:
+    *      ranks are grouped into blocks of exactly `snWindow`, the probe
+    *      side is emitted to its own and its predecessor block, and the
+    *      rank-distance predicate filters inside the hash join. Every
+    *      join key holds exactly 2·snWindow rows by construction — a
+    *      window join with ZERO skew, whatever the data does (contrast
+    *      q140's cap, which must defend against degenerate block keys).
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val pk8 = (0 until 8).map(i =>
+      least(ascii(substring(col("p_name"), i + 1, 1)), lit(127)).cast("long")
+        * lit(1L << (7 * (7 - i)))).reduce(_ + _)
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), pk8.as("pk8"))
+    val ranked = GlobalIndex
+      .numberedBy(parts, Seq("pk8", "p_name", "p_partkey"))
+      .withColumn("home", expr(s"(rn - 1) div $snWindow"))
+    val probe = ranked
+      .select(col("p_partkey"), col("p_name"), col("rn"),
+        explode(array(col("home"), col("home") - 1)).as("g"))
+    ranked.as("a")
+      .join(probe.as("b"),
+        col("a.home") === col("b.g")
+          && col("b.rn") > col("a.rn")
+          && col("b.rn") <= col("a.rn") + snWindow
+          && col("a.p_name") =!= col("b.p_name"))
+      .withColumn("jw",
+        round(graft.expr.JaroWinkler(col("a.p_name"), col("b.p_name")), 6))
+      .filter(col("jw") >= snJwMin)
+      .select(col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("jw"))
+      .orderBy("part_a", "part_b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q140_name_linkage" -> (nameLinkage(_, _)),
-    "q162_golden_records" -> (goldenRecords(_, _)))
+    "q162_golden_records" -> (goldenRecords(_, _)),
+    "q258_sorted_neighborhood" -> (sortedNeighborhood(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q258: DuckDB ranks with a plain single-partition row_number over
+    // (p_name, p_partkey) — extensionally the engine's (pk8, name, key)
+    // two-phase rank, since the base-128 pack is order-isomorphic to
+    // the string order on this ASCII domain. jaro_winkler_similarity is
+    // DuckDB's native twin of graft.expr.JaroWinkler (verified
+    // bit-for-bit on random pairs; this oracle re-verifies on real data
+    // every round). Threshold compares the 6dp-rounded score on both
+    // engines.
+    "q258_sorted_neighborhood" ->
+      s"""WITH r AS (
+            SELECT p_partkey, p_name,
+              row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+            FROM part)
+          SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+            a.p_name AS name_a, b.p_name AS name_b,
+            round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+          FROM r a JOIN r b
+            ON b.rn > a.rn AND b.rn <= a.rn + $snWindow
+              AND a.p_name <> b.p_name
+          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+            >= $snJwMin
+          ORDER BY part_a, part_b""",
     // same blocking + normalized pair order; DuckDB's levenshtein is
     // the same classic edit distance (no threshold form — semantics
     // identical, only the early-exit differs). The block-size cap is

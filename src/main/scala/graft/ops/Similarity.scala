@@ -412,6 +412,77 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** q256 cosine threshold — the synthetic embeddings are near-orthogonal
+    * (q64's registration note), so 0.35 keeps the cluster-scoped pair set
+    * non-vacuous (68 dropped vectors at sf0.01).
+    */
+  private[graft] val semanticMinCos = 0.35
+
+  /** Number of leading dimensions per sign block (two blocks, disjoint
+    * leading dims). 4 bits → 16 coarse cells per block.
+    */
+  private[graft] val signBlockBits = 4
+
+  /** Sign-bit coarse code over dims [lo, lo+signBlockBits): a pure
+    * function of the embedding — no seeded planes, so unlike q63/q64 the
+    * whole query is deterministic and DuckDB-oracle-able.
+    */
+  private def signBlock(emb: Column, lo: Int): Column =
+    (0 until signBlockBits).map(i =>
+      when(emb(lo + i) >= 0f, lit(1 << (signBlockBits - 1 - i)))
+        .otherwise(lit(0))).reduce(_ + _)
+
+  /** q256 — SEMANTIC (CLUSTER-SCOPED) DEDUP, the SemDeDup recipe
+    * (Abbas et al. 2023) with a deterministic clustering: documents are
+    * deduplicated only WITHIN coarse embedding cells, because at corpus
+    * scale the all-pairs cosine relation is unbuildable and near-dups
+    * overwhelmingly share a cell. Cells here are sign-bit codes of the
+    * leading dimensions (two disjoint 4-bit blocks; a pair is in-scope
+    * if EITHER block matches) — a pure function of the data, unlike
+    * q64's seeded hyperplanes, so the exact per-pair semantics has a
+    * SQL oracle: this is the oracle-gated twin of the q64 machinery.
+    *
+    * Output: one row per DROPPED vector — its representative (the
+    * smallest-id in-scope neighbor above threshold, the q57/q220
+    * keep-smallest-id policy) and the best cosine that condemned it.
+    *
+    * Scale: candidates come from two equi-joins on the block codes
+    * (never a cartesian); exactly-once across the two blocks via the
+    * q64 first-colliding-block predicate (block-1 matches are only
+    * emitted when block 0 differs), so no pair-level dropDuplicates
+    * shuffle. The final agg is a hash agg on the dropped id. Cell
+    * population is data-dependent (16 cells per block at this width);
+    * production would widen the block to hold cells at ~cluster size,
+    * exactly as SemDeDup sizes k — the width is one constant.
+    * Threshold compares the 6dp-ROUNDED cosine (q60's rounding
+    * convention) so the predicate is reproducible across engines.
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    minCos: Double = semanticMinCos): DataFrame = {
+    val coded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm2(col("embedding")).as("norm"),
+        signBlock(col("embedding"), 0).as("b0"),
+        signBlock(col("embedding"), signBlockBits).as("b1"))
+      .repartition(col("vec_id"))
+    def scored(pairs: DataFrame): DataFrame = pairs
+      .withColumn("cos",
+        round(graft.expr.DotProduct(col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("vec_id"),
+        col("cos"))
+    val onB0 = scored(coded.as("a").join(coded.as("b"),
+      col("a.b0") === col("b.b0") && col("a.vec_id") < col("b.vec_id")))
+    val onB1 = scored(coded.as("a").join(coded.as("b"),
+      col("a.b1") === col("b.b1") && col("a.b0") =!= col("b.b0")
+        && col("a.vec_id") < col("b.vec_id")))
+    onB0.unionAll(onB1)
+      .groupBy("vec_id")
+      .agg(min("keep_id").as("rep_id"), max("cos").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -430,6 +501,7 @@ object Similarity {
     // dedup threshold is vacuously empty; 0.4 exercises the same
     // bucket-join + exact-verify machinery non-vacuously
     "q64_embedding_near_dups" -> ((s, d) => embeddingNearDups(s, d, minCos = 0.4)),
+    "q256_semantic_dedup" -> (semanticDedup(_, _)),
     "q146_embedding_drift" -> (embeddingDrift(_, _)))
 
   /** DuckDB cosine via explicit double math (list_cosine_similarity may
@@ -443,6 +515,31 @@ object Similarity {
            * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))"""
 
   val oracles: Map[String, String] = Map(
+    // q256: identical sign-block codes (DuckDB lists are 1-indexed),
+    // identical double cosine (cosSql) rounded 6dp BEFORE the threshold
+    // compare — the rounded value is the cross-engine contract. The
+    // oracle joins on the OR of the two block codes directly (exactness
+    // beats join shape in DuckDB at sf grain); the engine's two
+    // exactly-once equi-joins must reproduce it.
+    "q256_semantic_dedup" -> {
+      def blk(lo: Int): String =
+        (0 until signBlockBits).map(i =>
+          s"(CASE WHEN embedding[${lo + i + 1}] >= 0 " +
+            s"THEN ${1 << (signBlockBits - 1 - i)} ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH b AS (
+            SELECT vec_id, embedding,
+              ${blk(0)} AS b0, ${blk(signBlockBits)} AS b1
+            FROM embeddings),
+          p AS (
+            SELECT a.vec_id AS keep_id, c.vec_id AS vec_id,
+              round(${cosSql("a.embedding", "c.embedding")}, 6) AS cos
+            FROM b a JOIN b c
+              ON a.vec_id < c.vec_id AND (a.b0 = c.b0 OR a.b1 = c.b1))
+          SELECT vec_id, min(keep_id) AS rep_id, max(cos) AS max_cos
+          FROM p WHERE cos >= $semanticMinCos
+          GROUP BY 1 ORDER BY vec_id"""
+    },
     // q115: the same ⌊x/scale + ½⌋ chain in DOUBLE (identical IEEE ops
     // both engines — no round-half convention in sight); Σq² exact
     // BIGINT, scale the one rounded double

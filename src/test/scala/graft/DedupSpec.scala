@@ -232,4 +232,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (4L, 8L, 2L, 6L, 750000L),
       (5L, 8L, 0L, 0L, 0L)))
   }
+
+  test("q257 ppjoin completeness: prefix-filtered join equals brute-force " +
+    "exact Jaccard on random sets across swept thresholds") {
+    val s = spark
+    import s.implicits._
+    // fixed-seed random universe: 40 docs, each a distinct subset of a
+    // 30-element vocab — small enough to brute-force, adversarial enough
+    // (heavy element-frequency skew via zipf-ish sampling) to exercise
+    // the rarity ordering and the length filter
+    val rnd = new scala.util.Random(1234)
+    val vocab = (0 until 30).map(i => f"sh$i%02d")
+    val docs: Seq[(Long, Set[String])] = (0 until 40).map { d =>
+      val k = 2 + rnd.nextInt(12)
+      val set = (0 until k).map { _ =>
+        // skew: low indices picked far more often
+        vocab(math.min(rnd.nextInt(6) * rnd.nextInt(6) / 2, 29))
+      }.toSet
+      (d.toLong, set)
+    }
+    val shRows = docs.flatMap { case (d, set) => set.map(sh => (d, sh)) }
+      .toDF("doc_id", "sh")
+    def ppm(a: Set[String], b: Set[String]): Long = {
+      val c = (a & b).size.toLong
+      if ((a ++ b).isEmpty) 0L else c * 1000000L / (a ++ b).size
+    }
+    for (theta <- Seq(300000L, 500000L, 800000L)) {
+      val expected = (for {
+        (da, sa) <- docs; (db, sb) <- docs
+        if da < db && sa.nonEmpty && ppm(sa, sb) >= theta
+      } yield (da, db, ppm(sa, sb))).toSet
+      val got = Dedup.ppjoinCore(shRows, theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"theta=$theta")
+    }
+  }
 }

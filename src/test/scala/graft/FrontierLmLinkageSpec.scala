@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.Tables
 import graft.ops.{Linkage, Relational, TextAnalysis}
 
 /** Pins for the round-8 batch-2 operators: Pareto frontier dominance
@@ -139,5 +140,45 @@ class FrontierLmLinkageSpec extends AnyFunSuite with SparkTestBase {
       // 1:1 segment tie → lexicographic: FURNITURE < MACHINERY
       (4L, "Customer#000000101", "FURNITURE", 7.0, "4,5", 2L),
       (9L, "Zzz#unique", "HOUSEHOLD", 1.0, "9", 1L)))
+  }
+
+  test("jaro-winkler: textbook reference values and edge conventions") {
+    import graft.expr.JaroWinkler
+    // classic literature pairs (also DuckDB's observed values)
+    assert(math.abs(JaroWinkler.sim("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(JaroWinkler.sim("dwayne", "duane") - 0.84) < 1e-12)
+    assert(math.abs(JaroWinkler.sim("large ring", "large rod") - 0.8955555555555555) < 1e-12)
+    // boost only above 0.7: a low-jaro pair gets NO prefix boost
+    assert(JaroWinkler.sim("abcdefgh", "axyzwvut") <= 0.7)
+    // DuckDB conventions pinned: either side empty → 0.0 (even both)
+    assert(JaroWinkler.sim("", "") === 0.0)
+    assert(JaroWinkler.sim("a", "") === 0.0)
+    assert(JaroWinkler.sim("abc", "abc") === 1.0)
+    // symmetric
+    assert(JaroWinkler.sim("blue anvil", "blue bell")
+      === JaroWinkler.sim("blue bell", "blue anvil"))
+  }
+
+  test("q258 sorted neighborhood: window pairs only, distinct names, jw floor, " +
+    "and the rank-block join loses no in-window pair") {
+    val out = Linkage.sortedNeighborhood(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getString(2) != r.getString(3))
+      assert(r.getDouble(4) >= Linkage.snJwMin)
+    }
+    // independent replication: single-partition window rank + full
+    // rank-distance self-join (the formulation the engine avoids)
+    val parts = Tables.part(spark, sf).select("p_partkey", "p_name")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (k, n) => (n, k) }.zipWithIndex
+    val expected = (for {
+      ((ka, na), ra) <- parts; ((kb, nb), rb) <- parts
+      if rb > ra && rb <= ra + Linkage.snWindow && na != nb
+      jw = BigDecimal(graft.expr.JaroWinkler.sim(na, nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jw >= Linkage.snJwMin
+    } yield (ka, kb, jw)).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+      === expected)
   }
 }

@@ -76,7 +76,14 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q231_bm25_topk",
     // round-12: same shared BM25 score frame (bm25ScoresCore), same
     // single-row stats broadcast, consumed by the rank fusion
-    "q245_rrf_fusion")
+    "q245_rrf_fusion",
+    // round-12: the contingency grid is margins × margins × total —
+    // every broadcast side is vocabulary-sized (|segs|, |prios|) or the
+    // single totals row, never data-scale
+    "q253_chi_square_independence",
+    // round-12: single-row grand-total-tokens broadcast feeding the
+    // quota projection (q143's totals-row pattern)
+    "q255_token_apportionment")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

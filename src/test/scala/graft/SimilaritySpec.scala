@@ -263,4 +263,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val n = Tables.embeddings(spark, sf).count()
     assert(r.getLong(0) === n && r.getLong(1) === n)
   }
+
+  test("q256 semantic dedup: the two exactly-once block joins reproduce the " +
+    "single OR-scoped brute-force relation") {
+    // independent replication: recompute block codes + scoped pairs with
+    // ONE join on the OR predicate (the formulation the engine avoids
+    // because OR defeats equi-join planning) and the same rounded-cosine
+    // threshold, then aggregate identically
+    val bits = 4
+    def blk(lo: Int) = (0 until bits).map(i =>
+      when(col("embedding")(lo + i) >= 0f, lit(1 << (bits - 1 - i)))
+        .otherwise(lit(0))).reduce(_ + _)
+    val coded = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        blk(0).as("b0"), blk(bits).as("b1"))
+    val expected = coded.as("a").join(coded.as("b"),
+        col("a.vec_id") < col("b.vec_id")
+          && (col("a.b0") === col("b.b0") || col("a.b1") === col("b.b1")))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("vec_id"),
+        round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .groupBy("vec_id")
+      .agg(min("keep_id").as("rep_id"), max("cos").as("max_cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Similarity.semanticDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    // cluster-scoping is a real restriction on this data (the SemDeDup
+    // trade): some unscoped above-threshold pair must fall outside both
+    // blocks, otherwise the spec pins nothing
+    val unscoped = coded.as("a").join(coded.as("b"),
+        col("a.vec_id") < col("b.vec_id")
+          && col("a.b0") =!= col("b.b0") && col("a.b1") =!= col("b.b1"))
+      .filter(round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 6)
+        >= 0.35)
+      .count()
+    assert(unscoped > 0, "every qualifying pair landed in-scope; widen the pin")
+  }
 }
