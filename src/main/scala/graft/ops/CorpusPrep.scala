@@ -397,7 +397,73 @@ object CorpusPrep {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q259 selection budget (greedy rounds / documents picked). */
+  val coverageRounds = 6
+
+  /** q259 — GREEDY MAX-COVERAGE CORPUS SELECTION: pick K documents that
+    * together cover as many distinct shingles as possible — the
+    * facility-location/submodular subset-selection recipe behind
+    * "choose a small, diverse training subset" (each round takes the
+    * document adding the most not-yet-covered shingles; the classic
+    * greedy is (1−1/e)-optimal, and for LLM curation it is the
+    * diversity-maximizing complement to q58's random and q184's
+    * value-weighted sampling). Ties break (gain desc, doc_id asc), so
+    * the whole K-round trajectory is deterministic and the oracle
+    * replays it as K chained CTEs (the q233 BPE-oracle technique).
+    *
+    * Scale: each round is one anti-join of the shingle relation against
+    * the covered set (hash join on the shingle key; the covered side is
+    * ≤ K·|doc| shingles — broadcast-sized for any sane K) followed by a
+    * per-doc hash agg and a 1-row TakeOrdered collect — the sanctioned
+    * bounded collect. K passes over the shingle relation IS the greedy
+    * algorithm's cost envelope; the relation is checkpointed once so
+    * the tokenize+shingle kernel never re-runs, and the covered set is
+    * re-checkpointed per round to keep lineage flat. Distributed
+    * submodular maximization (partition-greedy then merge) is the
+    * published scale-out when K grows; at bounded K the K-pass exact
+    * greedy is the right trade.
+    */
+  def greedyCoverage(spark: SparkSession, dir: String): DataFrame =
+    greedyCoverageCore(
+      Tables.spread(Tables.documents(spark, dir))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            Dedup.shingles(TextFunctions.tokens(col("text")), 3))).as("sh")),
+      coverageRounds)
+
+  /** Core over any (doc_id, sh) per-doc-distinct relation — fixture seam. */
+  private[graft] def greedyCoverageCore(shRows0: DataFrame, k: Int): DataFrame = {
+    val spark = shRows0.sparkSession
+    val shRows = shRows0.localCheckpoint(true)
+    var covered = shRows.select("sh").limit(0)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cum = 0L
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = shRows.join(covered, Seq("sh"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("doc_id")).limit(1).collect()
+      if (top.isEmpty) exhausted = true // universe covered: no zero-gain filler rows
+      else {
+        val doc = top(0).getLong(0)
+        val gain = top(0).getLong(1)
+        cum += gain
+        picks += ((r.toLong, doc, gain, cum))
+        covered = covered
+          .union(shRows.filter(col("doc_id") === doc).select("sh"))
+          .distinct().localCheckpoint(true)
+        r += 1
+      }
+    }
+    val se = spark
+    import se.implicits._
+    picks.toSeq.toDF("round", "doc_id", "n_new", "n_cum").orderBy("round")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q259_greedy_coverage" -> (greedyCoverage(_, _)),
     "q66_context_packing" -> (contextPacking(_, _)),
     "q67_pii_scrub" -> (piiScrub(_, _)),
     "q68_quality_rules" -> (qualityRuleStats(_, _)),
@@ -448,7 +514,54 @@ object CorpusPrep {
                ELSE list_concat(acc, x) END) AS syms
          FROM v${r - 1}, m$r m)""").mkString
 
+  /** Chained-CTE replay of the K-round greedy coverage trajectory for
+    * DuckDB (the q233 technique): p_r picks the unique (gain desc,
+    * doc_id asc) argmax over shingles not yet in cov_{r-1}; cov_r adds
+    * the picked document's shingles. Shingle construction is q51/q257's
+    * exact formulation.
+    */
+  private def coverageOracle: String = {
+    val base =
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(ws) < 3 THEN []
+                  ELSE list_transform(range(len(ws)-2),
+                         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             END)) AS sh
+           FROM t)"""
+    val rounds = (1 to coverageRounds).map { r =>
+      val uncovered =
+        if (r == 1) "sh s"
+        else s"sh s WHERE s.sh NOT IN (SELECT sh FROM cov${r - 1})"
+      val pick =
+        s"""p$r AS (
+             SELECT s.doc_id, count(*) AS c FROM $uncovered
+             GROUP BY 1 ORDER BY c DESC, s.doc_id LIMIT 1)"""
+      val cov =
+        if (r == 1)
+          s"""cov1 AS (
+               SELECT DISTINCT s.sh FROM sh s JOIN p1 ON s.doc_id = p1.doc_id)"""
+        else
+          s"""cov$r AS (
+               SELECT sh FROM cov${r - 1}
+               UNION
+               SELECT s.sh FROM sh s JOIN p$r ON s.doc_id = p$r.doc_id)"""
+      s"$pick, $cov"
+    }.mkString(", ")
+    val picks = (1 to coverageRounds)
+      .map(r => s"SELECT $r::BIGINT AS round, doc_id, c FROM p$r")
+      .mkString(" UNION ALL ")
+    s"""$base, $rounds, picks AS ($picks)
+       SELECT round, doc_id, c AS n_new,
+         (sum(c) OVER (ORDER BY round))::BIGINT AS n_cum
+       FROM picks ORDER BY round"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q259_greedy_coverage" -> coverageOracle,
     // q233: the full K-round merge table, replayed round by round
     "q233_bpe_merges" ->
       (bpeCtePrefix + " SELECT * FROM (" +

@@ -284,4 +284,23 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     // ratio sanity: merges can only shorten, so chars+eow >= tokens
     enc.foreach(r => assert(r.getLong(3) >= 1000L))
   }
+
+  test("q259 greedy coverage: marginal-gain trajectory on a fixture where " +
+    "greedy diverges from size ranking, and exhaustion stops early") {
+    import graft.ops.CorpusPrep
+    // A={1,2,3,4} B={3,4,5} C={5,6} D={1,2}:
+    //   round 1: A wins on gain 4
+    //   round 2: B's marginal gain is {5}=1 but C's is {5,6}=2 → C wins,
+    //     even though B is the bigger set (size ranking would pick B)
+    //   round 3: every remaining doc has gain 0 → absent from the
+    //     anti-joined counts → loop exhausts at 2 picks despite k=6
+    val shRows = Seq(
+      10L -> Seq("s1", "s2", "s3", "s4"), 20L -> Seq("s3", "s4", "s5"),
+      30L -> Seq("s5", "s6"), 40L -> Seq("s1", "s2"))
+      .flatMap { case (d, shs) => shs.map(sh => (d, sh)) }
+      .toDF("doc_id", "sh")
+    val out = CorpusPrep.greedyCoverageCore(shRows, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 10L, 4L, 4L), (2L, 30L, 2L, 6L)))
+  }
 }
