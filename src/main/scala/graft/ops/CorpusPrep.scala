@@ -462,8 +462,90 @@ object CorpusPrep {
     picks.toSeq.toDF("round", "doc_id", "n_new", "n_cum").orderBy("round")
   }
 
+  /** q260 training-sequence length (tokens per packed sequence). */
+  val packSeqLen = 128L
+
+  /** q260 — GLOBAL PACKED-OFFSET INDEX: the concat-then-chop shard
+    * index a pretraining data loader needs — every document's exact
+    * token offset in ONE global stream (order = doc_id), plus which
+    * fixed-length training sequences it lands in and whether it
+    * straddles a sequence boundary (the attention-mask/EOD-reset
+    * bookkeeping). q66 packs greedily into per-(lang, shard) bins;
+    * q260 is the other packing regime: a single total-order stream
+    * chopped every `packSeqLen` tokens, docs allowed to cross cuts.
+    *
+    * Scale: the global running token count is [[GlobalIndex
+    * .prefixSummedBy]] — range exchange + per-partition sums + a
+    * #partitions-row offsets frame — never a single-partition window.
+    * Everything after the cumsum is per-row integer arithmetic.
+    */
+  def packedOffsets(spark: SparkSession, dir: String): DataFrame =
+    packedOffsetsCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, text, …) frame — fixture seam. */
+  private[graft] def packedOffsetsCore(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    GlobalIndex.prefixSummedBy(toks, Seq("doc_id"), Seq("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("cum_n_tok") - col("n_tok")).as("start_off"),
+        expr(s"(cum_n_tok - n_tok) div $packSeqLen").as("seq_first"),
+        expr(s"(cum_n_tok - 1) div $packSeqLen").as("seq_last"))
+      .withColumn("crosses", col("seq_last") > col("seq_first"))
+      .orderBy("doc_id")
+  }
+
+  /** q263 inference batch size (documents per batch). */
+  val lengthBatchRows = 32L
+
+  /** q263 — LENGTH-BUCKETED BATCHING AUDIT: the padding-waste
+    * comparison behind every dynamic-batching inference/training
+    * scheduler — batch documents `lengthBatchRows` at a time either in
+    * arrival order or sorted by token length, and measure per batch
+    * the padding overhead (rows × max_len − Σlen) that rectangular
+    * tensor batches pay. Sorted batching is the standard fix
+    * (similar-length docs share a batch, so max≈mean); this query
+    * quantifies the win on the actual corpus rather than asserting it.
+    *
+    * Scale: both global orderings come from the deterministic
+    * two-phase rank kernel ([[GlobalIndex.numberedBy]]) — no
+    * single-partition window; the rest is one hash agg per strategy
+    * over (strategy, batch) keys.
+    */
+  def lengthBucketPadding(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketPaddingCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, text, …) frame — fixture seam. */
+  private[graft] def lengthBucketPaddingCore(docs: DataFrame): DataFrame = {
+    val B = lengthBatchRows
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    // (n_tok, doc_id) and (doc_id, n_tok) are both unique total orders,
+    // so each rank — and therefore each batch census — is deterministic.
+    val sorted = GlobalIndex.numberedBy(toks, Seq("n_tok", "doc_id"))
+      .select(lit("sorted").as("strategy"),
+        expr(s"(rn - 1) div $B").as("batch_id"), col("n_tok"))
+    val arrival = GlobalIndex.numberedBy(toks, Seq("doc_id", "n_tok"))
+      .select(lit("arrival").as("strategy"),
+        expr(s"(rn - 1) div $B").as("batch_id"), col("n_tok"))
+    sorted.unionAll(arrival)
+      .groupBy("strategy", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_len"),
+        sum("n_tok").as("sum_len"))
+      .withColumn("pad_waste", col("n_docs") * col("max_len") - col("sum_len"))
+      .orderBy("strategy", "batch_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q259_greedy_coverage" -> (greedyCoverage(_, _)),
+    "q260_packed_offsets" -> (packedOffsets(_, _)),
+    "q263_length_bucket_padding" -> (lengthBucketPadding(_, _)),
     "q66_context_packing" -> (contextPacking(_, _)),
     "q67_pii_scrub" -> (piiScrub(_, _)),
     "q68_quality_rules" -> (qualityRuleStats(_, _)),
@@ -562,6 +644,52 @@ object CorpusPrep {
 
   val oracles: Map[String, String] = Map(
     "q259_greedy_coverage" -> coverageOracle,
+    // q260: same tokenizer mapping, one cumulative window in doc_id
+    // order, same integer chop arithmetic
+    "q260_packed_offsets" ->
+      s"""WITH toks AS (
+            SELECT doc_id,
+              len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+                AS n_tok
+            FROM documents WHERE text IS NOT NULL),
+          cum AS (
+            SELECT doc_id, n_tok,
+              sum(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                AS cum_tok
+            FROM toks WHERE n_tok > 0)
+          SELECT doc_id, n_tok, (cum_tok - n_tok)::BIGINT AS start_off,
+            ((cum_tok - n_tok) // $packSeqLen)::BIGINT AS seq_first,
+            ((cum_tok - 1) // $packSeqLen)::BIGINT AS seq_last,
+            ((cum_tok - 1) // $packSeqLen
+              > (cum_tok - n_tok) // $packSeqLen) AS crosses
+          FROM cum ORDER BY doc_id""",
+    // q263: same two unique total orders via plain rank windows, same
+    // batch census arithmetic
+    "q263_length_bucket_padding" ->
+      s"""WITH toks AS (
+            SELECT doc_id,
+              len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+                AS n_tok
+            FROM documents WHERE text IS NOT NULL),
+          nz AS (SELECT * FROM toks WHERE n_tok > 0),
+          ranked AS (
+            SELECT n_tok,
+              row_number() OVER (ORDER BY n_tok, doc_id) AS rn_sorted,
+              row_number() OVER (ORDER BY doc_id, n_tok) AS rn_arrival
+            FROM nz),
+          u AS (
+            SELECT 'sorted' AS strategy,
+              ((rn_sorted - 1) // $lengthBatchRows)::BIGINT AS batch_id,
+              n_tok FROM ranked
+            UNION ALL
+            SELECT 'arrival',
+              ((rn_arrival - 1) // $lengthBatchRows)::BIGINT, n_tok
+            FROM ranked)
+          SELECT strategy, batch_id, count(*)::BIGINT AS n_docs,
+            max(n_tok)::BIGINT AS max_len, sum(n_tok)::BIGINT AS sum_len,
+            (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS pad_waste
+          FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
     // q233: the full K-round merge table, replayed round by round
     "q233_bpe_merges" ->
       (bpeCtePrefix + " SELECT * FROM (" +

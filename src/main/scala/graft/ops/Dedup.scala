@@ -653,7 +653,101 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q262 bench-membership rule: every doc whose id is ≡0 mod this is
+    * the held-out benchmark suite (deterministic stand-in for the real
+    * eval files a decontamination pass guards).
+    */
+  private[graft] val benchMod = 97L
+
+  /** q262 — EXACT N-GRAM CONTAMINATION: the GPT-3/PaLM-style exact
+    * decontamination check, complementing q87's winnowing pass. q87
+    * fingerprints a SAMPLE of spans (winnowing guarantees one pick per
+    * window — robust, but a short overlap can fall between picks);
+    * q262 is the exhaustive variant — EVERY 3-gram of the benchmark
+    * set, equi-joined against every 3-gram of the training corpus, so
+    * no overlap of ≥ 3 tokens escapes. Output: per contaminated doc,
+    * total overlapping gram occurrences and distinct benchmark grams
+    * hit — the evidence table a filtering decision reads.
+    *
+    * Scale: benchmark suites are small by construction (they are eval
+    * sets, not corpora), so the distinct bench-gram side is
+    * BROADCAST; the corpus side streams through the hash join with no
+    * shuffle of the big relation at all, then one per-doc hash agg.
+    */
+  def ngramContamination(spark: SparkSession, dir: String): DataFrame =
+    ngramContaminationCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, text, …) frame — fixture seam. */
+  private[graft] def ngramContaminationCore(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(shingles(TextFunctions.tokens(col("text")), shingleSize))
+          .as("g"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select("g").distinct()
+    grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("g")).as("n_distinct_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** q264 segment grain (tokens per disjoint segment). */
+  private[graft] val segDedupLen = 16
+
+  /** q264 — SEGMENT-GRAIN DEDUP WITH DOC RETENTION: the
+    * RefinedWeb/CCNet "line-level" dedup adapted to token segments —
+    * chop each doc into disjoint [[segDedupLen]]-token segments,
+    * keep only each segment's GLOBAL first occurrence (min
+    * (doc_id, seg_idx) over the segment's md5), and report per doc
+    * how much of it survives. Exact doc-level dedup (q18/q50) misses
+    * boilerplate repeated INSIDE otherwise-distinct docs; this is the
+    * sub-document grain that catches it, and `retention` is the
+    * per-doc quality signal curation thresholds on.
+    *
+    * Scale: first-occurrence is a hash agg of min(struct(doc_id,
+    * seg_idx)) on the segment md5 — never a per-key window over the
+    * corpus — then one equi-join back on the md5 and a per-doc agg.
+    * Everything is key-partitioned; the md5 key space is uniform by
+    * construction, so no skew defense is needed.
+    */
+  def segmentDedupRetention(spark: SparkSession, dir: String): DataFrame =
+    segmentDedupRetentionCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, text, …) frame — fixture seam. */
+  private[graft] def segmentDedupRetentionCore(docs: DataFrame): DataFrame = {
+    val L = segDedupLen
+    val segs = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        posexplode(expr(s"sequence(1, size(ws), $L)")).as(Seq("seg_idx", "i")),
+        col("ws"))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        md5(concat_ws(" ", slice(col("ws"), col("i"), lit(L)))
+          .cast("binary")).as("seg_md5"))
+    val winners = segs
+      .groupBy("seg_md5")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"))
+      .select(col("seg_md5"), col("w.doc_id").as("w_doc"),
+        col("w.seg_idx").as("w_seg"))
+    segs.join(winners, "seg_md5")
+      .withColumn("kept",
+        col("doc_id") === col("w_doc") && col("seg_idx") === col("w_seg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("retention",
+        round(col("n_kept").cast("double") / col("n_segs"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q262_ngram_contamination" -> (ngramContamination(_, _)),
+    "q264_segment_dedup" -> (segmentDedupRetention(_, _)),
     "q247_levenshtein_near_dups" -> (levenshteinNearDups(_, _)),
     "q87_decontamination" -> (decontamination(_, _)),
     "q232_substring_span_coverage" -> (substringSpanCoverage(_, _)),
@@ -674,6 +768,49 @@ object Dedup {
     "q257_ppjoin_pairs" -> (ppjoinPairs(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q262: same 3-gram generator (the q257 shingle CTE form, WITHOUT
+    // list_distinct on the corpus side — hits count occurrences), same
+    // bench-membership rule, same distinct-bench join
+    "q262_ngram_contamination" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          grams AS (
+            SELECT doc_id, unnest(
+              CASE WHEN len(ws) < $shingleSize THEN []
+                   ELSE list_transform(range(len(ws)-${shingleSize - 1}),
+                          i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+              END) AS g
+            FROM t),
+          bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % $benchMod = 0)
+          SELECT g.doc_id, count(*)::BIGINT AS n_hits,
+            count(DISTINCT g.g)::BIGINT AS n_distinct_hits
+          FROM grams g JOIN bench b ON g.g = b.g
+          WHERE g.doc_id % $benchMod <> 0
+          GROUP BY 1 ORDER BY 1""",
+    // q264: same disjoint segmentation and md5, first occurrence via a
+    // rank window (extensionally = the engine's min-struct agg)
+    "q264_segment_dedup" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          segs AS (
+            SELECT doc_id, (i - 1) // $segDedupLen AS seg_idx,
+              md5(array_to_string(ws[i:i+${segDedupLen - 1}], ' ')) AS seg_md5
+            FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, len(ws), $segDedupLen)) AS i
+                  FROM t WHERE len(ws) > 0)),
+          flagged AS (
+            SELECT doc_id,
+              (row_number() OVER (PARTITION BY seg_md5
+                 ORDER BY doc_id, seg_idx) = 1) AS kept
+            FROM segs)
+          SELECT doc_id, count(*)::BIGINT AS n_segs,
+            sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+            round(sum(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE
+              / count(*), 6) AS retention
+          FROM flagged GROUP BY 1 ORDER BY 1""",
     // q257: the UNPRUNED exact θ-Jaccard relation (full shingle join,
     // no df-cap, no prefix) — the oracle deliberately skips the
     // engine's prefix filter, so a hash match PROVES the pruning's

@@ -654,7 +654,46 @@ object Quality {
                 as bigint)""").as("pos_rate_ppm"))
       .orderBy("bucket")
 
+  /** l-diversity floor: a QI cell whose sensitive attribute shows fewer
+    * than this many distinct values is re-identification-risky even
+    * when k is satisfied (homogeneity attack).
+    */
+  private[graft] val lDiversity = 2
+
+  /** q261 — K-ANONYMITY / L-DIVERSITY AUDIT: the measurement twin of
+    * q187's governed export. q187 APPLIES the k rule (suppress small
+    * cells); q261 MEASURES the release risk of a quasi-identifier
+    * choice before any export is cut — per (segment, nation, order
+    * priority) cell: k (row count), l (distinct sensitive price bands),
+    * and the two risk flags — k < [[kAnonymity]] (re-identifiable
+    * cell) and l < [[lDiversity]] (homogeneous cell: even an
+    * anonymous match leaks the sensitive value — the classic
+    * l-diversity gap k-anonymity alone misses).
+    *
+    * Scale: one equi-join customer⋈orders on the customer key (both
+    * sides shuffle-partitioned on the key; neither is assumed
+    * broadcast-small) and one hash agg on the QI columns —
+    * count-distinct over the bounded band domain. Cell count is the
+    * product of the QI cardinalities (bounded), never data-sized.
+    */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+        floor(col("o_totalprice") / 50000).cast("long").as("price_bucket"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .groupBy("segment", "nation", "priority")
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("price_bucket")).as("l_div"))
+      .withColumn("k_risk", col("k") < kAnonymity)
+      .withColumn("l_risk", col("l_div") < lDiversity)
+      .orderBy("segment", "nation", "priority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q261_k_anonymity" -> (kAnonymityAudit(_, _)),
     "q228_calibration_curve" -> (calibrationCurve(_, _)),
     "q210_source_mix_tv" -> (sourceMixTv(_, _)),
     "q205_auc_rank" -> (aucRank(_, _)),
@@ -689,6 +728,19 @@ object Quality {
                     WHERE $cb IS NOT NULL) y USING (k))::BIGINT AS n_both)"""
 
   val oracles: Map[String, String] = Map(
+    // q261: same join, same QI cells, same floor-banded sensitive
+    // attribute, same risk thresholds
+    "q261_k_anonymity" ->
+      s"""WITH joined AS (
+            SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+              o.o_orderpriority AS priority,
+              floor(o.o_totalprice / 50000)::BIGINT AS price_bucket
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey)
+          SELECT segment, nation, priority, count(*)::BIGINT AS k,
+            count(DISTINCT price_bucket)::BIGINT AS l_div,
+            (count(*) < $kAnonymity) AS k_risk,
+            (count(DISTINCT price_bucket) < $lDiversity) AS l_risk
+          FROM joined GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // q240: per pair, same distinct sets / overlap / ppm rules
     "q240_joinability_profile" -> (Seq(
       ("events.user_id~customer.c_custkey",

@@ -303,4 +303,41 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq === Seq((1L, 10L, 4L, 4L), (2L, 30L, 2L, 6L)))
   }
+
+  test("q260 packed offsets: hand-computed chop across the 128 boundary") {
+    import graft.ops.CorpusPrep
+    // doc1: 3 tok → seq 0 only; doc2: 130 tok from offset 3 → crosses
+    // the 128 cut (seqs 0..1); doc3: 5 tok at 133 → seq 1 only.
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, Seq.fill(130)("x").mkString(" ")),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val out = CorpusPrep.packedOffsetsCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 0L, 0L, 0L, false),
+      (2L, 130L, 3L, 0L, 1L, true),
+      (3L, 5L, 133L, 1L, 1L, false)))
+  }
+
+  test("q263 length-bucket padding: sorted batching beats arrival on a " +
+    "hand-computed 40-doc mix") {
+    import graft.ops.CorpusPrep
+    // lens cycle 2,3,4,5,1 (i%5+1 for i=1..40): sorted batch0 holds the
+    // 32 shortest (1..4 ×8 each), batch1 the eight 5s — zero tail pad.
+    val docs = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(i % 5 + 1)("w").mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusPrep.lengthBucketPaddingCore(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("arrival", 0L, 32L, 5L, 95L, 65L),
+      ("arrival", 1L, 8L, 5L, 25L, 15L),
+      ("sorted", 0L, 32L, 4L, 80L, 48L),
+      ("sorted", 1L, 8L, 5L, 40L, 0L)))
+    // the claim the query exists to measure: sorted wastes strictly less
+    val waste = out.groupBy(_._1).view.mapValues(_.map(_._6).sum).toMap
+    assert(waste("sorted") < waste("arrival"))
+  }
 }

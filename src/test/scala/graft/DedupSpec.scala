@@ -267,4 +267,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(got === expected, s"theta=$theta")
     }
   }
+
+  test("q262 ngram contamination: exact 3-gram hits vs a bench doc, " +
+    "occurrences and distinct counted separately") {
+    val s = spark
+    import s.implicits._
+    // doc 0 (id ≡ 0 mod 97) is the bench; grams "a b c", "b c d".
+    // doc 1 hits "a b c" once; doc 2 hits "a b c" twice + "b c d" once.
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b c x"),
+      (2L, "z z a b c b c d a b c"),
+      (3L, "q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.ngramContaminationCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L, 1L), (2L, 3L, 2L)))
+  }
+
+  test("q264 segment dedup: first occurrence wins globally, retention " +
+    "is per-doc") {
+    val s = spark
+    import s.implicits._
+    val t = (0 until 32).map(i => s"t$i")   // two full 16-token segments
+    val u = (0 until 16).map(i => s"u$i")
+    val docs = Seq(
+      (1L, t.mkString(" ")),                           // both segs original
+      (2L, (t.take(16) ++ u).mkString(" ")),           // seg0 dups doc1
+      (3L, t.mkString(" ")),                           // both segs dup doc1
+      (4L, "only five tokens here now")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedupRetentionCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0), (4L, 1L, 1L, 1.0)))
+  }
 }

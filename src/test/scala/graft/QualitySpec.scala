@@ -268,4 +268,21 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(r1.getLong(3) == 60L * 1L * 1000000L,
       s"diagonal 2x2 must give n*(k-1)=60e6, got ${r1.getLong(3)}")
   }
+
+  test("q261 k-anonymity audit: cell mass equals the join, flags match " +
+    "their own thresholds, l never exceeds k") {
+    val cells = Quality.kAnonymityAudit(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(cells.nonEmpty)
+    val joinRows = graft.Tables.customer(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("c_custkey") === col("o_custkey")).count()
+    assert(cells.map(_._1).sum === joinRows,
+      "every joined row must land in exactly one QI cell")
+    cells.foreach { case (k, l, kRisk, lRisk) =>
+      assert(l >= 1L && l <= k, "l-diversity is bounded by cell size")
+      assert(kRisk === (k < 5L))
+      assert(lRisk === (l < 2L))
+    }
+  }
 }
