@@ -745,9 +745,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q265 — PER-DOC N-GRAM NOVELTY PROFILE: for every document, the
+    * fraction (ppm) of its DISTINCT 3-grams whose global first
+    * occurrence (min doc_id over the corpus) is this document — the
+    * "marginal contribution" readout of a dedup pipeline. q264 asks
+    * "which spans survive dedup"; q265 asks the curation-ordering
+    * question "how much genuinely new text does each doc add in
+    * ingestion order" — low-novelty tails are what near-dup filters
+    * and boilerplate trims remove first, and the same statistic run
+    * on a candidate acquisition batch prices its incremental value
+    * before any training tokens are spent.
+    *
+    * Scale: NO gram-grain join-back — the denominator (distinct grams
+    * per doc) and the numerator (grams whose min doc_id lands here)
+    * are two independent hash aggs of the same exploded frame, joined
+    * at DOC grain. A hot gram shared by millions of docs costs one
+    * combiner cell, never a fan-out. Novelty is exact integer ppm
+    * (DECIMAL(38,0) div — the q196/q198 fixed-point discipline).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, text, …) frame — fixture seam. */
+  private[graft] def ngramNoveltyCore(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          shingles(TextFunctions.tokens(col("text")), shingleSize))).as("g"))
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy("g").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("CAST(CAST(n_novel AS DECIMAL(38,0)) * 1000000 div n_grams" +
+          " AS BIGINT)"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q262_ngram_contamination" -> (ngramContamination(_, _)),
     "q264_segment_dedup" -> (segmentDedupRetention(_, _)),
+    "q265_ngram_novelty" -> (ngramNovelty(_, _)),
     "q247_levenshtein_near_dups" -> (levenshteinNearDups(_, _)),
     "q87_decontamination" -> (decontamination(_, _)),
     "q232_substring_span_coverage" -> (substringSpanCoverage(_, _)),
@@ -789,6 +830,30 @@ object Dedup {
           FROM grams g JOIN bench b ON g.g = b.g
           WHERE g.doc_id % $benchMod <> 0
           GROUP BY 1 ORDER BY 1""",
+    // q265: same per-doc-distinct 3-gram generator, first occurrence
+    // and per-doc denominators as the same two independent aggs, same
+    // integral ppm
+    "q265_ngram_novelty" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          g AS (
+            SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(ws) < $shingleSize THEN []
+                   ELSE list_transform(range(len(ws)-${shingleSize - 1}),
+                          i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+              END)) AS g
+            FROM t),
+          perdoc AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+          novel AS (
+            SELECT doc_id, count(*) AS n_novel
+            FROM (SELECT min(doc_id) AS doc_id FROM g GROUP BY g)
+            GROUP BY 1)
+          SELECT p.doc_id, p.n_grams::BIGINT AS n_grams,
+            coalesce(n.n_novel, 0)::BIGINT AS n_novel,
+            (coalesce(n.n_novel, 0)::HUGEINT * 1000000
+              // p.n_grams)::BIGINT AS novelty_ppm
+          FROM perdoc p LEFT JOIN novel n USING (doc_id) ORDER BY doc_id""",
     // q264: same disjoint segmentation and md5, first occurrence via a
     // rank window (extensionally = the engine's min-struct agg)
     "q264_segment_dedup" ->

@@ -727,8 +727,124 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  /** q266 checkpoint width (docs per growth checkpoint). A constant of
+    * the readout, not of the data: at larger corpora the stride scales
+    * with the corpus (log-spaced checkpoints in production) so the
+    * checkpoint frame stays dimension-sized.
+    */
+  private[graft] val vocabGrowthStride = 64L
+
+  /** q266 — VOCABULARY GROWTH CURVE (Heaps' law): cumulative distinct
+    * vocabulary vs cumulative token volume at doc-id checkpoints — the
+    * empirical V(n) ≈ K·n^β curve every tokenizer-budget and
+    * dedup-health review reads (sub-Heaps growth = the corpus is
+    * repeating itself; a vocabulary that stops growing while tokens
+    * keep coming is boilerplate flooding). Per checkpoint of
+    * [[vocabGrowthStride]] docs: doc/token volume, NEW types first
+    * seen there, and both cumulatives.
+    *
+    * Scale: a type's first checkpoint is min(ckpt) — one
+    * map-side-combined hash agg at vocabulary grain, never a global
+    * sort; token volume per checkpoint is computed on the token ARRAY
+    * (`size`, no explode). Cumulatives run over the checkpoint frame
+    * via the two-phase prefix-sum kernel ([[GlobalIndex
+    * .prefixSummedBy]]) — even a billion-checkpoint frame never
+    * serializes through one window partition.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, text, …) frame — fixture seam. */
+  private[graft] def vocabGrowthCore(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(expr(s"doc_id div $vocabGrowthStride").as("ckpt"),
+        tokens(col("text")).as("ws"))
+    val perCkpt = base.groupBy("ckpt").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("ws")).cast("long")).as("n_tokens"))
+    val newTypes = base.select(col("ckpt"), explode(col("ws")).as("w"))
+      .groupBy("w").agg(min("ckpt").as("ckpt"))
+      .groupBy("ckpt").agg(count(lit(1)).as("n_new_types"))
+    val cells = perCkpt.join(newTypes, Seq("ckpt"), "left_outer")
+      .select(col("ckpt"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+    graft.ops.GlobalIndex.prefixSummedBy(
+        cells, Seq("ckpt"), Seq("n_tokens", "n_new_types"))
+      .select(col("ckpt"), col("n_docs"), col("n_tokens"), col("n_new_types"),
+        col("cum_n_tokens").as("cum_tokens"),
+        col("cum_n_new_types").as("cum_types"))
+      .orderBy("ckpt")
+  }
+
+  /** q267 target language (the "high-quality reference" cohort the
+    * importance sampler upweights toward).
+    */
+  private[graft] val dsirTargetLang = "en"
+
+  /** q267 per-token likelihood-ratio ceiling, in ppm (ratio 10⁶:1).
+    * DSIR clips importance weights; here the clip also bounds the
+    * integer arithmetic: capped ratios sum exactly in DECIMAL(38,0)
+    * and the per-doc mean always fits a BIGINT.
+    */
+  private[graft] val dsirCapPpm = 1000000000000L
+
+  /** q267 — IMPORTANCE SCORING FOR DATA SELECTION (DSIR-style): score
+    * every document by the mean per-token likelihood ratio between a
+    * target cohort's unigram model ([[dsirTargetLang]] docs, Laplace
+    * add-one) and the rest-of-corpus model — the importance-resampling
+    * statistic (Xie et al. 2023) a curation pipeline uses to pull
+    * target-distribution-like documents out of a raw crawl. q196
+    * scores fluency against ONE corpus-wide model; q267 scores
+    * AFFINITY between two cohorts — the "does this look like the data
+    * I want more of" axis.
+    *
+    * Exactness: per-token ratio r = (c_t+1)(N_r+V) / ((c_r+1)(N_t+V))
+    * in exact integer ppm — the wrap hazard q111 documents (a
+    * target-exclusive hot token's quotient exceeds BIGINT at the 10¹³-
+    * token design point) is eliminated by testing num > cap·den in
+    * DECIMAL(38,0) BEFORE dividing, so the `div` only ever runs on
+    * quotients ≤ [[dsirCapPpm]]. Per-doc sums ride DECIMAL(38,0).
+    *
+    * Scale: the model is vocabulary-bounded (one map-side-combined
+    * hash agg, target/rest counted in the same pass); totals are a
+    * sanctioned single-row broadcast (q111's pattern); the scoring
+    * join fans a token occurrence to exactly one model row.
+    */
+  def importanceScores(spark: SparkSession, dir: String): DataFrame =
+    importanceScoresCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, lang, text, …) frame — fixture seam. */
+  private[graft] def importanceScoresCore(docs0: DataFrame): DataFrame = {
+    val docs = docs0.filter(col("text").isNotNull)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("w"))
+    val model = tok.groupBy("w").agg(
+        count(lit(1)).as("c_all"),
+        sum(when(col("lang") === dsirTargetLang, 1L).otherwise(0L)).as("c_t"))
+      .withColumn("c_r", col("c_all") - col("c_t"))
+    val totals = model.agg(sum("c_t").as("n_t"), sum("c_r").as("n_r"),
+      count(lit(1)).as("v"))
+    val ratios = model.crossJoin(broadcast(totals))
+      .select(col("w"), expr(
+        s"""CASE WHEN CAST(c_t + 1 AS DECIMAL(38,0)) * (n_r + v)
+                   > CAST(c_r + 1 AS DECIMAL(38,0)) * (n_t + v) * 1000000
+                THEN CAST($dsirCapPpm AS BIGINT)
+                ELSE CAST(CAST(c_t + 1 AS DECIMAL(38,0)) * (n_r + v) * 1000000
+                       div (CAST(c_r + 1 AS DECIMAL(38,0)) * (n_t + v))
+                     AS BIGINT)
+           END""").as("r_ppm"))
+    tok.join(ratios, "w")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("CAST(sum(CAST(r_ppm AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("importance_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q196_lm_doc_scores" -> (lmDocScores(_, _)),
+    "q266_vocab_growth" -> (vocabGrowth(_, _)),
+    "q267_importance_scores" -> (importanceScores(_, _)),
     "q198_vocab_oov" -> (vocabOov(_, _)),
     "q156_hashed_features" -> (hashedFeatures(_, _)),
     "q139_bigram_next_words" -> (bigramNextWords(_, _)),
@@ -842,6 +958,61 @@ object TextAnalysis {
           FROM sc GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    // q266: same checkpoint rule, first-seen = min(ckpt) per type,
+    // cumulatives via plain windows (the oracle's single-node
+    // privilege; the engine must reproduce them from the partitioned
+    // prefix-sum kernel)
+    "q266_vocab_growth" ->
+      s"""WITH t AS (
+            SELECT doc_id // $vocabGrowthStride AS ckpt,
+              list_filter(string_split(text,' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          per AS (
+            SELECT ckpt, count(*)::BIGINT AS n_docs,
+              sum(len(ws))::BIGINT AS n_tokens
+            FROM t GROUP BY 1),
+          nt AS (
+            SELECT ckpt, count(*)::BIGINT AS n_new_types
+            FROM (SELECT min(ckpt) AS ckpt
+                  FROM (SELECT ckpt, unnest(ws) AS w FROM t) GROUP BY w)
+            GROUP BY 1)
+          SELECT p.ckpt, p.n_docs, p.n_tokens,
+            coalesce(nt.n_new_types, 0)::BIGINT AS n_new_types,
+            sum(p.n_tokens) OVER (ORDER BY p.ckpt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+              AS cum_tokens,
+            sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY p.ckpt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+              AS cum_types
+          FROM per p LEFT JOIN nt USING (ckpt) ORDER BY p.ckpt""",
+    // q267: same two-cohort Laplace model, same pre-division cap test
+    // in HUGEINT, same integral per-doc mean
+    "q267_importance_scores" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang,
+              list_filter(string_split(text,' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          tok AS (SELECT doc_id, lang, unnest(ws) AS w FROM t),
+          m AS (
+            SELECT w, count(*) AS c_all,
+              sum(CASE WHEN lang = '$dsirTargetLang' THEN 1 ELSE 0 END) AS c_t
+            FROM tok GROUP BY 1),
+          m2 AS (SELECT w, c_t, c_all - c_t AS c_r FROM m),
+          tot AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r,
+                    count(*) AS v FROM m2),
+          r AS (
+            SELECT w,
+              CASE WHEN (c_t + 1)::HUGEINT * (n_r + v)
+                     > (c_r + 1)::HUGEINT * (n_t + v) * 1000000
+                   THEN $dsirCapPpm::HUGEINT
+                   ELSE ((c_t + 1)::HUGEINT * (n_r + v) * 1000000)
+                     // ((c_r + 1)::HUGEINT * (n_t + v))
+              END AS r_ppm
+            FROM m2, tot)
+          SELECT tok.doc_id, tok.lang, count(*)::BIGINT AS n_tokens,
+            (sum(r.r_ppm) // count(*))::BIGINT AS importance_ppm
+          FROM tok JOIN r USING (w)
+          GROUP BY 1, 2 ORDER BY tok.doc_id""",
     // q196: identical tokenization/bigram CTEs as q139, model p in exact
     // integer ppm, doc score = integral mean over bigram occurrences
     "q196_lm_doc_scores" ->

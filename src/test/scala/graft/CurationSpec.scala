@@ -304,6 +304,37 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq === Seq((1L, 10L, 4L, 4L), (2L, 30L, 2L, 6L)))
   }
 
+  test("q266 vocab growth: first-seen types land in their min " +
+    "checkpoint, cumulatives add up") {
+    // ckpt 0 = docs 0,1 (stride 64); ckpt 1 = docs 64,65.
+    // types a,b,c debut in ckpt 0; d,e in ckpt 1 (c recurs — not new).
+    val docs = Seq(
+      (0L, "a b"), (1L, "b c"), (64L, "c d d"), (65L, "e"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowthCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 4L, 3L, 4L, 3L),
+      (1L, 2L, 4L, 2L, 8L, 5L)))
+  }
+
+  test("q267 importance scores: hand-computed two-cohort Laplace " +
+    "ratios, integral per-doc means") {
+    // model: x(c_t=2,c_r=1) y(1,0) z(0,1); N_t=3 N_r=2 V=3
+    // r_ppm = (c_t+1)(N_r+V)·1e6 div ((c_r+1)(N_t+V)):
+    //   x: 15e6 div 12 = 1250000; y: 10e6 div 6 = 1666666
+    //   z:  5e6 div 12 =  416666
+    val docs = Seq(
+      (1L, "en", "x x y"), (2L, "de", "x z"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.importanceScoresCore(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "en", 3L, (1250000L + 1250000L + 1666666L) / 3),
+      (2L, "de", 2L, (1250000L + 416666L) / 2)))
+  }
+
   test("q260 packed offsets: hand-computed chop across the 128 boundary") {
     import graft.ops.CorpusPrep
     // doc1: 3 tok → seq 0 only; doc2: 130 tok from offset 3 → crosses

@@ -284,6 +284,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq === Seq((1L, 1L, 1L), (2L, 3L, 2L)))
   }
 
+  test("q265 ngram novelty: first-occurrence grams count for the min " +
+    "doc, ppm is exact, short docs absent") {
+    val s = spark
+    import s.implicits._
+    // doc 1 coins both its grams; doc 2 shares "a b c" with doc 1;
+    // doc 3 repeats doc 1 exactly; doc 4 is sub-shingle length.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c x"),
+      (3L, "a b c d"),
+      (4L, "z z")).toDF("doc_id", "text")
+    val out = Dedup.ngramNoveltyCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 2L, 0L, 0L)))
+  }
+
   test("q264 segment dedup: first occurrence wins globally, retention " +
     "is per-doc") {
     val s = spark

@@ -83,7 +83,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q253_chi_square_independence",
     // round-12: single-row grand-total-tokens broadcast feeding the
     // quota projection (q143's totals-row pattern)
-    "q255_token_apportionment")
+    "q255_token_apportionment",
+    // round-12: single-row (N_t, N_r, V) cohort-totals broadcast
+    // feeding the likelihood-ratio projection (q111's pattern)
+    "q267_importance_scores")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
