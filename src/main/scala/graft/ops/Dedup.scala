@@ -785,10 +785,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q268 fingerprint width (leading chars). Mirrors and template
+    * farms share document HEADS (navigation chrome, license blocks,
+    * syndication preambles) even when tails diverge, so the overlap
+    * fingerprint hashes the first [[crossSourcePrefix]] characters —
+    * full-text md5 would see only byte-identical mirrors.
+    */
+  private[graft] val crossSourcePrefix = 80
+
+  /** q268 — CROSS-SOURCE OVERLAP MATRIX: for every ordered source pair
+    * (a < b), how many distinct text-head fingerprints they share and
+    * how many documents sit on each side of the shared mass — the
+    * corpus-forensics readout that catches one crawl mirroring another
+    * (licensing risk, silent double-counting in mixture weights)
+    * BEFORE per-pair dedup spends compute. q18/q50 answer "how many
+    * dups"; q268 answers "which SOURCES are copying each other".
+    *
+    * Scale: texts collapse to (fingerprint, source) grain first (one
+    * hash agg), so the pair join runs at fingerprint grain with
+    * fan-out ≤ |sources| per fingerprint — the source domain is
+    * dimension-sized by construction, never data-sized; output is
+    * ≤ |sources|² rows.
+    */
+  def crossSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    crossSourceOverlapCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (text, source, …) frame — fixture seam. */
+  private[graft] def crossSourceOverlapCore(docs: DataFrame): DataFrame = {
+    val fps = docs
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(md5(substring(col("text"), 1, crossSourcePrefix)
+        .cast("binary")).as("fp"), col("source"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("n_copies"))
+    val a = fps.select(col("fp"), col("source").as("source_a"),
+      col("n_copies").as("n_docs_a"))
+    val b = fps.select(col("fp"), col("source").as("source_b"),
+      col("n_copies").as("n_docs_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_heads"),
+        sum("n_docs_a").as("n_docs_a"),
+        sum("n_docs_b").as("n_docs_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q262_ngram_contamination" -> (ngramContamination(_, _)),
     "q264_segment_dedup" -> (segmentDedupRetention(_, _)),
     "q265_ngram_novelty" -> (ngramNovelty(_, _)),
+    "q268_cross_source_overlap" -> (crossSourceOverlap(_, _)),
     "q247_levenshtein_near_dups" -> (levenshteinNearDups(_, _)),
     "q87_decontamination" -> (decontamination(_, _)),
     "q232_substring_span_coverage" -> (substringSpanCoverage(_, _)),
@@ -830,6 +876,22 @@ object Dedup {
           FROM grams g JOIN bench b ON g.g = b.g
           WHERE g.doc_id % $benchMod <> 0
           GROUP BY 1 ORDER BY 1""",
+    // q268: same head fingerprint (md5 over the same 80-char prefix —
+    // both engines hash identical UTF-8 bytes), same pair join at
+    // fingerprint grain
+    "q268_cross_source_overlap" ->
+      s"""WITH fps AS (
+            SELECT md5(substr(text, 1, $crossSourcePrefix)) AS fp, source,
+              count(*) AS n_copies
+            FROM documents
+            WHERE text IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1, 2)
+          SELECT a.source AS source_a, b.source AS source_b,
+            count(*)::BIGINT AS n_shared_heads,
+            sum(a.n_copies)::BIGINT AS n_docs_a,
+            sum(b.n_copies)::BIGINT AS n_docs_b
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     // q265: same per-doc-distinct 3-gram generator, first occurrence
     // and per-doc denominators as the same two independent aggs, same
     // integral ppm

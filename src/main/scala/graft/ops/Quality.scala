@@ -692,8 +692,127 @@ object Quality {
       .orderBy("segment", "nation", "priority")
   }
 
+  /** q269 forecast construction: the q228/q205 honest proxy task
+    * (n_chars predicting lang = 'en'), mapped to a ppm "probability"
+    * by a fixed monotone rule — 1000 ppm per char, saturating at 10⁶.
+    * The rule caps the forecast-value domain at 1001 distinct values,
+    * which is what keeps the decomposition frame dimension-sized.
+    */
+  private[graft] val brierPosLang = "en"
+
+  /** q269 — BRIER SCORE + MURPHY DECOMPOSITION: the probabilistic-
+    * forecast companion to q228's reliability curve and q205's AUC —
+    * one row with the Brier score and its Murphy split into
+    * reliability (calibration error), resolution (how much the
+    * forecast separates outcomes), and uncertainty (base-rate
+    * entropy), all in exact integer ppm² (forecast and outcome live
+    * on the 10⁶ ppm scale, so squared gaps are ppm²). AUC says the
+    * score ranks; q228 shows the curve; q269 is the single-number
+    * audit trail ("is the model better than the base rate, and is the
+    * gap calibration or discrimination?").
+    *
+    * Exactness: components are computed at forecast-VALUE grain
+    * (f_b is exact, o_b = pos·10⁶ div n truncates once per group —
+    * both engines truncate identically), squared gaps are BIGINT,
+    * group-weighted sums ride DECIMAL(38,0) (n·10¹² per cell wraps a
+    * BIGINT at ~10⁷ rows), and the final div-by-N is the last
+    * operation. The Murphy identity holds only up to the documented
+    * ppm truncation — the emitted numbers are each exact under their
+    * own stated rule, which is what the oracle re-derives.
+    *
+    * Scale: one hash agg to the ≤1001-row forecast-value grain; the
+    * corpus-total windows run over that bounded frame (the q199
+    * cell-frame stance), never over rows.
+    */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame =
+    brierCore(Tables.documents(spark, dir).select(col("n_chars"), col("lang")))
+
+  /** Core over any (n_chars, lang) frame — fixture seam. */
+  private[graft] def brierCore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs.filter(col("n_chars").isNotNull)
+      .select(least(col("n_chars") * 1000, lit(1000000L)).as("f_ppm"),
+        when(col("lang") === brierPosLang, 1L).otherwise(0L).as("y"))
+      .groupBy("f_ppm")
+      .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"))
+      // DECIMAL before the ×10⁶: pos·10⁶ wraps a BIGINT past ~9·10¹²
+      // positives (the q198 discipline)
+      .withColumn("o_ppm",
+        expr("CAST(CAST(pos_b AS DECIMAL(38,0)) * 1000000 div n_b AS BIGINT)"))
+      .withColumn("n_tot", sum("n_b").over(w))
+      .withColumn("obar_ppm",
+        expr("""CAST(CAST(sum(pos_b) over (partition by 1) AS DECIMAL(38,0))
+                * 1000000 div n_tot AS BIGINT)"""))
+      .agg(
+        max("n_tot").as("n_rows"),
+        expr("""CAST(sum(CAST(pos_b AS DECIMAL(38,0))
+                  * (1000000 - f_ppm) * (1000000 - f_ppm)
+                  + CAST(n_b - pos_b AS DECIMAL(38,0)) * f_ppm * f_ppm)
+                div max(n_tot) AS BIGINT)""").as("brier_ppm2"),
+        expr("""CAST(sum(CAST(n_b AS DECIMAL(38,0))
+                  * (f_ppm - o_ppm) * (f_ppm - o_ppm))
+                div max(n_tot) AS BIGINT)""").as("reliability_ppm2"),
+        expr("""CAST(sum(CAST(n_b AS DECIMAL(38,0))
+                  * (o_ppm - obar_ppm) * (o_ppm - obar_ppm))
+                div max(n_tot) AS BIGINT)""").as("resolution_ppm2"),
+        // obar_ppm·(10⁶−obar_ppm) IS the ppm² value of ō(1−ō): each
+        // factor carries one 10⁶ scale — no further normalization
+        expr("CAST(max(obar_ppm) * (1000000 - max(obar_ppm)) AS BIGINT)")
+          .as("uncertainty_ppm2"))
+  }
+
+  /** q270 sample-count floor: pass@k needs n ≥ max(k). */
+  private[graft] val passKs = Seq(1, 5, 10)
+
+  /** The unbiased pass@k estimator 1 − C(n−c,k)/C(n,k) (Chen et al.
+    * 2021), unrolled to the product Π_{i<k} (n−c−i)/(n−i). The SAME
+    * generated string is fed to Spark's `expr` and embedded in the
+    * DuckDB oracle, so both engines execute the identical IEEE-double
+    * tree in the identical association order — cross-engine parity by
+    * construction, not by accident (the q111 stance for the one float
+    * division, extended to k of them).
+    */
+  private[graft] def passAtKSql(k: Int): String = {
+    val prod = (0 until k).map(i =>
+      s"(CAST(n_samples - n_correct - $i AS DOUBLE)" +
+        s" / CAST(n_samples - $i AS DOUBLE))").mkString(" * ")
+    s"""CASE WHEN n_samples - n_correct < $k THEN CAST(1 AS DOUBLE)
+          ELSE round(CAST(1 AS DOUBLE) - $prod, 6) END"""
+  }
+
+  /** q270 — PASS@K ESTIMATION: per problem (user_id standing in for an
+    * eval problem, `purchase` events for correct samples), the
+    * unbiased pass@1/5/10 from n samples with c successes — the
+    * standard coding-eval aggregation run over millions of sampled
+    * generations. Per-problem rows only: the estimator is a pure
+    * scalar on (n, c), so nothing float-aggregates across rows (a
+    * mean-of-doubles would be partition-order-sensitive; callers
+    * average the exact per-problem table however they like).
+    *
+    * Scale: one map-side-combinable hash agg to problem grain, then
+    * per-row arithmetic. Nothing else.
+    */
+  def passAtKEstimates(spark: SparkSession, dir: String): DataFrame =
+    passAtKCore(Tables.events(spark, dir)
+      .select(col("user_id").as("problem_id"),
+        (col("event_type") === "purchase").as("ok")))
+
+  /** Core over any (problem_id, ok) frame — fixture seam. */
+  private[graft] def passAtKCore(samples: DataFrame): DataFrame =
+    samples.groupBy("problem_id")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"))
+      .filter(col("n_samples") >= passKs.max)
+      .select(Seq(col("problem_id"), col("n_samples"), col("n_correct")) ++
+        passKs.map(k => expr(passAtKSql(k)).as(s"pass_at_$k")): _*)
+      .orderBy("problem_id")
+
   val queries: Map[String, Q] = Map(
     "q261_k_anonymity" -> (kAnonymityAudit(_, _)),
+    "q269_brier_decomposition" -> (brierDecomposition(_, _)),
+    "q270_pass_at_k" -> (passAtKEstimates(_, _)),
     "q228_calibration_curve" -> (calibrationCurve(_, _)),
     "q210_source_mix_tv" -> (sourceMixTv(_, _)),
     "q205_auc_rank" -> (aucRank(_, _)),
@@ -728,6 +847,45 @@ object Quality {
                     WHERE $cb IS NOT NULL) y USING (k))::BIGINT AS n_both)"""
 
   val oracles: Map[String, String] = Map(
+    // q269: same saturating forecast rule, same value-grain truncating
+    // o_ppm, same decimal-exact weighted sums (HUGEINT), same final
+    // integral div
+    "q269_brier_decomposition" ->
+      s"""WITH g AS (
+            SELECT least(n_chars * 1000, 1000000) AS f_ppm,
+              count(*)::HUGEINT AS n_b,
+              sum(CASE WHEN lang = '$brierPosLang' THEN 1 ELSE 0 END)::HUGEINT
+                AS pos_b
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+          e AS (
+            SELECT f_ppm, n_b, pos_b,
+              pos_b * 1000000 // n_b AS o_ppm,
+              sum(n_b) OVER () AS n_tot,
+              (sum(pos_b) OVER () * 1000000) // sum(n_b) OVER () AS obar_ppm
+            FROM g)
+          SELECT max(n_tot)::BIGINT AS n_rows,
+            (sum(pos_b * (1000000 - f_ppm) * (1000000 - f_ppm)
+               + (n_b - pos_b) * f_ppm * f_ppm) // max(n_tot))::BIGINT
+              AS brier_ppm2,
+            (sum(n_b * (f_ppm - o_ppm) * (f_ppm - o_ppm))
+               // max(n_tot))::BIGINT AS reliability_ppm2,
+            (sum(n_b * (o_ppm - obar_ppm) * (o_ppm - obar_ppm))
+               // max(n_tot))::BIGINT AS resolution_ppm2,
+            (max(obar_ppm) * (1000000 - max(obar_ppm)))::BIGINT
+              AS uncertainty_ppm2
+          FROM e""",
+    // q270: same problem-grain counts; the estimator fragment is the
+    // SAME generated string both engines execute (see passAtKSql)
+    "q270_pass_at_k" ->
+      s"""WITH g AS (
+            SELECT user_id AS problem_id, count(*)::BIGINT AS n_samples,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                AS n_correct
+            FROM events GROUP BY 1)
+          SELECT problem_id, n_samples, n_correct,
+            ${passKs.map(k => s"(${passAtKSql(k)}) AS pass_at_$k")
+              .mkString(", ")}
+          FROM g WHERE n_samples >= ${passKs.max} ORDER BY problem_id""",
     // q261: same join, same QI cells, same floor-banded sensitive
     // attribute, same risk thresholds
     "q261_k_anonymity" ->

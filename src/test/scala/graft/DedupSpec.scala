@@ -303,6 +303,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (3L, 2L, 0L, 0L)))
   }
 
+  test("q268 cross-source overlap: shared heads counted once per pair, " +
+    "copies summed per side") {
+    val s = spark
+    import s.implicits._
+    // "hello world x" (< 80 chars → whole-text head) appears 2× in s1,
+    // 1× in s2, 1× in s3; everything else is unshared.
+    val docs = Seq(
+      ("s1", "hello world x"), ("s1", "hello world x"),
+      ("s2", "hello world x"), ("s3", "hello world x"),
+      ("s1", "unique one"), ("s2", "another")).toDF("source", "text")
+    val out = Dedup.crossSourceOverlapCore(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("s1", "s2", 1L, 2L, 1L),
+      ("s1", "s3", 1L, 2L, 1L),
+      ("s2", "s3", 1L, 1L, 1L)))
+  }
+
   test("q264 segment dedup: first occurrence wins globally, retention " +
     "is per-doc") {
     val s = spark

@@ -269,6 +269,43 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       s"diagonal 2x2 must give n*(k-1)=60e6, got ${r1.getLong(3)}")
   }
 
+  test("q269 brier decomposition: hand fixture where the Murphy " +
+    "identity is exact") {
+    val s = spark
+    import s.implicits._
+    // cells: f=100000 (n=4, pos=2, o=500000), f=500000 (n=1, pos=1,
+    // o=1000000); N=5, POS=3, obar=600000.
+    // brier=378e9, rel=178e9, res=40e9, unc=240e9 — and
+    // 378 = 178 - 40 + 240 (no truncation anywhere in this fixture).
+    val docs = Seq(
+      (100L, "en"), (100L, "en"), (100L, "de"), (100L, "de"),
+      (500L, "en")).toDF("n_chars", "lang")
+    val r = Quality.brierCore(docs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) ===
+      ((5L, 378000000000L, 178000000000L, 40000000000L, 240000000000L)))
+    assert(r.getLong(1) === r.getLong(2) - r.getLong(3) + r.getLong(4))
+  }
+
+  test("q270 pass@k: hand-computed estimator, short problems filtered, " +
+    "zero-correct is exactly zero") {
+    val s = spark
+    import s.implicits._
+    val samples =
+      (1 to 10).map(i => (1L, i <= 2)) ++   // n=10, c=2
+      (1 to 12).map(_ => (2L, false)) ++    // n=12, c=0
+      (1 to 9).map(_ => (3L, true))         // n=9 → below the floor
+    val out = samples.toDF("problem_id", "ok")
+    val rows = Quality.passAtKCore(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // p1 pass@5 = 1 − C(8,5)/C(10,5) = 1 − 56/252 → 0.777778;
+    // p1 pass@10: n−c=8 < 10 → certain success = 1.0
+    assert(rows.toSeq === Seq(
+      (1L, 10L, 2L, 0.2, 0.777778, 1.0),
+      (2L, 12L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("q261 k-anonymity audit: cell mass equals the join, flags match " +
     "their own thresholds, l never exceeds k") {
     val cells = Quality.kAnonymityAudit(spark, sf).collect()
