@@ -342,6 +342,60 @@ object Behavior {
         countDistinct("user_id").as("n_users"))
       .orderBy("dow", "hour")
 
+  /** q272 — HOUR-OF-DAY SEASONAL PROFILE: the additive-decomposition
+    * read under every traffic forecast — per hour-of-day, the seasonal
+    * mean daily volume over the observed day RANGE (days with zero
+    * events count as zeros — a mean over only-active days overstates
+    * quiet hours), the share of total volume, and the residual
+    * envelope (peak day vs seasonal mean). q120's heatmap is the
+    * (dow × hour) count matrix; this is the normalized seasonal
+    * component with explicit zero-day handling — what you subtract to
+    * detrend (q145 then flags residual spikes).
+    *
+    * All integers: day/hour are epoch-µs div/mod (q120's stance on
+    * calendar functions), means and shares are truncating ppm
+    * divisions, and the missing-cell zeros are algebraic (days_active
+    * vs day-range count decides whether the observed min is the true
+    * min) — no spine join needed.
+    *
+    * Scale: one hash agg to the (day × hour) cell frame; the day-range
+    * windows and the 24-row hour collapse live on cell grain (the q199
+    * cell-frame stance), never on events.
+    */
+  def hourSeasonality(spark: SparkSession, dir: String): DataFrame =
+    hourSeasonalityCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def hourSeasonalityCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev.select(
+        expr(s"tsu div $dayUs2").as("day"),
+        expr(s"(tsu % $dayUs2) div $hourUs").as("hour"))
+      .groupBy("day", "hour")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_days", max("day").over(all) - min("day").over(all) + 1)
+      .withColumn("total", sum("c").over(all))
+      .groupBy("hour")
+      .agg(
+        sum("c").as("n_events"),
+        count(lit(1)).as("days_active"),
+        max("n_days").as("n_days"),
+        max("total").as("total"),
+        max("c").as("max_day_events"),
+        min("c").as("min_obs"))
+      .select(
+        col("hour"), col("n_events"), col("days_active"), col("n_days"),
+        expr("n_events * 1000000 div n_days").as("mean_ppm"),
+        expr("n_events * 1000000 div total").as("share_ppm"),
+        col("max_day_events"),
+        when(col("days_active") < col("n_days"), 0L).otherwise(col("min_obs"))
+          .as("min_day_events"),
+        expr("max_day_events * 1000000 - n_events * 1000000 div n_days")
+          .as("peak_over_mean_ppm"))
+      .orderBy("hour")
+  }
+
   private val hourUs = 3600000000L
 
   /** q145 trailing-baseline geometry: each hour compares against the
@@ -1069,12 +1123,40 @@ object Behavior {
     "q145_hourly_anomaly" -> (hourlyAnomaly(_, _)),
     "q117_type_coengagement" -> (typeCoEngagement(_, _)),
     "q120_activity_heatmap" -> (activityHeatmap(_, _)),
+    "q272_hour_seasonality" -> (hourSeasonality(_, _)),
     "q76_funnel" -> (funnel(_, _)),
     "q77_cohort_retention" -> (cohortRetention(_, _)),
     "q106_event_transitions" -> (eventTransitions(_, _)),
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q272: same µs div/mod bucketing, same cell-grain day-range
+    // windows, same truncating ppm divisions, same zero-day min rule
+    "q272_hour_seasonality" ->
+      s"""WITH cells AS (
+            SELECT (epoch_ns(ts) // 1000) // $dayUs2 AS day,
+              ((epoch_ns(ts) // 1000) % $dayUs2) // $hourUs AS hour,
+              count(*)::BIGINT AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+          w AS (
+            SELECT *, max(day) OVER () - min(day) OVER () + 1 AS n_days,
+              sum(c) OVER () AS total
+            FROM cells),
+          h AS (
+            SELECT hour, sum(c)::BIGINT AS n_events,
+              count(*)::BIGINT AS days_active,
+              max(n_days)::BIGINT AS n_days, max(total)::BIGINT AS total,
+              max(c)::BIGINT AS max_day_events, min(c)::BIGINT AS min_obs
+            FROM w GROUP BY 1)
+          SELECT hour, n_events, days_active, n_days,
+            (n_events * 1000000 // n_days)::BIGINT AS mean_ppm,
+            (n_events * 1000000 // total)::BIGINT AS share_ppm,
+            max_day_events,
+            (CASE WHEN days_active < n_days THEN 0
+                  ELSE min_obs END)::BIGINT AS min_day_events,
+            (max_day_events * 1000000
+              - n_events * 1000000 // n_days)::BIGINT AS peak_over_mean_ppm
+          FROM h ORDER BY hour""",
     // q207: same distinct-day islands, same row_number grouping key,
     // same single-BIGINT (len DESC, start ASC) argmax encoding — every
     // column is BIGINT, nothing to drift

@@ -692,6 +692,53 @@ object Quality {
       .orderBy("segment", "nation", "priority")
   }
 
+  /** q273 per-user contribution cap (the DP-style bound C: at most C
+    * rows per user survive a bounded-contribution export).
+    */
+  private[graft] val contributionCap = 32L
+
+  /** q273 — CONTRIBUTION-BOUNDING AUDIT: before a privacy-bounded (or
+    * merely skew-bounded) training export clips each user to
+    * [[contributionCap]] rows, measure what the clip would do — per
+    * power-of-two contribution bucket: how many users land there, how
+    * many rows they hold, how many survive the cap, how many are
+    * clipped away, and the bucket's kept share. The q261 k-anonymity
+    * audit asks "which cells identify"; this asks "who dominates" —
+    * the per-user twin of q164's join-key skew read, at the user grain
+    * a DP accountant bounds.
+    *
+    * All integers: bucket_lo = 2^⌊log2 n⌋ computed from the binary
+    * string length (length(bin(n)) − 1 — no float log anywhere near an
+    * integer boundary), kept = Σ min(n, C), clipped = Σ max(n − C, 0),
+    * truncating ppm share.
+    *
+    * Scale: one map-side-combinable hash agg to user grain, one to the
+    * ≤64-row bucket frame. Nothing else — no sort, no window over
+    * rows.
+    */
+  def contributionCaps(spark: SparkSession, dir: String): DataFrame =
+    contributionCapsCore(
+      Tables.events(spark, dir).select(col("user_id")))
+
+  /** Core over any (user_id) row frame — fixture seam. */
+  private[graft] def contributionCapsCore(rows: DataFrame): DataFrame =
+    rows.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(
+        expr("shiftleft(cast(1 as bigint), length(bin(n)) - 1)")
+          .as("bucket_lo"),
+        col("n"))
+      .groupBy("bucket_lo")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum("n").as("n_rows"),
+        sum(least(col("n"), lit(contributionCap))).as("rows_kept"),
+        sum(greatest(col("n") - contributionCap, lit(0L)))
+          .as("rows_clipped"),
+        max("n").as("max_contribution"))
+      .withColumn("kept_share_ppm",
+        expr("rows_kept * 1000000 div n_rows"))
+      .orderBy("bucket_lo")
+
   /** q269 forecast construction: the q228/q205 honest proxy task
     * (n_chars predicting lang = 'en'), mapped to a ppm "probability"
     * by a fixed monotone rule — 1000 ppm per char, saturating at 10⁶.
@@ -811,6 +858,7 @@ object Quality {
 
   val queries: Map[String, Q] = Map(
     "q261_k_anonymity" -> (kAnonymityAudit(_, _)),
+    "q273_contribution_caps" -> (contributionCaps(_, _)),
     "q269_brier_decomposition" -> (brierDecomposition(_, _)),
     "q270_pass_at_k" -> (passAtKEstimates(_, _)),
     "q228_calibration_curve" -> (calibrationCurve(_, _)),
@@ -886,6 +934,22 @@ object Quality {
             ${passKs.map(k => s"(${passAtKSql(k)}) AS pass_at_$k")
               .mkString(", ")}
           FROM g WHERE n_samples >= ${passKs.max} ORDER BY problem_id""",
+    // q273: same user-grain collapse, same bin-length power-of-two
+    // bucket, same min/max clip algebra, same truncating ppm share
+    "q273_contribution_caps" ->
+      s"""WITH u AS (
+            SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1),
+          b AS (
+            SELECT (1::BIGINT << (length(bin(n)) - 1)) AS bucket_lo, n
+            FROM u)
+          SELECT bucket_lo, count(*)::BIGINT AS n_users,
+            sum(n)::BIGINT AS n_rows,
+            sum(least(n, $contributionCap))::BIGINT AS rows_kept,
+            sum(greatest(n - $contributionCap, 0))::BIGINT AS rows_clipped,
+            max(n)::BIGINT AS max_contribution,
+            (sum(least(n, $contributionCap)) * 1000000
+              // sum(n))::BIGINT AS kept_share_ppm
+          FROM b GROUP BY 1 ORDER BY 1""",
     // q261: same join, same QI cells, same floor-banded sensitive
     // attribute, same risk thresholds
     "q261_k_anonymity" ->

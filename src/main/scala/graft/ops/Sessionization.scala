@@ -286,9 +286,72 @@ object Sessionization {
       .orderBy("hour")
   }
 
+  /** q274 duration clamp: each event spawns the interval
+    * [tsu, tsu + clamp(value minutes, 1 min, 2 h)) — `value` is the
+    * only per-row magnitude in the events table, so it stands in for
+    * a real duration column. floor() BEFORE the bigint cast: Spark's
+    * double→bigint cast truncates, DuckDB's rounds — flooring the
+    * (identical IEEE) product first makes the cast exact on both.
+    */
+  private val minDurUs = 60000000L
+  private val maxDurUs = 7200000000L
+
+  /** q274 — INTERVAL UNION (merge overlapping intervals): per user,
+    * merge the interval set into maximal disjoint islands and emit the
+    * per-user coverage stats — n_islands, covered_us (union length,
+    * NOT the double-counting sum of interval lengths), longest island.
+    * q27 sessionizes POINT events by gap; q136 sweeps GLOBAL
+    * concurrency; this is the third classic interval kernel — per-key
+    * union of genuine [start, end) intervals (the
+    * busy-time/availability/dedup-span primitive). Touching intervals
+    * (start = running max end) merge: coverage is closed-open.
+    *
+    * The merge is the gaps-and-islands chain: per user order by
+    * (start, end, event_id); an interval opens a new island iff its
+    * start exceeds the running max of PRIOR ends (strictly — abutting
+    * spans stay merged); island id = running count of opens; then one
+    * agg per (user, island) and one per user. All integer µs.
+    *
+    * Scale: both windows and both aggs ride ONE exchange on user_id
+    * (the q27 plan shape); no global sort, no self-join — the naive
+    * interval-overlap self-join is O(n²) per key, this is O(n log n)
+    * local sort.
+    */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame =
+    intervalUnionCore(
+      Tables.eventsMicros(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("tsu").as("s"),
+          (col("tsu") + greatest(lit(minDurUs),
+            least(expr("cast(floor(value * 60000000) as bigint)"),
+              lit(maxDurUs)))).as("e")))
+
+  /** Core over any (user_id, event_id, s, e) interval frame. */
+  private[graft] def intervalUnionCore(iv: DataFrame): DataFrame = {
+    val byStart = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    val prior = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val running = byStart.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    iv.withColumn("pmax", max("e").over(prior))
+      .withColumn("opens",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum("opens").over(running))
+      .groupBy("user_id", "island")
+      .agg(min("s").as("i_start"), max("e").as("i_end"),
+        count(lit(1)).as("n_iv"))
+      .groupBy("user_id")
+      .agg(
+        sum("n_iv").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"),
+        max(col("i_end") - col("i_start")).as("max_island_us"))
+      .orderBy("user_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q274_interval_union" -> (intervalUnion(_, _)),
     "q188_session_attribution" -> (attribution(_, _)),
     "q27_sessionization" -> (sessions(_, _)),
     "q235_session_window_native" -> (sessionWindowNative(_, _)),
@@ -297,6 +360,41 @@ object Sessionization {
     "q151_session_conversion" -> (sessionConversion(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q274: same clamp (floor before cast), same strict-open islands
+    // over the same (s, e, event_id) order, same closed-open algebra
+    "q274_interval_union" ->
+      s"""WITH iv AS (
+            SELECT user_id, event_id,
+              (epoch_ns(ts) // 1000) AS s,
+              (epoch_ns(ts) // 1000) + greatest($minDurUs,
+                least(floor(value * 60000000)::BIGINT, $maxDurUs)) AS e
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          lab AS (
+            SELECT user_id, event_id, s, e,
+              CASE WHEN max(e) OVER (PARTITION BY user_id
+                     ORDER BY s, e, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                   OR s > max(e) OVER (PARTITION BY user_id
+                     ORDER BY s, e, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS opens
+            FROM iv),
+          isl AS (
+            SELECT user_id, s, e,
+              sum(opens) OVER (PARTITION BY user_id
+                ORDER BY s, e, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM lab),
+          g AS (
+            SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+              count(*)::BIGINT AS n_iv
+            FROM isl GROUP BY 1, 2)
+          SELECT user_id, sum(n_iv)::BIGINT AS n_intervals,
+            count(*)::BIGINT AS n_islands,
+            sum(i_end - i_start)::BIGINT AS covered_us,
+            max(i_end - i_start)::BIGINT AS max_island_us
+          FROM g GROUP BY 1 ORDER BY 1""",
     // q188: identical µs session labeling, U-shaped share table, and
     // HUGEINT-widened credit scaling; per-click truncation before the
     // hourly sum, exactly as the engine computes it

@@ -355,6 +355,114 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** q271 RBO persistence parameter (Webber/Moffat/Zobel 2010's p;
+    * 0.9 weights the top ~10 ranks — matched to bm25K).
+    */
+  private[graft] val rboP = BigDecimal("0.9")
+
+  /** Per-depth RBO weight (1−p)·p^(d−1) at the 10⁹ grain, computed in
+    * exact decimal arithmetic and embedded as the SAME integer literal
+    * in both engines (p = 9/10 makes every power a finite decimal, so
+    * FLOOR is the only rounding and it happens once, here, in Scala —
+    * neither engine ever evaluates a float power).
+    */
+  private[graft] def rboWeightE9(d: Int): Long =
+    ((BigDecimal(1) - rboP) * rboP.pow(d - 1) *
+      BigDecimal(1000000000L)).setScale(0, BigDecimal.RoundingMode.FLOOR)
+      .toLongExact
+
+  /** The depth→weight CASE fragment — one generated string fed to both
+    * Spark's `expr` and the DuckDB oracle (the q270 shared-string
+    * stance, here for integer literals).
+    */
+  private[graft] def rboWeightCaseSql: String =
+    (1 to bm25K).map(d => s"WHEN $d THEN ${rboWeightE9(d)}")
+      .mkString("CASE depth ", " ", " ELSE 0 END")
+
+  /** q271 — RANK-BIASED OVERLAP between the two q245 rankers (exact
+    * BM25 vs raw term frequency), per query and per depth: the
+    * standard top-weighted similarity of two rankings (Webber et al.
+    * 2010), the measurement a retrieval stack runs before swapping
+    * rankers ("how much does the new ranker actually move the top?").
+    * q245 FUSES the lists; this MEASURES their agreement — overlap(d) =
+    * |top-d ∩ top-d| via the max-rank trick (a doc is inside both
+    * depth-d prefixes iff max(rank_a, rank_b) ≤ d, so prefix
+    * intersections need no pairwise set ops, just one greatest() and a
+    * cumulative count), agreement(d) = overlap/d, and the truncated
+    * RBO prefix Σ_{d'≤d} (1−p)p^{d'−1}·agreement(d') in pure integers
+    * (weights are precomputed decimal-exact literals; per-term bound
+    * 10⁶·10⁸ = 10¹⁴, 10-term sum ≤ 6.6·10¹⁴ — BIGINT-safe).
+    *
+    * Scale shape: both rank passes are the SAME per-query windows q245
+    * runs (one shuffle on query_id); the depth spine and cumulative
+    * sums live on the (query × depth ≤ m) collapsed frame — bounded by
+    * queries × depth, never corpus rows. The (query_id, m) aggregate
+    * feeds both the spine and the counts, so its exchange is reused.
+    */
+  def rboOverlap(spark: SparkSession, dir: String): DataFrame =
+    rboCore(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — fixture seam. */
+  private[graft] def rboCore(docs: DataFrame): DataFrame = {
+    val byQ = Window.partitionBy("query_id")
+    val rBm = byQ.orderBy(desc("score_e6"), asc("doc_id"))
+    val rTf = byQ.orderBy(desc("tf_sum"), asc("doc_id"))
+    // per (query, first-depth-containing-doc) counts; m > bm25K rows
+    // are kept through the aggregate (bounded by per-query candidates)
+    // so the spine below sees every query, then dropped by the join
+    val perQm = bm25ScoresCore(docs)
+      .withColumn("rank_bm25", row_number().over(rBm).cast("long"))
+      .withColumn("rank_tf", row_number().over(rTf).cast("long"))
+      .select(col("query_id"),
+        greatest(col("rank_bm25"), col("rank_tf")).as("m"))
+      .groupBy("query_id", "m")
+      .agg(count(lit(1)).as("c"))
+    val spine = perQm.select("query_id").distinct()
+      .select(col("query_id"),
+        explode(expr(s"sequence(1L, ${bm25K}L)")).as("depth"))
+    val byDepth = Window.partitionBy("query_id").orderBy("depth")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(perQm.withColumnRenamed("query_id", "qid"),
+        spine("query_id") === col("qid") && col("m") === spine("depth"),
+        "left")
+      .select(col("query_id"), col("depth"),
+        coalesce(col("c"), lit(0L)).as("c0"))
+      .withColumn("overlap", sum("c0").over(byDepth))
+      .withColumn("agreement_ppm", expr("overlap * 1000000 div depth"))
+      .withColumn("weight_e9", expr(s"cast(($rboWeightCaseSql) as bigint)"))
+      .withColumn("rbo_cum_e15",
+        sum(expr("agreement_ppm * weight_e9")).over(byDepth))
+      .select("query_id", "depth", "overlap", "agreement_ppm", "weight_e9",
+        "rbo_cum_e15")
+      .orderBy("query_id", "depth")
+  }
+
+  /** q275 — LANGUAGE-ID CONFUSION MATRIX: q44 emits the per-doc
+    * prediction; this is the corpus-level evaluation every classifier
+    * audit reads — (actual, predicted) cells with row/column totals and
+    * conditional rates (the diagonal's row_rate is per-class recall,
+    * its col_rate per-class precision), all exact integers (counts +
+    * truncating ppm divisions over window totals).
+    *
+    * Scale: one hash agg to the ≤|langs|² cell frame; the totals are
+    * windows over that bounded frame (the q199 cell-frame stance).
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val byActual = Window.partitionBy("actual")
+    val byPred = Window.partitionBy("predicted")
+    Tables.documents(spark, dir)
+      .select(col("lang").as("actual"),
+        graft.expr.TextFunctions.langId(col("text")).as("predicted"))
+      .groupBy("actual", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum("n").over(byActual))
+      .withColumn("col_total", sum("n").over(byPred))
+      .withColumn("row_rate_ppm", expr("n * 1000000 div row_total"))
+      .withColumn("col_rate_ppm", expr("n * 1000000 div col_total"))
+      .orderBy("actual", "predicted")
+  }
+
   /** q109 — token CONCENTRATION per document: Herfindahl index and Gini
     * impurity of the unigram distribution, the distributional-diversity
     * quality signal (how dominated a doc is by few tokens — templated
@@ -853,6 +961,8 @@ object TextAnalysis {
     "q69_tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "q231_bm25_topk" -> (bm25TopK(_, _)),
     "q245_rrf_fusion" -> (rrfFusion(_, _)),
+    "q271_rbo_rank_overlap" -> (rboOverlap(_, _)),
+    "q275_langid_confusion" -> (langIdConfusion(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
@@ -956,6 +1066,32 @@ object TextAnalysis {
             sum((idf_e6::HUGEINT * tfp_e6) // 1000000)::BIGINT AS score_e6,
             sum(tf)::BIGINT AS tf_sum
           FROM sc GROUP BY 1, 2)"""
+
+  /** Shared q44/q275 prediction CTE: per-language hit counts over raw
+    * tokens; argmax, alphabetical tie-break (de,en,es,fr,zh), 'und'
+    * when all zero — mirrors TextFunctions.langId's fold. Ends in
+    * `p(doc_id, lang, predicted)`.
+    */
+  private lazy val langIdPredictedCte: String = {
+    val hits = langLexicons.toSeq.sortBy(_._1).map { case (lang, lex) =>
+      val inList = lex.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ws, w -> w IN ($inList))) AS h_$lang"
+    }.mkString(", ")
+    s"""WITH per AS (
+          SELECT doc_id, lang,
+            list_filter(string_split(text,' '), w -> w <> '') AS ws
+          FROM documents),
+        h AS (SELECT doc_id, lang, $hits FROM per),
+        p AS (
+          SELECT doc_id, lang,
+            CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                 WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                 WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                 WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                 WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                 ELSE 'zh' END AS predicted
+          FROM h)"""
+  }
 
   val oracles: Map[String, String] = Map(
     // q266: same checkpoint rule, first-seen = min(ckpt) per type,
@@ -1138,28 +1274,24 @@ object TextAnalysis {
               + (1.0 - (CASE WHEN n = 0 THEN 0.0
                              ELSE nstop::DOUBLE / n END)) * 0.2, 6) AS quality
           FROM m ORDER BY doc_id""",
-    "q44_lang_id" -> {
-      // per-language hit counts over raw tokens; argmax, alphabetical
-      // tie-break (de,en,es,fr,zh), 'und' when all zero — mirrors
-      // TextFunctions.langId's fold.
-      val hits = langLexicons.toSeq.sortBy(_._1).map { case (lang, lex) =>
-        val inList = lex.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(ws, w -> w IN ($inList))) AS h_$lang"
-      }.mkString(", ")
-      s"""WITH per AS (
-            SELECT doc_id, lang,
-              list_filter(string_split(text,' '), w -> w <> '') AS ws
-            FROM documents),
-          h AS (SELECT doc_id, lang, $hits FROM per)
-          SELECT doc_id, lang,
-            CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
-                 WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
-                 WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
-                 WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
-                 WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
-                 ELSE 'zh' END AS predicted
-          FROM h ORDER BY doc_id"""
-    },
+    "q44_lang_id" ->
+      s"""$langIdPredictedCte
+          SELECT doc_id, lang, predicted FROM p ORDER BY doc_id""",
+    // q275: same per-doc argmax as q44, then the bounded cell frame
+    // with window totals and truncating ppm rates
+    "q275_langid_confusion" ->
+      s"""$langIdPredictedCte,
+          cells AS (
+            SELECT lang AS actual, predicted, count(*)::BIGINT AS n
+            FROM p GROUP BY 1, 2)
+          SELECT actual, predicted, n,
+            sum(n) OVER (PARTITION BY actual)::BIGINT AS row_total,
+            sum(n) OVER (PARTITION BY predicted)::BIGINT AS col_total,
+            (n * 1000000 // sum(n) OVER (PARTITION BY actual))::BIGINT
+              AS row_rate_ppm,
+            (n * 1000000 // sum(n) OVER (PARTITION BY predicted))::BIGINT
+              AS col_rate_ppm
+          FROM cells ORDER BY actual, predicted""",
     "q45_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix
          FROM documents ORDER BY doc_id""",
@@ -1320,6 +1452,41 @@ object TextAnalysis {
             FROM fused)
           SELECT query_id, rank, doc_id, rank_bm25, rank_tf, rrf_e9
           FROM rk WHERE rank <= $bm25K ORDER BY query_id, rank"""),
+    // q271: same shared score CTE, same max-rank prefix-membership
+    // trick, same depth spine and cumulative windows, same decimal-
+    // exact weight literals (the CASE fragment is the SAME generated
+    // string both engines execute)
+    "q271_rbo_rank_overlap" ->
+      (bm25ScoresCte +
+        s""", rr AS (
+            SELECT query_id, greatest(
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score_e6 DESC, doc_id),
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY tf_sum DESC, doc_id))::BIGINT AS m
+            FROM s2),
+          pm AS (SELECT query_id, m, count(*)::BIGINT AS c
+                 FROM rr GROUP BY 1, 2),
+          spine AS (
+            SELECT query_id, d.depth FROM
+              (SELECT DISTINCT query_id FROM pm),
+              (SELECT unnest(range(1, $bm25K + 1))::BIGINT AS depth) d),
+          j AS (
+            SELECT s.query_id, s.depth, coalesce(pm.c, 0)::BIGINT AS c0
+            FROM spine s LEFT JOIN pm
+              ON pm.query_id = s.query_id AND pm.m = s.depth),
+          o AS (
+            SELECT query_id, depth,
+              sum(c0) OVER (PARTITION BY query_id ORDER BY depth)::BIGINT
+                AS overlap
+            FROM j)
+          SELECT query_id, depth, overlap,
+            (overlap * 1000000 // depth)::BIGINT AS agreement_ppm,
+            ($rboWeightCaseSql)::BIGINT AS weight_e9,
+            sum((overlap * 1000000 // depth) * ($rboWeightCaseSql))
+              OVER (PARTITION BY query_id ORDER BY depth)::BIGINT
+              AS rbo_cum_e15
+          FROM o ORDER BY query_id, depth"""),
     "q69_tfidf_top_terms" ->
       s"""WITH t AS (
            SELECT doc_id, w AS term FROM (

@@ -523,6 +523,27 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       ("c", 4L, 0L, "edge")))
   }
 
+  test("q272 hour seasonality: zero-day means, min rule, and shares on " +
+    "a hand fixture") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val hourUs = 3600000000L
+    // day 0 hour 0 ×2, day 0 hour 1 ×1, day 2 hour 0 ×1 → day range
+    // 0..2 (n_days = 3, day 1 silent)
+    val ev = Seq(0L * hourUs, 0L * hourUs + 1, 1L * hourUs,
+      2L * dayUs).toDF("tsu")
+    val out = Behavior.hourSeasonalityCore(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    assert(out.toSeq === Seq(
+      // hour 0: 3 events over 2 active days of 3 → mean 1e6, share 3/4,
+      // min over the RANGE is 0 (day 1 had none), peak dev 2e6−1e6
+      (0L, 3L, 2L, 3L, 1000000L, 750000L, 2L, 0L, 1000000L),
+      // hour 1: 1 event on 1 of 3 days → mean 333333, share 1/4
+      (1L, 1L, 1L, 3L, 333333L, 250000L, 1L, 0L, 666667L)))
+  }
+
   test("q237: two-factor OLS recovers exact coefficients on a " +
     "perfect-fit fixture") {
     import spark.implicits._

@@ -256,6 +256,64 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     fusedBm1.foreach { case (q, d) => assert(bmTop(q) == d) }
   }
 
+  test("q271 RBO: weights are the exact decimal series and the overlap " +
+      "curve equals an independent in-JVM prefix intersection") {
+    // decimal-exact weights: (1-p)p^(d-1) at 1e9, p = 0.9
+    assert(TextAnalysis.rboWeightE9(1) == 100000000L)
+    assert(TextAnalysis.rboWeightE9(2) == 90000000L)
+    assert(TextAnalysis.rboWeightE9(10) == 38742048L)
+    val out = TextAnalysis.rboOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // independent replication: collect the shared score frame, rank in
+    // plain Scala, intersect explicit prefixes
+    val scored = TextAnalysis.bm25ScoresCore(
+        graft.Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("score_e6"), r.getLong(4)))
+      .groupBy(_._1)
+    val wantOverlap = scored.flatMap { case (q, rows) =>
+      val byBm = rows.sortBy(r => (-r._3, r._2)).map(_._2)
+      val byTf = rows.sortBy(r => (-r._4, r._2)).map(_._2)
+      (1 to TextAnalysis.bm25K).map { d =>
+        (q, d.toLong) ->
+          byBm.take(d).toSet.intersect(byTf.take(d).toSet).size.toLong
+      }
+    }
+    out.foreach { case (q, d, overlap, agree, w, cum) =>
+      assert(overlap == wantOverlap((q, d)),
+        s"query $q depth $d: overlap $overlap != ${wantOverlap((q, d))}")
+      assert(agree == overlap * 1000000L / d)
+      assert(w == TextAnalysis.rboWeightE9(d.toInt))
+    }
+    // cumulative identity per query
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      val cums = sorted.scanLeft(0L)((acc, r) => acc + r._4 * r._5).tail
+      assert(sorted.map(_._6).toSeq === cums.toSeq)
+    }
+  }
+
+  test("q275 lang-ID confusion: cells equal a regrouped q44 and rates " +
+      "are the truncating window divisions") {
+    val preds = TextAnalysis.langIdPredictions(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val want = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val out = TextAnalysis.langIdConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.map(_._3).sum === preds.length.toLong)
+    val rowTot = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colTot = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    out.foreach { case (a, p, n, rt, ct, rr, cr) =>
+      assert(n === want((a, p)))
+      assert(rt === rowTot(a) && ct === colTot(p))
+      assert(rr === n * 1000000L / rt && cr === n * 1000000L / ct)
+    }
+  }
+
   test("q247 levenshtein near-dups: planted edit found, cross-block " +
       "pair skipped by design") {
     import graft.ops.Dedup

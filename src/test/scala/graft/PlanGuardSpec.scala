@@ -77,6 +77,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // round-12: same shared BM25 score frame (bm25ScoresCore), same
     // single-row stats broadcast, consumed by the rank fusion
     "q245_rrf_fusion",
+    // round-12: same bm25ScoresCore single-row stats broadcast,
+    // consumed by the rank-biased-overlap depth spine
+    "q271_rbo_rank_overlap",
     // round-12: the contingency grid is margins × margins × total —
     // every broadcast side is vocabulary-sized (|segs|, |prios|) or the
     // single totals row, never data-scale

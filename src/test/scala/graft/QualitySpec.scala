@@ -306,6 +306,26 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       (2L, 12L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("q273 contribution caps: power-of-two buckets, clip algebra, and " +
+    "mass conservation on a hand fixture") {
+    import spark.implicits._
+    // user a: 1 row (bucket 1), b: 3 rows (bucket 2), c: 40 rows
+    // (bucket 32, clipped 40→32)
+    val rows = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(40)("c"))
+      .toDF("user_id")
+    val out = Quality.contributionCapsCore(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 1L, 0L, 1L, 1000000L),
+      (2L, 1L, 3L, 3L, 0L, 3L, 1000000L),
+      (32L, 1L, 40L, 32L, 8L, 40L, 800000L)))
+    // kept + clipped = rows, always
+    out.foreach { case (_, _, n, kept, clipped, _, _) =>
+      assert(kept + clipped === n)
+    }
+  }
+
   test("q261 k-anonymity audit: cell mass equals the join, flags match " +
     "their own thresholds, l never exceeds k") {
     val cells = Quality.kAnonymityAudit(spark, sf).collect()

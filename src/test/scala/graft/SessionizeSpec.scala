@@ -264,6 +264,25 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
       assert(got(h) === peaks(h), s"hour $h: got ${got(h)} want ${peaks(h)}")
   }
 
+  test("q274 interval union: overlap and abutment merge, gaps split, " +
+    "coverage is union length not summed lengths") {
+    import spark.implicits._
+    val iv = Seq(
+      // user 1: [0,10) ∪ [5,20) ∪ [20,30) merge (overlap, then
+      // abutment); [40,50) is its own island
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 20L), (1L, 3L, 20L, 30L),
+      (1L, 4L, 40L, 50L),
+      // user 2: one interval
+      (2L, 5L, 7L, 9L))
+      .toDF("user_id", "event_id", "s", "e")
+    val out = Sessionization.intervalUnionCore(iv).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 2L, 40L, 30L),
+      (2L, 1L, 1L, 2L, 2L)))
+  }
+
   test("q235: native session_window reproduces q27's sessions exactly " +
     "(bounds, counts, durations)") {
     val viaLag = Sessionization.sessions(spark, sf)
