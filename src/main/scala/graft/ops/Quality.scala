@@ -810,6 +810,37 @@ object Quality {
           .as("uncertainty_ppm2"))
   }
 
+  /** q277 — EXPECTED CALIBRATION ERROR: the L1 companion to q269's
+    * Murphy decomposition and THE calibration number model evals
+    * report — ECE = Σ_b (n_b/N)·|f_b − o_b| over forecast-value groups
+    * plus MCE (the worst group's gap). q269's reliability term squares
+    * the gaps (variance-flavored); ECE is the expected absolute
+    * miscalibration a consumer of the scores actually experiences.
+    * Same exactness rules as q269: value-grain o_b truncates once per
+    * group, weighted sums ride DECIMAL(38,0), one final integral div.
+    *
+    * Scale: one hash agg to the ≤1001-row forecast-value grain, then a
+    * single-row aggregate. Nothing row-scaled after the first agg.
+    */
+  def calibrationError(spark: SparkSession, dir: String): DataFrame =
+    calibrationErrorCore(
+      Tables.documents(spark, dir).select(col("n_chars"), col("lang")))
+
+  /** Core over any (n_chars, lang) frame — fixture seam. */
+  private[graft] def calibrationErrorCore(docs: DataFrame): DataFrame =
+    docs.filter(col("n_chars").isNotNull)
+      .select(least(col("n_chars") * 1000, lit(1000000L)).as("f_ppm"),
+        when(col("lang") === brierPosLang, 1L).otherwise(0L).as("y"))
+      .groupBy("f_ppm")
+      .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"))
+      .withColumn("o_ppm",
+        expr("CAST(CAST(pos_b AS DECIMAL(38,0)) * 1000000 div n_b AS BIGINT)"))
+      .agg(
+        sum("n_b").as("n_rows"),
+        expr("""CAST(sum(CAST(n_b AS DECIMAL(38,0)) * abs(f_ppm - o_ppm))
+                div sum(n_b) AS BIGINT)""").as("ece_ppm"),
+        max(abs(col("f_ppm") - col("o_ppm"))).as("mce_ppm"))
+
   /** q270 sample-count floor: pass@k needs n ≥ max(k). */
   private[graft] val passKs = Seq(1, 5, 10)
 
@@ -861,6 +892,7 @@ object Quality {
     "q273_contribution_caps" -> (contributionCaps(_, _)),
     "q269_brier_decomposition" -> (brierDecomposition(_, _)),
     "q270_pass_at_k" -> (passAtKEstimates(_, _)),
+    "q277_calibration_error" -> (calibrationError(_, _)),
     "q228_calibration_curve" -> (calibrationCurve(_, _)),
     "q210_source_mix_tv" -> (sourceMixTv(_, _)),
     "q205_auc_rank" -> (aucRank(_, _)),
@@ -921,6 +953,23 @@ object Quality {
                // max(n_tot))::BIGINT AS resolution_ppm2,
             (max(obar_ppm) * (1000000 - max(obar_ppm)))::BIGINT
               AS uncertainty_ppm2
+          FROM e""",
+    // q277: same saturating forecast rule and value-grain o_ppm as
+    // q269, HUGEINT weighted |gaps|, one final integral div
+    "q277_calibration_error" ->
+      s"""WITH g AS (
+            SELECT least(n_chars * 1000, 1000000) AS f_ppm,
+              count(*)::HUGEINT AS n_b,
+              sum(CASE WHEN lang = '$brierPosLang' THEN 1 ELSE 0 END)::HUGEINT
+                AS pos_b
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+          e AS (
+            SELECT f_ppm, n_b, pos_b,
+              pos_b * 1000000 // n_b AS o_ppm
+            FROM g)
+          SELECT sum(n_b)::BIGINT AS n_rows,
+            (sum(n_b * abs(f_ppm - o_ppm)) // sum(n_b))::BIGINT AS ece_ppm,
+            max(abs(f_ppm - o_ppm))::BIGINT AS mce_ppm
           FROM e""",
     // q270: same problem-grain counts; the estimator fragment is the
     // SAME generated string both engines execute (see passAtKSql)

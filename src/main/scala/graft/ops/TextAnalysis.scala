@@ -438,6 +438,49 @@ object TextAnalysis {
       .orderBy("query_id", "depth")
   }
 
+  /** q276 — COHEN'S KAPPA: the chance-corrected agreement between the
+    * q44 heuristic labeler and the stored lang label — the single
+    * number an annotation/autolabel pipeline gates on (raw accuracy
+    * flatters a labeler that just predicts the majority class; kappa
+    * subtracts the marginal-product chance agreement). One row:
+    * observed agreement po, expected agreement pe = Σ_k row_k·col_k/N²,
+    * and kappa = (po − pe)/(1 − pe), each a truncating ppm division of
+    * exact integers (the Σ row·col cross terms ride DECIMAL(38,0) —
+    * N² ppm wraps a BIGINT past ~3·10⁶ rows).
+    *
+    * Scale: the cell frame is ≤|langs|² (one hash agg); the marginal
+    * join and the three single-row frames are dimension-sized — the
+    * q229 single-row broadcast class.
+    */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang").as("actual"),
+        graft.expr.TextFunctions.langId(col("text")).as("predicted"))
+      .groupBy("actual", "predicted")
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(
+      sum("n").as("n_rows"),
+      sum(when(col("actual") === col("predicted"), col("n"))
+        .otherwise(0L)).as("n_agree"))
+    val rt = cells.groupBy("actual").agg(sum("n").as("rt"))
+    val ct = cells.groupBy("predicted").agg(sum("n").as("ct"))
+    val peNum = rt.join(ct, col("actual") === col("predicted"), "full")
+      .agg(sum(expr("""cast(coalesce(rt, 0) as decimal(38,0))
+                       * coalesce(ct, 0)""")).as("pe_num"))
+    tot.crossJoin(broadcast(peNum))
+      .select(
+        col("n_rows"), col("n_agree"),
+        expr("n_agree * 1000000 div n_rows").as("po_ppm"),
+        expr("""cast(pe_num * 1000000
+                div (cast(n_rows as decimal(38,0)) * n_rows)
+                as bigint)""").as("pe_ppm"))
+      .select(col("n_rows"), col("n_agree"), col("po_ppm"), col("pe_ppm"),
+        // nullif: a degenerate single-class frame has pe = 1 — kappa
+        // is undefined there, not a division error
+        expr("(po_ppm - pe_ppm) * 1000000 div nullif(1000000 - pe_ppm, 0)")
+          .as("kappa_ppm"))
+  }
+
   /** q275 — LANGUAGE-ID CONFUSION MATRIX: q44 emits the per-doc
     * prediction; this is the corpus-level evaluation every classifier
     * audit reads — (actual, predicted) cells with row/column totals and
@@ -963,6 +1006,7 @@ object TextAnalysis {
     "q245_rrf_fusion" -> (rrfFusion(_, _)),
     "q271_rbo_rank_overlap" -> (rboOverlap(_, _)),
     "q275_langid_confusion" -> (langIdConfusion(_, _)),
+    "q276_cohens_kappa" -> (cohensKappa(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
@@ -1292,6 +1336,34 @@ object TextAnalysis {
             (n * 1000000 // sum(n) OVER (PARTITION BY predicted))::BIGINT
               AS col_rate_ppm
           FROM cells ORDER BY actual, predicted""",
+    // q276: same cells, same full-outer marginal cross terms in
+    // HUGEINT, same truncating ppm chain with the nullif guard
+    "q276_cohens_kappa" ->
+      s"""$langIdPredictedCte,
+          cells AS (
+            SELECT lang AS actual, predicted, count(*)::BIGINT AS n
+            FROM p GROUP BY 1, 2),
+          tot AS (
+            SELECT sum(n)::BIGINT AS n_rows,
+              sum(CASE WHEN actual = predicted THEN n ELSE 0 END)::BIGINT
+                AS n_agree
+            FROM cells),
+          rt AS (SELECT actual, sum(n)::BIGINT AS rt FROM cells GROUP BY 1),
+          ct AS (SELECT predicted, sum(n)::BIGINT AS ct
+                 FROM cells GROUP BY 1),
+          pe AS (
+            SELECT sum(coalesce(rt, 0)::HUGEINT * coalesce(ct, 0)) AS pe_num
+            FROM rt FULL JOIN ct ON rt.actual = ct.predicted),
+          k AS (
+            SELECT n_rows, n_agree,
+              (n_agree * 1000000 // n_rows)::BIGINT AS po_ppm,
+              (pe_num * 1000000 // (n_rows::HUGEINT * n_rows))::BIGINT
+                AS pe_ppm
+            FROM tot, pe)
+          SELECT n_rows, n_agree, po_ppm, pe_ppm,
+            ((po_ppm - pe_ppm) * 1000000
+              // nullif(1000000 - pe_ppm, 0))::BIGINT AS kappa_ppm
+          FROM k""",
     "q45_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix
          FROM documents ORDER BY doc_id""",

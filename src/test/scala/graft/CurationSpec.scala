@@ -314,6 +314,25 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q276 Cohen's kappa: po/pe/kappa equal an in-JVM replication " +
+      "from the q44 predictions") {
+    val preds = TextAnalysis.langIdPredictions(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val n = preds.length.toLong
+    val agree = preds.count { case (a, p) => a == p }.toLong
+    val rt = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val peNum = (rt.keySet ++ ct.keySet).toSeq
+      .map(k => BigInt(rt.getOrElse(k, 0L)) * BigInt(ct.getOrElse(k, 0L)))
+      .sum
+    val po = agree * 1000000L / n
+    val pe = (peNum * 1000000 / (BigInt(n) * BigInt(n))).toLong
+    val kappa = (po - pe) * 1000000L / (1000000L - pe)
+    val r = TextAnalysis.cohensKappa(spark, sf).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((n, agree, po, pe, kappa)))
+  }
+
   test("q247 levenshtein near-dups: planted edit found, cross-block " +
       "pair skipped by design") {
     import graft.ops.Dedup

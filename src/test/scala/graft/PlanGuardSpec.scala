@@ -80,6 +80,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // round-12: same bm25ScoresCore single-row stats broadcast,
     // consumed by the rank-biased-overlap depth spine
     "q271_rbo_rank_overlap",
+    // round-12: single-row (pe_num) marginal-cross-terms broadcast
+    // joined to the single totals row (q229's totals-row pattern)
+    "q276_cohens_kappa",
     // round-12: the contingency grid is margins × margins × total —
     // every broadcast side is vocabulary-sized (|segs|, |prios|) or the
     // single totals row, never data-scale

@@ -287,6 +287,20 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(1) === r.getLong(2) - r.getLong(3) + r.getLong(4))
   }
 
+  test("q277 ECE: weighted absolute gaps on the q269 fixture") {
+    val s = spark
+    import s.implicits._
+    // same cells as the q269 fixture: f=100000 (n=4, o=500000) gap
+    // 400000; f=500000 (n=1, o=1000000) gap 500000 →
+    // ECE = (4·400000 + 500000)/5 = 420000, MCE = 500000
+    val docs = Seq(
+      (100L, "en"), (100L, "en"), (100L, "de"), (100L, "de"),
+      (500L, "en")).toDF("n_chars", "lang")
+    val r = Quality.calibrationErrorCore(docs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((5L, 420000L, 500000L)))
+  }
+
   test("q270 pass@k: hand-computed estimator, short problems filtered, " +
     "zero-correct is exactly zero") {
     val s = spark
