@@ -71,6 +71,60 @@ object Behavior {
       .orderBy("user_id")
   }
 
+  /** q278 per-step conversion deadline (1 h). */
+  private[graft] val funnelWindowUs = 3600000000L
+
+  /** q278 — WINDOWED FUNNEL: q76 with a per-step conversion deadline —
+    * each stage must land within [[funnelWindowUs]] of the PREVIOUS
+    * stage's matched event, the form every product-analytics funnel
+    * actually runs ("purchased within an hour of clicking", not
+    * "eventually"). Semantics are first-touch greedy, stated
+    * explicitly: stage k matches its EARLIEST qualifying event, and
+    * stage k+1's window anchors there — a user a later anchor would
+    * have converted is counted as dropped, exactly as the standard
+    * analytics engines count it (deterministic, and the oracle replays
+    * the same rule; maximizing depth over anchor choices is a
+    * different, quadratic problem).
+    *
+    * Scale: q76's chain shape verbatim — stage mins and re-joins all
+    * ride one user_id hash partitioning; the carried frame is one row
+    * per surviving user and shrinks monotonically.
+    */
+  def windowedFunnel(spark: SparkSession, dir: String): DataFrame =
+    windowedFunnelCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def windowedFunnelCore(
+      ev: DataFrame,
+      stages: Seq[String] = defaultFunnelStages,
+      windowUs: Long = funnelWindowUs): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, s"funnel stages must be distinct: $stages")
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("tsu").as(s"${stages.head}_tsu"))
+    val times = stages.tail.scanLeft(first) { case (prev, st) =>
+      val prevTsu = prev.columns.last
+      ev.filter(col("event_type") === st)
+        .join(prev, "user_id")
+        .filter(col("tsu") >= col(prevTsu)
+          && col("tsu") <= col(prevTsu) + windowUs)
+        .groupBy("user_id").agg(min("tsu").as(s"${st}_tsu"))
+    }
+    val joined = times.tail.foldLeft(first)(_.join(_, Seq("user_id"), "left_outer"))
+    val depth = stages.tail
+      .map(st => when(col(s"${st}_tsu").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1): org.apache.spark.sql.Column)(_ + _)
+    joined
+      .withColumn("stage", depth.cast("long"))
+      // missed stages carry 0, never NULL: a nullable BIGINT re-hydrates
+      // as float64+NaN in the driver's pandas compare (the q104-class
+      // trap) — unlike q76, the deadline really does drop converters, so
+      // NULLs WOULD appear here; `stage` already encodes which are unset
+      .select(col("user_id") +: stages.map(st =>
+        coalesce(col(s"${st}_tsu"), lit(0L)).as(s"${st}_tsu"))
+        :+ col("stage"): _*)
+      .orderBy("user_id")
+  }
+
   private val dayUs = 86400000000L
 
   /** q77 — cohort retention: users grouped by first-active day; for
@@ -1125,6 +1179,7 @@ object Behavior {
     "q120_activity_heatmap" -> (activityHeatmap(_, _)),
     "q272_hour_seasonality" -> (hourSeasonality(_, _)),
     "q76_funnel" -> (funnel(_, _)),
+    "q278_windowed_funnel" -> (windowedFunnel(_, _)),
     "q77_cohort_retention" -> (cohortRetention(_, _)),
     "q106_event_transitions" -> (eventTransitions(_, _)),
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
@@ -1683,6 +1738,37 @@ object Behavior {
          JOIN s sa ON type_a = sa.event_type
          JOIN s sb ON type_b = sb.event_type
          ORDER BY jaccard DESC, type_a, type_b""",
+    // q278: q76's chain with the per-step deadline on each join —
+    // same first-touch greedy anchors, same µs arithmetic
+    "q278_windowed_funnel" ->
+      s"""WITH ev AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_type
+           FROM events WHERE ts IS NOT NULL),
+         s AS (
+           SELECT user_id, min(tsu) AS signup_tsu
+           FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.tsu) AS click_tsu
+           FROM ev e JOIN s ON e.user_id = s.user_id
+             AND e.tsu >= s.signup_tsu
+             AND e.tsu <= s.signup_tsu + $funnelWindowUs
+           WHERE e.event_type = 'click' GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.tsu) AS purchase_tsu
+           FROM ev e JOIN c ON e.user_id = c.user_id
+             AND e.tsu >= c.click_tsu
+             AND e.tsu <= c.click_tsu + $funnelWindowUs
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT s.user_id, s.signup_tsu,
+           COALESCE(c.click_tsu, 0) AS click_tsu,
+           COALESCE(p.purchase_tsu, 0) AS purchase_tsu,
+           (1 + CASE WHEN c.click_tsu IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.purchase_tsu IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS stage
+         FROM s
+         LEFT JOIN c ON s.user_id = c.user_id
+         LEFT JOIN p ON s.user_id = p.user_id
+         ORDER BY s.user_id""",
     "q76_funnel" ->
       """WITH ev AS (
            SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_type

@@ -36,7 +36,13 @@ object Dedup {
     * Tables.spread).
     */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(spark, dir))
+    shingleRowsOf(Tables.documents(spark, dir))
+
+  /** Same relation over any (doc_id, lang, text) frame — the seam the
+    * synthetic-scale bench (tools.DedupScaleBench) drives.
+    */
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame =
+    Tables.spread(docs)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(shingles(TextFunctions.tokens(col("text")), shingleSize)))
           .as("sh"))
@@ -68,7 +74,11 @@ object Dedup {
     * shingle equi-join; Jaccard is computed over the same capped sets so
     * the metric is self-consistent (documented engine semantics).
     */
-  def jaccardPairs(spark: SparkSession, dir: String, minJ: Double = minJaccard): DataFrame = {
+  def jaccardPairs(spark: SparkSession, dir: String, minJ: Double = minJaccard): DataFrame =
+    jaccardPairsCore(Tables.documents(spark, dir), minJ)
+
+  /** Core over any (doc_id, lang, text) frame — bench/fixture seam. */
+  private[graft] def jaccardPairsCore(docs: DataFrame, minJ: Double = minJaccard): DataFrame = {
     // df-cap via hash-agg hot-shingle table + anti-join, NOT a
     // count().over(Window.partitionBy("sh")): the window sort-shuffles
     // the FULL shingle relation with one partition per shingle value —
@@ -91,7 +101,7 @@ object Dedup {
     // distribution, so the join adds no further exchange. Without this
     // the shingle map stage re-runs per consumer — and on a
     // footer-packed single parquet file it runs single-core each time.
-    val rows = shingleRows(spark, dir).repartition(col("sh"))
+    val rows = shingleRowsOf(docs).repartition(col("sh"))
     val hot = rows.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
@@ -337,8 +347,12 @@ object Dedup {
     * map-side partial min means the shuffle carries one row per doc per
     * partition, not one per shingle.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val base = shingleRows(spark, dir)
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesCore(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, lang, text) frame — bench/fixture seam. */
+  private[graft] def minhashSignaturesCore(docs: DataFrame): DataFrame = {
+    val base = shingleRowsOf(docs)
       .withColumn("h", pmod(xxhash64(col("sh")), lit(prime)))
     val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(prime))).as(s"mh_$i")
@@ -356,13 +370,17 @@ object Dedup {
     * fraction of matching signature positions; candidates are then kept
     * at ≥ `minEst`.
     */
-  def lshCandidates(spark: SparkSession, dir: String, minEst: Double = 0.5): DataFrame = {
+  def lshCandidates(spark: SparkSession, dir: String, minEst: Double = 0.5): DataFrame =
+    lshCandidatesCore(Tables.documents(spark, dir), minEst)
+
+  /** Core over any (doc_id, lang, text) frame — bench/fixture seam. */
+  private[graft] def lshCandidatesCore(docs: DataFrame, minEst: Double = 0.5): DataFrame = {
     val numBands = numHashes / bandSize
     // no persist: both self-join sides are identical subtrees, and
     // Catalyst's ReuseExchange computes the signature aggregation once —
     // caching would replace that with a costlier materialization
     // (measured 2× slower at sf0.1)
-    val sigs = minhashSignatures(spark, dir)
+    val sigs = minhashSignaturesCore(docs)
     val banded = sigs.select(
       col("doc_id"), col("signature"),
       explode(array((0 until numBands).map(bnd =>
@@ -409,9 +427,13 @@ object Dedup {
     * pair must agree on at least one of four 16-bit bands), verify by
     * Hamming distance — bucket-join, not all-pairs.
     */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsCore(Tables.documents(spark, dir), maxHamming)
+
+  /** Core over any (doc_id, text) frame — bench/fixture seam. */
+  private[graft] def simhashPairsCore(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // no persist — ReuseExchange dedupes the identical self-join sides
-    val sigs = Tables.spread(Tables.documents(spark, dir))
+    val sigs = Tables.spread(docs)
       .select(col("doc_id"),
         SimHash64(TextFunctions.filteredTokens(col("text"))).as("simhash"))
     val banded = sigs.select(col("doc_id"), col("simhash"),

@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Dev harness: measure the DEDUP family's candidate volume and recall
+  * at synthetic scale — completing the measured-scale trilogy
+  * (GraphScaleBench round 11, AnnScaleBench round 12) for the third
+  * big family whose 100-TB argument SCALE.md makes analytically: the
+  * shingle-join/df-cap (q52), banded MinHash LSH (q54), and SimHash
+  * sub-band blocking (q56) candidate generators must stay near-linear
+  * in corpus size, never approach the n²/2 all-pairs count, and still
+  * find the planted near-duplicates.
+  *
+  * Corpus: deterministic Zipf-ish token stream — token id =
+  * (x·x) div vocab for x = xxhash64(doc, pos) mod vocab, so density
+  * rises toward small ids (a heavy head that actually exercises the
+  * df-cap the way natural text does; uniform tokens would make every
+  * shingle unique and the join trivially empty). Every `dupEvery`-th
+  * doc copies its predecessor with ~`mutPct`% of positions re-rolled —
+  * the planted near-dup pairs whose recall is measured. All content is
+  * a pure function of (doc_id, pos): every run sees the same corpus.
+  *
+  * Per corpus size N, per method: wall time, candidate-pair count
+  * (the scale driver), candidates as a fraction of all-pairs, and
+  * planted-pair recall at the method's production threshold
+  * (Jaccard ≥ 0.5 on capped shingles / LSH est ≥ 0.5 / Hamming ≤ 3).
+  * The REGISTERED kernels run verbatim through their core seams — the
+  * bench swaps only the input frame.
+  *
+  * Usage: runMain graft.tools.DedupScaleBench [N1,N2,...]
+  * (default 50000,200000). Results land in SCALE.md.
+  */
+object DedupScaleBench {
+  val docLen = 40
+  val vocab = 50000
+  val dupEvery = 50
+  val mutPct = 3 // ≈1.2 of 40 positions re-rolled per planted dup
+
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("50000,200000")
+      .split(",").map(_.trim.toLong)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (n <- sizes) {
+      val docs = synthDocs(spark, n).localCheckpoint(true)
+      val planted = docs.filter(col("doc_id") % dupEvery === 1
+        && col("doc_id") > 0).count()
+      val allPairs = n * (n - 1) / 2
+      println(s"[dscale] --- N=$n docs ($docLen tokens, vocab $vocab, " +
+        s"$planted planted near-dups) ---")
+
+      // q52 kernel, threshold 0 → the full candidate relation (pairs
+      // sharing ≥1 capped shingle), with the verified Jaccard attached
+      report("jaccard", n, allPairs, planted,
+        () => Dedup.jaccardPairsCore(docs, 0.0),
+        col("jaccard") >= 0.5)
+
+      // q54 kernel, est floor 0 → every first-band bucket collision
+      report("lsh", n, allPairs, planted,
+        () => Dedup.lshCandidatesCore(docs, 0.0),
+        col("est_jaccard") >= 0.5)
+
+      // q56 kernel, Hamming cap 64 → every first-sub-band collision
+      report("simhash", n, allPairs, planted,
+        () => Dedup.simhashPairsCore(docs, 64),
+        col("hamming") <= 3)
+    }
+    spark.stop()
+  }
+
+  /** Run one candidate generator, count candidates and planted-pair
+    * recall at the production predicate, print one line.
+    */
+  private def report(name: String, n: Long, allPairs: Long, planted: Long,
+                     gen: () => DataFrame,
+                     accept: org.apache.spark.sql.Column): Unit = {
+    val t0 = System.nanoTime()
+    val out = gen().localCheckpoint(true)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val isPlanted = col("doc_b") === col("doc_a") + 1 &&
+      col("doc_b") % dupEvery === 1
+    val row = out.agg(
+      count(lit(1)).as("cand"),
+      count(when(isPlanted && accept, 1)).as("hit")).head()
+    val (cand, hit) = (row.getLong(0), row.getLong(1))
+    println(f"[dscale] N=$n $name%-8s ${secs}%7.2f s  " +
+      f"candidates=$cand%9d (${cand.toDouble / allPairs}%.2e of all-pairs" +
+      f", ${cand.toDouble / n}%.2f per doc)  " +
+      f"recall=${hit.toDouble / planted}%.3f")
+  }
+
+  /** Deterministic corpus: every token a pure function of
+    * (effective doc, pos); planted dups re-roll ~mutPct% of positions.
+    */
+  private[graft] def synthDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n)
+      .select(col("id"), explode(expr(s"sequence(1, $docLen)")).as("pos"))
+      .withColumn("is_dup", col("id") % dupEvery === 1 && col("id") > 0)
+      // positions where a planted dup diverges from its predecessor
+      .withColumn("mutated",
+        pmod(xxhash64(col("id"), col("pos"), lit("m")), lit(100)) < mutPct)
+      .withColumn("src",
+        when(col("is_dup") && !col("mutated"), col("id") - 1)
+          .otherwise(col("id")))
+      .withColumn("x", pmod(xxhash64(col("src"), col("pos")), lit(vocab.toLong)))
+      .withColumn("tok", concat(lit("t"), expr(s"(x * x) div $vocab")))
+      .groupBy(col("id").as("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("text"))
+      .select(col("doc_id"), lit("en").as("lang"), col("text"))
+}

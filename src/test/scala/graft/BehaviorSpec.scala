@@ -523,6 +523,30 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       ("c", 4L, 0L, "edge")))
   }
 
+  test("q278 windowed funnel: deadline drops the slow converter, " +
+    "greedy anchor is the earliest qualifying event") {
+    import spark.implicits._
+    val H = 3600000000L
+    val ev = Seq(
+      // user 1: click 30 min after signup, purchase 30 min after click
+      // → full depth
+      (1L, "signup", 0L), (1L, "click", H / 2), (1L, "purchase", H),
+      // user 2: click 2 h after signup → q76 would advance, q278 drops
+      (2L, "signup", 0L), (2L, "click", 2 * H), (2L, "purchase", 3 * H),
+      // user 3: two clicks — the EARLY one anchors; purchase within
+      // the late click's window only → dropped under greedy anchoring
+      (3L, "signup", 0L), (3L, "click", 1L), (3L, "click", H - 1),
+      (3L, "purchase", 2 * H - 2))
+      .toDF("user_id", "event_type", "tsu")
+    val out = Behavior.windowedFunnelCore(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+    // the unwindowed funnel advances users 2 and 3 all the way
+    val plain = Behavior.funnelCore(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(plain === Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("q272 hour seasonality: zero-day means, min rule, and shares on " +
     "a hand fixture") {
     import spark.implicits._
