@@ -450,6 +450,67 @@ object Behavior {
       .orderBy("hour")
   }
 
+  /** q282 lags (days): adjacent days + the weekly echo. */
+  private[graft] val acfLags = Seq(1L, 2L, 3L, 7L)
+
+  /** q282 — AUTOCORRELATION PROFILE of the daily event count at fixed
+    * lags (1/2/3/7 days) — the seasonality detector behind q272's
+    * hour profile and q145's anomaly fences: a big lag-7 value says
+    * "weekly cycle", decaying lag-1..3 says "momentum". Pearson r
+    * needs a sqrt, which is ulp-unstable across engines, so the
+    * emitted statistic is the SIGNED r² — sign(cov)·cov²/(vx·vy),
+    * sqrt-free (the q111 ln-dropped stance: a monotone transform of
+    * |r| plus the sign loses nothing a gate needs). cov and the two
+    * variances are EXACT DECIMAL(38,0) integers; cov² itself would
+    * overflow decimal at ~10⁸-event days over decade ranges, so the
+    * emission is the q74/q111 discipline — one correctly-rounded cast
+    * of each exact integer to double, then the identical
+    * 3-multiply-1-divide IEEE expression in both engines: parity by
+    * construction, pinned at 6 dp. Zero-event days count as genuine
+    * zeros via the same algebraic day spine as q272 (sequence over
+    * the observed [min_day, max_day] range).
+    *
+    * Scale: one hash agg to day grain (bounded — a decade is ~3,653
+    * rows), then spine densify, a ≤4-literal explode, and a self
+    * equi-join on (day+lag) — ALL on the bounded day frame; nothing
+    * after the first agg is row-scaled. Σxy at day grain with
+    * day-counts up to 10¹⁰ wraps BIGINT → DECIMAL(38,0).
+    */
+  def acfDaily(spark: SparkSession, dir: String): DataFrame =
+    acfCore(Tables.eventsMicros(spark, dir).select("tsu"))
+
+  private[graft] def acfCore(ev: DataFrame): DataFrame = {
+    val byDay = ev.select(expr(s"tsu div $dayUs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val dense = byDay.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(byDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n"))
+    val pairs = dense
+      .withColumn("lag", explode(typedLit(acfLags)))
+      .join(dense.select(col("day").as("day_b"), col("n").as("n_b")),
+        col("day_b") === col("day") + col("lag"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(n as decimal(38,0))")).as("sx"),
+        sum(expr("cast(n_b as decimal(38,0))")).as("sy"),
+        sum(expr("cast(n as decimal(38,0)) * n_b")).as("sxy"),
+        sum(expr("cast(n as decimal(38,0)) * n")).as("sxx"),
+        sum(expr("cast(n_b as decimal(38,0)) * n_b")).as("syy"))
+      // cov/vx/vy stay exact decimals; ONLY the final 3-multiply-
+      // 1-divide runs in double, identically phrased in the oracle
+      .select(col("lag"), col("n_pairs"),
+        expr("cast(n_pairs * sxy - sx * sy as double)").as("cov_d"),
+        expr("cast(n_pairs * sxx - sx * sx as double)").as("vx_d"),
+        expr("cast(n_pairs * syy - sy * sy as double)").as("vy_d"))
+      .select(col("lag"), col("n_pairs"),
+        when(col("vx_d") === 0.0 || col("vy_d") === 0.0, lit(0.0))
+          .otherwise(round(
+            signum(col("cov_d")) * col("cov_d") * col("cov_d")
+              / (col("vx_d") * col("vy_d")), 6)).as("acf_r2"))
+      .orderBy("lag")
+  }
+
   private val hourUs = 3600000000L
 
   /** q145 trailing-baseline geometry: each hour compares against the
@@ -1178,6 +1239,7 @@ object Behavior {
     "q117_type_coengagement" -> (typeCoEngagement(_, _)),
     "q120_activity_heatmap" -> (activityHeatmap(_, _)),
     "q272_hour_seasonality" -> (hourSeasonality(_, _)),
+    "q282_acf_daily" -> (acfDaily(_, _)),
     "q76_funnel" -> (funnel(_, _)),
     "q278_windowed_funnel" -> (windowedFunnel(_, _)),
     "q77_cohort_retention" -> (cohortRetention(_, _)),
@@ -1185,6 +1247,43 @@ object Behavior {
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q282: same day-grain collapse and generate_series zero-day
+    // spine; sums exact in HUGEINT, the same 3-multiply-1-divide
+    // double expression at the end (parity by construction)
+    "q282_acf_daily" -> {
+      val lagArr = acfLags.mkString("[", ",", "]")
+      s"""WITH byday AS (
+            SELECT (epoch_ns(ts) // 1000) // $dayUs2 AS day,
+              count(*)::BIGINT AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          dense AS (
+            SELECT s.day, coalesce(b.n, 0)::BIGINT AS n
+            FROM (SELECT unnest(generate_series(
+                    (SELECT min(day) FROM byday),
+                    (SELECT max(day) FROM byday))) AS day) s
+            LEFT JOIN byday b ON s.day = b.day),
+          lags AS (SELECT unnest($lagArr::BIGINT[]) AS lag),
+          pairs AS (
+            SELECT l.lag, a.n AS x, b.n AS y
+            FROM dense a JOIN lags l ON true
+            JOIN dense b ON b.day = a.day + l.lag),
+          s AS (
+            SELECT lag, count(*)::HUGEINT AS np,
+              sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+              sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+              sum(y::HUGEINT * y) AS syy
+            FROM pairs GROUP BY 1),
+          d AS (
+            SELECT lag, np::BIGINT AS n_pairs,
+              (np * sxy - sx * sy)::DOUBLE AS cov_d,
+              (np * sxx - sx * sx)::DOUBLE AS vx_d,
+              (np * syy - sy * sy)::DOUBLE AS vy_d
+            FROM s)
+          SELECT lag, n_pairs,
+            CASE WHEN vx_d = 0 OR vy_d = 0 THEN 0.0
+              ELSE round(sign(cov_d) * cov_d * cov_d / (vx_d * vy_d), 6)
+            END AS acf_r2
+          FROM d ORDER BY lag""" },
     // q272: same µs div/mod bucketing, same cell-grain day-range
     // windows, same truncating ppm divisions, same zero-day min rule
     "q272_hour_seasonality" ->

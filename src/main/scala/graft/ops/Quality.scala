@@ -556,6 +556,124 @@ object Quality {
       .orderBy("source")
   }
 
+  /** q279 — TIE-AWARE AVERAGE PRECISION (PR-curve area) per source, the
+    * precision-recall companion to q205's AUC on the same honest proxy
+    * task (n_chars ranking lang = 'en'): AUC is insensitive to class
+    * imbalance, AP is what retrieval/filter pipelines actually gate on
+    * when positives are rare. Convention stated explicitly: tied scores
+    * form a BLOCK, every positive in a block contributes the precision
+    * at the block's END — a deterministic, intra-tie-order-independent
+    * definition (sklearn's step-function AP needs a total order; at
+    * engine scale a tie order is an implementation accident, so the
+    * block form is the honest cross-engine contract, and the oracle
+    * replays it verbatim). Each block term is one truncating ppm
+    * division; the final div by n_pos is the only other division.
+    *
+    * Scale: q205's exact shape — one hash agg to (source, score) value
+    * grain, a window over that bounded frame, one dimension-sized
+    * final agg. Σ pos·prec_ppm ≤ n_pos·10⁶ wraps BIGINT past ~9·10¹²
+    * positives → DECIMAL(38,0).
+    */
+  def averagePrecision(spark: SparkSession, dir: String): DataFrame =
+    apCore(Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), col("lang")))
+
+  private[graft] def apCore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = docs.groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col("lang") === "en", 1)).as("pos"))
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    v.withColumn("cum_cnt", sum("cnt").over(w))
+      .withColumn("cum_pos", sum("pos").over(w))
+      .groupBy("source")
+      .agg(sum("pos").as("n_pos"), sum(expr("cnt - pos")).as("n_neg"),
+        sum(expr("""cast(pos as decimal(38,0))
+                    * (cast(cum_pos as decimal(38,0)) * 1000000
+                       div cum_cnt)""")).as("num"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        expr("cast(num div nullif(n_pos, 0) as bigint)").as("ap_ppm"))
+      .orderBy("source")
+  }
+
+  /** q280 rank cutoff. */
+  private[graft] val ndcgK = 10
+
+  /** q280 discount table: d_i = ⌊10¹² / log₂(i+1)⌋, COMPUTED ONCE in
+    * Scala and injected as integer literals into BOTH engines' plans —
+    * neither engine evaluates a log at query time, so the statistic is
+    * exact-integer despite the float-looking definition (the q271 RBO
+    * weight trick).
+    */
+  private[graft] val ndcgDiscounts: Seq[(Long, Long)] =
+    (1 to ndcgK).map(i =>
+      (i.toLong, (1e12 * math.log(2) / math.log(i + 1.0)).toLong))
+  private[graft] val ndcgIdcgPrefix: Seq[(Long, Long)] =
+    (0 to ndcgK).map(m => (m.toLong, ndcgDiscounts.take(m).map(_._2).sum))
+
+  /** q280 — NDCG@10 per source on the q205 proxy task (ranking by
+    * n_chars desc, binary gain lang = 'en'): the position-discounted
+    * ranking metric leaderboards report, completing the ranking-eval
+    * family (q205 AUC = threshold-free ordering, q279 AP = PR area,
+    * q271 RBO = ranker agreement, q245 RRF = ranker fusion). The
+    * ranking key (n_chars desc, doc_id asc) is a unique total order, so
+    * every rank — and the whole statistic — is engine-independent.
+    * IDCG truncates at min(k, n_pos) as usual; a source with zero
+    * positives reports 0 (documented convention, and null would
+    * re-hydrate as NaN in the gate's pandas compare).
+    *
+    * Scale: the naive per-source full sort (`row_number` over the
+    * whole source) is the q227-class hot-key trap, so the top-k rows
+    * are pre-pruned at VALUE grain first: a window over the bounded
+    * (source, n_chars) frame finds each source's k-th-block threshold,
+    * a broadcast-joined scan filter keeps only rows in blocks that
+    * intersect the top k, and the row-grain window ranks survivors
+    * only (≤ k + one tie block per source — the key-grain bound). The
+    * oracle is the NAIVE full-window form, so every run re-proves the
+    * prune lossless.
+    */
+  def ndcgAtK(spark: SparkSession, dir: String): DataFrame =
+    ndcgCore(Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"), col("lang")))
+
+  private[graft] def ndcgCore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    import s.implicits._
+    val k = ndcgK
+    val base = docs.select(col("source"), col("n_chars"), col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("rel"))
+    // value-grain threshold: the smallest n_chars whose block still
+    // intersects the top k (cum count BEFORE the block < k)
+    val v = base.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val wv = Window.partitionBy("source").orderBy(col("n_chars").desc)
+    val thr = v.withColumn("cum_before",
+        coalesce(sum("cnt").over(
+          wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < k)
+      .groupBy("source").agg(min("n_chars").as("thr"))
+    val surv = base.join(broadcast(thr), Seq("source"))
+      .filter(col("n_chars") >= col("thr"))
+    val wr = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val disc = broadcast(ndcgDiscounts.toDF("rn", "d"))
+    val dcg = surv.withColumn("rn", row_number().over(wr).cast("long"))
+      .filter(col("rn") <= k)
+      .join(disc, Seq("rn"))
+      .groupBy("source").agg(sum(expr("rel * d")).as("dcg"))
+    val idcg = broadcast(ndcgIdcgPrefix.toDF("m", "idcg"))
+    base.groupBy("source").agg(sum("rel").as("n_pos"))
+      .join(dcg, Seq("source"), "left")
+      .na.fill(0L, Seq("dcg"))
+      .withColumn("m", least(lit(k.toLong), col("n_pos")))
+      .join(idcg, Seq("m"))
+      .select(col("source"), col("n_pos"), col("dcg"),
+        expr("""coalesce(cast(cast(dcg as decimal(38,0)) * 1000000
+                div nullif(idcg, 0) as bigint), 0)""").as("ndcg_ppm"))
+      .orderBy("source")
+  }
+
   /** q210 — SOURCE-MIX DRIFT as exact total-variation distance: per
     * document source, how far its language mix sits from the corpus-
     * wide language distribution, in ppm — the categorical complement
@@ -896,6 +1014,8 @@ object Quality {
     "q228_calibration_curve" -> (calibrationCurve(_, _)),
     "q210_source_mix_tv" -> (sourceMixTv(_, _)),
     "q205_auc_rank" -> (aucRank(_, _)),
+    "q279_average_precision" -> (averagePrecision(_, _)),
+    "q280_ndcg_at_k" -> (ndcgAtK(_, _)),
     "q202_data_contract" -> (dataContract(_, _)),
     "q187_masked_export" -> (maskedExport(_, _)),
     "q157_fd_audit" -> (fdAudit(_, _)),
@@ -1072,6 +1192,62 @@ object Quality {
              AS tv_ppm
          FROM f JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t
          GROUP BY 1 ORDER BY 1""",
+    // q279: same value-grain blocks, same block-end precision
+    // convention, same truncating integer chain in HUGEINT
+    "q279_average_precision" ->
+      """WITH v AS (
+           SELECT source, n_chars AS s, count(*)::BIGINT AS cnt,
+             count(*) FILTER (WHERE lang = 'en')::BIGINT AS pos
+           FROM documents GROUP BY 1, 2),
+         c AS (
+           SELECT *,
+             sum(cnt) OVER (PARTITION BY source ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cnt,
+             sum(pos) OVER (PARTITION BY source ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos
+           FROM v),
+         a AS (
+           SELECT source, sum(pos)::HUGEINT AS n_pos,
+             sum(cnt - pos)::HUGEINT AS n_neg,
+             sum(pos::HUGEINT * ((cum_pos::HUGEINT * 1000000) // cum_cnt))
+               AS num
+           FROM c GROUP BY 1)
+         SELECT source, n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
+           (num // nullif(n_pos, 0))::BIGINT AS ap_ppm
+         FROM a ORDER BY source""",
+    // q280: the NAIVE full per-source window (no prune) with the SAME
+    // Scala-computed discount literals — agreement re-proves the
+    // engine's value-grain top-k prune lossless on every run
+    "q280_ndcg_at_k" -> {
+      val dvals = ndcgDiscounts
+        .map { case (i, d) => s"($i, $d)" }.mkString(", ")
+      val ivals = ndcgIdcgPrefix
+        .map { case (m, s) => s"($m, $s)" }.mkString(", ")
+      s"""WITH base AS (
+            SELECT source, n_chars, doc_id,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+            FROM documents),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS rn
+            FROM base),
+          d(rn, dv) AS (VALUES $dvals),
+          dcg AS (
+            SELECT source, sum(rel * dv)::BIGINT AS dcg
+            FROM r JOIN d USING (rn) GROUP BY 1),
+          np AS (
+            SELECT source, sum(rel)::BIGINT AS n_pos FROM base GROUP BY 1),
+          i(m, idcg) AS (VALUES $ivals)
+          SELECT np.source, np.n_pos,
+            coalesce(dcg.dcg, 0) AS dcg,
+            coalesce((coalesce(dcg.dcg, 0)::HUGEINT * 1000000
+              // nullif(i.idcg, 0))::BIGINT, 0) AS ndcg_ppm
+          FROM np LEFT JOIN dcg ON np.source = dcg.source
+          JOIN i ON i.m = least($ndcgK, np.n_pos)
+          ORDER BY np.source"""
+    },
     // q205: the same Mann-Whitney midrank identity in HUGEINT
     "q205_auc_rank" ->
       """WITH v AS (

@@ -506,6 +506,46 @@ object TextAnalysis {
       .orderBy("actual", "predicted")
   }
 
+  /** q283 — McNEMAR'S TEST: is the q44 lang-ID heuristic actually
+    * better than the majority-class baseline ("always predict 'en'")?
+    * Accuracy comparisons on the SAME documents are paired, and the
+    * paired test only looks at the discordant cells — b = heuristic
+    * right where the baseline is wrong, c = the reverse; the statistic
+    * is (b−c)²/(b+c), χ²₁-distributed under "no difference". Completes
+    * the classifier-audit family (q275 confusion, q276 kappa, q277
+    * ECE) with the one number that says SWITCHING classifiers helped.
+    * Exact integers: four bounded cell counts; (b−c)² rides
+    * DECIMAL(38,0) (wraps BIGINT past ~3·10⁹ discordant docs) and the
+    * ppm division truncates once. b+c = 0 (never-discordant) → null is
+    * the honest answer, but the gate's pandas compare NaN-traps
+    * nullable BIGINTs, so the documented convention is 0 — the "no
+    * evidence of difference" reading either way.
+    *
+    * Scale: ONE map-side-combinable aggregate over the corpus to four
+    * numbers; nothing after it touches data.
+    */
+  def mcnemarTest(spark: SparkSession, dir: String): DataFrame =
+    mcnemarCore(Tables.documents(spark, dir))
+
+  /** Core over any (text, lang) frame — fixture seam for the spec. */
+  private[graft] def mcnemarCore(docs: DataFrame): DataFrame = {
+    val a = graft.expr.TextFunctions.langId(col("text")) === col("lang")
+    val b = col("lang") === "en"
+    docs
+      .agg(
+        count(when(a && b, 1)).as("n_both_right"),
+        count(when(a && !b, 1)).as("n_heur_only"),
+        count(when(!a && b, 1)).as("n_base_only"),
+        count(when(!a && !b, 1)).as("n_both_wrong"))
+      .select(col("n_both_right"), col("n_heur_only"), col("n_base_only"),
+        col("n_both_wrong"),
+        expr("""coalesce(cast(
+                  cast(n_heur_only - n_base_only as decimal(38,0))
+                  * (n_heur_only - n_base_only) * 1000000
+                  div nullif(n_heur_only + n_base_only, 0)
+                as bigint), 0)""").as("mcnemar_x2_ppm"))
+  }
+
   /** q109 — token CONCENTRATION per document: Herfindahl index and Gini
     * impurity of the unigram distribution, the distributional-diversity
     * quality signal (how dominated a doc is by few tokens — templated
@@ -1007,6 +1047,7 @@ object TextAnalysis {
     "q271_rbo_rank_overlap" -> (rboOverlap(_, _)),
     "q275_langid_confusion" -> (langIdConfusion(_, _)),
     "q276_cohens_kappa" -> (cohensKappa(_, _)),
+    "q283_mcnemar_test" -> (mcnemarTest(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
@@ -1364,6 +1405,27 @@ object TextAnalysis {
             ((po_ppm - pe_ppm) * 1000000
               // nullif(1000000 - pe_ppm, 0))::BIGINT AS kappa_ppm
           FROM k""",
+    // q283: same q44 argmax CTE; the four paired cells and the
+    // (b−c)²/(b+c) statistic in HUGEINT, same zero-discordant → 0 rule
+    "q283_mcnemar_test" ->
+      s"""$langIdPredictedCte,
+          cells AS (
+            SELECT
+              count(*) FILTER (WHERE predicted = lang AND lang = 'en')
+                ::BIGINT AS n_both_right,
+              count(*) FILTER (WHERE predicted = lang AND lang <> 'en')
+                ::BIGINT AS n_heur_only,
+              count(*) FILTER (WHERE predicted <> lang AND lang = 'en')
+                ::BIGINT AS n_base_only,
+              count(*) FILTER (WHERE predicted <> lang AND lang <> 'en')
+                ::BIGINT AS n_both_wrong
+            FROM p)
+          SELECT n_both_right, n_heur_only, n_base_only, n_both_wrong,
+            coalesce(((n_heur_only - n_base_only)::HUGEINT
+              * (n_heur_only - n_base_only) * 1000000
+              // nullif(n_heur_only + n_base_only, 0))::BIGINT, 0)
+              AS mcnemar_x2_ppm
+          FROM cells""",
     "q45_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix
          FROM documents ORDER BY doc_id""",

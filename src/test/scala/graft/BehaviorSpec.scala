@@ -547,6 +547,25 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
     assert(plain === Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("q282 acf: alternating series gives signed ±1, silent days count " +
+    "as zeros, zero variance emits 0") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // two events on each of days 0/2/4, days 1/3 silent → dense series
+    // [2,0,2,0,2]; perfect anticorrelation at odd lags, +1 at lag 2
+    val ev = Seq(0L, 2L, 4L).flatMap(d => Seq(d * dayUs, d * dayUs + 1))
+      .toDF("tsu")
+    val out = Behavior.acfCore(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // lag 7 exceeds the 5-day range → no pairs → no row
+    assert(out === Seq((1L, 4L, -1.0), (2L, 3L, 1.0), (3L, 2L, -1.0)))
+    // constant series → zero variance → 0.0 by convention, not NaN
+    val const = Seq(0L, dayUs, 2 * dayUs).toDF("tsu")
+    val c = Behavior.acfCore(const).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(c(1L) === 0.0 && c(2L) === 0.0)
+  }
+
   test("q272 hour seasonality: zero-day means, min rule, and shares on " +
     "a hand fixture") {
     import spark.implicits._

@@ -333,6 +333,28 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       r.getLong(4)) === ((n, agree, po, pe, kappa)))
   }
 
+  test("q283 McNemar: the four paired cells and the discordant-only " +
+      "statistic on a hand fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      ("the and of", "en"),    // heuristic en, baseline en → both right
+      ("le la et", "fr"),      // heuristic fr, baseline wrong → heur only
+      ("der die und", "de"),   // heuristic de, baseline wrong → heur only
+      ("xyz qqq", "en"),       // heuristic und, baseline right → base only
+      ("hola mundo", "es"))    // heuristic und, baseline wrong → both wrong
+      .toDF("text", "lang")
+    val r = TextAnalysis.mcnemarCore(docs).collect()(0)
+    // (b-c)^2 * 1e6 div (b+c) = (2-1)^2 * 1e6 div 3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((1L, 2L, 1L, 1L, 333333L)))
+    // zero-discordant convention: statistic 0, not null/NaN
+    val same = Seq(("the and of", "en"), ("xyz", "zz"))
+      .toDF("text", "lang")
+    // "xyz" → und ≠ zz (heur wrong) and zz ≠ en (base wrong): both wrong
+    val r2 = TextAnalysis.mcnemarCore(same).collect()(0)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(4)) === ((0L, 0L, 0L)))
+  }
+
   test("q247 levenshtein near-dups: planted edit found, cross-block " +
       "pair skipped by design") {
     import graft.ops.Dedup

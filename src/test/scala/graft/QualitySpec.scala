@@ -340,6 +340,48 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q279 average precision: block-end precision convention and the " +
+    "truncating integer chain on a hand fixture") {
+    import spark.implicits._
+    // blocks desc by score: [10: 2 docs 1 en] [5: 1 doc en] [1: 1 doc de]
+    val docs = Seq(
+      ("s", 10L, "en"), ("s", 10L, "de"),
+      ("s", 5L, "en"), ("s", 1L, "de"),
+      // a second source with zero positives → null ap (no division)
+      ("t", 7L, "fr"))
+      .toDF("source", "n_chars", "lang")
+    val out = Quality.apCore(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // block A end: prec = 1e6*1 div 2 = 500000 (1 pos); block B end:
+    // prec = 1e6*2 div 3 = 666666 (1 pos) → ap = 1166666 div 2
+    assert(out === Seq(("s", 2L, 2L, 583333L), ("t", 0L, 1L, -1L)))
+  }
+
+  test("q280 ndcg: rank-literal discounts, idcg truncation at n_pos, " +
+    "and a tie block crossing the k boundary") {
+    import spark.implicits._
+    val k = Quality.ndcgK
+    val d = Quality.ndcgDiscounts.toMap
+    val idcg = Quality.ndcgIdcgPrefix.toMap
+    // source "s": 12 docs ALL sharing score 100 (tie block wider than
+    // k) — ranking falls back to doc_id; positives at doc_id 1, 4, 11
+    // (11 lands rank 11 > k → excluded); plus 1 lower-score positive
+    val docs = (1L to 12L).map(i =>
+      ("s", 100L, i, if (Seq(1L, 4L, 11L).contains(i)) "en" else "de")) :+
+      (("s", 50L, 13L, "en"))
+    val df = docs.toDF("source", "n_chars", "doc_id", "lang")
+    val out = Quality.ndcgCore(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expDcg = d(1L) + d(4L)
+    val expN = BigInt(expDcg) * 1000000 / BigInt(idcg(4L))
+    assert(out.toSeq === Seq(("s", 4L, expDcg, expN.toLong)))
+    // discounts are monotone decreasing and idcg prefixes cumulative
+    assert(Quality.ndcgDiscounts.map(_._2) ===
+      Quality.ndcgDiscounts.map(_._2).sorted.reverse)
+    assert(idcg(k.toLong) === Quality.ndcgDiscounts.map(_._2).sum)
+  }
+
   test("q261 k-anonymity audit: cell mass equals the join, flags match " +
     "their own thresholds, l never exceeds k") {
     val cells = Quality.kAnonymityAudit(spark, sf).collect()
