@@ -4,6 +4,8 @@ import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
+
 /** Graph analytics over the co-occurrence graph — PageRank and
   * connected components via GraphX. The reference README claims these
   * (README.md:17, relation_graph/readme.md:18-19) but ships only the
@@ -106,6 +108,72 @@ object GraphOps {
     val out = names(e).join(rankDf, "vid")
       .select(col("entity_id"), col("rank"))
     materializeAndRelease(out, e, g0, sym, norm, ranks)
+  }
+
+  /** q281 iteration count — HITS converges geometrically in the
+    * principal eigengap; 8 rounds ranks a bipartite purchase graph
+    * stably (the spec pins the fixture against an independent replica).
+    */
+  private[graft] val hitsIters = 8
+  private[graft] val hitsTopK = 10
+
+  /** q281 — HITS HUBS/AUTHORITIES over the DIRECTED customer→part
+    * purchase graph (lineitem⋈orders, distinct pairs): authority(part)
+    * = bought by hub customers, hub(customer) = buys authoritative
+    * parts — Kleinberg's mutual-reinforcement recursion, the
+    * recommendation-seed read the undirected co-occurrence graph
+    * cannot express (on a symmetrized graph hub ≡ authority, which is
+    * why q33's PageRank lives there and HITS lives here). Completes
+    * the eigenvector family: q33 = stationary flow, q281 = dominant
+    * singular pair of the bipartite adjacency.
+    *
+    * Rows-only gate (like q33/q118: an iterative float fixpoint has no
+    * honest SQL oracle — SQL float sums are association-order
+    * nondeterministic); the recursion is value-pinned in GraphOpsSpec
+    * against an independent plain-Scala replica at 1e-6 and the L2
+    * norms are asserted 1.
+    *
+    * Scale: the ONE corpus-scale stage is the distinct edge build;
+    * each round is two edge-frame equi-joins + hash aggs (the q209
+    * per-round localCheckpoint discipline — round t never replays
+    * rounds 1..t-1) and a single-row L2-norm broadcast (sanctioned
+    * boundary-broadcast pattern). The src→dst alternation re-keys the
+    * exchange each half-round — inherent to the transpose in the HITS
+    * recursion, still linear per round.
+    */
+  def hitsBipartite(spark: SparkSession, dir: String): DataFrame =
+    hitsCore(Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .distinct())
+
+  /** Core over any directed (src, dst) edge frame — fixture seam. */
+  private[graft] def hitsCore(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint(true)
+    def normed(df: DataFrame, key: String, c: String): DataFrame =
+      df.crossJoin(broadcast(
+          df.agg(sqrt(sum(col(c) * col(c))).as("nrm"))))
+        .select(col(key), (col(c) / col("nrm")).as(c))
+        .localCheckpoint(true)
+    var hub = edges.select(col("src")).distinct()
+      .withColumn("h", lit(1.0)).localCheckpoint(true)
+    var auth: DataFrame = hub.limit(0)
+      .select(col("src").as("dst"), col("h").as("a"))
+    for (_ <- 1 to hitsIters) {
+      auth = normed(
+        edges.join(hub, "src").groupBy("dst").agg(sum("h").as("a")),
+        "dst", "a")
+      hub = normed(
+        edges.join(auth, "dst").groupBy("src").agg(sum("a").as("h")),
+        "src", "h")
+    }
+    val topA = auth.orderBy(desc("a"), asc("dst")).limit(hitsTopK)
+      .select(lit("authority").as("role"), col("dst").as("node_id"),
+        round(col("a"), 6).as("score"))
+    val topH = hub.orderBy(desc("h"), asc("src")).limit(hitsTopK)
+      .select(lit("hub").as("role"), col("src").as("node_id"),
+        round(col("h"), 6).as("score"))
+    topA.unionByName(topH).orderBy(col("role"), desc("score"), col("node_id"))
   }
 
   /** Connected components — entity clusters that ever co-occur. */
@@ -893,6 +961,9 @@ object GraphOps {
     "q154_neighbor_overlap" -> ((s, d) =>
       neighborOverlap(CooccurrenceGraph.edgeCounts(s, d))),
     "q33_pagerank" -> (pagerank(_, _)),
+    // rows-only like q33: iterative float fixpoint; value-pinned in
+    // GraphOpsSpec against an independent plain-Scala replica
+    "q281_hits_bipartite" -> (hitsBipartite(_, _)),
     "q110_bfs_hops" -> ((s, d) => bfsHops(CooccurrenceGraph.edgeCounts(s, d))),
     // rows-only like q35: iterative peeling has no SQL oracle; the
     // defining property and fixtures are spec-pinned

@@ -48,6 +48,44 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q281 HITS equals an independent plain-Scala mutual-reinforcement " +
+      "replica on a hand bipartite graph (1e-6), norms are 1") {
+    import spark.implicits._
+    // customers 1..3 all buy part 10; customer 1 also buys 11 and 12;
+    // customer 4 buys only 12 — asymmetric enough that hub/auth differ
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (1L, 11L), (1L, 12L), (4L, 12L)).toDF("src", "dst")
+    // replica: a = normalize(Eᵀh), h = normalize(Ea), 8 rounds
+    val es = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (1L, 11L), (1L, 12L), (4L, 12L))
+    var h = es.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    def l2[K](m: Map[K, Double]): Map[K, Double] = {
+      val n = math.sqrt(m.values.map(x => x * x).sum)
+      m.view.mapValues(_ / n).toMap
+    }
+    for (_ <- 1 to GraphOps.hitsIters) {
+      a = l2(es.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap)
+      h = l2(es.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap)
+    }
+    val out = GraphOps.hitsCore(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val gotA = out.filter(_._1 == "authority").map(t => t._2 -> t._3).toMap
+    val gotH = out.filter(_._1 == "hub").map(t => t._2 -> t._3).toMap
+    assert(gotA.keySet === a.keySet && gotH.keySet === h.keySet)
+    a.foreach { case (k, v) => assert(math.abs(gotA(k) - v) <= 1e-6,
+      s"auth $k: ${gotA(k)} vs replica $v") }
+    h.foreach { case (k, v) => assert(math.abs(gotH(k) - v) <= 1e-6,
+      s"hub $k: ${gotH(k)} vs replica $v") }
+    // unit L2 norms (scores are rounded to 6dp in the emission)
+    assert(math.abs(gotA.values.map(x => x * x).sum - 1.0) <= 1e-4)
+    assert(math.abs(gotH.values.map(x => x * x).sum - 1.0) <= 1e-4)
+    // the mutually-reinforcing asymmetry: part 10 (three buyers, one a
+    // super-hub) outranks 12 (two buyers), and customer 1 is top hub
+    assert(gotA(10L) > gotA(12L) && gotA(12L) > gotA(11L))
+    assert(gotH(1L) > gotH(2L))
+  }
+
   test("pagerank is deterministic across runs (fixed iterations)") {
     val a = GraphOps.pagerank(spark, sf).collect().toSeq
     val b = GraphOps.pagerank(spark, sf).collect().toSeq
