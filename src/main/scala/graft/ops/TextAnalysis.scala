@@ -546,6 +546,65 @@ object TextAnalysis {
                 as bigint), 0)""").as("mcnemar_x2_ppm"))
   }
 
+  /** q284 — PER-CLASS PRECISION/RECALL/F1 + MACRO AVERAGES from the
+    * q275 confusion cells: the per-class report card (q275 gives the
+    * raw matrix; q276 one chance-corrected number; this is the sklearn
+    * classification_report read — which CLASSES the labeler fails on,
+    * plus the class-balanced macro average that a majority-class
+    * labeler can't inflate). All exact integers: F1's harmonic mean is
+    * 2·P·R div (P+R) over ppm integers (≤ 2·10¹² — no wrap), macro
+    * rows are truncating means over the class count. Classes that are
+    * only ever PREDICTED (e.g. 'und') or only ever ACTUAL still get a
+    * row — their missing marginal reads as 0 by the standard
+    * zero-division convention (also the null-free gate discipline).
+    *
+    * Scale: one hash agg to the ≤|langs|² cell frame; marginals,
+    * the label spine (union of two bounded distincts), and the macro
+    * collapse are all dimension-sized (the q199 cell-frame stance).
+    */
+  def macroF1(spark: SparkSession, dir: String): DataFrame =
+    macroF1Core(Tables.documents(spark, dir))
+
+  /** Core over any (text, lang) frame — fixture seam for the spec. */
+  private[graft] def macroF1Core(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(col("lang").as("actual"),
+        graft.expr.TextFunctions.langId(col("text")).as("predicted"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+    val rt = cells.groupBy("actual").agg(sum("n").as("n_actual"))
+      .withColumnRenamed("actual", "label")
+    val ct = cells.groupBy("predicted").agg(sum("n").as("n_predicted"))
+      .withColumnRenamed("predicted", "label")
+    val diag = cells.filter(col("actual") === col("predicted"))
+      .select(col("actual").as("label"), col("n").as("n_correct"))
+    val per = rt.select("label").unionByName(ct.select("label")).distinct()
+      .join(rt, Seq("label"), "left")
+      .join(ct, Seq("label"), "left")
+      .join(diag, Seq("label"), "left")
+      .na.fill(0L, Seq("n_actual", "n_predicted", "n_correct"))
+      .withColumn("precision_ppm",
+        expr("coalesce(n_correct * 1000000 div nullif(n_predicted, 0), 0)"))
+      .withColumn("recall_ppm",
+        expr("coalesce(n_correct * 1000000 div nullif(n_actual, 0), 0)"))
+      .withColumn("f1_ppm",
+        expr("""coalesce(2 * precision_ppm * recall_ppm
+                div nullif(precision_ppm + recall_ppm, 0), 0)"""))
+    // '~macro' sorts after every lowercase label (ASCII), so the
+    // summary row lands last under the deterministic label order
+    val macroRow = per.agg(
+        count(lit(1)).as("k"),
+        sum("n_actual").as("n_actual"), sum("n_predicted").as("n_predicted"),
+        sum("n_correct").as("n_correct"),
+        sum("precision_ppm").as("sp"), sum("recall_ppm").as("sr"),
+        sum("f1_ppm").as("sf"))
+      .select(lit("~macro").as("label"),
+        col("n_actual"), col("n_predicted"), col("n_correct"),
+        expr("sp div k").as("precision_ppm"),
+        expr("sr div k").as("recall_ppm"),
+        expr("sf div k").as("f1_ppm"))
+    per.unionByName(macroRow).orderBy("label")
+  }
+
   /** q109 — token CONCENTRATION per document: Herfindahl index and Gini
     * impurity of the unigram distribution, the distributional-diversity
     * quality signal (how dominated a doc is by few tokens — templated
@@ -1048,6 +1107,7 @@ object TextAnalysis {
     "q275_langid_confusion" -> (langIdConfusion(_, _)),
     "q276_cohens_kappa" -> (cohensKappa(_, _)),
     "q283_mcnemar_test" -> (mcnemarTest(_, _)),
+    "q284_macro_f1" -> (macroF1(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
@@ -1426,6 +1486,54 @@ object TextAnalysis {
               // nullif(n_heur_only + n_base_only, 0))::BIGINT, 0)
               AS mcnemar_x2_ppm
           FROM cells""",
+    // q284: same cells, same full-join label spine, same truncating
+    // integer chain incl. the zero-division → 0 convention
+    "q284_macro_f1" ->
+      s"""$langIdPredictedCte,
+          cells AS (
+            SELECT lang AS actual, predicted, count(*)::BIGINT AS n
+            FROM p GROUP BY 1, 2),
+          rt AS (SELECT actual AS label, sum(n)::BIGINT AS n_actual
+                 FROM cells GROUP BY 1),
+          ct AS (SELECT predicted AS label, sum(n)::BIGINT AS n_predicted
+                 FROM cells GROUP BY 1),
+          diag AS (SELECT actual AS label, n AS n_correct
+                   FROM cells WHERE actual = predicted),
+          spine AS (SELECT label FROM rt UNION SELECT label FROM ct),
+          perclass AS (
+            SELECT s.label,
+              coalesce(rt.n_actual, 0) AS n_actual,
+              coalesce(ct.n_predicted, 0) AS n_predicted,
+              coalesce(diag.n_correct, 0) AS n_correct
+            FROM spine s
+            LEFT JOIN rt ON s.label = rt.label
+            LEFT JOIN ct ON s.label = ct.label
+            LEFT JOIN diag ON s.label = diag.label),
+          scored AS (
+            SELECT label, n_actual, n_predicted, n_correct,
+              coalesce(n_correct * 1000000 // nullif(n_predicted, 0), 0)
+                AS precision_ppm,
+              coalesce(n_correct * 1000000 // nullif(n_actual, 0), 0)
+                AS recall_ppm
+            FROM perclass),
+          f AS (
+            SELECT *, coalesce(2 * precision_ppm * recall_ppm
+              // nullif(precision_ppm + recall_ppm, 0), 0) AS f1_ppm
+            FROM scored)
+          SELECT label, n_actual::BIGINT AS n_actual,
+            n_predicted::BIGINT AS n_predicted,
+            n_correct::BIGINT AS n_correct,
+            precision_ppm::BIGINT AS precision_ppm,
+            recall_ppm::BIGINT AS recall_ppm, f1_ppm::BIGINT AS f1_ppm
+          FROM f
+          UNION ALL
+          SELECT '~macro', sum(n_actual)::BIGINT, sum(n_predicted)::BIGINT,
+            sum(n_correct)::BIGINT,
+            (sum(precision_ppm) // count(*))::BIGINT,
+            (sum(recall_ppm) // count(*))::BIGINT,
+            (sum(f1_ppm) // count(*))::BIGINT
+          FROM f
+          ORDER BY label""",
     "q45_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix
          FROM documents ORDER BY doc_id""",

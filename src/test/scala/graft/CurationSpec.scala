@@ -333,6 +333,32 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       r.getLong(4)) === ((n, agree, po, pe, kappa)))
   }
 
+  test("q284 macro F1: per-class chain, predicted-only class row, and " +
+      "the truncating macro means on a hand fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      ("the and of", "en"),  // en → en: correct
+      ("the and of", "en"),  // en → en: correct
+      ("xyz", "en"),         // en → und: en recall miss, und false pos
+      ("le la et", "fr"),    // fr → fr: correct
+      ("the and of", "fr"))  // fr → en: en precision miss, fr recall miss
+      .toDF("text", "lang")
+    val out = TextAnalysis.macroF1Core(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    // en: actual 3, predicted 3, correct 2 → P = R = 666666, F1 = 666666
+    // fr: actual 2, predicted 1, correct 1 → P 1e6, R 500000,
+    //     F1 = 2·1e6·5e5 div 15e5 = 666666
+    // und: actual 0, predicted 1, correct 0 → all 0 (zero-div rule)
+    val macroP = (666666L + 1000000L + 0L) / 3
+    assert(out === List(
+      ("en", 3L, 3L, 2L, 666666L, 666666L, 666666L),
+      ("fr", 2L, 1L, 1L, 1000000L, 500000L, 666666L),
+      ("und", 0L, 1L, 0L, 0L, 0L, 0L),
+      ("~macro", 5L, 5L, 3L, macroP, (666666L + 500000L) / 3,
+        (666666L + 666666L) / 3)))
+  }
+
   test("q283 McNemar: the four paired cells and the discordant-only " +
       "statistic on a hand fixture") {
     import spark.implicits._
