@@ -35,6 +35,10 @@ object Dedup {
     * source is spread first (no-op on a well-split source;
     * Tables.spread).
     */
+  /** Probe seam for tools.PpjoinProbe (dev-only stage timing). */
+  private[graft] def ppjoinShingleProbe(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir).select("doc_id", "sh")
+
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     shingleRowsOf(Tables.documents(spark, dir))
 
@@ -231,22 +235,54 @@ object Dedup {
     val rows = shRows.repartition(col("sh"))
     val df = rows
       .groupBy("sh").agg(count(lit(1)).as("df"))
+    // dense integer RANK per shingle in the (df asc, sh asc) rarity
+    // order, via the q182 two-phase numbering over the shingle
+    // DIMENSION table (never the corpus relation). Injective by
+    // construction, so every downstream set operation — prefix
+    // selection, collision join, intersection count — runs on LONGS
+    // instead of hashing shingle strings per candidate pair
+    // (array_intersect over 125k candidate pairs × ~300-element string
+    // arrays was the measured verify bottleneck; hash-encoding instead
+    // would be ~2⁻⁶⁴-probable wrong, and exact beats fast here)
+    val ranked = GlobalIndex.numberedBy(df, Seq("df", "sh"))
+      .select(col("sh"), col("rn"))
     val docs = rows
-      .join(df, "sh")
+      .join(ranked, "sh")
       .groupBy("doc_id")
-      .agg(expr("transform(sort_array(collect_list(struct(df, sh))), x -> x.sh)")
-        .as("shs"))
+      .agg(sort_array(collect_list(col("rn"))).as("shs"))
       .withColumn("n", size(col("shs")).cast("long"))
       .withColumn("prefix",
         expr(s"slice(shs, 1, cast(n - ((n * $thetaPpm + 999999) div 1000000) + 1 as int))"))
       .repartition(col("doc_id"))
+      // one row per doc with its sorted array — materialize ONCE: three
+      // consumers (prefix explode + both verification probes) otherwise
+      // re-run the whole df-join + per-doc sort pipeline each
+      // (measured 8.5 s → 2.6 s warm at sf0.1)
+      .localCheckpoint(true)
     val pref = docs
-      .select(col("doc_id"), col("n"), explode(col("prefix")).as("sh"))
+      .select(col("doc_id"), col("n"),
+        posexplode(col("prefix")).as(Seq("i0", "sh")))
+      .withColumn("i", (col("i0") + 1).cast("long")).drop("i0")
       .repartition(col("sh"))
+    // POSITIONAL filter (the "PP" in PPJoin): a qualifying pair's FIRST
+    // common element e (positions i in a, j in b under the shared
+    // rarity order) bounds the whole overlap — every other common
+    // element follows e in BOTH arrays, so common ≤ 1 + min(n_a−i,
+    // n_b−j); requiring that bound ≥ α = ⌈θ/(1+θ)·(n_a+n_b)⌉ (the
+    // J ≥ θ overlap equivalent, exact ceil in ppm integers) discards a
+    // collision that can't carry the pair. Lossless: with the length
+    // filter, e provably sits inside both θ-prefixes and passes this
+    // test, so the pair still surfaces through e even when later
+    // collisions are discarded (measured 310k → far fewer candidates
+    // at sf0.1; the UNPRUNED oracle re-proves losslessness every run).
+    val alpha = expr(s"($thetaPpm * (a.n + b.n) + ${1000000L + thetaPpm} - 1) " +
+      s"div ${1000000L + thetaPpm}")
     val cand = pref.as("a").join(pref.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")
           && least(col("a.n"), col("b.n")) * 1000000L
-             >= lit(thetaPpm) * greatest(col("a.n"), col("b.n")))
+             >= lit(thetaPpm) * greatest(col("a.n"), col("b.n"))
+          && (lit(1L) + least(col("a.n") - col("a.i"), col("b.n") - col("b.i")))
+             >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
