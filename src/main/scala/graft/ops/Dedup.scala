@@ -387,6 +387,28 @@ object Dedup {
     minhashSignaturesCore(Tables.documents(spark, dir))
 
   /** Core over any (doc_id, lang, text) frame — bench/fixture seam. */
+  /** PER-ROW MinHash signature, arithmetically identical to
+    * [[minhashSignaturesCore]]'s grouped min — same distinct-shingle
+    * set, same pmod(xxhash64·a + b, prime) chain, SHARED constants so
+    * the two forms cannot drift (StreamingQueriesSpec pins exact
+    * equality). NULL when the doc yields no shingles (the grouped form
+    * emits no row for those docs). This is the shape a stream wants:
+    * signature as a stateless projection on the incoming row, no
+    * aggregation before the keyed-state stage. (The batch kernel keeps
+    * the explode+groupBy shape because there the map-side partial min
+    * is the scale story — one row per doc per partition in the
+    * shuffle.) The a·h product stays under 2⁶³: h < prime ≈ 2³², a <
+    * 2³⁰ by construction of [[hashParams]].
+    */
+  private[graft] def rowSignature(text: Column): Column = {
+    val shs = array_distinct(shingles(TextFunctions.tokens(text), shingleSize))
+    val hs = transform(shs, s => pmod(xxhash64(s), lit(prime)))
+    val mins = hashParams.map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(prime))))
+    }
+    when(size(shs) > 0, array(mins: _*))
+  }
+
   private[graft] def minhashSignaturesCore(docs: DataFrame): DataFrame = {
     val base = shingleRowsOf(docs)
       .withColumn("h", pmod(xxhash64(col("sh")), lit(prime)))

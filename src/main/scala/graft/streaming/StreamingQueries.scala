@@ -940,7 +940,131 @@ object StreamingQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  @volatile private[graft] var lastLshBatches: Long = -1
+
+  /** One doc in one LSH bucket (streaming relation row). */
+  private[graft] case class LshIn(bucket: String, band: Int,
+                                  doc_id: Long, signature: Seq[Long])
+
+  /** q285 — STREAMING LSH NEAR-DUP (dedup-on-ingest at the crawl
+    * frontier): the incremental twin of q54's banded MinHash join.
+    * Docs arrive in micro-batches; each row's signature is a STATELESS
+    * projection ([[graft.ops.Dedup.rowSignature]] — arithmetically
+    * identical to the batch grouped-min, shared constants), banded into
+    * bucket keys, and candidate pairs come from keyed state
+    * (`flatMapGroupsWithState` per bucket: new docs pair against every
+    * doc the bucket has EVER seen, then join the state) — so a near-dup
+    * of a document ingested three batches ago is found the moment its
+    * twin arrives, without ever re-scanning the corpus. Exactly-once
+    * across buckets by the batch kernel's own first-colliding-band
+    * predicate, evaluated on the two signatures at emission; per-batch
+    * pairing order is doc_id-sorted so the relation is deterministic.
+    *
+    * Gate: rows-only (hash-seeded signatures have no SQL oracle — the
+    * q54 class); StreamingQueriesSpec pins EXACT set equality with the
+    * batch `lshCandidatesCore` relation on the same corpus and asserts
+    * the run really crossed micro-batches with cross-batch pairs.
+    *
+    * Scale: state is bucket membership — the same posting lists the
+    * batch join materializes, held keyed instead; a production
+    * deployment bounds them with the df-cap discipline (drop a bucket
+    * once its list exceeds the cap — candidates from ultra-hot buckets
+    * are non-discriminative, q52's argument) or a watermark TTL; the
+    * bounded replay keeps everything so the parity pin is exact.
+    */
+  def streamingLshDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val minEst = 0.5
+    val numBands = Dedup.numHashes / Dedup.bandSize
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val inSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("text", StringType)))
+    val base = Files.createTempDirectory("graft_q285_")
+    try {
+      val input = Files.createDirectory(base.resolve("in"))
+      val now = System.currentTimeMillis()
+      // id-mod split: near-dup pairs land in DIFFERENT batches (ids are
+      // unrelated to content), so state must carry candidates across
+      // triggers for the parity pin to pass
+      for (i <- 0 until 3)
+        stageOne(docs.filter(pmod(col("doc_id"), lit(3)) === i),
+          base.resolve(s"s$i"), input, f"0${i}_slice.parquet",
+          now - (3 - i) * 100000L)
+
+      val banded = spark.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input.toString)
+        .select(col("doc_id"), Dedup.rowSignature(col("text")).as("signature"))
+        .filter(col("signature").isNotNull)
+        .select(col("doc_id"), col("signature"),
+          explode(array((0 until numBands).map(b => struct(
+            lit(b).as("band"),
+            concat_ws(",", lit(b) +: (0 until Dedup.bandSize).map(j =>
+              col("signature")(b * Dedup.bandSize + j)): _*).as("key"))): _*))
+            .as("bucket"))
+        .select(col("bucket.key").as("bucket"), col("bucket.band").as("band"),
+          col("doc_id"), col("signature"))
+        .as[LshIn]
+
+      def bandSlice(sig: Seq[Long], b: Int): Seq[Long] =
+        sig.slice(b * Dedup.bandSize, (b + 1) * Dedup.bandSize)
+      def firstBand(a: Seq[Long], b: Seq[Long]): Int =
+        (0 until numBands).find(i => bandSlice(a, i) == bandSlice(b, i)).getOrElse(-1)
+
+      val pairs = banded.groupByKey(_.bucket)
+        .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long, Double)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+          (_, rows, state) =>
+            val seen = state.getOption.getOrElse(Seq.empty)
+            val fresh = rows.toSeq.sortBy(_.doc_id)
+            val out = Seq.newBuilder[(Long, Long, Double)]
+            var acc = seen
+            for (nd <- fresh) {
+              for ((oid, osig) <- acc if oid != nd.doc_id) {
+                val (la, sa, lb, sb) =
+                  if (oid < nd.doc_id) (oid, osig, nd.doc_id, nd.signature)
+                  else (nd.doc_id, nd.signature, oid, osig)
+                // first-colliding-band = exactly-once across bucket keys
+                if (firstBand(sa, sb) == nd.band) {
+                  val matches = sa.zip(sb).count { case (x, y) => x == y }
+                  val est = BigDecimal(matches.toDouble / Dedup.numHashes)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  if (est >= minEst) out += ((la, lb, est))
+                }
+              }
+              acc = acc :+ ((nd.doc_id, nd.signature))
+            }
+            state.update(acc)
+            out.result().iterator
+        }
+
+      val outDir = base.resolve("out").toString
+      val q = pairs.toDF("doc_a", "doc_b", "est_jaccard").writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastLshBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      q.stop()
+      spark.read
+        .schema(StructType(Seq(
+          StructField("doc_a", LongType), StructField("doc_b", LongType),
+          StructField("est_jaccard", DoubleType))))
+        .parquet(outDir)
+        .localCheckpoint(true)
+        .orderBy("doc_a", "doc_b")
+    } finally deleteRecursively(base)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q285_streaming_lsh_dedup" -> (streamingLshDedup(_, _)),
     "q212_stream_left_outer_join" -> (streamStreamLeftJoin(_, _)),
     "q113_streaming_dedup" -> (streamingDedup(_, _)),
     "q128_streaming_restart_resume" -> (streamingRestartResume(_, _)),

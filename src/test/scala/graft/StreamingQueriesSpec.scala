@@ -22,6 +22,28 @@ class StreamingQueriesSpec extends AnyFunSuite with SparkTestBase {
       s"expected >=2 micro-batches, got ${StreamingQueries.lastWordFreqBatches}")
   }
 
+  test("q285: streaming LSH near-dup == batch q54 candidates exactly, " +
+    "multi-batch, with cross-batch pairs") {
+    import org.apache.spark.sql.functions._
+    val streamed = rows(StreamingQueries.streamingLshDedup(spark, sf))
+    val batch = rows(graft.ops.Dedup
+      .lshCandidatesCore(graft.Tables.documents(spark, sf), 0.5))
+    assert(streamed == batch,
+      s"streaming ${streamed.size} pairs vs batch ${batch.size}")
+    assert(StreamingQueries.lastLshBatches >= 3,
+      s"expected >=3 micro-batches, got ${StreamingQueries.lastLshBatches}")
+    // the id-mod staging puts most pairs in different micro-batches —
+    // at least one emitted pair must have crossed trigger state
+    if (streamed.nonEmpty) {
+      val cross = streamed.exists {
+        case Seq(a: Long, b: Long, _) => a % 3 != b % 3
+        case _ => false
+      }
+      assert(cross || streamed.size < 3,
+        "no cross-batch pair found despite several candidates")
+    }
+  }
+
   test("q194: streaming sliding windows == batch 4-covering-window " +
     "recompute, multi-batch accumulation") {
     import org.apache.spark.sql.functions._
