@@ -352,6 +352,43 @@ object Sampling {
   /** q227 per-stratum allocation; sf-independent constant. */
   val topkPerStratum = 200
 
+  /** q286 — TOKEN-BUDGET GREEDY SELECTION: "fill a token budget with
+    * the best documents" — the curation step that actually ends every
+    * mix plan (q199 reweights, q259 maximizes coverage; this cuts the
+    * ordered list where the budget runs out). Docs are ranked by an
+    * exact-integer quality proxy (distinct-token ratio in ppm —
+    * templated/repetitive spam scores low; q109's HHI is the
+    * distribution-grain sibling) with doc_id tie-break (unique total
+    * order → engine-independent selection), and a doc is selected iff
+    * the tokens BEFORE it leave budget — the greedy prefix, boundary
+    * doc included, the standard knapsack-relaxation rule. The budget is
+    * half the corpus's total tokens, read from the prefix-sum kernel's
+    * own total column (no extra job, no driver collect).
+    *
+    * Scale: token/quality scoring is one codegen'd projection; the
+    * global ordered cumulative sum is the q218/q238 two-phase kernel
+    * (range exchange + local windows; only the #partitions offsets
+    * frame is sequential) — never a single-partition ORDER BY window.
+    */
+  def tokenBudgetSelection(spark: SparkSession, dir: String): DataFrame =
+    budgetSelectionCore(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
+
+  private[graft] def budgetSelectionCore(docs: DataFrame): DataFrame = {
+    val toks = graft.expr.TextFunctions.tokens(col("text"))
+    val scored = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_dist"))
+      .filter(col("n_tok") > 0)
+      .withColumn("quality_ppm", expr("n_dist * 1000000 div n_tok"))
+      .withColumn("neg_q", -col("quality_ppm"))
+    GlobalIndex.prefixSummedBy(scored, Seq("neg_q", "doc_id"), Seq("n_tok"))
+      .filter(col("cum_n_tok") - col("n_tok") < expr("total_n_tok div 2"))
+      .select(col("doc_id"), col("quality_ppm"), col("n_tok"),
+        col("cum_n_tok"))
+      .orderBy(desc("quality_ppm"), asc("doc_id"))
+  }
+
   /** q227 prefilter oversample: expected survivors per stratum =
     * oversample·k, so the per-stratum sort below runs over ~800 rows
     * even when the stratum holds 50 TB. With k=200 the survivor count
@@ -436,9 +473,37 @@ object Sampling {
     "q181_negative_samples" -> (negativeSamples(_, _)),
     "q184_weighted_sample" -> (weightedPrioritySample(_, _)),
     "q252_rendezvous_sharding" -> (rendezvousSharding(_, _)),
-    "q255_token_apportionment" -> (tokenApportionment(_, _)))
+    "q255_token_apportionment" -> (tokenApportionment(_, _)),
+    "q286_token_budget_selection" -> (tokenBudgetSelection(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q286: same tokenizer mapping, same integer quality proxy, same
+    // greedy-prefix boundary rule via a plain ordered window (the
+    // oracle's single-node sort is its privilege; the engine must
+    // reproduce it from the two-phase kernel)
+    "q286_token_budget_selection" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         s AS (
+           SELECT doc_id, len(ws)::BIGINT AS n_tok,
+             len(list_distinct(ws))::BIGINT AS n_dist
+           FROM t WHERE len(ws) > 0),
+         q AS (
+           SELECT doc_id, n_tok,
+             (n_dist * 1000000 // n_tok)::BIGINT AS quality_ppm
+           FROM s),
+         c AS (
+           SELECT *,
+             sum(n_tok) OVER (ORDER BY quality_ppm DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ::BIGINT AS cum_n_tok,
+             sum(n_tok) OVER ()::BIGINT AS total
+           FROM q)
+         SELECT doc_id, quality_ppm, n_tok, cum_n_tok
+         FROM c WHERE cum_n_tok - n_tok < total // 2
+         ORDER BY quality_ppm DESC, doc_id""",
     // q255: same whitespace token count (the q66 tokenizer mapping),
     // same integer quota/remainder rule, same tie order
     "q255_token_apportionment" ->

@@ -92,7 +92,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q255_token_apportionment",
     // round-12: single-row (N_t, N_r, V) cohort-totals broadcast
     // feeding the likelihood-ratio projection (q111's pattern)
-    "q267_importance_scores")
+    "q267_importance_scores",
+    // round-12: HITS' final L2 normalization — single-row norm
+    // broadcast over each checkpointed score frame (the per-round
+    // copies live behind localCheckpoint and never reach this plan)
+    "q281_hits_bipartite")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

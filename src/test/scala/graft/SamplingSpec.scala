@@ -249,6 +249,28 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("q286 token-budget selection: greedy prefix in quality order, " +
+      "exact-boundary doc excluded, crossing doc included") {
+    import spark.implicits._
+    // quality (distinct ratio ppm): d1 1e6, d3 1e6, d4 666666, d2 250000
+    // total tokens 14 → budget 7; cum before d4 is exactly 7 → excluded
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a a a a"), (3L, "x y z"), (4L, "p p q"))
+      .toDF("doc_id", "text")
+    val out = Sampling.budgetSelectionCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 1000000L, 4L, 4L), (3L, 1000000L, 3L, 7L)))
+    // budget crossing mid-doc: d4' = "p q" is now all-distinct (q 1e6),
+    // total 13 → budget 6; order d1, d3, d4', d2 — before d3 = 4 < 6 ≤
+    // cum 7, so d3 CROSSES the budget and is included; before d4' = 7
+    // ≥ 6 → out
+    val docs2 = Seq(
+      (1L, "a b c d"), (2L, "a a a a"), (3L, "x y z"), (4L, "p q"))
+      .toDF("doc_id", "text")
+    val out2 = Sampling.budgetSelectionCore(docs2).collect().map(_.getLong(0))
+    assert(out2.toSeq === Seq(1L, 3L))
+  }
+
   test("q252 rendezvous sharding: movement lands ONLY in the new shard " +
       "and totals reconcile") {
     val rows = Sampling.rendezvousSharding(spark, sf).collect()
