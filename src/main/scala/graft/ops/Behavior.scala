@@ -511,6 +511,48 @@ object Behavior {
       .orderBy("lag")
   }
 
+  /** q288 — BURSTINESS (FANO FACTOR) per event type: variance-to-mean
+    * ratio of the DAILY count series — the dispersion read behind
+    * q145's anomaly fences and q282's lag profile: Fano ≈ 1 is
+    * Poisson-like arrivals, ≫ 1 is bursty (campaign/incident traffic),
+    * ≪ 1 is regularized (rate-limited bots). Entirely RATIONAL — no
+    * sqrt, unlike a coefficient of variation — so it stays in the
+    * exact-integer ppm discipline end to end:
+    * fano_ppm = (n·Σc² − (Σc)²)·10⁶ div (n·Σc), population variance
+    * over mean, zero-event days counted as genuine zeros via the
+    * global day-range spine (every type is observed over the same
+    * window — a type absent all window scores its true 0 mean and is
+    * dropped by the nullif guard as undefined).
+    *
+    * Scale: one hash agg to the (type × day) cell frame; the spine is
+    * a bounded broadcast cross (day range × type vocabulary); sums
+    * ride DECIMAL(38,0) (n·Σc² passes 2⁶³ near 10⁸-event days).
+    */
+  def fanoBurstiness(spark: SparkSession, dir: String): DataFrame =
+    fanoCore(Tables.eventsMicros(spark, dir).select("event_type", "tsu"))
+
+  private[graft] def fanoCore(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .select(col("event_type"), expr(s"tsu div $dayUs").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val spine = cells.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .crossJoin(broadcast(cells.select("event_type").distinct()))
+    spine.join(cells, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("cast(c as decimal(38,0))")).as("sc"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("sc2"),
+        max("c").as("max_day"))
+      .select(col("event_type"), col("n_days"),
+        expr("cast(sc as bigint)").as("n_events"), col("max_day"),
+        expr("cast(sc * 1000000 div n_days as bigint)").as("mean_ppm"),
+        expr("""cast((n_days * sc2 - sc * sc) * 1000000
+                div nullif(n_days * sc, 0) as bigint)""").as("fano_ppm"))
+      .orderBy("event_type")
+  }
+
   private val hourUs = 3600000000L
 
   /** q145 trailing-baseline geometry: each hour compares against the
@@ -1240,6 +1282,7 @@ object Behavior {
     "q120_activity_heatmap" -> (activityHeatmap(_, _)),
     "q272_hour_seasonality" -> (hourSeasonality(_, _)),
     "q282_acf_daily" -> (acfDaily(_, _)),
+    "q288_fano_burstiness" -> (fanoBurstiness(_, _)),
     "q76_funnel" -> (funnel(_, _)),
     "q278_windowed_funnel" -> (windowedFunnel(_, _)),
     "q77_cohort_retention" -> (cohortRetention(_, _)),
@@ -1247,6 +1290,34 @@ object Behavior {
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q288: same cell collapse, same generate_series × type spine,
+    // same integral variance-over-mean chain in HUGEINT
+    "q288_fano_burstiness" ->
+      s"""WITH cells AS (
+            SELECT event_type, (epoch_ns(ts) // 1000) // $dayUs2 AS day,
+              count(*)::BIGINT AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+          spine AS (
+            SELECT t.event_type, d.day
+            FROM (SELECT DISTINCT event_type FROM cells) t
+            CROSS JOIN (SELECT unnest(generate_series(
+              (SELECT min(day) FROM cells),
+              (SELECT max(day) FROM cells))) AS day) d),
+          dense AS (
+            SELECT s.event_type, s.day, coalesce(c.c, 0)::BIGINT AS c
+            FROM spine s LEFT JOIN cells c
+              ON s.event_type = c.event_type AND s.day = c.day),
+          agg AS (
+            SELECT event_type, count(*)::HUGEINT AS n_days,
+              sum(c)::HUGEINT AS sc, sum(c::HUGEINT * c) AS sc2,
+              max(c)::BIGINT AS max_day
+            FROM dense GROUP BY 1)
+          SELECT event_type, n_days::BIGINT AS n_days, sc::BIGINT AS n_events,
+            max_day,
+            (sc * 1000000 // n_days)::BIGINT AS mean_ppm,
+            ((n_days * sc2 - sc * sc) * 1000000
+              // nullif(n_days * sc, 0))::BIGINT AS fano_ppm
+          FROM agg ORDER BY event_type""",
     // q282: same day-grain collapse and generate_series zero-day
     // spine; sums exact in HUGEINT, the same 3-multiply-1-divide
     // double expression at the end (parity by construction)

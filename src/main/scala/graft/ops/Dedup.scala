@@ -919,7 +919,47 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** q287 — SOURCE VOCABULARY OVERLAP: pairwise Jaccard of the distinct
+    * TOKEN sets per source — the lexical sibling of q268 (which catches
+    * copied document HEADS; this catches shared VOCABULARY, the signal
+    * for same-domain/same-language crawls whose documents are disjoint
+    * but whose token distributions will double-count in a mixture). All
+    * exact integers: distinct-collapse, bounded pair counts, one
+    * truncating ppm division.
+    *
+    * Scale: ONE corpus-scale stage — the distinct (source, token)
+    * collapse (hash agg). The token-key self-join fans out ≤ |sources|
+    * per token (dimension-bounded), and one exchange serves both sides
+    * (ReuseExchange); output ≤ |sources|² rows.
+    */
+  def sourceVocabOverlap(spark: SparkSession, dir: String): DataFrame =
+    vocabOverlapCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (source, text) frame — fixture seam. */
+  private[graft] def vocabOverlapCore(docs: DataFrame): DataFrame = {
+    val st = docs
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    st.as("a").join(st.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_vocab_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_vocab_b"))), "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("n_vocab_a"), col("n_vocab_b"), col("n_common"),
+        expr("""n_common * 1000000
+                div (n_vocab_a + n_vocab_b - n_common)""").as("jaccard_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q287_source_vocab_overlap" -> (sourceVocabOverlap(_, _)),
     "q262_ngram_contamination" -> (ngramContamination(_, _)),
     "q264_segment_dedup" -> (segmentDedupRetention(_, _)),
     "q265_ngram_novelty" -> (ngramNovelty(_, _)),
@@ -968,6 +1008,29 @@ object Dedup {
     // q268: same head fingerprint (md5 over the same 80-char prefix —
     // both engines hash identical UTF-8 bytes), same pair join at
     // fingerprint grain
+    // q287: same distinct (source, token) collapse, same bounded pair
+    // counts, same truncating ppm Jaccard
+    "q287_source_vocab_overlap" ->
+      """WITH st AS (
+           SELECT DISTINCT source, w FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS w
+             FROM documents
+             WHERE text IS NOT NULL AND source IS NOT NULL)
+           WHERE w <> ''),
+         sz AS (SELECT source, count(*)::BIGINT AS n FROM st GROUP BY 1),
+         p AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             count(*)::BIGINT AS n_common
+           FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source_a, source_b,
+           za.n AS n_vocab_a, zb.n AS n_vocab_b, n_common,
+           (n_common * 1000000 // (za.n + zb.n - n_common))::BIGINT
+             AS jaccard_ppm
+         FROM p
+         JOIN sz za ON za.source = p.source_a
+         JOIN sz zb ON zb.source = p.source_b
+         ORDER BY source_a, source_b""",
     "q268_cross_source_overlap" ->
       s"""WITH fps AS (
             SELECT md5(substr(text, 1, $crossSourcePrefix)) AS fp, source,

@@ -566,6 +566,23 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
     assert(c(1L) === 0.0 && c(2L) === 0.0)
   }
 
+  test("q288 fano: bursty vs constant series, silent days as zeros, " +
+    "exact integral variance-over-mean") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // x: [2,0,2] (day 1 silent) → var_num = 3·8−16 = 8, fano = 8e6/12
+    // y: [1,1,1] → fano 0
+    val ev = (Seq(0L, 1L, 2 * dayUs, 2 * dayUs + 1).map(("x", _)) ++
+      Seq(0L, dayUs, 2 * dayUs).map(("y", _)))
+      .toDF("event_type", "tsu")
+    val out = Behavior.fanoCore(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out === Seq(
+      ("x", 3L, 4L, 2L, 1333333L, 666666L),
+      ("y", 3L, 3L, 1L, 1000000L, 0L)))
+  }
+
   test("q272 hour seasonality: zero-day means, min rule, and shares on " +
     "a hand fixture") {
     import spark.implicits._

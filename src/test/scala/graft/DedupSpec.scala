@@ -303,6 +303,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (3L, 2L, 0L, 0L)))
   }
 
+  test("q287 source vocab overlap: distinct-token Jaccard per pair, " +
+    "disjoint pair absent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("A", "a b c"), ("A", "a a"),     // vocab {a,b,c}
+      ("B", "b c d"),                    // vocab {b,c,d}
+      ("C", "x"))                        // vocab {x} — disjoint
+      .toDF("source", "text")
+    val out = Dedup.vocabOverlapCore(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // (A,B): common {b,c} → 2·1e6 div (3+3−2) = 500000; (·,C) absent
+    assert(out.toSeq === Seq(("A", "B", 3L, 3L, 2L, 500000L)))
+  }
+
   test("q268 cross-source overlap: shared heads counted once per pair, " +
     "copies summed per side") {
     val s = spark
