@@ -125,6 +125,53 @@ object Behavior {
       .orderBy("user_id")
   }
 
+  /** q289 — ANY-ORDER FUNNEL: q76/q278 require signup→click→purchase
+    * in sequence; this is the set-completion read ("touched all three
+    * surfaces, in whatever order, within an hour of the first touch")
+    * that activation metrics actually use when steps aren't causally
+    * ordered. Per user: first touch per stage, stages_hit = how many
+    * stages ever fire, completion = every stage's first touch lands
+    * inside [first_touch, first_touch + window] — deterministic pure
+    * aggregation, no anchoring subtleties (unlike the sequential
+    * funnel there's no greedy choice to make: first touches are
+    * unique minima).
+    *
+    * Scale: ONE map-side-combinable agg to user grain (conditional
+    * mins); everything after is a projection. No joins at all — the
+    * chain shape q76 needs for sequence constraints vanishes when
+    * order doesn't matter.
+    */
+  def anyOrderFunnel(spark: SparkSession, dir: String): DataFrame =
+    anyOrderFunnelCore(Tables.eventsMicros(spark, dir))
+
+  private[graft] def anyOrderFunnelCore(
+      ev: DataFrame,
+      stages: Seq[String] = defaultFunnelStages,
+      windowUs: Long = funnelWindowUs): DataFrame = {
+    val mins = stages.map(st =>
+      min(when(col("event_type") === st, col("tsu"))).as(s"${st}_tsu"))
+    val hit = stages.map(st => when(col(s"${st}_tsu").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val firstTouch = least(stages.map(st => col(s"${st}_tsu")): _*)
+    val lastFirst = greatest(stages.map(st => col(s"${st}_tsu")): _*)
+    ev.filter(col("event_type").isin(stages: _*))
+      .groupBy("user_id")
+      .agg(mins.head, mins.tail: _*)
+      .withColumn("stages_hit", hit.cast("long"))
+      .withColumn("first_touch_tsu", firstTouch)
+      // complete iff all stages fired and the LAST first-touch is
+      // within the window of the FIRST (least/greatest are null-safe
+      // only when all inputs are non-null — gated by stages_hit)
+      .withColumn("completed",
+        col("stages_hit") === stages.size &&
+          lastFirst <= firstTouch + windowUs)
+      // missed stages emit 0, never NULL (the q104-class NaN trap)
+      .select(col("user_id") +: stages.map(st =>
+        coalesce(col(s"${st}_tsu"), lit(0L)).as(s"${st}_tsu")) ++:
+        Seq(col("stages_hit"), col("first_touch_tsu"), col("completed")): _*)
+      .orderBy("user_id")
+  }
+
   private val dayUs = 86400000000L
 
   /** q77 — cohort retention: users grouped by first-active day; for
@@ -1285,6 +1332,7 @@ object Behavior {
     "q288_fano_burstiness" -> (fanoBurstiness(_, _)),
     "q76_funnel" -> (funnel(_, _)),
     "q278_windowed_funnel" -> (windowedFunnel(_, _)),
+    "q289_anyorder_funnel" -> (anyOrderFunnel(_, _)),
     "q77_cohort_retention" -> (cohortRetention(_, _)),
     "q106_event_transitions" -> (eventTransitions(_, _)),
     "q108_sliding_active_users" -> (slidingActiveUsers(_, _)))
@@ -1908,6 +1956,36 @@ object Behavior {
          JOIN s sa ON type_a = sa.event_type
          JOIN s sb ON type_b = sb.event_type
          ORDER BY jaccard DESC, type_a, type_b""",
+    // q289: one conditional-min aggregate, same µs arithmetic, same
+    // null-skipping least/greatest (both engines skip NULLs there),
+    // completion gated on all stages present
+    "q289_anyorder_funnel" ->
+      s"""WITH ev AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_type
+           FROM events WHERE ts IS NOT NULL
+             AND event_type IN ('signup', 'click', 'purchase')),
+         m AS (
+           SELECT user_id,
+             min(tsu) FILTER (WHERE event_type = 'signup') AS s_tsu,
+             min(tsu) FILTER (WHERE event_type = 'click') AS c_tsu,
+             min(tsu) FILTER (WHERE event_type = 'purchase') AS p_tsu
+           FROM ev GROUP BY 1),
+         x AS (
+           SELECT user_id, s_tsu, c_tsu, p_tsu,
+             ((s_tsu IS NOT NULL)::INT + (c_tsu IS NOT NULL)::INT
+               + (p_tsu IS NOT NULL)::INT)::BIGINT AS stages_hit,
+             least(s_tsu, c_tsu, p_tsu) AS first_touch_tsu,
+             greatest(s_tsu, c_tsu, p_tsu) AS last_first_tsu
+           FROM m)
+         SELECT user_id,
+           COALESCE(s_tsu, 0) AS signup_tsu,
+           COALESCE(c_tsu, 0) AS click_tsu,
+           COALESCE(p_tsu, 0) AS purchase_tsu,
+           stages_hit, first_touch_tsu,
+           (stages_hit = 3 AND
+            last_first_tsu <= first_touch_tsu + $funnelWindowUs)
+             AS completed
+         FROM x ORDER BY user_id""",
     // q278: q76's chain with the per-step deadline on each join —
     // same first-touch greedy anchors, same µs arithmetic
     "q278_windowed_funnel" ->

@@ -389,6 +389,46 @@ object Sampling {
       .orderBy(desc("quality_ppm"), asc("doc_id"))
   }
 
+  /** q290 keep-rate in 16ths (4/16 = 25% of customers). */
+  private[graft] val coherentSixteenths = 4
+
+  /** q290 — REFERENTIALLY-COHERENT MULTI-TABLE SAMPLE: downsample an
+    * ENTITY (customers) and take every table's rows for exactly the
+    * sampled entities — the "dev slice of the warehouse" every team
+    * cuts, where independent per-table sampling would orphan child
+    * rows and break every join downstream. The decision is the q58
+    * content-addressed nibble on the SHARED key, which is what makes
+    * coherence join-free wherever the key is denormalized: customer
+    * and orders each filter by hash(custkey) LOCALLY in their scan
+    * stage — zero joins, guaranteed-consistent membership — and only
+    * lineitem (whose schema hides custkey) pays one semi-join against
+    * the sampled orders' keys. Emits a per-layer audit row
+    * (rows kept + an exact mod-p key checksum) that pins MEMBERSHIP,
+    * not just cardinality.
+    *
+    * Scale: two scan-local filters + one semi-join on l_orderkey (the
+    * natural join key, salted/AQE-safe); checksums are map-side
+    * combinable DECIMAL sums with one final mod — Σkey at 10¹² rows
+    * passes 2⁶³, hence the decimal ride before the BIGINT emission.
+    */
+  def coherentSample(spark: SparkSession, dir: String): DataFrame = {
+    val keep = (c: Column) => nibbleOf(c, ":coh") < coherentSixteenths
+    val cust = Tables.customer(spark, dir).filter(keep(col("c_custkey")))
+    val ord = Tables.orders(spark, dir).filter(keep(col("o_custkey")))
+    val li = Tables.lineitem(spark, dir)
+      .join(ord.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+    def audit(layer: String, df: DataFrame, key: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          expr(s"""coalesce(cast(sum(cast($key as decimal(38,0)))
+                   % 1000000007 as bigint), 0)""").as("key_checksum"))
+        .select(lit(layer).as("layer"), col("n_rows"), col("key_checksum"))
+    audit("1_customer", cust, "c_custkey")
+      .unionByName(audit("2_orders", ord, "o_orderkey"))
+      .unionByName(audit("3_lineitem", li, "l_orderkey"))
+      .orderBy("layer")
+  }
+
   /** q227 prefilter oversample: expected survivors per stratum =
     * oversample·k, so the per-stratum sort below runs over ~800 rows
     * even when the stratum holds 50 TB. With k=200 the survivor count
@@ -474,9 +514,39 @@ object Sampling {
     "q184_weighted_sample" -> (weightedPrioritySample(_, _)),
     "q252_rendezvous_sharding" -> (rendezvousSharding(_, _)),
     "q255_token_apportionment" -> (tokenApportionment(_, _)),
-    "q286_token_budget_selection" -> (tokenBudgetSelection(_, _)))
+    "q286_token_budget_selection" -> (tokenBudgetSelection(_, _)),
+    "q290_coherent_sample" -> (coherentSample(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q290: same md5-nibble membership (q58's hex-strpos form), the
+    // lineitem layer via IN over the sampled orders, same mod-p
+    // checksum in HUGEINT
+    "q290_coherent_sample" ->
+      s"""WITH sc AS (
+            SELECT c_custkey FROM customer
+            WHERE strpos('0123456789abcdef',
+              substr(md5(c_custkey::VARCHAR || ':coh'), 1, 1)) - 1
+              < $coherentSixteenths),
+          so AS (
+            SELECT o_orderkey FROM orders
+            WHERE strpos('0123456789abcdef',
+              substr(md5(o_custkey::VARCHAR || ':coh'), 1, 1)) - 1
+              < $coherentSixteenths),
+          sl AS (
+            SELECT l_orderkey FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM so))
+          SELECT '1_customer' AS layer, count(*)::BIGINT AS n_rows,
+            coalesce((sum(c_custkey::HUGEINT) % 1000000007)::BIGINT, 0)
+              AS key_checksum FROM sc
+          UNION ALL
+          SELECT '2_orders', count(*)::BIGINT,
+            coalesce((sum(o_orderkey::HUGEINT) % 1000000007)::BIGINT, 0)
+          FROM so
+          UNION ALL
+          SELECT '3_lineitem', count(*)::BIGINT,
+            coalesce((sum(l_orderkey::HUGEINT) % 1000000007)::BIGINT, 0)
+          FROM sl
+          ORDER BY layer""",
     // q286: same tokenizer mapping, same integer quality proxy, same
     // greedy-prefix boundary rule via a plain ordered window (the
     // oracle's single-node sort is its privilege; the engine must

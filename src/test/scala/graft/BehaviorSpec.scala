@@ -566,6 +566,31 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
     assert(c(1L) === 0.0 && c(2L) === 0.0)
   }
 
+  test("q289 any-order funnel: reversed order completes inside the " +
+    "window, late stage fails it, partial users counted") {
+    import spark.implicits._
+    val H = 3600000000L
+    val ev = Seq(
+      // user 1: canonical order, all within H of first touch
+      (1L, "signup", 0L), (1L, "click", H / 2), (1L, "purchase", H),
+      // user 2: REVERSED order — q76 scores stage 1, this completes...
+      (2L, "purchase", 0L), (2L, "click", H / 4), (2L, "signup", H / 2),
+      // user 3: all three but signup lands past the window
+      (3L, "purchase", 0L), (3L, "click", 1L), (3L, "signup", 2 * H),
+      // user 4: two stages only
+      (4L, "click", 0L), (4L, "purchase", 5L))
+      .toDF("user_id", "event_type", "tsu")
+    val out = Behavior.anyOrderFunnelCore(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 0L, true), (2L, 3L, 0L, true),
+      (3L, 3L, 0L, false), (4L, 2L, 0L, false)))
+    // ...while the sequential funnel stops user 2 at stage 1
+    val seq = Behavior.funnelCore(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(seq(2L) === 1L)
+  }
+
   test("q288 fano: bursty vs constant series, silent days as zeros, " +
     "exact integral variance-over-mean") {
     import spark.implicits._

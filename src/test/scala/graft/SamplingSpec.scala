@@ -271,6 +271,38 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(out2.toSeq === Seq(1L, 3L))
   }
 
+  test("q290 coherent sample: layers equal an in-JVM md5-nibble replica " +
+      "and membership is referentially closed") {
+    def nib(key: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key:coh".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16)
+    }
+    val custKeys = graft.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+      .filter(nib(_) < Sampling.coherentSixteenths)
+    val ordRows = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => nib(t._2) < Sampling.coherentSixteenths)
+    val ordKeys = ordRows.map(_._1).toSet
+    val liKeys = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey").collect().map(_.getLong(0))
+      .filter(ordKeys.contains)
+    def ck(ks: Iterable[Long]): Long =
+      (ks.map(BigInt(_)).sum % 1000000007).toLong
+    val got = Sampling.coherentSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("1_customer", custKeys.length.toLong, ck(custKeys)),
+      ("2_orders", ordRows.length.toLong, ck(ordRows.map(_._1))),
+      ("3_lineitem", liKeys.length.toLong, ck(liKeys))))
+    // coherence: every sampled order's customer is itself sampled
+    val cs = custKeys.toSet
+    assert(ordRows.forall(t => cs.contains(t._2)))
+  }
+
   test("q252 rendezvous sharding: movement lands ONLY in the new shard " +
       "and totals reconcile") {
     val rows = Sampling.rendezvousSharding(spark, sf).collect()
