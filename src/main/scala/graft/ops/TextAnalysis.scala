@@ -605,6 +605,55 @@ object TextAnalysis {
     per.unionByName(macroRow).orderBy("label")
   }
 
+  /** q291 — GOPHER-STYLE QUALITY RULE GATES (Rae et al. 2021, §A1.1):
+    * the named rule battery production pretraining filters actually
+    * run, as a per-doc decision table — each rule an EXACT integer
+    * predicate (cross-multiplied thresholds, no float division
+    * anywhere), plus the conjunctive keep decision. q43 scores quality
+    * on a continuous composite; this is the published rule set with
+    * per-rule explainability (which gate killed the doc — the answer
+    * a curation postmortem needs). Canonical constants: word count in
+    * [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    * (# / ellipsis) ≤ 0.1, ≥ 80% words with an alphabetic char, ≥ 2
+    * distinct stopwords (the "essential English" test).
+    *
+    * Scale: one codegen'd projection over the scan — per-doc lambda
+    * aggregates on the token array, no shuffle before the
+    * presentation sort.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesCore(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — fixture seam. */
+  private[graft] def gopherRulesCore(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        size(filter(ws, w => w.contains("#") || w.contains("...")))
+          .cast("long").as("n_symbol"),
+        size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+          .as("n_alpha"),
+        size(array_intersect(array_distinct(ws),
+          typedLit(graft.expr.TextFunctions.stopwords))).cast("long")
+          .as("n_stop_distinct"))
+      .filter(col("n_words") > 0)
+      .withColumn("wc_ok",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("mwl_ok",
+        col("sum_len") >= col("n_words") * 3L
+          && col("sum_len") <= col("n_words") * 10L)
+      .withColumn("sym_ok", col("n_symbol") * 10L <= col("n_words"))
+      .withColumn("alpha_ok", col("n_alpha") * 5L >= col("n_words") * 4L)
+      .withColumn("stop_ok", col("n_stop_distinct") >= 2L)
+      .withColumn("keep",
+        col("wc_ok") && col("mwl_ok") && col("sym_ok")
+          && col("alpha_ok") && col("stop_ok"))
+      .orderBy("doc_id")
+  }
+
   /** q109 — token CONCENTRATION per document: Herfindahl index and Gini
     * impurity of the unigram distribution, the distributional-diversity
     * quality signal (how dominated a doc is by few tokens — templated
@@ -1108,6 +1157,7 @@ object TextAnalysis {
     "q276_cohens_kappa" -> (cohensKappa(_, _)),
     "q283_mcnemar_test" -> (mcnemarTest(_, _)),
     "q284_macro_f1" -> (macroF1(_, _)),
+    "q291_gopher_rules" -> (gopherRules(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
@@ -1465,6 +1515,38 @@ object TextAnalysis {
             ((po_ppm - pe_ppm) * 1000000
               // nullif(1000000 - pe_ppm, 0))::BIGINT AS kappa_ppm
           FROM k""",
+    // q291: same tokenizer mapping, same cross-multiplied integer
+    // thresholds, same conjunctive keep
+    "q291_gopher_rules" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          m AS (
+            SELECT doc_id,
+              len(ws)::BIGINT AS n_words,
+              coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                ::BIGINT AS sum_len,
+              len(list_filter(ws, w ->
+                contains(w, '#') OR contains(w, '...')))::BIGINT AS n_symbol,
+              len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                ::BIGINT AS n_alpha,
+              len(list_filter(list_distinct(ws), w -> w IN ($stopList)))
+                ::BIGINT AS n_stop_distinct
+            FROM t)
+          SELECT doc_id, n_words, sum_len, n_symbol, n_alpha,
+            n_stop_distinct,
+            (n_words >= 50 AND n_words <= 100000) AS wc_ok,
+            (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AS mwl_ok,
+            (10 * n_symbol <= n_words) AS sym_ok,
+            (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+            (n_stop_distinct >= 2) AS stop_ok,
+            ((n_words >= 50 AND n_words <= 100000)
+              AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+              AND (10 * n_symbol <= n_words)
+              AND (5 * n_alpha >= 4 * n_words)
+              AND (n_stop_distinct >= 2)) AS keep
+          FROM m WHERE n_words > 0 ORDER BY doc_id""",
     // q283: same q44 argmax CTE; the four paired cells and the
     // (b−c)²/(b+c) statistic in HUGEINT, same zero-discordant → 0 rule
     "q283_mcnemar_test" ->

@@ -359,6 +359,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
         (666666L + 666666L) / 3)))
   }
 
+  test("q291 gopher rules: each gate trips on its own violation, " +
+      "clean doc keeps") {
+    import spark.implicits._
+    val clean = "the and of to is " + Seq.fill(50)("word").mkString(" ")
+    val short = "the and just a few words here"
+    val symbols = Seq.fill(50)("###").mkString(" ")
+    val numeric = Seq.fill(50)("123").mkString(" ")
+    val docs = Seq((1L, clean), (2L, short), (3L, symbols), (4L, numeric))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRulesCore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9), r.getBoolean(10),
+        r.getBoolean(11))).toMap
+    // (wc, mwl, sym, alpha, stop, keep)
+    assert(out(1L) === ((true, true, true, true, true, true)))
+    assert(out(2L)._1 === false && out(2L)._6 === false)
+    assert(out(3L)._3 === false && out(3L)._4 === false)
+    assert(out(4L)._4 === false && out(4L)._5 === false
+      && out(4L)._2 === true)
+  }
+
   test("q283 McNemar: the four paired cells and the discordant-only " +
       "statistic on a hand fixture") {
     import spark.implicits._
