@@ -455,7 +455,7 @@ object TextAnalysis {
   def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
     // eager checkpoint: three consumers (totals, row marginal, col
     // marginal) would each re-run the langId scan (the q284 fix)
-    val cells = Tables.documents(spark, dir)
+    val cells = Tables.spread(Tables.documents(spark, dir))
       .select(col("lang").as("actual"),
         graft.expr.TextFunctions.langId(col("text")).as("predicted"))
       .groupBy("actual", "predicted")
@@ -497,7 +497,7 @@ object TextAnalysis {
   def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
     val byActual = Window.partitionBy("actual")
     val byPred = Window.partitionBy("predicted")
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("lang").as("actual"),
         graft.expr.TextFunctions.langId(col("text")).as("predicted"))
       .groupBy("actual", "predicted")
@@ -528,7 +528,7 @@ object TextAnalysis {
     * numbers; nothing after it touches data.
     */
   def mcnemarTest(spark: SparkSession, dir: String): DataFrame =
-    mcnemarCore(Tables.documents(spark, dir))
+    mcnemarCore(Tables.spread(Tables.documents(spark, dir)))
 
   /** Core over any (text, lang) frame — fixture seam for the spec. */
   private[graft] def mcnemarCore(docs: DataFrame): DataFrame = {
@@ -566,7 +566,7 @@ object TextAnalysis {
     * collapse are all dimension-sized (the q199 cell-frame stance).
     */
   def macroF1(spark: SparkSession, dir: String): DataFrame =
-    macroF1Core(Tables.documents(spark, dir))
+    macroF1Core(Tables.spread(Tables.documents(spark, dir)))
 
   /** Core over any (text, lang) frame — fixture seam for the spec. */
   private[graft] def macroF1Core(docs: DataFrame): DataFrame = {
@@ -630,7 +630,7 @@ object TextAnalysis {
     * presentation sort.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
-    gopherRulesCore(Tables.documents(spark, dir))
+    gopherRulesCore(Tables.spread(Tables.documents(spark, dir)))
 
   /** Core over any (doc_id, text) frame — fixture seam. */
   private[graft] def gopherRulesCore(docs: DataFrame): DataFrame = {

@@ -167,6 +167,31 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(real.forall(r => r.getLong(3) <= r.getLong(2)))
   }
 
+  test("langId kernel equals the five-filter fold corpus-wide, with " +
+    "tie-break and und edges") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+    val diff = docs.select(
+        graft.expr.TextFunctions.langId(col("text")).as("k"),
+        graft.expr.TextFunctions.langIdFold(col("text")).as("f"))
+      .filter(col("k") =!= col("f") ||
+        col("k").isNull =!= col("f").isNull)
+      .count()
+    assert(diff === 0L)
+    // edges: tie (es and fr both score 1 → alphabetical first = es),
+    // no marker → und, empty/null text → und
+    val s = spark
+    import s.implicits._
+    val edge = Seq("le el", "zzz qqq", "", null.asInstanceOf[String])
+      .toDF("text")
+    val got = edge.select(graft.expr.TextFunctions.langId(col("text")))
+      .collect().map(_.getString(0)).toSeq
+    val fold = edge.select(graft.expr.TextFunctions.langIdFold(col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("es", "und", "und", "und"))
+    assert(got === fold)
+  }
+
   test("segmentCjk on real corpus phrases: longest dictionary match wins") {
     // 前方高能 is a dictionary 4-gram: matched whole, not 前方+高能
     assert(TextFunctions.segmentCjk("前方高能") == Seq("前方高能"))
