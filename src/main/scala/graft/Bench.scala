@@ -41,7 +41,15 @@ object Bench {
       val load = loadavg1()
       def rep(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink, NOT count(): under count() Catalyst prunes every
+        // column the aggregate doesn't need — a projection-only query
+        // (q44, q45, q67…) was billed for its scan skeleton while its
+        // actual per-row compute was optimized away, and presentation
+        // sorts vanished under the agg. The noop write materializes
+        // every output column and keeps the ordering, i.e. measures
+        // what a consumer of the query actually pays. (Round-12
+        // change; BASELINE.md re-recorded under the same rule.)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         // A query's leaked cache must never bill (or subsidize) a
         // later rep or a later query (r3 artifact — cross-query
