@@ -96,7 +96,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // round-12: HITS' final L2 normalization — single-row norm
     // broadcast over each checkpointed score frame (the per-round
     // copies live behind localCheckpoint and never reach this plan)
-    "q281_hits_bipartite")
+    "q281_hits_bipartite",
+    // round-12: q192's bounds-spine pattern — generate_series day range
+    // crossed with the broadcast type VOCABULARY (never data-scale)
+    "q288_fano_burstiness")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
