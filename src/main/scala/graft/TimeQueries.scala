@@ -22,8 +22,11 @@ object TimeQueries {
     spark.sparkContext.setLogLevel("WARN")
     for (r <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[time] rep$r $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // noop sink — same rule as graft.Bench (count() lets Catalyst
+      // prune projection-only compute and drop presentation sorts)
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[time] rep$r $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

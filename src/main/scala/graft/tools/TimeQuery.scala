@@ -36,8 +36,10 @@ object TimeQuery {
       for (r <- 1 to reps) {
         stages.clear()
         val t0 = System.nanoTime()
-        val cnt = fn(spark, dir).count()
-        println(f"[time] $n rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
+        // noop sink — same rule as graft.Bench (count() lets Catalyst
+        // prune projection-only compute and drop presentation sorts)
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[time] $n rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
         if (showStages && r == reps) {
           Thread.sleep(200) // let listener drain
           stages.forEach(s => println(s))
