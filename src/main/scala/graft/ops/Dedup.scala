@@ -958,8 +958,40 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** q292 — DUPLICATE-CLUSTER SIZE HISTOGRAM: the dedup burn-down
+    * report — for each exact-duplicate cluster size k, how many
+    * clusters, how many documents they hold, and how many are EXCESS
+    * (k−1 per cluster = what dedup would delete), with the corpus
+    * share in exact ppm. q50 counts duplicates; this shows the SHAPE
+    * (a thousand pairs vs one thousand-copy template farm need
+    * different responses), which is the first chart in every dedup
+    * postmortem.
+    *
+    * Scale: one hash agg to fingerprint grain, a second to the
+    * bounded cluster-size grain; the totals ride the kernel's own
+    * window over that bounded frame. Exact integers end to end.
+    */
+  def dupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dupClusterSizesCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any frame with text — fixture seam. */
+  private[graft] def dupClusterSizesCore(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_clusters"))
+      .select(col("k").as("cluster_size"), col("n_clusters"),
+        (col("k") * col("n_clusters")).as("n_docs"),
+        ((col("k") - 1) * col("n_clusters")).as("n_excess"))
+      // window over the bounded size-grain frame (≤ max cluster size
+      // rows), not the corpus
+      .withColumn("share_ppm",
+        expr("n_docs * 1000000 div nullif(sum(n_docs) over (), 0)"))
+      .orderBy("cluster_size")
+
   val queries: Map[String, Q] = Map(
     "q287_source_vocab_overlap" -> (sourceVocabOverlap(_, _)),
+    "q292_dup_cluster_sizes" -> (dupClusterSizes(_, _)),
     "q262_ngram_contamination" -> (ngramContamination(_, _)),
     "q264_segment_dedup" -> (segmentDedupRetention(_, _)),
     "q265_ngram_novelty" -> (ngramNovelty(_, _)),
@@ -1008,6 +1040,22 @@ object Dedup {
     // q268: same head fingerprint (md5 over the same 80-char prefix —
     // both engines hash identical UTF-8 bytes), same pair join at
     // fingerprint grain
+    // q292: same md5 fingerprint grain, same two-level collapse, same
+    // truncating ppm share over the bounded size-grain window
+    "q292_dup_cluster_sizes" ->
+      """WITH fp AS (
+           SELECT md5(text) AS fp, count(*)::BIGINT AS k
+           FROM documents WHERE text IS NOT NULL GROUP BY 1),
+         sz AS (
+           SELECT k AS cluster_size, count(*)::BIGINT AS n_clusters
+           FROM fp GROUP BY 1)
+         SELECT cluster_size, n_clusters,
+           (cluster_size * n_clusters)::BIGINT AS n_docs,
+           ((cluster_size - 1) * n_clusters)::BIGINT AS n_excess,
+           (cluster_size * n_clusters * 1000000
+             // nullif(sum(cluster_size * n_clusters) OVER (), 0))
+             ::BIGINT AS share_ppm
+         FROM sz ORDER BY cluster_size""",
     // q287: same distinct (source, token) collapse, same bounded pair
     // counts, same truncating ppm Jaccard
     "q287_source_vocab_overlap" ->

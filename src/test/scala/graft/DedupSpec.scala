@@ -319,6 +319,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq === Seq(("A", "B", 3L, 3L, 2L, 500000L)))
   }
 
+  test("q292 dup cluster sizes: histogram shape, excess arithmetic, " +
+    "ppm shares sum to ~1e6") {
+    val s = spark
+    import s.implicits._
+    // 3 singletons, one pair, one triple → sizes 1×3, 2×1, 3×1
+    val docs = Seq("a", "b", "c", "dup1", "dup1", "dup2", "dup2", "dup2")
+      .toDF("text")
+    val out = Dedup.dupClusterSizesCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 3L, 0L, 375000L),
+      (2L, 1L, 2L, 1L, 250000L),
+      (3L, 1L, 3L, 2L, 375000L)))
+    assert(out.map(_._5).sum === 1000000L)
+    assert(out.map(_._4).sum === 3L) // dedup would delete 3 docs
+  }
+
   test("q268 cross-source overlap: shared heads counted once per pair, " +
     "copies summed per side") {
     val s = spark
