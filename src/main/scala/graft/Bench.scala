@@ -37,6 +37,26 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.getLines().next().split(" ")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
+    // The recorded per-query baseline (BASELINE.md's table) is the very
+    // thing the round gate compares against, and it is sitting in the
+    // working directory — read it, so the bench can notice "this warm
+    // min is >2x what this query cost last time" AT MEASUREMENT TIME.
+    // Round-12 blind spot: a sustained host-contention window inflated
+    // BOTH reps of ~38 consecutive queries uniformly at lagging
+    // loadavg ~1 — rep agreement and the loadavg trigger both passed,
+    // and 287 s of pure environment went into the round record. Rep
+    // disagreement detects spikes; only a baseline comparison can
+    // detect sustained contention. (Quiet-host re-measure r13: 38/41
+    // flagged queries landed back within 2x, code untouched.)
+    def parseBaseline(): Map[String, Double] =
+      try {
+        val row = """\|\s*(q\w+)\s*\|\s*([0-9.]+)\s*\|""".r
+        val src = scala.io.Source.fromFile("BASELINE.md")
+        try src.getLines().collect {
+          case row(q, w) => q -> w.toDouble
+        }.toMap finally src.close()
+      } catch { case _: Throwable => Map.empty }
+    val baseline = parseBaseline()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load = loadavg1()
       def rep(): Double = {
@@ -72,9 +92,15 @@ object Bench {
           // land in a quiet scheduling window. Sub-0.3 s absolutes are
           // exempt (scheduler jitter dominates; ratios are meaningless
           // there and extra reps just burn wall-clock x242 queries).
+          // Third trigger (r12 verdict task 1): the warm min exceeding
+          // 2x this query's recorded BASELINE.md entry is itself
+          // suspicious — even when the reps agree and loadavg looks
+          // idle (sustained contention defeats both other triggers).
+          def overBaseline(t: Seq[Double]): Boolean =
+            baseline.get(name).exists(b => t.min > 2.0 * b)
           var extra = 0
           while (extra < 2 && ts.min >= 0.3 &&
-                 (ts.max / ts.min > 1.5 || load > 8.0)) {
+                 (ts.max / ts.min > 1.5 || load > 8.0 || overBaseline(ts))) {
             ts = ts :+ rep()
             extra += 1
           }
@@ -86,11 +112,41 @@ object Bench {
         }
       (name, times, load)
     }
+    // End-of-run revisit (r12 verdict task 1): a query measured inside
+    // a sustained-contention window stays >2x baseline however many
+    // back-to-back extra reps it took DURING the window. Re-running it
+    // once more at the END of the run gives it a second, temporally
+    // separated chance to land in quiet scheduling — in r12 the band
+    // was contiguous, so end-of-run was outside the window. The min
+    // merges; an honest regression keeps its slow number.
+    val revisited = scala.collection.mutable.ArrayBuffer.empty[String]
+    val finalResults = results.map { case (name, ts, load) =>
+      val over = ts.nonEmpty && ts.min >= 0.3 &&
+        baseline.get(name).exists(b => ts.min > 2.0 * b)
+      if (!over) (name, ts, load)
+      else {
+        revisited += name
+        val more =
+          try (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            dt
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name revisit FAILED: $e")
+            spark.catalog.clearCache()
+            Seq.empty[Double]
+          }
+        (name, ts ++ more, load)
+      }
+    }
     // Locale.ROOT: the f-interpolator is default-locale-sensitive — a
     // comma-decimal JVM locale would corrupt the emitted JSON
     def num(v: Double, fmt: String): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
-    def jmap(f: Seq[Double] => Double) = results
+    def jmap(f: Seq[Double] => Double) = finalResults
       .map { case (k, ts, _) =>
         s"\"" + k + "\":" + (if (ts.isEmpty) "-1.0" else num(f(ts), "%.3f")) }
       .mkString("{", ",", "}")
@@ -98,17 +154,17 @@ object Bench {
     val cold = jmap(_.head)
     // every rep, verbatim — min/head alone can't show that rep 2 of a
     // 20x-inflated entry was normal (i.e. the spike was environmental)
-    val repsDetail = results
+    val repsDetail = finalResults
       .map { case (k, ts, _) =>
         s"\"" + k + "\":" + ts.map(num(_, "%.3f")).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val loads = results
+    val loads = finalResults
       .map { case (k, _, ld) => s"\"" + k + "\":" + num(ld, "%.2f") }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
+    val total = finalResults.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
     // failures must not read as a speedup: excluded queries (-1 in the
     // per-query map) are surfaced as an explicit count in the headline
-    val failed = results.count(_._2.isEmpty)
+    val failed = finalResults.count(_._2.isEmpty)
     // Key order matters for the round record: the driver tail-captures
     // the log, so whatever prints FIRST is what truncation drops (round
     // 4 lost the warm map and total; round 7's capture cut the warm map
@@ -118,11 +174,23 @@ object Bench {
     // BENCH.local.json sidecar, so the stdout line is ~3x shorter and
     // the full per-query map survives any plausible capture window.
     val head = s""""metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir""""
-    val json = s"""{$head,"load_1m":$loads,"rep_times":$repsDetail,"cold":$cold,"queries":$qs,"failed":$failed,"value":$total}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH.local.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    val revisitedJson = revisited.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{$head,"load_1m":$loads,"rep_times":$repsDetail,"cold":$cold,"revisited":$revisitedJson,"queries":$qs,"failed":$failed,"value":$total}"""
+    // Versioned evidence (r12 verdict task 2): BENCH.local.json is a
+    // fixed name, so each run OVERWRITES the previous record — the r12
+    // contended run destroyed the per-rep arrays of the very baseline
+    // the gate compares against. Every run now also writes an
+    // immutable per-run file; a re-record can never eat its own
+    // provenance again. Tag from SPARK_GRAFT_BENCH_TAG or a timestamp.
+    val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG",
+      new java.text.SimpleDateFormat("yyyyMMdd-HHmmss")
+        .format(new java.util.Date()))
+    Seq("BENCH.local.json", s"BENCH.local.$tag.json").foreach { f =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(f),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed ($f): $e") }
+    }
     println(s"""{$head,"queries":$qs,"failed":$failed,"value":$total}""")
     spark.stop()
   }
