@@ -487,12 +487,21 @@ object Behavior {
         min("c").as("min_obs"))
       .select(
         col("hour"), col("n_events"), col("days_active"), col("n_days"),
-        expr("n_events * 1000000 div n_days").as("mean_ppm"),
-        expr("n_events * 1000000 div total").as("share_ppm"),
+        // DECIMAL(38,0) before the *10⁶ (r12 ADVICE, the q198/q280
+        // discipline): a BIGINT hour bucket past ~9.2e12 events wraps
+        // silently in Spark where DuckDB raises — at the 100-TB design
+        // point that is an engine/oracle divergence. Same truncating
+        // values at any non-wrapping count; cast back keeps the type.
+        expr("cast(cast(n_events as decimal(38,0)) * 1000000 div n_days as bigint)")
+          .as("mean_ppm"),
+        expr("cast(cast(n_events as decimal(38,0)) * 1000000 div total as bigint)")
+          .as("share_ppm"),
         col("max_day_events"),
         when(col("days_active") < col("n_days"), 0L).otherwise(col("min_obs"))
           .as("min_day_events"),
-        expr("max_day_events * 1000000 - n_events * 1000000 div n_days")
+        expr("""cast(cast(max_day_events as decimal(38,0)) * 1000000
+                - cast(n_events as decimal(38,0)) * 1000000 div n_days
+                as bigint)""")
           .as("peak_over_mean_ppm"))
       .orderBy("hour")
   }
@@ -1422,13 +1431,14 @@ object Behavior {
               max(c)::BIGINT AS max_day_events, min(c)::BIGINT AS min_obs
             FROM w GROUP BY 1)
           SELECT hour, n_events, days_active, n_days,
-            (n_events * 1000000 // n_days)::BIGINT AS mean_ppm,
-            (n_events * 1000000 // total)::BIGINT AS share_ppm,
+            (n_events::HUGEINT * 1000000 // n_days)::BIGINT AS mean_ppm,
+            (n_events::HUGEINT * 1000000 // total)::BIGINT AS share_ppm,
             max_day_events,
             (CASE WHEN days_active < n_days THEN 0
                   ELSE min_obs END)::BIGINT AS min_day_events,
-            (max_day_events * 1000000
-              - n_events * 1000000 // n_days)::BIGINT AS peak_over_mean_ppm
+            (max_day_events::HUGEINT * 1000000
+              - n_events::HUGEINT * 1000000 // n_days)::BIGINT
+              AS peak_over_mean_ppm
           FROM h ORDER BY hour""",
     // q207: same distinct-day islands, same row_number grouping key,
     // same single-BIGINT (len DESC, start ASC) argmax encoding — every

@@ -195,8 +195,22 @@ object Linkage {
     val pk8 = (0 until 8).map(i =>
       least(ascii(substring(col("p_name"), i + 1, 1)), lit(127)).cast("long")
         * lit(1L << (7 * (7 - i)))).reduce(_ + _)
+    // Domain guard (r12 ADVICE): the 127 cap makes the pack monotone
+    // but NOT order-isomorphic once a leading char leaves ASCII (two
+    // capped chars tie at 127 and the next packed position — not the
+    // real next codepoint — breaks the tie, so pk8 order can invert
+    // vs p_name order and silently shift the sliding window). Rather
+    // than trust the TPC-H domain, fail loudly per offending row: the
+    // check is one codegen'd comparison (UTF-8 octet length == char
+    // length on the 8-char prefix ⇔ all-ASCII), and raise_error keeps
+    // the query declarative — no extra pass, no driver action.
+    val prefix = substring(col("p_name"), 1, 8)
+    val pk8Guarded = when(octet_length(prefix) === length(prefix), pk8)
+      .otherwise(raise_error(concat(
+        lit("q258 sorted_neighborhood: non-ASCII p_name prefix breaks " +
+          "the pk8 rank's order-isomorphism: "), col("p_name"))).cast("long"))
     val parts = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_name"), pk8.as("pk8"))
+      .select(col("p_partkey"), col("p_name"), pk8Guarded.as("pk8"))
     val ranked = GlobalIndex
       .numberedBy(parts, Seq("pk8", "p_name", "p_partkey"))
       .withColumn("home", expr(s"(rn - 1) div $snWindow"))

@@ -642,8 +642,14 @@ object Quality {
     val s = docs.sparkSession
     import s.implicits._
     val k = ndcgK
-    val base = docs.select(col("source"), col("n_chars"), col("doc_id"),
-      when(col("lang") === "en", 1L).otherwise(0L).as("rel"))
+    // n_chars IS NOT NULL symmetrically here and in the oracle (r12
+    // ADVICE): the value-grain prune below silently drops NULL-score
+    // rows while a naive window ranks them NULLS LAST — under nullable
+    // inputs with < k non-null rows the prune would not be lossless.
+    // q269/q277 already take this stance; q280 now matches.
+    val base = docs.filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars"), col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("rel"))
     // value-grain threshold: the smallest n_chars whose block still
     // intersects the top k (cum count BEFORE the block < k)
     val v = base.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
@@ -854,7 +860,10 @@ object Quality {
           .as("rows_clipped"),
         max("n").as("max_contribution"))
       .withColumn("kept_share_ppm",
-        expr("rows_kept * 1000000 div n_rows"))
+        // DECIMAL(38,0) before the *10⁶ (r12 ADVICE): a bucket's kept
+        // rows past ~9.2e12 would wrap BIGINT silently where DuckDB
+        // raises — the q198/q280 widening discipline, same values.
+        expr("cast(cast(rows_kept as decimal(38,0)) * 1000000 div n_rows as bigint)"))
       .orderBy("bucket_lo")
 
   /** q269 forecast construction: the q228/q205 honest proxy task
@@ -1116,7 +1125,7 @@ object Quality {
             sum(least(n, $contributionCap))::BIGINT AS rows_kept,
             sum(greatest(n - $contributionCap, 0))::BIGINT AS rows_clipped,
             max(n)::BIGINT AS max_contribution,
-            (sum(least(n, $contributionCap)) * 1000000
+            (sum(least(n, $contributionCap))::HUGEINT * 1000000
               // sum(n))::BIGINT AS kept_share_ppm
           FROM b GROUP BY 1 ORDER BY 1""",
     // q261: same join, same QI cells, same floor-banded sensitive
@@ -1228,7 +1237,7 @@ object Quality {
       s"""WITH base AS (
             SELECT source, n_chars, doc_id,
               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
-            FROM documents),
+            FROM documents WHERE n_chars IS NOT NULL),
           r AS (
             SELECT *, row_number() OVER (PARTITION BY source
               ORDER BY n_chars DESC, doc_id) AS rn
