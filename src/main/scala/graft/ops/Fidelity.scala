@@ -393,6 +393,13 @@ object Fidelity {
         ORDER BY kind, "Weight" DESC, "Source", "Target""""
 
   val oracles: Map[String, String] = Map(
+    // q96: ORACLE-GATED since r13 against a committed golden (r12
+    // verdict task 5). CJK dictionary max-match has no SQL twin, but
+    // the corpus, dictionary and rules are all committed constants —
+    // the top-500 relation is a repo constant, pinned as a VALUES
+    // literal (regenerate with tools/DumpQ96Golden after a deliberate
+    // segmenter/corpus change).
+    "q96_word_freq" -> FidelityGolden.q96OracleSql,
     "q90_fanren_nodes" -> nodesOracle(fanRenGlob, RefLexicons.fanRen),
     "q91_fanren_edges" -> edgesOracle(fanRenGlob, RefLexicons.fanRen),
     "q92_spy_nodes" -> nodesOracle(spyGlob, RefLexicons.spyFamily),

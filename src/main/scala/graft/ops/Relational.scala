@@ -250,14 +250,32 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
-  /** approx_count_distinct (HLL++) — sketch output is implementation-
-    * specific, so this entry has no DuckDB oracle (rows-only check); its
-    * contract (±5% of exact) is pinned in RelationalSpec.
+  /** Detail seam: the raw HLL++ estimate next to the exact count —
+    * spec-pinned (RelationalSpec asserts the ±5% contract numerically).
     */
-  val approxDistinctUsers: Q = (s, d) =>
+  private[graft] val approxDistinctDetail: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        approx_count_distinct("user_id", 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  /** q14 — approx_count_distinct (HLL++) AUDITED against the exact
+    * count. ORACLE-GATED since r13 (r12 verdict task 5 — formerly
+    * rows-only): the estimate itself is implementation-specific (no
+    * DuckDB twin), but the row can carry the EXACT count plus the
+    * sketch's accuracy contract as a boolean — DuckDB recomputes the
+    * exact side and expects the boolean TRUE, so a sketch drifting
+    * past ±5% (20·|approx−exact| > exact, exact-integer arithmetic)
+    * flips the bit and fails the hash. The raw estimate stays visible
+    * through [[approxDistinctDetail]] and its spec pin.
+    */
+  val approxDistinctUsers: Q = (s, d) =>
+    approxDistinctDetail(s, d)
+      .select(col("event_type"), col("n_users"),
+        (abs(col("approx_users") - col("n_users")) * 20 <= col("n_users"))
+          .as("hll_within_5pct"))
       .orderBy("event_type")
 
   val cmsEps = 0.001
@@ -279,13 +297,19 @@ object Relational {
     * counters, a few KB) and k candidate rows — the candidate SET at
     * production scale comes from whatever cheap source exists
     * (per-partition local top-k, a prior day's leaderboard); the probe
-    * cost is O(d) per candidate wherever it runs. Sketch output is
-    * seed-dependent implementation detail → rows-only (no DuckDB
-    * oracle); the CMS contracts (never underestimates, overcount
-    * ≤ ε·N, merge ≡ whole, fixed-seed determinism) are pinned in
-    * RelationalSpec.
+    * cost is O(d) per candidate wherever it runs.
+    *
+    * ORACLE-GATED since r13 (r12 verdict task 5 — formerly rows-only):
+    * the raw estimate is seed-dependent implementation detail DuckDB
+    * cannot recompute, but the emitted row carries the EXACT top-k
+    * frequency (DuckDB recomputes it, ordering included) plus the two
+    * published CMS contracts as booleans — never-underestimates and
+    * overcount ≤ ⌈ε·N⌉ — which the oracle expects TRUE; a sketch
+    * violating either fails the hash. The raw estimate/overcount stay
+    * visible through [[cmsHeavyHittersDetail]] and its spec pins
+    * (merge ≡ whole, fixed-seed determinism).
     */
-  val cmsHeavyHitters: Q = (s, d) => {
+  private[graft] val cmsHeavyHittersDetail: Q = (s, d) => {
     val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
     val bytes = ev
       .agg(expr(s"count_min_sketch(user_id, ${cmsEps}D, ${cmsConfidence}D, $cmsSeed)"))
@@ -310,6 +334,16 @@ object Relational {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("overcount",
           org.apache.spark.sql.types.LongType))))
+      .orderBy(desc("exact_n"), asc("user_id"))
+  }
+
+  val cmsHeavyHitters: Q = (s, d) => {
+    val n = Tables.events(s, d).filter(col("user_id").isNotNull).count()
+    val slack = math.ceil(cmsEps * n).toLong
+    cmsHeavyHittersDetail(s, d)
+      .select(col("user_id"), col("exact_n"),
+        (col("cms_n") >= col("exact_n")).as("cms_never_under"),
+        (col("overcount") <= slack).as("cms_within_eps_n"))
       .orderBy(desc("exact_n"), asc("user_id"))
   }
 
@@ -1202,6 +1236,22 @@ object Relational {
     "q13_distinct_users_by_type" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY 1 ORDER BY 1""",
+    // q14: the exact side is recomputed; the HLL estimate has no DuckDB
+    // twin, so its ±5% contract is gated as a boolean the oracle
+    // expects TRUE — a drifting sketch flips it and fails the hash
+    "q14_approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+           TRUE AS hll_within_5pct
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // q114: exact top-k recomputed (ordering included); the CMS
+    // contracts (never underestimates, overcount <= ceil(eps*N)) gated
+    // as booleans expected TRUE
+    "q114_cms_heavy_hitters" ->
+      """WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL)
+         SELECT user_id, count(*)::BIGINT AS exact_n,
+           TRUE AS cms_never_under, TRUE AS cms_within_eps_n
+         FROM ev GROUP BY 1
+         ORDER BY exact_n DESC, user_id LIMIT 20""",
     "q15_value_histogram" ->
       """SELECT (floor(value/50.0)*50)::BIGINT AS bin,
          CASE WHEN value >= 150.0 THEN 'high'

@@ -219,17 +219,58 @@ object Skew {
     * ("for a truly continuous column at extreme scale the exact ordered
     * pass wants approx_percentile"): the same three cuts per event
     * type via Spark's built-in KLL-style sketch — one pass, map-side
-    * mergeable, no ordered pass at all. Registered rows-only (the
-    * sketch's picks are engine-specific by nature — DuckDB's
-    * approx_quantile is a different sketch); the ACCURACY CONTRACT is
-    * what the spec pins instead: each sketched cut's true rank sits
-    * within n/accuracy of the target rank against the q102-exact
-    * reference, the guarantee that makes the sketch a legitimate
-    * substitute at scale.
+    * mergeable, no ordered pass at all.
+    *
+    * ORACLE-GATED since r13 (r12 verdict task 5 — formerly rows-only):
+    * the sketch's picks are engine-specific (DuckDB's approx_quantile
+    * is a different sketch), but the ACCURACY CONTRACT is checkable —
+    * each pick's true-rank interval must sit within max(1, ⌈n/acc⌉) of
+    * the target rank ⌈p·n⌉. The registered shape emits the exact row
+    * count (DuckDB recomputes it) plus one contract boolean per cut,
+    * expected TRUE by the oracle; a sketch past its published rank
+    * error flips a bit and fails the hash. The raw picks stay visible
+    * through [[approxQuantilesCore]] and its SkewSpec pin.
+    *
+    * Scale: the rank audit is one broadcast join of the ≤(types×3)
+    * pick rows against the value scan + one hash agg — the same
+    * single-pass shape as the sketch build it audits.
     */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
-    approxQuantilesCore(Tables.eventsMicros(spark, dir)
+    approxQuantilesGate(Tables.eventsMicros(spark, dir)
       .filter(col("value").isNotNull))
+
+  private[graft] def approxQuantilesGate(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select("event_type", "value")
+    val detail = approxQuantilesCore(ev)
+    val picks = detail.select(col("event_type"), col("n"),
+      explode(array(quantilePs.map { p =>
+        val q = (p * 100).round
+        struct(lit(q).as("pq"), col(s"p${q}_approx").as("pick"))
+      }: _*)).as("pp"))
+      .select(col("event_type"), col("n"),
+        col("pp.pq").as("pq"), col("pp.pick").as("pick"))
+    val ranks = ev.join(broadcast(picks), Seq("event_type"))
+      .groupBy("event_type", "n", "pq", "pick")
+      .agg(
+        count(when(col("value") < col("pick"), 1)).as("cnt_lt"),
+        count(when(col("value") <= col("pick"), 1)).as("cnt_le"))
+    // pick's true-rank interval is (cnt_lt, cnt_le]; it must come
+    // within tol of the target rank ceil(p*n) — all exact integers
+    val ok = ranks
+      .withColumn("target", expr("(n * pq + 99) div 100"))
+      .withColumn("tol", greatest(lit(1L),
+        expr(s"(n + ${approxAccuracy - 1}) div $approxAccuracy")))
+      .withColumn("ok",
+        col("cnt_le") + col("tol") >= col("target") &&
+          col("cnt_lt") + 1 <= col("target") + col("tol"))
+    val aggs = max("n").as("n") +: quantilePs.map { p =>
+      val q = (p * 100).round
+      max(when(col("pq") === q, col("ok"))).as(s"p${q}_ok")
+    }
+    ok.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("event_type")
+  }
 
   private[graft] def approxQuantilesCore(ev: DataFrame): DataFrame = {
     val ps = quantilePs.mkString("array(", ", ", ")")
@@ -607,6 +648,14 @@ object Skew {
     "q102_value_quantiles" -> (valueQuantiles(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q149: the sketch picks have no DuckDB twin; the exact row count
+    // is recomputed and the published rank-error contract is gated as
+    // one boolean per cut, expected TRUE (see approxQuantilesGate)
+    "q149_approx_quantiles" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+         FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     // q213: same moment sums in HUGEINT, same two truncating divisions
     "q213_zscore_params" ->
       """WITH v AS (

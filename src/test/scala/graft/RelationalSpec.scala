@@ -67,16 +67,18 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("approx_count_distinct within 5% of exact per event_type") {
-    val exact = Relational.queries("q13_distinct_users_by_type")(spark, sf)
-      .select("event_type", "n_users")
-    val approx = Relational.queries("q14_approx_distinct_users")(spark, sf)
-    val joined = exact.join(approx, "event_type")
-      .select(col("n_users").cast("double"), col("approx_users").cast("double"))
-      .collect()
-    joined.foreach { r =>
-      val (e, a) = (r.getDouble(0), r.getDouble(1))
+    val detail = Relational.approxDistinctDetail(spark, sf).collect()
+    assert(detail.nonEmpty)
+    detail.foreach { r =>
+      val (e, a) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
       assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
     }
+    // the registered (oracle-gated) audit shape carries the same
+    // contract as a boolean — all TRUE on this corpus
+    val gated = Relational.queries("q14_approx_distinct_users")(spark, sf)
+      .collect()
+    assert(gated.map(_.getLong(1)).toSeq === detail.map(_.getLong(1)).toSeq)
+    assert(gated.forall(_.getBoolean(2)))
   }
 
   test("scd2 timeline: runs collapse, intervals chain, open run has null end") {
@@ -165,7 +167,7 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("cms heavy hitters: never underestimates, overcount ≤ ε·N, deterministic") {
-    val out = Relational.queries("q114_cms_heavy_hitters")(spark, sf).collect()
+    val out = Relational.cmsHeavyHittersDetail(spark, sf).collect()
     assert(out.length > 0)
     val n = Tables.events(spark, sf)
       .filter(col("user_id").isNotNull).count()
@@ -177,8 +179,15 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       assert(over <= slack, s"overcount $over exceeds eps*N = $slack")
     }
     // fixed seed → bit-identical re-run
-    val again = Relational.queries("q114_cms_heavy_hitters")(spark, sf).collect()
+    val again = Relational.cmsHeavyHittersDetail(spark, sf).collect()
     assert(out.toSeq.map(_.toSeq) == again.toSeq.map(_.toSeq))
+    // the registered (oracle-gated) shape: exact counts + both CMS
+    // contracts as booleans, all TRUE here
+    val gated = Relational.queries("q114_cms_heavy_hitters")(spark, sf)
+      .collect()
+    assert(gated.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      out.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(gated.forall(r => r.getBoolean(2) && r.getBoolean(3)))
   }
 
   test("cms sketches merge exactly: partial sketches ≡ one whole-data sketch") {
