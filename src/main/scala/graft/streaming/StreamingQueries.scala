@@ -54,15 +54,49 @@ object StreamingQueries {
 
   private val sinkSeq = new AtomicInteger(0)
 
-  /** Every query here wraps its body in try/finally over its
-    * `Files.createTempDirectory` base, so a long-lived session (or the
-    * spec suite's repeated invocations) accumulates no scratch copies of
-    * the staged tables — the round-7 leak: four trees per full
-    * verify/bench run, never reclaimed. Results that live in the staging
-    * tree (parquet sinks) are localCheckpoint-materialized BEFORE the
-    * delete; memory-sink results live on the driver and need nothing.
+  /** Every query here wraps its RUN-scoped scratch (checkpoint, sink)
+    * in try/finally over a `Files.createTempDirectory` base, so a
+    * long-lived session (or the spec suite's repeated invocations)
+    * accumulates no per-run state — the round-7 leak: four trees per
+    * full verify/bench run, never reclaimed. Results that live in the
+    * run tree (parquet sinks) are localCheckpoint-materialized BEFORE
+    * the delete; memory-sink results live on the driver and need
+    * nothing. Staged INPUT trees are cached for the process lifetime
+    * ([[StagedInputs]]) and reclaimed by its shutdown hook.
     */
   private def deleteRecursively(p: Path): Unit = Tables.deleteRecursively(p)
+
+  /** Process-lifetime cache of staged stream-input trees (r12 verdict
+    * task 4). Staging is verification plumbing — a Spark write plus
+    * file copies of the source table, a pure function of (query,
+    * source dir) within one JVM — yet it used to run PER INVOCATION,
+    * so the bench's second rep (and every spec re-run) re-measured
+    * `Files.copy`, not micro-batch execution: ~100 s of the r12
+    * bench's 617 s total was repeated staging I/O. Each tree is now
+    * built once per (query, dir) per process and REUSED; what must
+    * stay per-invocation — the checkpoint and the sink — still lives
+    * in a fresh temp base, so every invocation re-executes the full
+    * micro-batch replay from offset zero against identical input
+    * files with identical modification times (FileStreamSource admits
+    * oldest-first, so batch order is reproducible). Trees are deleted
+    * once, at JVM exit.
+    */
+  private[graft] object StagedInputs {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cache.values.forEach(p => Tables.deleteRecursively(p))))
+    /** The cached tree for `key`, built on first use. A failed build
+      * is rolled back and rethrown, never cached.
+      */
+    def dir(key: String)(build: Path => Unit): Path =
+      cache.computeIfAbsent(key, _ => {
+        val d = Files.createTempDirectory("graft_staged_")
+        try build(d)
+        catch { case e: Throwable => Tables.deleteRecursively(d); throw e }
+        d
+      })
+  }
 
   /** The events table's observed (min, max) tsu — every replay harness
     * needs it to derive micro-batch split points and watermark spans.
@@ -95,19 +129,22 @@ object StreamingQueries {
     * micro-batch order. An empty df may legitimately produce no part
     * file (nothing to stage → one fewer batch, same results).
     */
-  private def stageOne(df: DataFrame, scratch: Path, inputDir: Path,
+  private def stageOne(df: DataFrame, inputDir: Path,
                        name: String, modMs: Long): Unit = {
-    df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val part = Files.list(scratch).iterator().asScala
-      .find { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
+    val scratch = Files.createTempDirectory("graft_stage_scratch_")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).iterator().asScala
+        .find { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+      part.foreach { p =>
+        val dest = inputDir.resolve(name)
+        Files.copy(p, dest)
+        dest.toFile.setLastModified(modMs)
       }
-    part.foreach { p =>
-      val dest = inputDir.resolve(name)
-      Files.copy(p, dest)
-      dest.toFile.setLastModified(modMs)
-    }
+    } finally deleteRecursively(scratch)
   }
 
   /** q98: the streaming twin of q40 — documents stream → the SAME
@@ -116,14 +153,15 @@ object StreamingQueries {
     * leaderboard), top-k cut at the sink. Oracle = q40's, verbatim.
     */
   def streamingWordFreq(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
-    val base = Files.createTempDirectory("graft_q98_")
-    try {
-      val input = base.resolve("in").toString
-      // 4 files → 4 micro-batches: counts must survive and accumulate
-      // across triggers, not within one
+    // 4 files → 4 micro-batches: counts must survive and accumulate
+    // across triggers, not within one
+    val input = StagedInputs.dir(s"q98|$dir") { d =>
       Tables.documents(spark, dir)
         .repartitionByRange(4, col("doc_id"))
-        .write.parquet(input)
+        .write.parquet(d.resolve("in").toString)
+    }.resolve("in").toString
+    val base = Files.createTempDirectory("graft_q98_run_")
+    try {
       val stream = spark.readStream
         .schema(Tables.documentsSchema)
         .option("maxFilesPerTrigger", "1")
@@ -171,13 +209,14 @@ object StreamingQueries {
     * not an assumption.
     */
   def streamingSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q194_")
-    try {
-      val input = base.resolve("in").toString
+    val input = StagedInputs.dir(s"q194|$dir") { d =>
       Tables.eventsMicros(spark, dir)
         .select(timestamp_micros(col("tsu")).as("ts"))
         .repartitionByRange(4, col("ts"))
-        .write.parquet(input)
+        .write.parquet(d.resolve("in").toString)
+    }.resolve("in").toString
+    val base = Files.createTempDirectory("graft_q194_run_")
+    try {
       val stream = spark.readStream
         .schema(StructType(Seq(StructField("ts", TimestampType))))
         .option("maxFilesPerTrigger", "1")
@@ -241,23 +280,24 @@ object StreamingQueries {
     val (minT, maxT) = bounds.get
     val mid = minT + (maxT - minT) / 2
 
-    val base = Files.createTempDirectory("graft_q99_")
-    try {
-      val input = Files.createDirectory(base.resolve("in"))
+    val input = StagedInputs.dir(s"q99|$dir") { d =>
+      val in = Files.createDirectory(d.resolve("in"))
       def asIn(df: DataFrame): DataFrame =
         df.select(col("user_id"), timestamp_micros(col("tsu")).as("ts"), col("event_type"))
       // time-split replay: every event in batch N+1 is newer than every
       // event in batch N, so per-key arrival order matches a live stream
       val now = System.currentTimeMillis()
       stageOne(asIn(ev.filter(col("tsu") < mid)),
-        base.resolve("s0"), input, "00_early.parquet", now - 240000L)
+        in, "00_early.parquet", now - 240000L)
       stageOne(asIn(ev.filter(col("tsu") >= mid)),
-        base.resolve("s1"), input, "01_late.parquet", now - 120000L)
+        in, "01_late.parquet", now - 120000L)
       stageOne(asIn(ev.select("user_id").distinct()
           .withColumn("tsu", lit(maxT + 2 * gapUs))
           .withColumn("event_type", lit("sentinel"))),
-        base.resolve("s2"), input, "02_sentinel.parquet", now)
-
+        in, "02_sentinel.parquet", now)
+    }.resolve("in")
+    val base = Files.createTempDirectory("graft_q99_run_")
+    try {
       val stream = spark.readStream
         .schema(sessionInSchema)
         .option("maxFilesPerTrigger", "1")
@@ -325,20 +365,21 @@ object StreamingQueries {
     val (minT, maxT) = bounds.get
     val mid = minT + (maxT - minT) / 2
 
-    val base = Files.createTempDirectory("graft_q241_")
-    try {
-      val input = Files.createDirectory(base.resolve("in"))
+    val input = StagedInputs.dir(s"q241|$dir") { d =>
+      val in = Files.createDirectory(d.resolve("in"))
       def asIn(df: DataFrame): DataFrame =
         df.select(col("user_id"), timestamp_micros(col("tsu")).as("ts"))
       val now = System.currentTimeMillis()
       stageOne(asIn(ev.filter(col("tsu") < mid)),
-        base.resolve("s0"), input, "00_early.parquet", now - 240000L)
+        in, "00_early.parquet", now - 240000L)
       stageOne(asIn(ev.filter(col("tsu") >= mid)),
-        base.resolve("s1"), input, "01_late.parquet", now - 120000L)
+        in, "01_late.parquet", now - 120000L)
       stageOne(asIn(spark.range(1).select(lit(-1L).as("user_id"),
           lit(maxT + 2 * gapUs).as("tsu"))),
-        base.resolve("s2"), input, "02_sentinel.parquet", now)
-
+        in, "02_sentinel.parquet", now)
+    }.resolve("in")
+    val base = Files.createTempDirectory("graft_q241_run_")
+    try {
       val inSchema = StructType(Seq(
         StructField("user_id", LongType), StructField("ts", TimestampType)))
       val stream = spark.readStream
@@ -392,14 +433,15 @@ object StreamingQueries {
     * hash-matches the batch oracle exactly.
     */
   def streamingEnrichedRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q78_")
-    try {
-      val input = base.resolve("in").toString
+    val input = StagedInputs.dir(s"q78|$dir") { d =>
       Tables.events(spark, dir)
         .filter(col("ts").isNotNull)
         .select("event_id", "user_id", "value")
         .repartitionByRange(4, col("event_id"))
-        .write.parquet(input)
+        .write.parquet(d.resolve("in").toString)
+    }.resolve("in").toString
+    val base = Files.createTempDirectory("graft_q78_run_")
+    try {
       val stream = spark.readStream
         .schema(StructType(Seq(
           StructField("event_id", LongType),
@@ -466,31 +508,34 @@ object StreamingQueries {
     val (minT, maxT) = bounds.get
     val mid = minT + (maxT - minT) / 2
 
-    val base = Files.createTempDirectory("graft_q79_")
-    try {
-      def stage(tpe: String, sub: String): String = {
-        val inDir = Files.createDirectory(base.resolve(sub))
+    val staged = StagedInputs.dir(s"q79|$dir") { d =>
+      def stageSide(tpe: String, sub: String): Unit = {
+        val inDir = Files.createDirectory(d.resolve(sub))
         val rows = ev.filter(col("event_type") === tpe)
           .select(col("event_id"), col("user_id"),
             timestamp_micros(col("tsu")).as("ts"))
         val now = System.currentTimeMillis()
         // time-split: batch N+1 strictly newer than batch N per source
         stageOne(rows.filter(col("ts") < timestamp_micros(lit(mid))),
-          base.resolve(sub + "_s0"), inDir, "00_early.parquet", now - 240000L)
+          inDir, "00_early.parquet", now - 240000L)
         stageOne(rows.filter(col("ts") >= timestamp_micros(lit(mid))),
-          base.resolve(sub + "_s1"), inDir, "01_late.parquet", now - 120000L)
-        inDir.toString
+          inDir, "01_late.parquet", now - 120000L)
       }
+      stageSide("click", "clicks")
+      stageSide("purchase", "purchases")
+    }
+    val base = Files.createTempDirectory("graft_q79_run_")
+    try {
       def read(dir: String): DataFrame = spark.readStream
         .schema(ssInSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
 
-      val clicks = read(stage("click", "clicks"))
+      val clicks = read(staged.resolve("clicks").toString)
         .withWatermark("ts", s"${graft.ops.TemporalJoins.lookbackSeconds} seconds")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           col("ts").as("c_ts"))
-      val purchases = read(stage("purchase", "purchases"))
+      val purchases = read(staged.resolve("purchases").toString)
         .withWatermark("ts", "0 seconds")
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
           col("ts").as("p_ts"))
@@ -593,9 +638,8 @@ object StreamingQueries {
     val (minT, maxT) = bounds.get
     val mid = minT + (maxT - minT) / 2
 
-    val base = Files.createTempDirectory("graft_q100_")
-    try {
-      val input = Files.createDirectory(base.resolve("in"))
+    val input = StagedInputs.dir(s"q100|$dir") { d =>
+      val in = Files.createDirectory(d.resolve("in"))
       def asIn(df: DataFrame): DataFrame =
         df.select(timestamp_micros(col("tsu")).as("ts"))
       val now = System.currentTimeMillis()
@@ -604,12 +648,14 @@ object StreamingQueries {
       // late-row filter lags one batch), older half last (all late)
       val mid2 = mid + (maxT - mid) / 2
       stageOne(asIn(ev.filter(col("tsu") >= mid2)),
-        base.resolve("s0"), input, "00_newest.parquet", now - 300000L)
+        in, "00_newest.parquet", now - 300000L)
       stageOne(asIn(ev.filter(col("tsu") >= mid && col("tsu") < mid2)),
-        base.resolve("s1"), input, "01_current.parquet", now - 200000L)
+        in, "01_current.parquet", now - 200000L)
       stageOne(asIn(ev.filter(col("tsu") < mid)),
-        base.resolve("s2"), input, "02_late_replay.parquet", now - 100000L)
-
+        in, "02_late_replay.parquet", now - 100000L)
+    }.resolve("in")
+    val base = Files.createTempDirectory("graft_q100_run_")
+    try {
       val stream = spark.readStream
         .schema(StructType(Seq(StructField("ts", TimestampType))))
         .option("maxFilesPerTrigger", "1")
@@ -701,25 +747,26 @@ object StreamingQueries {
     // truncation) → nothing evicts, nothing is late: exact dedup
     val delaySec = (bounds.get._2 - bounds.get._1) / 1000000L + 1L
 
-    val base = Files.createTempDirectory("graft_q113_")
-    try {
-      val input = Files.createDirectory(base.resolve("in"))
+    // three disjoint slices; slice 1 is staged TWICE (redelivered
+    // mid-stream, not last — novel data must still flow afterwards)
+    val slice = (i: Int) => ev.filter(col("event_id") % 3 === i)
+    val input = StagedInputs.dir(s"q113|$dir") { d =>
+      val in = Files.createDirectory(d.resolve("in"))
       val now = System.currentTimeMillis()
-      // three disjoint slices; slice 1 is staged TWICE (redelivered
-      // mid-stream, not last — novel data must still flow afterwards)
-      val slice = (i: Int) => ev.filter(col("event_id") % 3 === i)
-      stageOne(slice(0), base.resolve("s0"), input, "00_a.parquet", now - 400000L)
-      stageOne(slice(1), base.resolve("s1"), input, "01_b.parquet", now - 300000L)
+      stageOne(slice(0), in, "00_a.parquet", now - 400000L)
+      stageOne(slice(1), in, "01_b.parquet", now - 300000L)
       // redelivery IS a byte-identical copy of the staged file — the
       // literal at-least-once failure mode, and no second Spark job
-      val staged = input.resolve("01_b.parquet")
+      val staged = in.resolve("01_b.parquet")
       if (Files.exists(staged)) {
-        val redelivered = input.resolve("02_b_redelivered.parquet")
+        val redelivered = in.resolve("02_b_redelivered.parquet")
         Files.copy(staged, redelivered)
         redelivered.toFile.setLastModified(now - 200000L)
       }
-      stageOne(slice(2), base.resolve("s3"), input, "03_c.parquet", now - 100000L)
-
+      stageOne(slice(2), in, "03_c.parquet", now - 100000L)
+    }.resolve("in")
+    val base = Files.createTempDirectory("graft_q113_run_")
+    try {
       val deduped = spark.readStream
         .schema(inSchema)
         .option("maxFilesPerTrigger", "1")
@@ -784,12 +831,30 @@ object StreamingQueries {
     val ev = Tables.events(spark, dir)
       .filter(col("ts").isNotNull)
       .select("event_id", "event_type", "value")
-    val base = Files.createTempDirectory("graft_q128_")
+    // q128's files must ARRIVE BETWEEN the two runs, so the watched
+    // input dir is per-invocation — but the four Spark staging writes
+    // are cacheable: the cached tree holds the prepared files and each
+    // invocation drops byte-copies into its fresh input dir on cue.
+    val prepared = StagedInputs.dir(s"q128|$dir") { d =>
+      val files = Files.createDirectory(d.resolve("files"))
+      val now = System.currentTimeMillis()
+      val slice = (i: Int) => ev.filter(col("event_id") % 4 === i)
+      for (i <- 0 to 3)
+        stageOne(slice(i), files, f"0$i.parquet", now - (4 - i) * 100000L)
+    }.resolve("files")
+    val base = Files.createTempDirectory("graft_q128_run_")
     try {
       val input = Files.createDirectory(base.resolve("in"))
       val outDir = base.resolve("out").toString
       val ckpt = base.resolve("ckpt").toString
-      val now = System.currentTimeMillis()
+      def arrive(name: String): Unit = {
+        val src = prepared.resolve(name)
+        if (Files.exists(src)) {
+          val dest = input.resolve(name)
+          Files.copy(src, dest)
+          dest.toFile.setLastModified(src.toFile.lastModified())
+        }
+      }
       def run(): Long = {
         val q = spark.readStream
           .schema(inSchema)
@@ -808,13 +873,12 @@ object StreamingQueries {
         q.stop()
         batches
       }
-      val slice = (i: Int) => ev.filter(col("event_id") % 4 === i)
-      stageOne(slice(0), base.resolve("s0"), input, "00.parquet", now - 400000L)
-      stageOne(slice(1), base.resolve("s1"), input, "01.parquet", now - 300000L)
+      arrive("00.parquet")
+      arrive("01.parquet")
       lastResumeFirstBatches = run()
       // the job is DOWN; new data lands; the restart must skip 00/01
-      stageOne(slice(2), base.resolve("s2"), input, "02.parquet", now - 200000L)
-      stageOne(slice(3), base.resolve("s3"), input, "03.parquet", now - 100000L)
+      arrive("02.parquet")
+      arrive("03.parquet")
       lastResumeSecondBatches = run()
 
       rollup(spark.read.schema(inSchema).parquet(outDir).localCheckpoint(true))
@@ -869,16 +933,15 @@ object StreamingQueries {
     val mid = minT + (maxT - minT) / 2
     val sentinelTsu = maxT + 2 * lookbackUs + 2000000L
 
-    val base = Files.createTempDirectory("graft_q212_")
-    try {
-      def stage(tpe: String, sub: String): String = {
-        val inDir = Files.createDirectory(base.resolve(sub))
+    val staged = StagedInputs.dir(s"q212|$dir") { d =>
+      def stageSide(tpe: String, sub: String): Unit = {
+        val inDir = Files.createDirectory(d.resolve(sub))
         val rows = ev.filter(col("event_type") === tpe)
           .select(col("event_id"), col("user_id"),
             timestamp_micros(col("tsu")).as("ts"))
         val now = System.currentTimeMillis()
         stageOne(rows.filter(col("ts") < timestamp_micros(lit(mid))),
-          base.resolve(sub + "_s0"), inDir, "00_early.parquet", now - 240000L)
+          inDir, "00_early.parquet", now - 240000L)
         // the sentinel RIDES IN the late file: watermarks update at the
         // END of a batch for the NEXT one, so a same-batch sentinel
         // still drives the trailing no-data batch's eviction — and the
@@ -887,19 +950,23 @@ object StreamingQueries {
             .unionByName(ev.limit(1).select(lit(-1L).as("event_id"),
               lit(-1L).as("user_id"),
               timestamp_micros(lit(sentinelTsu)).as("ts"))),
-          base.resolve(sub + "_s1"), inDir, "01_late.parquet", now - 120000L)
-        inDir.toString
+          inDir, "01_late.parquet", now - 120000L)
       }
+      stageSide("click", "clicks")
+      stageSide("purchase", "purchases")
+    }
+    val base = Files.createTempDirectory("graft_q212_run_")
+    try {
       def read(dir: String): DataFrame = spark.readStream
         .schema(ssInSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
 
-      val clicks = read(stage("click", "clicks"))
+      val clicks = read(staged.resolve("clicks").toString)
         .withWatermark("ts", s"${graft.ops.TemporalJoins.lookbackSeconds} seconds")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           col("ts").as("c_ts"))
-      val purchases = read(stage("purchase", "purchases"))
+      val purchases = read(staged.resolve("purchases").toString)
         .withWatermark("ts", "0 seconds")
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
           col("ts").as("p_ts"))
@@ -982,18 +1049,18 @@ object StreamingQueries {
       StructField("doc_id", LongType),
       StructField("lang", StringType),
       StructField("text", StringType)))
-    val base = Files.createTempDirectory("graft_q285_")
-    try {
-      val input = Files.createDirectory(base.resolve("in"))
+    // id-mod split: near-dup pairs land in DIFFERENT batches (ids are
+    // unrelated to content), so state must carry candidates across
+    // triggers for the parity pin to pass
+    val input = StagedInputs.dir(s"q285|$dir") { d =>
+      val in = Files.createDirectory(d.resolve("in"))
       val now = System.currentTimeMillis()
-      // id-mod split: near-dup pairs land in DIFFERENT batches (ids are
-      // unrelated to content), so state must carry candidates across
-      // triggers for the parity pin to pass
       for (i <- 0 until 3)
         stageOne(docs.filter(pmod(col("doc_id"), lit(3)) === i),
-          base.resolve(s"s$i"), input, f"0${i}_slice.parquet",
-          now - (3 - i) * 100000L)
-
+          in, f"0${i}_slice.parquet", now - (3 - i) * 100000L)
+    }.resolve("in")
+    val base = Files.createTempDirectory("graft_q285_run_")
+    try {
       val banded = spark.readStream.schema(inSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(input.toString)
