@@ -82,7 +82,8 @@ object Dedup {
     jaccardPairsCore(Tables.documents(spark, dir), minJ)
 
   /** Core over any (doc_id, lang, text) frame — bench/fixture seam. */
-  private[graft] def jaccardPairsCore(docs: DataFrame, minJ: Double = minJaccard): DataFrame = {
+  private[graft] def jaccardPairsCore(docs: DataFrame, minJ: Double = minJaccard,
+                                      dfCap: Long = maxShingleDf): DataFrame = {
     // df-cap via hash-agg hot-shingle table + anti-join, NOT a
     // count().over(Window.partitionBy("sh")): the window sort-shuffles
     // the FULL shingle relation with one partition per shingle value —
@@ -108,7 +109,7 @@ object Dedup {
     val rows = shingleRowsOf(docs).repartition(col("sh"))
     val hot = rows.groupBy("sh")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
+      .filter(col("df") > dfCap)
       .select("sh")
     val capped = rows.join(hot, Seq("sh"), "left_anti")
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -481,40 +482,57 @@ object Dedup {
         SimHash64(TextFunctions.filteredTokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
-  /** SimHash near-dup pairs: block on 16-bit sub-bands (a ≤ 3-bit-distant
-    * pair must agree on at least one of four 16-bit bands), verify by
-    * Hamming distance — bucket-join, not all-pairs.
+  /** SimHash near-dup pairs: block on sub-bands of the 64-bit
+    * signature (pigeonhole: k equal-width bands catch every pair
+    * within Hamming k−1 — the shipped 4×16-bit split catches the
+    * production Hamming ≤ 3 contract), verify by exact Hamming
+    * distance — bucket-join, not all-pairs.
     *
-    * SCALE LEVER (measured, DedupScaleBench): a fixed sub-band width
-    * makes candidates a constant FRACTION of all-pairs (4/2¹⁶ ≈ 6e-5)
-    * — i.e. quadratic growth with a small constant, fine to ~10⁶ docs
-    * but not a 100-TB shape as-is. Grow the sub-band width with
-    * log₂(corpus) (e.g. two 32-bit bands at 10⁹ docs — any pair within
-    * Hamming 1 still shares a band; pigeonhole generalizes: k bands
-    * catch Hamming ≤ k−1). Correctness is width-independent because
-    * the verify stage is exact Hamming on the full 64-bit signature.
+    * SCALE LEVER (r12 verdict task 3 — now a PARAMETER, measured in
+    * DedupScaleBench): with a fixed sub-band width w, two random
+    * signatures collide on some band with probability ≈ (64/w)/2^w —
+    * a constant FRACTION of all-pairs, i.e. quadratic candidate
+    * growth with a small constant (4/2¹⁶ ≈ 6e-5: fine to ~10⁶ docs,
+    * not a 100-TB shape). The width must grow with log₂(corpus):
+    * `bandBits = 32` gives 2/2³² ≈ 5e-10 — at 10⁹ docs the expected
+    * random-collision volume stays ~O(N) — while pigeonhole still
+    * guarantees every Hamming ≤ 1 pair (k−1 = 1). The recall/width
+    * trade is explicit: wider bands catch a smaller guaranteed radius
+    * (near-dup SimHash pairs concentrate at small Hamming anyway;
+    * DedupScaleBench measures planted-pair recall at both widths).
+    * Correctness is width-independent because the verify stage is
+    * exact Hamming on the full 64-bit signature.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
     simhashPairsCore(Tables.documents(spark, dir), maxHamming)
 
-  /** Core over any (doc_id, text) frame — bench/fixture seam. */
-  private[graft] def simhashPairsCore(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Core over any (doc_id, text) frame — bench/fixture seam.
+    * `bandBits` ∈ {8, 16, 32}: sub-band width; 64/bandBits bands.
+    */
+  private[graft] def simhashPairsCore(docs: DataFrame, maxHamming: Int = 3,
+                                      bandBits: Int = 16): DataFrame = {
+    require(bandBits > 0 && 64 % bandBits == 0 && bandBits < 64,
+      s"bandBits must divide 64 and leave >=2 bands, got $bandBits")
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
     // no persist — ReuseExchange dedupes the identical self-join sides
     val sigs = Tables.spread(docs)
       .select(col("doc_id"),
         SimHash64(TextFunctions.filteredTokens(col("text"))).as("simhash"))
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(bnd =>
+      explode(array((0 until nBands).map(bnd =>
         struct(lit(bnd).as("band"),
-          shiftrightunsigned(col("simhash"), bnd * 16).bitwiseAND(lit(0xFFFFL))
-            .as("key"))): _*)).as("bucket"))
+          shiftrightunsigned(col("simhash"), bnd * bandBits)
+            .bitwiseAND(lit(mask)).as("key"))): _*)).as("bucket"))
     // first-colliding-sub-band emission (see lshCandidates): replaces a
     // dropDuplicates exchange over every candidate pair with a cheap
     // codegen'd predicate on the two 64-bit signatures already in hand.
-    val firstBand = not((0 until 3).map(s =>
+    val firstBand = not((0 until nBands - 1).map(s =>
       col("a.bucket.band") > s &&
-        shiftrightunsigned(col("a.simhash"), s * 16).bitwiseAND(lit(0xFFFFL)) ===
-        shiftrightunsigned(col("b.simhash"), s * 16).bitwiseAND(lit(0xFFFFL)))
+        shiftrightunsigned(col("a.simhash"), s * bandBits)
+          .bitwiseAND(lit(mask)) ===
+        shiftrightunsigned(col("b.simhash"), s * bandBits)
+          .bitwiseAND(lit(mask)))
       .reduce(_ || _))
     banded.as("a")
       .join(banded.as("b"),

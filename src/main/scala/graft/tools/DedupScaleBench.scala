@@ -29,8 +29,11 @@ import graft.ops.Dedup
   * The REGISTERED kernels run verbatim through their core seams — the
   * bench swaps only the input frame.
   *
-  * Usage: runMain graft.tools.DedupScaleBench [N1,N2,...]
-  * (default 50000,200000). Results land in SCALE.md.
+  * Usage: runMain graft.tools.DedupScaleBench [N1,N2,...] [nocap]
+  * (default 50000,200000). The `nocap` mode instead measures the
+  * q52 shingle join WITH vs WITHOUT its df-cap at each N — the skew
+  * cliff the cap prevents, as a number instead of an argument.
+  * Results land in SCALE.md.
   */
 object DedupScaleBench {
   val docLen = 40
@@ -49,6 +52,7 @@ object DedupScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val nocap = args.contains("nocap")
     for (n <- sizes) {
       val docs = synthDocs(spark, n).localCheckpoint(true)
       val planted = docs.filter(col("doc_id") % dupEvery === 1
@@ -56,6 +60,22 @@ object DedupScaleBench {
       val allPairs = n * (n - 1) / 2
       println(s"[dscale] --- N=$n docs ($docLen tokens, vocab $vocab, " +
         s"$planted planted near-dups) ---")
+
+      if (nocap) {
+        // The df-cap's necessity as a measurement (r12 verdict task 8):
+        // the same q52 kernel with the cap ON vs OFF. OFF lets the
+        // Zipf-head shingles join everyone-with-everyone — candidates
+        // (and the hottest key's task) blow past linear; ON keeps the
+        // candidate volume flat. Recall on planted dups is reported for
+        // both so the cap's cost side is visible too.
+        report("jac-cap", n, allPairs, planted,
+          () => Dedup.jaccardPairsCore(docs, 0.0),
+          col("jaccard") >= 0.5)
+        report("jac-nocap", n, allPairs, planted,
+          () => Dedup.jaccardPairsCore(docs, 0.0, dfCap = Long.MaxValue),
+          col("jaccard") >= 0.5)
+        spark.catalog.clearCache()
+      } else {
 
       // q52 kernel, threshold 0 → the full candidate relation (pairs
       // sharing ≥1 capped shingle), with the verified Jaccard attached
@@ -72,6 +92,19 @@ object DedupScaleBench {
       report("simhash", n, allPairs, planted,
         () => Dedup.simhashPairsCore(docs, 64),
         col("hamming") <= 3)
+
+      // the r12-verdict scale lever: same kernel at bandBits=32
+      // (2 bands — the log₂(corpus)-grown width for ≥10⁹-doc corpora).
+      // Expected: candidate volume collapses from a constant fraction
+      // of all-pairs (4/2¹⁶) to ~random-collision-free (2/2³²), i.e.
+      // essentially only the true near-dups — the linear 100-TB shape.
+      // Accept predicate stays the production Hamming ≤ 3 on pairs
+      // the wide bands still surface (guaranteed radius is ≤ 1;
+      // planted dups mostly land within a band anyway — measured).
+      report("simhash32", n, allPairs, planted,
+        () => Dedup.simhashPairsCore(docs, 64, bandBits = 32),
+        col("hamming") <= 3)
+      }
     }
     spark.stop()
   }
