@@ -171,14 +171,20 @@ object GraphOps {
       hub = edges.join(auth, "dst").groupBy("src")
         .agg(sum("a").as("h")).localCheckpoint(true)
     }
+    // Top-k selection orders on the 6dp-ROUNDED score (r12 ADVICE):
+    // the un-rounded sums are partition-order-nondeterministic doubles,
+    // so a raw-score order could flip boundary membership across runs
+    // on ties inside float noise while the emitted (rounded) scores
+    // look identical. Rounding first + node-id tie-break makes the
+    // selection a pure function of the output's own rounding contract.
     val topA = normed(auth, "dst", "a")
-      .orderBy(desc("a"), asc("dst")).limit(hitsTopK)
       .select(lit("authority").as("role"), col("dst").as("node_id"),
         round(col("a"), 6).as("score"))
+      .orderBy(desc("score"), asc("node_id")).limit(hitsTopK)
     val topH = normed(hub, "src", "h")
-      .orderBy(desc("h"), asc("src")).limit(hitsTopK)
       .select(lit("hub").as("role"), col("src").as("node_id"),
         round(col("h"), 6).as("score"))
+      .orderBy(desc("score"), asc("node_id")).limit(hitsTopK)
     topA.unionByName(topH).orderBy(col("role"), desc("score"), col("node_id"))
   }
 
@@ -1002,7 +1008,10 @@ object GraphOps {
     // communities over the reference's real relation graph (the q95
     // fanren edge table); members serialized for the driver like q34.
     // Rows-only: an iterative fixpoint has no SQL oracle — the label
-    // dynamics are spec-pinned on a hand-computable fixture instead.
+    // dynamics are value-pinned (r13) against an independent
+    // plain-Scala synchronous replica on the corpus graph (the q33
+    // PageRank discipline) plus the hand-computable fixture, in
+    // GraphOpsSpec.
     "q35_label_propagation" -> ((s, _) =>
       labelPropagation(Fidelity.edgesAgg(
         Fidelity.entityRows(s, Fidelity.fanRenGlob, graft.expr.RefLexicons.fanRen)))
@@ -1010,8 +1019,10 @@ object GraphOps {
     // Louvain over the same relation graph — the readme's other claimed
     // community algorithm. Rows-only like q35 (an optimization fixpoint
     // has no SQL oracle); the climb's objective is the q74-oracle-proven
-    // integer modularity, and GraphOpsSpec pins a hand-computed fixture
-    // plus exact per-pass monotonicity.
+    // integer modularity, its ΔQ identity is value-pinned (r13) against
+    // a brute-force global-recompute replica of the pass-1 sweep on the
+    // corpus graph, and GraphOpsSpec additionally pins a hand-computed
+    // fixture plus exact per-pass monotonicity.
     "q89_louvain_communities" -> ((s, _) =>
       louvain(Fidelity.edgesAgg(
         Fidelity.entityRows(s, Fidelity.fanRenGlob, graft.expr.RefLexicons.fanRen)))

@@ -235,6 +235,84 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(members.length == CooccurrenceGraph.nodes(spark, sf).count())
   }
 
+  test("label propagation equals an independent plain-Scala synchronous " +
+      "replica on the corpus graph (r12 verdict task 7)") {
+    // replica entirely outside GraphX: symmetrize, then lpaIters
+    // synchronous rounds of adopt-the-heaviest-incident-label with the
+    // same (max weight, then lexicographically smallest label)
+    // tie-break; vertices with no neighbors keep their label
+    val edgesDf = CooccurrenceGraph.edgeCounts(spark, sf)
+    val el = edgesDf.select("src", "dst", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sym = el.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+    val verts = sym.map(_._1).distinct.sorted
+    val inAdj = sym.groupBy(_._2)
+    var label = verts.map(v => v -> v).toMap
+    for (_ <- 1 to GraphOps.lpaIters) {
+      val cur = label
+      label = verts.map { v =>
+        val msgs = inAdj.getOrElse(v, Array.empty[(String, String, Long)])
+          .groupBy { case (s, _, _) => cur(s) }
+          .map { case (lbl, es) => lbl -> es.map(_._3).sum }
+        v -> (if (msgs.isEmpty) cur(v)
+              else msgs.minBy { case (lbl, w) => (-w, lbl) }._1)
+      }.toMap
+    }
+    val replica = label.groupBy(_._2).values
+      .map(_.keys.toList.sorted).toSet
+    val got = GraphOps.labelPropagation(edgesDf).collect()
+      .map(_.getSeq[String](1).toList).toSet
+    assert(got == replica, s"engine $got vs replica $replica")
+  }
+
+  test("louvain pass 1 equals a brute-force global-recompute climb on " +
+      "the corpus graph (r12 verdict task 7)") {
+    // Independent replica of the pass-1 sweep: instead of the engine's
+    // incremental BigInt ΔQ identity, every candidate move is scored by
+    // RECOMPUTING the exact modularity numerator from scratch
+    // (modularityNum — itself oracle-proven via q74), with the same
+    // sweep order (lexicographic), strictly-positive-gain rule, and
+    // smallest-representative tie-break. Agreement pins the ΔQ
+    // identity against the definition it claims to implement.
+    val edgesDf = CooccurrenceGraph.edgeCounts(spark, sf)
+    val el = edgesDf.select("src", "dst", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val sym = el.filter(e => e._1 != e._2)
+      .flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+    val nbrs = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).distinct }
+    val verts = sym.map(_._1).distinct.sorted
+    var memb = verts.map(v => v -> v).toMap
+    var moved = true
+    var sweeps = 0
+    while (moved && sweeps < GraphOps.louvainMaxSweeps) {
+      moved = false
+      sweeps += 1
+      for (u <- verts) {
+        val base = GraphOps.modularityNum(el, memb)
+        val cands = nbrs.getOrElse(u, Seq.empty).map(memb).distinct
+          .filter(_ != memb(u))
+        val scored = cands.map { c =>
+          (GraphOps.modularityNum(el, memb + (u -> c)), c)
+        }
+        if (scored.nonEmpty) {
+          val bestQ = scored.map(_._1).max
+          if (bestQ > base) {
+            val target = scored.filter(_._1 == bestQ)
+              .minBy { case (_, c) =>
+                memb.collect { case (v, cc) if cc == c => v }.min }
+              ._2
+            memb = memb + (u -> target)
+            moved = true
+          }
+        }
+      }
+    }
+    val replica = memb.groupBy(_._2).values.map(_.keySet).toSet
+    val p1 = GraphOps.louvainPasses(el).head
+      .groupBy(_._2).values.map(_.keySet).toSet
+    assert(p1 == replica, s"engine pass-1 $p1 vs replica $replica")
+  }
+
   test("louvain: hand-computed fixture — two triangles, weak bridge") {
     val s = spark
     import s.implicits._
