@@ -1014,7 +1014,59 @@ object Quality {
         passKs.map(k => expr(passAtKSql(k)).as(s"pass_at_$k")): _*)
       .orderBy("problem_id")
 
+  /** q296 — PARETO-FRONT CURATION FILTER: per source, the documents
+    * not dominated on the (maximize word count, minimize characters)
+    * trade-off — the "most content for the fewest bytes" efficient
+    * frontier a curation pass keeps when it can't afford a scalar
+    * weighting of the two objectives (any single composite score picks
+    * ONE point of this front; the front itself is the
+    * weighting-independent answer). Dominance is the standard strict
+    * form: A dominates B iff A.n_words ≥ B.n_words ∧ A.n_chars ≤
+    * B.n_chars with at least one strict; exact ties are mutually
+    * non-dominating and all kept.
+    *
+    * Scale: never the O(n²) pairwise dominance test. The 2-D front
+    * factors through the value grain — a doc survives iff (a) its
+    * n_chars is the minimum within its (source, n_words) group and
+    * (b) every strictly-greater n_words group's min-chars is strictly
+    * above its own — so the whole filter is one hash agg to the
+    * (source, n_words) grain plus a running-min window over that
+    * VALUE-GRAIN frame (bounded by distinct word counts, the q199
+    * cell-frame stance — partition-by-source is safe here because the
+    * windowed frame is value-distinct-sized, never corpus-sized) and
+    * one equi-join back.
+    */
+  def paretoFront(spark: SparkSession, dir: String): DataFrame =
+    paretoFrontCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, source, text, n_chars) frame — fixture
+    * seam for the spec.
+    */
+  private[graft] def paretoFrontCore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(graft.expr.TextFunctions.tokens(col("text"))).cast("long")
+          .as("n_words"),
+        col("n_chars"))
+    val grp = d.groupBy("source", "n_words")
+      .agg(min("n_chars").as("grp_min_chars"))
+    val prevBetter = Window.partitionBy("source")
+      .orderBy(col("n_words").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = grp.withColumn("run_min_prev",
+      min("grp_min_chars").over(prevBetter))
+    d.join(run, Seq("source", "n_words"))
+      .filter(col("n_chars") === col("grp_min_chars") &&
+        (col("run_min_prev").isNull ||
+          col("run_min_prev") > col("n_chars")))
+      .select("doc_id", "source", "n_words", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q296_pareto_front" -> (paretoFront(_, _)),
     "q261_k_anonymity" -> (kAnonymityAudit(_, _)),
     "q273_contribution_caps" -> (contributionCaps(_, _)),
     "q269_brier_decomposition" -> (brierDecomposition(_, _)),
@@ -1056,6 +1108,30 @@ object Quality {
                     WHERE $cb IS NOT NULL) y USING (k))::BIGINT AS n_both)"""
 
   val oracles: Map[String, String] = Map(
+    // q296: same whitespace token contract as q291, same value-grain
+    // group collapse, running-min window and dominance predicate
+    "q296_pareto_front" ->
+      """WITH d AS (
+            SELECT doc_id, source,
+              len(list_filter(string_split(text, ' '), w -> w <> ''))
+                ::BIGINT AS n_words,
+              n_chars
+            FROM documents
+            WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+          g AS (
+            SELECT source, n_words, min(n_chars)::BIGINT AS grp_min_chars
+            FROM d GROUP BY 1, 2),
+          r AS (
+            SELECT *, min(grp_min_chars) OVER (
+                PARTITION BY source ORDER BY n_words DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS run_min_prev
+            FROM g)
+          SELECT doc_id, d.source, d.n_words, n_chars
+          FROM d JOIN r ON d.source = r.source AND d.n_words = r.n_words
+          WHERE n_chars = grp_min_chars
+            AND (run_min_prev IS NULL OR run_min_prev > n_chars)
+          ORDER BY doc_id""",
     // q269: same saturating forecast rule, same value-grain truncating
     // o_ppm, same decimal-exact weighted sums (HUGEINT), same final
     // integral div

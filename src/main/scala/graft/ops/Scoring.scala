@@ -453,9 +453,80 @@ object Scoring {
                 6)""").as("rho"))
   }
 
+  /** q293 — CROSS-SOURCE QUANTILE NORMALIZATION: map each document's
+    * per-source percentile of `n_chars` onto the GLOBAL value at that
+    * percentile — the calibration step a mixing pipeline runs before
+    * comparing scores across heterogeneous sources (a "long doc" from
+    * a short-form source and one from a book corpus sit at the same
+    * source-percentile but wildly different raw values; after
+    * normalization both carry the corpus-wide value for their rank).
+    * Nearest-rank-below mapping, no interpolation: target global rank
+    * = 1 + ⌊pr·(N−1)/10⁶⌋ over the (n_chars, doc_id) total order.
+    * All exact integers: the source percentile is the ANSI
+    * percent_rank rational (rank−1)/(n−1) as one truncating ppm
+    * division (single-doc source → 0 ppm), and every product that
+    * multiplies a ppm or a rank by a corpus count rides DECIMAL(38,0)
+    * (BIGINT wraps past ~9.2·10¹² docs — the q198 discipline).
+    *
+    * Scale: NO per-source ranking window (partition-by-source is a
+    * handful of corpus-sized single tasks — the skew this module's
+    * header bans). Both rank passes are the q182 two-phase global
+    * numbering: rank-within-source falls out of the (source, n_chars,
+    * doc_id) total order as first_rn(source, value) − first_rn(source)
+    * + 1 — a distinct-value-grain hash agg and a source-grain
+    * broadcast, tie semantics exactly ANSI rank(); the global map side
+    * is a second numbering in (n_chars, doc_id) order, consumed by an
+    * equi-join on the computed target rank.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame =
+    quantileNormCore(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, source, n_chars) frame — fixture seam. */
+  private[graft] def quantileNormCore(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("n_chars").isNotNull)
+      .select("doc_id", "source", "n_chars")
+    // one global numbering serves every per-source rank. The numbering
+    // kernel's leading sort key is numeric by contract (its range
+    // boundaries come from approx_percentile), so a hash surrogate of
+    // `source` leads the order — the rank derivation below only needs
+    // each source's rows CONTIGUOUS and internally (n_chars, doc_id)-
+    // ordered, which any total order keyed first on a per-source
+    // constant provides. Three consumers → eager checkpoint (the
+    // q276/q284 one-scan rule).
+    val num = GlobalIndex.numberedBy(
+        d.withColumn("h", xxhash64(col("source"))),
+        Seq("h", "source", "n_chars", "doc_id"))
+      .localCheckpoint(true)
+    val srcBase = num.groupBy("source")
+      .agg(min("rn").as("rn0"), count(lit(1)).as("n_src"))
+    val valFirst = num.groupBy("source", "n_chars")
+      .agg(min("rn").as("first_rn"))
+    val ranked = num
+      .join(broadcast(srcBase), Seq("source"))
+      .join(valFirst, Seq("source", "n_chars"))
+      .withColumn("src_rank", col("first_rn") - col("rn0") + 1L)
+      .withColumn("src_pr_ppm",
+        when(col("n_src") === 1L, 0L)
+          .otherwise(expr("""cast(cast(src_rank - 1 as decimal(38,0))
+                             * 1000000 div (n_src - 1) as bigint)""")))
+    val g = GlobalIndex.numberedBy(d.select("n_chars", "doc_id"),
+        Seq("n_chars", "doc_id"))
+      .select(col("rn").as("g_rn"), col("n_chars").as("norm_chars"))
+    val nTot = d.agg(count(lit(1)).as("n_g"))
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn("target_rn",
+        expr("""cast(cast(src_pr_ppm as decimal(38,0)) * (n_g - 1)
+                div 1000000 as bigint) + 1"""))
+      .join(g, col("target_rn") === col("g_rn"))
+      .select("doc_id", "source", "n_chars", "src_rank", "n_src",
+        "src_pr_ppm", "norm_chars")
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q293_quantile_normalize" -> (quantileNormalize(_, _)),
     "q229_gini_binned" -> (giniBinned(_, _)),
     "q218_ks_statistic" -> (ksStatistic(_, _)),
     "q238_mann_whitney_u" -> (mannWhitneyU(_, _)),
@@ -475,6 +546,38 @@ object Scoring {
     }.mkString(",\n             ")
 
   val oracles: Map[String, String] = Map(
+    // q293: ANSI rank()/row_number() windows replay the two-phase
+    // numbering's tie semantics exactly; same truncating ppm and
+    // nearest-rank-below arithmetic in HUGEINT
+    "q293_quantile_normalize" ->
+      """WITH d AS (
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE n_chars IS NOT NULL),
+          s AS (
+            SELECT doc_id, source, n_chars,
+              rank() OVER (PARTITION BY source ORDER BY n_chars)::BIGINT
+                AS src_rank,
+              count(*) OVER (PARTITION BY source)::BIGINT AS n_src
+            FROM d),
+          g AS (
+            SELECT n_chars AS norm_chars,
+              row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS g_rn
+            FROM d),
+          n AS (SELECT count(*)::BIGINT AS n_g FROM d),
+          t AS (
+            SELECT s.*, CASE WHEN n_src = 1 THEN 0::BIGINT
+              ELSE ((src_rank - 1)::HUGEINT * 1000000
+                    // (n_src - 1))::BIGINT END AS src_pr_ppm
+            FROM s),
+          m AS (
+            SELECT t.*,
+              (src_pr_ppm::HUGEINT * (n_g - 1) // 1000000)::BIGINT + 1
+                AS target_rn
+            FROM t, n)
+          SELECT doc_id, source, n_chars, src_rank, n_src, src_pr_ppm,
+            norm_chars
+          FROM m JOIN g ON m.target_rn = g.g_rn
+          ORDER BY doc_id""",
     // q229: same integer bin rule, same grouped-Lorenz identity in
     // HUGEINT, same truncating division — the sketch is deterministic
     "q229_gini_binned" ->

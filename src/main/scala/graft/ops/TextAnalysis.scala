@@ -613,6 +613,106 @@ object TextAnalysis {
     per.unionByName(macroRow).orderBy("label")
   }
 
+  /** q294 — KRIPPENDORFF'S ALPHA (nominal, two raters): the
+    * reliability coefficient annotation pipelines report alongside
+    * q276's kappa (Krippendorff 2004 §11; for two raters and complete
+    * nominal data it differs from kappa only in the chance term —
+    * alpha draws the expected-disagreement pairs from the POOLED
+    * marginal of both raters without replacement, so it stays defined
+    * and comparable when the raters' label marginals diverge). Raters:
+    * the stored `lang` label vs the q44 heuristic labeler, the same
+    * pairing every query in the classifier-audit family reads.
+    *
+    * Exact integers throughout: with N units and n = 2N pooled values,
+    * observed disagreement Do = n_disagree/N and expected De =
+    * (n² − Σ_v m_v²)/(n(n−1)) with m_v the pooled per-label marginal;
+    * alpha = 1 − Do/De reduces (the common factor N cancels — the
+    * reduction that keeps the ppm numerators inside DECIMAL(38,0) at
+    * 10¹²-unit scale, where the unreduced n_disagree·n·(n−1)·10⁶ form
+    * wraps) to 1 − 2·n_disagree·(2N−1)/(4N² − Σm²). A single-label
+    * frame has De = 0 — alpha undefined, emitted null via nullif (the
+    * q276 degenerate-frame convention).
+    *
+    * Scale: one hash agg to the ≤|langs|² cell frame, then
+    * dimension-sized frames only (the q199 cell-frame stance); the
+    * pooled marginal is a union of the two bounded marginals.
+    */
+  def krippendorffAlpha(spark: SparkSession, dir: String): DataFrame =
+    krippendorffCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (text, lang) frame — fixture seam for the spec. */
+  private[graft] def krippendorffCore(docs: DataFrame): DataFrame = {
+    // eager checkpoint: the cell frame feeds the totals and the pooled
+    // marginal (two consumers) — the q276/q284 one-scan rule
+    val cells = docs
+      .select(col("lang").as("actual"),
+        graft.expr.TextFunctions.langId(col("text")).as("predicted"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = cells.agg(
+      sum("n").as("n_units"),
+      sum(when(col("actual") =!= col("predicted"), col("n")).otherwise(0L))
+        .as("n_disagree"))
+    // pooled marginal m_v = |{appearances of label v across BOTH
+    // raters}|; only Σ m_v² survives into the alpha arithmetic
+    val m2 = cells.select(col("actual").as("v"), col("n"))
+      .unionByName(cells.select(col("predicted").as("v"), col("n")))
+      .groupBy("v").agg(sum("n").as("m"))
+      .agg(sum(expr("cast(m as decimal(38,0)) * m")).as("sum_m2"))
+    tot.crossJoin(broadcast(m2))
+      .select(col("n_units"), col("n_disagree"),
+        expr("""cast(cast(n_disagree as decimal(38,0)) * 1000000
+                div n_units as bigint)""").as("do_ppm"),
+        expr("""cast((4 * cast(n_units as decimal(38,0)) * n_units
+                      - sum_m2) * 1000000
+                div nullif(2 * cast(n_units as decimal(38,0))
+                           * (2 * n_units - 1), 0) as bigint)""")
+          .as("de_ppm"),
+        expr("""cast((4 * cast(n_units as decimal(38,0)) * n_units
+                      - sum_m2
+                      - 2 * cast(n_disagree as decimal(38,0))
+                        * (2 * n_units - 1)) * 1000000
+                div nullif(4 * cast(n_units as decimal(38,0)) * n_units
+                           - sum_m2, 0) as bigint)""").as("alpha_ppm"))
+  }
+
+  /** q295 — VOCABULARY RICHNESS: Chao1 and the Good–Turing unseen
+    * mass from the corpus frequency-of-frequencies spectrum — the
+    * "how much vocabulary have we NOT seen yet" estimate that sizes
+    * tokenizer vocab and corpus-coverage decisions (Chao 1984's
+    * abundance estimator; Good 1953's missing-mass f₁/N). q266 charts
+    * vocabulary growth WITHIN the observed corpus; this extrapolates
+    * PAST it, from two numbers the spectrum already holds: f₁ (types
+    * seen once) and f₂ (types seen twice). Both estimators are exact
+    * integer arithmetic — the bias-corrected Chao1 form
+    * D + f₁(f₁−1)/(2(f₂+1)) is division-safe at f₂ = 0 and needs no
+    * floats; the unseen mass is one truncating ppm division.
+    *
+    * Scale: one token explode + map-side-combinable term-frequency
+    * hash agg (the q69 shape), then a single-row spectrum collapse —
+    * nothing after the term frame touches corpus-sized data.
+    */
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame =
+    vocabRichnessCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, text) frame — fixture seam for the spec. */
+  private[graft] def vocabRichnessCore(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("c") === 1L, 1)).as("f1"),
+        count(when(col("c") === 2L, 1)).as("f2"))
+      .select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        expr("""n_types + cast(cast(f1 as decimal(38,0)) * (f1 - 1)
+                div (2 * (f2 + 1)) as bigint)""").as("chao1"),
+        expr("""cast(cast(f1 as decimal(38,0)) * 1000000
+                div nullif(n_tokens, 0) as bigint)""")
+          .as("unseen_mass_ppm"))
+
   /** q291 — GOPHER-STYLE QUALITY RULE GATES (Rae et al. 2021, §A1.1):
     * the named rule battery production pretraining filters actually
     * run, as a per-doc decision table — each rule an EXACT integer
@@ -1165,6 +1265,8 @@ object TextAnalysis {
     "q276_cohens_kappa" -> (cohensKappa(_, _)),
     "q283_mcnemar_test" -> (mcnemarTest(_, _)),
     "q284_macro_f1" -> (macroF1(_, _)),
+    "q294_krippendorff_alpha" -> (krippendorffAlpha(_, _)),
+    "q295_vocab_richness" -> (vocabRichness(_, _)),
     "q291_gopher_rules" -> (gopherRules(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
@@ -1523,6 +1625,53 @@ object TextAnalysis {
             ((po_ppm - pe_ppm) * 1000000
               // nullif(1000000 - pe_ppm, 0))::BIGINT AS kappa_ppm
           FROM k""",
+    // q294: same cells, pooled two-rater marginal in HUGEINT, the
+    // N-cancelled alpha reduction — identical truncating ppm chain
+    "q294_krippendorff_alpha" ->
+      s"""$langIdPredictedCte,
+          cells AS (
+            SELECT lang AS actual, predicted, count(*)::BIGINT AS n
+            FROM p GROUP BY 1, 2),
+          tot AS (
+            SELECT sum(n)::BIGINT AS n_units,
+              sum(CASE WHEN actual <> predicted THEN n ELSE 0 END)::BIGINT
+                AS n_disagree
+            FROM cells),
+          pooled AS (
+            SELECT v, sum(n)::HUGEINT AS m FROM (
+              SELECT actual AS v, n FROM cells
+              UNION ALL SELECT predicted AS v, n FROM cells)
+            GROUP BY v),
+          m2 AS (SELECT sum(m * m) AS sum_m2 FROM pooled)
+          SELECT n_units, n_disagree,
+            (n_disagree::HUGEINT * 1000000 // n_units)::BIGINT AS do_ppm,
+            ((4 * n_units::HUGEINT * n_units - sum_m2) * 1000000
+              // nullif(2 * n_units::HUGEINT * (2 * n_units - 1), 0))
+              ::BIGINT AS de_ppm,
+            ((4 * n_units::HUGEINT * n_units - sum_m2
+              - 2 * n_disagree::HUGEINT * (2 * n_units - 1)) * 1000000
+              // nullif(4 * n_units::HUGEINT * n_units - sum_m2, 0))
+              ::BIGINT AS alpha_ppm
+          FROM tot, m2""",
+    // q295: same whitespace token contract as q291, term-frequency
+    // spectrum collapse, integer Chao1 + Good-Turing in HUGEINT
+    "q295_vocab_richness" ->
+      """WITH t AS (
+            SELECT unnest(list_filter(string_split(text, ' '),
+              w -> w <> '')) AS w
+            FROM documents WHERE text IS NOT NULL),
+          tf AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY 1),
+          s AS (
+            SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+              count(*) FILTER (WHERE c = 1)::BIGINT AS f1,
+              count(*) FILTER (WHERE c = 2)::BIGINT AS f2
+            FROM tf)
+          SELECT n_tokens, n_types, f1, f2,
+            (n_types + (f1::HUGEINT * (f1 - 1)) // (2 * (f2 + 1)))
+              ::BIGINT AS chao1,
+            (f1::HUGEINT * 1000000 // nullif(n_tokens, 0))::BIGINT
+              AS unseen_mass_ppm
+          FROM s""",
     // q291: same tokenizer mapping, same cross-multiplied integer
     // thresholds, same conjunctive keep
     "q291_gopher_rules" ->

@@ -517,4 +517,52 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val waste = out.groupBy(_._1).view.mapValues(_.map(_._6).sum).toMap
     assert(waste("sorted") < waste("arrival"))
   }
+
+  test("q294 Krippendorff alpha: hand fixture with known rational " +
+      "alpha, plus the q276-style in-JVM replica on the sf corpus") {
+    import spark.implicits._
+    // u1 agree(en), u2 disagree(en/fr), u3 agree(fr), u4 disagree(fr/en)
+    // → N=4, disagree=2, pooled m_en = m_fr = 4, Σm² = 32;
+    // De-num = 4·16 − 32 = 32, num' = 2·2·7 = 28 → alpha = 4/32
+    val docs = Seq(
+      ("the and of", "en"), ("le la et", "en"),
+      ("le la et", "fr"), ("the and of", "fr")).toDF("text", "lang")
+    val r = TextAnalysis.krippendorffCore(docs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((4L, 2L, 500000L, 571428L, 125000L)))
+    // corpus replica, independent arithmetic from the q44 predictions
+    val preds = TextAnalysis.langIdPredictions(spark, sf).collect()
+      .map(p => (p.getString(1), p.getString(2)))
+    val n = preds.length.toLong
+    val dis = preds.count { case (a, p) => a != p }.toLong
+    val pooled = (preds.map(_._1) ++ preds.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sumM2 = pooled.values.map(m => BigInt(m) * m).sum
+    val deNum = BigInt(4) * n * n - sumM2
+    val alpha = ((deNum - BigInt(2) * dis * (2 * n - 1)) * 1000000 / deNum)
+      .toLong
+    val c = TextAnalysis.krippendorffAlpha(spark, sf).collect()(0)
+    assert((c.getLong(0), c.getLong(1)) === ((n, dis)))
+    assert(c.getLong(2) === dis * 1000000L / n)
+    assert(c.getLong(3) ===
+      (deNum * 1000000 / (BigInt(2) * n * (2 * n - 1))).toLong)
+    assert(c.getLong(4) === alpha)
+  }
+
+  test("q295 vocabulary richness: spectrum, integer Chao1 and " +
+      "Good-Turing unseen mass on a hand fixture") {
+    import spark.implicits._
+    // tokens: a×3, b, c, d → n_tokens 6, types 4, f1 3, f2 0;
+    // chao1 = 4 + 3·2 div (2·1) = 7; unseen = 3e6 div 6 = 500000
+    val docs = Seq((1L, "a b a c"), (2L, "d a"), (3L, null))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.vocabRichnessCore(docs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((6L, 4L, 3L, 0L, 7L, 500000L)))
+    // f2 path: e×2 alone → f1 0, f2 1, chao1 = types (0 correction)
+    val docs2 = Seq((1L, "e e")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.vocabRichnessCore(docs2).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3),
+      r2.getLong(4), r2.getLong(5)) === ((2L, 1L, 0L, 1L, 1L, 0L)))
+  }
 }

@@ -99,7 +99,13 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q281_hits_bipartite",
     // round-12: q192's bounds-spine pattern — generate_series day range
     // crossed with the broadcast type VOCABULARY (never data-scale)
-    "q288_fano_burstiness")
+    "q288_fano_burstiness",
+    // round-13: single-row global-count broadcast feeding the
+    // target-rank projection (q143's totals-row pattern)
+    "q293_quantile_normalize",
+    // round-13: single-row pooled-marginal Σm² broadcast joined to the
+    // single totals row (q276's pattern)
+    "q294_krippendorff_alpha")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -398,4 +398,28 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       assert(lRisk === (l < 2L))
     }
   }
+
+  test("q296 Pareto front: strict dominance, exact-tie retention, and " +
+    "per-source independence on a hand fixture") {
+    import spark.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      // source S: front = {d3 (3w,10c), d5 (6w,20c)};
+      // d1 (5w,20c) is dominated by d5 (more words, same chars),
+      // d2 (5w,25c) by d1/d5, d4 (3w,30c) by every other doc
+      (1L, "S", words(5), 20L), (2L, "S", words(5), 25L),
+      (3L, "S", words(3), 10L), (4L, "S", words(3), 30L),
+      (5L, "S", words(6), 20L),
+      // source T: exact ties t1/t2 are mutually non-dominating (both
+      // kept); t3 (2w,12c) is dominated by them (fewer words, same chars)
+      (6L, "T", words(4), 12L), (7L, "T", words(4), 12L),
+      (8L, "T", words(2), 12L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = graft.ops.Quality.paretoFrontCore(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(out === List(
+      (3L, "S", 3L, 10L), (5L, "S", 6L, 20L),
+      (6L, "T", 4L, 12L), (7L, "T", 4L, 12L)))
+  }
 }

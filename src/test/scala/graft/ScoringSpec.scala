@@ -178,4 +178,34 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
     // rho = 2.25/4.5 = 0.5  (doubled ranks cancel)
     assert(rho(Seq((1L, 5L), (1L, 7L), (2L, 7L))) === 0.5)
   }
+
+  test("q293 quantile normalization: rank ties, single-doc source, and " +
+    "the nearest-rank-below global map on a hand fixture") {
+    // sources: A 10/20/30/40, B 15/35, C 20/20 (tie), D 99 (singleton);
+    // global (n_chars, doc_id) order: 10,15,20(d2),20(d7),20(d8),30,35,
+    // 40,99 → N=9, N−1=8
+    val docs = Seq(
+      (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L), (4L, "A", 40L),
+      (5L, "B", 15L), (6L, "B", 35L),
+      (7L, "C", 20L), (8L, "C", 20L),
+      (9L, "D", 99L)).toDF("doc_id", "source", "n_chars")
+    val out = Scoring.quantileNormCore(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    assert(out === List(
+      // A: pr 0 / 333333 / 666666 / 1e6 → targets 1, 1+⌊2.67⌋=3,
+      // 1+⌊5.33⌋=6, 9 → norms 10, 20, 30, 99
+      (1L, "A", 10L, 1L, 4L, 0L, 10L),
+      (2L, "A", 20L, 2L, 4L, 333333L, 20L),
+      (3L, "A", 30L, 3L, 4L, 666666L, 30L),
+      (4L, "A", 40L, 4L, 4L, 1000000L, 99L),
+      // B: bottom → global bottom; top → global top
+      (5L, "B", 15L, 1L, 2L, 0L, 10L),
+      (6L, "B", 35L, 2L, 2L, 1000000L, 99L),
+      // C: ANSI rank() tie — both rank 1, both map to the global min
+      (7L, "C", 20L, 1L, 2L, 0L, 10L),
+      (8L, "C", 20L, 1L, 2L, 0L, 10L),
+      // D: single-doc source → pr 0 by convention, never a zero-div
+      (9L, "D", 99L, 1L, 1L, 0L, 10L)))
+  }
 }
