@@ -32,7 +32,15 @@ import graft.ops.Dedup
   * Usage: runMain graft.tools.DedupScaleBench [N1,N2,...] [nocap]
   * (default 50000,200000). The `nocap` mode instead measures the
   * q52 shingle join WITH vs WITHOUT its df-cap at each N — the skew
-  * cliff the cap prevents, as a number instead of an argument.
+  * cliff the cap prevents, as a number instead of an argument. The
+  * pure Zipf-ish stream never pushes a single shingle's df past the
+  * cap (measured: cap and nocap arms identical to the candidate at
+  * 200k docs), so nocap mode plants the skew it exists to measure:
+  * every 5th doc opens with the same 8-token boilerplate prefix (the
+  * shared-template shape real corpora have), making each prefix
+  * shingle's df = N/5. Run nocap at SMALL N (e.g. 10000,20000): the
+  * uncapped arm's candidates grow as C(N/5, 2) per hot shingle —
+  * quadratic with a big constant — while the capped arm stays flat.
   * Results land in SCALE.md.
   */
 object DedupScaleBench {
@@ -54,7 +62,8 @@ object DedupScaleBench {
 
     val nocap = args.contains("nocap")
     for (n <- sizes) {
-      val docs = synthDocs(spark, n).localCheckpoint(true)
+      val docs = synthDocs(spark, n, boilerplate = nocap)
+        .localCheckpoint(true)
       val planted = docs.filter(col("doc_id") % dupEvery === 1
         && col("doc_id") > 0).count()
       val allPairs = n * (n - 1) / 2
@@ -132,8 +141,13 @@ object DedupScaleBench {
 
   /** Deterministic corpus: every token a pure function of
     * (effective doc, pos); planted dups re-roll ~mutPct% of positions.
+    * `boilerplate` prepends the same 8 fixed tokens to every 5th doc
+    * (keyed on the EFFECTIVE doc, so a planted dup of a boilerplate
+    * doc copies the prefix except at its mutated positions) — the
+    * shared-template skew the nocap mode measures.
     */
-  private[graft] def synthDocs(spark: SparkSession, n: Long): DataFrame =
+  private[graft] def synthDocs(spark: SparkSession, n: Long,
+                               boilerplate: Boolean = false): DataFrame =
     spark.range(n)
       .select(col("id"), explode(expr(s"sequence(1, $docLen)")).as("pos"))
       .withColumn("is_dup", col("id") % dupEvery === 1 && col("id") > 0)
@@ -144,7 +158,12 @@ object DedupScaleBench {
         when(col("is_dup") && !col("mutated"), col("id") - 1)
           .otherwise(col("id")))
       .withColumn("x", pmod(xxhash64(col("src"), col("pos")), lit(vocab.toLong)))
-      .withColumn("tok", concat(lit("t"), expr(s"(x * x) div $vocab")))
+      .withColumn("tok",
+        if (boilerplate)
+          when(col("src") % 5 === 0 && col("pos") <= 8,
+            concat(lit("bp"), col("pos")))
+            .otherwise(concat(lit("t"), expr(s"(x * x) div $vocab")))
+        else concat(lit("t"), expr(s"(x * x) div $vocab")))
       .groupBy(col("id").as("doc_id"))
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
