@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** BASELINE.md's per-query table → name -> recorded warm seconds.
+    * `findFirstMatchIn`, NOT a `case regex(...)` pattern match: Scala's
+    * Regex extractor anchors to the WHOLE string, and the table rows
+    * carry four columns — the r13 quiet-host run shipped with the
+    * anchored form and the baseline map silently parsed EMPTY, leaving
+    * the sustained-contention trigger and the end-of-run revisit inert
+    * (revisited=[] while five queries sat >2x). BenchSpec pins this
+    * against the real file now.
+    */
+  private[graft] def parseBaselineFrom(lines: Iterator[String]): Map[String, Double] = {
+    val row = """\|\s*(q\w+)\s*\|\s*([0-9.]+)\s*\|""".r
+    lines.flatMap(l => row.findFirstMatchIn(l)
+      .map(m => m.group(1) -> m.group(2).toDouble)).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,13 +66,13 @@ object Bench {
     // flagged queries landed back within 2x, code untouched.)
     def parseBaseline(): Map[String, Double] =
       try {
-        val row = """\|\s*(q\w+)\s*\|\s*([0-9.]+)\s*\|""".r
         val src = scala.io.Source.fromFile("BASELINE.md")
-        try src.getLines().collect {
-          case row(q, w) => q -> w.toDouble
-        }.toMap finally src.close()
+        try parseBaselineFrom(src.getLines()) finally src.close()
       } catch { case _: Throwable => Map.empty }
     val baseline = parseBaseline()
+    if (baseline.isEmpty)
+      System.err.println("[bench] WARNING: BASELINE.md parsed EMPTY — " +
+        "the sustained-contention trigger and end-of-run revisit are inert")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load = loadavg1()
       def rep(): Double = {
