@@ -347,6 +347,74 @@ object Relational {
       .orderBy(desc("exact_n"), asc("user_id"))
   }
 
+  val minhashUnionK = 64
+
+  /** q297 — MERGEABLE MINHASH UNION audit: the property that makes
+    * sketches work at 100 TB is MERGEABILITY — build small per-slice
+    * states (per day, per partition, per datacenter), merge the
+    * states, never touch the raw union. This query PROVES the engine's
+    * merge path on real data: per-(event_type, day) MinHash signatures
+    * (k independent min-hash registers — exactly q53's signature
+    * scheme, over users instead of shingles) are min-merged across
+    * days and compared register-for-register against the signature
+    * computed directly over the whole event stream. min is
+    * associative/commutative, so ANY disagreement means the engine
+    * broke partial aggregation — emitted as a boolean the oracle
+    * expects TRUE. The k-min estimator k/Σuᵢ − 1 (uᵢ the unit-
+    * normalized register) audits the merged sketch against the exact
+    * distinct count, gated at ±50% — 4σ for k = 64's ~12.5% relative
+    * SE, and deterministic on any fixed dataset (seeded hashes).
+    *
+    * ORACLE-GATED in the q14/q114 style: DuckDB recomputes the exact
+    * side (count DISTINCT per type) and expects both contract booleans
+    * TRUE; the raw estimate stays visible through
+    * [[minhashUnionDetail]] and its spec pins.
+    *
+    * Scale: three hash aggregates (per-(type, day) signatures, their
+    * type-grain merge, the direct signature), all map-side
+    * combinable — per-group state is k longs regardless of user
+    * cardinality, the whole point; the exact count-distinct is the
+    * audit side's honest cost (same stance as q14's exact twin).
+    */
+  private[graft] def minhashUnionDetail(s: SparkSession, d: String): DataFrame =
+    minhashUnionCore(Tables.eventsMicros(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("tsu div 86400000000").as("day")))
+
+  /** Core over any (event_type, user_id, day) frame — fixture seam. */
+  private[graft] def minhashUnionCore(ev: DataFrame): DataFrame = {
+    val k = minhashUnionK
+    def sig(prefix: String) = (0 until k).map(i =>
+      min(xxhash64(col("user_id"), lit(i))).as(s"$prefix$i"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(sig("h").head, sig("h").tail: _*)
+    val mergeAggs = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
+    val merged = daily.groupBy("event_type")
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+    val direct = ev.groupBy("event_type").agg(sig("d").head, sig("d").tail: _*)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    val mergeOk = (0 until k)
+      .map(i => col(s"m$i") === col(s"d$i")).reduce(_ && _)
+    // uᵢ = h/2⁶⁴ + 0.5 maps the signed register to [0, 1); each min is
+    // ~Uniform's first order statistic with mean 1/(n+1), so
+    // k/Σuᵢ − 1 estimates n with ~1/√k relative SE
+    val sumU = (0 until k)
+      .map(i => col(s"m$i").cast("double") / 1.8446744073709552e19 + 0.5)
+      .reduce(_ + _)
+    merged.join(direct, "event_type").join(exact, "event_type")
+      .withColumn("est", lit(k.toDouble) / sumU - 1.0)
+      .select(col("event_type"), col("n_exact"),
+        mergeOk.as("merge_matches_direct"),
+        (abs(col("est") - col("n_exact")) * 2 <= col("n_exact"))
+          .as("est_within_50pct"),
+        col("est"))
+      .orderBy("event_type")
+  }
+
+  val minhashUnion: Q = (s, d) => minhashUnionDetail(s, d).drop("est")
+
   /** q122 — SCD2-style STATE TIMELINE: collapse each user's event
     * stream into runs of consecutive identical states with half-open
     * validity intervals [valid_from_us, valid_to_us), valid_to NULL
@@ -908,6 +976,7 @@ object Relational {
     "q13_distinct_users_by_type" -> distinctUsersByType,
     "q14_approx_distinct_users" -> approxDistinctUsers,
     "q114_cms_heavy_hitters" -> cmsHeavyHitters,
+    "q297_minhash_union" -> minhashUnion,
     "q122_scd2_state_timeline" -> scd2StateTimeline,
     "q123_point_in_time_join" -> pointInTimeJoin,
     "q126_bloom_prejoin_revenue" -> bloomPrejoinRevenue,
@@ -1252,6 +1321,15 @@ object Relational {
            TRUE AS cms_never_under, TRUE AS cms_within_eps_n
          FROM ev GROUP BY 1
          ORDER BY exact_n DESC, user_id LIMIT 20""",
+    // q297: exact distinct recomputed; the merge identity (a
+    // mathematical certainty unless partial aggregation breaks) and
+    // the k-min estimator's 4σ bound gated as booleans expected TRUE
+    "q297_minhash_union" ->
+      """SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS n_exact,
+           TRUE AS merge_matches_direct, TRUE AS est_within_50pct
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q15_value_histogram" ->
       """SELECT (floor(value/50.0)*50)::BIGINT AS bin,
          CASE WHEN value >= 150.0 THEN 'high'

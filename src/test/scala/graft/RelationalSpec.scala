@@ -342,4 +342,34 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(total.head._4 == direct.getLong(0)
       && total.head._5 == direct.getLong(1))
   }
+
+  test("q297 minhash union: merge identity, estimator bound and " +
+    "determinism on a multi-day fixture and the sf corpus") {
+    import spark.implicits._
+    // 200 users over 3 days; each user's two events land on DIFFERENT
+    // days ((i+200) % 3 ≠ i % 3), so the per-day partial states
+    // genuinely overlap and the min-merge has real work to do
+    val ev = (1 to 400).map { i =>
+      (if (i % 2 == 0) "click" else "view", (i % 200).toLong + 1L,
+        (i % 3).toLong)
+    }.toDF("event_type", "user_id", "day")
+    val out = Relational.minhashUnionCore(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getDouble(4)))
+    assert(out.length == 2)
+    out.foreach { case (_, nExact, mergeOk, inBound, est) =>
+      assert(nExact == 100L)
+      assert(mergeOk, "daily min-merge must equal the direct signature")
+      assert(inBound && math.abs(est - nExact) * 2 <= nExact)
+    }
+    // seeded hashes: the whole row set is a pure function of the data
+    val again = Relational.minhashUnionCore(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getDouble(4)))
+    assert(out.toSeq == again.toSeq)
+    // the registered gate holds on the real corpus
+    val corpus = Relational.queries("q297_minhash_union")(spark, sf)
+      .collect().map(r => (r.getBoolean(2), r.getBoolean(3)))
+    assert(corpus.nonEmpty && corpus.forall(p => p._1 && p._2))
+  }
 }
