@@ -567,6 +567,59 @@ object Behavior {
       .orderBy("lag")
   }
 
+  /** q298 — MANN–KENDALL TREND TEST on the daily event count: the
+    * distribution-free "is this metric drifting?" monitor (Mann 1945,
+    * Kendall's τ arithmetic) that pipeline-health dashboards run where
+    * a fitted slope would be distorted by outliers — q216's CUSUM
+    * localizes WHERE a level shift happened; this answers WHETHER a
+    * monotone trend exists, with a significance-ready statistic.
+    * S = Σ_{i<j} sgn(xⱼ − xᵢ) over the zero-filled day series (q282's
+    * algebraic spine — zero-event days are genuine observations), and
+    * the tie-corrected variance identity 18·Var(S) = n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5) — both EXACT BIGINTs (n ≤ 3,653 days/decade
+    * keeps n³ ≪ 2⁶³). Only the continuity-corrected z =
+    * (S − sgn S)/√(Var) runs in double — the q282 discipline: one
+    * cast of each exact integer, then the identical IEEE expression
+    * in both engines, pinned at 6 dp.
+    *
+    * Scale: one hash agg to the bounded day grain; the pairwise
+    * self-join, tie spectrum and totals are all on that ≤10³-row
+    * frame (the q199 cell-frame stance) — nothing after the first
+    * agg is row-scaled.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallCore(Tables.eventsMicros(spark, dir).select("tsu"))
+
+  /** Core over any (tsu) frame — fixture seam for the spec. */
+  private[graft] def mannKendallCore(ev: DataFrame): DataFrame = {
+    val byDay = ev.select(expr(s"tsu div $dayUs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    // three consumers of the bounded spine → eager checkpoint
+    val dense = byDay.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(byDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n"))
+      .localCheckpoint(true)
+    val s = dense.as("a")
+      .join(dense.as("b"), col("b.day") > col("a.day"))
+      .agg(coalesce(sum(signum(col("b.n") - col("a.n")).cast("long")),
+        lit(0L)).as("s_stat"))
+    val ties = dense.groupBy("n").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie_term"))
+    dense.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
+          .as("var_num18"))
+      .select(col("n_days"), col("s_stat"), col("var_num18"),
+        when(col("var_num18") <= 0L || col("s_stat") === 0L, lit(0.0))
+          .otherwise(round(
+            (col("s_stat") - signum(col("s_stat"))).cast("double")
+              / sqrt(col("var_num18").cast("double") / lit(18.0)), 6))
+          .as("mk_z"))
+  }
+
   /** q288 — BURSTINESS (FANO FACTOR) per event type: variance-to-mean
     * ratio of the DAILY count series — the dispersion read behind
     * q145's anomaly fences and q282's lag profile: Fano ≈ 1 is
@@ -1338,6 +1391,7 @@ object Behavior {
     "q120_activity_heatmap" -> (activityHeatmap(_, _)),
     "q272_hour_seasonality" -> (hourSeasonality(_, _)),
     "q282_acf_daily" -> (acfDaily(_, _)),
+    "q298_mann_kendall" -> (mannKendall(_, _)),
     "q288_fano_burstiness" -> (fanoBurstiness(_, _)),
     "q76_funnel" -> (funnel(_, _)),
     "q278_windowed_funnel" -> (windowedFunnel(_, _)),
@@ -1412,6 +1466,39 @@ object Behavior {
               ELSE round(sign(cov_d) * cov_d * cov_d / (vx_d * vy_d), 6)
             END AS acf_r2
           FROM d ORDER BY lag""" },
+    // q298: same day collapse and zero-day spine as q282; S and the
+    // tie-corrected 18·Var identity exact in BIGINT, the identical
+    // continuity-corrected double z at the end
+    "q298_mann_kendall" ->
+      s"""WITH byday AS (
+            SELECT (epoch_ns(ts) // 1000) // $dayUs2 AS day,
+              count(*)::BIGINT AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          dense AS (
+            SELECT s.day, coalesce(b.n, 0)::BIGINT AS n
+            FROM (SELECT unnest(generate_series(
+                    (SELECT min(day) FROM byday),
+                    (SELECT max(day) FROM byday))) AS day) s
+            LEFT JOIN byday b ON s.day = b.day),
+          s AS (
+            SELECT coalesce(sum(sign(b.n - a.n)), 0)::BIGINT AS s_stat
+            FROM dense a JOIN dense b ON b.day > a.day),
+          ties AS (
+            SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
+              AS tie_term
+            FROM (SELECT count(*)::BIGINT AS t FROM dense GROUP BY n)),
+          tot AS (SELECT count(*)::BIGINT AS n_days FROM dense),
+          v AS (
+            SELECT n_days, s_stat,
+              (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+                AS var_num18
+            FROM tot, s, ties)
+          SELECT n_days, s_stat, var_num18,
+            CASE WHEN var_num18 <= 0 OR s_stat = 0 THEN 0.0
+              ELSE round((s_stat - sign(s_stat))::DOUBLE
+                / sqrt(var_num18::DOUBLE / 18.0), 6)
+            END AS mk_z
+          FROM v""",
     // q272: same µs div/mod bucketing, same cell-grain day-range
     // windows, same truncating ppm divisions, same zero-day min rule
     "q272_hour_seasonality" ->

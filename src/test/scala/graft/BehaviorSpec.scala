@@ -641,4 +641,33 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
         r.getDouble(3), r.getDouble(4))).head
     assert(out === (("s", 6L, 3.0, 5.0, 2.0)))
   }
+
+  test("q298 Mann-Kendall: monotone series, tie correction, zero-day " +
+    "fill and the |S|=1 continuity null on hand fixtures") {
+    val dayUs = 86400000000L
+    def series(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(d.toLong * dayUs + 1L)
+      }.toDF("tsu")
+    def run(counts: Seq[Int]) =
+      Behavior.mannKendallCore(series(counts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).head
+    // strictly increasing 1,2,3,4: S = C(4,2) = 6, no ties,
+    // 18·Var = 4·3·13 = 156, z = (6−1)/√(156/18)
+    val zUp = BigDecimal(5.0 / math.sqrt(156.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(run(Seq(1, 2, 3, 4)) === ((4L, 6L, 156L, zUp)))
+    // 3,1,2,2: S = −1 (continuity correction nulls it), one tied pair
+    // of count 2 → tie term 2·1·9 = 18, 18·Var = 156 − 18 = 138
+    assert(run(Seq(3, 1, 2, 2)) === ((4L, -1L, 138L, 0.0)))
+    // a missing day is a GENUINE zero: days 0 and 2 have 5 events,
+    // day 1 none → series (5, 0, 5): S = −1 + 0 + 1 = 0, count-5 tie
+    // → 3·2·11 − 18 = 48
+    val gap = Seq.fill(5)(0L * dayUs + 1L) ++ Seq.fill(5)(2L * dayUs + 1L)
+    val g = Behavior.mannKendallCore(gap.toDF("tsu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).head
+    assert(g === ((3L, 0L, 48L, 0.0)))
+  }
 }

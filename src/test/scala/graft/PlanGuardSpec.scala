@@ -105,7 +105,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q293_quantile_normalize",
     // round-13: single-row pooled-marginal Σm² broadcast joined to the
     // single totals row (q276's pattern)
-    "q294_krippendorff_alpha")
+    "q294_krippendorff_alpha",
+    // round-13: single-row S and tie-term broadcasts joined to the
+    // single day-count row (q276's pattern); the day-frame pair join
+    // itself is an equi-bounded self-join on the ≤10³-row spine
+    "q298_mann_kendall")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
