@@ -68,6 +68,47 @@ object Sampling {
       .select(col("doc_id"), col("lang"), splitExpr.as("split"))
       .orderBy("doc_id")
 
+  /** q299 — LEAKAGE-SAFE TRAIN/EVAL SPLIT: q59's row-level hash split
+    * applied naively can put two COPIES of the same document on
+    * opposite sides — the eval set then "tests" on memorized training
+    * text, the classic split-leakage bug dedup reports exist to
+    * prevent (q144 fixes it at the user grain for events; this is the
+    * document grain over content identity). The split is keyed on the
+    * exact-duplicate GROUP representative (min doc_id of the md5(text)
+    * group, q50's identity), so a group can never straddle by
+    * construction — and because the rep of a singleton group is the
+    * doc itself under the SAME ':split' salt, the assignment agrees
+    * with q59 everywhere except inside duplicate groups, which is
+    * precisely the set q59 gets wrong. The audit side quantifies the
+    * averted leakage: `naive_straddled` marks groups whose members
+    * land on BOTH sides under the row-level rule — exact, recomputed
+    * by the oracle, the number a curation postmortem reports.
+    *
+    * Scale: one hash agg to the distinct-content grain and one
+    * equi-join back (the q50 collapse shape); both split decisions
+    * are zero-shuffle md5-nibble projections (q58/q59's rule).
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakageSafeSplitCore(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — fixture seam for the spec. */
+  private[graft] def leakageSafeSplitCore(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("th"),
+        (nibble(":split") < 14).as("naive_train"))
+    val groups = d.groupBy("th").agg(
+      min("doc_id").as("rep_id"),
+      count(lit(1)).as("group_n"),
+      countDistinct("naive_train").as("naive_sides"))
+    d.join(groups, "th")
+      .select(col("doc_id"), col("rep_id"), col("group_n"),
+        when(nibbleOf(col("rep_id"), ":split") < 14, "train")
+          .otherwise("eval").as("split"),
+        (col("naive_sides") > 1L).as("naive_straddled"))
+      .orderBy("doc_id")
+  }
+
   /** q144 fold count — 4 divides the 16 nibble values exactly, so the
     * folds are uniform by construction (a `mod 5` would bias fold 0).
     */
@@ -509,6 +550,7 @@ object Sampling {
     "q193_poisson_bootstrap" -> (poissonBootstrap(_, _)),
     "q58_stratified_sample" -> (stratifiedSample(_, _)),
     "q59_train_eval_split" -> (trainEvalSplit(_, _)),
+    "q299_leakage_safe_split" -> (leakageSafeSplit(_, _)),
     "q144_group_kfold" -> (groupKFold(_, _)),
     "q181_negative_samples" -> (negativeSamples(_, _)),
     "q184_weighted_sample" -> (weightedPrioritySample(_, _)),
@@ -660,6 +702,27 @@ object Sampling {
              substr(md5(doc_id::VARCHAR || ':split'), 1, 1)) - 1 < 14
            THEN 'train' ELSE 'eval' END AS split
          FROM documents ORDER BY doc_id""",
+    // q299: same md5(text) content identity as q50, same nibble rule
+    // as q59 keyed on the group rep; the straddle audit recomputed
+    // from the row-level rule
+    "q299_leakage_safe_split" ->
+      """WITH d AS (
+            SELECT doc_id, md5(text) AS th,
+              (strpos('0123456789abcdef',
+                substr(md5(doc_id::VARCHAR || ':split'), 1, 1)) - 1 < 14)
+                AS naive_train
+            FROM documents WHERE text IS NOT NULL),
+          g AS (
+            SELECT th, min(doc_id)::BIGINT AS rep_id,
+              count(*)::BIGINT AS group_n,
+              count(DISTINCT naive_train)::BIGINT AS naive_sides
+            FROM d GROUP BY 1)
+          SELECT doc_id, rep_id, group_n,
+            CASE WHEN strpos('0123456789abcdef',
+              substr(md5(rep_id::VARCHAR || ':split'), 1, 1)) - 1 < 14
+            THEN 'train' ELSE 'eval' END AS split,
+            naive_sides > 1 AS naive_straddled
+          FROM d JOIN g USING (th) ORDER BY doc_id""",
     // q144: the same nibble rule keyed on user_id; fold = nibble // 4
     "q144_group_kfold" ->
       s"""SELECT ((strpos('0123456789abcdef',

@@ -319,4 +319,31 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     val nDocs = graft.Tables.documents(spark, sf).count()
     assert(total == nDocs)
   }
+
+  test("q299 leakage-safe split: groups never straddle, singletons " +
+      "agree with q59, and the straddle audit matches a JVM replica") {
+    import spark.implicits._
+    // ids 1..32 share one text (one dup group); 100 and 101 unique
+    val docs = ((1L to 32L).map(i => (i, "same dup text")) ++
+      Seq((100L, "unique a"), (101L, "unique b"))).toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplitCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4)))
+    val naive = (id: Long) =>
+      if (jvmNibble(id, ":split") < 14) "train" else "eval"
+    val grp = out.filter(_._2 == 1L)
+    assert(grp.length == 32 && grp.forall(_._3 == 32L))
+    // one split for the whole group, and it is the rep's q59 split
+    assert(grp.map(_._4).distinct.toSeq == Seq(naive(1L)))
+    // the row-level rule DOES straddle ids 1..32 (independent replica),
+    // and the audit flag reports exactly that
+    val naiveSides = (1L to 32L).map(naive).distinct.length
+    assert(naiveSides == 2, "fixture must exercise the straddle")
+    assert(grp.forall(_._5))
+    // singletons: rep = self, split = q59's assignment, no straddle
+    Seq(100L, 101L).foreach { id =>
+      val r = out.find(_._1 == id).get
+      assert(r._2 == id && r._3 == 1L && r._4 == naive(id) && !r._5)
+    }
+  }
 }
