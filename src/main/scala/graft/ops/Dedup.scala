@@ -78,6 +78,71 @@ object Dedup {
     * shingle equi-join; Jaccard is computed over the same capped sets so
     * the metric is self-consistent (documented engine semantics).
     */
+  /** q300 cosine threshold, as squared-ppm (0.8² = 640,000). */
+  val minCos2Ppm = 640000L
+
+  /** q300 term df-cap — the q52 discipline applied to TERMS. */
+  val maxTermDf = 50L
+
+  /** q300 — COSINE TF NEAR-DUP PAIRS: the bag-of-words cosine regime
+    * beside the set metrics (q52 Jaccard ignores multiplicity; q257
+    * PPJoin is exact set-overlap; this weighs REPEATED terms — the
+    * metric that catches a doc padded with its own sentences where
+    * set-Jaccard saturates). Fully EXACT and sqrt-free: tf vectors
+    * are integer counts, the cosine test cos ≥ t is evaluated as
+    * dot² · 10⁶ ≥ t²ppm · ‖a‖² · ‖b‖² with every product in
+    * DECIMAL(38,0) (dot ≤ 10¹⁰ on 10⁵-token docs squares past BIGINT),
+    * and the emitted statistic is the monotone cos²·10⁶ — the
+    * q111/q282 ln/sqrt-dropped stance.
+    *
+    * Scale: q52's inverted-index shape verbatim — one (term, doc, tf)
+    * relation, df-capped via the hash-agg hot-term anti-join (a term
+    * in more than [[maxTermDf]] docs is evidence, not signal, and
+    * uncapped it is the measured 4.8%-of-all-pairs cliff in
+    * SCALE.md), lang-blocked self-join on the term, one pair-grain
+    * dot aggregate, norm join-back. Candidates ∝ Σ capped-df², never
+    * all-pairs.
+    */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame =
+    cosinePairsCore(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, lang, text) frame — fixture seam. */
+  private[graft] def cosinePairsCore(docs: DataFrame): DataFrame = {
+    // one exchange on the join key serves the hot-set agg, both join
+    // sides and the norm table (the q52 ReuseExchange stance)
+    val tf = Tables.spread(docs)
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
+    val hot = tf.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > maxTermDf)
+      .select("term")
+    val capped = tf.join(hot, Seq("term"), "left_anti")
+    val norms = capped.groupBy("doc_id")
+      .agg(sum(expr("tf * tf")).as("n2"))
+    val dots = capped.as("a")
+      .join(capped.as("b"),
+        col("a.term") === col("b.term") && col("a.lang") === col("b.lang")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(expr("a.tf * b.tf")).as("dot"))
+    dots
+      .join(norms.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n2", "n2_a"), "doc_a")
+      .join(norms.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n2", "n2_b"), "doc_b")
+      .filter(expr(s"""cast(dot as decimal(38,0)) * dot * 1000000
+                       >= $minCos2Ppm * cast(n2_a as decimal(38,0)) * n2_b"""))
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("n2_a"),
+        col("n2_b"),
+        expr("""cast(cast(dot as decimal(38,0)) * dot * 1000000
+                div (cast(n2_a as decimal(38,0)) * n2_b) as bigint)""")
+          .as("cos2_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def jaccardPairs(spark: SparkSession, dir: String, minJ: Double = minJaccard): DataFrame =
     jaccardPairsCore(Tables.documents(spark, dir), minJ)
 
@@ -1020,6 +1085,7 @@ object Dedup {
     "q50_exact_dedup_stats" -> (exactDedupStats(_, _)),
     "q51_shingle_stats" -> (shingleStats(_, _)),
     "q52_jaccard_pairs" -> (jaccardPairs(_, _)),
+    "q300_cosine_tf_pairs" -> (cosinePairs(_, _)),
     // signature serialized for the driver (pandas can't hash numpy
     // arrays, CORRECTNESS_r02); library API keeps the native array<long>.
     "q53_minhash_signatures" -> ((s, d) =>
@@ -1034,6 +1100,42 @@ object Dedup {
     "q257_ppjoin_pairs" -> (ppjoinPairs(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q300: same whitespace tokens, tf collapse, df-cap anti-join,
+    // lang-blocked term self-join; the sqrt-free cross-multiplied
+    // threshold and cos² ppm in HUGEINT
+    "q300_cosine_tf_pairs" ->
+      s"""WITH tf AS (
+            SELECT doc_id, lang, w AS term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, lang,
+                    unnest(list_filter(string_split(text, ' '),
+                      w -> w <> '')) AS w
+                  FROM documents WHERE text IS NOT NULL)
+            GROUP BY 1, 2, 3),
+          hot AS (
+            SELECT term FROM tf GROUP BY term
+            HAVING count(DISTINCT doc_id) > $maxTermDf),
+          capped AS (
+            SELECT * FROM tf WHERE term NOT IN (SELECT term FROM hot)),
+          norms AS (
+            SELECT doc_id, sum(tf * tf)::BIGINT AS n2
+            FROM capped GROUP BY 1),
+          dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              sum(a.tf::HUGEINT * b.tf) AS dot
+            FROM capped a JOIN capped b
+              ON a.term = b.term AND a.lang = b.lang
+              AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, dot::BIGINT AS dot, na.n2 AS n2_a,
+            nb.n2 AS n2_b,
+            (dot * dot * 1000000
+              // (na.n2::HUGEINT * nb.n2))::BIGINT AS cos2_ppm
+          FROM dots
+          JOIN norms na ON na.doc_id = doc_a
+          JOIN norms nb ON nb.doc_id = doc_b
+          WHERE dot * dot * 1000000
+            >= $minCos2Ppm * (na.n2::HUGEINT * nb.n2)
+          ORDER BY doc_a, doc_b""",
     // q262: same 3-gram generator (the q257 shingle CTE form, WITHOUT
     // list_distinct on the corpus side — hits count occurrences), same
     // bench-membership rule, same distinct-bench join

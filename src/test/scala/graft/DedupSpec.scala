@@ -373,4 +373,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5),
       (3L, 2L, 0L, 0.0), (4L, 1L, 1L, 1.0)))
   }
+
+  test("q300 cosine TF pairs: multiplicity weighting, scaled-copy " +
+    "identity, threshold cut and lang blocking on a hand fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a a b"), (2L, "en", "a a b"),  // identical → cos² = 1
+      (3L, "en", "a c"),                         // below threshold vs all
+      (4L, "fr", "a a b"),                       // lang-blocked
+      (5L, "en", "a b"), (6L, "en", "a a a a b"),// set-identical, cos² < 1
+      (7L, "en", "a b a b a b"))                 // 3× scale of d5 → cos² = 1
+      .toDF("doc_id", "lang", "text")
+    val out = Dedup.cosinePairsCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    // hand-computed over integer tf vectors; Jaccard calls d5/d6
+    // identical (same term SET) — cosine sees the padding (735294);
+    // the scaled copy d5/d7 is cosine-identical (1e6) as it must be
+    assert(out === List(
+      (1L, 2L, 5L, 5L, 5L, 1000000L),
+      (1L, 5L, 3L, 5L, 2L, 900000L),
+      (1L, 6L, 9L, 5L, 17L, 952941L),
+      (1L, 7L, 9L, 5L, 18L, 900000L),
+      (2L, 5L, 3L, 5L, 2L, 900000L),
+      (2L, 6L, 9L, 5L, 17L, 952941L),
+      (2L, 7L, 9L, 5L, 18L, 900000L),
+      (5L, 6L, 5L, 2L, 17L, 735294L),
+      (5L, 7L, 6L, 2L, 18L, 1000000L),
+      (6L, 7L, 15L, 17L, 18L, 735294L)))
+  }
 }
