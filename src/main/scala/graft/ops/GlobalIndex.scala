@@ -131,7 +131,7 @@ object GlobalIndex {
     * yields correct ranks/sums (scaladoc above); boundaries are
     * balance-only.
     */
-  private def rangedDeterministic(df: DataFrame, sortCols: Seq[String],
+  private[graft] def rangedDeterministic(df: DataFrame, sortCols: Seq[String],
       preBounds: Option[Seq[Double]] = None): DataFrame = {
     val head = sortCols.head
     val bounds: Seq[Double] =

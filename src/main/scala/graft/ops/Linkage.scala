@@ -204,8 +204,15 @@ object Linkage {
     // check is one codegen'd comparison (UTF-8 octet length == char
     // length on the 8-char prefix ⇔ all-ASCII), and raise_error keeps
     // the query declarative — no extra pass, no driver action.
+    // NULL p_name passes the guard explicitly (its pk8 degrades to
+    // null, the pre-guard behavior): without the isNull arm the
+    // octet/length comparison is NULL, when() reads it as false, and
+    // the row would die on raise_error(concat(..., NULL)) =
+    // raise_error(NULL) — a message-less abort misattributing a null
+    // to a non-ASCII prefix (r13 review)
     val prefix = substring(col("p_name"), 1, 8)
-    val pk8Guarded = when(octet_length(prefix) === length(prefix), pk8)
+    val pk8Guarded = when(col("p_name").isNull ||
+        octet_length(prefix) === length(prefix), pk8)
       .otherwise(raise_error(concat(
         lit("q258 sorted_neighborhood: non-ASCII p_name prefix breaks " +
           "the pk8 rank's order-isomorphism: "), col("p_name"))).cast("long"))

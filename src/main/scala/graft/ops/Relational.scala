@@ -318,10 +318,13 @@ object Relational {
       new java.io.ByteArrayInputStream(bytes))
     val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
       .orderBy(desc("exact_n"), asc("user_id")).limit(cmsTopK).collect()
+    // the sketch records exactly how many items it absorbed, so ε·N's
+    // N rides along for free — the former separate events.count() was
+    // a third full scan per invocation (r13 review)
     val rows = top.map { r =>
       val (u, n) = (r.getLong(0), r.getLong(1))
       val est = cms.estimateCount(u)
-      org.apache.spark.sql.Row(u, n, est, est - n)
+      org.apache.spark.sql.Row(u, n, est, est - n, cms.totalCount())
     }
     s.createDataFrame(
       java.util.Arrays.asList(rows: _*),
@@ -333,19 +336,20 @@ object Relational {
         org.apache.spark.sql.types.StructField("cms_n",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("overcount",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_total",
           org.apache.spark.sql.types.LongType))))
       .orderBy(desc("exact_n"), asc("user_id"))
   }
 
-  val cmsHeavyHitters: Q = (s, d) => {
-    val n = Tables.events(s, d).filter(col("user_id").isNotNull).count()
-    val slack = math.ceil(cmsEps * n).toLong
+  val cmsHeavyHitters: Q = (s, d) =>
     cmsHeavyHittersDetail(s, d)
       .select(col("user_id"), col("exact_n"),
         (col("cms_n") >= col("exact_n")).as("cms_never_under"),
-        (col("overcount") <= slack).as("cms_within_eps_n"))
+        (col("overcount") <=
+          expr(s"cast(ceil(${cmsEps}D * n_total) as bigint)"))
+          .as("cms_within_eps_n"))
       .orderBy(desc("exact_n"), asc("user_id"))
-  }
 
   val minhashUnionK = 64
 
@@ -378,9 +382,13 @@ object Relational {
     */
   private[graft] def minhashUnionDetail(s: SparkSession, d: String): DataFrame =
     minhashUnionCore(Tables.eventsMicros(s, d)
-      .filter(col("user_id").isNotNull)
+      // NULL event_type is excluded symmetrically with the oracle (the
+      // q280 discipline): the null-unsafe equi-joins on event_type
+      // below would silently drop the NULL group the oracle's GROUP BY
+      // keeps (r13 review)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), col("user_id"),
-        expr("tsu div 86400000000").as("day")))
+        expr(s"tsu div ${Behavior.dayUs2}").as("day")))
 
   /** Core over any (event_type, user_id, day) frame — fixture seam. */
   private[graft] def minhashUnionCore(ev: DataFrame): DataFrame = {
@@ -1328,7 +1336,7 @@ object Relational {
       """SELECT event_type,
            count(DISTINCT user_id)::BIGINT AS n_exact,
            TRUE AS merge_matches_direct, TRUE AS est_within_50pct
-         FROM events WHERE user_id IS NOT NULL
+         FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
     "q15_value_histogram" ->
       """SELECT (floor(value/50.0)*50)::BIGINT AS bin,

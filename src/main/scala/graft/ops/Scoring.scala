@@ -470,50 +470,68 @@ object Scoring {
     *
     * Scale: NO per-source ranking window (partition-by-source is a
     * handful of corpus-sized single tasks — the skew this module's
-    * header bans). Both rank passes are the q182 two-phase global
-    * numbering: rank-within-source falls out of the (source, n_chars,
-    * doc_id) total order as first_rn(source, value) − first_rn(source)
-    * + 1 — a distinct-value-grain hash agg and a source-grain
-    * broadcast, tie semantics exactly ANSI rank(); the global map side
-    * is a second numbering in (n_chars, doc_id) order, consumed by an
-    * equi-join on the computed target rank.
+    * header bans), and no source-leading sort key either (the range
+    * partitioner draws its bounds from the LEADING column, so a
+    * per-source constant would put each source in one pid — the same
+    * single-task shape through the back door; caught in r13 review).
+    * ONE value-balanced range partition on (n_chars, doc_id) serves
+    * both rank passes: each pid holds a value-range slice of EVERY
+    * source, per-source row numbers come from local (pid, source)
+    * sorts plus a |pids|×|sources| offsets frame prefix-summed per
+    * source (the q182 two-phase discipline at the (pid, source)
+    * grain), tie semantics exactly ANSI rank() via the value-grain
+    * first-row-number collapse; the global map side reuses the SAME
+    * ranged frame with pid-level offsets, consumed by an equi-join
+    * on the computed target rank. NULL source is excluded
+    * symmetrically in engine and oracle (the q280 discipline).
     */
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame =
     quantileNormCore(Tables.documents(spark, dir))
 
   /** Core over any (doc_id, source, n_chars) frame — fixture seam. */
   private[graft] def quantileNormCore(docs: DataFrame): DataFrame = {
-    val d = docs.filter(col("n_chars").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.filter(col("n_chars").isNotNull && col("source").isNotNull)
       .select("doc_id", "source", "n_chars")
-    // one global numbering serves every per-source rank. The numbering
-    // kernel's leading sort key is numeric by contract (its range
-    // boundaries come from approx_percentile), so a hash surrogate of
-    // `source` leads the order — the rank derivation below only needs
-    // each source's rows CONTIGUOUS and internally (n_chars, doc_id)-
-    // ordered, which any total order keyed first on a per-source
-    // constant provides. Three consumers → eager checkpoint (the
-    // q276/q284 one-scan rule).
-    val num = GlobalIndex.numberedBy(
-        d.withColumn("h", xxhash64(col("source"))),
-        Seq("h", "source", "n_chars", "doc_id"))
+    // one range partition, four consumers → eager checkpoint (the
+    // q276/q284 one-scan rule)
+    val ranged = GlobalIndex.rangedDeterministic(d, Seq("n_chars", "doc_id"))
       .localCheckpoint(true)
-    val srcBase = num.groupBy("source")
-      .agg(min("rn").as("rn0"), count(lit(1)).as("n_src"))
-    val valFirst = num.groupBy("source", "n_chars")
-      .agg(min("rn").as("first_rn"))
-    val ranked = num
-      .join(broadcast(srcBase), Seq("source"))
-      .join(valFirst, Seq("source", "n_chars"))
-      .withColumn("src_rank", col("first_rn") - col("rn0") + 1L)
+    val local = ranged.withColumn("lrn",
+      row_number().over(Window.partitionBy("pid", "source")
+        .orderBy("n_chars", "doc_id")).cast("long"))
+    val offs = local.groupBy("pid", "source").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.partitionBy("source").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "source", "off")
+    val rowNum = local.join(broadcast(offs), Seq("pid", "source"))
+      .withColumn("src_rownum", col("off") + col("lrn"))
+    // ANSI rank(): ties share the first row number of their value group
+    val valFirst = rowNum.groupBy("source", "n_chars")
+      .agg(min("src_rownum").as("src_rank"))
+    val nSrc = rowNum.groupBy("source").agg(count(lit(1)).as("n_src"))
+    // global side: same ranged frame, pid-local numbering + the
+    // O(#partitions) offsets window (the numberedBy shape inlined so
+    // the scan is shared)
+    val gloc = ranged.withColumn("glrn",
+      row_number().over(Window.partitionBy("pid")
+        .orderBy("n_chars", "doc_id")).cast("long"))
+    val goffs = gloc.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    val g = gloc.join(broadcast(goffs), Seq("pid"))
+      .select((col("off") + col("glrn")).as("g_rn"),
+        col("n_chars").as("norm_chars"))
+    val nTot = d.agg(count(lit(1)).as("n_g"))
+    rowNum.join(valFirst, Seq("source", "n_chars"))
+      .join(broadcast(nSrc), Seq("source"))
       .withColumn("src_pr_ppm",
         when(col("n_src") === 1L, 0L)
           .otherwise(expr("""cast(cast(src_rank - 1 as decimal(38,0))
                              * 1000000 div (n_src - 1) as bigint)""")))
-    val g = GlobalIndex.numberedBy(d.select("n_chars", "doc_id"),
-        Seq("n_chars", "doc_id"))
-      .select(col("rn").as("g_rn"), col("n_chars").as("norm_chars"))
-    val nTot = d.agg(count(lit(1)).as("n_g"))
-    ranked.crossJoin(broadcast(nTot))
+      .crossJoin(broadcast(nTot))
       .withColumn("target_rn",
         expr("""cast(cast(src_pr_ppm as decimal(38,0)) * (n_g - 1)
                 div 1000000 as bigint) + 1"""))
@@ -552,7 +570,7 @@ object Scoring {
     "q293_quantile_normalize" ->
       """WITH d AS (
             SELECT doc_id, source, n_chars FROM documents
-            WHERE n_chars IS NOT NULL),
+            WHERE n_chars IS NOT NULL AND source IS NOT NULL),
           s AS (
             SELECT doc_id, source, n_chars,
               rank() OVER (PARTITION BY source ORDER BY n_chars)::BIGINT

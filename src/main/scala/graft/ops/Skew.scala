@@ -237,7 +237,11 @@ object Skew {
     */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
     approxQuantilesGate(Tables.eventsMicros(spark, dir)
-      .filter(col("value").isNotNull))
+      // NULL event_type excluded symmetrically with the oracle (the
+      // q280 discipline): the gate's null-unsafe broadcast join on
+      // event_type would otherwise drop the NULL group the oracle's
+      // GROUP BY keeps (r13 review)
+      .filter(col("value").isNotNull && col("event_type").isNotNull))
 
   private[graft] def approxQuantilesGate(ev0: DataFrame): DataFrame = {
     val ev = ev0.select("event_type", "value")
@@ -655,6 +659,7 @@ object Skew {
       """SELECT event_type, count(*)::BIGINT AS n,
            TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           AND event_type IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
     // q213: same moment sums in HUGEINT, same two truncating divisions
     "q213_zscore_params" ->

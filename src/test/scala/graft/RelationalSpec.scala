@@ -171,6 +171,9 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length > 0)
     val n = Tables.events(spark, sf)
       .filter(col("user_id").isNotNull).count()
+    // the sketch's own totalCount (the gate's ε·N denominator since
+    // r13) must equal an independent count of what it absorbed
+    assert(out.forall(_.getLong(4) == n))
     val slack = math.ceil(Relational.cmsEps * n).toLong
     out.foreach { r =>
       val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))

@@ -188,7 +188,10 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
       (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L), (4L, "A", 40L),
       (5L, "B", 15L), (6L, "B", 35L),
       (7L, "C", 20L), (8L, "C", 20L),
-      (9L, "D", 99L)).toDF("doc_id", "source", "n_chars")
+      (9L, "D", 99L),
+      // NULL source: excluded symmetrically with the oracle, and must
+      // not shift anyone's global rank
+      (10L, null, 1L)).toDF("doc_id", "source", "n_chars")
     val out = Scoring.quantileNormCore(docs).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6))).toList
