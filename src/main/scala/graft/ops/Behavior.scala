@@ -620,6 +620,50 @@ object Behavior {
           .as("mk_z"))
   }
 
+  /** q301 — THEIL–SEN SLOPE of the daily event count: q298 answers
+    * WHETHER a monotone trend exists; this is the robust estimate of
+    * HOW STEEP (Theil 1950, Sen 1968 — the median of all pairwise
+    * slopes, with breakdown point ~29% where OLS is wrecked by one
+    * outlier day). Slopes are exact truncating ppm rationals
+    * ((nⱼ−nᵢ)·10⁶ div (dayⱼ−dayᵢ), the numerator in DECIMAL(38,0) —
+    * 10¹⁰-event days wrap BIGINT at the ppm scale), over the same
+    * zero-filled day spine as q298/q282; truncation-toward-zero on
+    * negative slopes is verified identical in Spark's `div` and
+    * DuckDB's `//`, and the spec pins a negative non-exact case. The
+    * median is the LOWER median (rank (n+1) div 2) in the total
+    * (slope_ppm, day_a, day_b) order — deterministic under ties.
+    *
+    * Scale: the pair frame is day-grain² (≤ 6.7M pairs per decade —
+    * calendar-bounded, never data-scaled); its median comes from the
+    * q182 two-phase numbering, not a single-partition sort.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenCore(Tables.eventsMicros(spark, dir).select("tsu"))
+
+  /** Core over any (tsu) frame — fixture seam for the spec. */
+  private[graft] def theilSenCore(ev: DataFrame): DataFrame = {
+    val byDay = ev.select(expr(s"tsu div $dayUs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val dense = byDay.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(byDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n"))
+      .localCheckpoint(true)
+    val pairs = dense.as("a")
+      .join(dense.as("b"), col("b.day") > col("a.day"))
+      .select(col("a.day").as("day_a"), col("b.day").as("day_b"),
+        expr("""cast(cast(b.n - a.n as decimal(38,0)) * 1000000
+                div (b.day - a.day) as bigint)""").as("slope_ppm"))
+    val num = GlobalIndex.numberedBy(pairs,
+      Seq("slope_ppm", "day_a", "day_b"))
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+    val nd = dense.agg(count(lit(1)).as("n_days"))
+    num.crossJoin(broadcast(tot)).crossJoin(broadcast(nd))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_days"), col("n_pairs"),
+        col("slope_ppm").as("med_slope_ppm"))
+  }
+
   /** q288 — BURSTINESS (FANO FACTOR) per event type: variance-to-mean
     * ratio of the DAILY count series — the dispersion read behind
     * q145's anomaly fences and q282's lag profile: Fano ≈ 1 is
@@ -1392,6 +1436,7 @@ object Behavior {
     "q272_hour_seasonality" -> (hourSeasonality(_, _)),
     "q282_acf_daily" -> (acfDaily(_, _)),
     "q298_mann_kendall" -> (mannKendall(_, _)),
+    "q301_theil_sen" -> (theilSen(_, _)),
     "q288_fano_burstiness" -> (fanoBurstiness(_, _)),
     "q76_funnel" -> (funnel(_, _)),
     "q278_windowed_funnel" -> (windowedFunnel(_, _)),
@@ -1499,6 +1544,33 @@ object Behavior {
                 / sqrt(var_num18::DOUBLE / 18.0), 6)
             END AS mk_z
           FROM v""",
+    // q301: same day spine as q298; pairwise truncating ppm slopes in
+    // HUGEINT (negative truncation verified identical), lower median
+    // by the same (slope, day_a, day_b) total order
+    "q301_theil_sen" ->
+      s"""WITH byday AS (
+            SELECT (epoch_ns(ts) // 1000) // $dayUs2 AS day,
+              count(*)::BIGINT AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          dense AS (
+            SELECT s.day, coalesce(b.n, 0)::BIGINT AS n
+            FROM (SELECT unnest(generate_series(
+                    (SELECT min(day) FROM byday),
+                    (SELECT max(day) FROM byday))) AS day) s
+            LEFT JOIN byday b ON s.day = b.day),
+          pairs AS (
+            SELECT a.day AS day_a, b.day AS day_b,
+              ((b.n::HUGEINT - a.n) * 1000000 // (b.day - a.day))
+                ::BIGINT AS slope_ppm
+            FROM dense a JOIN dense b ON b.day > a.day),
+          r AS (
+            SELECT slope_ppm, row_number() OVER (
+              ORDER BY slope_ppm, day_a, day_b) AS rn
+            FROM pairs),
+          t AS (SELECT count(*)::BIGINT AS n_pairs FROM pairs),
+          nd AS (SELECT count(*)::BIGINT AS n_days FROM dense)
+          SELECT n_days, n_pairs, slope_ppm AS med_slope_ppm
+          FROM r, t, nd WHERE rn = (n_pairs + 1) // 2""",
     // q272: same µs div/mod bucketing, same cell-grain day-range
     // windows, same truncating ppm divisions, same zero-day min rule
     "q272_hour_seasonality" ->

@@ -670,4 +670,30 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
         r.getDouble(3))).head
     assert(g === ((3L, 0L, 48L, 0.0)))
   }
+
+  test("q301 Theil-Sen: exact linear slope, lower-median pick, and " +
+    "negative-slope truncation semantics on hand fixtures") {
+    val dayUs = 86400000000L
+    def series(counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(d.toLong * dayUs + 1L)
+      }.toDF("tsu")
+    def run(counts: Seq[Int]) =
+      Behavior.theilSenCore(series(counts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    // perfectly linear +1/day: every pairwise slope is 1e6
+    assert(run(Seq(1, 2, 3, 4)) === ((4L, 6L, 1000000L)))
+    // 5,1,2: slopes −4e6, −1.5e6, 1e6 → lower median (rn 2) = −1.5e6
+    assert(run(Seq(5, 1, 2)) === ((3L, 3L, -1500000L)))
+    // 8 events day 0, one event day 3, days 1-2 zero-FILLED by the
+    // spine → counts (8,0,0,1); slopes: (0,1) −8e6; (0,2) −4e6;
+    // (0,3) −7e6 div 3 = −2333333 (non-exact negative — pins the
+    // truncation-toward-zero semantics shared with DuckDB's //);
+    // (1,2) 0; (1,3) 500000; (2,3) 1e6 → sorted lower median (rn 3)
+    // IS the truncated value
+    val gap = Seq.fill(8)(0L * dayUs + 1L) ++ Seq(3L * dayUs + 1L)
+    val g = Behavior.theilSenCore(gap.toDF("tsu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(g === ((4L, 6L, -2333333L)))
+  }
 }

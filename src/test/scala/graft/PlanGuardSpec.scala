@@ -109,7 +109,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // round-13: single-row S and tie-term broadcasts joined to the
     // single day-count row (q276's pattern); the day-frame pair join
     // itself is an equi-bounded self-join on the ≤10³-row spine
-    "q298_mann_kendall")
+    "q298_mann_kendall",
+    // round-13: q298's single-row pair-count and day-count broadcasts
+    // feeding the median-rank filter
+    "q301_theil_sen")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
