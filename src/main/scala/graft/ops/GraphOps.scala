@@ -978,7 +978,10 @@ object GraphOps {
     "q281_hits_bipartite" -> (hitsBipartite(_, _)),
     "q110_bfs_hops" -> ((s, d) => bfsHops(CooccurrenceGraph.edgeCounts(s, d))),
     // rows-only like q35: iterative peeling has no SQL oracle; the
-    // defining property and fixtures are spec-pinned
+    // defining property and fixtures are spec-pinned, and the full
+    // decomposition is value-pinned (r13 verdict task 6) against an
+    // independent plain-Scala peel replica on the corpus graph
+    // (GraphOpsSpec — the q35/q89 replica discipline)
     "q118_kcore" -> ((s, d) => kCoreNumbers(CooccurrenceGraph.edgeCounts(s, d))),
     "q121_widest_paths" -> ((s, d) => widestPaths(CooccurrenceGraph.edgeCounts(s, d))),
     "q147_shortest_tie_paths" -> ((s, d) => shortestTiePaths(CooccurrenceGraph.edgeCounts(s, d))),

@@ -415,6 +415,12 @@ object Relational {
       .withColumn("est", lit(k.toDouble) / sumU - 1.0)
       .select(col("event_type"), col("n_exact"),
         mergeOk.as("merge_matches_direct"),
+        // NOTE (oracle contract, r13 ADVICE): est_within_50pct bakes a
+        // statistical bound into the order-sensitive oracle hash (q14/
+        // q149 have the same shape). If this gate ever flips after a
+        // DELIBERATE change to k, the seed, or the hash function — or a
+        // future low-cardinality event_type — re-derive the expectation
+        // (the q96 regeneration rule), do not debug the engine.
         (abs(col("est") - col("n_exact")) * 2 <= col("n_exact"))
           .as("est_within_50pct"),
         col("est"))

@@ -86,11 +86,35 @@ object StreamingQueries {
       new java.util.concurrent.ConcurrentHashMap[String, Path]()
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       cache.values.forEach(p => Tables.deleteRecursively(p))))
-    /** The cached tree for `key`, built on first use. A failed build
-      * is rolled back and rethrown, never cached.
+    /** Cheap content fingerprint of the source tables under `srcDir`
+      * — (relative path, size, mtime) of every regular file, hashed.
+      * Folded into the cache key so an IN-PROCESS regeneration of a
+      * source table invalidates the staged tree instead of silently
+      * replaying stale inputs against a batch oracle computed over the
+      * new data (r13 ADVICE). Listing a testdata dir is a few dozen
+      * stat calls — noise next to the staging write it guards.
       */
-    def dir(key: String)(build: Path => Unit): Path =
-      cache.computeIfAbsent(key, _ => {
+    private def fingerprint(srcDir: String): String = {
+      val root = java.nio.file.Paths.get(srcDir)
+      if (!Files.exists(root)) "absent"
+      else {
+        val s = Files.walk(root)
+        try {
+          val items = s.filter(p => Files.isRegularFile(p))
+            .map[String](p => s"${root.relativize(p)}:${Files.size(p)}:" +
+              s"${Files.getLastModifiedTime(p).toMillis}")
+            .sorted().toArray.mkString("\n")
+          java.util.UUID.nameUUIDFromBytes(
+            items.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+        } finally s.close()
+      }
+    }
+    /** The cached tree for (query, srcDir, content-of-srcDir), built on
+      * first use. A failed build is rolled back and rethrown, never
+      * cached.
+      */
+    def dir(query: String, srcDir: String)(build: Path => Unit): Path =
+      cache.computeIfAbsent(s"$query|$srcDir|${fingerprint(srcDir)}", _ => {
         val d = Files.createTempDirectory("graft_staged_")
         try build(d)
         catch { case e: Throwable => Tables.deleteRecursively(d); throw e }
@@ -155,7 +179,7 @@ object StreamingQueries {
   def streamingWordFreq(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     // 4 files → 4 micro-batches: counts must survive and accumulate
     // across triggers, not within one
-    val input = StagedInputs.dir(s"q98|$dir") { d =>
+    val input = StagedInputs.dir("q98", dir) { d =>
       Tables.documents(spark, dir)
         .repartitionByRange(4, col("doc_id"))
         .write.parquet(d.resolve("in").toString)
@@ -209,7 +233,7 @@ object StreamingQueries {
     * not an assumption.
     */
   def streamingSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val input = StagedInputs.dir(s"q194|$dir") { d =>
+    val input = StagedInputs.dir("q194", dir) { d =>
       Tables.eventsMicros(spark, dir)
         .select(timestamp_micros(col("tsu")).as("ts"))
         .repartitionByRange(4, col("ts"))
@@ -280,7 +304,7 @@ object StreamingQueries {
     val (minT, maxT) = bounds.get
     val mid = minT + (maxT - minT) / 2
 
-    val input = StagedInputs.dir(s"q99|$dir") { d =>
+    val input = StagedInputs.dir("q99", dir) { d =>
       val in = Files.createDirectory(d.resolve("in"))
       def asIn(df: DataFrame): DataFrame =
         df.select(col("user_id"), timestamp_micros(col("tsu")).as("ts"), col("event_type"))
@@ -365,7 +389,7 @@ object StreamingQueries {
     val (minT, maxT) = bounds.get
     val mid = minT + (maxT - minT) / 2
 
-    val input = StagedInputs.dir(s"q241|$dir") { d =>
+    val input = StagedInputs.dir("q241", dir) { d =>
       val in = Files.createDirectory(d.resolve("in"))
       def asIn(df: DataFrame): DataFrame =
         df.select(col("user_id"), timestamp_micros(col("tsu")).as("ts"))
@@ -433,7 +457,7 @@ object StreamingQueries {
     * hash-matches the batch oracle exactly.
     */
   def streamingEnrichedRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val input = StagedInputs.dir(s"q78|$dir") { d =>
+    val input = StagedInputs.dir("q78", dir) { d =>
       Tables.events(spark, dir)
         .filter(col("ts").isNotNull)
         .select("event_id", "user_id", "value")
@@ -508,7 +532,7 @@ object StreamingQueries {
     val (minT, maxT) = bounds.get
     val mid = minT + (maxT - minT) / 2
 
-    val staged = StagedInputs.dir(s"q79|$dir") { d =>
+    val staged = StagedInputs.dir("q79", dir) { d =>
       def stageSide(tpe: String, sub: String): Unit = {
         val inDir = Files.createDirectory(d.resolve(sub))
         val rows = ev.filter(col("event_type") === tpe)
@@ -638,7 +662,7 @@ object StreamingQueries {
     val (minT, maxT) = bounds.get
     val mid = minT + (maxT - minT) / 2
 
-    val input = StagedInputs.dir(s"q100|$dir") { d =>
+    val input = StagedInputs.dir("q100", dir) { d =>
       val in = Files.createDirectory(d.resolve("in"))
       def asIn(df: DataFrame): DataFrame =
         df.select(timestamp_micros(col("tsu")).as("ts"))
@@ -750,7 +774,7 @@ object StreamingQueries {
     // three disjoint slices; slice 1 is staged TWICE (redelivered
     // mid-stream, not last — novel data must still flow afterwards)
     val slice = (i: Int) => ev.filter(col("event_id") % 3 === i)
-    val input = StagedInputs.dir(s"q113|$dir") { d =>
+    val input = StagedInputs.dir("q113", dir) { d =>
       val in = Files.createDirectory(d.resolve("in"))
       val now = System.currentTimeMillis()
       stageOne(slice(0), in, "00_a.parquet", now - 400000L)
@@ -835,7 +859,7 @@ object StreamingQueries {
     // input dir is per-invocation — but the four Spark staging writes
     // are cacheable: the cached tree holds the prepared files and each
     // invocation drops byte-copies into its fresh input dir on cue.
-    val prepared = StagedInputs.dir(s"q128|$dir") { d =>
+    val prepared = StagedInputs.dir("q128", dir) { d =>
       val files = Files.createDirectory(d.resolve("files"))
       val now = System.currentTimeMillis()
       val slice = (i: Int) => ev.filter(col("event_id") % 4 === i)
@@ -933,7 +957,7 @@ object StreamingQueries {
     val mid = minT + (maxT - minT) / 2
     val sentinelTsu = maxT + 2 * lookbackUs + 2000000L
 
-    val staged = StagedInputs.dir(s"q212|$dir") { d =>
+    val staged = StagedInputs.dir("q212", dir) { d =>
       def stageSide(tpe: String, sub: String): Unit = {
         val inDir = Files.createDirectory(d.resolve(sub))
         val rows = ev.filter(col("event_type") === tpe)
@@ -1052,7 +1076,7 @@ object StreamingQueries {
     // id-mod split: near-dup pairs land in DIFFERENT batches (ids are
     // unrelated to content), so state must carry candidates across
     // triggers for the parity pin to pass
-    val input = StagedInputs.dir(s"q285|$dir") { d =>
+    val input = StagedInputs.dir("q285", dir) { d =>
       val in = Files.createDirectory(d.resolve("in"))
       val now = System.currentTimeMillis()
       for (i <- 0 until 3)

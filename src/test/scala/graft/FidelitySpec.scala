@@ -217,6 +217,84 @@ class FidelitySpec extends AnyFunSuite with SparkTestBase {
       w.length > 1 && !w.matches(numericClass) && !RefLexicons.segStopwords.contains(w)))
   }
 
+  test("q96 top-500 equals an independent plain-Scala segment+count " +
+      "replica over the full SPY corpus (r13 ADVICE: golden cross-check)") {
+    // The committed FidelityGolden is generated by the engine itself,
+    // so the driver's hash gate alone only pins regressions. This
+    // replica closes the loop: golden == engine (driver gate) AND
+    // engine == replica (here) ⇒ the golden is certified by an
+    // implementation that shares only DATA (dictionary, stopwords,
+    // numeric class) with the engine, not code. Independent choices:
+    // CJK membership by explicit code range (not UnicodeBlock), the
+    // max-match searched ascending keeping the longest (not descending
+    // first-hit), counting via a plain HashMap, and the tie order
+    // compared in UTF-8 byte order (what Spark's UTF8String ordering
+    // is) rather than String.compareTo. Ingest (readDanmaku) is shared:
+    // the CSV surface is oracle-proven by q90–q97; what this replica
+    // certifies is everything AFTER the scan — segmentation, filters,
+    // counting, and the (freq DESC, word ASC) top-500 total order.
+    val texts = graft.sources.CsvIngest
+      .readDanmaku(spark, Fidelity.spyGlob)
+      .select("text").collect().flatMap(r => Option(r.getString(0)))
+    val dict = graft.expr.TextFunctions.cjkDictionary
+    val maxLen = dict.iterator.map(_.length).max
+    def isCjk(c: Char): Boolean = c >= 0x4E00 && c <= 0x9FFF
+    def segment(t: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (Character.isWhitespace(c)) i += 1
+        else if (isCjk(c)) {
+          var best = 1
+          var l = 2
+          while (l <= math.min(maxLen, t.length - i)) {
+            if (dict.contains(t.substring(i, i + l))) best = l
+            l += 1
+          }
+          out += t.substring(i, i + best)
+          i += best
+        } else {
+          var j = i
+          while (j < t.length && !Character.isWhitespace(t.charAt(j))
+            && !isCjk(t.charAt(j))) j += 1
+          out += t.substring(i, j)
+          i = j
+        }
+      }
+      out.toSeq
+    }
+    val numericClass =
+      "^[0-9０-９〇一二三四五六七八九十百千万亿兆零壹贰叁肆伍陆柒捌玖拾佰仟廿卅]+$"
+    val counts = new java.util.HashMap[String, Long]()
+    texts.foreach(t => segment(t).foreach { w =>
+      if (w.length > 1 && !RefLexicons.segStopwords.contains(w)
+        && !w.matches(numericClass))
+        counts.merge(w, 1L, (a, b) => a + b)
+    })
+    def utf8Lt(a: String, b: String): Boolean = {
+      val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      var i = 0
+      while (i < ba.length && i < bb.length) {
+        val d = (ba(i) & 0xff) - (bb(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      ba.length < bb.length
+    }
+    val replica = {
+      import scala.jdk.CollectionConverters._
+      counts.asScala.toSeq
+        .sortWith((x, y) =>
+          if (x._2 != y._2) x._2 > y._2 else utf8Lt(x._1, y._1))
+        .take(500)
+    }
+    val got = Fidelity.wordFrequency(spark, Fidelity.spyGlob).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == replica,
+      s"first diff: ${got.zip(replica).indexWhere(p => p._1 != p._2)}")
+  }
+
   test("q225 latin word-freq: maximal [A-Za-z]+ runs, lowercased, " +
     "len>=2, CJK and digits never tokenized") {
     val s = spark

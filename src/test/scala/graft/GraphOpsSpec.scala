@@ -204,6 +204,40 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("k-core equals an independent plain-Scala peel replica on the " +
+      "corpus graph (r13 verdict task 6)") {
+    // replica entirely outside the DataFrame engine: symmetrized
+    // distinct-neighbor adjacency, then the classic peel — for
+    // k = 1, 2, … repeatedly remove vertices whose degree INSIDE the
+    // surviving subgraph is < k (core = k−1 for the removed), with
+    // survivors past maxK reporting core = maxK (the engine's
+    // saturation cap). Value-pins the engine's anti-join cascade
+    // (including the absent-from-g ⇒ degree-0 rule) against the
+    // textbook definition it claims to implement.
+    val edgesDf = CooccurrenceGraph.edgeCounts(spark, sf)
+    val el = edgesDf.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nbrs = el.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    var alive = nbrs.keySet
+    val core = scala.collection.mutable.Map.empty[String, Long]
+    val maxK = GraphOps.kCoreMaxK
+    var k = 1L
+    while (k <= maxK && alive.nonEmpty) {
+      var peeling = true
+      while (peeling && alive.nonEmpty) {
+        val low = alive.filter(v => nbrs(v).count(alive) < k)
+        if (low.isEmpty) peeling = false
+        else { low.foreach(v => core(v) = k - 1); alive = alive -- low }
+      }
+      k += 1
+    }
+    alive.foreach(v => core(v) = maxK.toLong)
+    val got = GraphOps.kCoreNumbers(edgesDf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == core.toMap, s"engine $got vs replica $core")
+  }
+
   test("label propagation: hand-computed fixture — two triangles, weak bridge") {
     val s = spark
     import s.implicits._
