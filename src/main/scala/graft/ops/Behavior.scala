@@ -664,6 +664,87 @@ object Behavior {
         col("slope_ppm").as("med_slope_ppm"))
   }
 
+  /** z_{0.975} to 6 dp — the 95% two-sided normal quantile Gilbert's
+    * CI construction uses; a fixed literal so both engines multiply
+    * the identical double.
+    */
+  private[graft] val sensCiZ = "1.959964"
+
+  /** q303 — SEN'S SLOPE CONFIDENCE INTERVAL (Gilbert 1987 §16.5, the
+    * standard companion to q301): the rank-based 95% CI over the SAME
+    * pairwise-slope relation — Cα = z₀.₉₇₅·√Var(S) with q298's exact
+    * tie-corrected Mann–Kendall variance, and the interval endpoints
+    * are the slopes at ranks (N − Cα)/2 and (N + Cα)/2 + 1 of the
+    * ordered N pairwise slopes. Closes the trend-test family: q298
+    * answers WHETHER, q301 HOW STEEP, q303 HOW SURE.
+    *
+    * Exactness discipline: N, Var-numerator (var_num18) and every
+    * slope are exact integers; only Cα and the two rank positions run
+    * in double — one cast per exact integer, then the identical IEEE
+    * expression (×, √, /, round-half-away, truncate-cast) in both
+    * engines. Gilbert leaves fractional ranks to "interpolate or
+    * round"; the deterministic convention here is round-half-away to
+    * the nearest rank (lower endpoint) and the same + 1 (upper),
+    * clamped to [1, N] — pinned by the spec on a hand fixture.
+    *
+    * Scale: the same calendar-bounded pair frame as q301 (day-grain²,
+    * never data-scaled); ranks from the q182 two-phase numbering; the
+    * three endpoint picks are one filter over the numbered relation
+    * against a broadcast single-row stats frame.
+    */
+  def sensSlopeCi(spark: SparkSession, dir: String): DataFrame =
+    sensSlopeCiCore(Tables.eventsMicros(spark, dir).select("tsu"))
+
+  /** Core over any (tsu) frame — fixture seam for the spec. */
+  private[graft] def sensSlopeCiCore(ev: DataFrame): DataFrame = {
+    val byDay = ev.select(expr(s"tsu div $dayUs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val dense = byDay.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(byDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n"))
+      .localCheckpoint(true)
+    val pairs = dense.as("a")
+      .join(dense.as("b"), col("b.day") > col("a.day"))
+      .select(col("a.day").as("day_a"), col("b.day").as("day_b"),
+        expr("""cast(cast(b.n - a.n as decimal(38,0)) * 1000000
+                div (b.day - a.day) as bigint)""").as("slope_ppm"))
+    val num = GlobalIndex.numberedBy(pairs,
+      Seq("slope_ppm", "day_a", "day_b"))
+    val ties = dense.groupBy("n").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie_term"))
+    val stats = dense.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+      .crossJoin(broadcast(ties))
+      .select(col("n_days"), col("n_pairs"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
+          .as("var_num18"))
+      .withColumn("c_alpha",
+        expr(s"$sensCiZ * sqrt(cast(var_num18 as double) / 18.0D)"))
+      .select(col("n_days"), col("n_pairs"), col("var_num18"),
+        expr("""greatest(1L, least(n_pairs,
+                cast(round((cast(n_pairs as double) - c_alpha) / 2.0D, 0)
+                  as bigint)))""").as("lo_rank"),
+        expr("(n_pairs + 1) div 2").as("med_rank"),
+        expr("""least(n_pairs, greatest(1L,
+                cast(round((cast(n_pairs as double) + c_alpha) / 2.0D, 0)
+                  as bigint) + 1L))""").as("hi_rank"))
+    num.crossJoin(broadcast(stats))
+      .filter(col("rn") === col("lo_rank") || col("rn") === col("med_rank")
+        || col("rn") === col("hi_rank"))
+      .groupBy("n_days", "n_pairs", "var_num18", "lo_rank", "hi_rank")
+      .agg(
+        max(when(col("rn") === col("lo_rank"), col("slope_ppm")))
+          .as("lo_slope_ppm"),
+        max(when(col("rn") === col("med_rank"), col("slope_ppm")))
+          .as("med_slope_ppm"),
+        max(when(col("rn") === col("hi_rank"), col("slope_ppm")))
+          .as("hi_slope_ppm"))
+      .select("n_days", "n_pairs", "var_num18", "lo_rank", "hi_rank",
+        "lo_slope_ppm", "med_slope_ppm", "hi_slope_ppm")
+  }
+
   /** q288 — BURSTINESS (FANO FACTOR) per event type: variance-to-mean
     * ratio of the DAILY count series — the dispersion read behind
     * q145's anomaly fences and q282's lag profile: Fano ≈ 1 is
@@ -1437,6 +1518,7 @@ object Behavior {
     "q282_acf_daily" -> (acfDaily(_, _)),
     "q298_mann_kendall" -> (mannKendall(_, _)),
     "q301_theil_sen" -> (theilSen(_, _)),
+    "q303_sens_slope_ci" -> (sensSlopeCi(_, _)),
     "q288_fano_burstiness" -> (fanoBurstiness(_, _)),
     "q76_funnel" -> (funnel(_, _)),
     "q278_windowed_funnel" -> (windowedFunnel(_, _)),
@@ -1571,6 +1653,62 @@ object Behavior {
           nd AS (SELECT count(*)::BIGINT AS n_days FROM dense)
           SELECT n_days, n_pairs, slope_ppm AS med_slope_ppm
           FROM r, t, nd WHERE rn = (n_pairs + 1) // 2""",
+    // q303: q301's spine/pairs/rank order + q298's exact variance;
+    // the identical double chain (one cast per exact integer, same
+    // z literal, same round-half-away rank convention) in DuckDB
+    "q303_sens_slope_ci" ->
+      s"""WITH byday AS (
+            SELECT (epoch_ns(ts) // 1000) // $dayUs2 AS day,
+              count(*)::BIGINT AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          dense AS (
+            SELECT s.day, coalesce(b.n, 0)::BIGINT AS n
+            FROM (SELECT unnest(generate_series(
+                    (SELECT min(day) FROM byday),
+                    (SELECT max(day) FROM byday))) AS day) s
+            LEFT JOIN byday b ON s.day = b.day),
+          pairs AS (
+            SELECT a.day AS day_a, b.day AS day_b,
+              ((b.n::HUGEINT - a.n) * 1000000 // (b.day - a.day))
+                ::BIGINT AS slope_ppm
+            FROM dense a JOIN dense b ON b.day > a.day),
+          r AS (
+            SELECT slope_ppm, row_number() OVER (
+              ORDER BY slope_ppm, day_a, day_b) AS rn
+            FROM pairs),
+          t AS (SELECT count(*)::BIGINT AS n_pairs FROM pairs),
+          nd AS (SELECT count(*)::BIGINT AS n_days FROM dense),
+          ties AS (
+            SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
+              AS tie_term
+            FROM (SELECT count(*)::BIGINT AS t FROM dense GROUP BY n)),
+          v AS (
+            SELECT n_days, n_pairs,
+              n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                AS var_num18
+            FROM nd, t, ties),
+          s AS (
+            SELECT *, ${sensCiZ}::DOUBLE
+                * sqrt(var_num18::DOUBLE / 18.0) AS c_alpha
+            FROM v),
+          rk AS (
+            SELECT n_days, n_pairs, var_num18,
+              greatest(1, least(n_pairs,
+                round((n_pairs::DOUBLE - c_alpha) / 2.0, 0)::BIGINT))
+                AS lo_rank,
+              (n_pairs + 1) // 2 AS med_rank,
+              least(n_pairs, greatest(1,
+                round((n_pairs::DOUBLE + c_alpha) / 2.0, 0)::BIGINT + 1))
+                AS hi_rank
+            FROM s)
+          SELECT n_days, n_pairs, var_num18, lo_rank, hi_rank,
+            max(CASE WHEN rn = lo_rank THEN slope_ppm END)::BIGINT
+              AS lo_slope_ppm,
+            max(CASE WHEN rn = med_rank THEN slope_ppm END)::BIGINT
+              AS med_slope_ppm,
+            max(CASE WHEN rn = hi_rank THEN slope_ppm END)::BIGINT
+              AS hi_slope_ppm
+          FROM r, rk GROUP BY 1, 2, 3, 4, 5""",
     // q272: same µs div/mod bucketing, same cell-grain day-range
     // windows, same truncating ppm divisions, same zero-day min rule
     "q272_hour_seasonality" ->

@@ -542,7 +542,88 @@ object CorpusPrep {
       .orderBy("strategy", "batch_id")
   }
 
+  /** q302 — THE END-TO-END CURATION PIPELINE (r13 verdict task 3): the
+    * five verified tiers a training-data run actually chains, composed
+    * as ONE DataFrame program over `documents` and gated by ONE oracle
+    * replaying the whole chain as chained CTEs:
+    *
+    *   1+2. duplicate clusters (q57's exact-md5 star edges ∪ q52's
+    *        df-capped Jaccard pairs → connected components) — only
+    *        each cluster's min-doc representative survives;
+    *   3.   Gopher rule gates (q291's five exact-integer predicates,
+    *        conjunctive keep);
+    *   4.   benchmark decontamination (q262's 3-gram evidence): the
+    *        benchmark docs themselves AND every doc sharing a 3-gram
+    *        with them are excluded;
+    *   5.   leakage-safe split (q299's rule keyed on the duplicate
+    *        representative — post-dedup every survivor IS its own
+    *        rep, so no duplicate group can straddle by construction);
+    *   6.   packed offsets (q260's concat-then-chop loader index),
+    *        one independent stream per split.
+    *
+    * What this query proves beyond its pieces is the COMPOSITION: one
+    * corpus materialization feeds all tiers (the eager checkpoint
+    * below — every tier reads the same spread partitions, the scan
+    * never re-runs), the filters compose as anti-/semi-joins on
+    * doc_id (never row-order), and the final manifest is exactly
+    * reproducible by an independent engine end to end.
+    *
+    * Scale: tier costs are the pieces' own (each scaladoc'd); the
+    * composition adds only doc_id-keyed joins. The checkpoint is the
+    * local stand-in for a persisted shared scan — at 100 TB the same
+    * program persists the filtered projection (doc_id, lang, text) once
+    * and every tier is a consumer, which is precisely what this shape
+    * declares.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationPipelineCore(
+      Tables.spread(Tables.documents(spark, dir))
+        .filter(col("text").isNotNull)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(true))
+
+  /** Core over any (doc_id, lang, text) frame — fixture seam. The
+    * caller materializes `docs` (checkpoint/persist); all six tiers
+    * consume it.
+    */
+  private[graft] def curationPipelineCore(docs: DataFrame): DataFrame = {
+    // tiers 1+2: exact + near duplicate clusters → reps only
+    val nonReps = Dedup.clusterAssignmentsCore(docs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    // tier 3: Gopher rule battery, conjunctive keep
+    val gopherKeep = TextAnalysis.gopherRulesCore(docs)
+      .filter(col("keep")).select("doc_id")
+    // tier 4: benchmark-overlap evidence (bench side excluded below)
+    val contaminated = Dedup.ngramContaminationCore(docs).select("doc_id")
+    val survivors = docs
+      .join(nonReps, Seq("doc_id"), "left_anti")
+      .join(gopherKeep, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % Dedup.benchMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // tier 5: q299's split keyed on the duplicate rep — which, after
+    // tier 1+2, is the surviving doc itself
+    val withSplit = survivors.withColumn("split",
+      when(Sampling.nibbleOf(col("doc_id"), ":split") < 14, "train")
+        .otherwise("eval"))
+    // tier 6: q260's packed offsets, one independent stream per split
+    val toks = withSplit.select(col("doc_id"), col("split"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    Seq("train", "eval")
+      .map(sp => GlobalIndex.prefixSummedBy(
+        toks.filter(col("split") === sp), Seq("doc_id"), Seq("n_tok")))
+      .reduce(_ unionAll _)
+      .select(col("doc_id"), col("split"), col("n_tok"),
+        (col("cum_n_tok") - col("n_tok")).as("start_off"),
+        expr(s"(cum_n_tok - n_tok) div $packSeqLen").as("seq_first"),
+        expr(s"(cum_n_tok - 1) div $packSeqLen").as("seq_last"))
+      .withColumn("crosses", col("seq_last") > col("seq_first"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q302_curation_pipeline" -> (curationPipeline(_, _)),
     "q259_greedy_coverage" -> (greedyCoverage(_, _)),
     "q260_packed_offsets" -> (packedOffsets(_, _)),
     "q263_length_bucket_padding" -> (lengthBucketPadding(_, _)),
@@ -643,6 +724,116 @@ object CorpusPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    // q302: the whole pipeline replayed as chained CTEs — q57's
+    // recursive closure, q291's rule battery, q262's gram join, q299's
+    // nibble rule and q260's chop arithmetic, composed exactly as the
+    // engine composes them (filters as membership on doc_id, one
+    // cumulative window per split)
+    "q302_curation_pipeline" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, lang,
+              list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          sh0 AS (
+            SELECT doc_id, lang, unnest(list_distinct(
+              CASE WHEN len(ws) < ${Dedup.shingleSize} THEN []
+                   ELSE list_transform(range(len(ws)-${Dedup.shingleSize - 1}),
+                          i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+              END)) AS sh
+            FROM t),
+          rare AS (SELECT sh FROM sh0 GROUP BY sh
+                   HAVING count(*) <= ${Dedup.maxShingleDf}),
+          capped AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+          sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM capped a JOIN capped b
+              ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          nearp AS (
+            SELECT doc_a AS a, doc_b AS b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)
+              >= ${Dedup.minJaccard}),
+          fps AS (SELECT doc_id, md5(text) AS fp FROM documents
+                  WHERE text IS NOT NULL),
+          grps AS (SELECT fp, min(doc_id) AS rep FROM fps
+                   GROUP BY fp HAVING count(*) > 1),
+          exacte AS (
+            SELECT r.rep AS a, f.doc_id AS b
+            FROM fps f JOIN grps r USING (fp) WHERE f.doc_id <> r.rep),
+          e AS (SELECT a, b FROM exacte UNION SELECT a, b FROM nearp),
+          sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+          vs AS (SELECT DISTINCT a AS v FROM sym),
+          reach AS (
+            SELECT v AS a, v AS b FROM vs
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          comp AS (SELECT a AS v, min(b) AS rep FROM reach GROUP BY 1),
+          nonreps AS (SELECT v AS doc_id FROM comp WHERE v <> rep),
+          m AS (
+            SELECT doc_id,
+              len(ws)::BIGINT AS n_words,
+              coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                ::BIGINT AS sum_len,
+              len(list_filter(ws, w ->
+                contains(w, '#') OR contains(w, '...')))::BIGINT AS n_symbol,
+              len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                ::BIGINT AS n_alpha,
+              len(list_filter(list_distinct(ws),
+                w -> w IN (${TextAnalysis.stopList})))::BIGINT
+                AS n_stop_distinct
+            FROM t),
+          gkeep AS (
+            SELECT doc_id FROM m WHERE n_words > 0
+              AND n_words >= 50 AND n_words <= 100000
+              AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+              AND 10 * n_symbol <= n_words
+              AND 5 * n_alpha >= 4 * n_words
+              AND n_stop_distinct >= 2),
+          grams AS (
+            SELECT doc_id, unnest(
+              CASE WHEN len(ws) < ${Dedup.shingleSize} THEN []
+                   ELSE list_transform(range(len(ws)-${Dedup.shingleSize - 1}),
+                          i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+              END) AS g
+            FROM t),
+          bench AS (SELECT DISTINCT g FROM grams
+                    WHERE doc_id % ${Dedup.benchMod} = 0),
+          contaminated AS (
+            SELECT DISTINCT g.doc_id
+            FROM grams g JOIN bench b ON g.g = b.g
+            WHERE g.doc_id % ${Dedup.benchMod} <> 0),
+          survivors AS (
+            SELECT d.doc_id FROM documents d
+            WHERE d.text IS NOT NULL
+              AND d.doc_id NOT IN (SELECT doc_id FROM nonreps)
+              AND d.doc_id IN (SELECT doc_id FROM gkeep)
+              AND d.doc_id % ${Dedup.benchMod} <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          split_asg AS (
+            SELECT s.doc_id,
+              CASE WHEN strpos('0123456789abcdef',
+                substr(md5(s.doc_id::VARCHAR || ':split'), 1, 1)) - 1 < 14
+              THEN 'train' ELSE 'eval' END AS split,
+              len(t.ws)::BIGINT AS n_tok
+            FROM survivors s JOIN t ON t.doc_id = s.doc_id
+            WHERE len(t.ws) > 0),
+          packed AS (
+            SELECT doc_id, split, n_tok,
+              sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                ::BIGINT AS cum
+            FROM split_asg)
+          SELECT doc_id, split, n_tok,
+            (cum - n_tok)::BIGINT AS start_off,
+            ((cum - n_tok) // $packSeqLen)::BIGINT AS seq_first,
+            ((cum - 1) // $packSeqLen)::BIGINT AS seq_last,
+            ((cum - 1) // $packSeqLen) > ((cum - n_tok) // $packSeqLen)
+              AS crosses
+          FROM packed ORDER BY doc_id""",
     "q259_greedy_coverage" -> coverageOracle,
     // q260: same tokenizer mapping, one cumulative window in doc_id
     // order, same integer chop arithmetic

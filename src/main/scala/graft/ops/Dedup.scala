@@ -610,6 +610,153 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** 128-BIT SIMHASH FOUR-BAND PAIRS — the r13-verdict-prescribed
+    * design, implemented and MEASURED (DedupScaleBench `simhash128`
+    * arm), and deliberately NOT the shipped scalable generator for the
+    * production h64 ≤ 3 contract: doubling the signature width also
+    * doubles a near-dup pair's Hamming distance (the halves flip
+    * independently), so the radius-3-over-128-bits pigeonhole
+    * guarantee under-covers the 64-bit contract — measured planted
+    * recall 0.398/0.403 at 200k/500k docs vs 0.478/0.482 for the
+    * complete 16-bit banding (a pair at h64 = 3 typically sits at
+    * h128 ≈ 6–8, where the chance of a clean 32-bit band is only
+    * ~0.5–0.9). The wider metric cancels the wider bands. The design
+    * that actually delivers collision-free keys AND recall parity on
+    * the UNCHANGED 64-bit contract is [[simhashBlockedPairs]] (q304).
+    *
+    * Kept as the measured alternative: candidate volume IS at the
+    * collision-free floor (4/2³² ≈ 9e-10 of all-pairs — 0.01 cand/doc
+    * flat at 500k), and `hamming128` is a finer-grained near-dup
+    * metric a curation threshold may prefer outright. Verify stage is
+    * exact on both metrics; the emitted relation is every band-
+    * colliding pair within `maxHamming` of the 64-bit halves.
+    */
+  def simhash128Pairs(spark: SparkSession, dir: String,
+                      maxHamming: Int = 3): DataFrame =
+    simhash128PairsCore(Tables.documents(spark, dir), maxHamming)
+
+  /** Core over any (doc_id, text) frame — bench/fixture seam. */
+  private[graft] def simhash128PairsCore(docs: DataFrame,
+                                         maxHamming: Int = 3): DataFrame = {
+    val mask = 0xFFFFFFFFL
+    // band k of [lo, hi]: 32-bit slices, lo low/high then hi low/high
+    def bandKey(sig: Column, bnd: Int): Column = {
+      val half = if (bnd < 2) sig.getItem(0) else sig.getItem(1)
+      shiftrightunsigned(half, (bnd % 2) * 32).bitwiseAND(lit(mask))
+    }
+    val sigs = Tables.spread(docs)
+      .select(col("doc_id"),
+        graft.expr.SimHash128(TextFunctions.filteredTokens(col("text")))
+          .as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(bnd =>
+        struct(lit(bnd).as("band"), bandKey(col("sig"), bnd).as("key"))): _*))
+        .as("bucket"))
+    // first-colliding-sub-band emission (q54/q56 discipline): a cheap
+    // codegen'd predicate on the signatures in hand, not a dropDuplicates
+    // exchange over the candidate pairs
+    val firstBand = not((0 until 3).map(s =>
+      col("a.bucket.band") > s &&
+        bandKey(col("a.sig"), s) === bandKey(col("b.sig"), s))
+      .reduce(_ || _))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .filter(firstBand)
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        SimHash64.hamming(col("a.sig").getItem(0), col("b.sig").getItem(0))
+          .cast("long").as("hamming"),
+        (SimHash64.hamming(col("a.sig").getItem(0), col("b.sig").getItem(0))
+          + SimHash64.hamming(col("a.sig").getItem(1), col("b.sig").getItem(1)))
+          .cast("long").as("hamming128"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The 64-bit signature split into 6 blocks (11,11,11,11,10,10 bits)
+    * as (shift, width); keys are concatenations of 3 blocks.
+    */
+  private[graft] val mankuBlocks: Seq[(Int, Int)] = {
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** The C(6,3) = 20 block-triples, lexicographic — each one bucket
+    * family of ~32–33-bit keys.
+    */
+  private[graft] val mankuCombos: Seq[Seq[Int]] =
+    (0 until 6).combinations(3).map(_.toSeq).toSeq
+
+  /** q304 — SIMHASH NEAR-DUP PAIRS WITH 10⁹-DOC-SCALE BLOCKING (r13
+    * verdict task 1, resolved by measurement): the EXACT q56 output
+    * relation — every pair within Hamming ≤ `maxHamming` (3) on the
+    * unchanged 64-bit signature, verified exactly — generated by the
+    * published Manku–Jain–Sarma blocking (WWW 2007, §3: the Google
+    * simhash dedup design) instead of q56's 4×16-bit bands: split the
+    * signature into 6 blocks and bucket on each of the C(6,3) = 20
+    * block-TRIPLES (~33-bit keys). Pigeonhole on blocks: ≤ 3 flipped
+    * bits touch ≤ 3 blocks, so 3 blocks are clean and THAT triple's
+    * key matches — completeness for the full radius-3 contract is
+    * structural, recall parity with q56 is equality (DedupSpec pins
+    * set-equality on the corpus; DedupScaleBench measures identical
+    * planted recall).
+    *
+    * Why not the r13-prescribed 128-bit 4×32 banding: measured, it
+    * loses ~17% of contract pairs (see [[simhash128Pairs]]) because
+    * the wider metric doubles each pair's Hamming. Why not q56's
+    * 16-bit bands at scale: each band collides a constant 4/2¹⁶ of
+    * ALL pairs — measured 20.3 candidates/doc at 500k docs and
+    * growing linearly (quadratic total). Here each of the 20 bucket
+    * families collides ~2⁻³³ of all-pairs (~20·2⁻³³ ≈ 2.3e-9 total —
+    * O(N) expected collisions at 10⁹ docs) and the bucket fan-out is
+    * a per-doc CONSTANT (20 rows) — the classic space-for-
+    * completeness trade, linear in the corpus.
+    *
+    * Rows-only like q55/q56 (hash-seeded signature, no DuckDB twin);
+    * the set-equality spec against independently-banded q56 is the
+    * strongest gate available — two structurally different complete
+    * generators must produce the identical relation.
+    */
+  def simhashBlockedPairs(spark: SparkSession, dir: String,
+                          maxHamming: Int = 3): DataFrame =
+    simhashBlockedPairsCore(Tables.documents(spark, dir), maxHamming)
+
+  /** Core over any (doc_id, text) frame — bench/fixture seam. */
+  private[graft] def simhashBlockedPairsCore(docs: DataFrame,
+                                             maxHamming: Int = 3): DataFrame = {
+    def comboKey(sig: Column, combo: Seq[Int]): Column =
+      combo.foldLeft(lit(0L)) { (acc, b) =>
+        val (off, w) = mankuBlocks(b)
+        shiftleft(acc, w).bitwiseOR(
+          shiftrightunsigned(sig, off).bitwiseAND(lit((1L << w) - 1)))
+      }
+    val sigs = Tables.spread(docs)
+      .select(col("doc_id"),
+        SimHash64(TextFunctions.filteredTokens(col("text"))).as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(mankuCombos.zipWithIndex.map { case (cmb, i) =>
+        struct(lit(i).as("band"), comboKey(col("simhash"), cmb).as("key"))
+      }: _*)).as("bucket"))
+    // first-colliding-combo emission (q54/q56 discipline): dedupe the
+    // ≤20-fold multi-bucket hits with a codegen'd predicate over the
+    // two signatures, not an exchange over candidate pairs
+    val firstBand = not(mankuCombos.zipWithIndex.init.map { case (cmb, i) =>
+      col("a.bucket.band") > i &&
+        comboKey(col("a.simhash"), cmb) === comboKey(col("b.simhash"), cmb)
+    }.reduce(_ || _))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .filter(firstBand)
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        SimHash64.hamming(col("a.simhash"), col("b.simhash")).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The dedup END STEP a training-data pipeline actually needs: the
     * pair relations (exact md5 groups + Jaccard near-dups) merged into
     * duplicate CLUSTERS with a canonical representative (min doc_id) —
@@ -625,29 +772,8 @@ object Dedup {
     * Output is label-free (rep = min member), so a DuckDB recursive-CTE
     * closure reproduces it exactly (q34 pattern).
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.graphx.Graph
-    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
-    val fp = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-    val reps = fp.groupBy("fp")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-      .select("fp", "rep")
-    val exactEdges = fp.join(reps, "fp")
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("a"), col("doc_id").as("b"))
-    val nearEdges = jaccardPairs(spark, dir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val edges = exactEdges.union(nearEdges)
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
-    // the duplicate-pair graph is tiny next to the corpus: collapse it
-    // before Pregel so iteration cost is scheduling-free (GraphOps does
-    // the same for the lexicon-bounded co-occurrence graph)
-    val g = Graph.fromEdgeTuples(edges.coalesce(2), defaultValue = 0)
-    val cc = g.connectedComponents()
-    val s = spark
-    import s.implicits._
-    val out = cc.vertices.toDF("doc_id", "cluster")
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterAssignmentsCore(Tables.documents(spark, dir))
       .groupBy("cluster")
       .agg(sort_array(collect_list("doc_id")).as("members"),
         count(lit(1)).as("n_members"))
@@ -656,10 +782,41 @@ object Dedup {
         array_join(transform(col("members"), _.cast("string")), ",").as("members"),
         col("n_members"))
       .orderBy("cluster_rep")
-    val done = out.localCheckpoint(true)
+
+  /** Duplicate-cluster membership at the ASSIGNMENT grain: (doc_id,
+    * cluster) for every doc appearing in at least one duplicate pair,
+    * cluster = min doc_id of its component (GraphX CC's label). The
+    * shared core of q57 (which re-groups it into member lists) and the
+    * q302 pipeline (which anti-joins the non-representatives away) —
+    * the eager checkpoint means a caller composing several tiers pays
+    * the pair-graph construction once.
+    */
+  private[graft] def clusterAssignmentsCore(docs0: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.Graph
+    val docs = docs0.filter(col("text").isNotNull)
+    val fp = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val reps = fp.groupBy("fp")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("fp", "rep")
+    val exactEdges = fp.join(reps, "fp")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    val nearEdges = jaccardPairsCore(docs)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = exactEdges.union(nearEdges)
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // the duplicate-pair graph is tiny next to the corpus: collapse it
+    // before Pregel so iteration cost is scheduling-free (GraphOps does
+    // the same for the lexicon-bounded co-occurrence graph)
+    val g = Graph.fromEdgeTuples(edges.coalesce(2), defaultValue = 0)
+    val cc = g.connectedComponents()
+    val s = docs0.sparkSession
+    import s.implicits._
+    val out = cc.vertices.toDF("doc_id", "cluster").localCheckpoint(true)
     cc.unpersist(blocking = false)
     g.unpersist(blocking = false)
-    done
+    out
   }
 
   /** q87 — train/eval DECONTAMINATION: flag train-split documents that
@@ -1094,6 +1251,12 @@ object Dedup {
     "q54_lsh_candidates" -> (lshCandidates(_, _)),
     "q55_simhash" -> (simhashes(_, _)),
     "q56_simhash_pairs" -> (simhashPairs(_, _)),
+    // rows-only like q55/q56 (hash-seeded); DedupSpec pins q304
+    // set-equal to q56 on the corpus (two structurally different
+    // complete generators of the same radius-3 relation) and the
+    // 128-bit variant against a brute-force replica; DedupScaleBench
+    // measures the candidate/recall trades of all the blocking widths
+    "q304_simhash_blocked_pairs" -> (simhashBlockedPairs(_, _)),
     "q57_dedup_clusters" -> (dedupClusters(_, _)),
     "q177_incremental_dedup" -> (incrementalDedup(_, _)),
     "q220_dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
@@ -1533,7 +1696,7 @@ object Dedup {
          SELECT ms[1] AS cluster_rep, array_to_string(ms, ',') AS members,
            n_members
          FROM grp ORDER BY cluster_rep""")
-  // q53-q56: hash-function-specific outputs (xxhash64/SimHash) — no
-  // DuckDB twin; verified in DedupSpec against brute-force Jaccard /
+  // q53-q56, q304: hash-function-specific outputs (xxhash64/SimHash) —
+  // no DuckDB twin; verified in DedupSpec against brute-force Jaccard /
   // Hamming ground truth on a controlled corpus.
 }

@@ -1282,7 +1282,7 @@ object TextAnalysis {
     "q49_sql_winnow_fingerprints" -> (sqlWinnowFingerprints(_, _)),
     "q46_cjk_token_stats" -> (cjkTokenStats(_, _)))
 
-  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  private[graft] val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** q48 oracle: the winnow kernel's Long arithmetic is exactly the
     * ring Z/2^64, so DuckDB reproduces it with HUGEINT mod-2^64

@@ -517,6 +517,25 @@ object StreamingQueries {
     * the boundary pair. State is bounded by one lookback window of
     * clicks per user, the streaming twin of q37's two-band probe bound.
     * Oracle = the plain batch interval join, pair for pair.
+    *
+    * COST MODEL (r13 verdict task 4 — q79 was the record's most
+    * expensive query three rounds running): at sf0.1 the joined data
+    * is ~100k rows total, so the wall is almost entirely FIXED
+    * machinery, not data — each micro-batch commits 4 state-store
+    * instances (2 keyed sides × key/value stores) × shuffle-partition
+    * count, each an HDFS-backed delta file + fsync, and the replay
+    * runs ~4 data batches plus watermark-only no-data batches. Two
+    * run-scoped knobs cut the constant without touching semantics:
+    * (1) state-exchange parallelism 8 instead of the session's 32 —
+    * the stateful exchange's partition count is fixed per checkpoint,
+    * and every q79 run starts a fresh checkpoint, so this is purely
+    * this query's state fan-out (a real deployment sizes it to state
+    * volume; ~100k rows does not need 32 stores × batch); (2) no-data
+    * micro-batches OFF — an INNER interval join emits only on data
+    * batches; the trailing watermark-only batches exist to evict
+    * state, which a bounded AvailableNow replay discards at stop
+    * anyway (q212's LEFT OUTER twin keeps them ON — outer rows are
+    * emitted by eviction there). Both are restored in finally.
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val lookbackUs = graft.ops.TemporalJoins.lookbackSeconds * 1000000L
@@ -549,6 +568,13 @@ object StreamingQueries {
       stageSide("purchase", "purchases")
     }
     val base = Files.createTempDirectory("graft_q79_run_")
+    // run-scoped fixed-cost knobs (scaladoc above); fresh checkpoint per
+    // run, so the partition count is this stream's alone
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       def read(dir: String): DataFrame = spark.readStream
         .schema(ssInSchema)
@@ -594,7 +620,12 @@ object StreamingQueries {
           expr("unix_micros(c_ts)").as("click_tsu"))
         .withColumn("gap_us", col("purchase_tsu") - col("click_tsu"))
         .orderBy("purchase_id", "click_id")
-    } finally deleteRecursively(base)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData)
+      deleteRecursively(base)
+    }
   }
 
   /** Late rows actually discarded by the watermark in the last q100 run

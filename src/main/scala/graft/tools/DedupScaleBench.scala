@@ -29,8 +29,11 @@ import graft.ops.Dedup
   * The REGISTERED kernels run verbatim through their core seams — the
   * bench swaps only the input frame.
   *
-  * Usage: runMain graft.tools.DedupScaleBench [N1,N2,...] [nocap]
-  * (default 50000,200000). The `nocap` mode instead measures the
+  * Usage: runMain graft.tools.DedupScaleBench [N1,N2,...] [nocap|simhash]
+  * (default 50000,200000). The `simhash` mode runs ONLY the simhash
+  * family (16-bit / 32-bit-on-64 / 128-bit four-band blocking) so the
+  * 500k-doc width comparison (r13 verdict task 1) doesn't pay the
+  * quadratic-prone jaccard join at that N. The `nocap` mode instead measures the
   * q52 shingle join WITH vs WITHOUT its df-cap at each N — the skew
   * cliff the cap prevents, as a number instead of an argument. The
   * pure Zipf-ish stream never pushes a single shingle's df past the
@@ -70,6 +73,7 @@ object DedupScaleBench {
       println(s"[dscale] --- N=$n docs ($docLen tokens, vocab $vocab, " +
         s"$planted planted near-dups) ---")
 
+      val simhashOnly = args.contains("simhash")
       if (nocap) {
         // The df-cap's necessity as a measurement (r12 verdict task 8):
         // the same q52 kernel with the cap ON vs OFF. OFF lets the
@@ -86,6 +90,7 @@ object DedupScaleBench {
         spark.catalog.clearCache()
       } else {
 
+      if (!simhashOnly) {
       // q52 kernel, threshold 0 → the full candidate relation (pairs
       // sharing ≥1 capped shingle), with the verified Jaccard attached
       report("jaccard", n, allPairs, planted,
@@ -96,6 +101,7 @@ object DedupScaleBench {
       report("lsh", n, allPairs, planted,
         () => Dedup.lshCandidatesCore(docs, 0.0),
         col("est_jaccard") >= 0.5)
+      }
 
       // q56 kernel, Hamming cap 64 → every first-sub-band collision
       report("simhash", n, allPairs, planted,
@@ -112,6 +118,24 @@ object DedupScaleBench {
       // planted dups mostly land within a band anyway — measured).
       report("simhash32", n, allPairs, planted,
         () => Dedup.simhashPairsCore(docs, 64, bandBits = 32),
+        col("hamming") <= 3)
+
+      // the r13-verdict-PRESCRIBED design: candidates from 4×32-bit
+      // bands of the 128-bit signature, same h64 ≤ 3 accept. Measured
+      // r14: collision-free candidates but recall 0.40 vs 0.48 — the
+      // doubled metric cancels the wider bands (see simhash128Pairs
+      // scaladoc); kept as the honest negative result
+      report("simhash128", n, allPairs, planted,
+        () => Dedup.simhash128PairsCore(docs, 64),
+        col("hamming") <= 3)
+
+      // the SHIPPED q304: Manku 6-choose-3 blocking of the unchanged
+      // 64-bit signature — structurally complete for h64 ≤ 3, so its
+      // recall must EQUAL the simhash row's, at collision-free (~2⁻³³
+      // per bucket family) candidate volume. maxHamming=64 → verify
+      // filter off; the accept predicate below is the production one
+      report("simhash6c3", n, allPairs, planted,
+        () => Dedup.simhashBlockedPairsCore(docs, 64),
         col("hamming") <= 3)
       }
     }

@@ -696,4 +696,43 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
     assert(g === ((4L, 6L, -2333333L)))
   }
+
+  test("q303 Sen's slope CI: clamped endpoints on hand fixtures, " +
+    "interior ranks vs an in-test replica") {
+    val dayUs = 86400000000L
+    def series(counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(d.toLong * dayUs + 1L)
+      }.toDF("tsu")
+    def run(counts: Seq[Int]) =
+      Behavior.sensSlopeCiCore(series(counts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).head
+    // 1,2,3,4: 6 pairs all slope 1e6; no ties → var_num18 = 4·3·13 =
+    // 156, Cα = 1.959964·√(156/18) ≈ 5.77 > spread → both endpoints
+    // CLAMP (lo to 1, hi to n_pairs) — the small-n degenerate case
+    assert(run(Seq(1, 2, 3, 4)) ===
+      ((4L, 6L, 156L, 1L, 6L, 1000000L, 1000000L, 1000000L)))
+    // 5,1,2: ordered slopes −4e6, −1.5e6, 1e6; var_num18 = 3·2·11 = 66,
+    // Cα ≈ 3.75 → lo_rank round((3−3.75)/2) = 0 → clamp 1;
+    // hi_rank round((3+3.75)/2)+1 = 4 → clamp 3: full-range interval
+    assert(run(Seq(5, 1, 2)) ===
+      ((3L, 3L, 66L, 1L, 3L, -4000000L, -1500000L, 1000000L)))
+    // 10 distinct non-monotone counts → 45 pairs, interior ranks:
+    // var_num18 = 10·9·25 = 2250, Cα = 1.959964·√125 ≈ 21.91 →
+    // lo = round(11.54) = 12, hi = round(33.46)+1 = 34. Endpoint
+    // slopes re-derived by an in-test replica of the pair relation
+    // (same truncating ppm division, same (slope, day_a, day_b) order)
+    val counts = Seq(3, 1, 4, 5, 9, 2, 6, 8, 7, 10)
+    val slopes = (for {
+      a <- counts.indices; b <- counts.indices if b > a
+    } yield (((counts(b) - counts(a)).toLong * 1000000L) / (b - a),
+        a.toLong, b.toLong)).sorted
+    val expLo = slopes(12 - 1)._1
+    val expMed = slopes(23 - 1)._1
+    val expHi = slopes(34 - 1)._1
+    assert(run(counts) ===
+      ((10L, 45L, 2250L, 12L, 34L, expLo, expMed, expHi)))
+  }
 }

@@ -98,6 +98,119 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(hamming <= 16, s"near-dup hamming was $hamming")
   }
 
+  test("simhash128: low half is bit-identical to SimHash64 on the corpus; " +
+      "high half is independent") {
+    val sigs = Tables.documents(spark, sf)
+      .select(
+        SimHash64(TextFunctions.filteredTokens(col("text"))).as("h64"),
+        graft.expr.SimHash128(TextFunctions.filteredTokens(col("text")))
+          .as("h128"))
+      .collect()
+    assert(sigs.nonEmpty)
+    sigs.foreach { r =>
+      val s = r.getSeq[Long](1)
+      assert(s.length == 2)
+      assert(s(0) == r.getLong(0), "lo half must equal SimHash64 (seed 42)")
+    }
+    // the high halves are not a copy of the low halves
+    assert(sigs.exists(r => r.getSeq[Long](1)(1) != r.getLong(0)))
+  }
+
+  test("q304 simhash128 pairs: banded join reproduces the brute-force " +
+      "candidate∧verify relation; pigeonhole radius holds") {
+    val s = spark
+    import s.implicits._
+    // 30 base docs of 14 distinct tokens + per-doc near/far edits: the
+    // near edits keep Hamming(lo) small (pairs the contract must emit),
+    // the far docs share nothing. Brute force recomputes the SAME
+    // relation from the signatures alone: pairs where some 32-bit band
+    // of the 128-bit signature collides AND hamming(lo) <= 3 — the
+    // operator's exact output contract (bands are the candidate
+    // generator; within a controlled corpus every accepted pair must
+    // also band-collide somewhere, so the sets coincide).
+    val base = (1 to 14).map(i => s"tok$i")
+    val docs = (0L until 30L).map { i =>
+      val t =
+        if (i % 3 == 0) base
+        else if (i % 3 == 1) base.updated(13, s"edit$i")
+        else (1 to 14).map(j => s"far${i}_$j")
+      (i, t.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhash128PairsCore(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val sigs = docs.select(col("doc_id"),
+        graft.expr.SimHash128(TextFunctions.filteredTokens(col("text")))
+          .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def bands(sg: Seq[Long]): Seq[Long] =
+      Seq(sg(0) & 0xFFFFFFFFL, sg(0) >>> 32, sg(1) & 0xFFFFFFFFL, sg(1) >>> 32)
+    val ids = sigs.keys.toSeq.sorted
+    val brute = for {
+      a <- ids; b <- ids if a < b
+      (sa, sb) = (sigs(a), sigs(b))
+      if bands(sa).zip(bands(sb)).exists(p => p._1 == p._2)
+      h = java.lang.Long.bitCount(sa(0) ^ sb(0)).toLong
+      if h <= 3
+    } yield (a, b, h,
+      h + java.lang.Long.bitCount(sa(1) ^ sb(1)).toLong)
+    assert(got == brute, s"got ${got.size} pairs vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture must actually exercise the emit path")
+    // pigeonhole witness: every identical-doc pair (hamming128 = 0)
+    // and every h128 <= 3 pair is present — the guarantee radius
+    val guaranteed = for {
+      a <- ids; b <- ids if a < b
+      (sa, sb) = (sigs(a), sigs(b))
+      if (java.lang.Long.bitCount(sa(0) ^ sb(0)) +
+        java.lang.Long.bitCount(sa(1) ^ sb(1))) <= 3
+    } yield (a, b)
+    assert(guaranteed.forall(p => got.exists(g => (g._1, g._2) == p)))
+  }
+
+  test("q304 Manku-blocked pairs are SET-EQUAL to q56's banded pairs on " +
+      "the corpus: two complete radius-3 generators, one relation") {
+    val q56 = Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val q304 = Dedup.simhashBlockedPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(q304 == q56, s"q304 ${q304.size} pairs vs q56 ${q56.size}")
+    assert(q56.nonEmpty, "corpus must exercise the emit path")
+  }
+
+  test("q304 blocked pairs: pigeonhole completeness on planted flips — " +
+      "every Hamming<=3 pair emitted, block arithmetic covers all 64 bits") {
+    // block layout sanity: 6 contiguous blocks, 64 bits, no overlap
+    assert(Dedup.mankuBlocks.map(_._2).sum == 64)
+    assert(Dedup.mankuBlocks.zip(Dedup.mankuBlocks.tail).forall {
+      case ((o1, w1), (o2, _)) => o1 + w1 == o2 })
+    assert(Dedup.mankuCombos.size == 20)
+    val s = spark
+    import s.implicits._
+    // 40 docs in 8 groups of near-identical token lists (one-token
+    // edits) → brute-force replica of the contract from the signatures
+    val docs = (0L until 40L).map { i =>
+      val g = i / 5
+      val t = (1 to 16).map(j => s"g${g}tok$j")
+        .updated((i % 5).toInt, s"g${g}edit$i")
+      (i, t.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashBlockedPairsCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sigs = docs.select(col("doc_id"),
+        SimHash64(TextFunctions.filteredTokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val brute = for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong
+      if h <= 3
+    } yield (a, b, h)
+    // completeness is STRUCTURAL for h<=3 (and the generator emits
+    // nothing beyond the verify filter), so the relation is exact
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture must plant Hamming<=3 pairs")
+  }
+
   test("jaccard pairs: all results within [minJaccard, 1]") {
     val bad = Dedup.jaccardPairs(spark, sf)
       .filter(col("jaccard") < Dedup.minJaccard || col("jaccard") > 1.0).count()
