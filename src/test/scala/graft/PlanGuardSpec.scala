@@ -112,7 +112,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q298_mann_kendall",
     // round-13: q298's single-row pair-count and day-count broadcasts
     // feeding the median-rank filter
-    "q301_theil_sen")
+    "q301_theil_sen",
+    // round-14: q301's pattern — the single-row (n_days, n_pairs,
+    // var_num18, ranks) stats broadcast feeding the endpoint filter
+    "q303_sens_slope_ci")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
