@@ -1011,6 +1011,11 @@ object StreamingQueries {
       stageSide("purchase", "purchases")
     }
     val base = Files.createTempDirectory("graft_q212_run_")
+    // q79's state-parallelism knob (cost model there), scoped the same
+    // way; no-data micro-batches stay ON — the outer rows are emitted
+    // by watermark-driven eviction, which needs them
+    val prevParts212 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       def read(dir: String): DataFrame = spark.readStream
         .schema(ssInSchema)
@@ -1057,7 +1062,10 @@ object StreamingQueries {
           when(col("click_id") >= 0,
             col("purchase_tsu") - col("click_tsu")).otherwise(lit(-1L)))
         .orderBy("purchase_id", "click_id")
-    } finally deleteRecursively(base)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts212)
+      deleteRecursively(base)
+    }
   }
 
   type Q = (SparkSession, String) => DataFrame
