@@ -664,6 +664,59 @@ object Behavior {
         col("slope_ppm").as("med_slope_ppm"))
   }
 
+  /** q306 — SEASONAL MANN–KENDALL (Hirsch & Slack 1984): q298's
+    * distribution-free trend test made robust to WEEKLY seasonality —
+    * the dominant cycle in event traffic (q272 measures it; q298
+    * compares Mondays against Saturdays and can read the weekly swing
+    * as trend noise). Days are stratified by season = epoch-day mod 7
+    * (a pure integer function — no calendar library, identical in
+    * both engines); S' = Σ_g S_g sums each weekday's pairwise-sign
+    * statistic (pairs never cross strata), Var' = Σ_g Var_g sums the
+    * per-stratum tie-corrected variances (18·Var_g = n_g(n_g−1)(2n_g+5)
+    * − Σ_t t(t−1)(2t+5), ties counted within the stratum), and the
+    * continuity-corrected z is q298's expression verbatim. All exact
+    * BIGINTs except the one final double — the q298/q303 discipline.
+    *
+    * Scale: the pair relation is per-stratum day-grain² (≤ (n/7)²·7 —
+    * calendar-bounded); everything else is hash aggs on the bounded
+    * spine.
+    */
+  def seasonalMannKendall(spark: SparkSession, dir: String): DataFrame =
+    seasonalMkCore(Tables.eventsMicros(spark, dir).select("tsu"))
+
+  /** Core over any (tsu) frame — fixture seam for the spec. */
+  private[graft] def seasonalMkCore(ev: DataFrame): DataFrame = {
+    val byDay = ev.select(expr(s"tsu div $dayUs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val dense = byDay.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(byDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("season", pmod(col("day"), lit(7L)))
+      .localCheckpoint(true)
+    val s = dense.as("a")
+      .join(dense.as("b"),
+        col("a.season") === col("b.season") && col("b.day") > col("a.day"))
+      .agg(coalesce(sum(signum(col("b.n") - col("a.n")).cast("long")),
+        lit(0L)).as("s_total"))
+    val v = dense.groupBy("season", "n").agg(count(lit(1)).as("t"))
+      .groupBy("season").agg(
+        coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+          .as("tie_g"),
+        sum("t").as("ng"))
+      .agg(coalesce(sum(
+        expr("ng * (ng - 1) * (2 * ng + 5) - tie_g")), lit(0L))
+        .as("var_num18"))
+    dense.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(s)).crossJoin(broadcast(v))
+      .select(col("n_days"), col("s_total"), col("var_num18"),
+        when(col("var_num18") <= 0L || col("s_total") === 0L, lit(0.0))
+          .otherwise(round(
+            (col("s_total") - signum(col("s_total"))).cast("double")
+              / sqrt(col("var_num18").cast("double") / lit(18.0)), 6))
+          .as("smk_z"))
+  }
+
   /** z_{0.975} to 6 dp — the 95% two-sided normal quantile Gilbert's
     * CI construction uses; a fixed literal so both engines multiply
     * the identical double.
@@ -1519,6 +1572,7 @@ object Behavior {
     "q298_mann_kendall" -> (mannKendall(_, _)),
     "q301_theil_sen" -> (theilSen(_, _)),
     "q303_sens_slope_ci" -> (sensSlopeCi(_, _)),
+    "q306_seasonal_mann_kendall" -> (seasonalMannKendall(_, _)),
     "q288_fano_burstiness" -> (fanoBurstiness(_, _)),
     "q76_funnel" -> (funnel(_, _)),
     "q278_windowed_funnel" -> (windowedFunnel(_, _)),
@@ -1653,6 +1707,42 @@ object Behavior {
           nd AS (SELECT count(*)::BIGINT AS n_days FROM dense)
           SELECT n_days, n_pairs, slope_ppm AS med_slope_ppm
           FROM r, t, nd WHERE rn = (n_pairs + 1) // 2""",
+    // q306: q298's replay stratified by season = day % 7 — per-stratum
+    // pairwise signs and tie-corrected variances, summed exactly; same
+    // one-double z
+    "q306_seasonal_mann_kendall" ->
+      s"""WITH byday AS (
+            SELECT (epoch_ns(ts) // 1000) // $dayUs2 AS day,
+              count(*)::BIGINT AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          dense AS (
+            SELECT s.day, s.day % 7 AS season, coalesce(b.n, 0)::BIGINT AS n
+            FROM (SELECT unnest(generate_series(
+                    (SELECT min(day) FROM byday),
+                    (SELECT max(day) FROM byday))) AS day) s
+            LEFT JOIN byday b ON s.day = b.day),
+          s AS (
+            SELECT coalesce(sum(sign(b.n - a.n))::BIGINT, 0) AS s_total
+            FROM dense a JOIN dense b
+              ON b.season = a.season AND b.day > a.day),
+          vg AS (
+            SELECT season,
+              coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie_g,
+              sum(t)::BIGINT AS ng
+            FROM (SELECT season, n, count(*)::BIGINT AS t
+                  FROM dense GROUP BY 1, 2)
+            GROUP BY 1),
+          v AS (
+            SELECT coalesce(sum(ng * (ng - 1) * (2 * ng + 5) - tie_g), 0)
+              ::BIGINT AS var_num18
+            FROM vg),
+          nd AS (SELECT count(*)::BIGINT AS n_days FROM dense)
+          SELECT n_days, s_total, var_num18,
+            CASE WHEN var_num18 <= 0 OR s_total = 0 THEN 0.0
+              ELSE round((s_total - sign(s_total))::DOUBLE
+                / sqrt(var_num18::DOUBLE / 18.0), 6)
+            END AS smk_z
+          FROM nd, s, v""",
     // q303: q301's spine/pairs/rank order + q298's exact variance;
     // the identical double chain (one cast per exact integer, same
     // z literal, same round-half-away rank convention) in DuckDB

@@ -1065,7 +1065,66 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** q307 importance-feature space: hashed unigram buckets (first two
+    * md5 hex chars → 0..255) and the target-domain language.
+    */
+  private[graft] val dsirBuckets = 256
+  private[graft] val dsirTargetLang = "en"
+
+  /** q307 — DSIR-STYLE IMPORTANCE SCORE (the hashed-n-gram importance
+    * resampling weight of Xie et al. 2023, integerized): score every
+    * document by how target-like its token distribution is, where the
+    * feature space is hashed unigram BUCKETS (md5 first-two-hex-chars
+    * → 256 buckets — the q58 hash-decision discipline at the word
+    * grain) and the target is the `en` slice of the corpus (the
+    * deterministic stand-in for "high-quality domain"). Per bucket b,
+    * the add-1-smoothed likelihood ratio in exact truncating ppm:
+    * ratio_ppm(b) = (tgt_b + 1)·10⁶ div (src_b + 1); per document the
+    * order-free integer mass Σ_b tf(b)·ratio_ppm(b) and its per-token
+    * mean — the ranking key a DSIR selection run feeds to top-k /
+    * budget selection (q286's boundary kernel composes directly).
+    * Deliberately a sum of exact integer ratio terms, not a float
+    * log-likelihood: bit-replayable in any engine, association-order-
+    * free, and monotone in the same direction for ranking.
+    *
+    * Scale: two hash aggs ((doc, bucket) tf and the per-bucket corpus
+    * counts) + ONE broadcast join against the ≤256-row ratio table —
+    * no data-sized shuffle beyond the tf collapse; the feature space
+    * is constant-size by construction, the DSIR trick that makes
+    * importance weighting feasible at web scale.
+    */
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame =
+    dsirImportanceCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, lang, text) frame — fixture seam. */
+  private[graft] def dsirImportanceCore(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.expr.TextFunctions.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("w").cast("binary")), 1, 2), 16, 10)
+          .cast("long").as("b"))
+    val srcCnt = toks.groupBy("b").agg(count(lit(1)).as("src"))
+    val tgtCnt = toks.filter(col("lang") === dsirTargetLang)
+      .groupBy("b").agg(count(lit(1)).as("tgt"))
+    val ratio = srcCnt.join(tgtCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("tgt"))
+      .select(col("b"),
+        expr("(tgt + 1) * 1000000 div (src + 1)").as("ratio_ppm"))
+    val tf = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tok"),
+        sum(expr("cast(tf as decimal(38,0)) * ratio_ppm")).as("mass"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("cast(mass as bigint)").as("lr_mass"),
+        expr("cast(mass div n_tok as bigint)").as("lr_mean_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q307_dsir_importance" -> (dsirImportance(_, _)),
     "q296_pareto_front" -> (paretoFront(_, _)),
     "q261_k_anonymity" -> (kAnonymityAudit(_, _)),
     "q273_contribution_caps" -> (contributionCaps(_, _)),
@@ -1108,6 +1167,33 @@ object Quality {
                     WHERE $cb IS NOT NULL) y USING (k))::BIGINT AS n_both)"""
 
   val oracles: Map[String, String] = Map(
+    // q307: same md5-two-hex-char bucket (the '0x' cast = Spark's
+    // conv(...,16,10)), same add-1 truncating ratio, same exact
+    // integer mass in HUGEINT
+    "q307_dsir_importance" ->
+      s"""WITH toks AS (
+            SELECT doc_id, lang,
+              ('0x' || substr(md5(w), 1, 2))::BIGINT AS b
+            FROM (SELECT doc_id, lang,
+                    unnest(list_filter(string_split(text, ' '),
+                      w -> w <> '')) AS w
+                  FROM documents WHERE text IS NOT NULL)),
+          src AS (SELECT b, count(*)::BIGINT AS src FROM toks GROUP BY 1),
+          tgt AS (SELECT b, count(*)::BIGINT AS tgt FROM toks
+                  WHERE lang = '$dsirTargetLang' GROUP BY 1),
+          ratio AS (
+            SELECT s.b,
+              ((coalesce(t.tgt, 0) + 1) * 1000000 // (s.src + 1))
+                ::BIGINT AS ratio_ppm
+            FROM src s LEFT JOIN tgt t ON t.b = s.b),
+          tf AS (SELECT doc_id, b, count(*)::BIGINT AS tf
+                 FROM toks GROUP BY 1, 2)
+          SELECT doc_id, sum(tf)::BIGINT AS n_tok,
+            sum(tf::HUGEINT * ratio_ppm)::BIGINT AS lr_mass,
+            (sum(tf::HUGEINT * ratio_ppm) // sum(tf))::BIGINT
+              AS lr_mean_ppm
+          FROM tf JOIN ratio USING (b)
+          GROUP BY doc_id ORDER BY doc_id""",
     // q296: same whitespace token contract as q291, same value-grain
     // group collapse, running-min window and dominance predicate
     "q296_pareto_front" ->

@@ -729,6 +729,98 @@ object TextAnalysis {
     * aggregates on the token array, no shuffle before the
     * presentation sort.
     */
+  /** q305 — GOPHER REPETITION RULES (Rae et al. 2021 §A1.1, the OTHER
+    * half of the battery — q291 ships the composition/quality gates;
+    * these are the self-repetition gates templated spam fails): per
+    * doc, the character mass of the single most frequent 2-/3-/4-gram
+    * and the character mass covered by ALL duplicated 5-grams
+    * (union of token positions, so overlapping occurrences never
+    * double-count), each as an exact truncating ppm of the doc's
+    * non-space character total, with the paper's thresholds
+    * (0.20/0.18/0.16/0.15) applied as cross-multiplied INTEGER
+    * predicates — no float anywhere in a decision. "Characters" are
+    * token characters (spaces excluded) in both numerator and
+    * denominator, both engines. The top gram under count ties is
+    * pinned by the (count DESC, char-mass DESC, gram DESC) total
+    * order — deterministic and binary-collation-identical in both
+    * engines. Docs shorter than n pass rule n vacuously (mass 0);
+    * word-count floors are q291's job.
+    *
+    * Line/paragraph duplicate rules from the same table are
+    * deliberately absent: the documents corpus is single-line by
+    * construction (measured — zero texts contain a newline), so they
+    * would gate nothing and their oracle would assert vacuity.
+    *
+    * Scale: everything is (doc, gram)- or (doc, pos)-keyed — hash
+    * aggs and one per-doc window over the doc's own distinct grams
+    * (bounded by doc length, never corpus-scaled); the duplicate-gram
+    * coverage join fans out ≤ 5 positions per duplicated occurrence.
+    */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetitionCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, text) frame — fixture seam. */
+  private[graft] def gopherRepetitionCore(docs: DataFrame): DataFrame = {
+    val ws = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val base = ws.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("sum_len"))
+    // (doc, gram, gram char mass, start) for n-grams of width n
+    def grams(n: Int) = ws.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(1, greatest(0, size(ws) - ${n - 1})),
+              i -> struct(concat_ws(' ', slice(ws, i, $n)) as g,
+                aggregate(slice(ws, i, $n), 0L, (a, x) -> a + length(x)) as gc,
+                i as start))""")).as("t"))
+      .select(col("doc_id"), col("t.g").as("g"), col("t.gc").as("gc"),
+        col("t.start").as("start"))
+    // char mass of the most frequent n-gram (count, then mass, then
+    // gram DESC — a deterministic argmax both engines replay)
+    def topMass(n: Int, out: String) = {
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("c"), desc("gc"), desc("g"))
+      grams(n).groupBy("doc_id", "g", "gc").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), (col("c") * col("gc")).as(out))
+    }
+    // union-of-positions char mass of all 5-grams occurring >= 2 times
+    val g5 = grams(5)
+    val dup5 = g5.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("doc_id", "g")
+    val pos = ws.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        length(col("w")).cast("long").as("wlen"))
+    val dupMass = g5.join(dup5, Seq("doc_id", "g"))
+      .select(col("doc_id"),
+        explode(expr("sequence(start, start + 4)")).as("pos"))
+      .distinct()
+      .join(pos, Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(sum("wlen").as("dup5_mass"))
+    base
+      .join(topMass(2, "top2_mass"), Seq("doc_id"), "left")
+      .join(topMass(3, "top3_mass"), Seq("doc_id"), "left")
+      .join(topMass(4, "top4_mass"), Seq("doc_id"), "left")
+      .join(dupMass, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top2_mass", "top3_mass", "top4_mass", "dup5_mass"))
+      .select(col("doc_id"), col("n_words"), col("sum_len"),
+        expr("top2_mass * 1000000 div sum_len").as("top2_ppm"),
+        expr("top3_mass * 1000000 div sum_len").as("top3_ppm"),
+        expr("top4_mass * 1000000 div sum_len").as("top4_ppm"),
+        expr("dup5_mass * 1000000 div sum_len").as("dup5_ppm"),
+        (col("top2_mass") * 100L <= col("sum_len") * 20L).as("top2_ok"),
+        (col("top3_mass") * 100L <= col("sum_len") * 18L).as("top3_ok"),
+        (col("top4_mass") * 100L <= col("sum_len") * 16L).as("top4_ok"),
+        (col("dup5_mass") * 100L <= col("sum_len") * 15L).as("dup5_ok"))
+      .withColumn("keep",
+        col("top2_ok") && col("top3_ok") && col("top4_ok") && col("dup5_ok"))
+      .orderBy("doc_id")
+  }
+
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesCore(Tables.spread(Tables.documents(spark, dir)))
 
@@ -1268,6 +1360,7 @@ object TextAnalysis {
     "q294_krippendorff_alpha" -> (krippendorffAlpha(_, _)),
     "q295_vocab_richness" -> (vocabRichness(_, _)),
     "q291_gopher_rules" -> (gopherRules(_, _)),
+    "q305_gopher_repetition" -> (gopherRepetition(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
@@ -1674,6 +1767,78 @@ object TextAnalysis {
           FROM s""",
     // q291: same tokenizer mapping, same cross-multiplied integer
     // thresholds, same conjunctive keep
+    // q305: same token-char mass accounting, same (c DESC, gc DESC,
+    // g DESC) top-gram order, same union-of-positions duplicate
+    // coverage, same cross-multiplied integer thresholds
+    "q305_gopher_repetition" -> {
+      def gramCte(n: Int, name: String) =
+        s"""$name AS (
+            SELECT doc_id, unnest(list_transform(
+              range(greatest(0, len(ws) - ${n - 1})),
+              i -> {'g': array_to_string(list_slice(ws, i+1, i+$n), ' '),
+                    'gc': list_sum(list_transform(
+                      list_slice(ws, i+1, i+$n), w -> length(w))),
+                    'start': i+1})) AS t
+            FROM b)"""
+      def topCte(n: Int) =
+        s"""top$n AS (
+            SELECT doc_id, (c * gc)::BIGINT AS top${n}_mass FROM (
+              SELECT doc_id, t.g AS g, t.gc AS gc, count(*)::BIGINT AS c,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY count(*) DESC, t.gc DESC, t.g DESC) AS rn
+              FROM g$n GROUP BY doc_id, t.g, t.gc)
+            WHERE rn = 1)"""
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          b AS (
+            SELECT doc_id, len(ws)::BIGINT AS n_words,
+              coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                ::BIGINT AS sum_len, ws
+            FROM t WHERE len(ws) > 0),
+          ${gramCte(2, "g2")}, ${topCte(2)},
+          ${gramCte(3, "g3")}, ${topCte(3)},
+          ${gramCte(4, "g4")}, ${topCte(4)},
+          ${gramCte(5, "g5")},
+          g5f AS (SELECT doc_id, t.g AS g, t.start AS start FROM g5),
+          d5 AS (
+            SELECT doc_id, g FROM g5f GROUP BY 1, 2 HAVING count(*) >= 2),
+          cov AS (
+            SELECT DISTINCT f.doc_id,
+              unnest(generate_series(f.start, f.start + 4)) AS pos
+            FROM g5f f JOIN d5 USING (doc_id, g)),
+          pidx AS (
+            SELECT doc_id, unnest(list_transform(range(len(ws)),
+              i -> {'pos': i+1, 'wlen': length(ws[i+1])})) AS t
+            FROM b),
+          p AS (SELECT doc_id, t.pos AS pos, t.wlen::BIGINT AS wlen
+                FROM pidx),
+          dm AS (
+            SELECT cov.doc_id, sum(p.wlen)::BIGINT AS dup5_mass
+            FROM cov JOIN p ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+            GROUP BY 1),
+          j AS (
+            SELECT b.doc_id, b.n_words, b.sum_len,
+              coalesce(top2_mass, 0) AS m2, coalesce(top3_mass, 0) AS m3,
+              coalesce(top4_mass, 0) AS m4, coalesce(dup5_mass, 0) AS m5
+            FROM b
+            LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+            LEFT JOIN top4 USING (doc_id) LEFT JOIN dm USING (doc_id))
+          SELECT doc_id, n_words, sum_len,
+            (m2::HUGEINT * 1000000 // sum_len)::BIGINT AS top2_ppm,
+            (m3::HUGEINT * 1000000 // sum_len)::BIGINT AS top3_ppm,
+            (m4::HUGEINT * 1000000 // sum_len)::BIGINT AS top4_ppm,
+            (m5::HUGEINT * 1000000 // sum_len)::BIGINT AS dup5_ppm,
+            m2 * 100 <= sum_len * 20 AS top2_ok,
+            m3 * 100 <= sum_len * 18 AS top3_ok,
+            m4 * 100 <= sum_len * 16 AS top4_ok,
+            m5 * 100 <= sum_len * 15 AS dup5_ok,
+            (m2 * 100 <= sum_len * 20 AND m3 * 100 <= sum_len * 18
+              AND m4 * 100 <= sum_len * 16 AND m5 * 100 <= sum_len * 15)
+              AS keep
+          FROM j ORDER BY doc_id"""
+    },
     "q291_gopher_rules" ->
       s"""WITH t AS (
             SELECT doc_id,

@@ -697,6 +697,34 @@ class BehaviorSpec extends AnyFunSuite with SparkTestBase {
     assert(g === ((4L, 6L, -2333333L)))
   }
 
+  test("q306 seasonal Mann-Kendall: strata never mix, per-stratum tie " +
+    "correction, and the q298 z on hand fixtures") {
+    val dayUs = 86400000000L
+    def series(counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(d.toLong * dayUs + 1L)
+      }.toDF("tsu")
+    def run(counts: Seq[Int]) =
+      Behavior.seasonalMkCore(series(counts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).head
+    // 14 days = one pair per weekday stratum: signs +1,−1,0,+1,−1,0,0
+    // sum to S'=0; tied strata (g2,g5,g6) contribute Var 0, the four
+    // distinct-valued strata 18 each → var_num18 = 72
+    assert(run(Seq(1, 2, 3, 4, 5, 6, 7, 2, 1, 3, 5, 4, 6, 7)) ===
+      ((14L, 0L, 72L, 0.0)))
+    // every stratum strictly increasing: S' = 7, no ties → 7·18 = 126,
+    // z = (7−1)/√(126/18)
+    val z = BigDecimal(6.0 / math.sqrt(126.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(run(Seq(1, 2, 3, 4, 5, 6, 7, 6, 7, 8, 9, 10, 11, 12)) ===
+      ((14L, 7L, 126L, z)))
+    // cross-stratum immunity: a sawtooth that plain MK reads as heavy
+    // disagreement is all-zero signs within strata (period 7)
+    val saw = Seq(9, 1, 9, 1, 9, 1, 9, 9, 1, 9, 1, 9, 1, 9)
+    assert(run(saw)._2 === 0L)
+  }
+
   test("q303 Sen's slope CI: clamped endpoints on hand fixtures, " +
     "interior ranks vs an in-test replica") {
     val dayUs = 86400000000L

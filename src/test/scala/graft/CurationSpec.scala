@@ -381,6 +381,35 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       && out(4L)._2 === true)
   }
 
+  test("q305 gopher repetition: top-gram masses, duplicate-5-gram " +
+      "coverage and thresholds on hand fixtures") {
+    import spark.implicits._
+    // doc 1: "aa bb aa bb aa" — top 2-gram ties at c=2/gc=4, g DESC
+    //   picks "bb aa"; masses 8/12/8; no duplicated 5-gram
+    // doc 2: 50 distinct 3-char tokens — all grams unique, tiny
+    //   masses, every gate passes
+    // doc 3: a repeated 5-token run (xx1..xx5) around 45 distinct
+    //   fillers — top-gram gates sized to pass, dup5 coverage = 10
+    //   positions x 3 chars = 30 of 165 > 0.15 → dup5 trips alone
+    val doc2 = (0 until 50).map(i => f"t$i%02d").mkString(" ")
+    val run = (1 to 5).map(i => s"xx$i")
+    val doc3 = (run ++ (0 until 45).map(i => f"f$i%02d") ++ run)
+      .mkString(" ")
+    val docs = Seq((1L, "aa bb aa bb aa"), (2L, doc2), (3L, doc3))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetitionCore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9), r.getBoolean(10),
+        r.getBoolean(11)))).toMap
+    assert(out(1L) === ((5L, 10L, 800000L, 1200000L, 800000L, 0L,
+      false, false, false, true, false)))
+    assert(out(2L) === ((50L, 150L, 40000L, 60000L, 80000L, 0L,
+      true, true, true, true, true)))
+    assert(out(3L) === ((55L, 165L, 72727L, 109090L, 145454L, 181818L,
+      true, true, true, false, false)))
+  }
+
   test("q283 McNemar: the four paired cells and the discordant-only " +
       "statistic on a hand fixture") {
     import spark.implicits._

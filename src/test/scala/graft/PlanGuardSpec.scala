@@ -115,7 +115,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q301_theil_sen",
     // round-14: q301's pattern — the single-row (n_days, n_pairs,
     // var_num18, ranks) stats broadcast feeding the endpoint filter
-    "q303_sens_slope_ci")
+    "q303_sens_slope_ci",
+    // round-14: q298's pattern — single-row stratified S and variance
+    // broadcasts joined to the single day-count row
+    "q306_seasonal_mann_kendall")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

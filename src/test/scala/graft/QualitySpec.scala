@@ -422,4 +422,42 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       (3L, "S", 3L, 10L), (5L, "S", 6L, 20L),
       (6L, "T", 4L, 12L), (7L, "T", 4L, 12L)))
   }
+
+  test("q307 DSIR importance equals an independent plain-Scala replica " +
+      "(buckets, add-1 ratios, exact mass) on a fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "aa bb"),
+      (2L, "fr", "aa aa cc"),
+      (3L, "en", "bb cc dd dd"),
+      (4L, "de", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text")
+    val got = Quality.dsirImportanceCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // replica from first principles: md5-first-two-hex bucket, add-1
+    // truncating ppm ratio, integer mass — shares no engine code
+    def bucket(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      ((d(0) & 0xff).toLong)
+    }
+    val rows = Seq(
+      (1L, "en", Seq("aa", "bb")),
+      (2L, "fr", Seq("aa", "aa", "cc")),
+      (3L, "en", Seq("bb", "cc", "dd", "dd")))
+    val all = rows.flatMap { case (_, lang, ws) => ws.map(w => (lang, bucket(w))) }
+    val src = all.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val tgt = all.filter(_._1 == "en").groupBy(_._2)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    def ratio(b: Long): Long =
+      (tgt.getOrElse(b, 0L) + 1) * 1000000L / (src(b) + 1)
+    val expected = rows.map { case (id, _, ws) =>
+      val tf = ws.map(bucket).groupBy(identity)
+        .map { case (b, xs) => b -> xs.size.toLong }
+      val mass = tf.map { case (b, c) => c * ratio(b) }.sum
+      (id, ws.size.toLong, mass, mass / ws.size)
+    }.sortBy(_._1)
+    assert(got == expected, s"got $got vs $expected")
+  }
 }
