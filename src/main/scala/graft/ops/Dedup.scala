@@ -51,6 +51,63 @@ object Dedup {
         explode(array_distinct(shingles(TextFunctions.tokens(col("text")), shingleSize)))
           .as("sh"))
 
+  /** q308 containment threshold: emit when the smaller doc's capped
+    * shingle set is ≥ 90% contained in the larger's.
+    */
+  private[graft] val minContainmentPct = 90L
+
+  /** q308 — SHINGLE CONTAINMENT PAIRS: the ASYMMETRIC near-dup
+    * relation Jaccard structurally misses — a document EMBEDDED in a
+    * larger one (quote pages, aggregators, boilerplate-wrapped
+    * reposts). With |A| = 20 shingles inside |B| = 60, Jaccard is
+    * 20/60 = 0.33 (invisible to q52's 0.8 gate) while the containment
+    * of the smaller side, |A∩B|/|A| = 1.0, is exactly the duplication
+    * signal a curation run needs (Broder 1997 distinguishes resemblance
+    * from containment for precisely this case). Same candidate
+    * generator as q52 — df-capped, per-doc-distinct, lang-blocked
+    * shingle equi-join (the measured near-linear shape) — different
+    * verify arithmetic: cont_ppm = n_common·10⁶ div least(n_a, n_b),
+    * EXACT integers end to end (no float even at the edge, unlike
+    * q52's rounded double), thresholded by cross-multiplication at
+    * [[minContainmentPct]]%. jac_ppm rides along so the output shows
+    * which pairs only containment catches.
+    *
+    * Scale: identical to q52 (one shingle exchange shared across all
+    * consumers; the df-cap bounds the join's hottest key) — the
+    * verify stage is arithmetic on the already-aggregated pair frame.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsCore(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, lang, text) frame — fixture seam. */
+  private[graft] def containmentPairsCore(docs: DataFrame): DataFrame = {
+    val rows = shingleRowsOf(docs).repartition(col("sh"))
+    val hot = rows.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("sh")
+    val capped = rows.join(hot, Seq("sh"), "left_anti")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = capped.as("a")
+      .join(capped.as("b"),
+        col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .filter(col("n_common") * 100L
+        >= least(col("n_a"), col("n_b")) * minContainmentPct)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        expr("n_common * 1000000 div least(n_a, n_b)").as("cont_ppm"),
+        expr("n_common * 1000000 div (n_a + n_b - n_common)").as("jac_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact-dedup statistics: corpus vs distinct-content counts via
     * md5 fingerprint group-by (the only exact-dedup primitive that
     * scales: no sorting, no pairwise compare).
@@ -1257,6 +1314,7 @@ object Dedup {
     // 128-bit variant against a brute-force replica; DedupScaleBench
     // measures the candidate/recall trades of all the blocking widths
     "q304_simhash_blocked_pairs" -> (simhashBlockedPairs(_, _)),
+    "q308_containment_pairs" -> (containmentPairs(_, _)),
     "q57_dedup_clusters" -> (dedupClusters(_, _)),
     "q177_incremental_dedup" -> (incrementalDedup(_, _)),
     "q220_dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
@@ -1620,6 +1678,39 @@ object Dedup {
          SELECT doc_id, len(shs)::BIGINT AS n_shingles,
            len(list_distinct(shs))::BIGINT AS n_distinct_shingles
          FROM sh ORDER BY doc_id""",
+    // q308: q52's candidate CTEs verbatim, the containment verify —
+    // exact integer ppm and the cross-multiplied 90% gate on the
+    // smaller side
+    "q308_containment_pairs" ->
+      s"""WITH t AS (
+           SELECT doc_id, lang, list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, lang, unnest(list_distinct(
+             CASE WHEN len(ws) < 3 THEN []
+                  ELSE list_transform(range(len(ws)-2),
+                         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             END)) AS sh
+           FROM t),
+         rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+         capped AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM capped a JOIN capped b
+             ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+           GROUP BY 1,2)
+         SELECT doc_a, doc_b, n_common::BIGINT AS n_common,
+           sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b,
+           (n_common::HUGEINT * 1000000
+             // least(sa.n_sh, sb.n_sh))::BIGINT AS cont_ppm,
+           (n_common::HUGEINT * 1000000
+             // (sa.n_sh + sb.n_sh - n_common))::BIGINT AS jac_ppm
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_common * 100 >= least(sa.n_sh, sb.n_sh) * $minContainmentPct
+         ORDER BY doc_a, doc_b""",
     "q52_jaccard_pairs" ->
       """WITH t AS (
            SELECT doc_id, lang, list_filter(string_split(text,' '), w -> w <> '') AS ws

@@ -211,6 +211,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.nonEmpty, "fixture must plant Hamming<=3 pairs")
   }
 
+  test("q308 containment pairs: catches a doc embedded in a larger one " +
+      "that Jaccard structurally misses") {
+    val s = spark
+    import s.implicits._
+    val small = (1 to 20).map(i => s"emb$i")
+    val big = small ++ (1 to 40).map(i => s"tail$i")
+    val other = (1 to 20).map(i => s"other$i")
+    val docs = Seq(
+      (1L, small.mkString(" ")),   // fully embedded as 2's prefix
+      (2L, big.mkString(" ")),
+      (3L, other.mkString(" ")))   // unrelated
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = Dedup.containmentPairsCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // A has 18 shingles, all shared; B has 58; containment of the
+    // smaller = 1.0, Jaccard = 18/58 — q52's 0.8 gate never sees it
+    assert(got == Seq((1L, 2L, 18L, 18L, 58L, 1000000L,
+      18L * 1000000L / 58L)))
+    assert(Dedup.jaccardPairsCore(docs).count() == 0,
+      "the fixture must be invisible to symmetric Jaccard")
+  }
+
   test("jaccard pairs: all results within [minJaccard, 1]") {
     val bad = Dedup.jaccardPairs(spark, sf)
       .filter(col("jaccard") < Dedup.minJaccard || col("jaccard") > 1.0).count()
