@@ -311,6 +311,49 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** q309 sampling budget (rows) and the α = 0.5 temperature. */
+  private[graft] val tempBudget = 1000000L
+
+  /** q309 — TEMPERATURE-SCALED LANGUAGE MIXTURE (the exponent-smoothed
+    * multilingual sampling rule of multilingual-BERT / XLM-R: sample
+    * language ℓ ∝ p_ℓ^α, α = 0.5, so head languages are downweighted
+    * and the tail is boosted without ever inverting the order): per
+    * language, the corpus token share in exact ppm, the α = 0.5
+    * temperature weight w_ℓ = ⌊10⁶·√share⌋ (computed as
+    * floor(sqrt(share_ppm·10⁶)) — the argument is an exact integer
+    * ≤ 10¹² so the IEEE double sqrt+floor is bit-identical in both
+    * engines; the ONE float op, same discipline as q298's z), and the
+    * integer apportionment of a [[tempBudget]]-row sampling budget
+    * over the temperature weights by the exact largest-remainder rule
+    * (q255's oracle-proven kernel, reused verbatim).
+    *
+    * Scale: one hash agg to the language grain (bounded vocabulary),
+    * then single-row broadcasts — nothing after the first agg is
+    * data-scaled.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixtureCore(Tables.documents(spark, dir))
+
+  /** Core over any (lang, text) frame — fixture seam. */
+  private[graft] def temperatureMixtureCore(docs: DataFrame): DataFrame = {
+    val byLang = docs.filter(col("text").isNotNull)
+      .groupBy("lang")
+      .agg(sum(graft.expr.TextFunctions.tokenCount(col("text"))
+        .cast("long")).as("n_tokens"))
+    val shares = byLang
+      .crossJoin(broadcast(byLang.agg(sum("n_tokens").as("tot"))))
+      .select(col("lang"), col("n_tokens"),
+        expr("n_tokens * 1000000 div tot").as("share_ppm"),
+        expr("""cast(floor(sqrt(cast(n_tokens * 1000000 div tot
+                as double) * 1000000.0D)) as bigint)""").as("w"))
+    apportionCore(shares.select("lang", "w"), tempBudget)
+      .withColumnRenamed("n_tokens", "w_ppm")
+      .join(shares.select("lang", "n_tokens", "share_ppm"), Seq("lang"))
+      .select("lang", "n_tokens", "share_ppm", "w_ppm", "floor_alloc",
+        "rem", "alloc")
+      .orderBy("lang")
+  }
+
   // ---- q252: rendezvous (HRW) sharding ---------------------------------
 
   /** q252 shard counts before/after the resize. */
@@ -556,6 +599,7 @@ object Sampling {
     "q184_weighted_sample" -> (weightedPrioritySample(_, _)),
     "q252_rendezvous_sharding" -> (rendezvousSharding(_, _)),
     "q255_token_apportionment" -> (tokenApportionment(_, _)),
+    "q309_temperature_mixture" -> (temperatureMixture(_, _)),
     "q286_token_budget_selection" -> (tokenBudgetSelection(_, _)),
     "q290_coherent_sample" -> (coherentSample(_, _)))
 
@@ -616,6 +660,37 @@ object Sampling {
          SELECT doc_id, quality_ppm, n_tok, cum_n_tok
          FROM c WHERE cum_n_tok - n_tok < total // 2
          ORDER BY quality_ppm DESC, doc_id""",
+    // q309: q255's apportionment replay over the α=0.5 temperature
+    // weights — same exact integer chain, the one identical double
+    // sqrt+floor on an exact ≤1e12 integer
+    "q309_temperature_mixture" ->
+      s"""WITH wts AS (
+            SELECT lang,
+              sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                ::BIGINT AS n_tokens
+            FROM documents WHERE text IS NOT NULL GROUP BY 1),
+          tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM wts),
+          sh AS (
+            SELECT lang, n_tokens,
+              ((n_tokens::HUGEINT * 1000000) // tot)::BIGINT AS share_ppm,
+              floor(sqrt((((n_tokens::HUGEINT * 1000000) // tot))::DOUBLE
+                * 1000000.0))::BIGINT AS w
+            FROM wts CROSS JOIN tot),
+          tw AS (SELECT sum(w)::BIGINT AS tw FROM sh),
+          base AS (
+            SELECT lang, n_tokens, share_ppm, w,
+              ($tempBudget * w) // tw AS floor_alloc,
+              ($tempBudget * w) % tw AS rem,
+              $tempBudget - sum(($tempBudget * w) // tw) OVER ()
+                AS leftover,
+              row_number() OVER (ORDER BY ($tempBudget * w) % tw DESC,
+                lang) AS rk
+            FROM sh CROSS JOIN tw)
+          SELECT lang, n_tokens, share_ppm, w AS w_ppm,
+            floor_alloc::BIGINT AS floor_alloc, rem::BIGINT AS rem,
+            (floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+              ::BIGINT AS alloc
+          FROM base ORDER BY lang""",
     // q255: same whitespace token count (the q66 tokenizer mapping),
     // same integer quota/remainder rule, same tie order
     "q255_token_apportionment" ->

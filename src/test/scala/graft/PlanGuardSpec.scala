@@ -118,7 +118,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q303_sens_slope_ci",
     // round-14: q298's pattern — single-row stratified S and variance
     // broadcasts joined to the single day-count row
-    "q306_seasonal_mann_kendall")
+    "q306_seasonal_mann_kendall",
+    // round-14: q255's pattern — the single-row token-total broadcast
+    // crossed into the bounded language grain
+    "q309_temperature_mixture")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -231,6 +231,33 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(corpus.map(_.getLong(4)).sum == Sampling.apportionBudget)
   }
 
+  test("q309 temperature mixture: hand-computed α=0.5 weights, head " +
+      "downweighted but never inverted, allocations sum to budget") {
+    import spark.implicits._
+    // en 900 of 1000 tokens, fr 100: shares 900000/100000 ppm;
+    // w = floor(1e6·√share) = 948683 / 316227; tw = 1264910;
+    // floors 750000 / 249999, leftover 1 goes to fr (larger remainder
+    // 764910 vs 500000) — a 90% head samples at 75%
+    val docs = Seq(
+      ("en", Seq.fill(900)("t").mkString(" ")),
+      ("fr", Seq.fill(100)("t").mkString(" ")))
+      .toDF("lang", "text")
+    val got = Sampling.temperatureMixtureCore(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("en", 900L, 900000L, 948683L, 750000L, 500000L, 750000L),
+      ("fr", 100L, 100000L, 316227L, 249999L, 764910L, 250000L)))
+    assert(got.map(_._7).sum == Sampling.tempBudget)
+    // corpus run: exact budget conservation and order preservation
+    val corpus = Sampling.temperatureMixture(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(6))).toSeq
+    assert(corpus.map(_._2).sum == Sampling.tempBudget)
+    assert(corpus.sortBy(_._1).map(_._2) ==
+      corpus.sortBy(_._1).map(_._2).sorted,
+      "temperature must never invert the share order")
+  }
+
   test("q254 weighted percentiles equal a driver-side replica") {
     val grain = graft.Tables.lineitem(spark, sf)
       .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
