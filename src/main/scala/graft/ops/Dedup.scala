@@ -876,6 +876,61 @@ object Dedup {
     out
   }
 
+  /** q310 — QUALITY-AWARE CANONICAL PICK PER DUPLICATE CLUSTER: q57
+    * answers "which docs are copies of each other"; this answers the
+    * decision a production dedup actually ships — WHICH copy to keep.
+    * Min-doc-id (q57's label, q302's tier-1 rule) is the standard
+    * arbitrary-but-stable choice; the better rule is quality-aware:
+    * per cluster keep the member winning the total order (Gopher keep
+    * DESC, token count DESC, doc_id ASC) — a gate-passing member beats
+    * a failing one, the longest wins among equals, and the id breaks
+    * exact ties deterministically. `differs_from_min` audits how often
+    * the quality pick disagrees with the naive label — the number that
+    * justifies (or retires) the extra compute.
+    *
+    * Exact integers/booleans only, so the argmax replays in DuckDB as
+    * a window over the same recursive closure (the q57 oracle) joined
+    * to the q291 keep bit and token counts.
+    *
+    * Scale: the cluster relation is bounded by the DUPLICATED subset
+    * (q57's argument), the per-cluster window runs over member lists
+    * (duplicate-group-sized), and the quality/token joins are doc_id
+    * equi-joins.
+    */
+  def clusterCanonicalPick(spark: SparkSession, dir: String): DataFrame =
+    clusterCanonicalPickCore(
+      Tables.spread(Tables.documents(spark, dir))
+        .filter(col("text").isNotNull)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(true))
+
+  /** Core over any (doc_id, lang, text) frame — fixture seam; the
+    * caller materializes `docs` once for the cluster + quality passes.
+    */
+  private[graft] def clusterCanonicalPickCore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = clusterAssignmentsCore(docs)
+    val keep = TextAnalysis.gopherRulesCore(docs)
+      .select(col("doc_id"), col("keep"))
+    val toks = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val m = asg
+      .join(keep, Seq("doc_id"), "left")
+      .na.fill(false, Seq("keep"))
+      .join(toks, Seq("doc_id"))
+    val byQuality = Window.partitionBy("cluster")
+      .orderBy(desc("keep"), desc("n_tok"), asc("doc_id"))
+    m.withColumn("rn", row_number().over(byQuality))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("rn") === 1)
+      .select(col("cluster").as("cluster_rep"),
+        col("doc_id").as("picked"), col("n_members"),
+        col("keep").as("picked_keep"), col("n_tok").as("picked_n_tok"),
+        (col("doc_id") =!= col("cluster")).as("differs_from_min"))
+      .orderBy("cluster_rep")
+  }
+
   /** q87 — train/eval DECONTAMINATION: flag train-split documents that
     * share winnow fingerprints with the eval split (the standard
     * pre-training hygiene step — a contaminated train doc inflates eval
@@ -1315,6 +1370,7 @@ object Dedup {
     // measures the candidate/recall trades of all the blocking widths
     "q304_simhash_blocked_pairs" -> (simhashBlockedPairs(_, _)),
     "q308_containment_pairs" -> (containmentPairs(_, _)),
+    "q310_cluster_canonical_pick" -> (clusterCanonicalPick(_, _)),
     "q57_dedup_clusters" -> (dedupClusters(_, _)),
     "q177_incremental_dedup" -> (incrementalDedup(_, _)),
     "q220_dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
@@ -1737,6 +1793,85 @@ object Dedup {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8
          ORDER BY doc_a, doc_b""",
+    // q310: q57's recursive closure joined to q291's keep bit and the
+    // token counts; the same (keep DESC, n_tok DESC, doc_id) argmax
+    // window — booleans and integers only
+    "q310_cluster_canonical_pick" ->
+      s"""WITH RECURSIVE t AS (
+           SELECT doc_id, lang, list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         sh0 AS (
+           SELECT doc_id, lang, unnest(list_distinct(
+             CASE WHEN len(ws) < 3 THEN []
+                  ELSE list_transform(range(len(ws)-2),
+                         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             END)) AS sh
+           FROM t),
+         rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+         capped AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM capped a JOIN capped b
+             ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+           GROUP BY 1,2),
+         nearp AS (
+           SELECT doc_a AS a, doc_b AS b
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+         fps AS (SELECT doc_id, md5(text) AS fp FROM documents
+                 WHERE text IS NOT NULL),
+         grps AS (SELECT fp, min(doc_id) AS rep FROM fps
+                  GROUP BY fp HAVING count(*) > 1),
+         exacte AS (
+           SELECT r.rep AS a, f.doc_id AS b
+           FROM fps f JOIN grps r USING (fp) WHERE f.doc_id <> r.rep),
+         e AS (SELECT a, b FROM exacte UNION SELECT a, b FROM nearp),
+         sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         vs AS (SELECT DISTINCT a AS v FROM sym),
+         reach AS (
+           SELECT v AS a, v AS b FROM vs
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         comp AS (SELECT a AS v, min(b) AS rep FROM reach GROUP BY 1),
+         m AS (
+           SELECT doc_id,
+             len(ws)::BIGINT AS n_words,
+             coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+               ::BIGINT AS sum_len,
+             len(list_filter(ws, w ->
+               contains(w, '#') OR contains(w, '...')))::BIGINT AS n_symbol,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+               ::BIGINT AS n_alpha,
+             len(list_filter(list_distinct(ws),
+               w -> w IN (${TextAnalysis.stopList})))::BIGINT
+               AS n_stop_distinct,
+             len(ws)::BIGINT AS n_tok
+           FROM t),
+         j AS (
+           SELECT c.v AS doc_id, c.rep AS cluster,
+             (m.n_words > 0
+               AND m.n_words >= 50 AND m.n_words <= 100000
+               AND m.sum_len >= 3 * m.n_words
+               AND m.sum_len <= 10 * m.n_words
+               AND 10 * m.n_symbol <= m.n_words
+               AND 5 * m.n_alpha >= 4 * m.n_words
+               AND m.n_stop_distinct >= 2) AS keep,
+             m.n_tok
+           FROM comp c JOIN m ON m.doc_id = c.v),
+         pick AS (
+           SELECT cluster AS cluster_rep, doc_id AS picked,
+             count(*) OVER (PARTITION BY cluster)::BIGINT AS n_members,
+             keep AS picked_keep, n_tok AS picked_n_tok,
+             doc_id <> cluster AS differs_from_min,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY keep DESC, n_tok DESC, doc_id) AS rn
+           FROM j)
+         SELECT cluster_rep, picked, n_members, picked_keep,
+           picked_n_tok, differs_from_min
+         FROM pick WHERE rn = 1 ORDER BY cluster_rep""",
     // the cluster output is label-free (rep = min member), so a
     // recursive reachability closure over the SAME edge relation
     // (exact-md5 star edges ∪ q52's Jaccard pairs) reproduces it

@@ -234,6 +234,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "the fixture must be invisible to symmetric Jaccard")
   }
 
+  test("q310 canonical pick: the quality winner beats the min-id label, " +
+      "ties fall back to id") {
+    val s = spark
+    import s.implicits._
+    // exact trio (1,2,3): identical 20-token texts, all fail the
+    // Gopher word-count gate → keep=false ties, id breaks → pick 1
+    val trio = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    // near pair (10, 11): 11 = 10 + four tail words; shingle Jaccard
+    // 46/50 = 0.92 ≥ 0.8 → one cluster; 10 has 48 words (fails the
+    // ≥50 gate), 11 has 52 (passes all gates) → the pick must be 11,
+    // not the min-id 10
+    val a = (Seq("the", "and") ++ (1 to 46).map(i => f"word$i%03d"))
+    val b = a ++ (1 to 4).map(i => s"tail$i")
+    val docs = Seq(
+      (1L, trio), (2L, trio), (3L, trio),
+      (10L, a.mkString(" ")), (11L, b.mkString(" ")))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .select("doc_id", "lang", "text")
+    val got = Dedup.clusterCanonicalPickCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, false, 20L, false),
+      (10L, 11L, 2L, true, 52L, true)))
+  }
+
   test("jaccard pairs: all results within [minJaccard, 1]") {
     val bad = Dedup.jaccardPairs(spark, sf)
       .filter(col("jaccard") < Dedup.minJaccard || col("jaccard") > 1.0).count()
