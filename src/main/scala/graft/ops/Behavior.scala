@@ -1716,7 +1716,12 @@ object Behavior {
               count(*)::BIGINT AS n
             FROM events WHERE ts IS NOT NULL GROUP BY 1),
           dense AS (
-            SELECT s.day, s.day % 7 AS season, coalesce(b.n, 0)::BIGINT AS n
+            -- ((d%7)+7)%7, not d%7: DuckDB's % keeps the dividend's
+            -- sign, Spark's pmod is non-negative — pre-1970 days
+            -- (negative epoch-day) would otherwise land in different
+            -- strata (r14 ADVICE; latent, the corpus is post-epoch)
+            SELECT s.day, ((s.day % 7) + 7) % 7 AS season,
+              coalesce(b.n, 0)::BIGINT AS n
             FROM (SELECT unnest(generate_series(
                     (SELECT min(day) FROM byday),
                     (SELECT max(day) FROM byday))) AS day) s

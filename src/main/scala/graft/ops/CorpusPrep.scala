@@ -602,10 +602,11 @@ object CorpusPrep {
       .filter(col("doc_id") % Dedup.benchMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
     // tier 5: q299's split keyed on the duplicate rep — which, after
-    // tier 1+2, is the surviving doc itself
-    val withSplit = survivors.withColumn("split",
-      when(Sampling.nibbleOf(col("doc_id"), ":split") < 14, "train")
-        .otherwise("eval"))
+    // tier 1+2, is the surviving doc itself. The ONE split definition
+    // (Sampling.splitExpr), not a re-encoding of its threshold/salt: a
+    // future change to the rule must move every consumer at once
+    // (r14 ADVICE).
+    val withSplit = survivors.withColumn("split", Sampling.splitExpr)
     // tier 6: q260's packed offsets, one independent stream per split
     val toks = withSplit.select(col("doc_id"), col("split"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))

@@ -340,12 +340,18 @@ object Sampling {
       .groupBy("lang")
       .agg(sum(graft.expr.TextFunctions.tokenCount(col("text"))
         .cast("long")).as("n_tokens"))
+    // decimal(38,0) before the ×10⁶, like q303's slope_ppm: the oracle
+    // computes this product in HUGEINT, and a 64-bit multiply silently
+    // wraps beyond ~9.2e12 corpus tokens — exactly the scale this
+    // mixture is for (r14 ADVICE)
     val shares = byLang
       .crossJoin(broadcast(byLang.agg(sum("n_tokens").as("tot"))))
       .select(col("lang"), col("n_tokens"),
-        expr("n_tokens * 1000000 div tot").as("share_ppm"),
-        expr("""cast(floor(sqrt(cast(n_tokens * 1000000 div tot
-                as double) * 1000000.0D)) as bigint)""").as("w"))
+        expr("""cast(cast(n_tokens as decimal(38,0)) * 1000000 div tot
+                as bigint)""").as("share_ppm"),
+        expr("""cast(floor(sqrt(cast(cast(n_tokens as decimal(38,0))
+                * 1000000 div tot as double) * 1000000.0D)) as bigint)""")
+          .as("w"))
     apportionCore(shares.select("lang", "w"), tempBudget)
       .withColumnRenamed("n_tokens", "w_ppm")
       .join(shares.select("lang", "n_tokens", "share_ppm"), Seq("lang"))
