@@ -17,6 +17,77 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble)).toMap
   }
 
+  /** Extract the warm per-query map from one BENCH.local*.json record
+    * line. Scoped to the `"queries":{...}` object specifically — the
+    * record also carries `load_1m`/`cold`/`rep_times` maps keyed by the
+    * same names, and folding a 0.03 loadavg into a per-query MIN would
+    * poison the historical best. Failed entries (-1) are dropped.
+    */
+  private[graft] def parseQueriesMap(json: String): Map[String, Double] = {
+    val marker = "\"queries\":{"
+    val start = json.indexOf(marker)
+    if (start < 0) Map.empty
+    else {
+      val from = start + marker.length
+      val end = json.indexOf("}", from)
+      if (end < 0) Map.empty
+      else {
+        val pair = """"(q\w+)":(-?[0-9.]+)""".r
+        pair.findAllMatchIn(json.substring(from, end))
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 >= 0.0).toMap
+      }
+    }
+  }
+
+  /** Per-query MIN over every committed BENCH.local*.json record in
+    * `dir` (minus `exclude`, so a spec can replay a record against the
+    * history that EXCLUDES itself). The all-time warm best is the one
+    * reference a sustained-contention window cannot inflate: extra
+    * records only ever lower it.
+    */
+  private[graft] def historicalBest(dir: java.io.File,
+                                    exclude: Set[String] = Set.empty)
+      : Map[String, Double] = {
+    val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("BENCH.local") &&
+        f.getName.endsWith(".json") && !exclude(f.getName))
+    files.toSeq.flatMap { f =>
+      try {
+        val src = scala.io.Source.fromFile(f)
+        try parseQueriesMap(src.mkString).toSeq finally src.close()
+      } catch { case _: Throwable => Seq.empty }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+  }
+
+  /** Cross-history sanity trigger (r14 verdict task 2). The r13
+    * re-record's in-run defenses (rep agreement, loadavg, the revisit)
+    * provably cannot catch a whole band measured twice inside the same
+    * contention wake — r14's image rows shipped 3–8× above every quiet
+    * measurement with all three defenses green. Any warm min ≥ 0.3 s
+    * (the same sub-0.3 jitter exemption the adaptive trigger uses)
+    * sitting more than [[histRatio]]× above its all-time committed best
+    * is PROVISIONAL: printed, recorded in the sidecar, and excluded
+    * from a re-recorded BASELINE.md table (tools/format_baseline.py)
+    * pending an isolated re-measure.
+    *
+    * Threshold 2.5×, not the 2× the in-run gate uses: the reference
+    * here is the MIN over every committed record, which an honestly
+    * quiet new measurement still exceeds by ordinary round-to-round
+    * spread. On the real committed history, 2× would flag four
+    * borderline-jitter rows at 2.0–2.2× of their all-time best
+    * (q06/q14/q20/q136) alongside the genuinely contaminated image
+    * band at 3.3–11.6×; 2.5× separates the two populations cleanly
+    * (largest honest ratio 2.2, smallest contaminated 3.3). BenchSpec
+    * pins exactly this separation against the real files.
+    */
+  private[graft] val histRatio = 2.5
+  private[graft] def provisionalRows(warm: Map[String, Double],
+                                     hist: Map[String, Double]): Seq[String] =
+    warm.toSeq.collect {
+      case (q, t) if t >= 0.3 && hist.get(q).exists(b => t > histRatio * b) => q
+    }.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -191,7 +262,19 @@ object Bench {
     // the full per-query map survives any plausible capture window.
     val head = s""""metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir""""
     val revisitedJson = revisited.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{$head,"load_1m":$loads,"rep_times":$repsDetail,"cold":$cold,"revisited":$revisitedJson,"queries":$qs,"failed":$failed,"value":$total}"""
+    // Cross-history provisional flag (r14 verdict task 2; rationale at
+    // [[provisionalRows]]): computed against the committed records
+    // BEFORE this run writes its own, printed to stderr, carried in
+    // the sidecar for format_baseline.py's re-record exclusion.
+    val warmMap = finalResults.collect {
+      case (k, ts, _) if ts.nonEmpty => k -> ts.min }.toMap
+    val provisional =
+      provisionalRows(warmMap, historicalBest(new java.io.File(".")))
+    if (provisional.nonEmpty)
+      System.err.println("[bench] PROVISIONAL (>%.1fx all-time best, re-measure isolated before committing to BASELINE.md): %s"
+        .format(histRatio, provisional.mkString(", ")))
+    val provJson = provisional.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{$head,"load_1m":$loads,"rep_times":$repsDetail,"cold":$cold,"revisited":$revisitedJson,"provisional":$provJson,"queries":$qs,"failed":$failed,"value":$total}"""
     // Versioned evidence (r12 verdict task 2): BENCH.local.json is a
     // fixed name, so each run OVERWRITES the previous record — the r12
     // contended run destroyed the per-rep arrays of the very baseline
@@ -208,6 +291,15 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed ($f): $e") }
     }
     println(s"""{$head,"queries":$qs,"failed":$failed,"value":$total}""")
+    // The round record tail-captures the LAST ~2000 chars of this log;
+    // the full per-query line above is ~9 KB, so its head (and
+    // therefore JSON parseability) never survives the capture — every
+    // committed BENCH_rNN.json through r14 carries `"parsed": null`
+    // (r14 verdict task 7). The LAST line is therefore a compact
+    // summary guaranteed to fit inside any plausible capture window,
+    // carrying the headline numbers plus the canonical sidecar
+    // filename where the complete per-query record lives.
+    println(s"""{$head,"n_queries":${finalResults.size},"revisited":$revisitedJson,"provisional":$provJson,"queries_file":"BENCH.local.$tag.json","failed":$failed,"value":$total}""")
     spark.stop()
   }
 }

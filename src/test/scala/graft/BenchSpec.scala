@@ -27,6 +27,45 @@ class BenchSpec extends AnyFunSuite {
       "q194_streaming_sliding_counts" -> 3.97))
   }
 
+  test("queries-map parser: scoped to the queries object, not the " +
+    "loadavg/cold/rep maps; failed entries dropped") {
+    val rec = """{"metric":"total","load_1m":{"q01_a":0.03,"q02_b":8.10},""" +
+      """"rep_times":{"q01_a":[1.2,1.1],"q02_b":[2.0]},""" +
+      """"cold":{"q01_a":4.0,"q02_b":9.0},""" +
+      """"queries":{"q01_a":1.10,"q02_b":-1.0},"failed":1,"value":1.1}"""
+    assert(Bench.parseQueriesMap(rec) === Map("q01_a" -> 1.10))
+  }
+
+  test("cross-history provisional flag: replaying the r14 re-record " +
+    "against the other committed records flags exactly the image band") {
+    // the history the re-record SHOULD have been checked against: every
+    // committed record except itself (r14 verdict task 2)
+    val hist = Bench.historicalBest(new java.io.File("."),
+      exclude = Set("BENCH.local.r14rerecord.json"))
+    assert(hist.size >= 290, s"historical best covers only ${hist.size}")
+    // the contaminated record under test
+    val src = scala.io.Source.fromFile("BENCH.local.r14rerecord.json")
+    val rerecord = try Bench.parseQueriesMap(src.mkString) finally src.close()
+    assert(rerecord.size >= 290)
+    val flagged = Bench.provisionalRows(rerecord, hist)
+    // exactly the four rows the r14 verdict adjudicated as re-measured
+    // inside the bench's own streaming wake — and NOT the 2.0–2.2x
+    // jitter tail (q06/q14/q20/q136), which the 2.5x threshold exists
+    // to spare (rationale at Bench.histRatio)
+    assert(flagged === Seq("q206_image_phash_dups", "q82_frame_samples",
+      "q84_image_decode", "q86_image_resize"))
+  }
+
+  test("provisional flag: sub-0.3s jitter and history-less new queries " +
+    "are exempt; the boundary bites just past 2.5x") {
+    val hist = Map("q1_x" -> 0.05, "q2_y" -> 1.0)
+    // 0.29 s is 5.8x its best but under the jitter floor; q3 has no
+    // committed history to compare against; 2.4 < 2.5x
+    assert(Bench.provisionalRows(
+      Map("q1_x" -> 0.29, "q2_y" -> 2.4, "q3_new" -> 50.0), hist).isEmpty)
+    assert(Bench.provisionalRows(Map("q2_y" -> 2.6), hist) === Seq("q2_y"))
+  }
+
   test("the repo's actual BASELINE.md parses into a near-full per-query map") {
     val src = scala.io.Source.fromFile("BASELINE.md")
     val m = try Bench.parseBaselineFrom(src.getLines()) finally src.close()

@@ -18,12 +18,25 @@ line = src.read().strip().splitlines()[-1]
 d = json.loads(line)
 warm, cold = d["queries"], d.get("cold", {})
 load = d.get("load_1m", {})
+# Cross-history provisional rows (graft.Bench, r14 verdict task 2):
+# warm mins >2.5x the all-time committed best are measurement-hygiene
+# suspects (a whole band re-measured inside one contention wake defeats
+# every in-run defense). They are EXCLUDED from the emitted table —
+# their old BASELINE.md rows survive the re-record — until an isolated
+# re-measure (tools/TimeQueries) clears or replaces them.
+provisional = set(d.get("provisional", []))
 print(f"Total (sum of per-query warm min): **{d['value']:.1f} s** "
       f"(reps={d.get('reps')}, failed={d.get('failed')}, sf={d.get('sf')})")
+if provisional:
+    print()
+    print(f"PROVISIONAL — excluded pending isolated re-measure "
+          f"({len(provisional)}): {', '.join(sorted(provisional))}")
 print()
 print("| query | warm s | cold s | load |")
 print("|---|---|---|---|")
 for name in sorted(warm):
+    if name in provisional:
+        continue
     c = cold.get(name)
     cs = f"{c:.2f}" if c is not None else "—"
     ld = load.get(name)
