@@ -623,7 +623,82 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** q311 — THE SCORED CURATION PIPELINE (r14 verdict task 4): q302
+    * widened with the round's two new tiers, because a real curation
+    * run gates on BOTH Gopher batteries and scores what survives:
+    *
+    *   1+2. duplicate clusters → reps only (q302's tiers, unchanged);
+    *   3a.  q291 composition rules (conjunctive keep);
+    *   3b.  q305 repetition rules (top-2/3/4-gram mass + duplicated-
+    *        5-gram coverage, conjunctive keep) — the templated-spam
+    *        regime the composition rules cannot see;
+    *   4.   benchmark decontamination (q262's 3-gram evidence);
+    *   5.   leakage-safe split (q299's rule via Sampling.splitExpr);
+    *   +    q307's DSIR importance score carried into the manifest —
+    *        the ranking column the downstream sampler (q286 budget
+    *        selection, q309 mixture) actually consumes;
+    *   6.   packed offsets (q260), one independent stream per split.
+    *
+    * The DSIR ratio table is learned over the FULL corpus, before any
+    * filtering — importance weights fit on the already-selected set
+    * would be biased toward the selection — then applied to survivors
+    * only (Xie et al. 2023 trains the feature distributions on raw
+    * source vs target, scores everything, selects afterwards; the
+    * composition here gates first and scores the remainder, but the
+    * WEIGHTS see the same untouched source distribution). Its n_tok is
+    * the same whitespace token count tier 6 packs by, so one inner
+    * join supplies score and pack length at once; zero-token docs have
+    * no score row and no pack row — exactly q302's n_tok > 0 rule.
+    *
+    * Scale: q302's argument, plus q305 (per-doc grams, never
+    * corpus-scaled) and q307 (two hash aggs + a ≤256-row broadcast) —
+    * all consumers of the ONE checkpointed corpus materialization; the
+    * composition still adds only doc_id-keyed joins.
+    */
+  def curationPipelineScored(spark: SparkSession, dir: String): DataFrame =
+    curationPipelineScoredCore(
+      Tables.spread(Tables.documents(spark, dir))
+        .filter(col("text").isNotNull)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(true))
+
+  /** Core over any (doc_id, lang, text) frame — fixture seam. The
+    * caller materializes `docs`; all tiers (and the score) consume it.
+    */
+  private[graft] def curationPipelineScoredCore(docs: DataFrame): DataFrame = {
+    val nonReps = Dedup.clusterAssignmentsCore(docs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    val gopherKeep = TextAnalysis.gopherRulesCore(docs)
+      .filter(col("keep")).select("doc_id")
+    val repetitionKeep = TextAnalysis.gopherRepetitionCore(docs)
+      .filter(col("keep")).select("doc_id")
+    val contaminated = Dedup.ngramContaminationCore(docs).select("doc_id")
+    val survivors = docs
+      .join(nonReps, Seq("doc_id"), "left_anti")
+      .join(gopherKeep, Seq("doc_id"), "left_semi")
+      .join(repetitionKeep, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % Dedup.benchMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val withSplit = survivors.withColumn("split", Sampling.splitExpr)
+    val scored = withSplit.select("doc_id", "split")
+      .join(Quality.dsirImportanceCore(docs)
+        .select("doc_id", "n_tok", "lr_mean_ppm"), Seq("doc_id"))
+    Seq("train", "eval")
+      .map(sp => GlobalIndex.prefixSummedBy(
+        scored.filter(col("split") === sp), Seq("doc_id"), Seq("n_tok")))
+      .reduce(_ unionAll _)
+      .select(col("doc_id"), col("split"), col("n_tok"),
+        col("lr_mean_ppm"),
+        (col("cum_n_tok") - col("n_tok")).as("start_off"),
+        expr(s"(cum_n_tok - n_tok) div $packSeqLen").as("seq_first"),
+        expr(s"(cum_n_tok - 1) div $packSeqLen").as("seq_last"))
+      .withColumn("crosses", col("seq_last") > col("seq_first"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q311_curation_scored" -> (curationPipelineScored(_, _)),
     "q302_curation_pipeline" -> (curationPipeline(_, _)),
     "q259_greedy_coverage" -> (greedyCoverage(_, _)),
     "q260_packed_offsets" -> (packedOffsets(_, _)),
@@ -725,6 +800,184 @@ object CorpusPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    // q311: q302's chain + q305's repetition battery as a second keep
+    // membership + q307's DSIR CTEs scoring the survivors — the whole
+    // widened pipeline replayed end to end as one CTE program
+    "q311_curation_scored" -> {
+      def gramCte(n: Int, name: String) =
+        s"""$name AS (
+            SELECT doc_id, unnest(list_transform(
+              range(greatest(0, len(ws) - ${n - 1})),
+              i -> {'g': array_to_string(list_slice(ws, i+1, i+$n), ' '),
+                    'gc': list_sum(list_transform(
+                      list_slice(ws, i+1, i+$n), w -> length(w))),
+                    'start': i+1})) AS t
+            FROM b)"""
+      def topCte(n: Int) =
+        s"""top$n AS (
+            SELECT doc_id, (c * gc)::BIGINT AS top${n}_mass FROM (
+              SELECT doc_id, t.g AS g, t.gc AS gc, count(*)::BIGINT AS c,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY count(*) DESC, t.gc DESC, t.g DESC) AS rn
+              FROM g$n GROUP BY doc_id, t.g, t.gc)
+            WHERE rn = 1)"""
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, lang,
+              list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          sh0 AS (
+            SELECT doc_id, lang, unnest(list_distinct(
+              CASE WHEN len(ws) < ${Dedup.shingleSize} THEN []
+                   ELSE list_transform(range(len(ws)-${Dedup.shingleSize - 1}),
+                          i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+              END)) AS sh
+            FROM t),
+          rare AS (SELECT sh FROM sh0 GROUP BY sh
+                   HAVING count(*) <= ${Dedup.maxShingleDf}),
+          capped AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+          sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM capped a JOIN capped b
+              ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          nearp AS (
+            SELECT doc_a AS a, doc_b AS b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)
+              >= ${Dedup.minJaccard}),
+          fps AS (SELECT doc_id, md5(text) AS fp FROM documents
+                  WHERE text IS NOT NULL),
+          grps AS (SELECT fp, min(doc_id) AS rep FROM fps
+                   GROUP BY fp HAVING count(*) > 1),
+          exacte AS (
+            SELECT r.rep AS a, f.doc_id AS b
+            FROM fps f JOIN grps r USING (fp) WHERE f.doc_id <> r.rep),
+          e AS (SELECT a, b FROM exacte UNION SELECT a, b FROM nearp),
+          sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+          vs AS (SELECT DISTINCT a AS v FROM sym),
+          reach AS (
+            SELECT v AS a, v AS b FROM vs
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          comp AS (SELECT a AS v, min(b) AS rep FROM reach GROUP BY 1),
+          nonreps AS (SELECT v AS doc_id FROM comp WHERE v <> rep),
+          m AS (
+            SELECT doc_id,
+              len(ws)::BIGINT AS n_words,
+              coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                ::BIGINT AS sum_len,
+              len(list_filter(ws, w ->
+                contains(w, '#') OR contains(w, '...')))::BIGINT AS n_symbol,
+              len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                ::BIGINT AS n_alpha,
+              len(list_filter(list_distinct(ws),
+                w -> w IN (${TextAnalysis.stopList})))::BIGINT
+                AS n_stop_distinct
+            FROM t),
+          gkeep AS (
+            SELECT doc_id FROM m WHERE n_words > 0
+              AND n_words >= 50 AND n_words <= 100000
+              AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+              AND 10 * n_symbol <= n_words
+              AND 5 * n_alpha >= 4 * n_words
+              AND n_stop_distinct >= 2),
+          b AS (
+            SELECT doc_id, len(ws)::BIGINT AS n_words,
+              coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                ::BIGINT AS sum_len, ws
+            FROM t WHERE len(ws) > 0),
+          ${gramCte(2, "g2")}, ${topCte(2)},
+          ${gramCte(3, "g3")}, ${topCte(3)},
+          ${gramCte(4, "g4")}, ${topCte(4)},
+          ${gramCte(5, "g5")},
+          g5f AS (SELECT doc_id, t.g AS g, t.start AS start FROM g5),
+          d5 AS (
+            SELECT doc_id, g FROM g5f GROUP BY 1, 2 HAVING count(*) >= 2),
+          cov AS (
+            SELECT DISTINCT f.doc_id,
+              unnest(generate_series(f.start, f.start + 4)) AS pos
+            FROM g5f f JOIN d5 USING (doc_id, g)),
+          pidx AS (
+            SELECT doc_id, unnest(list_transform(range(len(ws)),
+              i -> {'pos': i+1, 'wlen': length(ws[i+1])})) AS t
+            FROM b),
+          p AS (SELECT doc_id, t.pos AS pos, t.wlen::BIGINT AS wlen
+                FROM pidx),
+          dm AS (
+            SELECT cov.doc_id, sum(p.wlen)::BIGINT AS dup5_mass
+            FROM cov JOIN p ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+            GROUP BY 1),
+          rkeep AS (
+            SELECT b.doc_id FROM b
+            LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+            LEFT JOIN top4 USING (doc_id) LEFT JOIN dm USING (doc_id)
+            WHERE coalesce(top2_mass, 0) * 100 <= sum_len * 20
+              AND coalesce(top3_mass, 0) * 100 <= sum_len * 18
+              AND coalesce(top4_mass, 0) * 100 <= sum_len * 16
+              AND coalesce(dup5_mass, 0) * 100 <= sum_len * 15),
+          grams AS (
+            SELECT doc_id, unnest(
+              CASE WHEN len(ws) < ${Dedup.shingleSize} THEN []
+                   ELSE list_transform(range(len(ws)-${Dedup.shingleSize - 1}),
+                          i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+              END) AS g
+            FROM t),
+          bench AS (SELECT DISTINCT g FROM grams
+                    WHERE doc_id % ${Dedup.benchMod} = 0),
+          contaminated AS (
+            SELECT DISTINCT g.doc_id
+            FROM grams g JOIN bench bn ON g.g = bn.g
+            WHERE g.doc_id % ${Dedup.benchMod} <> 0),
+          dtok AS (
+            SELECT doc_id, lang, ('0x' || substr(md5(w), 1, 2))::BIGINT AS bk
+            FROM (SELECT doc_id, lang, unnest(ws) AS w FROM t)),
+          dsrc AS (SELECT bk, count(*)::BIGINT AS src FROM dtok GROUP BY 1),
+          dtgt AS (SELECT bk, count(*)::BIGINT AS tgt FROM dtok
+                   WHERE lang = '${Quality.dsirTargetLang}' GROUP BY 1),
+          dratio AS (
+            SELECT s.bk,
+              ((coalesce(t2.tgt, 0) + 1) * 1000000 // (s.src + 1))
+                ::BIGINT AS ratio_ppm
+            FROM dsrc s LEFT JOIN dtgt t2 ON t2.bk = s.bk),
+          dtf AS (SELECT doc_id, bk, count(*)::BIGINT AS tf
+                  FROM dtok GROUP BY 1, 2),
+          dscore AS (
+            SELECT doc_id, sum(tf)::BIGINT AS n_tok,
+              (sum(tf::HUGEINT * ratio_ppm) // sum(tf))::BIGINT
+                AS lr_mean_ppm
+            FROM dtf JOIN dratio USING (bk) GROUP BY doc_id),
+          survivors AS (
+            SELECT d.doc_id FROM documents d
+            WHERE d.text IS NOT NULL
+              AND d.doc_id NOT IN (SELECT doc_id FROM nonreps)
+              AND d.doc_id IN (SELECT doc_id FROM gkeep)
+              AND d.doc_id IN (SELECT doc_id FROM rkeep)
+              AND d.doc_id % ${Dedup.benchMod} <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          split_asg AS (
+            SELECT s.doc_id,
+              CASE WHEN strpos('0123456789abcdef',
+                substr(md5(s.doc_id::VARCHAR || ':split'), 1, 1)) - 1 < 14
+              THEN 'train' ELSE 'eval' END AS split,
+              sc.n_tok, sc.lr_mean_ppm
+            FROM survivors s JOIN dscore sc ON sc.doc_id = s.doc_id),
+          packed AS (
+            SELECT doc_id, split, n_tok, lr_mean_ppm,
+              sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                ::BIGINT AS cum
+            FROM split_asg)
+          SELECT doc_id, split, n_tok, lr_mean_ppm,
+            (cum - n_tok)::BIGINT AS start_off,
+            ((cum - n_tok) // $packSeqLen)::BIGINT AS seq_first,
+            ((cum - 1) // $packSeqLen)::BIGINT AS seq_last,
+            ((cum - 1) // $packSeqLen) > ((cum - n_tok) // $packSeqLen)
+              AS crosses
+          FROM packed ORDER BY doc_id"""
+    },
     // q302: the whole pipeline replayed as chained CTEs — q57's
     // recursive closure, q291's rule battery, q262's gram join, q299's
     // nibble rule and q260's chop arithmetic, composed exactly as the

@@ -768,13 +768,20 @@ object TextAnalysis {
     val base = ws.select(col("doc_id"),
       size(col("ws")).cast("long").as("n_words"),
       aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("sum_len"))
-    // (doc, gram, gram char mass, start) for n-grams of width n
+    // (doc, gram, gram char mass, start) for n-grams of width n.
+    // filter-then-transform, NOT sequence(1, greatest(0, size-n+1)):
+    // Spark's sequence REVERSES when stop < start, so a doc shorter
+    // than n words produced [1, 0] and slice(ws, 0, n) threw — the
+    // vacuous-pass contract in the scaladoc held only because the
+    // testdata corpora have no sub-n docs (latent; surfaced by the
+    // q311 fixture's 3-word doc in r15)
     def grams(n: Int) = ws.select(col("doc_id"),
         explode(expr(
-          s"""transform(sequence(1, greatest(0, size(ws) - ${n - 1})),
-              i -> struct(concat_ws(' ', slice(ws, i, $n)) as g,
-                aggregate(slice(ws, i, $n), 0L, (a, x) -> a + length(x)) as gc,
-                i as start))""")).as("t"))
+          s"""transform(
+                filter(sequence(1, size(ws)), i -> i + ${n - 1} <= size(ws)),
+                i -> struct(concat_ws(' ', slice(ws, i, $n)) as g,
+                  aggregate(slice(ws, i, $n), 0L, (a, x) -> a + length(x)) as gc,
+                  i as start))""")).as("t"))
       .select(col("doc_id"), col("t.g").as("g"), col("t.gc").as("gc"),
         col("t.start").as("start"))
     // char mass of the most frequent n-gram (count, then mass, then

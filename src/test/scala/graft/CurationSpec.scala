@@ -408,6 +408,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       true, true, true, true, true)))
     assert(out(3L) === ((55L, 165L, 72727L, 109090L, 145454L, 181818L,
       true, true, true, false, false)))
+    // sub-n docs pass vacuously with mass 0 (the scaladoc contract):
+    // r15 fix — sequence(1, greatest(0, size-n+1)) REVERSES to [1, 0]
+    // for short docs and threw from slice(ws, 0, n); never fired on
+    // the testdata corpora (no sub-4-word docs)
+    val shorts = Seq((10L, "one"), (11L, "one two"), (12L, "one two three"),
+        (13L, "one two three four"))
+      .toDF("doc_id", "text")
+    val so = TextAnalysis.gopherRepetitionCore(shorts).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getBoolean(11)))).toMap
+    // (top2_ppm, top3_ppm, top4_ppm, keep): rule n is vacuous (ppm 0)
+    // exactly where size < n; the 1-word doc passes everything, while
+    // 2-4-word docs legitimately trip top-2 — their single most
+    // frequent 2-gram IS most of the char mass even at count 1
+    assert(so(10L) === ((0L, 0L, 0L, true)))
+    assert(so(11L)._2 == 0L && so(11L)._3 == 0L && !so(11L)._4)
+    assert(so(12L)._3 == 0L && !so(12L)._4)
+    assert(!so(13L)._4)
   }
 
   test("q283 McNemar: the four paired cells and the discordant-only " +
@@ -643,6 +661,70 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     // the fixture genuinely exercises both splits and a chop boundary
     assert(expected.map(_._2).distinct.size == 2)
     assert(expected.exists(_._7), "some survivor must cross a boundary")
+  }
+
+  test("q311 scored pipeline: the repetition gate drops what q302's " +
+      "battery keeps, the DSIR score rides the manifest, offsets " +
+      "replicate") {
+    import spark.implicits._
+    def words(tag: String) =
+      Seq("the", "and") ++ (1 to 58).map(i => f"$tag%sw$i%02d")
+    val base = words("b")
+    val texts = Seq(
+      0L -> words("d0").mkString(" "),            // bench doc
+      1L -> base.mkString(" "),                   // survives (cluster rep)
+      2L -> base.mkString(" "),                   // exact dup → dropped
+      3L -> base.updated(31, "changedw").mkString(" "), // near dup → dropped
+      4L -> "the and short",                      // composition fail
+      5L -> (words("d5").take(30) ++ Seq("d0w10", "d0w11", "d0w12")
+        ++ words("d5").drop(33)).mkString(" "),   // contaminated
+      // passes every q291 composition rule (60 words, mean len ~6.9,
+      // no symbols, all-alpha, 2 distinct stopwords) but is
+      // wall-to-wall ONE repeated 2-gram: top-2-gram mass 29·14 = 406
+      // of sum_len 412 → 985436 ppm >> the 200000 gate. q305 drops
+      // it; the composition battery alone would keep it — exactly the
+      // regime the new tier exists for.
+      16L -> (Seq("the", "and") ++
+        Seq.fill(29)(Seq("aaaaaaa", "bbbbbbb")).flatten).mkString(" ")
+    ) ++ (6L to 15L).map(i => i -> words(s"d$i").mkString(" "))
+    val docs = texts.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .select("doc_id", "lang", "text")
+    val got = CorpusPrep.curationPipelineScoredCore(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toSeq
+    def nibble(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:split".getBytes("UTF-8"))
+      (d(0) & 0xf0) >>> 4
+    }
+    val survivors = (Seq(1L) ++ (6L to 15L)).sorted
+    val expected = Seq("train", "eval").flatMap { sp =>
+      var cum = 0L
+      survivors.filter(id =>
+          (if (nibble(id) < 14) "train" else "eval") == sp)
+        .map { id =>
+          cum += 60L
+          val start = cum - 60L
+          // all-en fixture → every DSIR bucket's ratio is
+          // (src+1)·10⁶ div (src+1) = exactly 1000000, so each
+          // survivor's lr_mean_ppm is 1000000 (the ratio ARITHMETIC
+          // on mixed languages is q307's own spec/oracle's job; this
+          // pins the carry-through)
+          (id, sp, 60L, 1000000L, start, start / 128L, (cum - 1) / 128L,
+            (cum - 1) / 128L > start / 128L)
+        }
+    }.sortBy(_._1)
+    assert(got == expected, s"got $got")
+  }
+
+  test("q311 pipeline plan: one corpus materialization — no parquet " +
+      "scan below the checkpoint") {
+    val df = CorpusPrep.queries("q311_curation_scored")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      "a tier re-read the corpus from parquet instead of the checkpoint")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
   }
 
   test("q302 pipeline plan: one corpus materialization — no parquet " +
