@@ -828,6 +828,91 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q312 — GOPHER LINE/PARAGRAPH DUPLICATE GATES (Rae et al. 2021
+    * §A1.1's remaining four rows, closing the battery q291+q305
+    * started): per multiline document, the fraction of LINES (and of
+    * PARAGRAPHS) whose content occurs ≥2 times within the document,
+    * and the fraction of CHARACTERS those duplicated grains carry —
+    * thresholds 0.30/0.30/0.20/0.20, applied as cross-multiplied
+    * integer predicates with every ratio an exact truncating ppm.
+    *
+    * THE CORPUS (r14 verdict task 5): the driver's documents table is
+    * single-line by construction (measured r14 — zero texts contain a
+    * newline), so these rules would gate nothing on it and their
+    * oracle would assert vacuity. The multiline corpus is therefore
+    * DERIVED, identically in both engines, by a deterministic
+    * content-addressed construction: docs group into 256 buckets by
+    * md5(text) first-two-hex (the q307 bucket discipline — exact
+    * duplicates land in the SAME bucket by construction, so the
+    * duplicate-line rules genuinely fire wherever the corpus has
+    * them), members sort by (text, doc_id) (copies adjacent → ≥4
+    * copies of one text make two identical paragraphs, so the
+    * paragraph rules can fire too), consecutive pairs join with '\n'
+    * into paragraphs and paragraphs join with '\n\n'. The OPERATOR
+    * then takes only (mdoc_id, text) and re-splits — the multiline
+    * split path is what's under test, replayed in DuckDB via
+    * string_split on chr(10) (the danmaku CSVs prove multiline SCAN;
+    * this proves multiline ANALYSIS).
+    *
+    * Scale: the derivation is one hash agg; the gates are (doc, grain)
+    * hash aggs — grains bounded by document length, never
+    * corpus-scaled; ppm in decimal(38,0) (the q303/q309 overflow
+    * discipline).
+    */
+  def gopherDupLines(spark: SparkSession, dir: String): DataFrame =
+    gopherDupLinesCore(
+      multilineCorpus(Tables.spread(Tables.documents(spark, dir))))
+
+  /** The derived multiline corpus (scaladoc above) — (mdoc_id, text). */
+  private[graft] def multilineCorpus(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        conv(substring(md5(col("text").cast("binary")), 1, 2), 16, 10)
+          .cast("long").as("mdoc_id"))
+      .groupBy("mdoc_id")
+      .agg(sort_array(collect_list(struct(col("text"), col("doc_id"))))
+        .as("ms"))
+      .select(col("mdoc_id"), expr(
+        """array_join(
+             transform(sequence(0, (size(ms) + 1) div 2 - 1),
+               i -> concat_ws('\n', transform(slice(ms, 2 * i + 1, 2),
+                      m -> m.text))),
+             '\n\n')""").as("text"))
+
+  /** Core over any (mdoc_id, text) frame — fixture seam. */
+  private[graft] def gopherDupLinesCore(mdocs: DataFrame): DataFrame = {
+    // one (doc, grain, count) relation per grain; empty strings (the
+    // artifacts of splitting at the paragraph boundary) are not grains
+    def stats(sep: String, out: String) = mdocs
+      .select(col("mdoc_id"),
+        explode(expr(s"filter(split(text, '$sep'), x -> x <> '')")).as("u"))
+      .groupBy("mdoc_id", "u").agg(count(lit(1)).as("c"))
+      .groupBy("mdoc_id").agg(
+        sum("c").as(s"n_$out"),
+        sum(expr("cast(length(u) as decimal(38,0)) * c")).as(s"${out}_chars"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(s"dup_$out"),
+        sum(when(col("c") >= 2,
+            expr("cast(length(u) as decimal(38,0)) * c")).otherwise(lit(0)))
+          .as(s"dup_${out}_chars"))
+    stats("\\n", "lines").join(stats("\\n\\n", "paras"), Seq("mdoc_id"))
+      .select(col("mdoc_id"), col("n_lines"), col("n_paras"),
+        expr("cast(cast(dup_lines as decimal(38,0)) * 1000000" +
+          " div n_lines as bigint)").as("dup_line_ppm"),
+        expr("cast(cast(dup_paras as decimal(38,0)) * 1000000" +
+          " div n_paras as bigint)").as("dup_para_ppm"),
+        expr("cast(dup_lines_chars * 1000000 div lines_chars as bigint)")
+          .as("dup_line_char_ppm"),
+        expr("cast(dup_paras_chars * 1000000 div paras_chars as bigint)")
+          .as("dup_para_char_ppm"),
+        (col("dup_lines") * 10L <= col("n_lines") * 3L).as("line_ok"),
+        (col("dup_paras") * 10L <= col("n_paras") * 3L).as("para_ok"),
+        expr("dup_lines_chars * 10 <= lines_chars * 2").as("line_char_ok"),
+        expr("dup_paras_chars * 10 <= paras_chars * 2").as("para_char_ok"))
+      .withColumn("keep", col("line_ok") && col("para_ok")
+        && col("line_char_ok") && col("para_char_ok"))
+      .orderBy("mdoc_id")
+  }
+
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesCore(Tables.spread(Tables.documents(spark, dir)))
 
@@ -1368,6 +1453,7 @@ object TextAnalysis {
     "q295_vocab_richness" -> (vocabRichness(_, _)),
     "q291_gopher_rules" -> (gopherRules(_, _)),
     "q305_gopher_repetition" -> (gopherRepetition(_, _)),
+    "q312_gopher_dup_lines" -> (gopherDupLines(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
@@ -1846,6 +1932,69 @@ object TextAnalysis {
               AS keep
           FROM j ORDER BY doc_id"""
     },
+    // q312: same content-addressed derivation (md5-two-hex bucket,
+    // (text, doc_id) member order, pair-paragraphs), same chr(10)
+    // splits, same HUGEINT char masses and truncating ppm, same
+    // cross-multiplied thresholds
+    "q312_gopher_dup_lines" ->
+      """WITH mem AS (
+            SELECT ('0x' || substr(md5(text), 1, 2))::BIGINT AS mdoc_id,
+              doc_id, text
+            FROM documents WHERE text IS NOT NULL),
+          g AS (
+            SELECT mdoc_id, list(text ORDER BY text, doc_id) AS ts
+            FROM mem GROUP BY 1),
+          mt AS (
+            SELECT mdoc_id, array_to_string(
+              list_transform(range((len(ts) + 1) // 2),
+                i -> array_to_string(list_slice(ts, 2*i + 1, 2*i + 2),
+                       chr(10))),
+              chr(10) || chr(10)) AS text
+            FROM g),
+          lc AS (
+            SELECT mdoc_id, u, count(*)::BIGINT AS c FROM (
+              SELECT mdoc_id, unnest(list_filter(
+                string_split(text, chr(10)), x -> x <> '')) AS u FROM mt)
+            GROUP BY 1, 2),
+          ls AS (
+            SELECT mdoc_id, sum(c)::BIGINT AS n_lines,
+              sum(length(u)::HUGEINT * c) AS line_chars,
+              coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT AS dup_lines,
+              coalesce(sum(length(u)::HUGEINT * c) FILTER (WHERE c >= 2), 0)
+                AS dup_line_chars
+            FROM lc GROUP BY 1),
+          pc AS (
+            SELECT mdoc_id, u, count(*)::BIGINT AS c FROM (
+              SELECT mdoc_id, unnest(list_filter(
+                string_split(text, chr(10) || chr(10)), x -> x <> '')) AS u
+              FROM mt)
+            GROUP BY 1, 2),
+          ps AS (
+            SELECT mdoc_id, sum(c)::BIGINT AS n_paras,
+              sum(length(u)::HUGEINT * c) AS para_chars,
+              coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT AS dup_paras,
+              coalesce(sum(length(u)::HUGEINT * c) FILTER (WHERE c >= 2), 0)
+                AS dup_para_chars
+            FROM pc GROUP BY 1)
+          SELECT l.mdoc_id, n_lines, n_paras,
+            (dup_lines::HUGEINT * 1000000 // n_lines)::BIGINT
+              AS dup_line_ppm,
+            (dup_paras::HUGEINT * 1000000 // n_paras)::BIGINT
+              AS dup_para_ppm,
+            (dup_line_chars * 1000000 // line_chars)::BIGINT
+              AS dup_line_char_ppm,
+            (dup_para_chars * 1000000 // para_chars)::BIGINT
+              AS dup_para_char_ppm,
+            dup_lines * 10 <= n_lines * 3 AS line_ok,
+            dup_paras * 10 <= n_paras * 3 AS para_ok,
+            dup_line_chars * 10 <= line_chars * 2 AS line_char_ok,
+            dup_para_chars * 10 <= para_chars * 2 AS para_char_ok,
+            (dup_lines * 10 <= n_lines * 3
+              AND dup_paras * 10 <= n_paras * 3
+              AND dup_line_chars * 10 <= line_chars * 2
+              AND dup_para_chars * 10 <= para_chars * 2) AS keep
+          FROM ls l JOIN ps p ON p.mdoc_id = l.mdoc_id
+          ORDER BY l.mdoc_id""",
     "q291_gopher_rules" ->
       s"""WITH t AS (
             SELECT doc_id,

@@ -428,6 +428,70 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!so(13L)._4)
   }
 
+  test("q312 dup-line/paragraph gates: hand multiline fixtures trip " +
+      "each rule; clean doc keeps") {
+    import spark.implicits._
+    val mdocs = Seq(
+      // lines a,b,a,c → dup pair a: dup_lines 2/4, chars 2/4; paras
+      // "a\nb","a\nc" distinct → para side clean
+      (1L, "a\nb\n\na\nc"),
+      // wall-to-wall repetition: lines 6/6 dup, paras 3/3 dup
+      (2L, "aa\nbb\n\naa\nbb\n\naa\nbb"),
+      // all grains distinct → keep
+      (3L, "x1\nx2\n\nx3\nx4")
+    ).toDF("mdoc_id", "text")
+    val out = TextAnalysis.gopherDupLinesCore(mdocs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9), r.getBoolean(10),
+        r.getBoolean(11)))).toMap
+    // (n_lines, n_paras, line_ppm, para_ppm, line_char_ppm,
+    //  para_char_ppm, line_ok, para_ok, line_char_ok, para_char_ok, keep)
+    assert(out(1L) === ((4L, 2L, 500000L, 0L, 500000L, 0L,
+      false, true, false, true, false)))
+    assert(out(2L) === ((6L, 3L, 1000000L, 1000000L, 1000000L, 1000000L,
+      false, false, false, false, false)))
+    assert(out(3L) === ((4L, 2L, 0L, 0L, 0L, 0L,
+      true, true, true, true, true)))
+  }
+
+  test("q312 derivation: content-addressed grouping, (text, doc_id) " +
+      "member order, pair-paragraphs — replica over every bucket") {
+    import spark.implicits._
+    // four copies of one text (different ids, deliberately unordered)
+    // plus two other texts; the replica recomputes every bucket from
+    // first principles, so an md5 bucket collision cannot break it
+    val members = Seq((9L, "t one"), (1L, "t one"), (7L, "t one"),
+      (2L, "t one"), (3L, "u two"), (4L, "v three"))
+    val got = TextAnalysis.multilineCorpus(
+        members.toDF("doc_id", "text").withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bucket(t: String): Long =
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))(0) & 0xff).toLong
+    val expected = members.groupBy(m => bucket(m._2)).map { case (b, ms) =>
+      val ts = ms.sortBy(m => (m._2, m._1)).map(_._2)
+      b -> ts.grouped(2).map(_.mkString("\n")).mkString("\n\n")
+    }
+    assert(got === expected)
+    // the 4-copy text makes two identical paragraphs somewhere — the
+    // grain the paragraph rules exist for
+    val stats = TextAnalysis.gopherDupLinesCore(
+      TextAnalysis.multilineCorpus(
+        members.toDF("doc_id", "text").withColumn("lang", lit("en"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(stats(bucket("t one")) > 0L, "dup_para_ppm must fire")
+  }
+
+  test("q312 on the corpus: every non-empty text is exactly one line " +
+      "of exactly one derived multidoc") {
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("text") =!= "")
+    val nDocs = docs.count()
+    val out = TextAnalysis.queries("q312_gopher_dup_lines")(spark, sf)
+    assert(out.agg(sum("n_lines")).head().getLong(0) === nDocs)
+  }
+
   test("q283 McNemar: the four paired cells and the discordant-only " +
       "statistic on a hand fixture") {
     import spark.implicits._
