@@ -830,15 +830,44 @@ object Dedup {
     * closure reproduces it exactly (q34 pattern).
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterAssignmentsCore(Tables.documents(spark, dir))
-      .groupBy("cluster")
-      .agg(sort_array(collect_list("doc_id")).as("members"),
-        count(lit(1)).as("n_members"))
-      .select(
-        col("members")(0).as("cluster_rep"),
-        array_join(transform(col("members"), _.cast("string")), ",").as("members"),
-        col("n_members"))
-      .orderBy("cluster_rep")
+    clusterMembers(clusterAssignmentsCore(Tables.documents(spark, dir)))
+
+  /** Shared q57/q313 shaping: assignment grain → one row per cluster
+    * with the sorted member list and its size.
+    */
+  private def clusterMembers(asg: DataFrame): DataFrame = asg
+    .groupBy("cluster")
+    .agg(sort_array(collect_list("doc_id")).as("members"),
+      count(lit(1)).as("n_members"))
+    .select(
+      col("members")(0).as("cluster_rep"),
+      array_join(transform(col("members"), _.cast("string")), ",").as("members"),
+      col("n_members"))
+    .orderBy("cluster_rep")
+
+  /** q313 — DUPLICATE CLUSTERS WITH SIMHASH EDGES (r14 verdict task
+    * 6): q57's end step over THREE pair sources — exact-md5 stars ∪
+    * q52 Jaccard edges ∪ q304's Manku-blocked simhash pairs — so the
+    * cluster relation finally sees the regime shingle Jaccard misses
+    * at scale (frequency-weighted similarity: two docs dominated by
+    * the same common-token mass whose distinct-shingle overlap is
+    * small still sit within Hamming 3). The q304 generator is the
+    * 10⁹-doc-scale design (20 per-doc-constant bucket keys, O(N)
+    * expected collisions), so the third source costs what the other
+    * two do — linear in the corpus, graph proportional to the
+    * duplicated subset.
+    *
+    * Rows-only (the seeded-signature class — simhash has no DuckDB
+    * twin, q55/q56/q304's classification): DedupSpec pins the full
+    * relation against an independent plain-Scala union-find replica
+    * over the same three pair sets, and pins the COARSENING law vs
+    * q57 (every q57 cluster maps inside exactly one q313 cluster —
+    * extra edges can only merge components, never split them).
+    */
+  def dedupClustersSimhash(spark: SparkSession, dir: String): DataFrame =
+    clusterMembers(
+      clusterAssignmentsCore(Tables.documents(spark, dir),
+        simhashEdges = true))
 
   /** Duplicate-cluster membership at the ASSIGNMENT grain: (doc_id,
     * cluster) for every doc appearing in at least one duplicate pair,
@@ -848,7 +877,8 @@ object Dedup {
     * the eager checkpoint means a caller composing several tiers pays
     * the pair-graph construction once.
     */
-  private[graft] def clusterAssignmentsCore(docs0: DataFrame): DataFrame = {
+  private[graft] def clusterAssignmentsCore(
+      docs0: DataFrame, simhashEdges: Boolean = false): DataFrame = {
     import org.apache.spark.graphx.Graph
     val docs = docs0.filter(col("text").isNotNull)
     val fp = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
@@ -861,7 +891,18 @@ object Dedup {
       .select(col("rep").as("a"), col("doc_id").as("b"))
     val nearEdges = jaccardPairsCore(docs)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val edges = exactEdges.union(nearEdges)
+    // optional third edge source (r14 verdict task 6): q304's
+    // Manku-blocked simhash pairs — the near-dup regime shingle
+    // Jaccard misses (frequency-weighted similarity under heavy
+    // common-token mass, where the distinct-shingle overlap is small
+    // but the signatures sit within Hamming 3). Same per-doc-constant
+    // generation cost as the other two sources; OFF by default so
+    // q57/q302/q310's oracle-gated relations are untouched.
+    val edgeFrames =
+      if (!simhashEdges) Seq(exactEdges, nearEdges)
+      else Seq(exactEdges, nearEdges, simhashBlockedPairsCore(docs)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val edges = edgeFrames.reduce(_ union _)
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
     // the duplicate-pair graph is tiny next to the corpus: collapse it
     // before Pregel so iteration cost is scheduling-free (GraphOps does
@@ -1372,6 +1413,7 @@ object Dedup {
     "q308_containment_pairs" -> (containmentPairs(_, _)),
     "q310_cluster_canonical_pick" -> (clusterCanonicalPick(_, _)),
     "q57_dedup_clusters" -> (dedupClusters(_, _)),
+    "q313_dedup_clusters_simhash" -> (dedupClustersSimhash(_, _)),
     "q177_incremental_dedup" -> (incrementalDedup(_, _)),
     "q220_dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
     "q257_ppjoin_pairs" -> (ppjoinPairs(_, _)))

@@ -785,15 +785,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("t.g").as("g"), col("t.gc").as("gc"),
         col("t.start").as("start"))
     // char mass of the most frequent n-gram (count, then mass, then
-    // gram DESC — a deterministic argmax both engines replay)
-    def topMass(n: Int, out: String) = {
-      val w = Window.partitionBy("doc_id")
-        .orderBy(desc("c"), desc("gc"), desc("g"))
+    // gram DESC — a deterministic argmax both engines replay).
+    // max_by over struct(c, gc, g), not a row_number window: struct
+    // max IS the (c DESC, gc DESC, g DESC) argmax (ties impossible —
+    // g is part of the group key), and a hash agg with map-side
+    // partials beats three per-doc shuffle+sort windows; same values,
+    // row for row (r15 — q311 composes this three times per run)
+    def topMass(n: Int, out: String) =
       grams(n).groupBy("doc_id", "g", "gc").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), (col("c") * col("gc")).as(out))
-    }
+        .groupBy("doc_id")
+        .agg(max_by(col("c") * col("gc"),
+          struct(col("c"), col("gc"), col("g"))).as(out))
     // union-of-positions char mass of all 5-grams occurring >= 2 times
     val g5 = grams(5)
     val dup5 = g5.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))

@@ -108,6 +108,11 @@ object DedupScaleBench {
         () => Dedup.simhashPairsCore(docs, 64),
         col("hamming") <= 3)
 
+      // "crossover" mode (r14 task 6): only the two contenders at the
+      // production contract — where does 16-bit banding's quadratic
+      // candidate volume lose to 6C3's 20-way explode constant?
+      val crossoverOnly = args.contains("crossover")
+      if (!crossoverOnly) {
       // the r12-verdict scale lever: same kernel at bandBits=32
       // (2 bands — the log₂(corpus)-grown width for ≥10⁹-doc corpora).
       // Expected: candidate volume collapses from a constant fraction
@@ -128,6 +133,7 @@ object DedupScaleBench {
       report("simhash128", n, allPairs, planted,
         () => Dedup.simhash128PairsCore(docs, 64),
         col("hamming") <= 3)
+      }
 
       // the SHIPPED q304: Manku 6-choose-3 blocking of the unchanged
       // 64-bit signature — structurally complete for h64 ≤ 3, so its

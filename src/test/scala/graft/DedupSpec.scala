@@ -290,6 +290,54 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, "1,2,3", 3L), (4L, "4,5,6", 3L)))
   }
 
+  test("q313 clusters with simhash edges: union-find replica over the " +
+      "three pair sets, coarsening law vs q57") {
+    // replica: collect the SAME three pair relations the engine feeds
+    // GraphX, then cluster them with an independent plain-Scala
+    // union-find — what's under test is the composed clustering, the
+    // pair generators carry their own gates (q50/q52 oracles, q304
+    // set-equality)
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+    val fpPairs = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g => val m = g.map(_._1).min
+        g.map(_._1).filter(_ != m).map(b => (m, b)) }.toSeq
+    val nearPairs = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val shPairs = Dedup.simhashBlockedPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (fpPairs ++ nearPairs ++ shPairs).foreach { case (a, b) => union(a, b) }
+    val members = parent.keys.toSeq.groupBy(find).map { case (_, ms) =>
+      val sorted = ms.sorted
+      (sorted.head, sorted.mkString(","), sorted.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.queries("q313_dedup_clusters_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === members, s"engine $got vs replica $members")
+    // coarsening law: extra edges only MERGE components — every
+    // oracle-gated q57 cluster must land inside exactly one q313
+    // cluster
+    val q313Of = got.flatMap { case (rep, ms, _) =>
+      ms.split(",").map(_.toLong -> rep) }.toMap
+    Dedup.dedupClusters(spark, sf).collect().foreach { r =>
+      val ms = r.getString(1).split(",").map(_.toLong)
+      assert(ms.map(q313Of).distinct.length == 1,
+        s"q57 cluster ${r.getLong(0)} straddles q313 clusters")
+    }
+  }
+
   test("repetition signals: hand-computed bigram counts, short docs absent") {
     import graft.ops.TextAnalysis
     val s = spark
