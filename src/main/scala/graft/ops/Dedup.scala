@@ -814,6 +814,79 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q314 window width (tokens). Lee et al. use 50 BPE tokens over
+    * web documents; this corpus is 10-99 whitespace tokens per doc
+    * (median 56), so the equivalent "long enough that chance
+    * collisions are impossible, short enough that real spans exist"
+    * width is 20.
+    */
+  private[graft] val dupSpanW = 20
+
+  /** q314 — DUPLICATE-SPAN COVERAGE (windowed ExactSubstr — the
+    * measurement behind Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", §4.1): document-level dedup (q50)
+    * misses the dominant real-world regime — documents that are NOT
+    * copies but CONTAIN long verbatim runs of each other (licenses,
+    * boilerplate, quoted posts). Per doc: how many of its w-token
+    * windows occur ≥2 times in the whole corpus (within- or
+    * cross-document), and how many of its token POSITIONS those
+    * duplicated windows cover (position union, q305's no-double-count
+    * discipline) — the exact mass ExactSubstr dedup would cut. Exact
+    * truncating ppm; `mostly_dup` is the cross-multiplied ≥50% flag.
+    * Docs shorter than w have no windows and are absent (the q41
+    * zero-token stance).
+    *
+    * Scale vs the suffix-array original: windows are one row per
+    * token (linear), the duplicate set is one hash agg on md5 keys,
+    * and coverage fans out w positions per DUPLICATED occurrence only
+    * — linear in the duplicated mass, never pair-quadratic (no cap
+    * needed: a window occurring k times costs k·w rows, not C(k,2)).
+    */
+  def duplicateSpans(spark: SparkSession, dir: String): DataFrame =
+    duplicateSpansCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, text) frame — fixture seam. */
+  private[graft] def duplicateSpansCore(docs: DataFrame,
+                                        w: Int = dupSpanW): DataFrame = {
+    val ws = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.expr.TextFunctions.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= w)
+    // one (doc, window-hash, start) row per token position that opens
+    // a full window; md5 of the space-joined window = the shuffle key
+    // (32 hex chars instead of a ~120-char token run), same digest on
+    // the oracle side
+    val win = ws.select(col("doc_id"), explode(expr(
+        s"""transform(
+              filter(sequence(1, size(ws)), i -> i + ${w - 1} <= size(ws)),
+              i -> struct(
+                md5(cast(concat_ws(' ', slice(ws, i, $w)) as binary)) as h,
+                i as start))""")).as("t"))
+      .select(col("doc_id"), col("t.h").as("h"), col("t.start").as("start"))
+    val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val dupOcc = win.join(dup, Seq("h"))
+    val cov = dupOcc
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${w - 1})")).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tokens"))
+    val wstats = win.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val dupw = dupOcc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"))
+    ws.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(wstats, Seq("doc_id"))
+      .join(dupw, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_windows", "n_dup_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_windows"),
+        col("n_dup_windows"), col("n_dup_tokens"),
+        expr("""cast(cast(n_dup_tokens as decimal(38,0)) * 1000000
+                div n_words as bigint)""").as("dup_span_ppm"),
+        (col("n_dup_tokens") * 2L >= col("n_words")).as("mostly_dup"))
+      .orderBy("doc_id")
+  }
+
   /** The dedup END STEP a training-data pipeline actually needs: the
     * pair relations (exact md5 groups + Jaccard near-dups) merged into
     * duplicate CLUSTERS with a canonical representative (min doc_id) —
@@ -1414,11 +1487,52 @@ object Dedup {
     "q310_cluster_canonical_pick" -> (clusterCanonicalPick(_, _)),
     "q57_dedup_clusters" -> (dedupClusters(_, _)),
     "q313_dedup_clusters_simhash" -> (dedupClustersSimhash(_, _)),
+    "q314_duplicate_spans" -> (duplicateSpans(_, _)),
     "q177_incremental_dedup" -> (incrementalDedup(_, _)),
     "q220_dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
     "q257_ppjoin_pairs" -> (ppjoinPairs(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q314: same whitespace tokens, same md5 window keys (concat_ws '
+    // ' = array_to_string), same position-union coverage and
+    // truncating ppm
+    "q314_duplicate_spans" -> {
+      val w = dupSpanW
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          b AS (
+            SELECT doc_id, ws, len(ws)::BIGINT AS n_words
+            FROM t WHERE len(ws) >= $w),
+          w0 AS (
+            SELECT doc_id, unnest(list_transform(range(len(ws) - ${w - 1}),
+              i -> {'h': md5(array_to_string(
+                      list_slice(ws, i+1, i+$w), ' ')),
+                    'start': i+1})) AS t
+            FROM b),
+          w2 AS (SELECT doc_id, t.h AS h, t.start AS start FROM w0),
+          dup AS (SELECT h FROM w2 GROUP BY h HAVING count(*) >= 2),
+          cov AS (
+            SELECT DISTINCT doc_id,
+              unnest(generate_series(start, start + ${w - 1})) AS pos
+            FROM w2 JOIN dup USING (h)),
+          cv AS (SELECT doc_id, count(*)::BIGINT AS n_dup_tokens
+                 FROM cov GROUP BY 1),
+          wst AS (SELECT doc_id, count(*)::BIGINT AS n_windows
+                  FROM w2 GROUP BY 1),
+          dw AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+                 FROM w2 JOIN dup USING (h) GROUP BY 1)
+          SELECT b.doc_id, n_words, n_windows,
+            coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows,
+            coalesce(n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+            (coalesce(n_dup_tokens, 0)::HUGEINT * 1000000 // n_words)
+              ::BIGINT AS dup_span_ppm,
+            coalesce(n_dup_tokens, 0) * 2 >= n_words AS mostly_dup
+          FROM b JOIN wst USING (doc_id)
+          LEFT JOIN dw USING (doc_id) LEFT JOIN cv USING (doc_id)
+          ORDER BY doc_id"""
+    },
     // q300: same whitespace tokens, tf collapse, df-cap anti-join,
     // lang-blocked term self-join; the sqrt-free cross-multiplied
     // threshold and cos² ppm in HUGEINT

@@ -338,6 +338,49 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q314 duplicate spans: cross-doc run, within-doc repeat, clean " +
+      "and sub-w docs — engine matches a plain-Scala replica") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 25).map(i => s"run$i")
+    val docs = Seq(
+      1L -> ((1 to 20).map(i => s"a$i") ++ shared),          // run at 21..45
+      2L -> (shared ++ (1 to 30).map(i => s"b$i")),          // run at 1..25
+      3L -> ((1 to 20).map(i => s"c$i") ++ Seq("mid")
+        ++ (1 to 20).map(i => s"c$i")),                      // internal repeat
+      4L -> (1 to 40).map(i => s"u$i"),                      // clean
+      5L -> (1 to 19).map(i => s"s$i"))                      // sub-w → absent
+    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpansCore(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    // independent replica: sliding windows, global counts, position
+    // union — no md5, no Spark
+    val w = Dedup.dupSpanW
+    val toks = docs.filter(_._2.size >= w)
+    val wins = toks.flatMap { case (id, ts) =>
+      ts.sliding(w).zipWithIndex
+        .map { case (win, i) => (id, win.mkString(" "), i + 1) } }
+    val counts = wins.groupBy(_._2).view.mapValues(_.size).toMap
+    val expected = toks.map { case (id, ts) =>
+      val mine = wins.filter(_._1 == id)
+      val dups = mine.filter(v => counts(v._2) >= 2)
+      val covered = dups.flatMap(v => v._3 until (v._3 + w))
+        .distinct.size.toLong
+      (id, ts.size.toLong, mine.size.toLong, dups.size.toLong, covered,
+        covered * 1000000L / ts.size, covered * 2 >= ts.size)
+    }.sortBy(_._1)
+    assert(got === expected)
+    // every regime genuinely fires
+    val byId = expected.map(e => e._1 -> e).toMap
+    assert(byId(1L)._5 == 25L && byId(2L)._5 == 25L)
+    assert(byId(1L)._7 && !byId(2L)._7) // 25/45 ≥ half, 25/55 not
+    assert(byId(3L)._5 == 40L)
+    assert(byId(4L)._5 == 0L)
+    assert(!expected.exists(_._1 == 5L))
+  }
+
   test("repetition signals: hand-computed bigram counts, short docs absent") {
     import graft.ops.TextAnalysis
     val s = spark
