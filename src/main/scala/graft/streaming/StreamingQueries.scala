@@ -1209,6 +1209,15 @@ object StreamingQueries {
       val banded = spark.readStream.schema(inSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(input.toString)
+        // each staged slice is ONE parquet file → ONE scan task per
+        // micro-batch, which serialized the 128-hash MinHash signature
+        // work (~1 s/batch measured, the query's dominant cost). A
+        // round-robin repartition of the raw docs (~2 MB/batch) buys
+        // 8-way parallel signature compute; the emitted relation is
+        // partitioning-independent (pairs come from bucket-keyed
+        // state, exactly-once by first-colliding-band), which the
+        // batch set-equality spec re-proves every run.
+        .repartition(8)
         .select(col("doc_id"), Dedup.rowSignature(col("text")).as("signature"))
         .filter(col("signature").isNotNull)
         .select(col("doc_id"), col("signature"),
