@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expr.{SimHash64, TextFunctions}
@@ -887,6 +888,91 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q315 kept-fragment floor: segments shorter than this survive no
+    * ExactSubstr cut (Lee et al. drop sub-sentence fragments — a
+    * 1-4-token island between two cut spans is noise, not data).
+    */
+  private[graft] val spanKeepMin = 5
+
+  /** q315 — SPAN-REMOVAL MANIFEST (the EDIT q314 measures): per doc,
+    * the maximal intervals of token positions NOT covered by any
+    * duplicated w-window — i.e. exactly what survives an ExactSubstr
+    * cut (Lee et al. 2021 §4.1 removes the duplicated substring and
+    * keeps the flanks). q314 answers "how much would dedup cut";
+    * this emits the cut itself as (doc_id, seg_start, seg_end,
+    * seg_len) kept segments, fragments under [[spanKeepMin]] dropped.
+    * Clean docs keep one whole-doc segment; wall-to-wall duplicated
+    * docs keep nothing.
+    *
+    * Scale: the interval algebra runs on the DUPLICATED occurrences
+    * only — covered intervals merge via a per-doc running-max window
+    * (the q-interval-union kernel), kept segments are the lag-gaps
+    * plus head/tail — never an all-positions explode; docs without a
+    * single duplicated window bypass the window path entirely via the
+    * anti-join branch.
+    */
+  def spanRemovalManifest(spark: SparkSession, dir: String): DataFrame =
+    spanRemovalManifestCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, text) frame — fixture seam. */
+  private[graft] def spanRemovalManifestCore(docs: DataFrame,
+                                             w: Int = dupSpanW,
+                                             keepMin: Int = spanKeepMin)
+      : DataFrame = {
+    val ws = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.expr.TextFunctions.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= w)
+    val win = ws.select(col("doc_id"), explode(expr(
+        s"""transform(
+              filter(sequence(1, size(ws)), i -> i + ${w - 1} <= size(ws)),
+              i -> struct(
+                md5(cast(concat_ws(' ', slice(ws, i, $w)) as binary)) as h,
+                i as start))""")).as("t"))
+      .select(col("doc_id"), col("t.h").as("h"), col("t.start").as("start"))
+    val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val occ = win.join(dup, Seq("h"))
+      .select(col("doc_id"), col("start").cast("long").as("s"),
+        (col("start") + (w - 1)).cast("long").as("e"))
+    // merge covered intervals: new island iff this window starts past
+    // the running max end + 1 (touching intervals merge, a 1-position
+    // gap does not)
+    val wOrd = Window.partitionBy("doc_id").orderBy("s")
+    val islands = occ
+      .withColumn("pme",
+        max("e").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme") + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("isl",
+        sum("ni").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl")
+      .agg(min("s").as("c_start"), max("e").as("c_end"))
+    val n = ws.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+    val wIsl = Window.partitionBy("doc_id").orderBy("c_start")
+    // the gap BEFORE each covered island (head gap via the lag-null
+    // coalesce), the tail gap after the last island, and whole clean docs
+    val gaps = islands
+      .withColumn("prev_end", lag("c_end", 1).over(wIsl))
+      .select(col("doc_id"),
+        (coalesce(col("prev_end"), lit(0L)) + 1L).as("seg_start"),
+        (col("c_start") - 1L).as("seg_end"))
+    val tails = islands.groupBy("doc_id").agg(max("c_end").as("last_end"))
+      .join(n, Seq("doc_id"))
+      .select(col("doc_id"), (col("last_end") + 1L).as("seg_start"),
+        col("n_words").as("seg_end"))
+    val clean = n
+      .join(islands.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("seg_start"),
+        col("n_words").as("seg_end"))
+    gaps.unionByName(tails).unionByName(clean)
+      .filter(col("seg_end") - col("seg_start") + 1L >= keepMin)
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        (col("seg_end") - col("seg_start") + 1L).as("seg_len"))
+      .orderBy("doc_id", "seg_start")
+  }
+
   /** The dedup END STEP a training-data pipeline actually needs: the
     * pair relations (exact md5 groups + Jaccard near-dups) merged into
     * duplicate CLUSTERS with a canonical representative (min doc_id) —
@@ -1488,6 +1574,7 @@ object Dedup {
     "q57_dedup_clusters" -> (dedupClusters(_, _)),
     "q313_dedup_clusters_simhash" -> (dedupClustersSimhash(_, _)),
     "q314_duplicate_spans" -> (duplicateSpans(_, _)),
+    "q315_span_removal_manifest" -> (spanRemovalManifest(_, _)),
     "q177_incremental_dedup" -> (incrementalDedup(_, _)),
     "q220_dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
     "q257_ppjoin_pairs" -> (ppjoinPairs(_, _)))
@@ -1532,6 +1619,69 @@ object Dedup {
           FROM b JOIN wst USING (doc_id)
           LEFT JOIN dw USING (doc_id) LEFT JOIN cv USING (doc_id)
           ORDER BY doc_id"""
+    },
+    // q315: same windows/digests as q314, covered-interval union via
+    // the same running-max island rule, kept segments as lag-gaps +
+    // tail + clean-doc branch, same keep floor
+    "q315_span_removal_manifest" -> {
+      val w = dupSpanW
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          b AS (
+            SELECT doc_id, ws, len(ws)::BIGINT AS n_words
+            FROM t WHERE len(ws) >= $w),
+          w0 AS (
+            SELECT doc_id, unnest(list_transform(range(len(ws) - ${w - 1}),
+              i -> {'h': md5(array_to_string(
+                      list_slice(ws, i+1, i+$w), ' ')),
+                    'start': i+1})) AS t
+            FROM b),
+          w2 AS (SELECT doc_id, t.h AS h, t.start AS start FROM w0),
+          dup AS (SELECT h FROM w2 GROUP BY h HAVING count(*) >= 2),
+          occ AS (
+            SELECT doc_id, start::BIGINT AS s, (start + ${w - 1})::BIGINT AS e
+            FROM w2 JOIN dup USING (h)),
+          m0 AS (
+            SELECT doc_id, s, e,
+              max(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+            FROM occ),
+          m1 AS (
+            SELECT doc_id, s, e,
+              CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END AS ni
+            FROM m0),
+          m2 AS (
+            SELECT doc_id, s, e,
+              sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+            FROM m1),
+          isl AS (
+            SELECT doc_id, isl, min(s) AS c_start, max(e) AS c_end
+            FROM m2 GROUP BY 1, 2),
+          nw AS (SELECT doc_id, n_words FROM b),
+          gaps AS (
+            SELECT doc_id,
+              coalesce(lag(c_end) OVER (PARTITION BY doc_id
+                ORDER BY c_start), 0) + 1 AS seg_start,
+              c_start - 1 AS seg_end
+            FROM isl),
+          tails AS (
+            SELECT isl.doc_id, max(c_end) + 1 AS seg_start,
+              max(nw.n_words) AS seg_end
+            FROM isl JOIN nw ON nw.doc_id = isl.doc_id GROUP BY 1),
+          clean AS (
+            SELECT doc_id, 1 AS seg_start, n_words AS seg_end FROM nw
+            WHERE doc_id NOT IN (SELECT doc_id FROM isl)),
+          segs AS (
+            SELECT * FROM gaps UNION ALL SELECT * FROM tails
+            UNION ALL SELECT * FROM clean)
+          SELECT doc_id, seg_start::BIGINT AS seg_start,
+            seg_end::BIGINT AS seg_end,
+            (seg_end - seg_start + 1)::BIGINT AS seg_len
+          FROM segs WHERE seg_end - seg_start + 1 >= $spanKeepMin
+          ORDER BY doc_id, seg_start"""
     },
     // q300: same whitespace tokens, tf collapse, df-cap anti-join,
     // lang-blocked term self-join; the sqrt-free cross-multiplied

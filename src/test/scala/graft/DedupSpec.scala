@@ -381,6 +381,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!expected.exists(_._1 == 5L))
   }
 
+  test("q315 span-removal manifest: kept segments are the exact " +
+      "complement of the duplicated-span union") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 25).map(i => s"run$i")
+    val docs = Seq(
+      1L -> ((1 to 20).map(i => s"a$i") ++ shared),  // covered 21..45 of 45
+      2L -> (shared ++ (1 to 30).map(i => s"b$i")),  // covered 1..25 of 55
+      3L -> ((1 to 20).map(i => s"c$i") ++ Seq("mid")
+        ++ (1 to 20).map(i => s"c$i")),              // covered 1..20 ∪ 22..41
+      4L -> (1 to 40).map(i => s"u$i"),              // clean
+      5L -> (1 to 19).map(i => s"s$i"))              // sub-w → absent
+    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Dedup.spanRemovalManifestCore(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // doc 1 keeps its unique head; doc 2 its unique tail; doc 3 keeps
+    // NOTHING (the only island between its two covered runs is the
+    // 1-token "mid", under the keep floor); doc 4 keeps itself whole;
+    // doc 5 has no windows at all
+    assert(got === Seq(
+      (1L, 1L, 20L, 20L),
+      (2L, 26L, 55L, 30L),
+      (4L, 1L, 40L, 40L)))
+  }
+
   test("repetition signals: hand-computed bigram counts, short docs absent") {
     import graft.ops.TextAnalysis
     val s = spark
