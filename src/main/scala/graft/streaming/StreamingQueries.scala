@@ -1180,7 +1180,26 @@ object StreamingQueries {
     * are non-discriminative, q52's argument) or a watermark TTL; the
     * bounded replay keeps everything so the parity pin is exact.
     */
-  def streamingLshDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamingLshDedup(spark: SparkSession, dir: String): DataFrame =
+    streamingLshDedupImpl(spark, dir, bucketCap = Int.MaxValue)
+
+  /** Implementation with the PRODUCTION state bound exposed
+    * (r15; the scaladoc above claims the df-cap discipline bounds the
+    * keyed state — this makes the claim code, spec-pinned). A bucket
+    * SATURATES at `bucketCap` members: later arrivals neither join its
+    * list nor emit pairs from it — the streaming-feasible prefix
+    * variant of q52's rule (batch drops a hot shingle's ENTIRE pair
+    * set retroactively; a stream cannot un-emit, so it stops at the
+    * cap — candidates from ultra-hot buckets are non-discriminative
+    * either way, q52's argument). State per bucket ≤ cap, pairs per
+    * bucket ≤ C(cap, 2). A pair whose FIRST colliding band is
+    * saturated is dropped even if a later shared band has room — the
+    * exactly-once discipline and the cap compose that way by design.
+    * The registered q285 runs unbounded so the batch set-equality pin
+    * stays exact.
+    */
+  private[graft] def streamingLshDedupImpl(spark: SparkSession, dir: String,
+                                           bucketCap: Int): DataFrame = {
     import spark.implicits._
     import graft.ops.Dedup
     val minEst = 0.5
@@ -1245,19 +1264,24 @@ object StreamingQueries {
             val out = Seq.newBuilder[(Long, Long, Double)]
             var acc = seen
             for (nd <- fresh) {
-              for ((oid, osig) <- acc if oid != nd.doc_id) {
-                val (la, sa, lb, sb) =
-                  if (oid < nd.doc_id) (oid, osig, nd.doc_id, nd.signature)
-                  else (nd.doc_id, nd.signature, oid, osig)
-                // first-colliding-band = exactly-once across bucket keys
-                if (firstBand(sa, sb) == nd.band) {
-                  val matches = sa.zip(sb).count { case (x, y) => x == y }
-                  val est = BigDecimal(matches.toDouble / Dedup.numHashes)
-                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-                  if (est >= minEst) out += ((la, lb, est))
+              // saturated bucket (scaladoc above): no new members, no
+              // new pairs — state and per-bucket pair volume both
+              // bounded by the cap
+              if (acc.size < bucketCap) {
+                for ((oid, osig) <- acc if oid != nd.doc_id) {
+                  val (la, sa, lb, sb) =
+                    if (oid < nd.doc_id) (oid, osig, nd.doc_id, nd.signature)
+                    else (nd.doc_id, nd.signature, oid, osig)
+                  // first-colliding-band = exactly-once across bucket keys
+                  if (firstBand(sa, sb) == nd.band) {
+                    val matches = sa.zip(sb).count { case (x, y) => x == y }
+                    val est = BigDecimal(matches.toDouble / Dedup.numHashes)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                    if (est >= minEst) out += ((la, lb, est))
+                  }
                 }
+                acc = acc :+ ((nd.doc_id, nd.signature))
               }
-              acc = acc :+ ((nd.doc_id, nd.signature))
             }
             state.update(acc)
             out.result().iterator

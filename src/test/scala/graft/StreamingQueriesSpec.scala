@@ -44,6 +44,38 @@ class StreamingQueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q285 bounded bucket state: a saturated bucket stops growing " +
+    "and emitting; cold-bucket pairs still surface") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // 6 identical clones of T (every band collides; first-colliding
+    // band 0 carries the pairs) + 2 identical clones of U (the
+    // discriminative pair a cap must not lose). Staging splits by
+    // doc_id % 3, so T-bucket arrival order is 3,6 | 1,4 | 2,5.
+    val tTok = (1 to 30).map(i => s"t$i").mkString(" ")
+    val uTok = (1 to 30).map(i => s"u$i").mkString(" ")
+    val docs = (Seq(1L, 2L, 3L, 4L, 5L, 6L).map(_ -> tTok)
+      ++ Seq(101L, 102L).map(_ -> uTok))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q285cap_")
+      .toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // unbounded: every clone pair — C(6,2) + 1
+    val unbounded = rows(
+      StreamingQueries.streamingLshDedupImpl(spark, dir, Int.MaxValue))
+    assert(unbounded.size == 16, s"unbounded got ${unbounded.size}")
+    // cap 3: the T bucket saturates after members {3, 6, 1} — exactly
+    // the prefix pairs (3,6), (1,3), (1,6) — while U's cold bucket
+    // still emits its pair
+    val capped = rows(StreamingQueries.streamingLshDedupImpl(spark, dir, 3))
+      .map { case Seq(a: Long, b: Long, _) => (a, b) }.toSet
+    assert(capped === Set((3L, 6L), (1L, 3L), (1L, 6L), (101L, 102L)),
+      s"capped got $capped")
+  }
+
   test("q194: streaming sliding windows == batch 4-covering-window " +
     "recompute, multi-batch accumulation") {
     import org.apache.spark.sql.functions._
