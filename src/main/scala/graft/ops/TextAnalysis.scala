@@ -1275,6 +1275,88 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q316 — CCNET PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.3: split
+    * each language into head/middle/tail THIRDS BY TOKEN MASS in
+    * model-score order — the selection rule behind the CCNet corpus
+    * and most of its descendants). Scores are q196's bigram-LM mean
+    * (ours is mean bigram probability, so high = CCNet's low
+    * perplexity = head); per language, docs order best-first and the
+    * cumulative token mass assigns each doc's bucket by its START
+    * offset (start·3 < total → head, < 2·total → middle, else tail —
+    * the first doc of a language is always head however heavy it is).
+    * Output is the mixture report at the (lang, bucket) grain: doc
+    * count, token mass, mass share in exact ppm, score range. Docs
+    * with no bigram carry no score and are absent — q196's stance.
+    *
+    * Scale: scoring is q196's (two hash aggs + a window over bigram
+    * first tokens); the best-first order runs on the TWO-PHASE
+    * prefix-sum kernel with (lang, -score, doc_id) as the range key —
+    * never a per-language single-partition window (one hot language
+    * at 100 TB IS most of the corpus); language totals/offsets live at
+    * the bounded language grain and broadcast.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, lang, text) frame — fixture seam. */
+  private[graft] def ccnetBucketsCore(docs: DataFrame): DataFrame = {
+    // eager checkpoint of the per-doc scored frame (one row per doc,
+    // tiny): EVERY downstream consumer — the language-rank grain, the
+    // language totals, and the two-phase kernel's several passes
+    // (range probe, local sums, per-pid offsets) — reads it, and the
+    // scoring subplan above it (bigram explode + model window + join)
+    // must not recompute per consumer (measured: 10.4 s warm without,
+    // 2.6 s with — the scoring re-ran ~5x)
+    val scored = lmDocScoresCore(docs)
+      .join(docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          graft.expr.TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tok")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        col("lm_score_ppm"), (-col("lm_score_ppm")).as("neg_score"))
+      .localCheckpoint(true)
+    // the kernel range-partitions on a NUMERIC head key: fold
+    // (lang_rank, neg_score) into one — scores are ppm ∈ [0, 10⁶], so
+    // rank·4·10⁶ + neg_score + 2·10⁶ orders exactly like
+    // (lang ASC, score DESC) and stays integer-exact in the double
+    // the range prober casts to (≤ ~10⁹ for any real language count)
+    val langRank = scored.select("lang").distinct()
+      .withColumn("lang_rank",
+        row_number().over(Window.orderBy("lang")).cast("long"))
+    val keyed = scored.join(broadcast(langRank), Seq("lang"))
+      .withColumn("rkey",
+        col("lang_rank") * 4000000L + col("neg_score") + 2000000L)
+    val cum = GlobalIndex.prefixSummedBy(keyed,
+      Seq("rkey", "doc_id"), Seq("n_tok"))
+    val langTot = scored.groupBy("lang").agg(sum("n_tok").as("lang_tot"))
+    // bounded language grain: where each language's run starts in the
+    // global (lang-major) cumulative — langs sort ascending, matching
+    // the kernel's major key
+    val wLang = Window.orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val langOff = langTot
+      .withColumn("lang_off", coalesce(sum("lang_tot").over(wLang), lit(0L)))
+    val bucketed = cum.join(broadcast(langOff), Seq("lang"))
+      .withColumn("start",
+        col("cum_n_tok") - col("lang_off") - col("n_tok"))
+      .withColumn("bucket",
+        when(col("start") * 3L < col("lang_tot"), "1_head")
+          .when(col("start") * 3L < col("lang_tot") * 2L, "2_middle")
+          .otherwise("3_tail"))
+    bucketed.groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        min("lm_score_ppm").as("min_score_ppm"),
+        max("lm_score_ppm").as("max_score_ppm"))
+      .join(broadcast(langTot), Seq("lang"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("n_tokens"),
+        expr("""cast(cast(n_tokens as decimal(38,0)) * 1000000
+                div lang_tot as bigint)""").as("mass_ppm"),
+        col("min_score_ppm"), col("max_score_ppm"))
+      .orderBy("lang", "bucket")
+  }
+
   /** The q198 vocabulary cut: top-N corpus tokens by frequency, ties
     * broken by token string — deterministic, so the oracle re-derives
     * the identical vocabulary.
@@ -1436,6 +1518,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "q196_lm_doc_scores" -> (lmDocScores(_, _)),
+    "q316_ccnet_buckets" -> (ccnetBuckets(_, _)),
     "q266_vocab_growth" -> (vocabGrowth(_, _)),
     "q267_importance_scores" -> (importanceScores(_, _)),
     "q198_vocab_oov" -> (vocabOov(_, _)),
@@ -1642,6 +1725,54 @@ object TextAnalysis {
             (sum(r.r_ppm) // count(*))::BIGINT AS importance_ppm
           FROM tok JOIN r USING (w)
           GROUP BY 1, 2 ORDER BY tok.doc_id""",
+    // q316: q196's scoring CTEs verbatim, then the oracle's
+    // single-node privilege — a per-language cumulative window in
+    // (score DESC, doc_id) order — replays the start-offset thirds
+    // rule and the (lang, bucket) rollup exactly
+    "q316_ccnet_buckets" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             list_filter(string_split(text,' '), w -> w <> '') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         db AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(ws) < 2 THEN []
+                  ELSE list_transform(range(len(ws)-1),
+                         i -> ws[i+1] || ' ' || ws[i+2])
+             END) AS g
+           FROM t),
+         m AS (SELECT g, count(*)::BIGINT AS c12 FROM db GROUP BY 1),
+         m2 AS (
+           SELECT g, ((c12::HUGEINT * 1000000)
+             // sum(c12) OVER (PARTITION BY string_split(g,' ')[1])
+             )::BIGINT AS p_ppm
+           FROM m),
+         sc AS (
+           SELECT doc_id, (sum(p_ppm) // count(*))::BIGINT AS score
+           FROM db JOIN m2 USING (g) GROUP BY 1),
+         d AS (
+           SELECT t.doc_id, t.lang, len(t.ws)::BIGINT AS n_tok, sc.score
+           FROM t JOIN sc ON sc.doc_id = t.doc_id),
+         cumd AS (
+           SELECT *,
+             sum(n_tok) OVER (PARTITION BY lang
+               ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n_tok) OVER (PARTITION BY lang) AS lang_tot
+           FROM d),
+         bk AS (
+           SELECT lang, score, n_tok, lang_tot,
+             CASE WHEN (cum - n_tok) * 3 < lang_tot THEN '1_head'
+                  WHEN (cum - n_tok) * 3 < 2 * lang_tot THEN '2_middle'
+                  ELSE '3_tail' END AS bucket
+           FROM cumd)
+         SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens,
+           ((sum(n_tok)::HUGEINT * 1000000) // max(lang_tot))::BIGINT
+             AS mass_ppm,
+           min(score)::BIGINT AS min_score_ppm,
+           max(score)::BIGINT AS max_score_ppm
+         FROM bk GROUP BY 1, 2 ORDER BY 1, 2""",
     // q196: identical tokenization/bigram CTEs as q139, model p in exact
     // integer ppm, doc score = integral mean over bigram occurrences
     "q196_lm_doc_scores" ->

@@ -492,6 +492,55 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out.agg(sum("n_lines")).head().getLong(0) === nDocs)
   }
 
+  test("q316 CCNet buckets: start-offset thirds by token mass per " +
+      "language — replica over the engine's own q196 scores") {
+    import spark.implicits._
+    // two languages; per-doc scores come from the shared corpus bigram
+    // model (q196-gated arithmetic — the replica only re-derives the
+    // NEW logic: ordering, mass thirds, rollup). Texts engineered so
+    // scores differ (repetitive bigrams score high, unique ones low)
+    // and 'b' has one doc heavy enough to cross the first boundary.
+    val docs = Seq(
+      (1L, "a", "x y x y x y x y"),                 // predictable → high
+      (2L, "a", "p q r s t u v w"),                 // unique bigrams → low
+      (3L, "a", "x y x y p q"),
+      (4L, "a", "m n m n m n"),
+      (5L, "b", ("x y " * 10).trim),                // heavy best doc
+      (6L, "b", "g h i j"),
+      (7L, "b", "k l x y"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.ccnetBucketsCore(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val scores = TextAnalysis.lmDocScoresCore(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val toks = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        r.getString(2).split("\\s+").count(_.nonEmpty).toLong)).toSeq
+    val expected = toks.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val ordered = ds.filter(d => scores.contains(d._1))
+        .sortBy(d => (-scores(d._1), d._1))
+      val tot = ordered.map(_._3).sum
+      var cum = 0L
+      val rows = ordered.map { case (id, _, n) =>
+        val start = cum; cum += n
+        val b = if (start * 3 < tot) "1_head"
+          else if (start * 3 < 2 * tot) "2_middle" else "3_tail"
+        (b, id, n)
+      }
+      rows.groupBy(_._1).toSeq.map { case (b, rs) =>
+        (lang, b, rs.size.toLong, rs.map(_._3).sum,
+          rs.map(_._3).sum * 1000000L / tot,
+          rs.map(r => scores(r._2)).min, rs.map(r => scores(r._2)).max)
+      }
+    }.sortBy(e => (e._1, e._2))
+    assert(got === expected, s"got $got vs $expected")
+    // the fixture genuinely exercises all three buckets somewhere and
+    // the first doc of each language is head
+    assert(expected.count(_._2 == "1_head") == 2)
+    assert(expected.exists(_._2 == "3_tail"))
+  }
+
   test("q283 McNemar: the four paired cells and the discordant-only " +
       "statistic on a hand fixture") {
     import spark.implicits._
