@@ -483,6 +483,136 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** k and fixed round count for q317's Lloyd iteration. */
+  val kmeansK = 8
+  val kmeansIters = 3
+
+  /** q317 — DETERMINISTIC LLOYD K-MEANS over the int8-quantized
+    * embeddings: the oracle-gated twin of q65's seeded coarse quantizer
+    * (the same move q256 made for q64's seeded hyperplanes).
+    * `ml.clustering.KMeans` is seeded and float-accumulating, so its
+    * assignments have no SQL twin; this one is EXACT end to end and
+    * replays in DuckDB as three chained CTE rounds:
+    *
+    *   - vectors are q115's int8 quantization SHIFTED by +127 into
+    *     [0, 254] — distances are translation-invariant, and keeping
+    *     every centroid numerator non-negative makes Spark's `div`
+    *     (truncate toward zero) and DuckDB's `//` (floor toward −∞)
+    *     agree on the centroid update;
+    *   - centroids live in exact integer micro-units:
+    *     cm = (Σx·10⁶ + n/2) div n — integer round-half-up of the mean
+    *     in decimal(38,0) (the q303/q309 overflow discipline; Σx·10⁶
+    *     outgrows BIGINT past ~9·10¹² member rows), no float mean to
+    *     reconcile cross-engine;
+    *   - assignment minimizes the exact integer d² = Σ(x·10⁶ − cm)²
+    *     (≤ 64·(254·10⁶)² ≈ 4.1·10¹⁸ < 2⁶³), ties to the smallest
+    *     cluster id; an emptied cluster keeps its previous centroid;
+    *   - init = the k smallest vec_ids' vectors (no seed, no RNG).
+    *
+    * Scale: each round broadcasts k×d micro-centroids (bounded — they
+    * ride as a literal frame, q65's centroid discipline) against one
+    * scan of the checkpointed quantized frame; assignment is a
+    * codegen'd zip_with/aggregate projection + a map-side-combining
+    * argmin hash agg, the recenter a (cluster, pos) hash agg to k·d
+    * rows collected driver-side (bounded). Rounds × one-pass-each is
+    * the honest Lloyd cost at any corpus size.
+    */
+  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame =
+    kmeansLloydCore(spark, int8QuantizedCore(Tables.embeddings(spark, dir)))
+
+  /** Core over any quantized (vec_id, qs) frame — fixture seam. */
+  private[graft] def kmeansLloydCore(spark: SparkSession,
+                                     quant: DataFrame): DataFrame = {
+    val s = spark
+    import s.implicits._
+    // shifted into [0, 254]; eagerly checkpointed — every round's
+    // assign and recenter pass re-reads it, and the quantization chain
+    // above it must not recompute per pass
+    val xs = quant
+      .select(col("vec_id"), expr("transform(qs, q -> q + 127L)").as("xs"))
+      .localCheckpoint()
+    val seeds: Seq[(Long, Seq[Long])] =
+      xs.orderBy("vec_id").limit(kmeansK).collect().toSeq
+        .zipWithIndex.map { case (r, i) =>
+          (i.toLong, r.getSeq[Long](1).map(_ * 1000000L)) }
+    def assign(centroids: Seq[(Long, Seq[Long])]): DataFrame =
+      xs.crossJoin(broadcast(centroids.toDF("cluster", "cm")))
+        .select(col("vec_id"), col("cluster"), expr(
+          """aggregate(
+               zip_with(xs, cm, (x, c) -> (x * 1000000L - c) * (x * 1000000L - c)),
+               0L, (acc, v) -> acc + v)""").as("d2m2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2m2"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.d2m2").as("d2m2"))
+    def recenter(assigned: DataFrame,
+                 prev: Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] = {
+      val means = assigned.select(col("vec_id"), col("cluster"))
+        .join(xs, "vec_id")
+        .select(col("cluster"), posexplode(col("xs")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(expr("(cast(sum(x) as decimal(38,0)) * 1000000 + count(1) div 2)" +
+          " div count(1)").as("cm"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+      prev.map { case (c, old) => (c, means.getOrElse(c, old)) }
+    }
+    val finalAssign = (1 to kmeansIters)
+      .foldLeft((seeds, Option.empty[DataFrame])) { case ((cs, _), it) =>
+        val asg = assign(cs)
+        (if (it < kmeansIters) recenter(asg, cs) else cs, Some(asg))
+      }._2.get
+    finalAssign.orderBy("vec_id")
+  }
+
+  /** q318 — INT8 TOP-K WITH RECALL FLAGS: the quantized dot product an
+    * ANN index actually ships at scale (4× fewer bytes through every
+    * shuffle/broadcast; exact INTEGER dot ≤ 64·127² per pair, no fp
+    * accumulation at all), ranked against the float brute-force truth.
+    * One row per quantized-top-k member: its rank, the quantized
+    * cosine dotq/√(Σq²ᵢ·Σq²_q) — computed entirely from exact integers,
+    * so the double math is bit-identical cross-engine — and whether the
+    * float top-k (q60's exact set) contains it. The per-rank hit flags
+    * ARE the recall@k readout, oracle-gated: the measurement SemDeDup/
+    * IVF deployments run before trusting a quantized index.
+    *
+    * Scale: one broadcast of the single quantized query row against a
+    * codegen'd projection scan + TakeOrderedAndProject; the float truth
+    * side is q60 itself (same shape). The only window orders the 10
+    * surviving rows.
+    */
+  def int8KnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quant = int8QuantizedCore(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("qs"),
+        expr("aggregate(qs, 0L, (acc, v) -> acc + v * v)").as("qnorm2"))
+    val q0 = quant.filter(col("vec_id") === queryVecId)
+      .select(col("qs").as("qqs"), col("qnorm2").as("qn0"))
+    val top = quant
+      .filter(col("vec_id") =!= queryVecId && col("qnorm2") > 0L)
+      .crossJoin(broadcast(q0))
+      .filter(col("qn0") > 0L)
+      .select(col("vec_id"),
+        round(expr(
+          """aggregate(zip_with(qs, qqs, (a, b) -> a * b),
+                       0L, (acc, v) -> acc + v)""").cast("double")
+          / sqrt(col("qnorm2").cast("double") * col("qn0").cast("double")),
+          6).as("qcos"))
+      .orderBy(desc("qcos"), asc("vec_id"))
+      .limit(topK)
+    val exact = knnBruteForce(spark, dir)
+      .select(col("vec_id"), lit(true).as("hit"))
+    top
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(desc("qcos"), asc("vec_id"))).cast("long"))
+      .join(broadcast(exact), Seq("vec_id"), "left")
+      .select(col("rank"), col("vec_id"), col("qcos"),
+        coalesce(col("hit"), lit(false)).as("hit"))
+      .orderBy("rank")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -502,6 +632,8 @@ object Similarity {
     // bucket-join + exact-verify machinery non-vacuously
     "q64_embedding_near_dups" -> ((s, d) => embeddingNearDups(s, d, minCos = 0.4)),
     "q256_semantic_dedup" -> (semanticDedup(_, _)),
+    "q317_kmeans_lloyd" -> (kmeansLloyd(_, _)),
+    "q318_int8_knn_recall" -> (int8KnnRecall(_, _)),
     "q146_embedding_drift" -> (embeddingDrift(_, _)))
 
   /** DuckDB cosine via explicit double math (list_cosine_similarity may
@@ -513,6 +645,62 @@ object Similarity {
           p -> p[1]::DOUBLE * p[2]::DOUBLE))
         / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
            * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))"""
+
+  /** The q317 Lloyd chain as a reusable CTE body (q320/q321 extend it):
+    * ends at `af` = (vec_id, cluster, d2m2), the final-round argmin
+    * assignment. One d/a/r/c CTE quartet per iteration; the last
+    * iteration needs no recenter.
+    */
+  private def kmeansCtes: String = {
+    def round(i: Int, cPrev: String): String =
+      s"""d$i AS (
+            SELECT q.vec_id, c.cluster,
+              sum((q.xs * 1000000 - c.cm) * (q.xs * 1000000 - c.cm)) AS d2
+            FROM qe q JOIN $cPrev c USING (pos) GROUP BY 1, 2),
+          a$i AS (
+            SELECT vec_id, cluster, d2 FROM (
+              SELECT vec_id, cluster, d2,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cluster) AS rn
+              FROM d$i) WHERE rn = 1),
+          r$i AS (
+            SELECT a.cluster, q.pos,
+              ((sum(q.xs)::HUGEINT * 1000000 + count(*) // 2)
+                // count(*))::BIGINT AS cm
+            FROM a$i a JOIN qe q USING (vec_id) GROUP BY 1, 2),
+          c$i AS (
+            SELECT p.cluster, p.pos, coalesce(r$i.cm, p.cm) AS cm
+            FROM $cPrev p LEFT JOIN r$i
+              ON r$i.cluster = p.cluster AND r$i.pos = p.pos)"""
+    s"""x AS (
+          SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
+          FROM embeddings, range(0, $embeddingDim) t(i)),
+        m AS (SELECT vec_id, max(abs(v)) AS mx FROM x GROUP BY 1),
+        qe AS (
+          SELECT x.vec_id, x.pos,
+            (CASE WHEN m.mx = 0 THEN 0
+                  ELSE floor(x.v / (m.mx / 127) + 0.5)::BIGINT END)
+              + 127 AS xs
+          FROM x JOIN m USING (vec_id)),
+        seeds AS (
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+          FROM (SELECT vec_id FROM m ORDER BY vec_id LIMIT $kmeansK)),
+        c0 AS (
+          SELECT s.cluster, q.pos, q.xs * 1000000 AS cm
+          FROM seeds s JOIN qe q USING (vec_id)),
+        ${(1 until kmeansIters).map(i => round(i, s"c${i - 1}"))
+          .mkString(",\n")},
+        dF AS (
+          SELECT q.vec_id, c.cluster,
+            sum((q.xs * 1000000 - c.cm) * (q.xs * 1000000 - c.cm)) AS d2
+          FROM qe q JOIN c${kmeansIters - 1} c USING (pos) GROUP BY 1, 2),
+        af AS (
+          SELECT vec_id, cluster, d2::BIGINT AS d2m2 FROM (
+            SELECT vec_id, cluster, d2,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cluster) AS rn
+            FROM dF) WHERE rn = 1)"""
+  }
 
   val oracles: Map[String, String] = Map(
     // q256: identical sign-block codes (DuckDB lists are 1-indexed),
@@ -627,7 +815,55 @@ object Similarity {
       """SELECT vec_id, len(embedding)::BIGINT AS dim,
          round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6)
            AS l2_norm
-         FROM embeddings ORDER BY vec_id""")
+         FROM embeddings ORDER BY vec_id""",
+    // q317: the same shifted int8 chain, the same exact micro-unit
+    // centroid update ((Σx·10⁶ + n/2) // n — non-negative by the +127
+    // shift, so // and Spark's div agree), the same exact integer d²
+    // argmin with (d², cluster) tie order, chained one CTE round per
+    // Lloyd iteration; emptied clusters COALESCE to the prior centroid
+    "q317_kmeans_lloyd" ->
+      s"""WITH $kmeansCtes
+          SELECT vec_id, cluster, d2m2 FROM af ORDER BY vec_id""",
+    // q318: q115's quantization, exact BIGINT dot + norms, the
+    // identical double qcos (exact integers in, same IEEE ops), hit
+    // flags against q60's float truth verbatim
+    "q318_int8_knn_recall" ->
+      s"""WITH x AS (
+            SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
+            FROM embeddings, range(0, $embeddingDim) t(i)),
+          m AS (SELECT vec_id, max(abs(v)) AS mx FROM x GROUP BY 1),
+          q AS (
+            SELECT x.vec_id, x.pos,
+              CASE WHEN m.mx = 0 THEN 0
+                   ELSE floor(x.v / (m.mx / 127) + 0.5)::BIGINT END AS qi
+            FROM x JOIN m USING (vec_id)),
+          qn AS (SELECT vec_id, sum(qi * qi)::BIGINT AS n2 FROM q GROUP BY 1),
+          qq AS (SELECT pos, qi FROM q WHERE vec_id = $queryVecId),
+          sc AS (
+            SELECT q.vec_id,
+              round(sum(q.qi * qq.qi)::BIGINT::DOUBLE
+                / sqrt(n.n2::DOUBLE
+                       * (SELECT n2 FROM qn WHERE vec_id = $queryVecId)
+                         ::DOUBLE), 6) AS qcos
+            FROM q JOIN qq USING (pos) JOIN qn n ON n.vec_id = q.vec_id
+            WHERE q.vec_id <> $queryVecId AND n.n2 > 0
+              AND (SELECT n2 FROM qn WHERE vec_id = $queryVecId) > 0
+            GROUP BY q.vec_id, n.n2),
+          topq AS (
+            SELECT vec_id, qcos,
+              row_number() OVER (ORDER BY qcos DESC, vec_id) AS rank
+            FROM sc ORDER BY qcos DESC, vec_id LIMIT $topK),
+          ex AS (
+            SELECT e.vec_id,
+              round(${cosSql("e.embedding", "qvec")}, 6) AS cos
+            FROM embeddings e,
+              (SELECT embedding AS qvec FROM embeddings
+               WHERE vec_id = $queryVecId) qv
+            WHERE vec_id <> $queryVecId
+            ORDER BY cos DESC, vec_id LIMIT $topK)
+          SELECT rank, vec_id, qcos,
+            vec_id IN (SELECT vec_id FROM ex) AS hit
+          FROM topq ORDER BY rank""")
   // q63/q64: bucket membership depends on the engine's seeded
   // hyperplanes — no SQL twin; recall vs brute force pinned in
   // SimilaritySpec.

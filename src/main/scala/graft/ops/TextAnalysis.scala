@@ -915,6 +915,84 @@ object TextAnalysis {
       .orderBy("mdoc_id")
   }
 
+  /** q319 — CROSS-DOCUMENT LINE DEDUP (Wenzek et al. 2020 §3.1, the
+    * CCNet preprocessing step q312 deliberately does NOT cover: q312's
+    * Gopher gates count duplicate lines WITHIN a document; CCNet
+    * removes every line whose content already occurred ANYWHERE in the
+    * corpus — the boilerplate killer that deletes nav bars, cookie
+    * banners and licence footers long before document-level dedup
+    * runs). A line INSTANCE is kept iff it is the first occurrence of
+    * its content corpus-wide, first = lexicographic (mdoc_id,
+    * position). Output per document: line count, kept count, removed
+    * characters, and the removed-character share in exact truncating
+    * ppm — the per-shard audit CCNet emits so a pipeline can spot a
+    * shard whose "text" is 90% template.
+    *
+    * THE CORPUS: q312's derivation (texts as lines) is the wrong
+    * fixture here — the driver's texts are all-distinct at sf0.01, so
+    * cross-doc removal would gate on zeros. Instead each document
+    * word-wraps into fixed-width 3-word lines ([[wordWrapCorpus]] —
+    * deterministic, content-preserving, identical in both engines);
+    * the bounded fixture vocabulary makes cross-document duplicate
+    * lines genuinely common (19% of instances removed at sf0.01, 71%
+    * at sf0.1), exactly the regime CCNet's rule exists for.
+    *
+    * Scale: lines group on md5(line) — fixed-width 128-bit keys through
+    * the shuffle, never the raw line bytes — with a map-side-combining
+    * min(struct) per content; the instance join is hash-equi on the
+    * same key; per-doc stats are one hash agg. Linear in corpus lines,
+    * exactly how CCNet shards it; char masses in decimal(38,0) (the
+    * q303/q309 overflow discipline).
+    */
+  def ccnetLineDedup(spark: SparkSession, dir: String): DataFrame =
+    ccnetLineDedupCore(
+      wordWrapCorpus(Tables.spread(Tables.documents(spark, dir))))
+
+  /** q319's fixture seam: each document word-wrapped into fixed-width
+    * `w`-word lines (scaladoc above) — (mdoc_id, text) with embedded
+    * newlines; zero-word documents are absent (no grains).
+    */
+  private[graft] def wordWrapCorpus(docs: DataFrame, w: Int = 3): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").as("mdoc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("mdoc_id"), expr(
+        s"""array_join(
+              transform(sequence(0, (size(ws) + ${w - 1}) div $w - 1),
+                i -> array_join(slice(ws, $w * i + 1, $w), ' ')),
+              '\\n')""").as("text"))
+
+  /** Core over any (mdoc_id, text) frame — fixture seam. */
+  private[graft] def ccnetLineDedupCore(mdocs: DataFrame): DataFrame = {
+    // positions come from the UNFILTERED split (empty strings — the
+    // paragraph-boundary artifacts — are dropped after, keeping the
+    // relative order both engines see identical)
+    val lines = mdocs
+      .select(col("mdoc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .filter(col("line") =!= "")
+      .select(col("mdoc_id"), col("pos"), col("line"),
+        md5(col("line").cast("binary")).as("h"))
+    val firsts = lines.groupBy("h")
+      .agg(min(struct(col("mdoc_id"), col("pos"))).as("first"))
+    val flagged = lines.join(firsts, "h")
+      .select(col("mdoc_id"), col("line"),
+        (col("first.mdoc_id") === col("mdoc_id")
+          && col("first.pos") === col("pos")).as("kept"))
+    flagged.groupBy("mdoc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_lines"),
+        sum(expr("cast(length(line) as decimal(38,0))")).as("chars"),
+        sum(when(!col("kept"), expr("cast(length(line) as decimal(38,0))"))
+          .otherwise(lit(0))).as("rem"))
+      .select(col("mdoc_id"), col("n_lines"), col("kept_lines"),
+        col("rem").cast("bigint").as("removed_chars"),
+        expr("cast(rem * 1000000 div chars as bigint)")
+          .as("removed_char_ppm"))
+      .orderBy("mdoc_id")
+  }
+
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesCore(Tables.spread(Tables.documents(spark, dir)))
 
@@ -1539,6 +1617,7 @@ object TextAnalysis {
     "q291_gopher_rules" -> (gopherRules(_, _)),
     "q305_gopher_repetition" -> (gopherRepetition(_, _)),
     "q312_gopher_dup_lines" -> (gopherDupLines(_, _)),
+    "q319_ccnet_line_dedup" -> (ccnetLineDedup(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
@@ -2128,6 +2207,47 @@ object TextAnalysis {
               AND dup_para_chars * 10 <= para_chars * 2) AS keep
           FROM ls l JOIN ps p ON p.mdoc_id = l.mdoc_id
           ORDER BY l.mdoc_id""",
+    // q319: the same 3-word wrap (inclusive list_slice = Spark's
+    // (start, length) slice), positions from the UNFILTERED chr(10)
+    // split (1-based here, 0-based in Spark — the uniform shift
+    // preserves the (mdoc_id, pos) order the first-occurrence rule
+    // minimizes over), md5 line keys, HUGEINT char masses,
+    // truncating ppm
+    "q319_ccnet_line_dedup" ->
+      """WITH t AS (
+            SELECT doc_id AS mdoc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents WHERE text IS NOT NULL),
+          mt AS (
+            SELECT mdoc_id, array_to_string(
+              list_transform(range((len(ws) + 2) // 3),
+                i -> array_to_string(list_slice(ws, 3*i + 1, 3*i + 3), ' ')),
+              chr(10)) AS text
+            FROM t WHERE len(ws) > 0),
+          lu AS (
+            SELECT mdoc_id,
+              unnest(list_zip(ls, range(1, len(ls) + 1))) AS u
+            FROM (SELECT mdoc_id, string_split(text, chr(10)) AS ls
+                  FROM mt) s),
+          l AS (
+            SELECT mdoc_id, u[2] AS pos, u[1] AS line FROM lu
+            WHERE u[1] <> ''),
+          f AS (
+            SELECT md5(line) AS h,
+              min(mdoc_id * 1000000000 + pos) AS fk
+            FROM l GROUP BY 1),
+          j AS (
+            SELECT l.mdoc_id, l.line,
+              (l.mdoc_id * 1000000000 + l.pos = f.fk) AS kept
+            FROM l JOIN f ON md5(l.line) = f.h)
+          SELECT mdoc_id, count(*)::BIGINT AS n_lines,
+            sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS kept_lines,
+            coalesce(sum(length(line)::HUGEINT) FILTER (WHERE NOT kept), 0)
+              ::BIGINT AS removed_chars,
+            (coalesce(sum(length(line)::HUGEINT) FILTER (WHERE NOT kept), 0)
+              * 1000000 // sum(length(line)::HUGEINT))::BIGINT
+              AS removed_char_ppm
+          FROM j GROUP BY 1 ORDER BY mdoc_id""",
     "q291_gopher_rules" ->
       s"""WITH t AS (
             SELECT doc_id,

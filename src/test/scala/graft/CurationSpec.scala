@@ -492,6 +492,51 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out.agg(sum("n_lines")).head().getLong(0) === nDocs)
   }
 
+  test("q319 cross-doc line dedup: first occurrence (mdoc_id, pos) keeps, " +
+      "all later instances corpus-wide are removed") {
+    import spark.implicits._
+    val mdocs = Seq(
+      // lines a,b,(empty),a,c → the second 'a' is an IN-doc later
+      // instance: removed. kept a,b,c → removed_chars 1 of 4
+      (1L, "a\nb\n\na\nc"),
+      // 'b' first occurred in doc 1 (cross-doc removal), 'd' is new
+      (2L, "b\nd"),
+      // all new → nothing removed
+      (3L, "e")
+    ).toDF("mdoc_id", "text")
+    val out = TextAnalysis.ccnetLineDedupCore(mdocs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // (n_lines, kept_lines, removed_chars, removed_char_ppm)
+    assert(out(1L) === ((4L, 3L, 1L, 250000L)))
+    assert(out(2L) === ((2L, 1L, 1L, 500000L)))
+    assert(out(3L) === ((1L, 1L, 0L, 0L)))
+  }
+
+  test("q319 on the corpus: kept instances = distinct line contents, " +
+      "the wrap preserves every word, and the rule genuinely fires") {
+    val docs = graft.Tables.spread(graft.Tables.documents(spark, sf))
+    val mdocs = TextAnalysis.wordWrapCorpus(docs)
+    val lines = mdocs
+      .select(explode(expr("filter(split(text, '\\n'), x -> x <> '')"))
+        .as("line"))
+    val distinctLines = lines.select("line").distinct().count()
+    val out = TextAnalysis.queries("q319_ccnet_line_dedup")(spark, sf)
+    val agg = out.agg(sum("kept_lines"), sum("n_lines")).head()
+    assert(agg.getLong(0) === distinctLines,
+      "every distinct content keeps exactly one instance")
+    assert(agg.getLong(1) === lines.count())
+    assert(agg.getLong(1) > agg.getLong(0),
+      "no cross-doc duplicate lines at this sf — the gate is vacuous")
+    // content preservation: the wrap drops no word
+    val wrapWords = mdocs.select(explode(expr("split(text, '[ \\n]')"))
+      .as("w")).filter(col("w") =!= "").count()
+    val docWords = docs.filter(col("text").isNotNull)
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")))
+      .count()
+    assert(wrapWords === docWords)
+  }
+
   test("q316 CCNet buckets: start-offset thirds by token mass per " +
       "language — replica over the engine's own q196 scores") {
     import spark.implicits._

@@ -121,7 +121,13 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q306_seasonal_mann_kendall",
     // round-14: q255's pattern — the single-row token-total broadcast
     // crossed into the bounded language grain
-    "q309_temperature_mixture")
+    "q309_temperature_mixture",
+    // round-15: q65's centroid discipline — the broadcast side is the
+    // k×d micro-centroid literal frame (k = 8), never data-scale
+    "q317_kmeans_lloyd",
+    // round-15: q60's pattern — the broadcast side is the single
+    // quantized query row
+    "q318_int8_knn_recall")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -300,4 +300,75 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .count()
     assert(unscoped > 0, "every qualifying pair landed in-scope; widen the pin")
   }
+
+  test("q317 Lloyd k-means equals an independent plain-Scala replica " +
+    "(assignments + exact integer d2), and every vector is assigned once") {
+    // replica shares only the parquet bytes with the engine: its own
+    // quantization, shift, seeding, argmin and exact rational recenter
+    val raw = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .sortBy(_._1)
+    def shifted(v: Seq[Double]): Seq[Long] = {
+      val mx = v.map(math.abs).max
+      if (mx == 0.0) v.map(_ => 127L)
+      else v.map(x => math.floor(x / (mx / 127.0) + 0.5).toLong + 127L)
+    }
+    val xs = raw.map { case (id, v) => id -> shifted(v) }
+    val xsMap = xs.toMap
+    var cents: Vector[(Long, Seq[Long])] =
+      xs.take(Similarity.kmeansK).zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v.map(_ * 1000000L)) }.toVector
+    def d2(x: Seq[Long], cm: Seq[Long]): Long =
+      x.zip(cm).map { case (a, c) =>
+        val d = a * 1000000L - c; d * d }.sum
+    var assigned: Seq[(Long, Long, Long)] = Nil
+    for (it <- 1 to Similarity.kmeansIters) {
+      assigned = xs.toSeq.map { case (id, v) =>
+        val (best, bd) = cents.map { case (c, cm) => (c, d2(v, cm)) }
+          .minBy { case (c, d) => (d, c) }
+        (id, best, bd)
+      }
+      if (it < Similarity.kmeansIters) {
+        val byC = assigned.groupBy(_._2)
+        cents = cents.map { case (c, old) =>
+          byC.get(c) match {
+            case None => (c, old)
+            case Some(members) =>
+              val vs = members.map(m => xsMap(m._1))
+              val n = BigInt(vs.size)
+              (c, (0 until vs.head.size).map { p =>
+                val s = vs.map(v => BigInt(v(p))).sum
+                ((s * 1000000 + n / 2) / n).toLong
+              })
+          }
+        }
+      }
+    }
+    val expected = assigned.sortBy(_._1)
+    val got = Similarity.kmeansLloyd(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // non-degenerate on the corpus: more than one cluster survives
+    assert(got.map(_._2).distinct.size > 1)
+  }
+
+  test("q318 int8 top-k: ranks are 1..k, hit flags match the float truth, " +
+    "and quantization recall stays usable") {
+    val rows = Similarity.int8KnnRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq == (1 to Similarity.topK).map(_.toLong))
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    rows.foreach { case (_, id, _, hit) => assert(hit == exact(id)) }
+    // int8 on 64 dims loses little: the quantized ranking must keep a
+    // usable share of the float top-k (measured 0.9 at sf0.01/sf0.1)
+    assert(rows.count(_._4) >= (Similarity.topK * 6) / 10)
+    // and the quantized cosine sits near the float cosine for the hits
+    val fcos = Similarity.knnBruteForce(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter(_._4).foreach { case (_, id, qc, _) =>
+      assert(math.abs(qc - fcos(id)) < 0.02, s"vec $id: $qc vs ${fcos(id)}")
+    }
+  }
 }
