@@ -613,6 +613,74 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** Prototypes kept per cluster by q321. */
+  val prototypesPerCluster = 5
+
+  /** q320 — SEMDEDUP PROPER (Abbas et al. 2023, the recipe as
+    * published): k-means cluster the embeddings, then deduplicate by
+    * cosine WITHIN each learned cluster, keeping the smallest id.
+    * q256 proved the within-cell machinery with a deterministic
+    * sign-bit clustering; q317's exact Lloyd now supplies the LEARNED
+    * clustering the paper actually prescribes, so the full recipe is
+    * oracle-gated end to end — assignment arithmetic exact, pair scope
+    * a cluster equi-join, the cosine q60's rounded-double contract.
+    * Output: one row per DROPPED vector with its representative (the
+    * smallest-id in-scope neighbor ≥ threshold) and the condemning
+    * cosine — q256's shape, deliberately, so the two regimes diff.
+    *
+    * Scale: SemDeDup sizes k ∝ corpus so cluster population stays
+    * bounded (the paper runs k = 11k on LAION); pairs come from an
+    * equi-join on cluster id — never cross-cluster, never cartesian.
+    * The one data-scaled shuffle is the join's hash partitioning.
+    */
+  def semdedupKmeans(spark: SparkSession, dir: String,
+                     minCos: Double = semanticMinCos): DataFrame = {
+    val assigns = kmeansLloyd(spark, dir).select("vec_id", "cluster")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm2(col("embedding")).as("norm"))
+    val coded = assigns.join(emb, "vec_id").repartition(col("vec_id"))
+    coded.as("a")
+      .join(coded.as("b"),
+        col("a.cluster") === col("b.cluster")
+          && col("a.vec_id") < col("b.vec_id"))
+      // zero-norm vectors yield NaN and fall out of the ≥ filter (the
+      // oracle's NULL-division twin — q64/q256's guard note)
+      .withColumn("cos",
+        round(graft.expr.DotProduct(col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("vec_id"),
+        col("cos"))
+      .groupBy("vec_id")
+      .agg(min("keep_id").as("rep_id"), max("cos").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** q321 — PER-CLUSTER PROTOTYPE SELECTION: the m most-central
+    * vectors of each q317 cluster (smallest exact d² to the final
+    * centroid, ties to the smaller id) — the coreset pick a
+    * cluster-balanced training-data selection keeps when it can't
+    * afford the whole corpus, and the panel a human audits to see
+    * what a cluster IS. Output (cluster, rank, vec_id, d2m2).
+    *
+    * Scale: rank ≤ m over a rank window is exactly the pattern Spark's
+    * WindowGroupLimit rewrite turns into a map-side per-partition
+    * top-m before the shuffle (plan-asserted in SimilaritySpec) — no
+    * cluster ever sorts in full.
+    */
+  def kmeansPrototypes(spark: SparkSession, dir: String,
+                       m: Int = prototypesPerCluster): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    kmeansLloyd(spark, dir)
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(col("cluster"))
+          .orderBy(asc("d2m2"), asc("vec_id"))).cast("long"))
+      .filter(col("rank") <= m)
+      .select(col("cluster"), col("rank"), col("vec_id"), col("d2m2"))
+      .orderBy("cluster", "rank")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -634,6 +702,8 @@ object Similarity {
     "q256_semantic_dedup" -> (semanticDedup(_, _)),
     "q317_kmeans_lloyd" -> (kmeansLloyd(_, _)),
     "q318_int8_knn_recall" -> (int8KnnRecall(_, _)),
+    "q320_semdedup_kmeans" -> (semdedupKmeans(_, _)),
+    "q321_kmeans_prototypes" -> (kmeansPrototypes(_, _)),
     "q146_embedding_drift" -> (embeddingDrift(_, _)))
 
   /** DuckDB cosine via explicit double math (list_cosine_similarity may
@@ -824,6 +894,30 @@ object Similarity {
     "q317_kmeans_lloyd" ->
       s"""WITH $kmeansCtes
           SELECT vec_id, cluster, d2m2 FROM af ORDER BY vec_id""",
+    // q320: the q317 chain verbatim, then q256's pair mechanics scoped
+    // by the learned cluster (cosSql rounded 6dp before the threshold)
+    "q320_semdedup_kmeans" ->
+      s"""WITH $kmeansCtes,
+          p AS (
+            SELECT a.vec_id AS keep_id, b.vec_id AS vec_id,
+              round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cos
+            FROM af a JOIN af b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id)
+          SELECT vec_id, min(keep_id) AS rep_id, max(cos) AS max_cos
+          FROM p WHERE cos >= $semanticMinCos
+          GROUP BY 1 ORDER BY vec_id""",
+    // q321: the q317 chain verbatim, then the per-cluster (d², id)
+    // rank window cut at m
+    "q321_kmeans_prototypes" ->
+      s"""WITH $kmeansCtes
+          SELECT cluster, rank, vec_id, d2m2 FROM (
+            SELECT cluster, vec_id, d2m2,
+              row_number() OVER (PARTITION BY cluster
+                                 ORDER BY d2m2, vec_id) AS rank
+            FROM af) WHERE rank <= $prototypesPerCluster
+          ORDER BY cluster, rank""",
     // q318: q115's quantization, exact BIGINT dot + norms, the
     // identical double qcos (exact integers in, same IEEE ops), hit
     // flags against q60's float truth verbatim

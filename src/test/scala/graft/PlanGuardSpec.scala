@@ -127,7 +127,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q317_kmeans_lloyd",
     // round-15: q60's pattern — the broadcast side is the single
     // quantized query row
-    "q318_int8_knn_recall")
+    "q318_int8_knn_recall",
+    // round-15: both embed q317's final assignment pass — the same
+    // k×d micro-centroid literal broadcast
+    "q320_semdedup_kmeans",
+    "q321_kmeans_prototypes")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

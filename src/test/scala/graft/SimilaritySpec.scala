@@ -353,6 +353,57 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._2).distinct.size > 1)
   }
 
+  test("q320 SemDeDup over learned clusters: equals an all-pairs " +
+    "formulation restricted to the engine's own q317 scope, and the " +
+    "scope is a real restriction") {
+    val assigns = Similarity.kmeansLloyd(spark, sf)
+      .select("vec_id", "cluster")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // independent formulation: ALL pairs, cluster equality applied as
+    // a post-filter on the collected relation (no equi-join planning
+    // shared with the engine)
+    val cl = assigns.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allPairs = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ka"), col("b.vec_id").as("kb"),
+        round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 6)
+          .as("cos"))
+      .filter(col("cos") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val inScope = allPairs.filter { case (a, b, _) => cl(a) == cl(b) }
+    val expected = inScope.groupBy(_._2).map { case (v, ps) =>
+      (v, ps.map(_._1).min, ps.map(_._3).max) }.toSeq.sortBy(_._1)
+    val got = Similarity.semdedupKmeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    // the learned-cluster scope must genuinely restrict (the SemDeDup
+    // trade: cross-cluster near-dups are out of scope by design)
+    assert(allPairs.length > inScope.length,
+      "no qualifying pair fell outside its cluster; the pin is vacuous")
+    assert(got.nonEmpty, "threshold is vacuous at this sf")
+  }
+
+  test("q321 prototypes: per-cluster top-m by (d2, id) from the engine's " +
+    "own assignment, ranks contiguous, and the rank filter plans as a " +
+    "WindowGroupLimit (map-side top-m, no full cluster sort)") {
+    val af = Similarity.kmeansLloyd(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = af.groupBy(_._2).toSeq.flatMap { case (c, vs) =>
+      vs.sortBy(v => (v._3, v._1)).take(Similarity.prototypesPerCluster)
+        .zipWithIndex.map { case ((id, _, d2), i) =>
+          (c, (i + 1).toLong, id, d2) }
+    }.sortBy(e => (e._1, e._2))
+    val got = Similarity.kmeansPrototypes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    val plan = Similarity.kmeansPrototypes(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=m did not rewrite to WindowGroupLimit:\n$plan")
+  }
+
   test("q318 int8 top-k: ranks are 1..k, hit flags match the float truth, " +
     "and quantization recall stays usable") {
     val rows = Similarity.int8KnnRecall(spark, sf).collect()
