@@ -993,6 +993,60 @@ object TextAnalysis {
       .orderBy("mdoc_id")
   }
 
+  /** q322 — ZIPF RANK-FREQUENCY FIT: least-squares slope, intercept
+    * and R² of ln(frequency) on ln(rank) over the corpus word
+    * frequency table — the one-line corpus health check (natural text
+    * sits near slope −1; templated/boilerplate corpora flatten, OCR
+    * noise steepens the tail) every corpus card reports (Zipf 1949;
+    * Piantadosi 2014 for the diagnostic reading). Ranks are dense over
+    * (frequency DESC, word ASC) so the fit is deterministic under ties.
+    *
+    * Scale: the frequency table is vocabulary-sized (Zipf: ≪ corpus,
+    * absorbed map-side); ranks come from the two-phase prefix-sum
+    * kernel ([[GlobalIndex.numberedBy]] — range partition + local
+    * row_number + a #partitions-row offset broadcast), NEVER a
+    * single-partition window over the vocabulary (100M+ types at
+    * web scale); the fit itself is one 5-sum aggregate to a single
+    * row. The only rounding is the final 6dp on the three fit
+    * statistics (sums of ~|V| ln-terms agree across engines well
+    * inside 1e-6 relative).
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFitCore(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Core over any (doc_id, text) frame — fixture seam. */
+  private[graft] def zipfFitCore(docs: DataFrame): DataFrame = {
+    val freqs = docs.filter(col("text").isNotNull)
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("nf", -col("f"))
+    val ranked = GlobalIndex.numberedBy(freqs, Seq("nf", "w"))
+    val sums = ranked.select(
+        log(col("rn").cast("double")).as("x"),
+        log((-col("nf")).cast("double")).as("y"),
+        (-col("nf")).as("f"))
+      .agg(count(lit(1)).as("n"), sum("f").as("toks"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    sums.select(col("n").as("n_types"), col("toks").as("n_tokens"),
+        (col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          .as("num"),
+        (col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+          .as("denx"),
+        (col("n").cast("double") * col("syy") - col("sy") * col("sy"))
+          .as("deny"),
+        col("sx"), col("sy"), col("n"))
+      .select(col("n_types"), col("n_tokens"),
+        round(col("num") / nullif(col("denx"), lit(0.0)), 6).as("slope"),
+        round((col("sy") - col("num") / nullif(col("denx"), lit(0.0))
+          * col("sx")) / col("n").cast("double"), 6).as("intercept"),
+        round(col("num") * col("num")
+          / nullif(col("denx") * col("deny"), lit(0.0)), 6).as("r2"))
+  }
+
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesCore(Tables.spread(Tables.documents(spark, dir)))
 
@@ -1618,6 +1672,7 @@ object TextAnalysis {
     "q305_gopher_repetition" -> (gopherRepetition(_, _)),
     "q312_gopher_dup_lines" -> (gopherDupLines(_, _)),
     "q319_ccnet_line_dedup" -> (ccnetLineDedup(_, _)),
+    "q322_zipf_fit" -> (zipfFit(_, _)),
     "q88_repetition_signals" -> (repetitionSignals(_, _)),
     "q109_token_concentration" -> (tokenConcentration(_, _)),
     "q111_pmi_collocations" -> (collocations(_, _)),
@@ -2248,6 +2303,32 @@ object TextAnalysis {
               * 1000000 // sum(length(line)::HUGEINT))::BIGINT
               AS removed_char_ppm
           FROM j GROUP BY 1 ORDER BY mdoc_id""",
+    // q322: a plain row_number over the same (f DESC, w) order (the
+    // single-node sort is the oracle's privilege; the engine must
+    // reproduce it from the two-phase kernel), identical OLS closed
+    // forms on the same ln points, 6dp
+    "q322_zipf_fit" ->
+      """WITH w AS (
+            SELECT unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS w
+            FROM documents WHERE text IS NOT NULL),
+          fr AS (SELECT w, count(*)::BIGINT AS f FROM w GROUP BY 1),
+          r AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rn
+            FROM fr),
+          p AS (SELECT ln(rn::DOUBLE) AS x, ln(f::DOUBLE) AS y, f FROM r),
+          s AS (
+            SELECT count(*)::BIGINT AS n, sum(f)::BIGINT AS toks,
+              sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+              sum(x*x) AS sxx, sum(y*y) AS syy
+            FROM p)
+          SELECT n AS n_types, toks AS n_tokens,
+            round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0), 6) AS slope,
+            round((sy - (n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0) * sx)
+              / n, 6) AS intercept,
+            round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+              / nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0), 6) AS r2
+          FROM s""",
     "q291_gopher_rules" ->
       s"""WITH t AS (
             SELECT doc_id,

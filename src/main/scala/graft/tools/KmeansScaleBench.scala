@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Scale probe for the q317 Lloyd family (dev tooling, not part of the
+  * library): runs the REGISTERED kmeansLloydCore (via the registered
+  * int8 quantization chain) on AnnScaleBench's deterministic clustered
+  * synthetic embeddings at growing N and reports wall, cluster-size
+  * spread, and purity against the latent centers. The claims under
+  * test: (1) wall is scan-bound — ~linear in N, because every round is
+  * one pass over the checkpointed quantized frame against a broadcast
+  * k×d literal; (2) driver-side state is k×d micro-longs (4 KB at
+  * k=8, d=64) REGARDLESS of N — the recenter collects cluster sums,
+  * never data; (3) the learned clusters align with latent structure
+  * (majority-center share) even at 3 fixed rounds.
+  *
+  * Usage: runMain graft.tools.KmeansScaleBench [sizes-csv]
+  */
+object KmeansScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("20000,200000,1000000")
+      .split(",").map(_.trim.toLong)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- sizes) {
+      val emb = AnnScaleBench.synthEmbeddings(spark, n).localCheckpoint(true)
+      emb.count() // materialize outside the timed window
+      val quant = graft.ops.Similarity.int8QuantizedCore(emb)
+      val t0 = System.nanoTime()
+      val out = Similarity.kmeansLloydCore(spark, quant).localCheckpoint(true)
+      val rows = out.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val sizesDf = out.groupBy("cluster").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      // purity: share of each learned cluster held by its majority
+      // latent center, corpus-weighted
+      val purity = out.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label").count()
+        .groupBy("cluster").agg(max("count").as("maj"), sum("count").as("n"))
+        .agg((sum("maj") / sum("n")).as("p")).head().getDouble(0)
+      println(f"[kscale] N=$n%d wall=$wall%.1f s rows=$rows%d " +
+        f"purity=$purity%.3f sizes=${sizesDf.map(_._2).mkString("/")}")
+    }
+    spark.stop()
+  }
+}

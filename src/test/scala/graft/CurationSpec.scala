@@ -537,6 +537,35 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(wrapWords === docWords)
   }
 
+  test("q322 Zipf fit equals an independent plain-Scala OLS over the " +
+      "collected frequency table, and the corpus slope is negative") {
+    val docs = graft.Tables.spread(graft.Tables.documents(spark, sf))
+    val freqs = docs.filter(col("text").isNotNull)
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val ranked = freqs.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+      .map { case ((_, f), i) => (i + 1L, f) }
+    val pts = ranked.map { case (rn, f) =>
+      (math.log(rn.toDouble), math.log(f.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val num = n * sxy - sx * sy
+    val slope = num / (n * sxx - sx * sx)
+    val r = TextAnalysis.queries("q322_zipf_fit")(spark, sf).head()
+    assert(r.getLong(0) === freqs.length.toLong)
+    assert(r.getLong(1) === freqs.map(_._2).sum)
+    assert(math.abs(r.getDouble(2) - slope) < 1e-5, s"slope ${r.getDouble(2)} vs $slope")
+    assert(math.abs(r.getDouble(3) - (sy - slope * sx) / n) < 1e-5)
+    assert(math.abs(r.getDouble(4)
+      - num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy))) < 1e-5)
+    assert(r.getDouble(2) < 0.0, "rank-frequency slope must be negative")
+  }
+
   test("q316 CCNet buckets: start-offset thirds by token mass per " +
       "language — replica over the engine's own q196 scores") {
     import spark.implicits._
