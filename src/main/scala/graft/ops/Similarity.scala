@@ -522,17 +522,29 @@ object Similarity {
 
   /** Core over any quantized (vec_id, qs) frame — fixture seam. */
   private[graft] def kmeansLloydCore(spark: SparkSession,
-                                     quant: DataFrame): DataFrame = {
+                                     quant: DataFrame): DataFrame =
+    lloydAssign(spark,
+      quant.select(col("vec_id"),
+        expr("transform(qs, q -> q + 127L)").as("xs")),
+      kmeansK, kmeansIters)._1.orderBy("vec_id")
+
+  /** The generic exact Lloyd engine (q317's scaladoc): `xsIn` is any
+    * (vec_id, xs) frame of NON-NEGATIVE long components (callers apply
+    * the +127 shift); returns the final-round assignment frame
+    * (vec_id, cluster, d2m2) AND the centroids it was scored against
+    * (micro-units) — q324's ADC needs the codebook, not just the
+    * codes. q323 reuses this over subvector keys.
+    */
+  private[graft] def lloydAssign(spark: SparkSession, xsIn: DataFrame,
+                                 k: Int, iters: Int)
+      : (DataFrame, Seq[(Long, Seq[Long])]) = {
     val s = spark
     import s.implicits._
-    // shifted into [0, 254]; eagerly checkpointed — every round's
-    // assign and recenter pass re-reads it, and the quantization chain
-    // above it must not recompute per pass
-    val xs = quant
-      .select(col("vec_id"), expr("transform(qs, q -> q + 127L)").as("xs"))
-      .localCheckpoint()
+    // eagerly checkpointed — every round's assign and recenter pass
+    // re-reads it, and the chain above must not recompute per pass
+    val xs = xsIn.localCheckpoint()
     val seeds: Seq[(Long, Seq[Long])] =
-      xs.orderBy("vec_id").limit(kmeansK).collect().toSeq
+      xs.orderBy("vec_id").limit(k).collect().toSeq
         .zipWithIndex.map { case (r, i) =>
           (i.toLong, r.getSeq[Long](1).map(_ * 1000000L)) }
     def assign(centroids: Seq[(Long, Seq[Long])]): DataFrame =
@@ -559,12 +571,13 @@ object Similarity {
           c -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
       prev.map { case (c, old) => (c, means.getOrElse(c, old)) }
     }
-    val finalAssign = (1 to kmeansIters)
-      .foldLeft((seeds, Option.empty[DataFrame])) { case ((cs, _), it) =>
+    (1 to iters).foldLeft((seeds, Option.empty[DataFrame])) {
+      case ((cs, _), it) =>
         val asg = assign(cs)
-        (if (it < kmeansIters) recenter(asg, cs) else cs, Some(asg))
-      }._2.get
-    finalAssign.orderBy("vec_id")
+        (if (it < iters) recenter(asg, cs) else cs, Some(asg))
+    } match { case (cents, Some(asg)) => (asg, cents)
+              case (cents, None) => // iters >= 1 always; defensive
+                (assign(cents), cents) }
   }
 
   /** q318 — INT8 TOP-K WITH RECALL FLAGS: the quantized dot product an
@@ -681,6 +694,116 @@ object Similarity {
       .orderBy("cluster", "rank")
   }
 
+  /** PQ geometry: 64 dims → 8 subvectors of 8 dims, one shared
+    * 16-entry codebook (k per block would be the classic layout; a
+    * SHARED codebook over pooled subvectors is the variant that keeps
+    * ONE deterministic Lloyd run and is standard when blocks are
+    * homogeneous — OPQ/online-PQ literature calls it a shared or tied
+    * codebook).
+    */
+  val pqBlocks = 8
+  val pqSubDim = 8
+  val pqCodebookK = 16
+
+  /** q323 — PRODUCT QUANTIZATION CODES (Jégou, Douze, Schmid 2011):
+    * each int8-quantized embedding splits into [[pqBlocks]] subvectors
+    * of [[pqSubDim]] dims; all n·8 subvectors pool into ONE exact
+    * Lloyd run ([[lloydAssign]] — q317's engine, subvector key =
+    * vec_id·8 + block) against a shared [[pqCodebookK]]-entry
+    * codebook. A vector's PQ code is its 8 per-block centroid indices
+    * — 8 × 4 bits = 4 BYTES per vector instead of 256 (the 64×
+    * compression that makes billion-scale ANN shippable; the int8
+    * step alone was only 4×). Output (vec_id, block, code, d2m2) —
+    * flat, one row per block, with the exact per-block quantization
+    * error; codes and errors replay in DuckDB through the same
+    * parameterized CTE chain as q317.
+    *
+    * Scale: the subvector relation is 8 rows per vector (a constant
+    * fan-out absorbed before the argmin's map-side combine); every
+    * Lloyd round is one scan + a k×d broadcast exactly as q317 argues;
+    * the codebook is 16×8 micro-longs however large the corpus.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqAssignments(spark, dir)._1
+      .select(expr("vec_id div 8").as("vec_id"),
+        expr("vec_id % 8").as("block"), col("cluster").as("code"),
+        col("d2m2"))
+      .orderBy("vec_id", "block")
+
+  /** Shared seam: the subvector-grain assignment + the codebook it was
+    * scored against. q323 projects it; q324's ADC consumes both parts.
+    */
+  private[graft] def pqAssignments(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, Seq[Long])]) =
+    lloydAssign(spark,
+      subvectors(int8QuantizedCore(Tables.embeddings(spark, dir))),
+      pqCodebookK, kmeansIters)
+
+  /** (vec_id·8 + block, 8-dim shifted subvector) over a quantized
+    * (vec_id, qs) frame.
+    */
+  private[graft] def subvectors(quant: DataFrame): DataFrame =
+    quant
+      .select(col("vec_id"), expr("transform(qs, q -> q + 127L)").as("xs"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${pqBlocks - 1}), " +
+          s"b -> slice(xs, b * $pqSubDim + 1, $pqSubDim))"))
+        .as(Seq("block", "sxs")))
+      .select((col("vec_id") * pqBlocks + col("block")).as("vec_id"),
+        col("sxs").as("xs"))
+
+  /** q324 — PQ ASYMMETRIC-DISTANCE TOP-K WITH RECALL FLAGS: the read
+    * path of a PQ index (Jégou 2011 §III: the query compares against
+    * each corpus vector's RECONSTRUCTION — Σ over blocks of
+    * ‖q_block − codebook[code]‖²), ranked against the float
+    * brute-force truth exactly as q318 did for the int8 index. Every
+    * quantity is an exact integer (query subvectors in micro-units vs
+    * micro-unit codebook entries), so ranking and hash replay in
+    * DuckDB from the same CTE chain; ties break to the smaller id.
+    * The hit flags are the recall@k a PQ deployment measures before
+    * trusting 4-byte codes — q115 (int8, 4×) → q318 (its recall) →
+    * q323 (PQ, 64×) → q324 (its recall) is the full compression
+    * ladder, every rung oracle-gated.
+    *
+    * Scale: the scored relation is the q323 assignment joined to the
+    * 16-row codebook and the 8-row query-subvector frame (both
+    * broadcast) — one hash agg to vector grain, then
+    * TakeOrderedAndProject.
+    */
+  def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    val (assign, cents) = pqAssignments(spark, dir)
+    val codebook = broadcast(cents.toDF("cluster", "cm"))
+    val qsub = subvectors(
+      int8QuantizedCore(
+        Tables.embeddings(spark, dir).filter(col("vec_id") === queryVecId)))
+      .select(expr(s"vec_id % $pqBlocks").as("block"), col("xs").as("qxs"))
+    val adc = assign
+      .filter(expr(s"vec_id div $pqBlocks") =!= queryVecId)
+      .join(codebook, "cluster")
+      .withColumn("block", expr(s"vec_id % $pqBlocks"))
+      .join(broadcast(qsub), "block")
+      .select(expr(s"vec_id div $pqBlocks").as("vec_id"), expr(
+        """aggregate(
+             zip_with(qxs, cm, (x, c) -> (x * 1000000L - c) * (x * 1000000L - c)),
+             0L, (acc, v) -> acc + v)""").as("bd2"))
+      .groupBy("vec_id")
+      .agg(sum("bd2").cast("long").as("adc_d2"))
+      .orderBy(asc("adc_d2"), asc("vec_id"))
+      .limit(topK)
+    val exact = knnBruteForce(spark, dir)
+      .select(col("vec_id"), lit(true).as("hit"))
+    adc
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(asc("adc_d2"), asc("vec_id"))).cast("long"))
+      .join(broadcast(exact), Seq("vec_id"), "left")
+      .select(col("rank"), col("vec_id"), col("adc_d2"),
+        coalesce(col("hit"), lit(false)).as("hit"))
+      .orderBy("rank")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -704,6 +827,8 @@ object Similarity {
     "q318_int8_knn_recall" -> (int8KnnRecall(_, _)),
     "q320_semdedup_kmeans" -> (semdedupKmeans(_, _)),
     "q321_kmeans_prototypes" -> (kmeansPrototypes(_, _)),
+    "q323_pq_codes" -> (pqCodes(_, _)),
+    "q324_pq_adc_recall" -> (pqAdcRecall(_, _)),
     "q146_embedding_drift" -> (embeddingDrift(_, _)))
 
   /** DuckDB cosine via explicit double math (list_cosine_similarity may
@@ -716,12 +841,28 @@ object Similarity {
         / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
            * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))"""
 
-  /** The q317 Lloyd chain as a reusable CTE body (q320/q321 extend it):
-    * ends at `af` = (vec_id, cluster, d2m2), the final-round argmin
-    * assignment. One d/a/r/c CTE quartet per iteration; the last
-    * iteration needs no recenter.
+  /** The shifted-int8 point relation both Lloyd consumers start from:
+    * `qe`(vec_id, pos, xs) over the full embeddings (q317's preface).
     */
-  private def kmeansCtes: String = {
+  private def shiftedIntCtes: String =
+    s"""x AS (
+          SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
+          FROM embeddings, range(0, $embeddingDim) t(i)),
+        m AS (SELECT vec_id, max(abs(v)) AS mx FROM x GROUP BY 1),
+        qe0 AS (
+          SELECT x.vec_id, x.pos,
+            (CASE WHEN m.mx = 0 THEN 0
+                  ELSE floor(x.v / (m.mx / 127) + 0.5)::BIGINT END)
+              + 127 AS xs
+          FROM x JOIN m USING (vec_id))"""
+
+  /** The exact Lloyd chain over a prior `qe`(vec_id, pos, xs) CTE,
+    * parameterized by k and round count — q317 uses it on vector keys,
+    * q323/q324 on subvector keys. Ends at `af` = (vec_id, cluster,
+    * d2m2); the final centroid CTE is `c{iters-1}` (q324's codebook).
+    * One d/a/r/c quartet per iteration; the last needs no recenter.
+    */
+  private def lloydCtes(k: Int, iters: Int): String = {
     def round(i: Int, cPrev: String): String =
       s"""d$i AS (
             SELECT q.vec_id, c.cluster,
@@ -742,28 +883,17 @@ object Similarity {
             SELECT p.cluster, p.pos, coalesce(r$i.cm, p.cm) AS cm
             FROM $cPrev p LEFT JOIN r$i
               ON r$i.cluster = p.cluster AND r$i.pos = p.pos)"""
-    s"""x AS (
-          SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
-          FROM embeddings, range(0, $embeddingDim) t(i)),
-        m AS (SELECT vec_id, max(abs(v)) AS mx FROM x GROUP BY 1),
-        qe AS (
-          SELECT x.vec_id, x.pos,
-            (CASE WHEN m.mx = 0 THEN 0
-                  ELSE floor(x.v / (m.mx / 127) + 0.5)::BIGINT END)
-              + 127 AS xs
-          FROM x JOIN m USING (vec_id)),
-        seeds AS (
+    s"""seeds AS (
           SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-          FROM (SELECT vec_id FROM m ORDER BY vec_id LIMIT $kmeansK)),
+          FROM (SELECT DISTINCT vec_id FROM qe ORDER BY vec_id LIMIT $k)),
         c0 AS (
           SELECT s.cluster, q.pos, q.xs * 1000000 AS cm
           FROM seeds s JOIN qe q USING (vec_id)),
-        ${(1 until kmeansIters).map(i => round(i, s"c${i - 1}"))
-          .mkString(",\n")},
+        ${(1 until iters).map(i => round(i, s"c${i - 1}")).mkString(",\n")},
         dF AS (
           SELECT q.vec_id, c.cluster,
             sum((q.xs * 1000000 - c.cm) * (q.xs * 1000000 - c.cm)) AS d2
-          FROM qe q JOIN c${kmeansIters - 1} c USING (pos) GROUP BY 1, 2),
+          FROM qe q JOIN c${iters - 1} c USING (pos) GROUP BY 1, 2),
         af AS (
           SELECT vec_id, cluster, d2::BIGINT AS d2m2 FROM (
             SELECT vec_id, cluster, d2,
@@ -771,6 +901,23 @@ object Similarity {
                                  ORDER BY d2, cluster) AS rn
             FROM dF) WHERE rn = 1)"""
   }
+
+  /** The q317 chain: full-vector keys. q320/q321 extend it. */
+  private def kmeansCtes: String =
+    s"""$shiftedIntCtes,
+        qe AS (SELECT vec_id, pos, xs FROM qe0),
+        ${lloydCtes(kmeansK, kmeansIters)}"""
+
+  /** The q323/q324 chain: subvector keys (vec_id·8 + block, pos within
+    * block) over the same shifted-int8 points.
+    */
+  private def pqCtes: String =
+    s"""$shiftedIntCtes,
+        qe AS (
+          SELECT vec_id * $pqBlocks + pos // $pqSubDim AS vec_id,
+            pos % $pqSubDim AS pos, xs
+          FROM qe0),
+        ${lloydCtes(pqCodebookK, kmeansIters)}"""
 
   val oracles: Map[String, String] = Map(
     // q256: identical sign-block codes (DuckDB lists are 1-indexed),
@@ -908,6 +1055,44 @@ object Similarity {
           SELECT vec_id, min(keep_id) AS rep_id, max(cos) AS max_cos
           FROM p WHERE cos >= $semanticMinCos
           GROUP BY 1 ORDER BY vec_id""",
+    // q323: the same Lloyd chain over subvector keys; code = cluster,
+    // per-block exact error carried through
+    "q323_pq_codes" ->
+      s"""WITH $pqCtes
+          SELECT vec_id // $pqBlocks AS vec_id,
+            vec_id % $pqBlocks AS block, cluster AS code, d2m2
+          FROM af ORDER BY vec_id, block""",
+    // q324: the q323 chain, ADC against the final codebook CTE
+    // (c{iters-1}), exact integer distances, (adc, id) tie order, hit
+    // flags against q60's float truth verbatim
+    "q324_pq_adc_recall" ->
+      s"""WITH $pqCtes,
+          qq AS (
+            SELECT vec_id % $pqBlocks AS block, pos, xs FROM qe
+            WHERE vec_id // $pqBlocks = $queryVecId),
+          adc AS (
+            SELECT a.vec_id // $pqBlocks AS vec_id,
+              sum((q.xs * 1000000 - c.cm) * (q.xs * 1000000 - c.cm)) AS adc
+            FROM af a
+            JOIN c${kmeansIters - 1} c ON c.cluster = a.cluster
+            JOIN qq q ON q.block = a.vec_id % $pqBlocks AND q.pos = c.pos
+            WHERE a.vec_id // $pqBlocks <> $queryVecId
+            GROUP BY 1),
+          topq AS (
+            SELECT vec_id, adc::BIGINT AS adc_d2,
+              row_number() OVER (ORDER BY adc, vec_id) AS rank
+            FROM adc ORDER BY adc, vec_id LIMIT $topK),
+          ex AS (
+            SELECT e.vec_id,
+              round(${cosSql("e.embedding", "qvec")}, 6) AS cos
+            FROM embeddings e,
+              (SELECT embedding AS qvec FROM embeddings
+               WHERE vec_id = $queryVecId) qv
+            WHERE vec_id <> $queryVecId
+            ORDER BY cos DESC, vec_id LIMIT $topK)
+          SELECT rank, vec_id, adc_d2,
+            vec_id IN (SELECT vec_id FROM ex) AS hit
+          FROM topq ORDER BY rank""",
     // q321: the q317 chain verbatim, then the per-cluster (d², id)
     // rank window cut at m
     "q321_kmeans_prototypes" ->

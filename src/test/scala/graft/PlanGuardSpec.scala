@@ -131,7 +131,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // round-15: both embed q317's final assignment pass — the same
     // k×d micro-centroid literal broadcast
     "q320_semdedup_kmeans",
-    "q321_kmeans_prototypes")
+    "q321_kmeans_prototypes",
+    // round-15: the PQ pair embeds the same Lloyd assignment pass over
+    // subvector keys (16×8 codebook literal broadcast)
+    "q323_pq_codes",
+    "q324_pq_adc_recall")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -404,6 +404,112 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"rank<=m did not rewrite to WindowGroupLimit:\n$plan")
   }
 
+  /** Shared plain-Scala PQ replica for the q323/q324 pins: quantize,
+    * shift, slice into 8-dim subvectors keyed vec_id·8+block, run the
+    * same exact Lloyd (k=16, 3 rounds) with its own argmin/recenter,
+    * return (assignments, final centroids).
+    */
+  private def pqReplica(): (Seq[(Long, Long, Long)], Map[Long, Seq[Long]]) = {
+    val raw = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .sortBy(_._1)
+    def shifted(v: Seq[Double]): Seq[Long] = {
+      val mx = v.map(math.abs).max
+      if (mx == 0.0) v.map(_ => 127L)
+      else v.map(x => math.floor(x / (mx / 127.0) + 0.5).toLong + 127L)
+    }
+    val subs: Seq[(Long, Seq[Long])] = raw.toSeq.flatMap { case (id, v) =>
+      val xs = shifted(v)
+      (0 until Similarity.pqBlocks).map(b =>
+        (id * Similarity.pqBlocks + b,
+          xs.slice(b * Similarity.pqSubDim, (b + 1) * Similarity.pqSubDim)))
+    }.sortBy(_._1)
+    val subMap = subs.toMap
+    var cents: Vector[(Long, Seq[Long])] =
+      subs.take(Similarity.pqCodebookK).zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v.map(_ * 1000000L)) }.toVector
+    def d2(x: Seq[Long], cm: Seq[Long]): Long =
+      x.zip(cm).map { case (a, c) =>
+        val d = a * 1000000L - c; d * d }.sum
+    var assigned: Seq[(Long, Long, Long)] = Nil
+    for (it <- 1 to Similarity.kmeansIters) {
+      assigned = subs.map { case (id, v) =>
+        val (best, bd) = cents.map { case (c, cm) => (c, d2(v, cm)) }
+          .minBy { case (c, d) => (d, c) }
+        (id, best, bd)
+      }
+      if (it < Similarity.kmeansIters) {
+        val byC = assigned.groupBy(_._2)
+        cents = cents.map { case (c, old) =>
+          byC.get(c) match {
+            case None => (c, old)
+            case Some(ms) =>
+              val vs = ms.map(m => subMap(m._1))
+              val n = BigInt(vs.size)
+              (c, (0 until vs.head.size).map { p =>
+                val s = vs.map(v => BigInt(v(p))).sum
+                ((s * 1000000 + n / 2) / n).toLong
+              })
+          }
+        }
+      }
+    }
+    (assigned, cents.toMap)
+  }
+
+  test("q323 PQ codes equal an independent plain-Scala replica " +
+    "(shared-codebook Lloyd over subvectors), and the codebook is used") {
+    val (repl, _) = pqReplica()
+    val expected = repl.map { case (k, c, d) =>
+      (k / Similarity.pqBlocks, k % Similarity.pqBlocks, c, d) }
+      .sortBy(e => (e._1, e._2))
+    val got = Similarity.pqCodes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    // real codebook spread: more than half the entries carry codes
+    assert(got.map(_._3).distinct.size > Similarity.pqCodebookK / 2)
+  }
+
+  test("q324 PQ ADC top-k equals the replica's exact reconstruction " +
+    "distances, ranks are 1..k, hit flags match the float truth") {
+    val (repl, cents) = pqReplica()
+    val qBlocks = repl.filter(_._1 / Similarity.pqBlocks == 0)
+      .map(a => a._1 % Similarity.pqBlocks).toSet
+    assert(qBlocks.size == Similarity.pqBlocks)
+    // replica ADC: query's own shifted subvectors vs each vector's
+    // assigned codebook entries
+    val raw = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def shifted(v: Seq[Double]): Seq[Long] = {
+      val mx = v.map(math.abs).max
+      if (mx == 0.0) v.map(_ => 127L)
+      else v.map(x => math.floor(x / (mx / 127.0) + 0.5).toLong + 127L)
+    }
+    val qxs = shifted(raw(0L))
+    val adc = repl.filter(_._1 / Similarity.pqBlocks != 0L)
+      .groupBy(_._1 / Similarity.pqBlocks).map { case (vid, blocks) =>
+        vid -> blocks.map { case (k, code, _) =>
+          val b = (k % Similarity.pqBlocks).toInt
+          val qb = qxs.slice(b * Similarity.pqSubDim,
+            (b + 1) * Similarity.pqSubDim)
+          qb.zip(cents(code)).map { case (x, c) =>
+            val d = x * 1000000L - c; d * d }.sum
+        }.sum
+      }
+    val expectedTop = adc.toSeq.sortBy { case (v, d) => (d, v) }
+      .take(Similarity.topK).zipWithIndex
+      .map { case ((v, d), i) => ((i + 1).toLong, v, d) }
+    val got = Similarity.pqAdcRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq === expectedTop)
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    got.foreach { case (_, id, _, hit) => assert(hit == exact(id)) }
+  }
+
   test("q318 int8 top-k: ranks are 1..k, hit flags match the float truth, " +
     "and quantization recall stays usable") {
     val rows = Similarity.int8KnnRecall(spark, sf).collect()
