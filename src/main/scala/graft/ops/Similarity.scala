@@ -804,6 +804,25 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** q325 — CLUSTER PROFILE for the q317 assignment: per cluster, the
+    * member count, the mean exact quantization error (truncating
+    * integer division — sums ride decimal(38,0) since Σd² outgrows
+    * BIGINT past two members at the d² ceiling), and the max — the
+    * elbow/size-skew readout that tells a SemDeDup/IVF operator
+    * whether k is sized right (one fat low-error cluster → raise k;
+    * many singletons → lower it) before any expensive downstream runs.
+    *
+    * Scale: one hash agg from the assignment to k rows.
+    */
+  def kmeansProfile(spark: SparkSession, dir: String): DataFrame =
+    kmeansLloyd(spark, dir)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(d2m2 as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_d2m2"),
+        max("d2m2").as("max_d2m2"))
+      .orderBy("cluster")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -829,6 +848,7 @@ object Similarity {
     "q321_kmeans_prototypes" -> (kmeansPrototypes(_, _)),
     "q323_pq_codes" -> (pqCodes(_, _)),
     "q324_pq_adc_recall" -> (pqAdcRecall(_, _)),
+    "q325_kmeans_profile" -> (kmeansProfile(_, _)),
     "q146_embedding_drift" -> (embeddingDrift(_, _)))
 
   /** DuckDB cosine via explicit double math (list_cosine_similarity may
@@ -1093,6 +1113,14 @@ object Similarity {
           SELECT rank, vec_id, adc_d2,
             vec_id IN (SELECT vec_id FROM ex) AS hit
           FROM topq ORDER BY rank""",
+    // q325: the q317 chain, one profile agg (HUGEINT sum, floor //
+    // = Spark's truncating div on the non-negative domain)
+    "q325_kmeans_profile" ->
+      s"""WITH $kmeansCtes
+          SELECT cluster, count(*)::BIGINT AS n,
+            (sum(d2m2) // count(*))::BIGINT AS mean_d2m2,
+            max(d2m2) AS max_d2m2
+          FROM af GROUP BY 1 ORDER BY cluster""",
     // q321: the q317 chain verbatim, then the per-cluster (d², id)
     // rank window cut at m
     "q321_kmeans_prototypes" ->

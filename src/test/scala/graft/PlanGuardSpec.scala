@@ -135,7 +135,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     // round-15: the PQ pair embeds the same Lloyd assignment pass over
     // subvector keys (16×8 codebook literal broadcast)
     "q323_pq_codes",
-    "q324_pq_adc_recall")
+    "q324_pq_adc_recall",
+    // round-15: q317's assignment pass under a k-row profile agg
+    "q325_kmeans_profile")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

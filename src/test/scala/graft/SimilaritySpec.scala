@@ -404,6 +404,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"rank<=m did not rewrite to WindowGroupLimit:\n$plan")
   }
 
+  test("q325 cluster profile: counts/means/max recomputed from the " +
+    "engine's own q317 assignment") {
+    val af = Similarity.kmeansLloyd(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val expected = af.groupBy(_._1).toSeq.map { case (c, vs) =>
+      val n = vs.size.toLong
+      val s = vs.map(v => BigInt(v._2)).sum
+      (c, n, (s / n).toLong, vs.map(_._2).max)
+    }.sortBy(_._1)
+    val got = Similarity.kmeansProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
   /** Shared plain-Scala PQ replica for the q323/q324 pins: quantize,
     * shift, slice into 8-dim subvectors keyed vec_id·8+block, run the
     * same exact Lloyd (k=16, 3 rounds) with its own argmin/recenter,
