@@ -187,6 +187,9 @@ object Similarity {
         Vectors.norm2(col("embedding")).as("norm"),
         array(tables.map(p =>
           Vectors.hyperplaneBucket(col("embedding"), p)): _*).as("buckets"))
+      // q64's explicit zero-norm scope-out (Spark NaN ranks ABOVE every
+      // real cosine in both filters and sorts — it must never reach them)
+      .filter(col("norm") > 0.0)
       .select(col("vec_id"), col("label"), col("embedding"), col("norm"),
         col("buckets"),
         posexplode(col("buckets")).as(Seq("t", "bucket")))
@@ -232,6 +235,11 @@ object Similarity {
         Vectors.norm2(col("embedding")).as("norm"),
         array(tables.map(p => Vectors.hyperplaneBucket(col("embedding"), p)): _*)
           .as("buckets"))
+      // zero-norm vectors are out of scope EXPLICITLY: Spark's total
+      // order puts NaN above every threshold (NaN >= x is TRUE), so a
+      // 0/0 cosine would be KEPT, not dropped — the opposite of the
+      // DuckDB twin, where 0.0/0.0 is NULL and the ≥ filter drops it
+      .filter(col("norm") > 0.0)
       .select(col("vec_id"), col("embedding"), col("norm"), col("buckets"),
         posexplode(col("buckets")).as(Seq("t", "bucket")))
       // Hash-distribute on the join keys: candidate generation (a dot per
@@ -256,9 +264,9 @@ object Similarity {
           && col("a.vec_id") < col("b.vec_id"))
       .filter(firstCollision)
       // d/(‖a‖·‖b‖) — the same arithmetic as Vectors.cosine, so the spec's
-      // brute-force ground truth agrees bit-for-bit. Zero-norm vectors
-      // yield NaN here and fall out of the ≥ threshold filter (the
-      // brute-force guard maps them to 0 — also below threshold).
+      // brute-force ground truth agrees bit-for-bit (zero-norm vectors
+      // were filtered at banding; the brute-force guard maps them to 0,
+      // also out of scope).
       .withColumn("cos",
         round(graft.expr.DotProduct(col("a.embedding"), col("b.embedding"))
           / (col("a.norm") * col("b.norm")), 6))
@@ -464,6 +472,10 @@ object Similarity {
         Vectors.norm2(col("embedding")).as("norm"),
         signBlock(col("embedding"), 0).as("b0"),
         signBlock(col("embedding"), signBlockBits).as("b1"))
+      // explicit zero-norm scope-out: Spark's NaN total order would KEEP
+      // a 0/0 cosine at any threshold while the DuckDB oracle's NULL
+      // drops it (q64's guard note)
+      .filter(col("norm") > 0.0)
       .repartition(col("vec_id"))
     def scored(pairs: DataFrame): DataFrame = pairs
       .withColumn("cos",
@@ -501,9 +513,9 @@ object Similarity {
     *     agree on the centroid update;
     *   - centroids live in exact integer micro-units:
     *     cm = (Σx·10⁶ + n/2) div n — integer round-half-up of the mean
-    *     in decimal(38,0) (the q303/q309 overflow discipline; Σx·10⁶
-    *     outgrows BIGINT past ~9·10¹² member rows), no float mean to
-    *     reconcile cross-engine;
+    *     in decimal(38,0) (the q303/q309 overflow discipline; at the
+    *     254 component ceiling Σx·10⁶ outgrows BIGINT past ~3.6·10¹⁰
+    *     member rows), no float mean to reconcile cross-engine;
     *   - assignment minimizes the exact integer d² = Σ(x·10⁶ − cm)²
     *     (≤ 64·(254·10⁶)² ≈ 4.1·10¹⁸ < 2⁶³), ties to the smallest
     *     cluster id; an emptied cluster keeps its previous centroid;
@@ -652,13 +664,16 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         Vectors.norm2(col("embedding")).as("norm"))
-    val coded = assigns.join(emb, "vec_id").repartition(col("vec_id"))
+    // explicit zero-norm scope-out (q64's guard note: Spark's NaN total
+    // order would KEEP a 0/0 cosine at any threshold; DuckDB's NULL
+    // division drops it — the filter makes both engines agree by
+    // construction)
+    val coded = assigns.join(emb.filter(col("norm") > 0.0), "vec_id")
+      .repartition(col("vec_id"))
     coded.as("a")
       .join(coded.as("b"),
         col("a.cluster") === col("b.cluster")
           && col("a.vec_id") < col("b.vec_id"))
-      // zero-norm vectors yield NaN and fall out of the ≥ filter (the
-      // oracle's NULL-division twin — q64/q256's guard note)
       .withColumn("cos",
         round(graft.expr.DotProduct(col("a.embedding"), col("b.embedding"))
           / (col("a.norm") * col("b.norm")), 6))
@@ -725,8 +740,8 @@ object Similarity {
     */
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
     pqAssignments(spark, dir)._1
-      .select(expr("vec_id div 8").as("vec_id"),
-        expr("vec_id % 8").as("block"), col("cluster").as("code"),
+      .select(expr(s"vec_id div $pqBlocks").as("vec_id"),
+        expr(s"vec_id % $pqBlocks").as("block"), col("cluster").as("code"),
         col("d2m2"))
       .orderBy("vec_id", "block")
 
@@ -903,13 +918,17 @@ object Similarity {
             SELECT p.cluster, p.pos, coalesce(r$i.cm, p.cm) AS cm
             FROM $cPrev p LEFT JOIN r$i
               ON r$i.cluster = p.cluster AND r$i.pos = p.pos)"""
+    // iters == 1 must not leave a dangling comma after c0 (the rounds
+    // interpolation is empty then)
+    val rounds = (1 until iters).map(i => round(i, s"c${i - 1}"))
+      .mkString(",\n")
     s"""seeds AS (
           SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
           FROM (SELECT DISTINCT vec_id FROM qe ORDER BY vec_id LIMIT $k)),
         c0 AS (
           SELECT s.cluster, q.pos, q.xs * 1000000 AS cm
-          FROM seeds s JOIN qe q USING (vec_id)),
-        ${(1 until iters).map(i => round(i, s"c${i - 1}")).mkString(",\n")},
+          FROM seeds s JOIN qe q USING (vec_id))${
+            if (rounds.nonEmpty) ",\n" + rounds else ""},
         dF AS (
           SELECT q.vec_id, c.cluster,
             sum((q.xs * 1000000 - c.cm) * (q.xs * 1000000 - c.cm)) AS d2

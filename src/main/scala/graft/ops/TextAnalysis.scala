@@ -2266,8 +2266,9 @@ object TextAnalysis {
     // (start, length) slice), positions from the UNFILTERED chr(10)
     // split (1-based here, 0-based in Spark — the uniform shift
     // preserves the (mdoc_id, pos) order the first-occurrence rule
-    // minimizes over), md5 line keys, HUGEINT char masses,
-    // truncating ppm
+    // minimizes over; stated as a true lexicographic window order, no
+    // packed-key arithmetic to overflow), md5 line keys, HUGEINT char
+    // masses, truncating ppm
     "q319_ccnet_line_dedup" ->
       """WITH t AS (
             SELECT doc_id AS mdoc_id,
@@ -2287,14 +2288,11 @@ object TextAnalysis {
           l AS (
             SELECT mdoc_id, u[2] AS pos, u[1] AS line FROM lu
             WHERE u[1] <> ''),
-          f AS (
-            SELECT md5(line) AS h,
-              min(mdoc_id * 1000000000 + pos) AS fk
-            FROM l GROUP BY 1),
           j AS (
-            SELECT l.mdoc_id, l.line,
-              (l.mdoc_id * 1000000000 + l.pos = f.fk) AS kept
-            FROM l JOIN f ON md5(l.line) = f.h)
+            SELECT mdoc_id, line,
+              row_number() OVER (PARTITION BY md5(line)
+                                 ORDER BY mdoc_id, pos) = 1 AS kept
+            FROM l)
           SELECT mdoc_id, count(*)::BIGINT AS n_lines,
             sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS kept_lines,
             coalesce(sum(length(line)::HUGEINT) FILTER (WHERE NOT kept), 0)

@@ -301,6 +301,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(unscoped > 0, "every qualifying pair landed in-scope; widen the pin")
   }
 
+  /** The replica quantize-and-shift chain, shared by the q317/q323/q324
+    * pins (one definition to keep in sync with the engine contract).
+    */
+  private def shifted(v: Seq[Double]): Seq[Long] = {
+    val mx = v.map(math.abs).max
+    if (mx == 0.0) v.map(_ => 127L)
+    else v.map(x => math.floor(x / (mx / 127.0) + 0.5).toLong + 127L)
+  }
+
   test("q317 Lloyd k-means equals an independent plain-Scala replica " +
     "(assignments + exact integer d2), and every vector is assigned once") {
     // replica shares only the parquet bytes with the engine: its own
@@ -309,11 +318,6 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
       .sortBy(_._1)
-    def shifted(v: Seq[Double]): Seq[Long] = {
-      val mx = v.map(math.abs).max
-      if (mx == 0.0) v.map(_ => 127L)
-      else v.map(x => math.floor(x / (mx / 127.0) + 0.5).toLong + 127L)
-    }
     val xs = raw.map { case (id, v) => id -> shifted(v) }
     val xsMap = xs.toMap
     var cents: Vector[(Long, Seq[Long])] =
@@ -422,18 +426,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   /** Shared plain-Scala PQ replica for the q323/q324 pins: quantize,
     * shift, slice into 8-dim subvectors keyed vec_id·8+block, run the
     * same exact Lloyd (k=16, 3 rounds) with its own argmin/recenter,
-    * return (assignments, final centroids).
+    * return (assignments, final centroids). Lazy: computed once for
+    * both tests (the replica Lloyd over 8n subvectors is the wall).
     */
-  private def pqReplica(): (Seq[(Long, Long, Long)], Map[Long, Seq[Long]]) = {
+  private lazy val pqReplica: (Seq[(Long, Long, Long)], Map[Long, Seq[Long]]) = {
     val raw = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
       .sortBy(_._1)
-    def shifted(v: Seq[Double]): Seq[Long] = {
-      val mx = v.map(math.abs).max
-      if (mx == 0.0) v.map(_ => 127L)
-      else v.map(x => math.floor(x / (mx / 127.0) + 0.5).toLong + 127L)
-    }
     val subs: Seq[(Long, Seq[Long])] = raw.toSeq.flatMap { case (id, v) =>
       val xs = shifted(v)
       (0 until Similarity.pqBlocks).map(b =>
@@ -475,7 +475,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
   test("q323 PQ codes equal an independent plain-Scala replica " +
     "(shared-codebook Lloyd over subvectors), and the codebook is used") {
-    val (repl, _) = pqReplica()
+    val (repl, _) = pqReplica
     val expected = repl.map { case (k, c, d) =>
       (k / Similarity.pqBlocks, k % Similarity.pqBlocks, c, d) }
       .sortBy(e => (e._1, e._2))
@@ -489,7 +489,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
   test("q324 PQ ADC top-k equals the replica's exact reconstruction " +
     "distances, ranks are 1..k, hit flags match the float truth") {
-    val (repl, cents) = pqReplica()
+    val (repl, cents) = pqReplica
     val qBlocks = repl.filter(_._1 / Similarity.pqBlocks == 0)
       .map(a => a._1 % Similarity.pqBlocks).toSet
     assert(qBlocks.size == Similarity.pqBlocks)
@@ -498,11 +498,6 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val raw = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
-    def shifted(v: Seq[Double]): Seq[Long] = {
-      val mx = v.map(math.abs).max
-      if (mx == 0.0) v.map(_ => 127L)
-      else v.map(x => math.floor(x / (mx / 127.0) + 0.5).toLong + 127L)
-    }
     val qxs = shifted(raw(0L))
     val adc = repl.filter(_._1 / Similarity.pqBlocks != 0L)
       .groupBy(_._1 / Similarity.pqBlocks).map { case (vid, blocks) =>
