@@ -48,6 +48,27 @@ object KmeansScaleBench {
       println(f"[kscale] N=$n%d wall=$wall%.1f s rows=$rows%d " +
         f"purity=$purity%.3f sizes=${sizesDf.map(_._2).mkString("/")}")
     }
+    // k sweep at a fixed N (second arg "ksweep[:N]"): the elbow curve
+    // q325's profile serves — total inertia is monotone non-increasing
+    // in k, and the wall grows ~linearly with k (one broadcast row per
+    // centroid inside the same scan)
+    args.lift(1).filter(_.startsWith("ksweep")).foreach { spec =>
+      val n = spec.split(":").lift(1).map(_.toLong).getOrElse(200000L)
+      val emb = AnnScaleBench.synthEmbeddings(spark, n).localCheckpoint(true)
+      emb.count()
+      val xs = graft.ops.Similarity
+        .int8QuantizedCore(emb)
+        .select(col("vec_id"), expr("transform(qs, q -> q + 127L)").as("xs"))
+      for (k <- Seq(4, 8, 16, 32)) {
+        val t0 = System.nanoTime()
+        val (af, _) = graft.ops.Similarity.lloydAssign(spark, xs, k, 3)
+        val r = af.agg(sum(expr("cast(d2m2 as decimal(38,0))")).as("inertia"),
+          count(lit(1)).as("n")).head()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[kscale] ksweep N=$n%d k=$k%d wall=$wall%.1f s " +
+          f"inertia=${r.getDecimal(0).toBigInteger}%s rows=${r.getLong(1)}%d")
+      }
+    }
     spark.stop()
   }
 }
