@@ -210,7 +210,8 @@ object Sampling {
     * driver) — no global sort, no shuffle of the data. k rows of state
     * per partition regardless of input size.
     */
-  def weightedPrioritySample(s: SparkSession, d: String): DataFrame =
+  /** The q184 priority projection — shared with q326's estimator. */
+  private def orderPriorities(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .select(col("o_orderkey"),
         expr("floor(o_totalprice) + 1L").as("w"),
@@ -219,8 +220,47 @@ object Sampling {
           .cast("long") + 1L).as("u"))
       .select(col("o_orderkey"), col("w"),
         expr("(w * 4294967296L) div u").as("priority"))
+
+  def weightedPrioritySample(s: SparkSession, d: String): DataFrame =
+    orderPriorities(s, d)
       .orderBy(col("priority").desc, col("o_orderkey"))
       .limit(prioritySampleK)
+
+  /** q326 — PRIORITY-SAMPLE WEIGHT ESTIMATES: the second half of
+    * Duffield–Lund–Thorup that q184 leaves on the table. A weighted
+    * sample is only useful downstream if totals computed FROM it are
+    * unbiased; DLT's estimator is ŵᵢ = max(wᵢ, τ) for each sampled
+    * item, τ = the (k+1)-th largest priority, and E[Σ ŵᵢ] = Σ w over
+    * the whole population — the property that lets a curation pipeline
+    * quote corpus-level token/byte masses from a k-row sample. Every
+    * quantity here is the same exact 64-bit integer arithmetic as
+    * q184 (priority = w·2³² div u ≈ w/u shares w's units, so
+    * max(w, τ) is well-typed), so the oracle re-derives the sample,
+    * the threshold and every estimate bit-for-bit. Output: rank,
+    * item, weight, priority, ŵ.
+    *
+    * 100 TB: one codegen'd projection + ONE TakeOrderedAndProject of
+    * k+1 rows; τ is a single-row broadcast into the k output rows
+    * (the sanctioned boundary-broadcast pattern). The unbiasedness is
+    * spec-checked against the population total on the fixture.
+    */
+  def priorityEstimates(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = prioritySampleK
+    val top = orderPriorities(s, d)
+      .orderBy(col("priority").desc, col("o_orderkey"))
+      .limit(k + 1)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("priority").desc, col("o_orderkey")))
+        .cast("long"))
+    val tau = top.filter(col("rank") === (k + 1).toLong)
+      .agg(coalesce(max("priority"), lit(0L)).as("tau"))
+    top.filter(col("rank") <= k.toLong)
+      .crossJoin(broadcast(tau))
+      .select(col("rank"), col("o_orderkey"), col("w"), col("priority"),
+        greatest(col("w"), col("tau")).as("w_est"))
+      .orderBy("rank")
+  }
 
   val bootstrapReplicates = 16
 
@@ -603,6 +643,7 @@ object Sampling {
     "q144_group_kfold" -> (groupKFold(_, _)),
     "q181_negative_samples" -> (negativeSamples(_, _)),
     "q184_weighted_sample" -> (weightedPrioritySample(_, _)),
+    "q326_priority_estimates" -> (priorityEstimates(_, _)),
     "q252_rendezvous_sharding" -> (rendezvousSharding(_, _)),
     "q255_token_apportionment" -> (tokenApportionment(_, _)),
     "q309_temperature_mixture" -> (temperatureMixture(_, _)),
@@ -845,6 +886,28 @@ object Sampling {
                 ::BIGINT + 1 AS u
             FROM orders)
           ORDER BY priority DESC, o_orderkey LIMIT $prioritySampleK""",
+    // q326: q184's integer chain, τ from the (k+1)-th row, exact
+    // greatest(w, τ) estimates
+    "q326_priority_estimates" ->
+      s"""WITH q AS (
+            SELECT o_orderkey, w, (w * 4294967296) // u AS priority FROM (
+              SELECT o_orderkey,
+                CAST(floor(o_totalprice) AS BIGINT) + 1 AS w,
+                ('0x' || substr(md5(o_orderkey::VARCHAR || ':wsamp'), 1, 8))
+                  ::BIGINT + 1 AS u
+              FROM orders)),
+          r AS (
+            SELECT o_orderkey, w, priority,
+              row_number() OVER (ORDER BY priority DESC, o_orderkey)
+                AS rank
+            FROM q),
+          t AS (
+            SELECT coalesce(max(CASE WHEN rank = ${prioritySampleK + 1}
+              THEN priority END), 0) AS tau
+            FROM r WHERE rank <= ${prioritySampleK + 1})
+          SELECT rank, o_orderkey, w, priority::BIGINT AS priority,
+            greatest(w, tau)::BIGINT AS w_est
+          FROM r, t WHERE rank <= $prioritySampleK ORDER BY rank""",
     // q181: the identical five-nibble hash, modulus, anti-join and
     // tie-break replayed in DuckDB — the sample must match bit-for-bit
     "q181_negative_samples" ->

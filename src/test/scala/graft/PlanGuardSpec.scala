@@ -137,7 +137,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q323_pq_codes",
     "q324_pq_adc_recall",
     // round-15: q317's assignment pass under a k-row profile agg
-    "q325_kmeans_profile")
+    "q325_kmeans_profile",
+    // round-15: single-row τ-threshold broadcast into the k sampled
+    // rows (q143's totals-row pattern)
+    "q326_priority_estimates")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -142,6 +142,37 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall { case (_, w, p) => p >= w })
   }
 
+  test("q326: DLT estimates equal an independent replica (tau from the " +
+    "k+1-th priority), and the estimated total is near the population") {
+    import spark.implicits._
+    val k = Sampling.prioritySampleK
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val all = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].collect().toSeq
+      .map { case (key, price) =>
+        val hex = md.digest(s"$key:wsamp".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(8)
+        val u = java.lang.Long.parseLong(hex, 16) + 1L
+        val w = math.floor(price).toLong + 1L
+        (key, w, (w * 4294967296L) / u)
+      }
+      .sortBy { case (key, _, p) => (-p, key) }
+    val tau = if (all.length > k) all(k)._3 else 0L
+    val expected = all.take(k).zipWithIndex.map { case ((key, w, p), i) =>
+      ((i + 1).toLong, key, w, p, math.max(w, tau)) }
+    val got = Sampling.priorityEstimates(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // the DLT property the estimator exists for: the sample's Σŵ sits
+    // near the population Σw (unbiased in expectation; this fixed
+    // fixture draw lands well inside ±30%)
+    val popTotal = all.map(_._2).sum.toDouble
+    val estTotal = got.map(_._5).sum.toDouble
+    assert(math.abs(estTotal - popTotal) / popTotal < 0.3,
+      s"estimated $estTotal vs population $popTotal")
+  }
+
   test("q193: every bootstrap replicate matches an independent JVM " +
     "recomputation of the Poisson weights and weighted means") {
     import spark.implicits._
