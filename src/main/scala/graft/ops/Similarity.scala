@@ -819,6 +819,49 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** q327 — ORACLE-GATED IVF (q65's pattern, the deterministic
+    * quantizer): inverted lists are q317's exact Lloyd clusters, the
+    * query probes the [[ivfProbes]] lists whose micro-unit centroids
+    * sit nearest its shifted int8 point (exact integer d², ties to the
+    * smaller cluster), candidates re-rank by the float cosine (q60's
+    * rounded-double contract). `ml.KMeans`' seed made q65 rows-only
+    * forever; this is the same probe-the-nearest-lists read path with
+    * every step DuckDB-replayable — the q256-for-q64 move applied to
+    * IVF, shrinking the no-oracle class by the pattern (q65 stays
+    * registered for the ml-lib twin).
+    *
+    * Scale: probe selection is k exact distances computed driver-side
+    * from the bounded codebook (never a data pass); the candidate set
+    * is probes/k of the corpus via a cluster-id filter; re-rank is one
+    * broadcast query row + TakeOrderedAndProject.
+    */
+  def annIvfExact(spark: SparkSession, dir: String): DataFrame = {
+    val quant = int8QuantizedCore(Tables.embeddings(spark, dir))
+    val xsDf = quant.select(col("vec_id"),
+      expr("transform(qs, q -> q + 127L)").as("xs"))
+    val (af, cents) = lloydAssign(spark, xsDf, kmeansK, kmeansIters)
+    val qxs = xsDf.filter(col("vec_id") === queryVecId)
+      .collect().headOption.map(_.getSeq[Long](1))
+      .getOrElse(Seq.fill(embeddingDim)(127L))
+    val probes = cents.map { case (c, cm) =>
+      (c, qxs.zip(cm).map { case (x, c0) =>
+        val d = x * 1000000L - c0; d * d }.sum)
+    }.sortBy { case (c, d) => (d, c) }.take(ivfProbes).map(_._1)
+    val cand = af
+      .filter(col("cluster").isin(probes: _*)
+        && col("vec_id") =!= queryVecId)
+      .select("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qvec"))
+    emb.join(cand, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qvec")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(topK)
+  }
+
   /** q325 — CLUSTER PROFILE for the q317 assignment: per cluster, the
     * member count, the mean exact quantization error (truncating
     * integer division — sums ride decimal(38,0) since Σd² outgrows
@@ -864,6 +907,7 @@ object Similarity {
     "q323_pq_codes" -> (pqCodes(_, _)),
     "q324_pq_adc_recall" -> (pqAdcRecall(_, _)),
     "q325_kmeans_profile" -> (kmeansProfile(_, _)),
+    "q327_ann_ivf_exact" -> (annIvfExact(_, _)),
     "q146_embedding_drift" -> (embeddingDrift(_, _)))
 
   /** DuckDB cosine via explicit double math (list_cosine_similarity may
@@ -1132,6 +1176,31 @@ object Similarity {
           SELECT rank, vec_id, adc_d2,
             vec_id IN (SELECT vec_id FROM ex) AS hit
           FROM topq ORDER BY rank""",
+    // q327: the q317 chain, probe selection from the final centroid
+    // CTE by exact integer d² (ties to the smaller cluster), float
+    // cosine re-rank under q60's contract
+    "q327_ann_ivf_exact" ->
+      s"""WITH $kmeansCtes,
+          qx AS (SELECT pos, xs FROM qe WHERE vec_id = $queryVecId),
+          cd AS (
+            SELECT c.cluster,
+              sum((q.xs * 1000000 - c.cm) * (q.xs * 1000000 - c.cm)) AS d2
+            FROM c${kmeansIters - 1} c JOIN qx q USING (pos) GROUP BY 1),
+          probes AS (
+            SELECT cluster FROM (
+              SELECT cluster,
+                row_number() OVER (ORDER BY d2, cluster) AS rn
+              FROM cd) WHERE rn <= $ivfProbes),
+          cand AS (
+            SELECT a.vec_id FROM af a JOIN probes p
+              ON a.cluster = p.cluster
+            WHERE a.vec_id <> $queryVecId)
+          SELECT e.vec_id, e.label,
+            round(${cosSql("e.embedding", "qvec")}, 6) AS cos
+          FROM embeddings e JOIN cand USING (vec_id),
+            (SELECT embedding AS qvec FROM embeddings
+             WHERE vec_id = $queryVecId) qv
+          ORDER BY cos DESC, vec_id LIMIT $topK""",
     // q325: the q317 chain, one profile agg (HUGEINT sum, floor //
     // = Spark's truncating div on the non-negative domain)
     "q325_kmeans_profile" ->

@@ -140,7 +140,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q325_kmeans_profile",
     // round-15: single-row τ-threshold broadcast into the k sampled
     // rows (q143's totals-row pattern)
-    "q326_priority_estimates")
+    "q326_priority_estimates",
+    // round-15: q317's assignment pass + the single-row query-vector
+    // broadcast (q60's pattern)
+    "q327_ann_ivf_exact")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -408,6 +408,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"rank<=m did not rewrite to WindowGroupLimit:\n$plan")
   }
 
+  test("q327 exact IVF: equals brute force restricted to the engine's " +
+    "own probed clusters (probe-rule correctness is oracle-gated), " +
+    "and recall is usable") {
+    val af = Similarity.kmeansLloyd(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.annIvfExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got.size == Similarity.topK)
+    // the probed-cluster set the engine used = clusters of returned
+    // candidates must be <= ivfProbes distinct
+    val probed = got.map(g => af(g._1)).distinct
+    assert(probed.size <= Similarity.ivfProbes)
+    // restriction replica: float cosine over ONLY the probed clusters'
+    // members reproduces the output exactly
+    val emb = Tables.embeddings(spark, sf)
+    val qv = emb.filter(col("vec_id") === Similarity.queryVecId)
+      .select(col("embedding").as("qvec"))
+    val inProbed = emb
+      .filter(col("vec_id") =!= Similarity.queryVecId)
+      .filter(col("vec_id").isin(
+        af.filter(kv => probed.contains(kv._2)).keys.toSeq: _*))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qvec")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(Similarity.topK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSeq
+    assert(got === inProbed)
+    // recall vs the unrestricted truth: probing 3 of 8 lists must still
+    // find a usable share of the float top-k
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val recall = got.count(g => exact(g._1)).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@${Similarity.topK} was $recall")
+  }
+
   test("q325 cluster profile: counts/means/max recomputed from the " +
     "engine's own q317 assignment") {
     val af = Similarity.kmeansLloyd(spark, sf).collect()
