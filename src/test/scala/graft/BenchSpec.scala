@@ -38,16 +38,26 @@ class BenchSpec extends AnyFunSuite {
 
   test("cross-history provisional flag: replaying the r14 re-record " +
     "against the other committed records flags exactly the image band") {
-    // the history the re-record SHOULD have been checked against: every
-    // committed record except itself (r14 verdict task 2) — and except
-    // records committed AFTER it (the r15 end-of-round run lowered the
-    // all-time best of q100/q194, which would anachronistically widen
-    // the r14-era flag set this spec pins)
+    // the history the re-record SHOULD have been checked against: the
+    // records that EXISTED at r14 time (r14 verdict task 2). Stated as
+    // an include-list, not an exclude-list: every later round commits
+    // new records that legitimately lower some query's all-time best,
+    // which would anachronistically widen the r14-era flag set this
+    // spec pins (first q100/q194 via r15final, then q100 via r15full —
+    // an exclude-list breaks on every such commit)
+    val r14Era = Set(
+      "BENCH.local.20260815-164344.json",
+      "BENCH.local.20260815-223120.json",
+      "BENCH.local.20260816-060558.json",
+      "BENCH.local.r12contended.json",
+      "BENCH.local.r13final.json",
+      "BENCH.local.r13quiet.json")
+    val allRecords = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty[java.io.File]).map(_.getName)
+      .filter(n => n.startsWith("BENCH.local") && n.endsWith(".json"))
+      .toSet
     val hist = Bench.historicalBest(new java.io.File("."),
-      exclude = Set("BENCH.local.r14rerecord.json",
-        "BENCH.local.r15final.json",
-        // the mutable latest-run alias — always post-dates r14
-        "BENCH.local.json"))
+      exclude = allRecords -- r14Era)
     assert(hist.size >= 290, s"historical best covers only ${hist.size}")
     // the contaminated record under test
     val src = scala.io.Source.fromFile("BENCH.local.r14rerecord.json")
