@@ -662,10 +662,11 @@ object CorpusPrep {
         .select("doc_id", "lang", "text")
         .localCheckpoint(true))
 
-  /** Core over any (doc_id, lang, text) frame — fixture seam. The
-    * caller materializes `docs`; all tiers (and the score) consume it.
+  /** The scored survivor frame (doc_id, split, n_tok, lr_mean_ppm) —
+    * q311's tiers 1–5 + DSIR score, BEFORE tier 6's packing. Shared
+    * seam: q311 packs it; q332 priority-samples it.
     */
-  private[graft] def curationPipelineScoredCore(docs: DataFrame): DataFrame = {
+  private[graft] def scoredSurvivors(docs: DataFrame): DataFrame = {
     val nonReps = Dedup.clusterAssignmentsCore(docs)
       .filter(col("doc_id") =!= col("cluster"))
       .select("doc_id")
@@ -691,9 +692,16 @@ object CorpusPrep {
       .filter(col("keep")).select("doc_id")
     val survivors = pre.join(repetitionKeep, Seq("doc_id"), "left_semi")
     val withSplit = survivors.withColumn("split", Sampling.splitExpr)
-    val scored = withSplit.select("doc_id", "split")
+    withSplit.select("doc_id", "split")
       .join(Quality.dsirImportanceCore(docs)
         .select("doc_id", "n_tok", "lr_mean_ppm"), Seq("doc_id"))
+  }
+
+  /** Core over any (doc_id, lang, text) frame — fixture seam. The
+    * caller materializes `docs`; all tiers (and the score) consume it.
+    */
+  private[graft] def curationPipelineScoredCore(docs: DataFrame): DataFrame = {
+    val scored = scoredSurvivors(docs)
     Seq("train", "eval")
       .map(sp => GlobalIndex.prefixSummedBy(
         scored.filter(col("split") === sp), Seq("doc_id"), Seq("n_tok")))
@@ -707,7 +715,72 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** q332 sample size: small enough that the (k+1)-th priority — τ —
+    * genuinely exists at the sf0.01 gate's ~100 survivors, so the
+    * estimator path (not the degenerate sample-everything path) is
+    * what the oracle verifies.
+    */
+  val manifestSampleK = 32
+
+  /** q332 — PRIORITY-SAMPLED MANIFEST MASSES (r15 verdict task 4):
+    * q184/q326's Duffield–Lund–Thorup machinery composed over q311's
+    * scored survivors. At 100 TB the downstream budget sampler (q286)
+    * and mixer (q309) quote per-split token masses from a k-row
+    * priority sample, not a full manifest scan: each surviving doc
+    * gets priority = n_tok·2³² div u (u the md5-derived 32-bit
+    * uniform, ':cursamp' salt — the q58 seed-stability contract), the
+    * sample is the top-k by (priority DESC, doc_id), τ the (k+1)-th
+    * priority, and the per-split mass estimate is Σ ŵ = Σ max(n_tok,
+    * τ) over the sampled docs of that split — DLT's subset-sum
+    * estimator, unbiased for the true split masses (spec-checked
+    * against the exact totals already in the q311 manifest). Output
+    * one row per split: sample count, estimated token mass, τ.
+    *
+    * All-integer end to end (the q326 arithmetic over q311's exact
+    * n_tok), so the oracle re-derives sample, threshold and estimates
+    * bit-for-bit by extending the same CTE chain.
+    *
+    * Scale: the survivor tiers are q311's own; the sampler adds ONE
+    * codegen'd priority projection + ONE TakeOrderedAndProject of k+1
+    * rows (per-partition top-k, k-row driver merge — no global sort),
+    * τ a single-row broadcast, the estimate a ≤(k)-row hash agg.
+    */
+  def manifestSampleEstimates(spark: SparkSession, dir: String): DataFrame =
+    manifestSampleEstimatesCore(
+      Tables.spread(Tables.documents(spark, dir))
+        .filter(col("text").isNotNull)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(true))
+
+  /** Core over any (doc_id, lang, text) frame — fixture seam. */
+  private[graft] def manifestSampleEstimatesCore(docs: DataFrame): DataFrame = {
+    val k = manifestSampleK
+    val pri = scoredSurvivors(docs)
+      .select(col("doc_id"), col("split"), col("n_tok").as("w"),
+        (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":cursamp")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") + 1L).as("u"))
+      .select(col("doc_id"), col("split"), col("w"),
+        expr("(w * 4294967296L) div u").as("priority"))
+    val top = pri
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k + 1)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("priority").desc, col("doc_id")))
+        .cast("long"))
+    val tau = top.filter(col("rank") === (k + 1).toLong)
+      .agg(coalesce(max("priority"), lit(0L)).as("tau"))
+    top.filter(col("rank") <= k.toLong)
+      .crossJoin(broadcast(tau))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(greatest(col("w"), col("tau"))).as("est_n_tok"),
+        max("tau").as("tau"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q332_manifest_sample" -> (manifestSampleEstimates(_, _)),
     "q311_curation_scored" -> (curationPipelineScored(_, _)),
     "q302_curation_pipeline" -> (curationPipeline(_, _)),
     "q259_greedy_coverage" -> (greedyCoverage(_, _)),
@@ -809,11 +882,14 @@ object CorpusPrep {
        FROM picks ORDER BY round"""
   }
 
-  val oracles: Map[String, String] = Map(
-    // q311: q302's chain + q305's repetition battery as a second keep
-    // membership + q307's DSIR CTEs scoring the survivors — the whole
-    // widened pipeline replayed end to end as one CTE program
-    "q311_curation_scored" -> {
+  /** The q311 CTE program through `split_asg` (doc_id, split, n_tok,
+    * lr_mean_ppm — the scored-survivor grain): q302's dedup closure +
+    * both Gopher batteries + decontamination + split + DSIR score.
+    * q311's oracle packs it; q332's priority-samples it — the ONE
+    * replay of the pipeline, not two encodings (the splitExpr-sharing
+    * discipline applied to the oracle side).
+    */
+  private def curationScoredCtes: String = {
       def gramCte(n: Int, name: String) =
         s"""$name AS (
             SELECT doc_id, unnest(list_transform(
@@ -973,7 +1049,15 @@ object CorpusPrep {
                 substr(md5(s.doc_id::VARCHAR || ':split'), 1, 1)) - 1 < 14
               THEN 'train' ELSE 'eval' END AS split,
               sc.n_tok, sc.lr_mean_ppm
-            FROM survivors s JOIN dscore sc ON sc.doc_id = s.doc_id),
+            FROM survivors s JOIN dscore sc ON sc.doc_id = s.doc_id)"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    // q311: q302's chain + q305's repetition battery as a second keep
+    // membership + q307's DSIR CTEs scoring the survivors — the whole
+    // widened pipeline replayed end to end as one CTE program
+    "q311_curation_scored" ->
+      s"""$curationScoredCtes,
           packed AS (
             SELECT doc_id, split, n_tok, lr_mean_ppm,
               sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
@@ -986,8 +1070,32 @@ object CorpusPrep {
             ((cum - 1) // $packSeqLen)::BIGINT AS seq_last,
             ((cum - 1) // $packSeqLen) > ((cum - n_tok) // $packSeqLen)
               AS crosses
-          FROM packed ORDER BY doc_id"""
-    },
+          FROM packed ORDER BY doc_id""",
+    // q332: the same chain through split_asg, then q326's DLT sampler
+    // verbatim — priorities, τ = (k+1)-th, ŵ = max(w, τ), per-split
+    // subset-sum estimates, all exact integers
+    "q332_manifest_sample" ->
+      s"""$curationScoredCtes,
+          pri AS (
+            SELECT doc_id, split, w, (w * 4294967296) // u AS priority
+            FROM (
+              SELECT doc_id, split, n_tok AS w,
+                ('0x' || substr(md5(doc_id::VARCHAR || ':cursamp'), 1, 8))
+                  ::BIGINT + 1 AS u
+              FROM split_asg)),
+          rk AS (
+            SELECT doc_id, split, w, priority,
+              row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+            FROM pri),
+          tau AS (
+            SELECT coalesce(max(CASE WHEN rank = ${manifestSampleK + 1}
+              THEN priority END), 0) AS tau
+            FROM rk WHERE rank <= ${manifestSampleK + 1})
+          SELECT split, count(*)::BIGINT AS n_sampled,
+            sum(greatest(w, tau))::BIGINT AS est_n_tok,
+            max(tau)::BIGINT AS tau
+          FROM rk, tau WHERE rank <= $manifestSampleK
+          GROUP BY split ORDER BY split""",
     // q302: the whole pipeline replayed as chained CTEs — q57's
     // recursive closure, q291's rule battery, q262's gram join, q299's
     // nibble rule and q260's chop arithmetic, composed exactly as the

@@ -605,6 +605,110 @@ object Dedup {
         SimHash64(TextFunctions.filteredTokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
+  /** q330 — MD5-DERIVED SIMHASH SIGNATURES, fully oracle-gated (r15
+    * verdict task 3, resolved by conversion + a documented negative
+    * result): the registered q55 hashes each token with XXH64(seed 42)
+    * — a hash DuckDB does not implement, so q55's exact relation
+    * genuinely cannot be replayed (the negative half, recorded in
+    * BASELINE.json's no_oracle_classes). But nothing about the SIMHASH
+    * PATTERN needs XXH64: this twin derives each token's 64 bits from
+    * md5 (bit-identical in both engines — the q58/q94 nibble idiom),
+    * runs the identical tf-weighted sign-sum majority rule
+    * (SimHash64's kernel semantics: bit b set iff Σ±tf > 0), and emits
+    * the signature as two 32-bit halves (sig_hi, sig_lo — BIGINT-safe
+    * in both engines; a packed 64-bit value would need bit 63, whose
+    * sign differs between Spark's Long and a replayable DuckDB
+    * BIGINT literal). The q327-for-q65 move applied to the
+    * seeded-signature class: q55/q56 stay registered for the
+    * codegen'd XXH64 production path; the md5 twin proves the
+    * machinery against the oracle.
+    *
+    * Scale: duplicate tokens collapse to (doc, token, tf) FIRST (hash
+    * agg with map-side combine), then the bit fan-out is a constant
+    * 64 rows per distinct token; signature assembly is two hash aggs
+    * keyed on (doc, bit) then doc. Linear in corpus tokens — same
+    * shape as the production path, one md5 per distinct token.
+    */
+  def simhashMd5(spark: SparkSession, dir: String): DataFrame =
+    simhashMd5Core(Tables.spread(Tables.documents(spark, dir)))
+
+  private[graft] def simhashMd5Core(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.filteredTokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    // 16 hex nibbles = the token's first 64 md5 bits; bit b lives at
+    // nibble b div 4, position b mod 4 — the one formula, interpolated
+    // identically into the oracle
+    val bits = tf
+      .withColumn("nibs", expr(
+        """transform(sequence(0, 15),
+             i -> cast(conv(substring(md5(cast(w as binary)), i + 1, 1),
+                            16, 10) as int))"""))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 63),
+             b -> if(((element_at(nibs, cast(b div 4 + 1 as int))
+                       >> (b % 4)) & 1) = 1,
+                     c, -c))""")).as(Seq("pos", "contrib")))
+    bits.groupBy("doc_id", "pos").agg(sum("contrib").as("s"))
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("if(pos >= 32 and s > 0, shiftleft(1L, pos - 32), 0L)"))
+          .as("sig_hi"),
+        sum(expr("if(pos < 32 and s > 0, shiftleft(1L, pos), 0L)"))
+          .as("sig_lo"))
+      .orderBy("doc_id")
+  }
+
+  /** q331 — MD5-SIMHASH NEAR-DUP PAIRS, oracle-gated end to end: q56's
+    * banded blocking (4×16-bit sub-bands over the 64 bits — pigeonhole
+    * catches every Hamming ≤ 3 pair) and exact-Hamming verify
+    * (bit_count over XOR, identical on the non-negative 32-bit halves
+    * in both engines), over [[simhashMd5]]'s replayable signatures.
+    * With q330 this oracle-gates the ENTIRE simhash pipeline shape —
+    * signature, banding, exactly-once emission, Hamming verify — that
+    * q55/q56/q304 could only pin by spec.
+    *
+    * Scale: q56's argument verbatim (the banded bucket join IS the
+    * shipped production plan); the oracle emits DISTINCT pairs where
+    * the engine uses the first-colliding-band predicate — same
+    * relation, exactly-once by construction.
+    */
+  def simhashMd5Pairs(spark: SparkSession, dir: String,
+                      maxHamming: Int = 3): DataFrame =
+    simhashMd5PairsCore(Tables.spread(Tables.documents(spark, dir)), maxHamming)
+
+  private[graft] def simhashMd5PairsCore(docs: DataFrame,
+                                         maxHamming: Int = 3): DataFrame = {
+    val bandBits = 16
+    val mask = (1L << bandBits) - 1
+    val sigs = simhashMd5Core(docs)
+    // band 0/1 from the low half, 2/3 from the high — all values
+    // non-negative < 2^32, so shiftright and XOR agree cross-engine
+    def bandKey(side: String, bnd: Int): Column = {
+      val half = if (bnd < 2) col(s"$side.sig_lo") else col(s"$side.sig_hi")
+      shiftrightunsigned(half, (bnd % 2) * bandBits).bitwiseAND(lit(mask))
+    }
+    val banded = sigs.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+      explode(array((0 until 4).map(bnd =>
+        struct(lit(bnd).as("band"),
+          shiftrightunsigned(if (bnd < 2) col("sig_lo") else col("sig_hi"),
+            (bnd % 2) * bandBits).bitwiseAND(lit(mask)).as("key"))): _*))
+        .as("bucket"))
+    val firstBand = not((0 until 3).map(s =>
+      col("a.bucket.band") > s && bandKey("a", s) === bandKey("b", s))
+      .reduce(_ || _))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .filter(firstBand)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.sig_lo ^ b.sig_lo)")
+          + expr("bit_count(a.sig_hi ^ b.sig_hi)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash near-dup pairs: block on sub-bands of the 64-bit
     * signature (pigeonhole: k equal-width bands catch every pair
     * within Hamming k−1 — the shipped 4×16-bit split catches the
@@ -1563,6 +1667,9 @@ object Dedup {
     "q54_lsh_candidates" -> (lshCandidates(_, _)),
     "q55_simhash" -> (simhashes(_, _)),
     "q56_simhash_pairs" -> (simhashPairs(_, _)),
+    // the md5-derived oracle-gated twins of q55/q56 (r16)
+    "q330_simhash_md5" -> (simhashMd5(_, _)),
+    "q331_simhash_md5_pairs" -> (simhashMd5Pairs(_, _)),
     // rows-only like q55/q56 (hash-seeded); DedupSpec pins q304
     // set-equal to q56 on the corpus (two structurally different
     // complete generators of the same radius-3 relation) and the
@@ -1579,7 +1686,58 @@ object Dedup {
     "q220_dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
     "q257_ppjoin_pairs" -> (ppjoinPairs(_, _)))
 
+  /** Shared q330/q331 preface: q40's filtered-token relation, tf
+    * collapse, the md5-nibble bit rule (bit b of token w = bit (b mod
+    * 4) of hex nibble (b div 4) — the identical formula the engine
+    * interpolates), sign sums, and the two packed 32-bit halves.
+    */
+  private def simhashMd5Ctes: String =
+    s"""tok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL)
+          WHERE w <> '' AND w NOT IN (${TextAnalysis.stopList})
+            AND length(w) > 1 AND NOT regexp_matches(w, '^[0-9]+$$')),
+        tf AS (SELECT doc_id, w, count(*)::BIGINT AS c
+               FROM tok GROUP BY 1, 2),
+        bits AS (
+          SELECT doc_id, b,
+            CASE WHEN (((strpos('0123456789abcdef',
+                substr(md5(w), b // 4 + 1, 1)) - 1) >> (b % 4)) & 1) = 1
+              THEN c ELSE -c END AS contrib
+          FROM tf, range(0, 64) t(b)),
+        sg AS (SELECT doc_id, b, sum(contrib) AS s FROM bits GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id,
+            sum(CASE WHEN b >= 32 AND s > 0 THEN 1::BIGINT << (b - 32)
+                     ELSE 0 END)::BIGINT AS sig_hi,
+            sum(CASE WHEN b < 32 AND s > 0 THEN 1::BIGINT << b
+                     ELSE 0 END)::BIGINT AS sig_lo
+          FROM sg GROUP BY 1)"""
+
   val oracles: Map[String, String] = Map(
+    "q330_simhash_md5" ->
+      s"""WITH $simhashMd5Ctes
+          SELECT doc_id, sig_hi, sig_lo FROM sig ORDER BY doc_id""",
+    // q331: 4×16-bit bands over the halves, DISTINCT pair emission (=
+    // the engine's first-colliding-band exactly-once), exact Hamming
+    // via bit_count over xor on the non-negative halves
+    "q331_simhash_md5_pairs" ->
+      s"""WITH $simhashMd5Ctes,
+          bnd AS (
+            SELECT doc_id, sig_hi, sig_lo, b AS band,
+              CASE WHEN b < 2 THEN (sig_lo >> (b * 16)) & 65535
+                   ELSE (sig_hi >> ((b - 2) * 16)) & 65535 END AS key
+            FROM sig, range(0, 4) t(b)),
+          p AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              (bit_count(xor(a.sig_lo, b2.sig_lo))
+               + bit_count(xor(a.sig_hi, b2.sig_hi)))::BIGINT AS hamming
+            FROM bnd a JOIN bnd b2
+              ON a.band = b2.band AND a.key = b2.key
+                AND a.doc_id < b2.doc_id)
+          SELECT doc_a, doc_b, hamming FROM p
+          WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
     // q314: same whitespace tokens, same md5 window keys (concat_ws '
     // ' = array_to_string), same position-union coverage and
     // truncating ppm

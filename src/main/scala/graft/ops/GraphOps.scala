@@ -110,6 +110,118 @@ object GraphOps {
     materializeAndRelease(out, e, g0, sym, norm, ranks)
   }
 
+  /** q328 fixed-point scale: one vertex's initial rank mass in
+    * micro-micro units (10¹²), and the iteration count shared with
+    * q33's float PageRank so the two rankings are comparable reads of
+    * the same recursion.
+    */
+  private[graft] val prScale = 1000000000000L
+  private[graft] val prReset = prScale * 15L / 100L // exactly 1.5·10¹¹
+
+  /** q328 — EXACT-INTEGER PAGERANK (r15 verdict task 2: the first
+    * graph fixpoint with a full DuckDB oracle). Same recursion as q33
+    * — weighted transition over the symmetrized co-occurrence graph,
+    * reset 0.15, [[pageRankIters]] synchronous rounds — but every
+    * quantity is an exact integer, so the whole iteration replays in
+    * DuckDB as one chained CTE per round (the q317 Lloyd technique
+    * applied to rank mass):
+    *
+    *   - ranks live in micro-micro mass units, R₀(v) = 10¹²;
+    *   - each edge carries share(u→v) = (R(u)·w) div outW(u) —
+    *     products ride decimal(38,0)/HUGEINT (R ≤ n·10¹² and corpus-
+    *     scale weights overflow BIGINT together), the truncating
+    *     division is floor on the non-negative domain in both engines;
+    *   - R'(v) = 1.5·10¹¹ + (85·Σshares) div 100 — the damping is two
+    *     more exact integer ops, never a float;
+    *   - symmetrization leaves no dangling mass, so Σ R stays within
+    *     truncation dust of n·10¹² (spec-pinned bounds).
+    *
+    * q33 (float, GraphX) stays registered as the ml-lib twin — this is
+    * the q327-for-q65 move on the ITERATIVE-FIXPOINT no-oracle class:
+    * fixed rounds + exact arithmetic = rows+schema+hash gate, damping
+    * and all. Fulfills relation_graph/readme.md:18-19's PageRank
+    * aspiration (SURVEY §0.1) with a fully verifiable ranking.
+    *
+    * Scale: like q33 the iteration runs on the lexicon-bounded
+    * aggregated graph — each round is one edge-frame equi-join + a
+    * hash agg keyed on the vertex (the q209/q281 per-round
+    * localCheckpoint discipline); only the upstream edge aggregation
+    * scales with corpus volume.
+    */
+  def pagerankExact(spark: SparkSession, dir: String): DataFrame =
+    pagerankExactCore(CooccurrenceGraph.edgeCounts(spark, dir))
+
+  /** Core over any (src, dst, weight) edge frame — fixture seam. */
+  private[graft] def pagerankExactCore(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst", "weight")
+    val sym = e.select(col("src").as("a"), col("dst").as("b"), col("weight"))
+      .unionAll(e.select(col("dst"), col("src"), col("weight")))
+    val outW = sym.groupBy("a").agg(sum("weight").as("ow"))
+    val symw = sym.join(outW, "a").localCheckpoint(true)
+    val verts = symw.select(col("a").as("entity_id")).distinct()
+      .localCheckpoint(true)
+    var rank = verts.select(col("entity_id"), lit(prScale).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to pageRankIters) {
+      val inflow = symw
+        .join(rank, symw("a") === rank("entity_id"))
+        .select(col("b"),
+          expr("cast(r as decimal(38,0)) * weight div ow").as("share"))
+        .groupBy("b").agg(sum("share").as("inflow"))
+      rank = verts
+        .join(inflow, verts("entity_id") === inflow("b"), "left_outer")
+        .select(col("entity_id"),
+          (lit(prReset) + expr(
+            "cast(85 as decimal(38,0)) * coalesce(inflow, 0L) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("entity_id"), col("r").cast("bigint").as("rank_mm"))
+      .orderBy(desc("rank_mm"), asc("entity_id"))
+  }
+
+  /** q329 — EXACT LABEL PROPAGATION (the natural second conversion the
+    * q328 scaladoc's pattern predicts): q35's deterministic weighted
+    * LPA dynamics — each round every vertex adopts the label with the
+    * greatest incident edge-weight sum among its neighbors' labels,
+    * ties to the lexicographically smallest label, [[lpaIters]]
+    * synchronous rounds — with NOTHING float anywhere (weights are
+    * counts, the argmax a (sum DESC, label ASC) rank), so the whole
+    * fixpoint replays in DuckDB as one chained CTE round per
+    * iteration. q35 (GraphX Pregel) stays registered as the twin;
+    * output here is per-vertex (entity_id, community = adopted label)
+    * — the assignment grain, hash-gated.
+    *
+    * Scale: q328's argument — lexicon-bounded iteration, one
+    * edge-join + two hash aggs per round, per-round lineage cuts.
+    */
+  def lpaExact(spark: SparkSession, dir: String): DataFrame =
+    lpaExactCore(CooccurrenceGraph.edgeCounts(spark, dir))
+
+  /** Core over any (src, dst, weight) edge frame — fixture seam. */
+  private[graft] def lpaExactCore(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst", "weight")
+    val sym = e.select(col("src").as("a"), col("dst").as("b"), col("weight"))
+      .unionAll(e.select(col("dst"), col("src"), col("weight")))
+      .localCheckpoint(true)
+    val verts = sym.select(col("a").as("entity_id")).distinct()
+      .localCheckpoint(true)
+    var lbl = verts.select(col("entity_id"), col("entity_id").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to lpaIters) {
+      lbl = sym
+        .join(lbl, sym("a") === lbl("entity_id"))
+        .groupBy(col("b"), col("lbl"))
+        .agg(sum("weight").as("ws"))
+        .groupBy(col("b").as("entity_id"))
+        .agg(min(struct((-col("ws")).as("nws"), col("lbl").as("l"))).as("m"))
+        .select(col("entity_id"), col("m.l").as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl.select(col("entity_id"), col("lbl").as("community"))
+      .orderBy("entity_id")
+  }
+
   /** q281 iteration count — HITS converges geometrically in the
     * principal eigengap; 8 rounds ranks a bipartite purchase graph
     * stably (the spec pins the fixture against an independent replica).
@@ -973,6 +1085,9 @@ object GraphOps {
     "q154_neighbor_overlap" -> ((s, d) =>
       neighborOverlap(CooccurrenceGraph.edgeCounts(s, d))),
     "q33_pagerank" -> (pagerank(_, _)),
+    // the oracle-gated exact-integer twins of q33/q35 (r16)
+    "q328_pagerank_exact" -> (pagerankExact(_, _)),
+    "q329_lpa_exact" -> (lpaExact(_, _)),
     // rows-only like q33: iterative float fixpoint; value-pinned in
     // GraphOpsSpec against an independent plain-Scala replica
     "q281_hits_bipartite" -> (hitsBipartite(_, _)),
@@ -1418,7 +1533,61 @@ object GraphOps {
              )::BIGINT % d.deg
          )""").mkString
 
+  /** Shared oracle preface for the exact graph fixpoints: the q31 edge
+    * derivation, symmetrized, with per-source out-weights.
+    */
+  private def symGraphCtes: String =
+    CooccurrenceGraph.entsCte +
+      """, e AS (
+           SELECT a.w AS src, b.w AS dst, count(*)::BIGINT AS weight
+           FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.w < b.w
+           GROUP BY 1, 2),
+         sym AS (SELECT src AS a, dst AS b, weight FROM e
+                 UNION ALL SELECT dst, src, weight FROM e),
+         verts AS (SELECT DISTINCT a AS entity_id FROM sym)"""
+
   val oracles: Map[String, String] = Map(
+    // q328: the identical exact-integer recursion, one CTE round per
+    // iteration — HUGEINT products, floor division on the non-negative
+    // domain (= Spark's truncating div), damping as two integer ops
+    "q328_pagerank_exact" -> {
+      val rounds = (1 to pageRankIters).map { i =>
+        s"""r$i AS (
+              SELECT v.entity_id,
+                $prReset + (85 * coalesce(f.inflow, 0)) // 100 AS r
+              FROM verts v LEFT JOIN (
+                SELECT s.b AS entity_id,
+                  sum((r.r::HUGEINT * s.weight) // s.ow) AS inflow
+                FROM symw s JOIN r${i - 1} r ON r.entity_id = s.a
+                GROUP BY 1) f USING (entity_id))"""
+      }.mkString(",\n")
+      s"""$symGraphCtes,
+          ow AS (SELECT a, sum(weight)::HUGEINT AS ow FROM sym GROUP BY 1),
+          symw AS (SELECT s.a, s.b, s.weight, o.ow
+                   FROM sym s JOIN ow o USING (a)),
+          r0 AS (SELECT entity_id, $prScale::HUGEINT AS r FROM verts),
+          $rounds
+          SELECT entity_id, r::BIGINT AS rank_mm FROM r$pageRankIters
+          ORDER BY rank_mm DESC, entity_id"""
+    },
+    // q329: the identical synchronous min-label dynamics — per-round
+    // (Σ weight DESC, label ASC) argmax as a rank over the grouped sums
+    "q329_lpa_exact" -> {
+      val rounds = (1 to lpaIters).map { i =>
+        s"""l$i AS (
+              SELECT entity_id, lbl FROM (
+                SELECT s.b AS entity_id, l.lbl,
+                  row_number() OVER (PARTITION BY s.b
+                    ORDER BY sum(s.weight) DESC, l.lbl) AS rn
+                FROM sym s JOIN l${i - 1} l ON l.entity_id = s.a
+                GROUP BY s.b, l.lbl) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""$symGraphCtes,
+          l0 AS (SELECT entity_id, entity_id AS lbl FROM verts),
+          $rounds
+          SELECT entity_id, lbl AS community FROM l$lpaIters
+          ORDER BY entity_id"""
+    },
     // q203: every step replayed — same ranked adjacency (weight desc,
     // dst asc), same md5-mod-degree pick, chained CTE per step
     "q203_random_walks" ->

@@ -641,6 +641,22 @@ object Similarity {
   /** Prototypes kept per cluster by q321. */
   val prototypesPerCluster = 5
 
+  /** q320's cluster-population target: k = max(kmeansK, n div this) —
+    * the Abbas et al. 2023 sizing (k ∝ corpus; the paper runs k = 11k
+    * on LAION-440M ≈ 40k vectors/cluster). 64 here so the rule is LIVE
+    * at the local scales this repo measures (inert at sf0.01's 500
+    * vectors → k = 8, the gate regime; k = 31 at sf0.1's 2000; k =
+    * 15625 at 10⁶) while keeping clusters big enough to be meaningful.
+    */
+  val semdedupPopTarget = 64L
+
+  /** The ONE k-sizing rule, shared by the registered query, the oracle
+    * (same formula interpolated into its `kk` CTE), the spec and the
+    * scale bench: floor division, clamped below by [[kmeansK]].
+    */
+  def semdedupSizedK(n: Long): Int =
+    math.max(kmeansK.toLong, n / semdedupPopTarget).toInt
+
   /** q320 — SEMDEDUP PROPER (Abbas et al. 2023, the recipe as
     * published): k-means cluster the embeddings, then deduplicate by
     * cosine WITHIN each learned cluster, keeping the smallest id.
@@ -653,15 +669,39 @@ object Similarity {
     * smallest-id in-scope neighbor ≥ threshold) and the condemning
     * cosine — q256's shape, deliberately, so the two regimes diff.
     *
-    * Scale: SemDeDup sizes k ∝ corpus so cluster population stays
-    * bounded (the paper runs k = 11k on LAION); pairs come from an
+    * Scale (r15 verdict task 1): SemDeDup is only sub-quadratic if k
+    * grows with the corpus — at a FIXED k the within-cluster self-join
+    * is N²/k pairs, the one N²-shaped plan the r15 audit found. The
+    * registered query therefore derives k = [[semdedupSizedK]](n)
+    * (n = vector count, one count over the checkpointed quantized
+    * frame — at production scale the same number comes from catalog
+    * stats), which pins expected cluster population at
+    * [[semdedupPopTarget]] and pair volume at ~n·pop/2 — LINEAR in n
+    * (KmeansScaleBench's semdedup arm measures exactly this, fixed-k
+    * vs sized-k, at 200k/1M vectors; SCALE.md r16). Pairs come from an
     * equi-join on cluster id — never cross-cluster, never cartesian.
     * The one data-scaled shuffle is the join's hash partitioning.
+    * Lloyd's assign cost grows as n·k = n²/pop per round — the honest
+    * k-means trade; past ~10⁸ vectors a production run swaps the flat
+    * codebook for a two-level (coarse-then-fine) quantizer, which
+    * composes from this same [[lloydAssign]] engine per level.
     */
   def semdedupKmeans(spark: SparkSession, dir: String,
-                     minCos: Double = semanticMinCos): DataFrame = {
-    val assigns = kmeansLloyd(spark, dir).select("vec_id", "cluster")
-    val emb = Tables.embeddings(spark, dir)
+                     minCos: Double = semanticMinCos): DataFrame =
+    semdedupKmeansCore(spark, Tables.embeddings(spark, dir), minCos)
+
+  /** Core over any (vec_id, embedding) frame — fixture seam (the spec
+    * exercises a corpus where the sizing rule is non-inert).
+    */
+  private[graft] def semdedupKmeansCore(spark: SparkSession, embIn: DataFrame,
+                                        minCos: Double): DataFrame = {
+    val xs = int8QuantizedCore(embIn)
+      .select(col("vec_id"), expr("transform(qs, q -> q + 127L)").as("xs"))
+      .localCheckpoint()
+    val k = semdedupSizedK(xs.count())
+    val assigns = lloydAssign(spark, xs, k, kmeansIters)
+      ._1.select("vec_id", "cluster")
+    val emb = embIn
       .select(col("vec_id"), col("embedding"),
         Vectors.norm2(col("embedding")).as("norm"))
     // explicit zero-norm scope-out (q64's guard note: Spark's NaN total
@@ -854,7 +894,14 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val qv = emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qvec"))
+    // zero-norm candidates are scoped out BEFORE the re-rank (the q64/
+    // q256/q320 guard, r15 ADVICE): Spark's cosine maps 0-norm to 0.0
+    // while DuckDB's division yields NULL (sorted last under DESC), so
+    // a 0-norm vector in a probed cluster could enter one engine's
+    // top-k but never the other's when fewer than k candidates score
+    // positive.
     emb.join(cand, "vec_id")
+      .filter(Vectors.norm2(col("embedding")) > 0.0)
       .crossJoin(broadcast(qv))
       .select(col("vec_id"), col("label"),
         round(Vectors.cosine(col("embedding"), col("qvec")), 6).as("cos"))
@@ -936,12 +983,17 @@ object Similarity {
           FROM x JOIN m USING (vec_id))"""
 
   /** The exact Lloyd chain over a prior `qe`(vec_id, pos, xs) CTE,
-    * parameterized by k and round count — q317 uses it on vector keys,
-    * q323/q324 on subvector keys. Ends at `af` = (vec_id, cluster,
-    * d2m2); the final centroid CTE is `c{iters-1}` (q324's codebook).
-    * One d/a/r/c quartet per iteration; the last needs no recenter.
+    * parameterized by k (any scalar SQL expression — a literal for the
+    * static-k callers, `(SELECT k FROM kk)` for q320's corpus-sized k)
+    * and round count — q317 uses it on vector keys, q323/q324 on
+    * subvector keys. Ends at `af` = (vec_id, cluster, d2m2); the final
+    * centroid CTE is `c{iters-1}` (q324's codebook). One d/a/r/c
+    * quartet per iteration; the last needs no recenter.
     */
-  private def lloydCtes(k: Int, iters: Int): String = {
+  private def lloydCtes(k: Int, iters: Int): String =
+    lloydCtesK(k.toString, iters)
+
+  private def lloydCtesK(kSql: String, iters: Int): String = {
     def round(i: Int, cPrev: String): String =
       s"""d$i AS (
             SELECT q.vec_id, c.cluster,
@@ -967,8 +1019,10 @@ object Similarity {
     val rounds = (1 until iters).map(i => round(i, s"c${i - 1}"))
       .mkString(",\n")
     s"""seeds AS (
-          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-          FROM (SELECT DISTINCT vec_id FROM qe ORDER BY vec_id LIMIT $k)),
+          SELECT vec_id, rn - 1 AS cluster FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM (SELECT DISTINCT vec_id FROM qe))
+          WHERE rn <= ($kSql)),
         c0 AS (
           SELECT s.cluster, q.pos, q.xs * 1000000 AS cm
           FROM seeds s JOIN qe q USING (vec_id))${
@@ -985,11 +1039,26 @@ object Similarity {
             FROM dF) WHERE rn = 1)"""
   }
 
-  /** The q317 chain: full-vector keys. q320/q321 extend it. */
+  /** The q317 chain: full-vector keys, static k. q321/q325/q327 extend
+    * it.
+    */
   private def kmeansCtes: String =
     s"""$shiftedIntCtes,
         qe AS (SELECT vec_id, pos, xs FROM qe0),
         ${lloydCtes(kmeansK, kmeansIters)}"""
+
+  /** The q320 chain: full-vector keys, CORPUS-SIZED k — the `kk` CTE
+    * computes greatest(kmeansK, n div popTarget) from the vector count,
+    * the identical [[semdedupSizedK]] formula (floor division, both
+    * engines, non-negative domain).
+    */
+  private def kmeansCtesSized: String =
+    s"""$shiftedIntCtes,
+        qe AS (SELECT vec_id, pos, xs FROM qe0),
+        kk AS (
+          SELECT greatest($kmeansK, count(*) // $semdedupPopTarget) AS k
+          FROM (SELECT DISTINCT vec_id FROM qe)),
+        ${lloydCtesK("SELECT k FROM kk", kmeansIters)}"""
 
   /** The q323/q324 chain: subvector keys (vec_id·8 + block, pos within
     * block) over the same shifted-int8 points.
@@ -1124,10 +1193,11 @@ object Similarity {
     "q317_kmeans_lloyd" ->
       s"""WITH $kmeansCtes
           SELECT vec_id, cluster, d2m2 FROM af ORDER BY vec_id""",
-    // q320: the q317 chain verbatim, then q256's pair mechanics scoped
-    // by the learned cluster (cosSql rounded 6dp before the threshold)
+    // q320: the q317 chain with the CORPUS-SIZED k (the kk CTE — same
+    // formula as semdedupSizedK), then q256's pair mechanics scoped by
+    // the learned cluster (cosSql rounded 6dp before the threshold)
     "q320_semdedup_kmeans" ->
-      s"""WITH $kmeansCtes,
+      s"""WITH $kmeansCtesSized,
           p AS (
             SELECT a.vec_id AS keep_id, b.vec_id AS vec_id,
               round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cos
@@ -1200,6 +1270,8 @@ object Similarity {
           FROM embeddings e JOIN cand USING (vec_id),
             (SELECT embedding AS qvec FROM embeddings
              WHERE vec_id = $queryVecId) qv
+          WHERE list_sum(list_transform(e.embedding,
+            x -> x::DOUBLE * x::DOUBLE)) > 0
           ORDER BY cos DESC, vec_id LIMIT $topK""",
     // q325: the q317 chain, one profile agg (HUGEINT sum, floor //
     // = Spark's truncating div on the non-negative domain)

@@ -948,11 +948,20 @@ object TextAnalysis {
     ccnetLineDedupCore(
       wordWrapCorpus(Tables.spread(Tables.documents(spark, dir))))
 
+  /** The q319 wrap width — interpolated into BOTH the registered chain
+    * and the oracle SQL from this one constant (r15 ADVICE: the oracle
+    * hardcoded the 3; a caller passing any other `w` would silently
+    * desynchronize engine and oracle — the fixture-seam parameter
+    * stays for specs, but the shared registered value lives here).
+    */
+  private[graft] val ccnetWrapWidth = 3
+
   /** q319's fixture seam: each document word-wrapped into fixed-width
     * `w`-word lines (scaladoc above) — (mdoc_id, text) with embedded
     * newlines; zero-word documents are absent (no grains).
     */
-  private[graft] def wordWrapCorpus(docs: DataFrame, w: Int = 3): DataFrame =
+  private[graft] def wordWrapCorpus(docs: DataFrame,
+                                    w: Int = ccnetWrapWidth): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id").as("mdoc_id"),
         expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
@@ -1007,9 +1016,23 @@ object TextAnalysis {
     * row_number + a #partitions-row offset broadcast), NEVER a
     * single-partition window over the vocabulary (100M+ types at
     * web scale); the fit itself is one 5-sum aggregate to a single
-    * row. The only rounding is the final 6dp on the three fit
-    * statistics (sums of ~|V| ln-terms agree across engines well
-    * inside 1e-6 relative).
+    * row.
+    *
+    * Cross-engine arithmetic (r15 ADVICE): the ln points are QUANTIZED
+    * to exact micro-unit integers (⌊ln·10⁶ + ½⌋ — ln ≥ 0 since rank
+    * and frequency are ≥ 1, so floor(+0.5) is round-half-up in both
+    * engines) BEFORE summation, so every sum is an exact integer
+    * (second moments in decimal(38,0)/HUGEINT) independent of Spark's
+    * partition accumulation order — the same discipline every other
+    * new oracle uses; the earlier double sums could flake the 6dp hash
+    * gate on an accumulation-order boundary. The fit statistics are
+    * then double math over exact integers (decimal→double is
+    * correctly rounded in both engines, subsequent IEEE ops identical).
+    * Residual risk: a single ln value landing within 1 libm ulp of a
+    * half-microunit boundary (Math.log vs DuckDB's log may differ in
+    * the last ulp) — probability ~4e-10 per type, negligible and
+    * documented rather than hidden. Slope/r2 are scale-free under the
+    * quantization; the intercept is de-scaled by 10⁻⁶ at emission.
     */
   def zipfFit(spark: SparkSession, dir: String): DataFrame =
     zipfFitCore(Tables.spread(Tables.documents(spark, dir)))
@@ -1022,30 +1045,43 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("f"))
       .withColumn("nf", -col("f"))
     val ranked = GlobalIndex.numberedBy(freqs, Seq("nf", "w"))
+    // micro-unit quantized ln points: xq/yq fit BIGINT (≤ ~50·10⁶ even
+    // at 10²⁰ ranks); the second moments outgrow it at web-scale
+    // vocabularies (|V|·(50·10⁶)² passes 2⁶³ at |V| ≈ 3700) → sums
+    // ride decimal(38,0), the q303/q309 overflow discipline
     val sums = ranked.select(
-        log(col("rn").cast("double")).as("x"),
-        log((-col("nf")).cast("double")).as("y"),
+        expr("cast(floor(ln(cast(rn as double)) * 1000000D + 0.5D) as bigint)")
+          .as("xq"),
+        expr("cast(floor(ln(cast(-nf as double)) * 1000000D + 0.5D) as bigint)")
+          .as("yq"),
         (-col("nf")).as("f"))
       .agg(count(lit(1)).as("n"), sum("f").as("toks"),
-        sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(expr("cast(xq as decimal(38,0))")).as("sx"),
+        sum(expr("cast(yq as decimal(38,0))")).as("sy"),
+        sum(expr("cast(xq as decimal(38,0)) * yq")).as("sxy"),
+        sum(expr("cast(xq as decimal(38,0)) * xq")).as("sxx"),
+        sum(expr("cast(yq as decimal(38,0)) * yq")).as("syy"))
+    // the closed forms run in double over the EXACT integer sums —
+    // identical correctly-rounded conversions and IEEE ops per engine
     sums.select(col("n").as("n_types"), col("toks").as("n_tokens"),
-        (col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
-          .as("num"),
-        (col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
-          .as("denx"),
-        (col("n").cast("double") * col("syy") - col("sy") * col("sy"))
-          .as("deny"),
-        col("sx"), col("sy"), col("n"))
+        (col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+          .cast("double").as("num"),
+        (col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast("double").as("denx"),
+        (col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
+          .cast("double").as("deny"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+        col("n"))
       .select(col("n_types"), col("n_tokens"),
         round(col("num") / nullif(col("denx"), lit(0.0)), 6).as("slope"),
-        round((col("sy") - col("num") / nullif(col("denx"), lit(0.0))
-          * col("sx")) / col("n").cast("double"), 6).as("intercept"),
+        round((col("syd") - col("num") / nullif(col("denx"), lit(0.0))
+          * col("sxd")) / col("n").cast("double") / lit(1000000.0),
+          6).as("intercept"),
         round(col("num") * col("num")
           / nullif(col("denx") * col("deny"), lit(0.0)), 6).as("r2"))
   }
+
+  private val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesCore(Tables.spread(Tables.documents(spark, dir)))
@@ -2262,22 +2298,24 @@ object TextAnalysis {
               AND dup_para_chars * 10 <= para_chars * 2) AS keep
           FROM ls l JOIN ps p ON p.mdoc_id = l.mdoc_id
           ORDER BY l.mdoc_id""",
-    // q319: the same 3-word wrap (inclusive list_slice = Spark's
-    // (start, length) slice), positions from the UNFILTERED chr(10)
-    // split (1-based here, 0-based in Spark — the uniform shift
-    // preserves the (mdoc_id, pos) order the first-occurrence rule
-    // minimizes over; stated as a true lexicographic window order, no
-    // packed-key arithmetic to overflow), md5 line keys, HUGEINT char
-    // masses, truncating ppm
+    // q319: the same ccnetWrapWidth-word wrap (inclusive list_slice =
+    // Spark's (start, length) slice; the width is interpolated from
+    // the ONE shared constant, r15 ADVICE), positions from the
+    // UNFILTERED chr(10) split (1-based here, 0-based in Spark — the
+    // uniform shift preserves the (mdoc_id, pos) order the
+    // first-occurrence rule minimizes over; stated as a true
+    // lexicographic window order, no packed-key arithmetic to
+    // overflow), md5 line keys, HUGEINT char masses, truncating ppm
     "q319_ccnet_line_dedup" ->
-      """WITH t AS (
+      s"""WITH t AS (
             SELECT doc_id AS mdoc_id,
               list_filter(string_split(text, ' '), x -> x <> '') AS ws
             FROM documents WHERE text IS NOT NULL),
           mt AS (
             SELECT mdoc_id, array_to_string(
-              list_transform(range((len(ws) + 2) // 3),
-                i -> array_to_string(list_slice(ws, 3*i + 1, 3*i + 3), ' ')),
+              list_transform(range((len(ws) + ${ccnetWrapWidth - 1}) // $ccnetWrapWidth),
+                i -> array_to_string(list_slice(ws,
+                  $ccnetWrapWidth*i + 1, $ccnetWrapWidth*i + $ccnetWrapWidth), ' ')),
               chr(10)) AS text
             FROM t WHERE len(ws) > 0),
           lu AS (
@@ -2303,8 +2341,10 @@ object TextAnalysis {
           FROM j GROUP BY 1 ORDER BY mdoc_id""",
     // q322: a plain row_number over the same (f DESC, w) order (the
     // single-node sort is the oracle's privilege; the engine must
-    // reproduce it from the two-phase kernel), identical OLS closed
-    // forms on the same ln points, 6dp
+    // reproduce it from the two-phase kernel), the same micro-unit
+    // quantized ln points (⌊ln·10⁶+½⌋, non-negative → floor(+0.5) is
+    // round-half-up in both engines), exact HUGEINT sums, then the OLS
+    // closed forms in double over the exact integers, 6dp
     "q322_zipf_fit" ->
       """WITH w AS (
             SELECT unnest(list_filter(string_split(text, ' '),
@@ -2314,19 +2354,28 @@ object TextAnalysis {
           r AS (
             SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rn
             FROM fr),
-          p AS (SELECT ln(rn::DOUBLE) AS x, ln(f::DOUBLE) AS y, f FROM r),
+          p AS (
+            SELECT floor(ln(rn::DOUBLE) * 1000000 + 0.5)::HUGEINT AS xq,
+              floor(ln(f::DOUBLE) * 1000000 + 0.5)::HUGEINT AS yq, f
+            FROM r),
           s AS (
-            SELECT count(*)::BIGINT AS n, sum(f)::BIGINT AS toks,
-              sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
-              sum(x*x) AS sxx, sum(y*y) AS syy
-            FROM p)
-          SELECT n AS n_types, toks AS n_tokens,
-            round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0), 6) AS slope,
-            round((sy - (n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0) * sx)
-              / n, 6) AS intercept,
-            round((n*sxy - sx*sy) * (n*sxy - sx*sy)
-              / nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0), 6) AS r2
-          FROM s""",
+            SELECT count(*)::HUGEINT AS n, sum(f)::BIGINT AS toks,
+              sum(xq) AS sx, sum(yq) AS sy, sum(xq*yq) AS sxy,
+              sum(xq*xq) AS sxx, sum(yq*yq) AS syy
+            FROM p),
+          d AS (
+            SELECT n::BIGINT AS n_types, toks,
+              (n*sxy - sx*sy)::DOUBLE AS num,
+              (n*sxx - sx*sx)::DOUBLE AS denx,
+              (n*syy - sy*sy)::DOUBLE AS deny,
+              sx::DOUBLE AS sxd, sy::DOUBLE AS syd, n::DOUBLE AS nd
+            FROM s)
+          SELECT n_types, toks AS n_tokens,
+            round(num / nullif(denx, 0), 6) AS slope,
+            round((syd - num / nullif(denx, 0) * sxd) / nd / 1000000.0, 6)
+              AS intercept,
+            round(num * num / nullif(denx * deny, 0), 6) AS r2
+          FROM d""",
     "q291_gopher_rules" ->
       s"""WITH t AS (
             SELECT doc_id,

@@ -51,6 +51,11 @@ object DedupScaleBench {
   val vocab = 50000
   val dupEvery = 50
   val mutPct = 3 // ≈1.2 of 40 positions re-rolled per planted dup
+  // the q313 arm's second planted class: every (dupEvery·k + permOffset)
+  // doc is a deterministic even/odd SHUFFLE of its (pristine)
+  // predecessor — identical token multiset (simhash Hamming 0), near-
+  // zero shared 3-shingles (invisible to the q52 Jaccard source)
+  val permOffset = 27
 
   def main(args: Array[String]): Unit = {
     val sizes = args.headOption.getOrElse("50000,200000")
@@ -74,7 +79,36 @@ object DedupScaleBench {
         s"$planted planted near-dups) ---")
 
       val simhashOnly = args.contains("simhash")
-      if (nocap) {
+      // q313 recall-gain arm (r15 verdict task 7): does the third edge
+      // source BUY anything? Plant the frequency-weighted near-dup
+      // class Jaccard cannot see (token shuffles — same tf vector,
+      // disjoint shingles) alongside the mutation class both sources
+      // see, and report CLUSTER-level recall per class with the
+      // two-source (q57) vs three-source (q313) assignment. The
+      // registered clusterAssignmentsCore runs verbatim both ways.
+      if (args.contains("q313")) {
+        val pdocs = synthDocs(spark, n, permuted = true).localCheckpoint(true)
+        def clusterRecall(simhash: Boolean): (Double, Double, Double) = {
+          val t0 = System.nanoTime()
+          val asg = Dedup.clusterAssignmentsCore(pdocs, simhashEdges = simhash)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          def recall(offset: Long): Double = {
+            val pairs = (1L until n).filter(i =>
+              i % dupEvery == offset && i > 0)
+            pairs.count(i =>
+              asg.get(i - 1).exists(c => asg.get(i).contains(c)))
+              .toDouble / pairs.size
+          }
+          (recall(1L), recall(permOffset.toLong),
+            (System.nanoTime() - t0) / 1e9)
+        }
+        val (mut2, perm2, s2) = clusterRecall(simhash = false)
+        val (mut3, perm3, s3) = clusterRecall(simhash = true)
+        println(f"[dscale] N=$n q313-2src $s2%7.2f s  " +
+          f"cluster_recall(mutation)=$mut2%.3f cluster_recall(shuffle)=$perm2%.3f")
+        println(f"[dscale] N=$n q313-3src $s3%7.2f s  " +
+          f"cluster_recall(mutation)=$mut3%.3f cluster_recall(shuffle)=$perm3%.3f")
+      } else if (nocap) {
         // The df-cap's necessity as a measurement (r12 verdict task 8):
         // the same q52 kernel with the cap ON vs OFF. OFF lets the
         // Zipf-head shingles join everyone-with-everyone — candidates
@@ -177,17 +211,28 @@ object DedupScaleBench {
     * shared-template skew the nocap mode measures.
     */
   private[graft] def synthDocs(spark: SparkSession, n: Long,
-                               boilerplate: Boolean = false): DataFrame =
+                               boilerplate: Boolean = false,
+                               permuted: Boolean = false): DataFrame =
     spark.range(n)
       .select(col("id"), explode(expr(s"sequence(1, $docLen)")).as("pos"))
       .withColumn("is_dup", col("id") % dupEvery === 1 && col("id") > 0)
+      // the q313 arm's shuffle class: position p reads the PRISTINE
+      // predecessor (offset 27 → its predecessor is never itself a
+      // dup) at even/odd-interleaved position — a pure permutation
+      .withColumn("is_perm",
+        lit(permuted) && col("id") % dupEvery === permOffset && col("id") > 0)
+      .withColumn("spos", when(col("is_perm"),
+          when(col("pos") <= docLen / 2, col("pos") * 2 - 1)
+            .otherwise((col("pos") - docLen / 2) * 2))
+        .otherwise(col("pos")))
       // positions where a planted dup diverges from its predecessor
       .withColumn("mutated",
         pmod(xxhash64(col("id"), col("pos"), lit("m")), lit(100)) < mutPct)
       .withColumn("src",
-        when(col("is_dup") && !col("mutated"), col("id") - 1)
+        when(col("is_perm"), col("id") - 1)
+          .when(col("is_dup") && !col("mutated"), col("id") - 1)
           .otherwise(col("id")))
-      .withColumn("x", pmod(xxhash64(col("src"), col("pos")), lit(vocab.toLong)))
+      .withColumn("x", pmod(xxhash64(col("src"), col("spos")), lit(vocab.toLong)))
       .withColumn("tok",
         if (boilerplate)
           when(col("src") % 5 === 0 && col("pos") <= 8,

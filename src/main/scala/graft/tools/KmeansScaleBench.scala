@@ -48,6 +48,55 @@ object KmeansScaleBench {
       println(f"[kscale] N=$n%d wall=$wall%.1f s rows=$rows%d " +
         f"purity=$purity%.3f sizes=${sizesDf.map(_._2).mkString("/")}")
     }
+    // SemDeDup pair-volume arm (r15 verdict task 1): second arg
+    // "semdedup[:sizes-csv]". For each N, run the registered Lloyd
+    // assignment BOTH ways — fixed k = kmeansK (the r15-registered
+    // shape the audit flagged) and the corpus-sized k =
+    // semdedupSizedK(N) q320 now registers — and report the
+    // within-cluster PAIR VOLUME Σ_c C(|c|,2) each implies (computed
+    // from cluster counts, never materialized) plus the Lloyd wall.
+    // The claim under measurement: fixed-k pair volume is N²/k
+    // (quadratic), sized-k is ~N·popTarget/2 (linear). The sized-k
+    // Lloyd wall grows as N·k = N²/pop — the honest flat-codebook
+    // k-means trade, which is why the q320 scaladoc prescribes a
+    // two-level quantizer past ~10⁸ vectors; any size skipped for wall
+    // budget is LOGGED, not silently dropped.
+    args.lift(1).filter(_.startsWith("semdedup")).foreach { spec =>
+      val ns = spec.split(":").lift(1)
+        .map(_.split(",").map(_.trim.toLong).toSeq)
+        .getOrElse(Seq(20000L, 200000L, 1000000L))
+      for (n <- ns) {
+        val emb = AnnScaleBench.synthEmbeddings(spark, n).localCheckpoint(true)
+        emb.count()
+        val xs = graft.ops.Similarity
+          .int8QuantizedCore(emb)
+          .select(col("vec_id"), expr("transform(qs, q -> q + 127L)").as("xs"))
+          .localCheckpoint(true)
+        for ((mode, k) <- Seq(
+            ("fixed", graft.ops.Similarity.kmeansK),
+            ("sized", graft.ops.Similarity.semdedupSizedK(n)))) {
+          // flat-codebook assign is N·k distance evals per round: past
+          // ~7e8 evals the local arm measures JVM patience, not the
+          // plan — log the skip instead (no silent caps)
+          if (n.toDouble * k > 7e8)
+            println(f"[kscale] semdedup N=$n%d mode=$mode k=$k%d SKIPPED " +
+              "(flat-codebook assign > 3e8 evals locally; " +
+              "two-level quantizer regime — see q320 scaladoc)")
+          else {
+            val t0 = System.nanoTime()
+            val (af, _) = graft.ops.Similarity.lloydAssign(spark, xs, k, 3)
+            val pairs = af.groupBy("cluster").count()
+              .agg(sum(expr("count * (count - 1) div 2")).as("pairs"),
+                max("count").as("maxpop"), count(lit(1)).as("nonempty"))
+              .head()
+            val wall = (System.nanoTime() - t0) / 1e9
+            println(f"[kscale] semdedup N=$n%d mode=$mode k=$k%d " +
+              f"wall=$wall%.1f s pair_volume=${pairs.getLong(0)}%d " +
+              f"max_pop=${pairs.getLong(1)}%d nonempty=${pairs.getLong(2)}%d")
+          }
+        }
+      }
+    }
     // k sweep at a fixed N (second arg "ksweep[:N]"): the elbow curve
     // q325's profile serves — total inertia is monotone non-increasing
     // in k, and the wall grows ~linearly with k (one broadcast row per

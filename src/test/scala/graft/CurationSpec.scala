@@ -904,6 +904,50 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected, s"got $got")
   }
 
+  test("q332 manifest sample: bit-exact vs a plain-Scala DLT replica " +
+      "over the engine's own scored survivors, τ is real, and the " +
+      "subset-sum estimates bracket the exact split masses") {
+    val docs = Tables.spread(Tables.documents(spark, sf))
+      .filter(col("text").isNotNull)
+      .select("doc_id", "lang", "text").localCheckpoint(true)
+    val surv = CorpusPrep.scoredSurvivors(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val k = CorpusPrep.manifestSampleK
+    assert(surv.size > k + 1, s"fixture too small for τ (${surv.size})")
+    // replica: md5-derived 32-bit uniform + 1, priority = w·2³² / u,
+    // top-k by (priority desc, id), τ = (k+1)-th, ŵ = max(w, τ)
+    def u32(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:cursamp".getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) + 1L
+    }
+    val pri = surv.map { case (id, sp, w) =>
+      (id, sp, w, (w * 4294967296L) / u32(id)) }
+    val ranked = pri.sortBy { case (id, _, _, p) => (-p, id) }
+    val tau = ranked.lift(k).map(_._4).getOrElse(0L)
+    val expected = ranked.take(k)
+      .groupBy(_._2).map { case (sp, rows) =>
+        (sp, rows.size.toLong, rows.map(r => math.max(r._3, tau)).sum, tau)
+      }.toSeq.sortBy(_._1)
+    val got = CorpusPrep.manifestSampleEstimatesCore(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"got $got vs $expected")
+    assert(tau > 0L, "τ degenerate — the sample-everything path, not DLT")
+    assert(got.map(_._1).toSet == Set("train", "eval"),
+      "a split fell out of the sample; shrink k or regrow the fixture")
+    // DLT subset-sum sanity: the deterministic draw's estimates sit
+    // within a small factor of the exact masses (unbiasedness proper is
+    // an expectation over u; this pins THIS draw didn't degenerate)
+    val exact = surv.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    got.foreach { case (sp, _, est, _) =>
+      val ex = exact(sp)
+      assert(est >= ex / 3 && est <= ex * 3,
+        s"$sp estimate $est vs exact $ex — outside the 3x sanity band")
+    }
+  }
+
   test("q311 pipeline plan: one corpus materialization — no parquet " +
       "scan below the checkpoint") {
     val df = CorpusPrep.queries("q311_curation_scored")(spark, sf)

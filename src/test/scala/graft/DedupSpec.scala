@@ -290,6 +290,62 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, "1,2,3", 3L), (4L, "4,5,6", 3L)))
   }
 
+  test("q330 md5-simhash signatures: bit-exact vs a plain-Scala " +
+      "sign-sum replica on the corpus (tf-weighted, the one bit " +
+      "formula), halves stay in 32 bits") {
+    val replica = Tables.spread(Tables.documents(spark, sf))
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(w => w.nonEmpty && w.length > 1 &&
+          !w.forall(c => c >= '0' && c <= '9') &&
+          !TextFunctions.stopwords.contains(w))
+        if (toks.isEmpty) None
+        else {
+          val sums = new Array[Long](64)
+          toks.groupBy(identity).foreach { case (w, occ) =>
+            val c = occ.length.toLong
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(w.getBytes("UTF-8")).take(8)
+              .map(b => f"$b%02x").mkString
+            for (b <- 0 until 64) {
+              val nib = Integer.parseInt(hex.charAt(b / 4).toString, 16)
+              if (((nib >> (b % 4)) & 1) == 1) sums(b) += c else sums(b) -= c
+            }
+          }
+          val lo = (0 until 32).map(b =>
+            if (sums(b) > 0) 1L << b else 0L).sum
+          val hi = (32 until 64).map(b =>
+            if (sums(b) > 0) 1L << (b - 32) else 0L).sum
+          Some((id, hi, lo))
+        }
+      }.sortBy(_._1).toSeq
+    val got = Dedup.queries("q330_simhash_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == replica)
+    assert(got.forall { case (_, hi, lo) =>
+      hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32) })
+  }
+
+  test("q331 md5-simhash pairs: banded join is SET-EQUAL to brute-force " +
+      "Hamming <= 3 over the q330 signatures (pigeonhole completeness), " +
+      "exactly-once emission, non-vacuous beyond exact dups") {
+    val sigs = Dedup.queries("q330_simhash_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val brute = (for {
+      (a, ahi, alo) <- sigs; (b, bhi, blo) <- sigs if a < b
+      h = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.queries("q331_simhash_md5_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.toSet == brute)
+    assert(got.size == got.distinct.size && got.size == brute.size,
+      "a pair emitted more than once — first-colliding-band broke")
+    assert(got.exists(_._3 > 0L),
+      "only Hamming-0 pairs at this sf — the near-dup regime is vacuous")
+  }
+
   test("q313 clusters with simhash edges: union-find replica over the " +
       "three pair sets, coarsening law vs q57") {
     // replica: collect the SAME three pair relations the engine feeds

@@ -86,6 +86,73 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(gotH(1L) > gotH(2L))
   }
 
+  test("q328 exact-integer pagerank equals an independent plain-Scala " +
+      "BigInt replica on the corpus graph (bit-exact), and mass is " +
+      "conserved up to truncation dust") {
+    val edges = CooccurrenceGraph.edgeCounts(spark, sf)
+      .select("src", "dst", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sym = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+    val outW = sym.groupBy(_._1).map { case (s, es) =>
+      s -> BigInt(es.map(_._3).sum) }
+    val inAdj = sym.groupBy(_._2)
+    val verts = sym.map(_._1).distinct.sorted
+    val scale = BigInt(GraphOps.prScale)
+    val reset = BigInt(GraphOps.prReset)
+    var rank = verts.map(_ -> scale).toMap
+    for (_ <- 1 to GraphOps.pageRankIters) {
+      val cur = rank
+      rank = verts.map { v =>
+        val inflow = inAdj.getOrElse(v, Array.empty[(String, String, Long)])
+          .map { case (s, _, w) => (cur(s) * w) / outW(s) }.sum
+        v -> (reset + (BigInt(85) * inflow) / 100)
+      }.toMap
+    }
+    val got = GraphOps.pagerankExact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.map(_._1).toSet == rank.keySet)
+    got.foreach { case (v, g) =>
+      assert(BigInt(g) == rank(v), s"$v: engine $g vs replica ${rank(v)}") }
+    // truncating divisions only ever LOSE mass: n·reset ≤ Σ R ≤ n·scale
+    val total = got.map(r => BigInt(r._2)).sum
+    val n = verts.length
+    assert(total <= scale * n && total >= reset * n,
+      s"mass $total outside [${reset * n}, ${scale * n}]")
+    // the presentation order is (rank desc, entity asc)
+    assert(got.sortBy { case (v, r) => (-r, v) }.toSeq == got.toSeq)
+  }
+
+  test("q329 exact LPA equals an independent plain-Scala synchronous " +
+      "replica on the corpus graph (bit-exact per vertex)") {
+    val edges = CooccurrenceGraph.edgeCounts(spark, sf)
+      .select("src", "dst", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sym = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+    val verts = sym.map(_._1).distinct.sorted
+    val inAdj = sym.groupBy(_._2)
+    var label = verts.map(v => v -> v).toMap
+    for (_ <- 1 to GraphOps.lpaIters) {
+      val cur = label
+      label = verts.map { v =>
+        val msgs = inAdj(v) // symmetrized graph: every vertex has edges
+          .groupBy { case (s, _, _) => cur(s) }
+          .map { case (lbl, es) => lbl -> es.map(_._3).sum }
+        v -> msgs.minBy { case (lbl, w) => (-w, lbl) }._1
+      }.toMap
+    }
+    val got = GraphOps.lpaExact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == label, s"engine $got vs replica $label")
+    // same label dynamics as q35's GraphX twin: the induced partitions
+    // agree (q35 emits member lists; q329 the assignment grain)
+    val q35Parts = GraphOps.labelPropagation(
+        CooccurrenceGraph.edgeCounts(spark, sf)).collect()
+      .map(_.getSeq[String](1).toList.sorted).toSet
+    val q329Parts = got.groupBy(_._2).values
+      .map(_.keys.toList.sorted).toSet
+    assert(q329Parts == q35Parts)
+  }
+
   test("pagerank is deterministic across runs (fixed iterations)") {
     val a = GraphOps.pagerank(spark, sf).collect().toSeq
     val b = GraphOps.pagerank(spark, sf).collect().toSeq

@@ -143,7 +143,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q326_priority_estimates",
     // round-15: q317's assignment pass + the single-row query-vector
     // broadcast (q60's pattern)
-    "q327_ann_ivf_exact")
+    "q327_ann_ivf_exact",
+    // round-16: q326's single-row τ-threshold broadcast into the k
+    // sampled manifest rows
+    "q332_manifest_sample")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -360,6 +360,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   test("q320 SemDeDup over learned clusters: equals an all-pairs " +
     "formulation restricted to the engine's own q317 scope, and the " +
     "scope is a real restriction") {
+    // q320's scope is the SIZED-k assignment (r16); at this fixture's
+    // 500 vectors the sizing rule yields exactly kmeansK, so q317's
+    // assignment IS the scope — asserted, not assumed, so a fixture
+    // change can't silently desynchronize this pin
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(Similarity.semdedupSizedK(nVecs) == Similarity.kmeansK,
+      s"fixture grew past ${Similarity.kmeansK * Similarity.semdedupPopTarget} " +
+        "vectors; derive the scope via lloydAssign(semdedupSizedK(n)) here")
     val assigns = Similarity.kmeansLloyd(spark, sf)
       .select("vec_id", "cluster")
     val emb = Tables.embeddings(spark, sf)
@@ -386,6 +394,70 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(allPairs.length > inScope.length,
       "no qualifying pair fell outside its cluster; the pin is vacuous")
     assert(got.nonEmpty, "threshold is vacuous at this sf")
+  }
+
+  test("q320 k-sizing rule: the formula pins (floor division, kmeansK " +
+    "clamp) and the registered core demonstrably pulls the lever on a " +
+    "corpus where sized-k != kmeansK") {
+    // the ONE formula, unit-pinned at the regimes that matter: inert at
+    // the sf0.01 gate (500 → 8), live at sf0.1 (2000 → 31), the paper's
+    // ~pop-sized growth beyond
+    assert(Similarity.semdedupSizedK(500) == 8)
+    assert(Similarity.semdedupSizedK(512) == 8)
+    assert(Similarity.semdedupSizedK(575) == 8)   // 575/64 = 8 (floor)
+    assert(Similarity.semdedupSizedK(576) == 9)
+    assert(Similarity.semdedupSizedK(1024) == 16)
+    assert(Similarity.semdedupSizedK(2000) == 31)
+    assert(Similarity.semdedupSizedK(1000000) == 15625)
+    // non-inert fixture: 1024 vectors in 16 latent blobs (blob = id mod
+    // 16, so the deterministic min-id seeding sees every blob), blob
+    // pairs (2j, 2j+1) deliberately NEAR each other (cos ≈ 0.89 ≥ the
+    // 0.35 threshold) but separable — sized k = 16 must scope pairs by
+    // the 16-cluster assignment, and the independent replica proves it
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    val n = 1024
+    val rows = (0 until n).map { i =>
+      val blob = i % 16
+      val axis = blob / 2
+      val v = Array.fill(dim)(0.0)
+      v(axis) = 100.0
+      if (blob % 2 == 1) v(axis + 8) = 50.0
+      // tiny deterministic within-blob jitter on a far axis so blob
+      // members are near-identical but not equal
+      v(32 + blob) = (i / 16).toDouble / 100.0
+      (i.toLong, v.toSeq, s"b$blob")
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val k = Similarity.semdedupSizedK(n.toLong)
+    assert(k == 16 && k != Similarity.kmeansK)
+    val got = Similarity.semdedupKmeansCore(spark, emb, 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // independent replica of the scope at a GIVEN k: all pairs, cluster
+    // equality post-filtered on the collected assignment
+    def replica(kk: Int): Seq[(Long, Long, Double)] = {
+      val xs = Similarity.int8QuantizedCore(emb)
+        .select(col("vec_id"), expr("transform(qs, q -> q + 127L)").as("xs"))
+      val cl = Similarity.lloydAssign(spark, xs, kk, Similarity.kmeansIters)
+        ._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val allPairs = emb.as("a").join(emb.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ka"), col("b.vec_id").as("kb"),
+          round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 6)
+            .as("cos"))
+        .filter(col("cos") >= 0.35)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      allPairs.filter { case (a, b, _) => cl(a) == cl(b) }
+        .groupBy(_._2).map { case (v, ps) =>
+          (v, ps.map(_._1).min, ps.map(_._3).max) }.toSeq.sortBy(_._1)
+    }
+    assert(got === replica(16))
+    // the lever pulled: a fixed-k scope gives a DIFFERENT relation on
+    // this corpus (near-blob pairs merge into shared clusters at k=8),
+    // so the equality above could not pass by accident
+    assert(got !== replica(Similarity.kmeansK),
+      "fixture does not distinguish sized-k from fixed-k; pin is vacuous")
   }
 
   test("q321 prototypes: per-cluster top-m by (d2, id) from the engine's " +
