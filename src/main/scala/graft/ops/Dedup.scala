@@ -709,6 +709,94 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q333/q334 register count and banding (4 bands × 4 rows — the
+    * q54 scheme at k=16).
+    */
+  val minhashMd5K = 16
+  val minhashMd5Bands = 4
+
+  /** q333 — MD5-DERIVED MINHASH SIGNATURES, fully oracle-gated: the
+    * q330-for-q55 move applied to the OTHER seeded-signature
+    * subfamily. q53's registers chain xxhash64 through seeded affine
+    * maps — unreplayable in DuckDB (no XXH64) — but the MinHash
+    * PATTERN only needs k independent hashes: register i's hash of a
+    * shingle is the first 32 md5 bits of "i:shingle" (the q58 salt
+    * idiom), and the signature is the per-register min over the doc's
+    * DISTINCT shingles (set semantics, exactly q53's). Output at
+    * (doc_id, reg, minhash) grain — flat rows, not an array, because
+    * the driver's hash compare can't hash list cells (the q34
+    * members-serialization lesson, avoided instead of re-learned).
+    *
+    * Scale: shingle rows fan out ×k (a constant) into a map-side-
+    * combining min agg keyed (doc, reg) — the same shape q53's
+    * grouped min ships; one md5 per (register, shingle).
+    */
+  def minhashMd5(spark: SparkSession, dir: String): DataFrame =
+    minhashMd5Core(Tables.documents(spark, dir)).orderBy("doc_id", "reg")
+
+  /** (doc_id, reg, minhash) unsorted — q334's input seam. */
+  private[graft] def minhashMd5Core(docs: DataFrame): DataFrame = {
+    val regHashes = expr(
+      s"""transform(sequence(0, ${minhashMd5K - 1}),
+            r -> cast(conv(substring(md5(cast(
+                   concat(cast(r as string), ':', sh) as binary)), 1, 8),
+                 16, 10) as bigint))""")
+    shingleRowsOf(docs)
+      .select(col("doc_id"), posexplode(regHashes).as(Seq("reg", "h")))
+      // long reg: the oracle's range() register is BIGINT, and the
+      // driver's schema gate compares dtypes
+      .groupBy(col("doc_id"), col("reg").cast("long").as("reg"))
+      .agg(min("h").as("minhash"))
+  }
+
+  /** q334 — MD5-MINHASH BANDED LSH CANDIDATES, oracle-gated end to
+    * end: q54's banding (4 bands of 4 registers; a pair is a candidate
+    * iff some band's 4 registers all agree), exactly-once via the
+    * first-colliding-band predicate on the per-doc band-key array, and
+    * the estimated Jaccard as EXACT integers — est_ppm = n_eq·10⁶ div
+    * k (matching registers over k), kept at the production 0.5 floor
+    * (500000 ppm). With q333 this oracle-gates the entire MinHash+LSH
+    * pipeline shape q53/q54/q285 could only pin by spec.
+    *
+    * Scale: q54's argument — banded bucket equi-join, never all-pairs;
+    * the register-agreement count is a k-element zip over the two
+    * band-key-derived signatures carried on the joined rows.
+    */
+  def minhashMd5Candidates(spark: SparkSession, dir: String): DataFrame =
+    minhashMd5CandidatesCore(Tables.documents(spark, dir))
+
+  private[graft] def minhashMd5CandidatesCore(docs: DataFrame): DataFrame = {
+    val k = minhashMd5K
+    val rowsPerBand = k / minhashMd5Bands
+    // per-doc signature array (ordered by reg) + band keys derived
+    // from it — one aggregation, reused by both join sides
+    val sigs = minhashMd5Core(docs)
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(reg, minhash)))," +
+        " s -> s.minhash)").as("sig"))
+      .withColumn("keys", expr(
+        s"""transform(sequence(0, ${minhashMd5Bands - 1}),
+              b -> array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
+                              ':'))"""))
+    val banded = sigs.select(col("doc_id"), col("sig"), col("keys"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    val firstBand = not((0 until minhashMd5Bands - 1).map(s =>
+      col("a.band") > s &&
+        element_at(col("a.keys"), s + 1) === element_at(col("b.keys"), s + 1))
+      .reduce(_ || _))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .filter(firstBand)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("""size(filter(zip_with(a.sig, b.sig,
+                  (x, y) -> x = y), v -> v))""").cast("long").as("n_eq"))
+      .withColumn("est_ppm", expr(s"n_eq * 1000000L div $k"))
+      .filter(col("est_ppm") >= 500000L)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash near-dup pairs: block on sub-bands of the 64-bit
     * signature (pigeonhole: k equal-width bands catch every pair
     * within Hamming k−1 — the shipped 4×16-bit split catches the
@@ -1670,6 +1758,9 @@ object Dedup {
     // the md5-derived oracle-gated twins of q55/q56 (r16)
     "q330_simhash_md5" -> (simhashMd5(_, _)),
     "q331_simhash_md5_pairs" -> (simhashMd5Pairs(_, _)),
+    // the md5-derived oracle-gated twins of q53/q54 (r16)
+    "q333_minhash_md5" -> (minhashMd5(_, _)),
+    "q334_minhash_md5_candidates" -> (minhashMd5Candidates(_, _)),
     // rows-only like q55/q56 (hash-seeded); DedupSpec pins q304
     // set-equal to q56 on the corpus (two structurally different
     // complete generators of the same radius-3 relation) and the
@@ -1715,7 +1806,63 @@ object Dedup {
                      ELSE 0 END)::BIGINT AS sig_lo
           FROM sg GROUP BY 1)"""
 
+  /** Shared q333/q334 preface: the q51/q257 shingle relation (distinct
+    * 3-gram windows over non-empty whitespace tokens) fanned over the
+    * k registers with the identical "r:shingle" md5 hash, min per
+    * (doc, reg).
+    */
+  private def minhashMd5Ctes: String =
+    s"""t AS (
+          SELECT doc_id,
+            list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(ws) < $shingleSize THEN []
+                 ELSE list_transform(range(len(ws)-${shingleSize - 1}),
+                        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+            END)) AS sh
+          FROM t),
+        hx AS (
+          SELECT doc_id, r,
+            ('0x' || substr(md5(r::VARCHAR || ':' || sh), 1, 8))
+              ::BIGINT AS h
+          FROM sh, range(0, $minhashMd5K) t2(r)),
+        mh AS (
+          SELECT doc_id, r AS reg, min(h) AS minhash
+          FROM hx GROUP BY 1, 2)"""
+
   val oracles: Map[String, String] = Map(
+    "q333_minhash_md5" ->
+      s"""WITH $minhashMd5Ctes
+          SELECT doc_id, reg, minhash FROM mh ORDER BY doc_id, reg""",
+    // q334: band keys as ':'-joined register runs, DISTINCT pair
+    // emission (= the engine's first-colliding-band exactly-once),
+    // exact integer agreement count and truncating est ppm
+    "q334_minhash_md5_candidates" -> {
+      val rpb = minhashMd5K / minhashMd5Bands
+      s"""WITH $minhashMd5Ctes,
+          bk AS (
+            SELECT doc_id, reg // $rpb AS band,
+              string_agg(minhash::VARCHAR, ':' ORDER BY reg) AS key
+            FROM mh GROUP BY 1, 2),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bk a JOIN bk b
+              ON a.band = b.band AND a.key = b.key
+                AND a.doc_id < b.doc_id),
+          eq AS (
+            SELECT c.doc_a, c.doc_b, count(*) FILTER (
+              WHERE ma.minhash = mb.minhash)::BIGINT AS n_eq
+            FROM cand c
+            JOIN mh ma ON ma.doc_id = c.doc_a
+            JOIN mh mb ON mb.doc_id = c.doc_b AND mb.reg = ma.reg
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, n_eq,
+            (n_eq * 1000000 // $minhashMd5K)::BIGINT AS est_ppm
+          FROM eq WHERE n_eq * 1000000 // $minhashMd5K >= 500000
+          ORDER BY doc_a, doc_b"""
+    },
     "q330_simhash_md5" ->
       s"""WITH $simhashMd5Ctes
           SELECT doc_id, sig_hi, sig_lo FROM sig ORDER BY doc_id""",

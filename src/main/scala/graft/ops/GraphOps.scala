@@ -222,6 +222,75 @@ object GraphOps {
       .orderBy("entity_id")
   }
 
+  /** q335's fixed-point unit (score ceiling after each rescale) and
+    * round count (shared with q281 so the two rankings read the same
+    * recursion).
+    */
+  private[graft] val hitsScale = 1000000L
+
+  /** q335 — EXACT-INTEGER HITS (the third fixpoint pattern converted,
+    * after q328/q329): q281's mutual-reinforcement recursion over the
+    * directed customer→part purchase graph, with float normalization
+    * replaced by integer RENORMALIZATION — after each half-step the
+    * scores rescale to s' = (s·10⁶) div max(s), so every quantity is
+    * an exact integer and all [[hitsIters]] rounds replay in DuckDB as
+    * chained CTEs (two agg+max+rescale triplets per round). Rescaling
+    * by the max is the power method's standard normalization choice
+    * (the ∞-norm instead of L2); it changes magnitudes, not the
+    * direction the iteration converges toward, so the top-k RANKING
+    * is the q281 read with every step hash-gated. Ties (possible
+    * after quantization) break to the smaller node id. Output: q281's
+    * shape — (role, node_id, score_sc) top-10 per role, score in
+    * 10⁻⁶ units of the round's max.
+    *
+    * Scale: q281's argument — one corpus-scale distinct edge build,
+    * then per-round edge-frame equi-joins + hash aggs with per-round
+    * lineage cuts; the max is a single-row broadcast (sanctioned
+    * boundary pattern). Products ride decimal(38,0): s ≤ 10⁶ and
+    * corpus-scale degree push s·10⁶ past 2⁶³ together.
+    */
+  def hitsExact(spark: SparkSession, dir: String): DataFrame =
+    hitsExactCore(Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .distinct())
+
+  /** Core over any directed (src, dst) edge frame — fixture seam. */
+  private[graft] def hitsExactCore(edges0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = edges0.localCheckpoint(true)
+    def rescaled(df: DataFrame, key: String, c: String): DataFrame = {
+      val mx = df.agg(max(col(c)).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col(key),
+          expr(s"cast(cast($c as decimal(38,0)) * $hitsScale div mx as bigint)")
+            .as(c))
+        .localCheckpoint(true)
+    }
+    var hub = edges.select(col("src")).distinct()
+      .withColumn("h", lit(hitsScale)).localCheckpoint(true)
+    var auth: DataFrame = hub.limit(0)
+      .select(col("src").as("dst"), col("h").as("a"))
+    for (_ <- 1 to hitsIters) {
+      auth = rescaled(edges.join(hub, "src").groupBy("dst")
+        .agg(sum("h").as("a")), "dst", "a")
+      hub = rescaled(edges.join(auth, "dst").groupBy("src")
+        .agg(sum("a").as("h")), "src", "h")
+    }
+    val topA = auth
+      .select(lit("authority").as("role"), col("dst").as("node_id"),
+        col("a").as("score_sc"))
+    val topH = hub
+      .select(lit("hub").as("role"), col("src").as("node_id"),
+        col("h").as("score_sc"))
+    topA.unionByName(topH)
+      .withColumn("rk", row_number().over(Window.partitionBy("role")
+        .orderBy(desc("score_sc"), asc("node_id"))))
+      .filter(col("rk") <= hitsTopK)
+      .select("role", "node_id", "score_sc")
+      .orderBy(col("role"), desc("score_sc"), col("node_id"))
+  }
+
   /** q281 iteration count — HITS converges geometrically in the
     * principal eigengap; 8 rounds ranks a bipartite purchase graph
     * stably (the spec pins the fixture against an independent replica).
@@ -1085,9 +1154,10 @@ object GraphOps {
     "q154_neighbor_overlap" -> ((s, d) =>
       neighborOverlap(CooccurrenceGraph.edgeCounts(s, d))),
     "q33_pagerank" -> (pagerank(_, _)),
-    // the oracle-gated exact-integer twins of q33/q35 (r16)
+    // the oracle-gated exact-integer twins of q33/q35/q281 (r16)
     "q328_pagerank_exact" -> (pagerankExact(_, _)),
     "q329_lpa_exact" -> (lpaExact(_, _)),
+    "q335_hits_exact" -> (hitsExact(_, _)),
     // rows-only like q33: iterative float fixpoint; value-pinned in
     // GraphOpsSpec against an independent plain-Scala replica
     "q281_hits_bipartite" -> (hitsBipartite(_, _)),
@@ -1587,6 +1657,45 @@ object GraphOps {
           $rounds
           SELECT entity_id, lbl AS community FROM l$lpaIters
           ORDER BY entity_id"""
+    },
+    // q335: the identical integer power iteration — HUGEINT sums, the
+    // same (s·10⁶) // max(s) renormalization per half-step (as an
+    // unpartitioned window max, NOT a second CTE reference: DuckDB 1.0
+    // inlines non-materialized CTEs per reference, and a separate
+    // max-CTE per half-step quadruples the chain per round — 4⁸
+    // re-evaluations of the edge scan, measured as an fd explosion),
+    // top-10 per role by (score DESC, id)
+    "q335_hits_exact" -> {
+      val rounds = (1 to hitsIters).map { i =>
+        s"""a$i AS (
+              SELECT e.dst, sum(h.s)::HUGEINT AS a
+              FROM e JOIN h${i - 1} h ON h.src = e.src GROUP BY 1),
+            as$i AS (
+              SELECT dst, ((a * $hitsScale) // max(a) OVER ())::BIGINT AS a
+              FROM a$i),
+            hh$i AS (
+              SELECT e.src, sum(a.a)::HUGEINT AS s
+              FROM e JOIN as$i a ON a.dst = e.dst GROUP BY 1),
+            h$i AS (
+              SELECT src, ((s * $hitsScale) // max(s) OVER ())::BIGINT AS s
+              FROM hh$i)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+            SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          h0 AS (SELECT DISTINCT src, $hitsScale::BIGINT AS s FROM e),
+          $rounds,
+          scored AS (
+            SELECT 'authority' AS role, dst AS node_id, a AS score_sc
+            FROM as$hitsIters
+            UNION ALL
+            SELECT 'hub', src, s FROM h$hitsIters)
+          SELECT role, node_id, score_sc FROM (
+            SELECT role, node_id, score_sc,
+              row_number() OVER (PARTITION BY role
+                ORDER BY score_sc DESC, node_id) AS rk
+            FROM scored) WHERE rk <= $hitsTopK
+          ORDER BY role, score_sc DESC, node_id"""
     },
     // q203: every step replayed — same ranked adjacency (weight desc,
     // dst asc), same md5-mod-degree pick, chained CTE per step

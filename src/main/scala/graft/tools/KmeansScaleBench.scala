@@ -80,7 +80,7 @@ object KmeansScaleBench {
           // plan — log the skip instead (no silent caps)
           if (n.toDouble * k > 7e8)
             println(f"[kscale] semdedup N=$n%d mode=$mode k=$k%d SKIPPED " +
-              "(flat-codebook assign > 3e8 evals locally; " +
+              "(flat-codebook assign > 7e8 evals locally; " +
               "two-level quantizer regime — see q320 scaladoc)")
           else {
             val t0 = System.nanoTime()

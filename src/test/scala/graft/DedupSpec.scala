@@ -346,6 +346,58 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "only Hamming-0 pairs at this sf — the near-dup regime is vacuous")
   }
 
+  test("q333 md5-minhash signatures: bit-exact vs a plain-Scala " +
+      "per-register min replica on the corpus (distinct shingles, the " +
+      "one register-hash formula)") {
+    def md5u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val replica = Tables.spread(Tables.documents(spark, sf))
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        val shs = (if (ws.length < 3) Seq.empty[String]
+                   else ws.sliding(3).map(_.mkString(" ")).toSeq).distinct
+        if (shs.isEmpty) Seq.empty
+        else (0 until Dedup.minhashMd5K).map { r =>
+          (id, r.toLong, shs.map(sh => md5u32(s"$r:$sh")).min)
+        }
+      }.sortBy(t => (t._1, t._2)).toSeq
+    val got = Dedup.queries("q333_minhash_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == replica)
+  }
+
+  test("q334 md5-minhash candidates: equals the brute-force shared-band " +
+      "relation over the q333 signatures, exactly-once, est_ppm exact") {
+    val sigs = Dedup.queries("q333_minhash_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2))).toSeq
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val k = Dedup.minhashMd5K
+    val rpb = k / Dedup.minhashMd5Bands
+    val ids = sigs.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      sa = sigs(a); sb = sigs(b)
+      if (0 until Dedup.minhashMd5Bands).exists(band =>
+        (band * rpb until (band + 1) * rpb).forall(i => sa(i) == sb(i)))
+      nEq = (0 until k).count(i => sa(i) == sb(i)).toLong
+      if nEq * 1000000L / k >= 500000L
+    } yield (a, b, nEq, nEq * 1000000L / k)).toSet
+    val got = Dedup.queries("q334_minhash_md5_candidates")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.toSet == brute)
+    assert(got.size == got.distinct.size && got.size == brute.size,
+      "a pair emitted more than once — first-colliding-band broke")
+    assert(got.nonEmpty, "no candidates at this sf — the gate is vacuous")
+  }
+
   test("q313 clusters with simhash edges: union-find replica over the " +
       "three pair sets, coarsening law vs q57") {
     // replica: collect the SAME three pair relations the engine feeds

@@ -153,6 +153,42 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(q329Parts == q35Parts)
   }
 
+  test("q335 exact-integer HITS equals a plain-Scala integer power " +
+      "iteration on the hand bipartite graph (bit-exact), and the " +
+      "ranking matches the float q281 read on the same fixture") {
+    import spark.implicits._
+    val es = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (1L, 11L), (1L, 12L), (4L, 12L))
+    val edges = es.toDF("src", "dst")
+    // replica: integer sums, rescale by (s·10⁶) / max after each
+    // half-step — floor division, exactly the engine's arithmetic
+    val scale = GraphOps.hitsScale
+    var h = es.map(_._1).distinct.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    def rescale(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.view.mapValues(v => v * scale / mx).toMap
+    }
+    for (_ <- 1 to GraphOps.hitsIters) {
+      a = rescale(es.groupBy(_._2).view
+        .mapValues(_.map(e => h(e._1)).sum).toMap)
+      h = rescale(es.groupBy(_._1).view
+        .mapValues(_.map(e => a(e._2)).sum).toMap)
+    }
+    val got = GraphOps.hitsExactCore(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val gotA = got.filter(_._1 == "authority").map(t => t._2 -> t._3)
+    val gotH = got.filter(_._1 == "hub").map(t => t._2 -> t._3)
+    assert(gotA.toMap == a && gotH.toMap == h,
+      s"engine $got vs replica a=$a h=$h")
+    // emission order is (score desc, id) within role
+    assert(gotA.sortBy { case (n, s) => (-s, n) } == gotA.toSeq)
+    // the quantized iteration preserves the float recursion's ranking
+    // on this fixture (q281's spec asserts the float order)
+    assert(gotA.map(_._1).take(3) == Seq(10L, 12L, 11L))
+    assert(gotH.head._1 == 1L)
+  }
+
   test("pagerank is deterministic across runs (fixed iterations)") {
     val a = GraphOps.pagerank(spark, sf).collect().toSeq
     val b = GraphOps.pagerank(spark, sf).collect().toSeq

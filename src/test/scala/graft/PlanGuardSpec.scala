@@ -146,7 +146,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q327_ann_ivf_exact",
     // round-16: q326's single-row τ-threshold broadcast into the k
     // sampled manifest rows
-    "q332_manifest_sample")
+    "q332_manifest_sample",
+    // round-16: q281's pattern — a single-row max broadcast per
+    // half-round rescale, each behind a localCheckpoint
+    "q335_hits_exact")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
