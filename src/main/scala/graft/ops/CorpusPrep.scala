@@ -762,6 +762,10 @@ object CorpusPrep {
           .cast("long") + 1L).as("u"))
       .select(col("doc_id"), col("split"), col("w"),
         expr("(w * 4294967296L) div u").as("priority"))
+    // τ and the sample both consume this frame; the printed plan shows
+    // per-branch copies of the survivor chain, but ReuseExchange
+    // dedupes them at runtime (measured r16: an eager localCheckpoint
+    // here bought nothing and added a barrier — left uncut on purpose)
     val top = pri
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(k + 1)

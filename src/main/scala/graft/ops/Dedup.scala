@@ -719,30 +719,40 @@ object Dedup {
     * q330-for-q55 move applied to the OTHER seeded-signature
     * subfamily. q53's registers chain xxhash64 through seeded affine
     * maps — unreplayable in DuckDB (no XXH64) — but the MinHash
-    * PATTERN only needs k independent hashes: register i's hash of a
-    * shingle is the first 32 md5 bits of "i:shingle" (the q58 salt
-    * idiom), and the signature is the per-register min over the doc's
-    * DISTINCT shingles (set semantics, exactly q53's). Output at
-    * (doc_id, reg, minhash) grain — flat rows, not an array, because
-    * the driver's hash compare can't hash list cells (the q34
+    * PATTERN only needs k independent hashes. Register r's hash of a
+    * shingle is the r%4-th 32-bit SLICE of md5("r/4:shingle") — one
+    * md5 per GROUP of four registers (the standard few-strong-hashes
+    * economy: a 128-bit digest carries four independent 32-bit
+    * registers, so k=16 costs 4 hashes per shingle, not 16), salt by
+    * the q58 idiom. The signature is the per-register min over the
+    * doc's DISTINCT shingles (set semantics, exactly q53's). Output
+    * at (doc_id, reg, minhash) grain — flat rows, not an array,
+    * because the driver's hash compare can't hash list cells (the q34
     * members-serialization lesson, avoided instead of re-learned).
     *
-    * Scale: shingle rows fan out ×k (a constant) into a map-side-
-    * combining min agg keyed (doc, reg) — the same shape q53's
-    * grouped min ships; one md5 per (register, shingle).
+    * Scale: ONE generator expression computes the k register hashes
+    * per shingle row (the 4 digests evaluate once inside it — NOT as
+    * k separate aggregate columns, where projection collapse would
+    * inline and re-evaluate the digest chain per column, measured
+    * 2.5× slower) and fans ×k into a map-side-combining min agg keyed
+    * (doc, reg) — q53's grouped-min shuffle shape, 4 md5s per shingle.
     */
   def minhashMd5(spark: SparkSession, dir: String): DataFrame =
     minhashMd5Core(Tables.documents(spark, dir)).orderBy("doc_id", "reg")
 
   /** (doc_id, reg, minhash) unsorted — q334's input seam. */
   private[graft] def minhashMd5Core(docs: DataFrame): DataFrame = {
-    val regHashes = expr(
-      s"""transform(sequence(0, ${minhashMd5K - 1}),
-            r -> cast(conv(substring(md5(cast(
-                   concat(cast(r as string), ':', sh) as binary)), 1, 8),
-                 16, 10) as bigint))""")
+    val groupDigests = expr(
+      s"""transform(sequence(0, ${minhashMd5K / 4 - 1}),
+            g -> md5(cast(concat(cast(g as string), ':', sh) as binary)))""")
     shingleRowsOf(docs)
-      .select(col("doc_id"), posexplode(regHashes).as(Seq("reg", "h")))
+      .withColumn("gh", groupDigests)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${minhashMd5K - 1}),
+              r -> cast(conv(substring(
+                     element_at(gh, cast(r div 4 + 1 as int)),
+                     (r % 4) * 8 + 1, 8), 16, 10) as bigint))"""))
+        .as(Seq("reg", "h")))
       // long reg: the oracle's range() register is BIGINT, and the
       // driver's schema gate compares dtypes
       .groupBy(col("doc_id"), col("reg").cast("long").as("reg"))
@@ -1808,8 +1818,9 @@ object Dedup {
 
   /** Shared q333/q334 preface: the q51/q257 shingle relation (distinct
     * 3-gram windows over non-empty whitespace tokens) fanned over the
-    * k registers with the identical "r:shingle" md5 hash, min per
-    * (doc, reg).
+    * k registers with the identical group-sliced md5 rule — register
+    * r's hash = 32-bit slice (r mod 4) of md5("r div 4:shingle") —
+    * min per (doc, reg).
     */
   private def minhashMd5Ctes: String =
     s"""t AS (
@@ -1825,8 +1836,8 @@ object Dedup {
           FROM t),
         hx AS (
           SELECT doc_id, r,
-            ('0x' || substr(md5(r::VARCHAR || ':' || sh), 1, 8))
-              ::BIGINT AS h
+            ('0x' || substr(md5((r // 4)::VARCHAR || ':' || sh),
+               (r % 4) * 8 + 1, 8))::BIGINT AS h
           FROM sh, range(0, $minhashMd5K) t2(r)),
         mh AS (
           SELECT doc_id, r AS reg, min(h) AS minhash

@@ -348,11 +348,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
   test("q333 md5-minhash signatures: bit-exact vs a plain-Scala " +
       "per-register min replica on the corpus (distinct shingles, the " +
-      "one register-hash formula)") {
-    def md5u32(s: String): Long = {
+      "one group-sliced register-hash formula)") {
+    // register r = 32-bit slice (r mod 4) of md5("r div 4:shingle")
+    def regHash(r: Int, sh: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+        .digest(s"${r / 4}:$sh".getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring((r % 4) * 8, (r % 4) * 8 + 8), 16)
     }
     val replica = Tables.spread(Tables.documents(spark, sf))
       .filter(col("text").isNotNull).select("doc_id", "text").collect()
@@ -363,7 +365,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
                    else ws.sliding(3).map(_.mkString(" ")).toSeq).distinct
         if (shs.isEmpty) Seq.empty
         else (0 until Dedup.minhashMd5K).map { r =>
-          (id, r.toLong, shs.map(sh => md5u32(s"$r:$sh")).min)
+          (id, r.toLong, shs.map(sh => regHash(r, sh)).min)
         }
       }.sortBy(t => (t._1, t._2)).toSeq
     val got = Dedup.queries("q333_minhash_md5")(spark, sf).collect()
