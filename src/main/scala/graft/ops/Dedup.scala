@@ -1239,7 +1239,8 @@ object Dedup {
     * the pair-graph construction once.
     */
   private[graft] def clusterAssignmentsCore(
-      docs0: DataFrame, simhashEdges: Boolean = false): DataFrame = {
+      docs0: DataFrame, simhashEdges: Boolean = false,
+      md5SimhashEdges: Boolean = false): DataFrame = {
     import org.apache.spark.graphx.Graph
     val docs = docs0.filter(col("text").isNotNull)
     val fp = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
@@ -1260,9 +1261,14 @@ object Dedup {
     // generation cost as the other two sources; OFF by default so
     // q57/q302/q310's oracle-gated relations are untouched.
     val edgeFrames =
-      if (!simhashEdges) Seq(exactEdges, nearEdges)
-      else Seq(exactEdges, nearEdges, simhashBlockedPairsCore(docs)
+      if (simhashEdges) Seq(exactEdges, nearEdges, simhashBlockedPairsCore(docs)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      // q336's regime: the md5-simhash pairs (q331) instead of q304's
+      // XXH64-seeded ones — same third-edge semantics, DuckDB-replayable
+      else if (md5SimhashEdges) Seq(exactEdges, nearEdges,
+        simhashMd5PairsCore(docs)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      else Seq(exactEdges, nearEdges)
     val edges = edgeFrames.reduce(_ union _)
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
     // the duplicate-pair graph is tiny next to the corpus: collapse it
@@ -1277,6 +1283,26 @@ object Dedup {
     g.unpersist(blocking = false)
     out
   }
+
+  /** q336 — DEDUP CLUSTERS OVER ALL THREE EDGE REGIMES, FULLY
+    * ORACLE-GATED: q313's end-step (exact-md5 stars ∪ q52 Jaccard
+    * edges ∪ simhash near-dup pairs → connected components → member
+    * lists) with the XXH64-seeded q304 edge source swapped for q331's
+    * md5-derived pairs — so the complete three-regime cluster relation
+    * finally replays in DuckDB (q57's recursive closure + the q331
+    * pair CTEs as the third `e` source), where q313 could only be
+    * pinned by replica. The q330-move completed at the COMPOSITION
+    * level: signature → banding → Hamming verify → cluster closure,
+    * every stage rows+schema+hash-gated. q313 stays registered for
+    * the production XXH64 path.
+    *
+    * Scale: q313's argument verbatim — three per-doc-constant pair
+    * generators, graph bounded by the duplicated subset.
+    */
+  def dedupClustersMd5(spark: SparkSession, dir: String): DataFrame =
+    clusterMembers(
+      clusterAssignmentsCore(Tables.documents(spark, dir),
+        md5SimhashEdges = true))
 
   /** q310 — QUALITY-AWARE CANONICAL PICK PER DUPLICATE CLUSTER: q57
     * answers "which docs are copies of each other"; this answers the
@@ -1771,6 +1797,8 @@ object Dedup {
     // the md5-derived oracle-gated twins of q53/q54 (r16)
     "q333_minhash_md5" -> (minhashMd5(_, _)),
     "q334_minhash_md5_candidates" -> (minhashMd5Candidates(_, _)),
+    // the oracle-gated three-edge-regime cluster end-step (r16)
+    "q336_dedup_clusters_md5" -> (dedupClustersMd5(_, _)),
     // rows-only like q55/q56 (hash-seeded); DedupSpec pins q304
     // set-equal to q56 on the corpus (two structurally different
     // complete generators of the same radius-3 relation) and the
@@ -1844,6 +1872,72 @@ object Dedup {
           FROM hx GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    // q336: q57's recursive closure with the q330/q331 simhash pair
+    // CTEs as the third edge source — the composed three-regime
+    // cluster relation, replayed whole
+    "q336_dedup_clusters_md5" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, lang,
+              list_filter(string_split(text,' '), w -> w <> '') AS ws
+            FROM documents),
+          sh0 AS (
+            SELECT doc_id, lang, unnest(list_distinct(
+              CASE WHEN len(ws) < $shingleSize THEN []
+                   ELSE list_transform(range(len(ws)-${shingleSize - 1}),
+                          i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+              END)) AS sh
+            FROM t),
+          rare AS (SELECT sh FROM sh0 GROUP BY sh
+                   HAVING count(*) <= $maxShingleDf),
+          capped AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+          sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM capped a JOIN capped b
+              ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY 1,2),
+          nearp AS (
+            SELECT doc_a AS a, doc_b AS b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)
+              >= $minJaccard),
+          fps AS (SELECT doc_id, md5(text) AS fp FROM documents
+                  WHERE text IS NOT NULL),
+          reps AS (SELECT fp, min(doc_id) AS rep FROM fps
+                   GROUP BY fp HAVING count(*) > 1),
+          exacte AS (
+            SELECT r.rep AS a, f.doc_id AS b
+            FROM fps f JOIN reps r USING (fp) WHERE f.doc_id <> r.rep),
+          $simhashMd5Ctes,
+          bnd AS (
+            SELECT doc_id, sig_hi, sig_lo, b AS band,
+              CASE WHEN b < 2 THEN (sig_lo >> (b * 16)) & 65535
+                   ELSE (sig_hi >> ((b - 2) * 16)) & 65535 END AS key
+            FROM sig, range(0, 4) t2(b)),
+          shp AS (
+            SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+            FROM bnd sa JOIN bnd sb
+              ON sa.band = sb.band AND sa.key = sb.key
+                AND sa.doc_id < sb.doc_id
+            WHERE bit_count(xor(sa.sig_lo, sb.sig_lo))
+              + bit_count(xor(sa.sig_hi, sb.sig_hi)) <= 3),
+          e AS (SELECT a, b FROM exacte UNION SELECT a, b FROM nearp
+                UNION SELECT a, b FROM shp),
+          sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+          vs AS (SELECT DISTINCT a AS v FROM sym),
+          reach AS (
+            SELECT v AS a, v AS b FROM vs
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          comp AS (SELECT a AS v, min(b) AS rep FROM reach GROUP BY 1),
+          grp AS (
+            SELECT rep, list_sort(list(v)) AS ms, count(*) AS n_members
+            FROM comp GROUP BY 1)
+          SELECT ms[1] AS cluster_rep, array_to_string(ms, ',') AS members,
+            n_members
+          FROM grp ORDER BY cluster_rep""",
     "q333_minhash_md5" ->
       s"""WITH $minhashMd5Ctes
           SELECT doc_id, reg, minhash FROM mh ORDER BY doc_id, reg""",

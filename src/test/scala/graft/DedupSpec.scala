@@ -448,6 +448,48 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q336 three-regime clusters (md5-simhash edges): union-find " +
+      "replica over the three pair sets, coarsening law vs q57") {
+    // the q313 spec's discipline applied to the ORACLE-GATED variant:
+    // same exact/Jaccard sources, q331's md5-simhash pairs as the third
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+    val fpPairs = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g => val m = g.map(_._1).min
+        g.map(_._1).filter(_ != m).map(b => (m, b)) }.toSeq
+    val nearPairs = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val shPairs = Dedup.simhashMd5Pairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (fpPairs ++ nearPairs ++ shPairs).foreach { case (a, b) => union(a, b) }
+    val members = parent.keys.toSeq.groupBy(find).map { case (_, ms) =>
+      val sorted = ms.sorted
+      (sorted.head, sorted.mkString(","), sorted.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.queries("q336_dedup_clusters_md5")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === members, s"engine $got vs replica $members")
+    val q336Of = got.flatMap { case (rep, ms, _) =>
+      ms.split(",").map(_.toLong -> rep) }.toMap
+    Dedup.dedupClusters(spark, sf).collect().foreach { r =>
+      val ms = r.getString(1).split(",").map(_.toLong)
+      assert(ms.map(q336Of).distinct.length == 1,
+        s"q57 cluster ${r.getLong(0)} straddles q336 clusters")
+    }
+  }
+
   test("q314 duplicate spans: cross-doc run, within-doc repeat, clean " +
       "and sub-w docs — engine matches a plain-Scala replica") {
     val s = spark
