@@ -3,8 +3,10 @@ package graft.expr
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over a token array — a native Catalyst expression with
@@ -164,4 +166,142 @@ object SimHash64 {
   /** Hamming distance between two signatures as a native expression. */
   def hamming(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
+}
+
+/** md5-derived 64-bit SimHash over a token array — the q330 verification
+  * twin's signature, computed the way the production kernel
+  * ([[SimHash64]]) computes its own: one pass per doc inside
+  * whole-stage codegen, 64 counter lanes, no row fan-out (r16 verdict
+  * task 1 — the previous Spark plan materialized 64 rows per distinct
+  * (doc, token) via posexplode plus two shuffled aggregates; the DuckDB
+  * oracle gates OUTPUT only, so the engine is free to use its own
+  * production shape).
+  *
+  * Semantics — bit-identical to the q330 oracle preface
+  * (Dedup.simhashMd5Ctes), which is the contract:
+  *   - each distinct token's 64 bits come from md5 of its UTF-8 bytes:
+  *     bit b = bit (b mod 4) of hex nibble (b div 4) of the digest
+  *     (nibble j = high half of digest byte j/2 for even j, low half
+  *     for odd — exactly DuckDB's `strpos('0123..f', substr(md5(w),
+  *     b//4+1, 1)) - 1` rule);
+  *   - lane b accumulates +tf where the bit is set, -tf where clear
+  *     (term-frequency weighting: one ±1 per OCCURRENCE ≡ ±tf per
+  *     distinct token — the kernel iterates occurrences and caches one
+  *     digest per distinct token, preserving the "one md5 per distinct
+  *     token" scale claim);
+  *   - signature bit b is 1 iff lane b's sum is > 0; the output is the
+  *     two non-negative 32-bit halves (sig_hi = bits 63..32, sig_lo =
+  *     bits 31..0) — BIGINT-safe in both engines.
+  *
+  * Returns array<struct<sig_hi, sig_lo>> with AT MOST one element —
+  * empty for a token-less doc — so the caller `explode`s it: the
+  * generator evaluates the kernel exactly once per row AND drops
+  * token-less docs (the oracle's "docs with at least one kept token"
+  * grain) with no second evaluation. A nullable struct + isNotNull
+  * filter was measured to double-evaluate: predicate pushdown inlines
+  * the kernel into the Filter below the Project.
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(SimHashMd5.sigType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_md5 requires array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashMd5.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.expr.SimHashMd5.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
+object SimHashMd5 {
+  val sigType: StructType = StructType(Seq(
+    StructField("sig_hi", LongType, nullable = false),
+    StructField("sig_lo", LongType, nullable = false)))
+
+  private val EMPTY = new GenericArrayData(Array.empty[Any])
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** A token's 64 signature bits, packed bit b at position b: the
+    * md5-nibble rule shared verbatim with the oracle SQL.
+    */
+  def tokenBits(tok: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(tok.getBytes)
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      val nib = b >> 2
+      val by = dig(nib >> 1)
+      val nibVal = if ((nib & 1) == 0) (by >> 4) & 0xF else by & 0xF
+      if (((nibVal >> (b & 3)) & 1) == 1) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+
+  /** Static kernel shared by interpreted eval and generated code; an
+    * empty array when no kept tokens (token-less docs leave the
+    * relation at the caller's explode).
+    */
+  def simhash(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return EMPTY
+    val counts = new Array[Int](64)
+    // one digest per DISTINCT token; repeats hit the per-row cache
+    val cache = new java.util.HashMap[UTF8String, java.lang.Long](Math.min(n * 2, 1 << 12))
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        any = true
+        val t = tokens.getUTF8String(i)
+        var bits = cache.get(t)
+        if (bits == null) {
+          bits = java.lang.Long.valueOf(tokenBits(t))
+          cache.put(t, bits)
+        }
+        val h = bits.longValue()
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return EMPTY
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) {
+        if (b >= 32) hi |= (1L << (b - 32)) else lo |= (1L << b)
+      }
+      b += 1
+    }
+    new GenericArrayData(
+      Array[Any](new GenericInternalRow(Array[Any](hi, lo))))
+  }
+
+  /** Column-level entry point:
+    * array<struct<sig_hi: bigint, sig_lo: bigint>> (0 or 1 element).
+    */
+  def apply(c: Column): Column =
+    GraftColumnBridge.column(SimHashMd5(GraftColumnBridge.expression(c)))
 }

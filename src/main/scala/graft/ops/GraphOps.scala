@@ -163,16 +163,25 @@ object GraphOps {
     var rank = verts.select(col("entity_id"), lit(prScale).as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to pageRankIters) {
+      // every sum rides decimal(38,0), mirroring the oracle's HUGEINT
+      // discipline (r16 ADVICE): Spark's `div` quotient is BIGINT, so a
+      // Long SUM of shares would silently wrap once a hub's inflow
+      // passes 2^63 (~9.2M vertices at 10^12 mass units) — cast each
+      // quotient back to decimal before aggregating, and keep r decimal
+      // until the final bigint projection
       val inflow = symw
         .join(rank, symw("a") === rank("entity_id"))
         .select(col("b"),
-          expr("cast(r as decimal(38,0)) * weight div ow").as("share"))
+          expr("cast(cast(r as decimal(38,0)) * weight div ow as decimal(38,0))")
+            .as("share"))
         .groupBy("b").agg(sum("share").as("inflow"))
       rank = verts
         .join(inflow, verts("entity_id") === inflow("b"), "left_outer")
         .select(col("entity_id"),
-          (lit(prReset) + expr(
-            "cast(85 as decimal(38,0)) * coalesce(inflow, 0L) div 100"))
+          expr(s"""cast($prReset as decimal(38,0))
+                   + cast(cast(85 as decimal(38,0))
+                          * coalesce(inflow, cast(0 as decimal(38,0)))
+                          div 100 as decimal(38,0))""")
             .as("r"))
         .localCheckpoint(true)
     }
@@ -220,6 +229,30 @@ object GraphOps {
     }
     lbl.select(col("entity_id"), col("lbl").as("community"))
       .orderBy("entity_id")
+  }
+
+  /** q337 — MODULARITY OF THE EXACT-LPA PARTITION, fully oracle-gated
+    * (r16 verdict task 2: the cheapest remaining no-oracle conversion):
+    * q75's composition — community detection, then the partition's
+    * modularity decomposition — built from the two pieces that are
+    * ALREADY hash-gated individually: [[lpaExactCore]]'s deterministic
+    * integer label fixpoint (q329) feeds [[modularity]]'s
+    * decimal(38,0)/HUGEINT integer metric (q74's arithmetic), so the
+    * whole composition replays in DuckDB as the q329 CTE chain plus
+    * the q74 modularity tail (membership MATERIALIZED — the chain is
+    * referenced three times downstream, and DuckDB 1.0 inlines
+    * non-materialized CTEs per reference). q75 stays registered for
+    * the GraphX-LPA production path; the partition here is grouped by
+    * the ADOPTED LABEL (q329's grain) — the same partition, without
+    * the member-list rep rename.
+    *
+    * Scale: q329's lexicon-bounded iteration + q74's three hash aggs
+    * and one broadcast single-row 2m — nothing new.
+    */
+  def lpaModularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = CooccurrenceGraph.edgeCounts(spark, dir).localCheckpoint(true)
+    modularity(edges,
+      lpaExactCore(edges).select(col("entity_id"), col("community")))
   }
 
   /** q335's fixed-point unit (score ceiling after each rescale) and
@@ -632,6 +665,78 @@ object GraphOps {
     }
     core
       .union(verts.withColumn("core", lit(maxK.toLong)))
+      .orderBy(desc("core"), asc("entity_id"))
+  }
+
+  /** q338 fixed-round discipline (the q328 move on the NESTED peel
+    * fixpoint): the cascade at each k runs EXACTLY this many
+    * simultaneous peel rounds in both engines, so the relation matches
+    * by construction; the spec pins that the cap settles the real
+    * corpus graph (q338 == q118's run-to-settlement coreness) and the
+    * hand fixtures.
+    */
+  val kCoreCascadeRounds = 8
+
+  /** q338 — EXACT K-CORE DECOMPOSITION, fully oracle-gated (r16
+    * verdict task 3): q118's peel with its two data-dependent loops
+    * replaced by a FIXED recursion — for k = 1..[[kCoreMaxK]], run
+    * exactly [[kCoreCascadeRounds]] simultaneous peel rounds (drop
+    * every vertex whose current degree < k, all at once), chaining
+    * each k's survivors into the next level; core(v) = the largest k
+    * whose peeled subgraph still contains v, 0 for vertices peeled at
+    * k = 1. Both engines execute the identical fixed recursion, so
+    * the output is rows+schema+hash-comparable regardless of whether
+    * the cascade has settled — and the SEMANTIC claim (fixed rounds =
+    * true coreness) is what the spec pins against q118's
+    * run-to-settlement peel on the corpus graph and the hand fixtures.
+    * q118 stays registered as the distributed production path.
+    *
+    * Scale: the recursion runs on the lexicon-bounded AGGREGATED graph
+    * (|V| ≤ lexicon size no matter the corpus volume), so the twin
+    * executes it as ONE executor task over that bounded frame — the
+    * sanctioned [[louvain]] collapse (`coalesce(1).mapPartitions`):
+    * 128 near-empty distributed rounds would be pure scheduling
+    * overhead, and a graph too big for one task is the regime where
+    * q118's distributed peel is the right tool anyway. Only the
+    * upstream edge aggregation scales with data.
+    */
+  def kCoreExact(spark: SparkSession, dir: String): DataFrame =
+    kCoreExactCore(CooccurrenceGraph.edgeCounts(spark, dir))
+
+  /** Core over any (src, dst, weight) edge frame — fixture seam. */
+  private[graft] def kCoreExactCore(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val maxK = kCoreMaxK
+    val rounds = kCoreCascadeRounds
+    val memb = edges.toDF("src", "dst", "weight")
+      .select("src", "dst")
+      .as[(String, String)](
+        org.apache.spark.sql.Encoders.product[(String, String)])
+      .rdd.coalesce(1)
+      .mapPartitions { it =>
+        val sym = it.toSeq.flatMap { case (s, d) => Seq((s, d), (d, s)) }
+          .distinct
+        val allV = sym.map(_._1).distinct
+        val core = scala.collection.mutable.Map.empty[String, Long]
+        allV.foreach(v => core(v) = 0L)
+        var g = sym
+        var k = 1
+        while (k <= maxK && g.nonEmpty) {
+          var r = 0
+          while (r < rounds && g.nonEmpty) {
+            val deg = g.groupBy(_._1).view.mapValues(_.size).toMap
+            val next = g.filter { case (a, b) =>
+              deg.getOrElse(a, 0) >= k && deg.getOrElse(b, 0) >= k }
+            // a no-op round fixes the whole remaining cascade at this k
+            r = if (next.size == g.size) rounds else r + 1
+            g = next
+          }
+          g.map(_._1).distinct.foreach(v => core(v) = k.toLong)
+          k += 1
+        }
+        core.iterator.map { case (v, c) => (v, c) }
+      }
+    spark.createDataFrame(memb).toDF("entity_id", "core")
       .orderBy(desc("core"), asc("entity_id"))
   }
 
@@ -1158,6 +1263,8 @@ object GraphOps {
     "q328_pagerank_exact" -> (pagerankExact(_, _)),
     "q329_lpa_exact" -> (lpaExact(_, _)),
     "q335_hits_exact" -> (hitsExact(_, _)),
+    "q337_lpa_modularity" -> (lpaModularity(_, _)),
+    "q338_kcore_exact" -> (kCoreExact(_, _)),
     // rows-only like q33: iterative float fixpoint; value-pinned in
     // GraphOpsSpec against an independent plain-Scala replica
     "q281_hits_bipartite" -> (hitsBipartite(_, _)),
@@ -1606,6 +1713,20 @@ object GraphOps {
   /** Shared oracle preface for the exact graph fixpoints: the q31 edge
     * derivation, symmetrized, with per-source out-weights.
     */
+  /** q329/q337 shared LPA round chain (one CTE per synchronous round;
+    * each round references the previous label frame exactly once).
+    */
+  private def lpaRoundsCtes: String =
+    (1 to lpaIters).map { i =>
+      s"""l$i AS (
+            SELECT entity_id, lbl FROM (
+              SELECT s.b AS entity_id, l.lbl,
+                row_number() OVER (PARTITION BY s.b
+                  ORDER BY sum(s.weight) DESC, l.lbl) AS rn
+              FROM sym s JOIN l${i - 1} l ON l.entity_id = s.a
+              GROUP BY s.b, l.lbl) WHERE rn = 1)"""
+    }.mkString(",\n")
+
   private def symGraphCtes: String =
     CooccurrenceGraph.entsCte +
       """, e AS (
@@ -1642,22 +1763,82 @@ object GraphOps {
     },
     // q329: the identical synchronous min-label dynamics — per-round
     // (Σ weight DESC, label ASC) argmax as a rank over the grouped sums
-    "q329_lpa_exact" -> {
-      val rounds = (1 to lpaIters).map { i =>
-        s"""l$i AS (
-              SELECT entity_id, lbl FROM (
-                SELECT s.b AS entity_id, l.lbl,
-                  row_number() OVER (PARTITION BY s.b
-                    ORDER BY sum(s.weight) DESC, l.lbl) AS rn
-                FROM sym s JOIN l${i - 1} l ON l.entity_id = s.a
-                GROUP BY s.b, l.lbl) WHERE rn = 1)"""
-      }.mkString(",\n")
+    "q329_lpa_exact" ->
       s"""$symGraphCtes,
           l0 AS (SELECT entity_id, entity_id AS lbl FROM verts),
-          $rounds
+          $lpaRoundsCtes
           SELECT entity_id, lbl AS community FROM l$lpaIters
-          ORDER BY entity_id"""
+          ORDER BY entity_id""",
+    // q338: the identical fixed recursion — kCoreMaxK levels ×
+    // kCoreCascadeRounds simultaneous peel rounds, each round one
+    // two-window degree filter over the previous edge frame (single
+    // reference → linear inlining); each level's LAST round is
+    // MATERIALIZED because it is referenced twice (the next level's
+    // chain + the final survivor union), which would otherwise double
+    // the whole prefix per level (DuckDB 1.0 inlines per reference)
+    "q338_kcore_exact" -> {
+      val levels = (1 to kCoreMaxK).flatMap { k =>
+        (1 to kCoreCascadeRounds).map { r =>
+          val prev =
+            if (r == 1) { if (k == 1) "sym0" else s"c${k - 1}_$kCoreCascadeRounds" }
+            else s"c${k}_${r - 1}"
+          val mat = if (r == kCoreCascadeRounds) " MATERIALIZED" else ""
+          s"""c${k}_$r AS$mat (
+                SELECT a, b FROM (
+                  SELECT a, b,
+                    count(*) OVER (PARTITION BY a) AS da,
+                    count(*) OVER (PARTITION BY b) AS db
+                  FROM $prev)
+                WHERE da >= $k AND db >= $k)"""
+        }
+      }.mkString(",\n")
+      val surv = (1 to kCoreMaxK).map(k =>
+        s"SELECT DISTINCT a AS entity_id, $k AS k FROM c${k}_$kCoreCascadeRounds")
+        .mkString(" UNION ALL ")
+      s"""$symGraphCtes,
+          sym0 AS (SELECT a, b FROM sym),
+          $levels,
+          cores AS (
+            SELECT entity_id, max(k)::BIGINT AS core
+            FROM ($surv) GROUP BY 1)
+          SELECT v.entity_id, coalesce(c.core, 0)::BIGINT AS core
+          FROM verts v LEFT JOIN cores c USING (entity_id)
+          ORDER BY core DESC, entity_id"""
     },
+    // q337: the q329 label chain (MATERIALIZED — memb is referenced
+    // three times below, and DuckDB 1.0 inlines plain CTEs per
+    // reference) feeding q74's HUGEINT modularity decomposition tail,
+    // grouped by the adopted label
+    "q337_lpa_modularity" ->
+      s"""$symGraphCtes,
+          l0 AS (SELECT entity_id, entity_id AS lbl FROM verts),
+          $lpaRoundsCtes,
+          memb AS MATERIALIZED (
+            SELECT entity_id AS w, lbl AS community FROM l$lpaIters),
+          deg AS MATERIALIZED (
+            SELECT a AS w, sum(weight)::BIGINT AS k FROM sym GROUP BY 1),
+          m2t AS (SELECT sum(k)::BIGINT AS m2 FROM deg),
+          tot AS (
+            SELECT m.community, sum(d.k)::BIGINT AS t_c,
+                   count(*)::BIGINT AS n_members
+            FROM memb m JOIN deg d USING (w) GROUP BY 1),
+          intr AS (
+            SELECT ca.community, (2 * sum(e.weight))::BIGINT AS i_c
+            FROM e
+            JOIN memb ca ON e.src = ca.w
+            JOIN memb cb ON e.dst = cb.w
+            WHERE ca.community = cb.community GROUP BY 1)
+          SELECT t.community, t.n_members, t.t_c,
+            coalesce(i.i_c, 0)::BIGINT AS i_c, m.m2,
+            (m.m2::HUGEINT * coalesce(i.i_c, 0)
+              - t.t_c::HUGEINT * t.t_c)::DOUBLE AS q_num,
+            round((m.m2::HUGEINT * coalesce(i.i_c, 0)
+                - t.t_c::HUGEINT * t.t_c)::DOUBLE
+              / (m.m2::HUGEINT * m.m2)::DOUBLE, 6) AS q_contrib
+          FROM tot t
+          LEFT JOIN intr i ON t.community = i.community
+          CROSS JOIN m2t m
+          ORDER BY t.community""",
     // q335: the identical integer power iteration — HUGEINT sums, the
     // same (s·10⁶) // max(s) renormalization per half-step (as an
     // unpartitioned window max, NOT a second CTE reference: DuckDB 1.0

@@ -369,6 +369,75 @@ object Skew {
       .orderBy("scope")
   }
 
+  /** q339 register count (2⁸ — the md5 twin's lgK=8; small enough that
+    * the oracle's register table stays readable, large enough that the
+    * fixture exercises real collisions and the merge law non-vacuously).
+    */
+  val hllMd5M = 256L
+
+  /** q339 — MD5-DERIVED HLL REGISTERS + THE MERGE LAW, fully
+    * oracle-gated (r16 verdict task 4: the q330-move for sketches).
+    * q160's DataSketches HLL is rows-only by design — its register
+    * hashing is engine-specific — but the MERGEABILITY PATTERN only
+    * needs SOME shared hash: here each user's register comes from md5
+    * (bit-identical in both engines), so the whole sketch RELATION
+    * replays: register idx = the digest's first byte (lgK=8, m=256),
+    * rho = leading-zero count of the next 32 bits + 1 (33 for zero —
+    * the standard HLL register value, computed cross-engine as
+    * `33 - length(bin(v))`), per-(scope, idx) max.
+    *
+    * The LAW becomes the hash gate itself: the engine's `__all__` row
+    * max-MERGES the per-type register tables (no second scan of
+    * events — the entire point of sketches at 100 TB); the oracle
+    * recomputes the global registers from SCRATCH. Row equality is
+    * exactly merge-equals-rescan, register by register — far stronger
+    * than q160's err-bound check. Integer columns only (nz, Σrho, and
+    * the estimate's harmonic denominator in parts-per-billion —
+    * Σ 10⁹ div 2^M over all m registers) so every value is exact in
+    * both engines; q160 stays registered for the production
+    * DataSketches path.
+    *
+    * Scale: one codegen'd md5 projection over the scan, one hash agg
+    * to the (type, 256)-bounded register table, then O(sketch)
+    * merges — the register table is checkpointed once and feeds both
+    * the per-type stats and the merge, so events is scanned exactly
+    * once for the sketch side (plus the exact-count scan the law is
+    * being compared against).
+    */
+  def hllMd5(spark: SparkSession, dir: String): DataFrame =
+    hllMd5Core(Tables.events(spark, dir))
+
+  private[graft] def hllMd5Core(ev0: DataFrame): DataFrame = {
+    val ev = ev0.filter(col("user_id").isNotNull
+      && col("event_type").isNotNull)
+    val reg = ev
+      .select(col("event_type"),
+        md5(col("user_id").cast("string").cast("binary")).as("h"))
+      .select(col("event_type"),
+        expr("cast(conv(substring(h, 1, 2), 16, 10) as int)").as("idx"),
+        expr("cast(conv(substring(h, 3, 8), 16, 10) as bigint)").as("v"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(max(expr("if(v = 0, 33L, 33L - length(bin(v)))")).as("m"))
+      .localCheckpoint(true) // (type × ≤256)-bounded; feeds stats + merge
+    def stats(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      grouped.agg(
+        count(lit(1)).as("nz"),
+        sum("m").as("sum_rho"),
+        ((lit(hllMd5M) - count(lit(1))) * lit(1000000000L)
+          + sum(expr("1000000000L div shiftleft(1L, cast(m as int))")))
+          .as("denom_ppb"))
+    val typed = stats(reg.groupBy(col("event_type").as("scope")))
+      .join(ev.groupBy(col("event_type").as("scope"))
+        .agg(countDistinct("user_id").as("exact_users")), "scope")
+    val merged = reg.groupBy("idx").agg(max("m").as("m"))
+    val global = stats(merged.groupBy())
+      .select(lit("__all__").as("scope"), col("nz"), col("sum_rho"),
+        col("denom_ppb"))
+      .crossJoin(broadcast( // single-row global exact total (q160's pattern)
+        ev.agg(countDistinct("user_id").as("exact_users"))))
+    typed.unionByName(global).orderBy("scope")
+  }
+
   /** Replication factor for the manually salted JOIN (q168): the hot
     * key's rows spread over this many reducers, the compact side is
     * replicated this many times. 8 bounds the replication blowup while
@@ -642,6 +711,9 @@ object Skew {
     // rows-only by design: HLL estimates are engine-specific; the
     // union-equals-rescan and error contracts are pinned in SkewSpec
     "q160_hll_mergeability" -> (hllMergeability(_, _)),
+    // the md5-derived oracle-gated twin: merge-equals-rescan as a
+    // register-exact relation (r16 verdict task 4)
+    "q339_hll_md5" -> (hllMd5(_, _)),
     "q119_mad_outliers" -> (madOutliers(_, _)),
     "q150_winsorized_stats" -> (winsorizedStats(_, _)),
     // rows-only by design: the sketch's picks are engine-specific; the
@@ -652,6 +724,54 @@ object Skew {
     "q102_value_quantiles" -> (valueQuantiles(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // q339: identical register derivation (md5 byte 1 = idx, leading
+    // zeros of the next 32 bits + 1 = rho, per-scope max), but the
+    // GLOBAL row is recomputed from scratch where the engine
+    // max-merges the per-type tables — row equality IS the merge law.
+    // reg MATERIALIZED: referenced twice (typed stats + direct global)
+    "q339_hll_md5" ->
+      s"""WITH ev AS (
+            SELECT event_type, user_id FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+          rg AS (
+            SELECT event_type,
+              ('0x' || substr(h, 1, 2))::INT AS idx,
+              ('0x' || substr(h, 3, 8))::BIGINT AS v
+            FROM (SELECT event_type, md5(user_id::VARCHAR) AS h FROM ev)),
+          reg AS MATERIALIZED (
+            SELECT event_type, idx,
+              max(CASE WHEN v = 0 THEN 33
+                       ELSE 33 - length(bin(v)) END)::BIGINT AS m
+            FROM rg GROUP BY 1, 2),
+          typed AS (
+            SELECT event_type AS scope, count(*)::BIGINT AS nz,
+              sum(m)::BIGINT AS sum_rho,
+              (($hllMd5M - count(*)) * 1000000000
+                + sum(1000000000 // (1::BIGINT << m::INT)))::BIGINT
+                AS denom_ppb
+            FROM reg GROUP BY 1),
+          texact AS (
+            SELECT event_type AS scope,
+              count(DISTINCT user_id)::BIGINT AS exact_users
+            FROM ev GROUP BY 1),
+          greg AS (
+            SELECT idx,
+              max(CASE WHEN v = 0 THEN 33
+                       ELSE 33 - length(bin(v)) END)::BIGINT AS m
+            FROM rg GROUP BY 1),
+          gall AS (
+            SELECT '__all__' AS scope, count(*)::BIGINT AS nz,
+              sum(m)::BIGINT AS sum_rho,
+              (($hllMd5M - count(*)) * 1000000000
+                + sum(1000000000 // (1::BIGINT << m::INT)))::BIGINT
+                AS denom_ppb,
+              (SELECT count(DISTINCT user_id) FROM ev)::BIGINT
+                AS exact_users
+            FROM greg)
+          SELECT t.scope, t.nz, t.sum_rho, t.denom_ppb, x.exact_users
+          FROM typed t JOIN texact x USING (scope)
+          UNION ALL SELECT * FROM gall
+          ORDER BY scope""",
     // q149: the sketch picks have no DuckDB twin; the exact row count
     // is recomputed and the published rank-error contract is gated as
     // one boolean per cut, expected TRUE (see approxQuantilesGate)

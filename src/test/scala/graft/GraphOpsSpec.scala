@@ -153,6 +153,54 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(q329Parts == q35Parts)
   }
 
+  test("q337 LPA modularity equals an independent plain-Scala " +
+      "decomposition over the replica's labels (every column bit-exact, " +
+      "contributions sum to the partition's Q)") {
+    val edges = CooccurrenceGraph.edgeCounts(spark, sf)
+      .select("src", "dst", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sym = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+    val verts = sym.map(_._1).distinct.sorted
+    val inAdj = sym.groupBy(_._2)
+    var label = verts.map(v => v -> v).toMap
+    for (_ <- 1 to GraphOps.lpaIters) {
+      val cur = label
+      label = verts.map { v =>
+        val msgs = inAdj(v)
+          .groupBy { case (s, _, _) => cur(s) }
+          .map { case (lbl, es) => lbl -> es.map(_._3).sum }
+        v -> msgs.minBy { case (lbl, w) => (-w, lbl) }._1
+      }.toMap
+    }
+    val deg = sym.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val m2 = BigInt(deg.values.sum)
+    val expected = label.groupBy(_._2).map { case (c, members) =>
+      val tC = BigInt(members.keys.map(deg).sum)
+      val iC = BigInt(2L * edges
+        .filter { case (s, d, _) => label(s) == c && label(d) == c }
+        .map(_._3).sum)
+      val qNum = (m2 * iC - tC * tC).toDouble
+      val qContrib = BigDecimal(qNum / (m2 * m2).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      c -> (members.size.toLong, tC.toLong, iC.toLong, qNum, qContrib)
+    }
+    val got = GraphOps.lpaModularity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(5), r.getDouble(6), r.getLong(4))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (c, (n, t, i, qn, qc, gm2)) =>
+      assert(gm2 == m2.toLong)
+      val (en, et, ei, eqn, eqc) = expected(c)
+      assert((n, t, i, qn, qc) == (en, et, ei, eqn, eqc),
+        s"$c: engine ${(n, t, i, qn, qc)} vs replica ${(en, et, ei, eqn, eqc)}")
+    }
+    // the decomposition is non-vacuous and internally consistent:
+    // Σ q_contrib ≈ Q of the partition, inside (-1, 1]
+    val q = got.values.map(_._5).sum
+    assert(q > -1.0 && q <= 1.0)
+    assert(got.values.exists(_._3 > 0L), "no community has internal edges")
+  }
+
   test("q335 exact-integer HITS equals a plain-Scala integer power " +
       "iteration on the hand bipartite graph (bit-exact), and the " +
       "ranking matches the float q281 read on the same fixture") {
@@ -284,6 +332,35 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
       .toDF("src", "dst", "weight")
     assert(GraphOps.kCoreNumbers(star).as[(String, Long)].collect().toMap ==
       Map("c" -> 1L, "l1" -> 1L, "l2" -> 1L, "l3" -> 1L))
+  }
+
+  test("q338 fixed-round exact k-core equals q118's run-to-settlement " +
+      "peel on the real corpus graph (the cascade cap settles it) and " +
+      "on the hand fixtures, including the star cascade case") {
+    val s = spark
+    import s.implicits._
+    val edges = CooccurrenceGraph.edgeCounts(spark, sf)
+    val settled = GraphOps.kCoreNumbers(edges).as[(String, Long)]
+      .collect().toMap
+    val fixedRound = GraphOps.kCoreExactCore(edges).as[(String, Long)]
+      .collect().toMap
+    assert(fixedRound == settled,
+      "kCoreCascadeRounds does not settle the corpus graph")
+    assert(fixedRound.nonEmpty && fixedRound.values.exists(_ >= 2L),
+      "corpus graph has no 2-core — the fixture is vacuous")
+    // hand fixtures: same expected maps as the q118 test
+    val e1 = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L),
+      ("c", "d", 1L), ("d", "e", 1L)).toDF("src", "dst", "weight")
+    assert(GraphOps.kCoreExactCore(e1).as[(String, Long)].collect().toMap ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L, "e" -> 1L))
+    val star = Seq(("c", "l1", 1L), ("c", "l2", 1L), ("c", "l3", 1L))
+      .toDF("src", "dst", "weight")
+    assert(GraphOps.kCoreExactCore(star).as[(String, Long)].collect().toMap ==
+      Map("c" -> 1L, "l1" -> 1L, "l2" -> 1L, "l3" -> 1L))
+    // presentation order is (core desc, entity asc)
+    val rows = GraphOps.kCoreExactCore(edges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.sortBy { case (v, c) => (-c, v) } == rows)
   }
 
   test("k-core defining property holds on the real graph: induced degree ≥ core") {

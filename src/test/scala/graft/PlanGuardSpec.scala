@@ -149,7 +149,13 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q332_manifest_sample",
     // round-16: q281's pattern — a single-row max broadcast per
     // half-round rescale, each behind a localCheckpoint
-    "q335_hits_exact")
+    "q335_hits_exact",
+    // round-17: modularity's single-row 2m broadcast (q74/q75's
+    // pattern, over the q329 exact-LPA partition)
+    "q337_lpa_modularity",
+    // round-17: q160's single-row global exact-distinct broadcast on
+    // the md5-register twin
+    "q339_hll_md5")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

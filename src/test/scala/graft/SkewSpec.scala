@@ -69,6 +69,52 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       .collect().head.getLong(0)
     assert(all.getLong(1) == direct, "sketch union must equal rescan")
   }
+  test("q339 md5-HLL twin: every register statistic bit-exact vs a " +
+      "plain-Scala replica, and the __all__ row equals both the " +
+      "max-merge of per-type registers AND a direct global rescan") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def regs(rows: Seq[(String, Long)]): Map[Int, Long] =
+      rows.groupBy { case (_, u) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8")).take(5)
+          .map(b => f"$b%02x").mkString
+        Integer.parseInt(hex.substring(0, 2), 16)
+      }.view.mapValues(_.map { case (_, u) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8")).take(5)
+          .map(b => f"$b%02x").mkString
+        val v = java.lang.Long.parseLong(hex.substring(2, 10), 16)
+        if (v == 0L) 33L else 33L - java.lang.Long.toBinaryString(v).length
+      }.max).toMap
+    def stats(r: Map[Int, Long]): (Long, Long, Long) =
+      (r.size.toLong, r.values.sum,
+        (Skew.hllMd5M - r.size) * 1000000000L
+          + r.values.map(m => 1000000000L / (1L << m)).sum)
+    val byType = ev.groupBy(_._1).view.mapValues(g => regs(g.toSeq)).toMap
+    val got = Skew.hllMd5(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == byType.keySet + "__all__")
+    byType.foreach { case (t, r) =>
+      val (nz, sr, dn) = stats(r)
+      val exact = ev.filter(_._1 == t).map(_._2).distinct.length.toLong
+      assert(got(t) == ((nz, sr, dn, exact)), s"$t: ${got(t)}")
+    }
+    // the law, replica-side: max-merge of per-type register tables ==
+    // registers of the whole stream (the oracle proves the same
+    // relation cross-engine; this pins it in-process too)
+    val mergedRegs = byType.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(mergedRegs == regs(ev.toSeq))
+    val (gnz, gsr, gdn) = stats(mergedRegs)
+    assert(got("__all__") ==
+      ((gnz, gsr, gdn, ev.map(_._2).distinct.length.toLong)))
+    assert(byType.size >= 2 && gnz > 0L, "merge law vacuous at this sf")
+  }
+
   test("q161 table stats: null/row accounting consistent, order statistics bounded") {
     val out = Skew.tableStats(spark, sf).collect()
     assert(out.length == 4)
