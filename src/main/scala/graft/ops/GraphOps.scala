@@ -1514,9 +1514,12 @@ object GraphOps {
 
   /** Round cap for q215's Borůvka loop: components at least halve per
     * round, so log₂|V| rounds suffice; 20 covers a million-node graph
-    * with margin. Backstop, not a knob (the q209 stance).
+    * with margin. Backstop, not a knob (the q209 stance). Shared with
+    * the oracle (r17): the CTE replay runs exactly this many rounds
+    * (post-convergence rounds are empty no-ops), so engine and oracle
+    * agree even in the capped regime.
     */
-  private val mstMaxRounds = 20
+  private[graft] val mstMaxRounds = 20
 
   /** q215 — MAXIMUM SPANNING FOREST (graph backbone) via Borůvka: per
     * round every component picks its heaviest outgoing edge (ties
@@ -1539,11 +1542,18 @@ object GraphOps {
     * component). Components at least halve per round. Lineage is cut
     * per round (localCheckpoint, the q35 discipline).
     *
-    * Rows-only by design: a matroid-greedy fixpoint has no SQL oracle
-    * (DuckDB's recursive CTEs can't express union-find contraction) —
-    * GraphOpsSpec pins the result against an independent in-JVM
-    * Prim's algorithm on the full corpus edge set (exact equality;
-    * the lexicon-bounded edge table collects safely) plus a
+    * FULLY ORACLE-GATED since r17 (the rows-only classification was
+    * too pessimistic — r16 verdict task 5): the tie-broken total order
+    * makes the optimum forest UNIQUE, every quantity is an exact
+    * integer or string, and the round structure replays in DuckDB as
+    * [[mstMaxRounds]] fixed Borůvka rounds — per round one
+    * cross-component join, one per-component window nomination, and
+    * one RECURSIVE-CTE closure over the picked component-edges (the
+    * contraction starLabels computes engine-side; min-label in both).
+    * Post-convergence rounds are empty no-ops, so the fixed-round
+    * replay equals the engine's early-exit loop by construction.
+    * GraphOpsSpec additionally pins the result against an independent
+    * in-JVM Prim's algorithm on the full corpus edge set plus a
     * hand-computed fixture.
     */
   def maxSpanningForest(spark: SparkSession, dir: String): DataFrame =
@@ -1769,6 +1779,61 @@ object GraphOps {
           $lpaRoundsCtes
           SELECT entity_id, lbl AS community FROM l$lpaIters
           ORDER BY entity_id""",
+    // q215: fixed-round Borůvka replay (r17 — the "no SQL oracle"
+    // claim was wrong): mstMaxRounds rounds, each one cross-component
+    // join + one per-component (weight DESC, a, b) window nomination +
+    // one recursive-CTE min-label closure over the picked
+    // component-edges (= the engine's starLabels contraction).
+    // cr/bst/cp are MATERIALIZED (each is referenced 2-3 times
+    // downstream; DuckDB 1.0 inlines plain CTEs per reference, which
+    // would compound 3^rounds); post-convergence rounds are empty
+    // no-ops, so the fixed replay equals the engine's early-exit loop
+    "q215_max_spanning_forest" -> {
+      val rounds = (1 to mstMaxRounds).map { i =>
+        s"""cr$i AS MATERIALIZED (
+              SELECT e.a, e.b, e.weight,
+                ca.comp AS comp_a, cb.comp AS comp_b
+              FROM ed e JOIN cp${i - 1} ca ON e.a = ca.node
+                        JOIN cp${i - 1} cb ON e.b = cb.node
+              WHERE ca.comp <> cb.comp),
+            bst$i AS MATERIALIZED (
+              SELECT a, b, weight, comp_a, comp_b FROM (
+                SELECT c, a, b, weight, comp_a, comp_b,
+                  row_number() OVER (PARTITION BY c
+                    ORDER BY weight DESC, a, b) AS rn
+                FROM (SELECT comp_a AS c, a, b, weight, comp_a, comp_b
+                        FROM cr$i
+                      UNION ALL
+                      SELECT comp_b, a, b, weight, comp_a, comp_b
+                        FROM cr$i))
+              WHERE rn = 1),
+            sy$i AS (SELECT comp_a AS u, comp_b AS v FROM bst$i
+                     UNION SELECT comp_b, comp_a FROM bst$i),
+            rc$i AS (
+              SELECT u AS a, u AS b FROM (SELECT DISTINCT u FROM sy$i)
+              UNION
+              SELECT r.a, s.v FROM rc$i r JOIN sy$i s ON r.b = s.u),
+            rp$i AS (SELECT a AS comp, min(b) AS rep FROM rc$i GROUP BY 1),
+            cp$i AS MATERIALIZED (
+              SELECT c.node, coalesce(r.rep, c.comp) AS comp
+              FROM cp${i - 1} c LEFT JOIN rp$i r USING (comp))"""
+      }.mkString(",\n")
+      val forest = (1 to mstMaxRounds)
+        .map(i => s"SELECT a, b, weight FROM bst$i").mkString(" UNION ALL ")
+      CooccurrenceGraph.entsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""", ed AS MATERIALIZED (
+              SELECT a.w AS a, b.w AS b, count(*)::BIGINT AS weight
+              FROM ents a JOIN ents b
+                ON a.doc_id = b.doc_id AND a.w < b.w
+              GROUP BY 1, 2),
+            cp0 AS MATERIALIZED (
+              SELECT v AS node, v AS comp FROM (
+                SELECT a AS v FROM ed UNION SELECT b FROM ed)),
+            $rounds
+            SELECT DISTINCT a AS src, b AS dst, weight
+            FROM ($forest)
+            ORDER BY weight DESC, src, dst"""
+    },
     // q338: the identical fixed recursion — kCoreMaxK levels ×
     // kCoreCascadeRounds simultaneous peel rounds, each round one
     // two-window degree filter over the previous edge frame (single

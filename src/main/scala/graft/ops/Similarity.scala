@@ -275,6 +275,122 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** q341/q342 — the md5-derived ±1 hyperplane signs (the q330 nibble
+    * rule over md5("hp:t:p")): component j of plane p in table t is +1
+    * iff bit (j mod 4) of hex nibble (j div 4) of the digest is set.
+    * Derived in Scala here and re-derived in SQL by the oracle — MD5
+    * is MD5, so both engines hold the identical plane matrix.
+    */
+  private[graft] def md5PlaneSigns(t: Int, p: Int): Seq[Int] = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp:$t:$p".getBytes("UTF-8"))
+    (0 until embeddingDim).map { j =>
+      val nib = j >> 2
+      val by = dig(nib >> 1)
+      val nibVal = if ((nib & 1) == 0) (by >> 4) & 0xF else by & 0xF
+      if (((nibVal >> (j & 3)) & 1) == 1) 1 else -1
+    }
+  }
+
+  /** Table t's md5-hyperplane bucket as ONE codegen'd integer
+    * projection: each plane's dot is a Σ±q_j of micro-quantized
+    * components (q_j = floor(v_j·10⁶) — exact integers, so the sign
+    * is order-independent and replayable, where a float dot's sign
+    * would couple the two engines' summation orders), the bucket the
+    * standard Σ 2^p·[dot > 0] sign pattern.
+    */
+  private def md5BucketCol(t: Int): Column = {
+    val dots = (0 until planesPerTable).map { p =>
+      val sgn = md5PlaneSigns(t, p)
+      val terms = (0 until embeddingDim).map { j =>
+        val s = if (sgn(j) > 0) "" else "-"
+        s"${s}floor(cast(element_at(embedding, ${j + 1}) as double) * 1000000)"
+      }.mkString(" + ")
+      expr(s"($terms)")
+    }
+    dots.zipWithIndex.map { case (d, p) =>
+      when(d > 0L, lit(1L << p)).otherwise(lit(0L)) }.reduce(_ + _)
+  }
+
+  /** q341 — MD5-HYPERPLANE ANN, fully oracle-gated (r16 verdict task
+    * 6: the q330-move on the hyperplane-LSH subfamily): q63's
+    * OR-amplified multi-table machinery — bucket, collide with the
+    * query in ANY table, exact-cosine re-rank under q60's rounded
+    * contract — with the seeded Gaussian planes replaced by md5-derived
+    * ±1 planes and the bucket signs computed over exact micro-unit
+    * integers, so signature AND re-rank replay in DuckDB. q63/q226
+    * stay registered for the seeded production path.
+    *
+    * Scale: q63's argument verbatim — the banding projection is one
+    * codegen'd integer pass, candidates ≈ n/2^planes per table,
+    * single-row query broadcast.
+    */
+  def annHyperplaneMd5(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Vectors.norm2(col("embedding")).as("norm"),
+        array((0 until numTables).map(md5BucketCol): _*).as("buckets"))
+      // q64's explicit zero-norm scope-out (NaN ranks above every real
+      // cosine in Spark; 0.0/0.0 is NULL in DuckDB — scope out, don't
+      // let the engines disagree)
+      .filter(col("norm") > 0.0)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
+    val q = banded.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qvec"), col("t").as("qt"),
+        col("bucket").as("qbucket"))
+    banded.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q),
+        col("t") === col("qt") && col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("qvec")), 6).as("cos"))
+      .dropDuplicates("vec_id")
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(topK)
+  }
+
+  /** q342 — MD5-HYPERPLANE NEAR-DUP PAIRS, fully oracle-gated: q64's
+    * banded self-join (first-colliding-table exactly-once, exact
+    * cosine ≥ threshold on the 6dp-rounded value) over [[md5BucketCol]]
+    * buckets. With q341 this oracle-gates the entire hyperplane-LSH
+    * pipeline shape — plane derivation, integer sign banding,
+    * OR-amplification, exactly-once emission, cosine verify — that
+    * q63/q64/q226 could only pin by spec. Same 0.4 threshold as q64's
+    * registration (the synthetic embeddings are near-orthogonal; 0.95
+    * is vacuous).
+    *
+    * Scale: q64's argument verbatim — bucket-join candidate volume,
+    * never the n² cartesian; the oracle emits DISTINCT colliding pairs
+    * where the engine uses the first-colliding-table predicate — same
+    * relation, exactly-once by construction.
+    */
+  def embeddingNearDupsMd5(spark: SparkSession, dir: String,
+                           minCos: Double = 0.4): DataFrame = {
+    val banded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm2(col("embedding")).as("norm"),
+        array((0 until numTables).map(md5BucketCol): _*).as("buckets"))
+      .filter(col("norm") > 0.0)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
+      .repartition(col("t"), col("bucket"))
+    val firstCollision = not((0 until numTables - 1).map(s =>
+      col("a.t") > s && col("a.buckets")(s) === col("b.buckets")(s))
+      .reduce(_ || _))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .filter(firstCollision)
+      .withColumn("cos",
+        round(graft.expr.DotProduct(col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val ivfClusters = 16
   val ivfProbes = 3
 
@@ -946,6 +1062,10 @@ object Similarity {
     // dedup threshold is vacuously empty; 0.4 exercises the same
     // bucket-join + exact-verify machinery non-vacuously
     "q64_embedding_near_dups" -> ((s, d) => embeddingNearDups(s, d, minCos = 0.4)),
+    // the md5-derived oracle-gated twins of q63/q64 (r17): ±1 planes
+    // from md5 bits, integer dot signs, same OR-amplified machinery
+    "q341_ann_hyperplane_md5" -> (annHyperplaneMd5(_, _)),
+    "q342_near_dups_md5" -> (embeddingNearDupsMd5(_, _)),
     "q256_semantic_dedup" -> (semanticDedup(_, _)),
     "q317_kmeans_lloyd" -> (kmeansLloyd(_, _)),
     "q318_int8_knn_recall" -> (int8KnnRecall(_, _)),
@@ -961,6 +1081,39 @@ object Similarity {
     * accumulate in float32; the manual fold matches Spark's sequential
     * double accumulation).
     */
+  /** Shared q341/q342 preface: the md5-derived ±1 plane matrix (the
+    * engine's md5PlaneSigns rule in SQL), micro-quantized components,
+    * integer dot signs → per-(vector, table) buckets; zero-norm
+    * vectors scoped out (the q64 guard). pl/bk MATERIALIZED — both are
+    * referenced more than once downstream.
+    */
+  private def md5PlanesCtes: String =
+    s"""pl AS MATERIALIZED (
+          SELECT t, p, j,
+            CASE WHEN ((strpos('0123456789abcdef',
+                substr(md5('hp:' || t::VARCHAR || ':' || p::VARCHAR),
+                  j // 4 + 1, 1)) - 1) >> (j % 4)) & 1 = 1
+              THEN 1 ELSE -1 END AS sgn
+          FROM range(0, $numTables) tt(t),
+               range(0, $planesPerTable) tp(p),
+               range(0, $embeddingDim) tj(j)),
+        qv AS (
+          SELECT vec_id, j,
+            floor(embedding[j + 1]::DOUBLE * 1000000)::BIGINT AS q
+          FROM embeddings, range(0, $embeddingDim) tj(j)),
+        dots AS (
+          SELECT qv.vec_id, pl.t, pl.p, sum(pl.sgn * qv.q)::BIGINT AS d
+          FROM qv JOIN pl ON pl.j = qv.j GROUP BY 1, 2, 3),
+        nrm AS (
+          SELECT vec_id FROM embeddings
+          WHERE list_sum(list_transform(embedding,
+            x -> x::DOUBLE * x::DOUBLE)) > 0),
+        bk AS MATERIALIZED (
+          SELECT d.vec_id, d.t,
+            sum(CASE WHEN d.d > 0 THEN 1::BIGINT << d.p
+                     ELSE 0 END)::BIGINT AS bucket
+          FROM dots d JOIN nrm USING (vec_id) GROUP BY 1, 2)"""
+
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(list_zip($a, $b),
           p -> p[1]::DOUBLE * p[2]::DOUBLE))
@@ -1158,6 +1311,36 @@ object Similarity {
             round(${cosSql("e.embedding", "qvec")}, 6) AS cos
           FROM embeddings e, q WHERE vec_id <> 0
           ORDER BY cos DESC, vec_id LIMIT 10""",
+    // q341: identical plane/bucket derivation (md5PlanesCtes), OR-
+    // amplified candidates against the query's buckets, q60's rounded
+    // cosine re-rank
+    "q341_ann_hyperplane_md5" ->
+      s"""WITH $md5PlanesCtes,
+          qb AS (SELECT t, bucket FROM bk WHERE vec_id = $queryVecId),
+          cand AS (
+            SELECT DISTINCT bk.vec_id FROM bk JOIN qb USING (t, bucket)
+            WHERE bk.vec_id <> $queryVecId),
+          qq AS (SELECT embedding AS qvec FROM embeddings
+                 WHERE vec_id = $queryVecId)
+          SELECT e.vec_id, e.label,
+            round(${cosSql("e.embedding", "qvec")}, 6) AS cos
+          FROM embeddings e JOIN cand USING (vec_id), qq
+          ORDER BY cos DESC, vec_id LIMIT $topK""",
+    // q342: DISTINCT colliding pairs (= the engine's first-colliding-
+    // table exactly-once), cosine verify on the rounded value
+    "q342_near_dups_md5" ->
+      s"""WITH $md5PlanesCtes,
+          prs AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id),
+          cs AS (
+            SELECT p.vec_a, p.vec_b,
+              round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cos
+            FROM prs p JOIN embeddings ea ON ea.vec_id = p.vec_a
+                       JOIN embeddings eb ON eb.vec_id = p.vec_b)
+          SELECT vec_a, vec_b, cos FROM cs WHERE cos >= 0.4::DOUBLE
+          ORDER BY vec_a, vec_b""",
     "q61_label_centroids" ->
       """SELECT label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS centroid
          FROM embeddings, range(0, 64) t(i)

@@ -131,6 +131,66 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q341/q342 md5-hyperplane twins: bit-exact vs a plain-Scala " +
+      "replica (hex-path sign derivation, integer dots, rounded cosine), " +
+      "exactly-once pairs, both non-vacuous") {
+    val all = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def signs(t: Int, p: Int): Array[Int] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hp:$t:$p".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (0 until Similarity.embeddingDim).map { j =>
+        val nib = Integer.parseInt(hex.charAt(j / 4).toString, 16)
+        if (((nib >> (j % 4)) & 1) == 1) 1 else -1
+      }.toArray
+    }
+    def buckets(v: Array[Double]): Seq[Long] =
+      (0 until Similarity.numTables).map { t =>
+        (0 until Similarity.planesPerTable).map { p =>
+          val sg = signs(t, p)
+          val d = (0 until Similarity.embeddingDim)
+            .map(j => sg(j) * math.floor(v(j) * 1000000.0).toLong).sum
+          if (d > 0L) 1L << p else 0L
+        }.sum
+      }
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      java.math.BigDecimal.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val kept = all.filter { case (_, _, v) => v.exists(_ != 0.0) }
+    val bk = kept.map { case (id, _, v) => id -> buckets(v) }.toMap
+    val vecOf = all.map { case (id, _, v) => id -> v }.toMap
+    val lblOf = all.map { case (id, l, _) => id -> l }.toMap
+    def collide(a: Long, b: Long): Boolean =
+      bk(a).zip(bk(b)).exists { case (x, y) => x == y }
+    // q341: OR-amplified candidates of the query vector, rounded-cos
+    // top-k under the (cos DESC, vec_id) total order
+    val q = Similarity.queryVecId
+    val expected341 = kept.map(_._1).filter(id => id != q && collide(q, id))
+      .map(id => (id, lblOf(id), cosR(vecOf(q), vecOf(id))))
+      .sortBy { case (id, _, c) => (-c, id) }.take(Similarity.topK).toSeq
+    val got341 = Similarity.annHyperplaneMd5(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got341 == expected341)
+    assert(got341.nonEmpty, "q341 vacuous — no colliding candidates")
+    // q342: exactly the colliding pairs with rounded cos >= 0.4, once
+    val ids = kept.map(_._1).sorted
+    val expected342 = (for {
+      a <- ids; b <- ids if a < b && collide(a, b)
+      c = cosR(vecOf(a), vecOf(b)) if c >= 0.4
+    } yield (a, b, c)).sortBy { case (a, b, _) => (a, b) }.toSeq
+    val got342 = Similarity.embeddingNearDupsMd5(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got342 == expected342)
+    assert(got342.size == got342.distinct.size, "pair emitted twice")
+    assert(got342.nonEmpty, "q342 vacuous at this sf")
+  }
+
   test("int8 quantization: bounded range, exact audit columns, error ≤ scale/2") {
     val out = Similarity.int8Quantization(spark, sf).collect()
     assert(out.nonEmpty)
