@@ -292,25 +292,24 @@ object Similarity {
     }
   }
 
-  /** Table t's md5-hyperplane bucket as ONE codegen'd integer
-    * projection: each plane's dot is a Σ±q_j of micro-quantized
-    * components (q_j = floor(v_j·10⁶) — exact integers, so the sign
-    * is order-independent and replayable, where a float dot's sign
-    * would couple the two engines' summation orders), the bucket the
-    * standard Σ 2^p·[dot > 0] sign pattern.
+  /** All md5-hyperplane buckets as ONE codegen'd integer kernel pass
+    * (graft.expr.MicroSignBuckets — the q330 kernel move, r17): each
+    * plane's dot is a Σ±q_j of micro-quantized components
+    * (q_j = floor(v_j·10⁶) — exact integers, so the sign is
+    * order-independent and replayable, where a float dot's sign would
+    * couple the two engines' summation orders), the bucket the
+    * standard Σ 2^p·[dot > 0] sign pattern. The kernel floors each
+    * component ONCE; the unrolled-SQL form it replaces materialized
+    * dim·planes·tables FLOOR(element_at(...)) terms that Catalyst
+    * re-inlined into every consumer (a ~340 KB plan, q341 measured
+    * 12.5 s warm — see plans/r17/q341_*_before.txt).
     */
-  private def md5BucketCol(t: Int): Column = {
-    val dots = (0 until planesPerTable).map { p =>
-      val sgn = md5PlaneSigns(t, p)
-      val terms = (0 until embeddingDim).map { j =>
-        val s = if (sgn(j) > 0) "" else "-"
-        s"${s}floor(cast(element_at(embedding, ${j + 1}) as double) * 1000000)"
-      }.mkString(" + ")
-      expr(s"($terms)")
-    }
-    dots.zipWithIndex.map { case (d, p) =>
-      when(d > 0L, lit(1L << p)).otherwise(lit(0L)) }.reduce(_ + _)
-  }
+  private[graft] val md5SignMatrix: Seq[Seq[Seq[Int]]] =
+    (0 until numTables).map(t =>
+      (0 until planesPerTable).map(p => md5PlaneSigns(t, p)))
+
+  private def md5BucketsCol: Column =
+    graft.expr.MicroSignBuckets(col("embedding"), md5SignMatrix)
 
   /** q341 — MD5-HYPERPLANE ANN, fully oracle-gated (r16 verdict task
     * 6: the q330-move on the hyperplane-LSH subfamily): q63's
@@ -329,7 +328,7 @@ object Similarity {
     val banded = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
         Vectors.norm2(col("embedding")).as("norm"),
-        array((0 until numTables).map(md5BucketCol): _*).as("buckets"))
+        md5BucketsCol.as("buckets"))
       // q64's explicit zero-norm scope-out (NaN ranks above every real
       // cosine in Spark; 0.0/0.0 is NULL in DuckDB — scope out, don't
       // let the engines disagree)
@@ -369,7 +368,7 @@ object Similarity {
     val banded = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         Vectors.norm2(col("embedding")).as("norm"),
-        array((0 until numTables).map(md5BucketCol): _*).as("buckets"))
+        md5BucketsCol.as("buckets"))
       .filter(col("norm") > 0.0)
       .select(col("vec_id"), col("embedding"), col("norm"), col("buckets"),
         posexplode(col("buckets")).as(Seq("t", "bucket")))
