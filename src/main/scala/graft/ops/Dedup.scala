@@ -726,24 +726,34 @@ object Dedup {
   def minhashMd5(spark: SparkSession, dir: String): DataFrame =
     minhashMd5Core(Tables.documents(spark, dir)).orderBy("doc_id", "reg")
 
-  /** (doc_id, reg, minhash) unsorted — q334's input seam. */
-  private[graft] def minhashMd5Core(docs: DataFrame): DataFrame = {
-    val groupDigests = expr(
-      s"""transform(sequence(0, ${minhashMd5K / 4 - 1}),
-            g -> md5(cast(concat(cast(g as string), ':', sh) as binary)))""")
-    shingleRowsOf(docs)
-      .withColumn("gh", groupDigests)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, ${minhashMd5K - 1}),
-              r -> cast(conv(substring(
-                     element_at(gh, cast(r div 4 + 1 as int)),
-                     (r % 4) * 8 + 1, 8), 16, 10) as bigint))"""))
-        .as(Seq("reg", "h")))
-      // long reg: the oracle's range() register is BIGINT, and the
-      // driver's schema gate compares dtypes
-      .groupBy(col("doc_id"), col("reg").cast("long").as("reg"))
-      .agg(min("h").as("minhash"))
-  }
+  /** [[Tables.spread]] threshold for the md5-register kernels: the 4 MB
+    * default was calibrated on tokenize-grade work, and the minhash
+    * kernel does ~32× that per input byte (4 md5 digests per ~40-byte
+    * shingle, shingle bytes ≈ 3× text bytes), so a footer-packed file
+    * is worth spreading ~32× earlier. Scale-honest by spread's own
+    * gates: on a properly-split 100-TB source the partition-count gate
+    * makes this a no-op — it exists exactly for the single-file scan
+    * that otherwise runs the digest chain on one core (measured at
+    * sf0.1: the whole q333 pipeline serial on 1 partition, 6.5 s warm).
+    */
+  private[graft] val md5KernelSpreadBytesPerCore: Long =
+    Tables.spreadMinBytesPerCore / 32
+
+  /** (doc_id, reg, minhash) unsorted — q334's input seam. One codegen'd
+    * kernel pass per doc (graft.expr.MinHashMd5 — the SimHashMd5 move,
+    * r17): the k register minima come out as an ordered struct array,
+    * so a single explode replaces the previous explode-shingles →
+    * 4-digests-per-row → ×k posexplode → two-exchange min aggregate
+    * chain. Register arithmetic is bit-identical (kernel scaladoc);
+    * the oracle replays its own CTE chain unchanged.
+    */
+  private[graft] def minhashMd5Core(docs: DataFrame): DataFrame =
+    Tables.spread(docs, md5KernelSpreadBytesPerCore)
+      .select(col("doc_id"), explode(graft.expr.MinHashMd5(
+          array_distinct(shingles(TextFunctions.tokens(col("text")), shingleSize)),
+          minhashMd5K)).as("rm"))
+      .select(col("doc_id"), col("rm.reg").as("reg"),
+        col("rm.minhash").as("minhash"))
 
   /** q334 — MD5-MINHASH BANDED LSH CANDIDATES, oracle-gated end to
     * end: q54's banding (4 bands of 4 registers; a pair is a candidate
