@@ -1044,24 +1044,35 @@ object Dedup {
   def duplicateSpans(spark: SparkSession, dir: String): DataFrame =
     duplicateSpansCore(Tables.spread(Tables.documents(spark, dir)))
 
-  /** Core over any (doc_id, text) frame — fixture seam. */
-  private[graft] def duplicateSpansCore(docs: DataFrame,
-                                        w: Int = dupSpanW): DataFrame = {
-    val ws = docs.filter(col("text").isNotNull)
+  /** The q314/q315 shared window relation: one (doc, window-hash,
+    * start) row per token position that opens a full window; md5 of
+    * the space-joined window = the shuffle key (32 hex chars instead
+    * of a ~120-char token run), same digest on the oracle side. ONE
+    * explicit exchange on the hash key under every consumer (r17 —
+    * the q52 ReuseExchange discipline): the before-plan carried 12
+    * parquet scans because the tokenize+window+md5 subtree re-ran for
+    * each of the five consumers, each time serially on the
+    * footer-packed single file (plans/r17/q314_*_before.txt).
+    */
+  private def dupWindows(docs: DataFrame, w: Int): DataFrame =
+    Tables.spread(docs, md5KernelSpreadBytesPerCore)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.expr.TextFunctions.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= w)
-    // one (doc, window-hash, start) row per token position that opens
-    // a full window; md5 of the space-joined window = the shuffle key
-    // (32 hex chars instead of a ~120-char token run), same digest on
-    // the oracle side
-    val win = ws.select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(expr(
         s"""transform(
               filter(sequence(1, size(ws)), i -> i + ${w - 1} <= size(ws)),
               i -> struct(
                 md5(cast(concat_ws(' ', slice(ws, i, $w)) as binary)) as h,
                 i as start))""")).as("t"))
       .select(col("doc_id"), col("t.h").as("h"), col("t.start").as("start"))
+      .repartition(col("h"))
+
+  /** Core over any (doc_id, text) frame — fixture seam. */
+  private[graft] def duplicateSpansCore(docs: DataFrame,
+                                        w: Int = dupSpanW): DataFrame = {
+    val win = dupWindows(docs, w)
     val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val dupOcc = win.join(dup, Seq("h"))
@@ -1073,8 +1084,12 @@ object Dedup {
     val wstats = win.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
     val dupw = dupOcc.groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_windows"))
-    ws.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
-      .join(wstats, Seq("doc_id"))
+    // n_words = n_windows + w − 1 exactly: every kept doc has
+    // size(ws) ≥ w, so n_windows = size − w + 1 ≥ 1 — the identity
+    // drops the former per-doc sizes branch (one more full
+    // tokenize+scan) from the plan (r17)
+    wstats
+      .withColumn("n_words", col("n_windows") + (w - 1).toLong)
       .join(dupw, Seq("doc_id"), "left")
       .join(cov, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_dup_windows", "n_dup_tokens"))
@@ -1117,17 +1132,10 @@ object Dedup {
                                              w: Int = dupSpanW,
                                              keepMin: Int = spanKeepMin)
       : DataFrame = {
-    val ws = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        graft.expr.TextFunctions.tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= w)
-    val win = ws.select(col("doc_id"), explode(expr(
-        s"""transform(
-              filter(sequence(1, size(ws)), i -> i + ${w - 1} <= size(ws)),
-              i -> struct(
-                md5(cast(concat_ws(' ', slice(ws, i, $w)) as binary)) as h,
-                i as start))""")).as("t"))
-      .select(col("doc_id"), col("t.h").as("h"), col("t.start").as("start"))
+    // the q314 shared-window discipline (see dupWindows): one exchange
+    // under every consumer; n_words derives from the per-doc window
+    // count (n_windows + w − 1), dropping the former sizes branch
+    val win = dupWindows(docs, w)
     val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val occ = win.join(dup, Seq("h"))
@@ -1147,7 +1155,8 @@ object Dedup {
         sum("ni").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "isl")
       .agg(min("s").as("c_start"), max("e").as("c_end"))
-    val n = ws.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+    val n = win.groupBy("doc_id").agg(
+      (count(lit(1)) + (w - 1).toLong).as("n_words"))
     val wIsl = Window.partitionBy("doc_id").orderBy("c_start")
     // the gap BEFORE each covered island (head gap via the lag-null
     // coalesce), the tail gap after the last island, and whole clean docs
