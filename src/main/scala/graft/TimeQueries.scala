@@ -27,6 +27,9 @@ object TimeQueries {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(f"[time] rep$r $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same hygiene as graft.Bench: a query's leaked cache/checkpoint
+      // blocks must not bill (or subsidize) later measurements
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

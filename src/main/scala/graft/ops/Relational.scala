@@ -254,10 +254,20 @@ object Relational {
     * spec-pinned (RelationalSpec asserts the ±5% contract numerically).
     */
   private[graft] val approxDistinctDetail: Q = (s, d) =>
+    // dedup (type, user) BEFORE aggregating (r17): countDistinct beside
+    // a non-distinct agg triggers the Expand multi-distinct rewrite,
+    // whose phase-1 grouping runs at (type, user) grain — and the
+    // rsd=0.01 HLL++ then allocates its 2¹⁴-register sketch PER USER
+    // GROUP (measured: 1.9 s vs 0.2 s exact-only on 100k rows at
+    // sf0.1). Both aggregates are multiplicity-invariant — count over
+    // deduped pairs IS the distinct count, and HLL registers are a max,
+    // so insertion multiplicity never changes the estimate — hence the
+    // rewrite is bit-identical, with sketches only at type grain.
     Tables.events(s, d)
+      .select("event_type", "user_id").distinct()
       .groupBy("event_type")
       .agg(
-        countDistinct("user_id").as("n_users"),
+        count("user_id").as("n_users"),
         approx_count_distinct("user_id", 0.01).as("approx_users"))
       .orderBy("event_type")
 
