@@ -56,13 +56,26 @@ object Fidelity {
   val fanRenGlob = "/root/repo/refdata/fanren/danmaku_*.csv"
   val spyGlob = "/root/repo/refdata/spy/danmaku_*.csv"
 
-  /** Sorted per-row canonical-entity set as a native expression: one
-    * contains/when cell per canonical character (all aliases OR-ed),
-    * nulls compacted, sorted — semantics of the reference's
-    * set-of-matching-aliases UDF (danmaku_analysis_cluster.py:100-106)
-    * with Spark binary string sort = Python code-point sort.
+  /** Sorted per-row canonical-entity set as a native expression —
+    * semantics of the reference's set-of-matching-aliases UDF
+    * (danmaku_analysis_cluster.py:100-106) with Spark binary string
+    * sort = Python code-point sort. Since r17 this is ONE Aho–Corasick
+    * pass (graft.expr.LexiconEntities — codegen'd kernel, not a UDF):
+    * the previous per-canon contains/when chain evaluated up to ~122
+    * alias searches per row and measured ~1.6 s of every
+    * danmaku-extraction query's ~2.4 s at sf0.1 (tools/FanrenProbe);
+    * the automaton walks each text once, O(len) in the lexicon size.
+    * [[entityArrayChain]] keeps the original chain for the parity spec.
     */
-  def entityArray(text: Column, lex: Seq[(String, Seq[String])]): Column = {
+  def entityArray(text: Column, lex: Seq[(String, Seq[String])]): Column =
+    graft.expr.LexiconEntities(text, lex)
+
+  /** The pre-r17 contains/when chain — parity-spec twin of
+    * [[entityArray]] (FidelitySpec pins kernel == chain on the real
+    * corpus), never on the hot path.
+    */
+  private[graft] def entityArrayChain(text: Column,
+                                      lex: Seq[(String, Seq[String])]): Column = {
     val cells = lex.map { case (canon, aliases) =>
       when(aliases.map(a => text.contains(a)).reduce(_ || _), lit(canon))
     }

@@ -342,4 +342,34 @@ class FidelitySpec extends AnyFunSuite with SparkTestBase {
     assert(entries.map(_.getInt(0)) == entries.map(_.getInt(0)).sorted)
     assert(entries.head.schema.fieldNames.toSeq == Seq("time", "value", "high"))
   }
+
+  test("r17 Aho-Corasick entity kernel == the contains/when chain, " +
+       "on the real corpus and on adversarial fixtures") {
+    // real corpus: every row of one full episode, kernel vs chain
+    val ep = CsvIngest.readDanmaku(spark, Fidelity.fanRenGlob)
+      .select(col("text"))
+      .limit(60000)
+    val both = ep.select(
+      Fidelity.entityArray(col("text"), RefLexicons.fanRen).as("k"),
+      Fidelity.entityArrayChain(col("text"), RefLexicons.fanRen).as("c"))
+    assert(both.filter(not(col("k") <=> col("c"))).count() == 0)
+    // adversarial fixtures: overlap, alias-inside-alias, shared alias
+    // bytes, repeats, null, empty, non-matching CJK
+    val lex = Seq(
+      "甲" -> Seq("韩立", "立大"),
+      "乙" -> Seq("大头", "头"),
+      "丙" -> Seq("韩"),
+      "丁" -> Seq("zz", "韩立大头"))
+    import spark.implicits._
+    val rows = Seq("韩立大头", "大头韩", "韩x立", "立大立大", "", "abczzde",
+      "头头头", "nothing here", null).toDF("text")
+    val out = rows.select(
+      Fidelity.entityArray(col("text"), lex).as("k"),
+      Fidelity.entityArrayChain(col("text"), lex).as("c"))
+    assert(out.filter(not(col("k") <=> col("c"))).count() == 0)
+    // null text → EMPTY array (array_compact semantics), never null
+    val nullRow = rows.filter(col("text").isNull)
+      .select(Fidelity.entityArray(col("text"), lex).as("k")).collect().head
+    assert(!nullRow.isNullAt(0) && nullRow.getSeq[String](0).isEmpty)
+  }
 }
