@@ -102,21 +102,60 @@ object Skew {
     * one definition of the rule the engine quantile builtins disagree
     * on, so a future tweak can't silently diverge the call sites.
     */
+  /** `preBounds`: None → the classic per-group window (one exchange, no
+    * probe job — right for the small per-group cardinalities every
+    * consumer but q161 has; a two-phase rewrite measured 2–4× SLOWER
+    * for them, r17: the boundary probe is an extra pass and the
+    * value-grain agg ran twice). Some(bounds) → two-phase per-group
+    * running counts over deterministic value-buckets (the
+    * GlobalIndex.prefixSummedBy discipline) for callers whose hottest
+    * group's value cardinality is corpus-sized — q161's stacked
+    * l_extendedprice put ~600k distinct values through ONE window task.
+    * Boundaries are balance-only; the cut selection reads the identical
+    * exact (cum, n) integers either way, so outputs are bit-identical.
+    */
   private[graft] def cumeCuts(df: DataFrame, valCol: String,
                               cuts: Seq[(String, Double)],
                               extras: Seq[Column] = Nil,
-                              groupCol: String = "event_type"): DataFrame = {
+                              groupCol: String = "event_type",
+                              preBounds: Option[Seq[Double]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val run = Window.partitionBy(groupCol).orderBy(valCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy(groupCol)
-    val cum = df.groupBy(groupCol, valCol).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(run))
-      .withColumn("n", sum("c").over(whole))
-    val cutCols = cuts.map { case (name, p) =>
-      min(when(col("cum").cast("double") / col("n").cast("double") >= p,
-        col(valCol))).as(name)
+    val cutOf = { (cumC: Column, nC: Column) =>
+      cuts.map { case (name, p) =>
+        min(when(cumC.cast("double") / nC.cast("double") >= p,
+          col(valCol))).as(name)
+      }
     }
+    val grain = df.groupBy(groupCol, valCol).agg(count(lit(1)).as("c"))
+    val cum = preBounds match {
+      case None =>
+        val run = Window.partitionBy(groupCol).orderBy(valCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val whole = Window.partitionBy(groupCol)
+        grain
+          .withColumn("cum", sum("c").over(run))
+          .withColumn("n", sum("c").over(whole))
+      case Some(bounds) =>
+        val ranged = GlobalIndex.rangedDeterministic(grain, Seq(valCol),
+          Some(bounds))
+        val run = Window.partitionBy(groupCol, "pid").orderBy(valCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = ranged.withColumn("lcum", sum("c").over(run))
+        val offW = Window.partitionBy(groupCol).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val totW = Window.partitionBy(groupCol)
+        // null-safe group equality: a NULL group key is a legitimate
+        // window partition and must not fall out of the join
+        val offsets = local.groupBy(groupCol, "pid").agg(sum("c").as("pc"))
+          .withColumn("off", coalesce(sum("pc").over(offW), lit(0L)))
+          .withColumn("n", sum("pc").over(totW))
+          .select(col(groupCol).as("__g"), col("pid").as("__p"),
+            col("off"), col("n"))
+        local.join(broadcast(offsets),
+            col(groupCol) <=> col("__g") && col("pid") === col("__p"))
+          .withColumn("cum", col("off") + col("lcum"))
+    }
+    val cutCols = cutOf(col("cum"), col("n"))
     cum.groupBy(groupCol)
       .agg(cutCols.head, (cutCols.tail ++ extras): _*)
   }
@@ -591,11 +630,17 @@ object Skew {
         statColumns.map(c => s"'$c', $c").mkString(", ") +
         ") AS (column_name, value)"))
     val total = li.agg(count(lit(1)).as("n_rows"))
-    cumeCuts(stacked.filter(col("value").isNotNull), "value",
+    // one row-grain boundary probe over the stacked relation feeds the
+    // two-phase cume path (r17): q161's hottest group (l_extendedprice)
+    // carries ~600k distinct values — the default per-group window ran
+    // them through one task (~5 s warm; 5.04 s in BENCH r17pre)
+    val nn = stacked.filter(col("value").isNotNull)
+    cumeCuts(nn, "value",
       Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75),
       extras = Seq(count(lit(1)).as("ndv"), max("n").as("n_values"),
         min("value").as("v_min"), max("value").as("v_max")),
-      groupCol = "column_name")
+      groupCol = "column_name",
+      preBounds = Some(GlobalIndex.probeBounds(nn, Seq("value"))("value")))
       .crossJoin(broadcast(total)) // single-row frame (sanctioned)
       .withColumn("n_null", col("n_rows") - col("n_values"))
       .select("column_name", "n_rows", "n_values", "n_null", "ndv",
