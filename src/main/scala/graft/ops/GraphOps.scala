@@ -778,13 +778,17 @@ object GraphOps {
         t => t.sendToDst(Map(t.srcAttr -> t.attr)),
         (a, b) => (a.keySet ++ b.keySet).iterator
           .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
-      val prev = g
       g = g.outerJoinVertices(msgs)((_, old, m) =>
         m.filter(_.nonEmpty)
           .map(_.minBy { case (lbl, w) => (-w, lbl) }._1)
           .getOrElse(old)).cache()
-      g.vertices.count() // materialize before dropping the parent
-      prev.unpersist(blocking = false)
+      // no per-iteration count barrier (r17): the per-level cache()
+      // makes the single final action compute each level exactly once
+      // (a level's two consumers — next round's messages and join —
+      // read the cached partitions), and on the lexicon-bounded graph
+      // holding all levels cached until materializeAndRelease is a few
+      // KB; the former count-per-iteration was 10 extra scheduled jobs
+      // of pure barrier (~0.1 s each at local[32])
       toDrop += g
     }
     val s2 = spark
