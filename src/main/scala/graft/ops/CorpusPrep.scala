@@ -611,6 +611,10 @@ object CorpusPrep {
     val toks = withSplit.select(col("doc_id"), col("split"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
+      // the q311 discipline (r17): materialize the survivor grain once
+      // before the per-split prefix sums — each split's boundary probe
+      // plus window branch otherwise re-evaluates the whole tier chain
+      .localCheckpoint(true)
     Seq("train", "eval")
       .map(sp => GlobalIndex.prefixSummedBy(
         toks.filter(col("split") === sp), Seq("doc_id"), Seq("n_tok")))
@@ -701,7 +705,14 @@ object CorpusPrep {
     * caller materializes `docs`; all tiers (and the score) consume it.
     */
   private[graft] def curationPipelineScoredCore(docs: DataFrame): DataFrame = {
-    val scored = scoredSurvivors(docs)
+    // checkpoint the survivor frame BEFORE the per-split packing (r17):
+    // prefixSummedBy's boundary probe is its own job, and with two
+    // splits the un-materialized chain re-ran the repetition+DSIR tail
+    // up to four times (2 probes + 2 window branches — measured ~1.9 s
+    // of q311's 7.7 s warm, tools/CurationProbe). The frame is
+    // survivor-sized (manifest grain), so the barrier is cheap at any
+    // scale.
+    val scored = scoredSurvivors(docs).localCheckpoint(true)
     Seq("train", "eval")
       .map(sp => GlobalIndex.prefixSummedBy(
         scored.filter(col("split") === sp), Seq("doc_id"), Seq("n_tok")))
