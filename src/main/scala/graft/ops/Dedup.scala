@@ -354,9 +354,15 @@ object Dedup {
     */
   private[graft] def ppjoinCore(shRows: DataFrame, thetaPpm: Long): DataFrame = {
     // one exchange on sh under BOTH consumers (the df table and the
-    // rarity join) — the tokenize+shingle projection runs once
-    // (ReuseExchange, q52's discipline)
-    val rows = shRows.repartition(col("sh"))
+    // rarity join) — the tokenize+shingle projection runs once.
+    // CHECKPOINTED since r17: numberedBy's range-boundary probe is its
+    // own Spark job, and cross-job the exchange is NOT reusable — the
+    // probe re-ran the whole scan+tokenize+shingle chain (serial on the
+    // footer-packed file) once more per invocation. One materialization
+    // of the shingle relation is the q302 shared-scan discipline; at
+    // scale it is the inverted-index artifact a production PPJoin
+    // persists anyway (the q177 stored-index-stats argument).
+    val rows = shRows.repartition(col("sh")).localCheckpoint(true)
     val df = rows
       .groupBy("sh").agg(count(lit(1)).as("df"))
     // dense integer RANK per shingle in the (df asc, sh asc) rarity
