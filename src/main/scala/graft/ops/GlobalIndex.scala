@@ -335,6 +335,9 @@ object GlobalIndex {
       .select(expr("cast(l_extendedprice * 100 as bigint)").as("v"),
         expr("cast(l_quantity as bigint)").as("w"))
       .groupBy("v").agg(sum("w").as("w"))
+      // materialized once (r17): prefixSummedBy's boundary probe is its
+      // own job, and without this the scan+agg ran twice (probe + main)
+      .localCheckpoint(true)
     val cum = prefixSummedBy(grain, Seq("v"), Seq("w"))
     // no join at all: each grain row knows which percentile thresholds
     // its cumulative step CROSSES ((cum−w, cum] spans p·tot/100), and
