@@ -24,6 +24,30 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** Route ImageIO stream caching through MEMORY, not disk temp files.
+    *
+    * The JDK default (`ImageIO.getUseCache == true`) makes every
+    * stream-based encode/decode — `ImageIO.read(InputStream)`,
+    * `ImageIO.write(_, _, OutputStream)`, `createImageInput/OutputStream`
+    * — spool through a `FileCache*Stream` temp file in java.io.tmpdir:
+    * one file create+write+read+delete PER PAYLOAD. For this module's
+    * workloads (thousands of KB-sized in-memory payloads × 32 tasks)
+    * that is pure disk-latency tax and the measured source of the
+    * r14–r17 "image family host-I/O steal" saga: an idle-host A/B of
+    * 20k tiny GIF encode+decodes ran 3.94 s disk-cached vs 1.22 s
+    * memory-cached single-threaded, and the disk path degrades
+    * unboundedly when the host's disk is contended (q86 0.6 s quiet →
+    * 5–13 s under steal, code identical). `MemoryCache*Stream` output
+    * is byte-identical — the cache is stream plumbing, not codec state.
+    *
+    * Called (idempotent, a static boolean read when already off) at the
+    * head of every kernel that touches ImageIO, so the setting lands in
+    * whatever JVM runs the kernel — executor-side on a real cluster,
+    * not just local mode.
+    */
+  @inline private def memCachedImageIO(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** Byte-level metadata of a binary payload — pure native expressions
     * (this part needs no decoder and is DuckDB-oracle-checked).
     */
@@ -117,6 +141,7 @@ object Multimodal {
     * analytic for the oracle.
     */
   def encodeGif(w: Int, h: Int, frameColors: Seq[(Int, Int, Int)]): Array[Byte] = {
+    memCachedImageIO()
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
@@ -175,6 +200,7 @@ object Multimodal {
     */
   def frameFeatures(rows: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame =
     rows.mapPartitions { it =>
+      memCachedImageIO()
       it.flatMap { case (id, payload) =>
         try {
           val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -287,6 +313,7 @@ object Multimodal {
     */
   def imageFeatures(rows: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame =
     rows.mapPartitions { it =>
+      memCachedImageIO()
       it.map { case (id, payload) =>
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -404,6 +431,7 @@ object Multimodal {
     * rounding would not be).
     */
   def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    memCachedImageIO()
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
     val out = new java.awt.image.BufferedImage(
@@ -474,6 +502,7 @@ object Multimodal {
     * exact).
     */
   private[graft] def encodePatternBmp(k: Int, group: Long): Array[Byte] = {
+    memCachedImageIO()
     val img = new java.awt.image.BufferedImage(
       8 * k, 8 * k, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
